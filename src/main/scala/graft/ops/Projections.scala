@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Projection / casting / scalar-expression operators (SURVEY.md §2.2, §2.9).
+  *
+  * These reproduce the reference's staging patterns
+  * (`/root/reference/dbt/models/staging/stg_corebank_loans.sql:7-68`,
+  * `/root/reference/dbt/macros/stg_generic.sql:1-13`,
+  * `/root/reference/include/load_raw_to_bq.py:10-30`) as reusable
+  * Column-level building blocks. Everything here is composed Spark
+  * built-ins — codegen'd, null-safe, and pushdown-friendly; no UDFs.
+  */
+object Projections {
+
+  /** S2 — header sanitize: `.` → `_` in column names (schema-level rename,
+    * zero data movement). Ref: `load_raw_to_bq.py:10-30`,
+    * `scripts/clean_vehicle_loans.py:16-22`. */
+  def sanitizeHeaders(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.replace(".", "_")): _*)
+
+  /** M6 — generic staging macro: alias→expression map → SELECT.
+    * Ref: `dbt/macros/stg_generic.sql:1-13`. Ordered Seq (not Map) so the
+    * output column order is deterministic. */
+  def stgGeneric(src: DataFrame, columns: Seq[(String, Column)]): DataFrame =
+    src.select(columns.map { case (alias, expr) => expr.as(alias) }: _*)
+
+  /** P2 — SAFE.PARSE_DATE('%d-%m-%y', x) with BigQuery two-digit-year
+    * semantics. BQ `%y` pivots 69–99 → 19xx, 00–68 → 20xx; Java/Spark `yy`
+    * maps everything to 20xx. Parse with `yy` (null on malformed input —
+    * Spark's non-ANSI `to_date` matches SAFE), then shift any year > pivot
+    * back a century. Ref: `stg_corebank_loans.sql:15-16`,
+    * `auto_data_adapter.py:123,134`. */
+  def safeParseDate2(c: Column, fmt: String = "dd-MM-yy", pivot: Int = 2068): Column = {
+    val d = to_date(c, fmt)
+    when(year(d) > pivot, add_months(d, -1200)).otherwise(d)
+  }
+
+  /** D4 — smart date key: `format_date('%Y%m%d', d)` cast to int64.
+    * Ref: `dim_date.sql:9`, `f_payment_transaction.sql:6`. */
+  def dateKey(c: Column): Column = date_format(c, "yyyyMMdd").cast("long")
+
+  /** P6 — banded bucketing (age bands). BigQuery `DATE_DIFF(a, b, YEAR)`
+    * counts year *boundaries* (= year(a) - year(b)), not full years — this
+    * helper reproduces exactly that. Ref: `dim_customer.sql:21-26`. */
+  def yearDiff(a: Column, b: Column): Column = year(a) - year(b)
+
+  /** P6 — CASE banding over a numeric column with a null bucket.
+    * `bounds` are inclusive-exclusive upper bounds paired with labels;
+    * values ≥ last bound get `lastLabel`. */
+  def band(c: Column, bounds: Seq[(Double, String)], lastLabel: String,
+           nullLabel: String = "unknown"): Column = {
+    val base: Column = when(c.isNull, nullLabel)
+    val withBounds = bounds.foldLeft(base) { case (acc, (ub, label)) =>
+      acc.when(c < ub, label)
+    }
+    withBounds.otherwise(lastLabel)
+  }
+
+  /** P7 — set-membership recode: IN-list → label, else other label.
+    * Ref: `dim_contract_status.sql:6-9`. */
+  def recodeIn(c: Column, members: Seq[String], hit: String, miss: String): Column =
+    when(c.isin(members: _*), hit).otherwise(miss)
+
+  /** P8 — weekend flag; both Spark and BQ use 1=Sunday..7=Saturday.
+    * Ref: `dim_date.sql:16`. */
+  def isWeekend(d: Column): Column = dayofweek(d).isin(1, 7)
+}
