@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.ops.Projections
+import graft.gold.Dims
+import graft.ops.{Dedup, Projections}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -82,9 +83,145 @@ object SparkEntry {
       .orderBy("contract_id")
   }
 
+  /** P1/P3/P4/P5/P10 + M6 — the staging rename-and-cast projection driven
+    * by the generic staging macro: alias→expression pairs → SELECT.
+    * Ref: `stg_corebank_loans.sql:7-68`, `dbt/macros/stg_generic.sql:1-13`. */
+  def qStgProject(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    Projections.stgGeneric(li, Seq(
+      "item_id"        -> col("l_orderkey").cast("string"),          // P1 cast+rename
+      "loan_ref"       -> col("l_orderkey").cast("string"),          // P10 dup alias
+      "line_no"        -> col("l_linenumber").cast("long"),
+      "ship_date"      -> col("l_shipdate").cast("date"),            // P4 date cast
+      "quantity"       -> col("l_quantity").cast("decimal(18,2)").cast("double"),
+      "gross_amount"   -> col("l_extendedprice").cast("decimal(18,2)").cast("double"),
+      "customer_type"  -> lit("RETAIL"),                             // P5 literal stub
+      "interest_rate"  -> lit(null).cast("double")))                 // P5 typed null
+      .orderBy("item_id", "line_no")
+  }
+
+  /** P2/P3 — SAFE.PARSE_DATE with the BigQuery two-digit-year pivot:
+    * format a real date to 'dd-MM-yy' text, reparse through the pivot
+    * shim, and safe-parse a garbage column to NULL. Spark 4 runs ANSI
+    * mode, so the SAFE behavior is `try_to_date` (null on malformed) —
+    * same contract as DuckDB's try_strptime.
+    * Ref: `stg_corebank_loans.sql:15-16`. */
+  def qSafeDateParse(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val txt = date_format(col("o_orderdate"), "dd-MM-yy")
+    val parsed = {
+      val d = try_to_date(txt, "dd-MM-yy")
+      when(year(d) > 2068, add_months(d, -1200)).otherwise(d)
+    }
+    o.select(
+      col("o_orderkey").as("order_id"),
+      txt.as("date_text"),
+      parsed.as("parsed_date"),
+      try_to_date(col("o_orderpriority"), "dd-MM-yy").as("bad_parse"))
+      .orderBy("order_id")
+  }
+
+  /** W1 + F3 — windowed dedup: one row per user, first event by
+    * (ts, event_id). Ref: `stg_corebank_customers.sql:16,30`. */
+  def qDedupFirstEvent(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    Dedup.firstPerKey(ev, Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("event_id"), col("ts").cast("date").as("first_date"),
+        col("event_type"), col("value").cast("decimal(18,2)").cast("double").as("value"))
+      .orderBy("user_id")
+  }
+
+  /** S8 + D3–D7 + P8 — generated date dimension (5,844-row spine with
+    * calendar attributes). Ref: `dim_date.sql:3-17`. */
+  def qDimDate(spark: SparkSession, dir: String): DataFrame =
+    Dims.dateSpine(spark, "2015-01-01", "2030-12-31").orderBy("date_key")
+
+  /** A6 + W2 + P5 — distinct-values dimension with dense surrogate keys.
+    * Ref: `dim_product.sql:4-17`, `dim_dealer.sql:4-18`. */
+  def qSurrogateDim(spark: SparkSession, dir: String): DataFrame =
+    Dims.surrogateDim(t(spark, dir, "part"), "p_brand", "brand_key",
+      Seq("brand_name" -> col("p_brand"),              // P10 dup alias
+          "source_system" -> lit("CATALOG")))          // P5 literal stub
+      .orderBy("brand_key")
+
+  /** S7 + U1 + W2 + P7 — constant inline dimension (literal UNION ALL) with
+    * set-membership recode. Ref: `dim_contract_status.sql:1-16`. */
+  def qStatusDim(spark: SparkSession, dir: String): DataFrame =
+    Dims.contractStatusDim(spark).orderBy("status_key")
+
+  /** P6 + D2 — CASE banding with a null bucket over a numeric measure and
+    * BQ-style year-boundary diff from a pinned anchor date.
+    * Ref: `dim_customer.sql:21-26`. */
+  def qCaseBanding(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    val anchor = to_date(lit("2026-01-01"))
+    val firstOrder = o.groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate").cast("date")).as("first_order_date"))
+    c.join(firstOrder, c("c_custkey") === firstOrder("o_custkey"), "left")
+      .select(
+        c("c_custkey").as("customer_id"),
+        Projections.band(c("c_acctbal"),
+          Seq(0.0 -> "negative", 1000.0 -> "low", 5000.0 -> "mid"), "high")
+          .as("balance_band"),
+        Projections.yearDiff(anchor, col("first_order_date")).as("tenure_years"),
+        Projections.band(Projections.yearDiff(anchor, col("first_order_date")).cast("double"),
+          Seq(10.0 -> "recent", 20.0 -> "established"), "legacy")
+          .as("tenure_band"))
+      .orderBy("customer_id")
+  }
+
+  /** F1/F2/F5 — null-guard and IN-list filters ahead of keying.
+    * Ref: `stg_corebank_customers.sql:18`, `dim_dealer.sql:7`. */
+  def qNullFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .where(col("user_id").isNotNull && col("props").isNotNull)
+      .where(col("event_type").isin("click", "view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy("event_id")
+
+  /** F4 + J5 + D4 — filtered fact subset joined to the date spine:
+    * returned lineitems with their ship-date calendar attributes.
+    * The filter and the two scan columns push down to parquet; the spine
+    * is broadcast. Ref: `f_default_event.sql:10,28-29`. */
+  def qFilteredFact(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val dd = Dims.dateSpine(spark, "1990-01-01", "2010-12-31")
+    li.where(col("l_returnflag") === "R")
+      .join(broadcast(dd), li("l_shipdate").cast("date") === dd("calendar_date"), "left")
+      .select(
+        li("l_orderkey").as("order_id"), li("l_linenumber").as("line_no"),
+        dd("date_key"), dd("year"), dd("is_weekend"),
+        li("l_extendedprice").cast("decimal(18,2)").cast("double").as("amount"))
+      .orderBy("order_id", "line_no")
+  }
+
+  /** D5–D7 + A1 — tumbling daily aggregation over the events table
+    * (batch analogue of a windowed stream agg): date_trunc to day,
+    * count + exact sum per (day, event_type). */
+  def qEventsDaily(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(
+        date_trunc("day", col("ts")).cast("date").as("event_date"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("num_events"),
+        dsum(col("value")).as("total_value"))
+      .orderBy("event_date", "event_type")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_dealer_perf"   -> qDealerPerf,
-    "q_star_contract" -> qStarContract,
+    "q_dealer_perf"      -> qDealerPerf,
+    "q_star_contract"    -> qStarContract,
+    "q_stg_project"      -> qStgProject,
+    "q_safe_date_parse"  -> qSafeDateParse,
+    "q_dedup_first_event" -> qDedupFirstEvent,
+    "q_dim_date"         -> qDimDate,
+    "q_surrogate_dim"    -> qSurrogateDim,
+    "q_status_dim"       -> qStatusDim,
+    "q_case_banding"     -> qCaseBanding,
+    "q_null_filter"      -> qNullFilter,
+    "q_filtered_fact"    -> qFilteredFact,
+    "q_events_daily"     -> qEventsDaily,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -115,5 +252,88 @@ object SparkEntry {
         |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
         |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
         |ORDER BY contract_id""".stripMargin,
+    "q_stg_project" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS item_id,
+        |       CAST(l_orderkey AS VARCHAR) AS loan_ref,
+        |       CAST(l_linenumber AS BIGINT) AS line_no,
+        |       CAST(l_shipdate AS DATE) AS ship_date,
+        |       CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS quantity,
+        |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS gross_amount,
+        |       'RETAIL' AS customer_type,
+        |       CAST(NULL AS DOUBLE) AS interest_rate
+        |FROM lineitem ORDER BY item_id, line_no""".stripMargin,
+    "q_safe_date_parse" ->
+      """SELECT o_orderkey AS order_id,
+        |       strftime(o_orderdate, '%d-%m-%y') AS date_text,
+        |       CAST(try_strptime(strftime(o_orderdate, '%d-%m-%y'), '%d-%m-%y') AS DATE) AS parsed_date,
+        |       CAST(try_strptime(o_orderpriority, '%d-%m-%y') AS DATE) AS bad_parse
+        |FROM orders ORDER BY order_id""".stripMargin,
+    "q_dedup_first_event" ->
+      """SELECT user_id, event_id, CAST(ts AS DATE) AS first_date, event_type,
+        |       CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |      FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_dim_date" ->
+      """SELECT CAST(strftime(gs, '%Y%m%d') AS BIGINT) AS date_key,
+        |       CAST(gs AS DATE) AS calendar_date,
+        |       CAST(year(gs) AS INTEGER) AS year,
+        |       CAST(quarter(gs) AS INTEGER) AS quarter,
+        |       CAST(month(gs) AS INTEGER) AS month,
+        |       CAST(weekofyear(gs) AS INTEGER) AS week_of_year,
+        |       CAST(dayofweek(gs) + 1 AS INTEGER) AS day_of_week,
+        |       dayofweek(gs) IN (0, 6) AS is_weekend
+        |FROM generate_series(DATE '2015-01-01', DATE '2030-12-31', INTERVAL 1 DAY) t(gs)
+        |ORDER BY date_key""".stripMargin,
+    "q_surrogate_dim" ->
+      """SELECT CAST(row_number() OVER (ORDER BY p_brand) AS BIGINT) AS brand_key,
+        |       p_brand, p_brand AS brand_name, 'CATALOG' AS source_system
+        |FROM (SELECT DISTINCT p_brand FROM part WHERE p_brand IS NOT NULL)
+        |ORDER BY brand_key""".stripMargin,
+    "q_status_dim" ->
+      """SELECT CAST(row_number() OVER (ORDER BY status_code) AS BIGINT) AS status_key,
+        |       status_code,
+        |       CASE WHEN status_code IN ('ACTIVE','CLOSED') THEN 'PERFORMING'
+        |            ELSE 'NON_PERFORMING' END AS performance_class
+        |FROM (SELECT 'ACTIVE' AS status_code UNION ALL SELECT 'CLOSED'
+        |      UNION ALL SELECT 'DEFAULTED' UNION ALL SELECT 'WRITTEN_OFF')
+        |ORDER BY status_key""".stripMargin,
+    "q_case_banding" ->
+      """SELECT c.c_custkey AS customer_id,
+        |       CASE WHEN c.c_acctbal IS NULL THEN 'unknown'
+        |            WHEN c.c_acctbal < 0 THEN 'negative'
+        |            WHEN c.c_acctbal < 1000 THEN 'low'
+        |            WHEN c.c_acctbal < 5000 THEN 'mid'
+        |            ELSE 'high' END AS balance_band,
+        |       CAST(2026 - year(f.first_order_date) AS INTEGER) AS tenure_years,
+        |       CASE WHEN f.first_order_date IS NULL THEN 'unknown'
+        |            WHEN 2026 - year(f.first_order_date) < 10 THEN 'recent'
+        |            WHEN 2026 - year(f.first_order_date) < 20 THEN 'established'
+        |            ELSE 'legacy' END AS tenure_band
+        |FROM customer c
+        |LEFT JOIN (SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_order_date
+        |           FROM orders GROUP BY 1) f ON c.c_custkey = f.o_custkey
+        |ORDER BY customer_id""".stripMargin,
+    "q_null_filter" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE user_id IS NOT NULL AND props IS NOT NULL
+        |  AND event_type IN ('click','view','purchase')
+        |ORDER BY event_id""".stripMargin,
+    "q_filtered_fact" ->
+      """WITH dd AS (SELECT CAST(gs AS DATE) AS calendar_date,
+        |                   CAST(strftime(gs, '%Y%m%d') AS BIGINT) AS date_key,
+        |                   CAST(year(gs) AS INTEGER) AS year,
+        |                   dayofweek(gs) IN (0, 6) AS is_weekend
+        |            FROM generate_series(DATE '1990-01-01', DATE '2010-12-31', INTERVAL 1 DAY) t(gs))
+        |SELECT l.l_orderkey AS order_id, l.l_linenumber AS line_no,
+        |       dd.date_key, dd.year, dd.is_weekend,
+        |       CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS amount
+        |FROM lineitem l LEFT JOIN dd ON CAST(l.l_shipdate AS DATE) = dd.calendar_date
+        |WHERE l.l_returnflag = 'R'
+        |ORDER BY order_id, line_no""".stripMargin,
+    "q_events_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS event_date, event_type,
+        |       COUNT(*) AS num_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators — reference parity (W1) plus the large-scale
+  * training-data variants (exact hash, MinHash+LSH, SimHash, n-gram
+  * Jaccard).
+  *
+  * Reference parity: `stg_corebank_customers.sql:16,30` dedups with
+  * `row_number() over (partition by k order by k)` + `rn = 1`.
+  *
+  * Scale design: every operator here is a hash-shuffle on the dedup key
+  * (or LSH bucket) — no global sorts, no cross joins. Candidate-pair
+  * generation for near-dup goes through banding/bucketing so the join is
+  * equi on (band, signature) and never quadratic in the corpus.
+  */
+object Dedup {
+
+  /** W1 + F3 — keep exactly one row per key, first by `order` (must be a
+    * total order within the key for determinism). */
+  def firstPerKey(df: DataFrame, key: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Exact content dedup: group by a content hash, keep the smallest id.
+    * sha2-256 collisions are negligible; grouping on the 64-hex-char hash
+    * instead of the full text keeps shuffle rows small at 100 TB. */
+  def exactByHash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    df.withColumn("_h", sha2(col(textCol), 256))
+      .groupBy("_h")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .drop("_h")
+  }
+
+  /** Word k-shingles of a document, distinct, as array<string>. */
+  def shingles(textCol: Column, k: Int): Column =
+    array_distinct(transform(
+      // slide a k-window over the token array
+      sequence(lit(0), greatest(size(split(textCol, "\\s+")) - k, lit(0)) - 1),
+      i => concat_ws(" ", slice(split(textCol, "\\s+"), i + 1, lit(k)))))
+
+  /** MinHash signature of a shingle array: for each of `numHashes`
+    * seeded permutations take min over shingle hashes. Uses Spark's
+    * codegen'd xxhash64 with per-function seed — no UDFs. */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shinglesCol, s => xxhash64(lit(seed), s)))
+    }: _*)
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * signature (numBands × rowsPerBand hashes) → band keys → group docs
+    * sharing a band bucket → candidate pairs → verify with exact signature
+    * agreement ratio ≥ `threshold`.
+    *
+    * Scale: the only shuffle joins are equi on (band, bucketHash); bucket
+    * sizes are bounded in practice by hash dispersion. The self-join is on
+    * bucket keys, never a cross join. Output: (id_a < id_b, similarity). */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      shingleK: Int = 3, numBands: Int = 8, rowsPerBand: Int = 2,
+                      threshold: Double = 0.5): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    val sig = df.select(
+      col(idCol).as("id"),
+      minhashSignature(shingles(col(textCol), shingleK), numHashes).as("sig"))
+    // band key = hash of the band's slice of the signature
+    val banded = sig.select(
+      col("id"), col("sig"),
+      posexplode(array((0 until numBands).map { b =>
+        xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))) }: _*))
+        .as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          x => x)).cast("double") / lit(numHashes.toDouble))
+      .where(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** SimHash (64-bit) of a token stream: sign-sum of per-token hash bits.
+    * Composed from built-ins: explode tokens → per-bit ±1 votes → sum →
+    * reassemble bits. Near-dups = hamming distance ≤ maxDistance, found
+    * via block permutation (pigeonhole: split 64 bits into
+    * maxDistance+1 blocks; equal pair must share ≥1 exact block). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = df.select(col(idCol).as("id"),
+      explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    // single hash-aggregate with one ±1 vote column per bit (map-side
+    // partial agg keeps the shuffle at one row per doc)
+    val voteCols = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"_v$i")
+    }
+    val votes = tokens.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+    val sh = (0 until 64).map { i =>
+      when(col(s"_v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    votes.select(col("id"), sh.as("simhash"))
+  }
+
+  /** Hamming-distance near-dup pairs over simhash values using the
+    * pigeonhole block trick — equi-join on (blockIdx, blockValue), then
+    * exact popcount filter. */
+  def simhashNearDups(sim: DataFrame, maxDistance: Int = 3): DataFrame = {
+    val blocks = maxDistance + 1
+    val bitsPerBlock = 64 / blocks
+    val banded = sim.select(col("id"), col("simhash"),
+      posexplode(array((0 until blocks).map { b =>
+        shiftright(col("simhash"), b * bitsPerBlock)
+          .bitwiseAND((1L << bitsPerBlock) - 1)
+      }: _*)).as(Seq("block", "blockval")))
+    val a = banded.select(col("block"), col("blockval"),
+      col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("block"), col("blockval"),
+      col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("block", "blockval"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= maxDistance)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs (id_a, id_b).
+    * Explodes shingles and computes |A∩B| / |A∪B| via a grouped join —
+    * shuffle is on shingle hash, never materializing the cross product. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), k)).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x").join(sh.as("y"), Seq("sh"))
+      .where(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

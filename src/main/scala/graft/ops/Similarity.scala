@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an embedding column (array<float>).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k of a (small, broadcast) query
+  *    set against the full corpus — the correctness baseline.
+  *  - [[lshTopK]]: random-hyperplane LSH bucketing; only vectors sharing a
+  *    bucket are compared — the 100 TB path (shuffle is equi on bucket
+  *    key; per-bucket work is bounded by bucket size, tunable via the
+  *    number of hyperplanes).
+  *
+  * Dot products are computed in double precision via zip_with + aggregate
+  * (sequential left fold — deterministic order, reproducible bits).
+  */
+object Similarity {
+
+  /** Elementwise dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * `queries` must be small enough to broadcast (typical: a probe/eval
+    * set). The corpus side streams: one narrow pass computes scores, then
+    * a per-query top-k. At 1000 executors this is a map-side broadcast
+    * join + partial top-k — no corpus shuffle. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "rank", "score")
+  }
+
+  /** Random-hyperplane LSH bucket key: sign bits of dot products with
+    * `numPlanes` pseudo-random hyperplanes. Hyperplanes are derived
+    * deterministically from (seed, plane, dim) hashes — reproducible with
+    * no stored model. */
+  def lshBucket(vecCol: Column, dim: Int, numPlanes: Int, seed: Int = 42): Column = {
+    val planes = (0 until numPlanes).map { p =>
+      // hyperplane component h(p,d) in [-1,1): hash → unit-ish pseudo-random
+      val contributions = (0 until dim).map { d =>
+        val h = (xxhash64(lit(seed), lit(p), lit(d)).cast("double") / lit(Long.MaxValue.toDouble))
+        element_at(vecCol, d + 1).cast("double") * h
+      }
+      when(contributions.reduce(_ + _) >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    planes.reduce(_.bitwiseOR(_))
+  }
+
+  /** Approximate top-k: candidates limited to vectors sharing an LSH
+    * bucket with the query (multi-probe via `numTables` independent
+    * hash tables to boost recall). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              dim: Int, k: Int, numPlanes: Int = 12, numTables: Int = 4): DataFrame = {
+    def banded(df: DataFrame, side: String) = {
+      val v = asDouble(col(vecCol))
+      df.select(col(idCol).as(s"${side}_id"), v.as(s"${side}_v"),
+        posexplode(array((0 until numTables).map(t =>
+          lshBucket(col(vecCol), dim, numPlanes, seed = 1000 + t)): _*))
+          .as(Seq("table", "bucket")))
+    }
+    val c = banded(corpus, "corpus")
+    val q = banded(queries, "query")
+    val candidates = c.join(q, Seq("table", "bucket"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select("query_id", "query_v", "corpus_id", "corpus_v")
+      .dropDuplicates("query_id", "corpus_id")
+    val scored = candidates.withColumn("score", cosine(col("query_v"), col("corpus_v")))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "rank", "score")
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH buckets (all-pairs
+    * within bucket, threshold filter). */
+  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                     threshold: Double, numPlanes: Int = 10,
+                     numTables: Int = 3): DataFrame = {
+    def banded(side: String) =
+      df.select(col(idCol).as(s"${side}_id"), asDouble(col(vecCol)).as(s"${side}_v"),
+        posexplode(array((0 until numTables).map(t =>
+          lshBucket(col(vecCol), dim, numPlanes, seed = 2000 + t)): _*))
+          .as(Seq("table", "bucket")))
+    val a = banded("a")
+    val b = banded("b")
+    a.join(b, Seq("table", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("score", cosine(col("a_v"), col("b_v")))
+      .where(col("score") >= threshold)
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"), col("score"))
+  }
+}

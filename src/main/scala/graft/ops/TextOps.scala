@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * All composed from codegen'd built-ins (split / regexp / aggregate) —
+  * per-row narrow transforms with no shuffle, so they scale linearly and
+  * stay inside whole-stage codegen at 100 TB.
+  */
+object TextOps {
+
+  /** Whitespace token count. */
+  def tokenCount(textCol: Column): Column =
+    when(length(trim(textCol)) === 0, 0)
+      .otherwise(size(split(trim(textCol), "\\s+")))
+
+  /** BPE-ish subword token estimate: word-pieces + digits + punctuation
+    * as separate tokens (regex analogous to common BPE pre-tokenizers). */
+  def bpeishTokenCount(textCol: Column): Column =
+    size(regexp_extract_all(textCol, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Character-class ratios used for quality scoring. */
+  def punctRatio(textCol: Column): Column =
+    (length(textCol) - length(regexp_replace(textCol, "[^A-Za-z0-9\\s]", "")))
+      .cast("double") / greatest(length(textCol), lit(1)).cast("double")
+
+  def digitRatio(textCol: Column): Column =
+    (length(textCol) - length(regexp_replace(textCol, "[0-9]", "")))
+      .cast("double") / greatest(length(textCol), lit(1)).cast("double")
+
+  /** Ratio of tokens that are in a stopword list (English-ish default). */
+  def stopwordRatio(textCol: Column,
+                    stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = split(lower(trim(textCol)), "\\s+")
+    size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
+      .cast("double") / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this")
+
+  /** Composite quality score in [0,1]: long-enough, low punctuation noise,
+    * some stopwords (prose-likeness). Deterministic closed form. */
+  def qualityScore(textCol: Column): Column = {
+    val lenScore = least(length(textCol).cast("double") / lit(500.0), lit(1.0))
+    val punctPenalty = lit(1.0) - least(punctRatio(textCol) * 4.0, lit(1.0))
+    val stopScore = least(stopwordRatio(textCol) * 5.0, lit(1.0))
+    round((lenScore * 0.4 + punctPenalty * 0.3 + stopScore * 0.3), 6)
+  }
+
+  /** Character n-gram based language ID heuristic: scores text against
+    * per-language marker n-gram lists, returns argmax language code.
+    * A real system would load trained n-gram profiles; the mechanism —
+    * per-language score columns + greatest/choose — is the scalable part
+    * (single narrow projection, no shuffle). */
+  def languageId(textCol: Column): Column = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq(" the ", " and ", " of ", " is ", "ing "),
+      "de" -> Seq(" der ", " und ", " die ", " ist ", "sch"),
+      "fr" -> Seq(" le ", " les ", " des ", " est ", " une "),
+      "es" -> Seq(" el ", " los ", " que ", " una ", "ción"),
+      "zh" -> Seq("的", "是", "了", "在", "我"))
+    val t = concat(lit(" "), lower(textCol), lit(" "))
+    val scores = profiles.map { case (lang, grams) =>
+      val s = grams.map(g =>
+        (length(t) - length(regexp_replace(t, java.util.regex.Pattern.quote(g), "")))
+          / lit(g.length)).reduce(_ + _)
+      struct(s.cast("long").as("score"), lit(lang).as("lang"))
+    }
+    // argmax by (score, lang) — greatest on structs compares fieldwise
+    val best = greatest(scores: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Rolling-hash document fingerprint (winnowing-style): hash every
+    * k-shingle, keep the minimum w consecutive-window hashes' minima as a
+    * compact fingerprint set. Here simplified to the n smallest shingle
+    * hashes (bottom-k sketch) — set-resemblance preserving, deterministic. */
+  def fingerprint(textCol: Column, k: Int = 5, n: Int = 8): Column =
+    slice(array_sort(array_distinct(
+      transform(Dedup.shingles(textCol, k), s => xxhash64(s)))), 1, n)
+}

@@ -66,7 +66,9 @@ def main():
             failures += 1
             continue
         if [str(t) for t in sdf.dtypes] != [str(t) for t in odf.dtypes]:
-            print(f"WARN {name}: dtypes spark={list(map(str, sdf.dtypes))} oracle={list(map(str, odf.dtypes))}")
+            print(f"FAIL {name}: dtypes spark={list(map(str, sdf.dtypes))} oracle={list(map(str, odf.dtypes))}")
+            failures += 1
+            continue
         bad = None
         for ci, c in enumerate(sdf.columns):
             sv, ov = sdf[c].tolist(), odf[c].tolist()
