@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.gold.Dims
-import graft.ops.{Dedup, Projections}
+import graft.ops.{Dedup, Multimodal, Projections, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -209,6 +209,145 @@ object SparkEntry {
         dsum(col("value")).as("total_value"))
       .orderBy("event_date", "event_type")
 
+  // ===========================================================================
+  // LLM-data-pipeline extensions (builder mandate): dedup, similarity,
+  // text analysis, multimodal — over documents/embeddings
+  // ===========================================================================
+
+  /** Exact dedup by content hash: one survivor (min id) per distinct text
+    * plus the duplicate count. Shuffles 64-hex hashes, not documents. */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactByHash(t(spark, dir, "documents"), "text", "doc_id")
+      .orderBy("doc_id")
+
+  /** MinHash + LSH near-duplicate candidate pairs with estimated Jaccard.
+    * xxhash64-based — not oracle-expressible; rows-only check. */
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(t(spark, dir, "documents"), "doc_id", "text",
+      shingleK = 3, numBands = 8, rowsPerBand = 2, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-duplicate pairs (hamming ≤ 3 via pigeonhole blocks).
+    * Rows-only check. */
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(Dedup.simhash(t(spark, dir, "documents"), "doc_id", "text"))
+      .orderBy("id_a", "id_b")
+
+  /** Exact 5-gram Jaccard near-dup pairs, document-frequency-capped:
+    * shingles appearing in > dfCap docs are dropped before the pair join
+    * (standard stop-shingle trick — bounds the per-shingle fan-out that
+    * would otherwise go quadratic on a small vocabulary). */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val sh = docs.select(col("doc_id").as("id"),
+      explode(Dedup.shingles(col("text"), 5)).as("s"))
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= 100)
+    val shf = sh.join(rare.select("s"), Seq("s"))
+    val sizes = shf.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = shf.as("x").join(shf.as("y"), Seq("s"))
+      .where(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+          .as("jaccard"))
+      .where(col("jaccard") >= 0.2)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Per-document text statistics: token counts (whitespace + BPE-ish),
+    * punctuation/digit/stopword ratios, composite quality score. */
+  def qTextStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      TextOps.bpeishTokenCount(col("text")).as("n_bpeish"),
+      TextOps.punctRatio(col("text")).as("punct_ratio"),
+      TextOps.digitRatio(col("text")).as("digit_ratio"),
+      TextOps.stopwordRatio(col("text")).as("stopword_ratio"),
+      TextOps.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic (n-gram markers, argmax with deterministic
+    * tie-break) vs. the labeled lang column. */
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      TextOps.languageId(col("text")).as("predicted_lang"))
+      .orderBy("doc_id")
+
+  /** Corpus language breakdown: per-lang doc count, exact token totals,
+    * average chars — the groupBy("lang") text-analysis rollup. */
+  def qLangStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+
+  /** Bottom-k rolling-hash document fingerprints (winnowing-style
+    * sketch). xxhash64-based — rows-only check. */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      TextOps.fingerprint(col("text"), k = 5, n = 8).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Exact brute-force cosine top-k: first 100 vec_ids as the query set,
+    * broadcast against the full corpus; scores via a sequential double
+    * fold so both engines emit identical bits. */
+  def qCosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 100),
+      "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed approximate top-k (the 100 TB ANN path). Approximate →
+    * rows-only check. */
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.where(col("vec_id") < 100),
+      "vec_id", "embedding", dim = 64, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding near-dup pairs above a cosine threshold via LSH buckets.
+    * Rows-only check. */
+  def qCosineNearDups(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDups(t(spark, dir, "embeddings"), "vec_id", "embedding",
+      dim = 64, threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
+  /** Multimodal asset metadata: binary payload column + typed metadata +
+    * frame count — the column-level half of the multimodal pipeline
+    * (the decode stub itself is exercised in ScalaTest). */
+  def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.syntheticAssets(t(spark, dir, "documents"), "doc_id", "text")
+    assets.select(
+      col("asset_id"),
+      col("media_type"),
+      col("meta.n_bytes").as("n_bytes"),
+      // binary-substr prefix; == char prefix since the corpus is ASCII
+      upper(hex(col("payload").substr(lit(1), lit(8)))).as("prefix_hex"),
+      ceil(col("meta.n_bytes").cast("double") / 256.0).cast("long").as("n_frames"))
+      .orderBy("asset_id")
+  }
+
+  /** JSON property extraction from the events props column (semi-
+    * structured payload handling). */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k_value"))
+      .orderBy("event_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dealer_perf"      -> qDealerPerf,
     "q_star_contract"    -> qStarContract,
@@ -222,7 +361,57 @@ object SparkEntry {
     "q_null_filter"      -> qNullFilter,
     "q_filtered_fact"    -> qFilteredFact,
     "q_events_daily"     -> qEventsDaily,
+    "q_dedup_exact"      -> qDedupExact,
+    "q_dedup_minhash"    -> qDedupMinhash,
+    "q_dedup_simhash"    -> qDedupSimhash,
+    "q_ngram_jaccard"    -> qNgramJaccard,
+    "q_text_stats"       -> qTextStats,
+    "q_lang_id"          -> qLangId,
+    "q_lang_stats"       -> qLangStats,
+    "q_fingerprint"      -> qFingerprint,
+    "q_cosine_topk"      -> qCosineTopK,
+    "q_ann_lsh"          -> qAnnLsh,
+    "q_cosine_near_dups" -> qCosineNearDups,
+    "q_multimodal_meta"  -> qMultimodalMeta,
+    "q_json_extract"     -> qJsonExtract,
   )
+
+  /** DuckDB stopword list literal — generated from the same Scala constant
+    * the Spark queries use. */
+  private def stopwordsSqlList: String =
+    TextOps.defaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** DuckDB per-language score expression mirroring TextOps.languageId
+    * (generated from the same profiles). */
+  private def langScoreSql(grams: Seq[String]): String =
+    grams.map(g => s"(length(t) - length(replace(t, '$g', ''))) / ${g.length}.0")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+
+  private def langIdOracle: String = {
+    val langs = TextOps.langProfiles.map(_._1)
+    val scoreCols = TextOps.langProfiles
+      .map { case (l, grams) => s"${langScoreSql(grams)} AS s_$l" }.mkString(",\n       ")
+    // argmax with (score, lang) tuple comparison — unique winner, ties
+    // break to the alphabetically-greatest lang (same as Spark's
+    // greatest-over-structs)
+    val argmax = langs.map { l =>
+      val others = langs.filterNot(_ == l)
+        .map(m => s"(s_$l, '$l') >= (s_$m, '$m')").mkString(" AND ")
+      s"WHEN $others THEN '$l'"
+    }.mkString("CASE ", " ", " END")
+    val bestScore = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    s"""WITH s AS (
+       |  SELECT doc_id, lang, $scoreCols
+       |  FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t FROM documents))
+       |SELECT doc_id, lang,
+       |       CASE WHEN $bestScore > 0 THEN $argmax ELSE 'und' END AS predicted_lang
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB sequential-fold dot product (mirrors Similarity.dot's
+    * left-fold order so doubles match bit-for-bit). */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), x -> x[1]*x[2]), (acc, y) -> acc + y)"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -335,5 +524,77 @@ object SparkEntry {
         |       COUNT(*) AS num_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t
+        |              FROM documents),
+        |sh0 AS (SELECT id, unnest(CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+        |          ELSE list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |               i -> array_to_string(t[i:i+4], ' '))) END) AS s FROM toks),
+        |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+        |sh AS (SELECT id, s FROM sh0 JOIN rare USING (s)),
+        |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        |inter AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS i
+        |          FROM sh x JOIN sh y USING (s) WHERE x.id < y.id GROUP BY 1, 2)
+        |SELECT id_a, id_b, i::DOUBLE / (a.sz + b.sz - i) AS jaccard
+        |FROM inter JOIN sizes a ON inter.id_a = a.id JOIN sizes b ON inter.id_b = b.id
+        |WHERE i::DOUBLE / (a.sz + b.sz - i) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_text_stats" -> {
+      val sw = stopwordsSqlList
+      s"""SELECT doc_id,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpeish,
+         |  (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+         |        / greatest(length(text), 1) AS punct_ratio,
+         |  (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+         |        / greatest(length(text), 1) AS digit_ratio,
+         |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |            x -> list_contains($sw, x)))::DOUBLE
+         |        / greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1) AS stopword_ratio,
+         |  least(length(text)::DOUBLE / 500.0, 1.0) * 0.4
+         |      + (1.0 - least((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+         |                     / greatest(length(text), 1) * 4.0, 1.0)) * 0.3
+         |      + least(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |                  x -> list_contains($sw, x)))::DOUBLE
+         |              / greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1) * 5.0, 1.0) * 0.3
+         |      AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q_lang_id" -> langIdOracle,
+    "q_lang_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |                ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       COUNT(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_cosine_topk" -> {
+      val dotQC = sqlDot("q.v", "c.v")
+      val dotQQ = sqlDot("q.v", "q.v")
+      val dotCC = sqlDot("c.v", "c.v")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id, v FROM e WHERE vec_id < 100),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |         $dotQC / (sqrt($dotQQ) * sqrt($dotCC)) AS score
+         |  FROM e c CROSS JOIN q WHERE c.vec_id <> q.vec_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                     ORDER BY score DESC, corpus_id) AS rank FROM scored)
+         |SELECT query_id, corpus_id, CAST(rank AS INTEGER) AS rank, score
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS asset_id, 'image/fake' AS media_type,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       upper(hex(encode(substr(text, 1, 8)))) AS prefix_hex,
+        |       CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+        |FROM events ORDER BY event_id""".stripMargin,
   )
 }

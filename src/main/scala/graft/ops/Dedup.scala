@@ -37,12 +37,17 @@ object Dedup {
       .drop("_h")
   }
 
-  /** Word k-shingles of a document, distinct, as array<string>. */
-  def shingles(textCol: Column, k: Int): Column =
-    array_distinct(transform(
-      // slide a k-window over the token array
-      sequence(lit(0), greatest(size(split(textCol, "\\s+")) - k, lit(0)) - 1),
-      i => concat_ws(" ", slice(split(textCol, "\\s+"), i + 1, lit(k)))))
+  /** Word k-shingles of a document, distinct, as array<string>.
+    * Documents shorter than k tokens yield an empty array (guard needed:
+    * Spark `sequence(1, 0)` would count *down*, not produce empty). */
+  def shingles(textCol: Column, k: Int): Column = {
+    val toks = split(trim(textCol), "\\s+")
+    val n = size(toks)
+    when(n < k, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), n - k + 1),
+        i => concat_ws(" ", slice(toks, i, lit(k))))))
+  }
 
   /** MinHash signature of a shingle array: for each of `numHashes`
     * seeded permutations take min over shingle hashes. Uses Spark's

@@ -38,10 +38,13 @@ object Similarity {
     * join + partial top-k — no corpus shuffle. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    // norms computed once per vector (not per pair) — same fold, same bits
     val c = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
-      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

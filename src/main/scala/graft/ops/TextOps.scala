@@ -44,12 +44,15 @@ object TextOps {
     "that", "for", "on", "with", "as", "at", "by", "be", "this")
 
   /** Composite quality score in [0,1]: long-enough, low punctuation noise,
-    * some stopwords (prose-likeness). Deterministic closed form. */
+    * some stopwords (prose-likeness). Deterministic closed form; left
+    * unrounded — decimal rounding of a double can land on a tie and
+    * engines break ties differently, while the raw arithmetic is
+    * bit-reproducible. */
   def qualityScore(textCol: Column): Column = {
     val lenScore = least(length(textCol).cast("double") / lit(500.0), lit(1.0))
     val punctPenalty = lit(1.0) - least(punctRatio(textCol) * 4.0, lit(1.0))
     val stopScore = least(stopwordRatio(textCol) * 5.0, lit(1.0))
-    round((lenScore * 0.4 + punctPenalty * 0.3 + stopScore * 0.3), 6)
+    lenScore * 0.4 + punctPenalty * 0.3 + stopScore * 0.3
   }
 
   /** Character n-gram based language ID heuristic: scores text against
@@ -57,21 +60,25 @@ object TextOps {
     * A real system would load trained n-gram profiles; the mechanism —
     * per-language score columns + greatest/choose — is the scalable part
     * (single narrow projection, no shuffle). */
+  /** Marker n-gram profiles per language — shared by [[languageId]] and
+    * the generated oracle SQL so both derive from one source of truth. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " is ", "ing "),
+    "de" -> Seq(" der ", " und ", " die ", " ist ", "sch"),
+    "fr" -> Seq(" le ", " les ", " des ", " est ", " une "),
+    "es" -> Seq(" el ", " los ", " que ", " una ", "ción"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
   def languageId(textCol: Column): Column = {
-    val profiles: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq(" the ", " and ", " of ", " is ", "ing "),
-      "de" -> Seq(" der ", " und ", " die ", " ist ", "sch"),
-      "fr" -> Seq(" le ", " les ", " des ", " est ", " une "),
-      "es" -> Seq(" el ", " los ", " que ", " una ", "ción"),
-      "zh" -> Seq("的", "是", "了", "在", "我"))
     val t = concat(lit(" "), lower(textCol), lit(" "))
-    val scores = profiles.map { case (lang, grams) =>
+    val scores = langProfiles.map { case (lang, grams) =>
       val s = grams.map(g =>
         (length(t) - length(regexp_replace(t, java.util.regex.Pattern.quote(g), "")))
           / lit(g.length)).reduce(_ + _)
       struct(s.cast("long").as("score"), lit(lang).as("lang"))
     }
-    // argmax by (score, lang) — greatest on structs compares fieldwise
+    // argmax by (score, lang) — greatest on structs compares fieldwise,
+    // so score ties break to the alphabetically-greatest language code
     val best = greatest(scores: _*)
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
