@@ -224,7 +224,7 @@ object SparkEntry {
     * xxhash64-based — not oracle-expressible; rows-only check. */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(t(spark, dir, "documents"), "doc_id", "text",
-      shingleK = 3, numBands = 8, rowsPerBand = 2, threshold = 0.5)
+      shingleK = 5, numBands = 4, rowsPerBand = 4, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
   /** SimHash near-duplicate pairs (hamming ≤ 3 via pigeonhole blocks).
@@ -239,8 +239,8 @@ object SparkEntry {
     * would otherwise go quadratic on a small vocabulary). */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val sh = docs.select(col("doc_id").as("id"),
-      explode(Dedup.shingles(col("text"), 5)).as("s"))
+    val sh = Dedup.shingled(docs, "doc_id", "text", 5)
+      .select(col("id"), explode(col("sh")).as("s"))
     val rare = sh.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= 100)
     val shf = sh.join(rare.select("s"), Seq("s"))
     val sizes = shf.groupBy("id").agg(count(lit(1)).as("sz"))
@@ -340,6 +340,60 @@ object SparkEntry {
       .orderBy("asset_id")
   }
 
+  /** The capstone parity query: the whole bank model end-to-end through
+    * the pipeline runner (O2/O3) — testdata orders shaped into the Kaggle
+    * raw schema, silver staging (P1-P5, W1, F1), gold dims (A6, W2) and
+    * the 4-way star fact (J1-J4) — with the entire lineage mirrored in
+    * one oracle SQL statement. */
+  def qBankPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Runner
+    import graft.pipeline.Runner.{Model, View}
+    import graft.silver.Staging
+    import graft.gold.BankMarts
+    val orders = t(spark, dir, "orders")
+    // shape testdata into the Kaggle vehicle-loans raw schema
+    val raw = orders.select(
+      col("o_orderkey").cast("string").as("UniqueID"),
+      date_format(col("o_orderdate"), "dd-MM-yy").as("DisbursalDate"),
+      date_format(date_sub(col("o_orderdate").cast("date"), 10000), "dd-MM-yy").as("Date_of_Birth"),
+      col("o_totalprice").as("disbursed_amount"),
+      (col("o_totalprice") * 1.25).as("asset_cost"),
+      lit(80.0).as("ltv"),
+      concat(lit("S"), (col("o_custkey") % 10).cast("string")).as("supplier_id"),
+      col("o_orderpriority").as("manufacturer_id"),
+      when(col("o_orderstatus") === "F", 1).otherwise(0).as("loan_default"),
+      lit("B1").as("branch_id"), lit("ST1").as("State_ID"),
+      lit("P1").as("Current_pincode_ID"), lit("Salaried").as("Employment_Type"),
+      lit(1).as("MobileNo_Avl_Flag"), lit(1).as("Aadhar_flag"), lit(0).as("PAN_flag"),
+      lit(650).as("PERFORM_CNS_SCORE"), lit("A").as("PERFORM_CNS_SCORE_DESCRIPTION"),
+      lit(0).as("PRI_NO_OF_ACCTS"), lit(0).as("PRI_ACTIVE_ACCTS"),
+      lit(0).as("PRI_OVERDUE_ACCTS"), lit(0.0).as("PRI_CURRENT_BALANCE"),
+      lit(0.0).as("PRI_SANCTIONED_AMOUNT"), lit(0.0).as("PRI_DISBURSED_AMOUNT"),
+      lit(0).as("NEW_ACCTS_IN_LAST_SIX_MONTHS"),
+      lit(0).as("DELINQUENT_ACCTS_IN_LAST_SIX_MONTHS"), lit(0).as("NO_OF_INQUIRIES"))
+    val models = Seq(
+      Model("stg_loans", Seq("raw_loans"), r => Staging.stgCorebankLoans(r("raw_loans"))),
+      Model("stg_customers", Seq("raw_loans"), r => Staging.stgCorebankCustomers(r("raw_loans"))),
+      Model("dim_customer", Seq("stg_customers"), r => BankMarts.dimCustomer(r("stg_customers"))),
+      Model("dim_product", Seq("stg_loans"), r => BankMarts.dimProduct(r("stg_loans"))),
+      Model("dim_dealer", Seq("stg_loans"), r => BankMarts.dimDealer(r("stg_loans"))),
+      Model("dim_date", Nil, _ => Dims.dateSpine(spark, "1990-01-01", "2010-12-31")),
+      Model("f_loan_contract",
+        Seq("stg_loans", "dim_customer", "dim_product", "dim_dealer", "dim_date"),
+        r => BankMarts.fLoanContract(r("stg_loans"), r("dim_customer"),
+          r("dim_product"), r("dim_dealer"), r("dim_date"))))
+    val result = Runner.run(spark, Map("raw_loans" -> raw), models,
+      sys.props("java.io.tmpdir") + "/graft-wh")
+    result("f_loan_contract").select(
+      col("loan_id"), col("customer_key"), col("product_key"), col("dealer_key"),
+      col("application_date_key"),
+      col("loan_amount").cast("double").as("loan_amount"),
+      col("asset_cost").cast("double").as("asset_cost"),
+      col("ltv_ratio").cast("double").as("ltv_ratio"),
+      col("loan_default"), col("channel_key"), col("currency_code"))
+      .orderBy("loan_id")
+  }
+
   /** JSON property extraction from the events props column (semi-
     * structured payload handling). */
   def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
@@ -374,6 +428,7 @@ object SparkEntry {
     "q_cosine_near_dups" -> qCosineNearDups,
     "q_multimodal_meta"  -> qMultimodalMeta,
     "q_json_extract"     -> qJsonExtract,
+    "q_bank_pipeline"    -> qBankPipeline,
   )
 
   /** DuckDB stopword list literal — generated from the same Scala constant
@@ -596,5 +651,54 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_bank_pipeline" ->
+      """WITH raw AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS uid,
+        |         strftime(o_orderdate, '%d-%m-%y') AS disbursal_txt,
+        |         o_totalprice AS disbursed_amount,
+        |         o_totalprice * 1.25 AS asset_cost,
+        |         'S' || CAST(o_custkey % 10 AS VARCHAR) AS supplier_id,
+        |         o_orderpriority AS manufacturer_id,
+        |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS loan_default
+        |  FROM orders),
+        |stg AS (
+        |  SELECT uid AS loan_id, uid AS customer_id,
+        |         CAST(try_strptime(disbursal_txt, '%d-%m-%y') AS DATE) AS application_date,
+        |         CAST(disbursed_amount AS DECIMAL(38,9)) AS loan_amount,
+        |         CAST(asset_cost AS DECIMAL(38,9)) AS asset_cost,
+        |         CAST(80.0 AS DECIMAL(38,9)) AS ltv_ratio,
+        |         supplier_id AS dealer_id, manufacturer_id AS product_id,
+        |         CAST(loan_default AS BIGINT) AS loan_default
+        |  FROM raw),
+        |dim_customer AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY customer_id) AS BIGINT) AS customer_key,
+        |         customer_id
+        |  FROM (SELECT DISTINCT customer_id FROM stg)),
+        |dim_product AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY product_id) AS BIGINT) AS product_key,
+        |         product_id
+        |  FROM (SELECT DISTINCT product_id FROM stg WHERE product_id IS NOT NULL)),
+        |dim_dealer AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY dealer_id) AS BIGINT) AS dealer_key,
+        |         dealer_id
+        |  FROM (SELECT DISTINCT dealer_id FROM stg WHERE dealer_id IS NOT NULL)),
+        |dim_date AS (
+        |  SELECT CAST(gs AS DATE) AS calendar_date,
+        |         CAST(strftime(gs, '%Y%m%d') AS BIGINT) AS date_key
+        |  FROM generate_series(DATE '1990-01-01', DATE '2010-12-31', INTERVAL 1 DAY) t(gs))
+        |SELECT s.loan_id, dc.customer_key, dp.product_key, dd.dealer_key,
+        |       ddt.date_key AS application_date_key,
+        |       CAST(s.loan_amount AS DOUBLE) AS loan_amount,
+        |       CAST(s.asset_cost AS DOUBLE) AS asset_cost,
+        |       CAST(s.ltv_ratio AS DOUBLE) AS ltv_ratio,
+        |       s.loan_default,
+        |       CAST(1 AS BIGINT) AS channel_key,
+        |       'INR' AS currency_code
+        |FROM stg s
+        |LEFT JOIN dim_customer dc ON s.customer_id = dc.customer_id
+        |LEFT JOIN dim_product dp ON s.product_id = dp.product_id
+        |LEFT JOIN dim_dealer dd ON s.dealer_id = dd.dealer_id
+        |LEFT JOIN dim_date ddt ON s.application_date = ddt.calendar_date
+        |ORDER BY s.loan_id""".stripMargin,
   )
 }

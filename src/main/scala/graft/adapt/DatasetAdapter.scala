@@ -1,0 +1,123 @@
+package graft.adapt
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.Projections
+
+/** M1–M3 — schema-adaptive ingestion: detect which dataset family a frame
+  * belongs to from its columns, map columns to the canonical loan schema
+  * via synonym lists, and produce the staging transform.
+  *
+  * Re-expressed from `/root/reference/include/auto_data_adapter.py`:
+  * detection `:55-68`, synonym mapping `:16-47,70-82`, staging codegen
+  * `:84-172`. Where the reference generates SQL text, this produces a
+  * `DataFrame => DataFrame` directly (the Spark-native form of codegen:
+  * a Column plan, not a string) — [[stagingSql]] still renders SQL text
+  * for inspection parity.
+  *
+  * Everything here is driver-side metadata work on `df.columns` — no data
+  * is read beyond what the caller already has, so it costs nothing at
+  * 100 TB.
+  */
+object DatasetAdapter {
+
+  sealed trait DatasetType { def name: String }
+  case object HomeCredit extends DatasetType { val name = "home_credit" }
+  case object VehicleLoan extends DatasetType { val name = "vehicle_loan" }
+  case object Generic extends DatasetType { val name = "generic" }
+
+  /** M1 — detection by marker columns (`auto_data_adapter.py:55-68`). */
+  def detect(columns: Seq[String]): DatasetType = {
+    val lower = columns.map(_.toLowerCase).toSet
+    if (lower.contains("sk_id_curr")) HomeCredit
+    else if (lower.contains("uniqueid") && lower.contains("disbursaldate")) VehicleLoan
+    else Generic
+  }
+
+  /** Canonical column → synonyms, first match wins
+    * (`auto_data_adapter.py:16-47`). Synonyms are matched
+    * case-insensitively against sanitized headers. */
+  val synonyms: Seq[(String, Seq[String])] = Seq(
+    "loan_id"          -> Seq("uniqueid", "sk_id_curr", "loan_id", "id"),
+    "customer_id"      -> Seq("uniqueid", "sk_id_curr", "customer_id", "client_id"),
+    "loan_amount"      -> Seq("disbursed_amount", "amt_credit", "loan_amount", "amount"),
+    "asset_cost"       -> Seq("asset_cost", "amt_goods_price", "goods_price"),
+    "ltv_ratio"        -> Seq("ltv", "loan_to_value"),
+    "loan_default"     -> Seq("loan_default", "target", "default_flag"),
+    "date_of_birth"    -> Seq("date_of_birth", "dob"),
+    "days_birth"       -> Seq("days_birth"),
+    "application_date" -> Seq("disbursaldate", "application_date", "app_date"),
+    "employment_type"  -> Seq("employment_type", "name_income_type", "occupation"),
+    "gender"           -> Seq("gender", "code_gender"),
+    "dealer_id"        -> Seq("supplier_id", "dealer_id"),
+    "product_id"       -> Seq("manufacturer_id", "product_id", "product_type"),
+    "state_id"         -> Seq("state_id", "region"),
+    "credit_score"     -> Seq("perform_cns_score", "ext_source_1", "credit_score"))
+
+  /** M2 — resolve canonical → actual column name (first synonym present).
+    * Returns the mapping for columns that resolved. */
+  def mapColumns(columns: Seq[String]): Map[String, String] = {
+    val byLower = columns.map(col => col.toLowerCase -> col).toMap
+    synonyms.flatMap { case (canonical, syns) =>
+      syns.collectFirst { case s if byLower.contains(s) => canonical -> byLower(s) }
+    }.toMap
+  }
+
+  /** Type class for a canonical column (drives the cast the staging
+    * transform applies — `auto_data_adapter.py:98-164`). */
+  private val typeClass: Map[String, String] = Map(
+    "loan_id" -> "string", "customer_id" -> "string", "dealer_id" -> "string",
+    "product_id" -> "string", "state_id" -> "string", "employment_type" -> "string",
+    "gender" -> "string",
+    "loan_amount" -> "decimal(38,9)", "asset_cost" -> "decimal(38,9)",
+    "ltv_ratio" -> "decimal(38,9)", "credit_score" -> "decimal(38,9)",
+    "loan_default" -> "long")
+
+  /** M3 — build the staging transform for a detected dataset: canonical
+    * casts, plus date decoding chosen by column-name heuristics —
+    * formatted 'dd-MM-yy' strings for vehicle-loan dates, day-offset
+    * integers (Home Credit DAYS_BIRTH) decoded against a pinned anchor
+    * (`auto_data_adapter.py:113-135`; anchor replaces current_date() for
+    * determinism). */
+  def stagingTransform(columns: Seq[String],
+                       anchor: String = "2026-01-01"): DataFrame => DataFrame = {
+    val mapping = mapColumns(columns)
+    val exprs: Seq[(String, Column)] = mapping.toSeq.sortBy(_._1).flatMap {
+      case ("days_birth", actual) =>
+        // Home Credit: negative day offsets from "today" → date
+        Some("date_of_birth" -> date_add(to_date(lit(anchor)), col(actual).cast("int")))
+      case ("date_of_birth", actual) =>
+        Some("date_of_birth" -> Projections.safeParseDate2(col(actual).cast("string")))
+      case ("application_date", actual) =>
+        Some("application_date" -> Projections.safeParseDate2(col(actual).cast("string")))
+      case (canonical, actual) =>
+        Some(canonical -> col(actual).cast(typeClass.getOrElse(canonical, "string")))
+    }
+    df => Projections.stgGeneric(df, exprs)
+  }
+
+  /** M3 (text form) — render the staging transform as Spark SQL for
+    * inspection, mirroring the reference's SQL codegen output. */
+  def stagingSql(columns: Seq[String], table: String): String = {
+    val mapping = mapColumns(columns)
+    val selects = mapping.toSeq.sortBy(_._1).map {
+      case ("days_birth", actual) =>
+        s"date_add(current_date(), cast($actual as int)) as date_of_birth"
+      case (canon @ ("date_of_birth" | "application_date"), actual) =>
+        s"to_date(cast($actual as string), 'dd-MM-yy') as $canon"
+      case (canonical, actual) =>
+        s"cast($actual as ${typeClass.getOrElse(canonical, "string")}) as $canonical"
+    }
+    s"select\n  ${selects.mkString(",\n  ")}\nfrom $table"
+  }
+
+  /** M1+M2 analysis report (`auto_data_adapter.py:187-203`). */
+  final case class Report(datasetType: String, mapped: Map[String, String],
+                          unmapped: Seq[String])
+  def analyze(columns: Seq[String]): Report = {
+    val sanitized = columns.map(_.replace(".", "_"))
+    val mapping = mapColumns(sanitized)
+    Report(detect(sanitized).name, mapping,
+      sanitized.filterNot(mapping.values.toSet))
+  }
+}

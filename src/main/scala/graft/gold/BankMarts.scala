@@ -1,0 +1,133 @@
+package graft.gold
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Projections
+
+/** Gold layer — the bank model's dimension and fact marts
+  * (`/root/reference/dbt/models/marts/core/` dim_ and f_ models),
+  * re-expressed as
+  * DataFrame transforms over the silver staging frames.
+  *
+  * Join strategy: every dim is distinct-compacted and orders of magnitude
+  * smaller than the loan fact, so all star joins broadcast the dims (at
+  * 100 TB the fact side streams through map tasks with zero shuffle).
+  * Surrogate keys use unpartitioned row_number — correct for dim-sized
+  * data; swap in Dims.surrogateDimScalable when a dimension outgrows one
+  * task.
+  */
+object BankMarts {
+
+  private val Numeric = "decimal(38,9)"
+  private def c(name: String): Column = col(name)
+
+  /** dim_customer — age bands from a pinned anchor (BQ DATE_DIFF year-
+    * boundary semantics), dense surrogate keys, literal stubs.
+    * Ref: `dim_customer.sql:21-40`. `anchor` replaces current_date() so
+    * results are deterministic (SURVEY.md §5). */
+  def dimCustomer(stgCustomers: DataFrame, anchor: String = "2026-01-01"): DataFrame = {
+    val age = Projections.yearDiff(to_date(lit(anchor)), c("date_of_birth"))
+    stgCustomers.select(
+      row_number().over(Window.orderBy(c("customer_id"))).cast("long").as("customer_key"),
+      c("customer_id"),
+      c("date_of_birth"),
+      when(c("date_of_birth").isNull, "unknown")
+        .when(age < 30, "18-29").when(age < 40, "30-39").when(age < 50, "40-49")
+        .otherwise("50+").as("age_band"),
+      c("employment_type"),
+      c("customer_type"),
+      lit("IN").as("country"),
+      lit(null).cast("string").as("region"))
+  }
+
+  /** dim_product — distinct product ids + surrogate key + stubs.
+    * Ref: `dim_product.sql:4-17`. */
+  def dimProduct(stgLoans: DataFrame): DataFrame =
+    Dims.surrogateDim(stgLoans, "product_id", "product_key",
+      Seq("product_name" -> c("product_id"),
+          "product_category" -> lit("VEHICLE_LOAN"),
+          "currency_code" -> lit("INR")))
+
+  /** dim_dealer — null-filtered distinct dealers, name = id duplication.
+    * Ref: `dim_dealer.sql:4-18`. */
+  def dimDealer(stgLoans: DataFrame): DataFrame =
+    Dims.surrogateDim(stgLoans, "dealer_id", "dealer_key",
+      Seq("dealer_name" -> c("dealer_id"),
+          "dealer_tier" -> lit(null).cast("string")))
+
+  /** f_loan_contract — the 4-way star join: loans onto customer, product,
+    * dealer, date dims; stub columns. Ref: `f_loan_contract.sql:12-44`. */
+  def fLoanContract(stgLoans: DataFrame, dimCustomer: DataFrame,
+                    dimProduct: DataFrame, dimDealer: DataFrame,
+                    dimDate: DataFrame): DataFrame =
+    stgLoans
+      .join(broadcast(dimCustomer.select("customer_key", "customer_id")), Seq("customer_id"), "left")
+      .join(broadcast(dimProduct.select("product_key", "product_id")), Seq("product_id"), "left")
+      .join(broadcast(dimDealer.select("dealer_key", "dealer_id")), Seq("dealer_id"), "left")
+      .join(broadcast(dimDate.select(c("date_key"), c("calendar_date"))),
+        stgLoans("application_date") === c("calendar_date"), "left")
+      .select(
+        c("loan_id"), c("customer_key"), c("product_key"), c("dealer_key"),
+        c("date_key").as("application_date_key"),
+        c("loan_amount"), c("asset_cost"), c("ltv_ratio"), c("loan_default"),
+        lit(null).cast(Numeric).as("interest_rate"),
+        lit(1L).as("channel_key"),
+        lit("INR").as("currency_code"))
+
+  /** f_default_event — defaulted loans only, date-joined, surrogate event
+    * key, amount duplicated under two aliases.
+    * Ref: `f_default_event.sql:10-33`. */
+  def fDefaultEvent(stgLoans: DataFrame, dimDate: DataFrame): DataFrame =
+    stgLoans.where(c("loan_default") === 1)
+      .join(broadcast(dimDate.select(c("date_key"), c("calendar_date"))),
+        c("application_date") === c("calendar_date"), "left")
+      .select(
+        row_number().over(Window.orderBy(c("loan_id"))).cast("long").as("default_event_key"),
+        c("loan_id"),
+        c("date_key").as("event_date_key"),
+        c("loan_amount").as("default_balance"),
+        c("loan_amount").as("writeoff_amount"),
+        lit("DEFAULT").as("event_type"))
+
+  /** f_dealer_performance_daily — per dealer/day: applications, approvals
+    * (non-defaults), financed amount, avg LTV.
+    * Ref: `f_dealer_performance_daily.sql:14-30`. */
+  def fDealerPerformanceDaily(stgLoans: DataFrame, dimDealer: DataFrame,
+                              dimDate: DataFrame): DataFrame =
+    stgLoans
+      .join(broadcast(dimDealer.select("dealer_key", "dealer_id")), Seq("dealer_id"), "left")
+      .join(broadcast(dimDate.select(c("date_key"), c("calendar_date"))),
+        c("application_date") === c("calendar_date"), "left")
+      .groupBy(c("dealer_key"), c("date_key"))
+      .agg(
+        count(lit(1)).as("num_applications"),
+        sum(when(c("loan_default") === 0, 1).otherwise(0)).as("num_approved"),
+        sum(c("loan_amount")).as("total_financed"),
+        avg(c("ltv_ratio")).as("avg_ltv"))
+
+  /** f_payment_transaction — payments with smart date key + stubs.
+    * Ref: `f_payment_transaction.sql:5-11`. */
+  def fPaymentTransaction(stgPayments: DataFrame): DataFrame =
+    stgPayments.select(
+      c("loan_id"),
+      Projections.dateKey(c("payment_date")).as("payment_date_key"),
+      c("amount"),
+      c("principal_component"),
+      c("interest_amt").as("interest_component"),
+      c("fee_amt") + c("late_fee_amt") as "fee_component",
+      c("channel_id").as("channel_key"),
+      lit("INR").as("currency_code"))
+
+  /** f_loan_balance_monthly — stub balance snapshot (the reference model
+    * is all literal/stub columns over loans).
+    * Ref: `f_loan_balance_monthly.sql:5-12`. */
+  def fLoanBalanceMonthly(stgLoans: DataFrame, asOfMonth: String = "2026-01"): DataFrame =
+    stgLoans.select(
+      c("loan_id"),
+      lit(asOfMonth).as("snapshot_month"),
+      c("loan_amount").as("opening_balance"),
+      c("loan_amount").as("closing_balance"),
+      lit(null).cast(Numeric).as("principal_paid"),
+      lit(null).cast(Numeric).as("interest_paid"))
+}

@@ -1,0 +1,65 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.Projections
+
+/** S1–S3 + O1 — config-driven CSV ingestion (the Bronze layer).
+  *
+  * Reproduces `/root/reference/include/load_raw_to_bq.py:33-78`: header
+  * row, schema autodetect, optional header sanitize (`.` → `_`,
+  * `load_raw_to_bq.py:10-30`), truncate-write semantics — re-expressed as
+  * `spark.read.csv` + overwrite-mode parquet.
+  *
+  * Scale notes: `inferSchema` samples the file with an extra pass — at
+  * 100 TB pass an explicit schema (the registry supports it) so the scan
+  * is single-pass; CSV splits are line-based so parallelism comes free.
+  */
+final case class RawSource(
+    name: String,
+    path: String,
+    table: String,
+    sanitizeHeaders: Boolean = false,
+    schemaDdl: Option[String] = None)
+
+object CsvLoader {
+
+  /** S1 + S2 — load one CSV with header + autodetect (or explicit DDL
+    * schema), optionally sanitizing header names. */
+  def loadCsv(spark: SparkSession, src: RawSource): DataFrame = {
+    val reader = spark.read.option("header", "true")
+    val withSchema = src.schemaDdl match {
+      case Some(ddl) => reader.schema(ddl)
+      case None      => reader.option("inferSchema", "true")
+    }
+    val df = withSchema.csv(src.path)
+    if (src.sanitizeHeaders) Projections.sanitizeHeaders(df) else df
+  }
+
+  /** S3 — truncate-write: full replace of the target (WRITE_TRUNCATE
+    * semantics, `load_raw_to_bq.py:71`). */
+  def writeTruncate(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** O1 — config fan-out: one load per registry entry, registered as a
+    * temp view named after the source's table. */
+  def loadAll(spark: SparkSession, sources: Seq[RawSource]): Map[String, DataFrame] =
+    sources.map { src =>
+      val df = loadCsv(spark, src)
+      df.createOrReplaceTempView(src.table)
+      src.table -> df
+    }.toMap
+}
+
+/** M4 — source registry with idempotent registration (dedupe by name).
+  * Ref: `include/integrate_new_dataset.py:113-155`. */
+final class SourceRegistry(initial: Seq[RawSource] = Nil) {
+  private var sources: Vector[RawSource] = initial.toVector
+
+  def all: Seq[RawSource] = sources
+
+  /** Append unless a source of the same name exists (idempotence check,
+    * `integrate_new_dataset.py:121-127`). Returns true if added. */
+  def register(src: RawSource): Boolean =
+    if (sources.exists(_.name == src.name)) false
+    else { sources = sources :+ src; true }
+}

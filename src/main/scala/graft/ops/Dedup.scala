@@ -37,9 +37,33 @@ object Dedup {
       .drop("_h")
   }
 
-  /** Word k-shingles of a document, distinct, as array<string>.
+  /** Word k-shingles from a pre-split token array column, distinct.
     * Documents shorter than k tokens yield an empty array (guard needed:
-    * Spark `sequence(1, 0)` would count *down*, not produce empty). */
+    * Spark `sequence(1, 0)` would count *down*, not produce empty).
+    *
+    * PERF: `toks` MUST be a plain column attribute, not an inline
+    * `split(...)` expression — the slice lambda evaluates its body per
+    * element, so an embedded split would re-tokenize the document once
+    * per shingle (measured 50× slowdown). Stage the split in a prior
+    * projection (see [[shingled]]). */
+  def shinglesOfTokens(toks: Column, k: Int): Column = {
+    val n = size(toks)
+    when(n < k, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), n - k + 1),
+        i => concat_ws(" ", slice(toks, i, lit(k))))))
+  }
+
+  /** id + distinct k-shingle array per document, with the tokenize and
+    * shingle steps as separate projections so each is computed exactly
+    * once per row. */
+  def shingled(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("toks"))
+      .select(col("id"), shinglesOfTokens(col("toks"), k).as("sh"))
+
+  /** Word k-shingles straight from a text column — convenience for
+    * single-use contexts (tests, one-shot exprs). For anything that
+    * reuses the result, go through [[shingled]]. */
   def shingles(textCol: Column, k: Int): Column = {
     val toks = split(trim(textCol), "\\s+")
     val n = size(toks)
@@ -67,12 +91,14 @@ object Dedup {
     * sizes are bounded in practice by hash dispersion. The self-join is on
     * bucket keys, never a cross join. Output: (id_a < id_b, similarity). */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      shingleK: Int = 3, numBands: Int = 8, rowsPerBand: Int = 2,
+                      shingleK: Int = 5, numBands: Int = 4, rowsPerBand: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
     val numHashes = numBands * rowsPerBand
-    val sig = df.select(
-      col(idCol).as("id"),
-      minhashSignature(shingles(col(textCol), shingleK), numHashes).as("sig"))
+    // staged projections: toks → shingles → signature, each an attribute
+    // at the next stage (prevents the 16 hash transforms from inlining —
+    // and re-evaluating — the shingle expression)
+    val sig = shingled(df, idCol, textCol, shingleK)
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
     // band key = hash of the band's slice of the signature
     val banded = sig.select(
       col("id"), col("sig"),
@@ -145,8 +171,8 @@ object Dedup {
     * shuffle is on shingle hash, never materializing the cross product. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), k)).as("sh"))
+    val sh = shingled(df, idCol, textCol, k)
+      .select(col("id"), explode(col("sh")).as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"), Seq("sh"))
       .where(col("x.id") < col("y.id"))

@@ -33,7 +33,7 @@ object Projections {
     * back a century. Ref: `stg_corebank_loans.sql:15-16`,
     * `auto_data_adapter.py:123,134`. */
   def safeParseDate2(c: Column, fmt: String = "dd-MM-yy", pivot: Int = 2068): Column = {
-    val d = to_date(c, fmt)
+    val d = try_to_date(c, fmt) // try_: Spark 4 ANSI to_date throws on malformed
     when(year(d) > pivot, add_months(d, -1200)).otherwise(d)
   }
 

@@ -52,19 +52,22 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket key: sign bits of dot products with
-    * `numPlanes` pseudo-random hyperplanes. Hyperplanes are derived
-    * deterministically from (seed, plane, dim) hashes — reproducible with
-    * no stored model. */
+    * `numPlanes` seeded Gaussian hyperplanes. The planes ship as ONE
+    * nested-array literal (`typedlit`) and the bits come from two array
+    * folds — a handful of expression nodes regardless of dim×planes.
+    * (A per-component expression tree — dim×planes nodes — blows codegen
+    * past the JIT method limit and fell back to interpretation ~50×
+    * slower.) Deterministic: same seed → same planes → same buckets. */
   def lshBucket(vecCol: Column, dim: Int, numPlanes: Int, seed: Int = 42): Column = {
-    val planes = (0 until numPlanes).map { p =>
-      // hyperplane component h(p,d) in [-1,1): hash → unit-ish pseudo-random
-      val contributions = (0 until dim).map { d =>
-        val h = (xxhash64(lit(seed), lit(p), lit(d)).cast("double") / lit(Long.MaxValue.toDouble))
-        element_at(vecCol, d + 1).cast("double") * h
-      }
-      when(contributions.reduce(_ + _) >= 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }
-    planes.reduce(_.bitwiseOR(_))
+    val rnd = new scala.util.Random(seed)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+    val planesLit = typedlit(planes)
+    val vd = transform(vecCol, _.cast("double"))
+    val bits = transform(planesLit, p =>
+      when(aggregate(zip_with(vd, p, (x, y) => x * y), lit(0.0d), (a, v) => a + v) >= 0,
+        lit(1L)).otherwise(lit(0L)))
+    aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
   }
 
   /** Approximate top-k: candidates limited to vectors sharing an LSH

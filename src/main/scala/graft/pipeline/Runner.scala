@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.quality.{CheckResult, Checks, QualityCheck}
+
+/** O2/O3 + S4–S6 — the pipeline runner: bronze → silver → gold → test,
+  * with dbt-style view/table materialization and full-refresh semantics.
+  *
+  * Models are declared with dependencies and run in topological order
+  * (the reference's dbt `ref()` graph, `f_loan_contract.sql:4,37-44`);
+  * within a level, independent models could run from parallel threads
+  * (`profiles.yml:11` threads: 4) — Spark's scheduler interleaves their
+  * jobs. Views stay lazy temp views (recomputed, like dbt `view`
+  * materialization); tables are written to parquet and re-registered
+  * (dbt `table`), so downstream reads scan the materialized copy instead
+  * of recomputing the lineage. A run is a full refresh: overwrite-mode
+  * writes, idempotent (`dags/bank_etl_dag.py:58-64`).
+  */
+object Runner {
+
+  sealed trait Materialization
+  case object View extends Materialization
+  case object Table extends Materialization
+
+  /** One model: name, upstream model names, transform over the resolved
+    * upstream frames, materialization, quality checks. */
+  final case class Model(
+      name: String,
+      deps: Seq[String],
+      build: Map[String, DataFrame] => DataFrame,
+      materialization: Materialization = View,
+      checks: Seq[QualityCheck] = Nil)
+
+  final case class RunResult(built: Seq[String], checks: Seq[CheckResult],
+                             frames: Map[String, DataFrame]) {
+    def passed: Boolean = checks.forall(_.passed)
+    def apply(model: String): DataFrame = frames(model)
+  }
+
+  /** Topologically order models by their dep edges (Kahn). `external`
+    * names (source/bronze frames) count as already satisfied. Cycles or
+    * unknown deps fail fast with the offending names. */
+  def topoOrder(models: Seq[Model], external: Set[String] = Set.empty): Seq[Model] = {
+    val byName = models.map(m => m.name -> m).toMap
+    models.foreach { m =>
+      val missing = m.deps.filterNot(d => byName.contains(d) || external.contains(d))
+      require(missing.isEmpty, s"model ${m.name}: unknown deps $missing")
+    }
+    val order = scala.collection.mutable.ListBuffer.empty[Model]
+    val done = scala.collection.mutable.Set.empty[String]
+    done ++= external
+    var remaining = models
+    while (remaining.nonEmpty) {
+      val (ready, blocked) = remaining.partition(_.deps.forall(done))
+      require(ready.nonEmpty, s"dependency cycle among ${remaining.map(_.name)}")
+      order ++= ready
+      done ++= ready.map(_.name)
+      remaining = blocked
+    }
+    order.toList
+  }
+
+  /** Run all models (full refresh) then the quality suite — the engine's
+    * `dbt run && dbt test`. `sources` seeds the resolution map (bronze
+    * frames); `warehouseDir` hosts table materializations. */
+  def run(spark: SparkSession, sources: Map[String, DataFrame],
+          models: Seq[Model], warehouseDir: String): RunResult = {
+    val resolved = scala.collection.mutable.Map[String, DataFrame](sources.toSeq: _*)
+    val ordered = topoOrder(models, sources.keySet)
+    ordered.foreach { m =>
+      val df = m.build(resolved.toMap)
+      val materialized = m.materialization match {
+        case View =>
+          df.createOrReplaceTempView(m.name)
+          df
+        case Table =>
+          val path = s"$warehouseDir/${m.name}"
+          df.write.mode("overwrite").parquet(path)
+          val back = spark.read.parquet(path)
+          back.createOrReplaceTempView(m.name)
+          back
+      }
+      resolved(m.name) = materialized
+    }
+    val checkResults = Checks.run(ordered.collect {
+      case m if m.checks.nonEmpty => (m.name, resolved(m.name), m.checks)
+    })
+    RunResult(ordered.map(_.name), checkResults, resolved.toMap)
+  }
+}

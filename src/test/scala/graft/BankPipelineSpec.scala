@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.silver.Staging
+import graft.gold.{BankMarts, Dims}
+import graft.pipeline.Runner
+import graft.pipeline.Runner.{Model, Table, View}
+import graft.quality.{NotNull, Unique}
+
+/** End-to-end bank model over inline Kaggle-schema fixtures: staging →
+  * dims → facts → quality checks, through the pipeline runner. */
+class BankPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Minimal Kaggle vehicle-loans raw frame (FIXTURES.md §B.2), incl. a
+    * 2-digit-year date that exercises the %y pivot (84 → 1984).
+    * (Row + DDL schema: fixtures exceed Scala's Tuple22 limit.) */
+  private def rawLoans: DataFrame = {
+    val schema =
+      """UniqueID string, disbursed_amount double, asset_cost double, ltv double,
+        |branch_id string, supplier_id string, manufacturer_id string,
+        |Current_pincode_ID string, Date_of_Birth string, Employment_Type string,
+        |DisbursalDate string, State_ID string, MobileNo_Avl_Flag int,
+        |Aadhar_flag int, PAN_flag int, PERFORM_CNS_SCORE int,
+        |PERFORM_CNS_SCORE_DESCRIPTION string, PRI_NO_OF_ACCTS int,
+        |PRI_ACTIVE_ACCTS int, PRI_OVERDUE_ACCTS int, PRI_CURRENT_BALANCE double,
+        |PRI_SANCTIONED_AMOUNT double, PRI_DISBURSED_AMOUNT double,
+        |NEW_ACCTS_IN_LAST_SIX_MONTHS int, DELINQUENT_ACCTS_IN_LAST_SIX_MONTHS int,
+        |NO_OF_INQUIRIES int, loan_default int""".stripMargin.replace("\n", " ")
+    val rows = Seq(
+      Row("L1", 50000.0, 70000.0, 71.4, "B1", "S1", "M1", "P1", "01-01-84", "Salaried", "15-10-18", "ST1", 1, 1, 0, 650, "A-Very Low Risk", 3, 2, 0, 10000.0, 60000.0, 55000.0, 1, 0, 2, 0),
+      Row("L2", 30000.0, 45000.0, 66.7, "B1", "S2", "M1", "P2", "15-06-92", "Self employed", "20-10-18", "ST1", 1, 0, 1, 700, "B-Low Risk", 1, 1, 1, 5000.0, 30000.0, 28000.0, 0, 1, 1, 1),
+      Row("L3", 80000.0, 90000.0, 88.9, "B2", "S1", "M2", "P3", "31-12-99", "Salaried", "20-10-18", "ST2", 1, 1, 1, 720, "A-Very Low Risk", 5, 3, 0, 25000.0, 95000.0, 90000.0, 2, 0, 0, 0),
+      Row("L4", 20000.0, 30000.0, 66.7, "B2", "S3", "M2", "P4", "29-02-00", "Student", "21-10-18", "ST2", 0, 1, 0, 0, "No Bureau History Available", 0, 0, 0, 0.0, 0.0, 0.0, 0, 0, 5, 1))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows),
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+  }
+
+  private def rawPayments: DataFrame = Seq(
+    ("L1", "2018-12-18", 2002.77, 1988.83, 13.94, 1.0, 0.0, 2),
+    ("L1", "2019-01-18", 2002.77, 1990.00, 12.77, 1.0, 0.0, 2),
+    ("L2", "2018-11-20", 1500.00, 1480.00, 20.00, 0.0, 5.0, 1)
+  ).toDF("loan_id", "payment_date", "amount", "principal_amt", "interest_amt",
+    "fee_amt", "late_fee_amt", "channel_id")
+    .withColumn("payment_date", to_date(col("payment_date")))
+
+  test("staging: loans rename-cast with %y pivot dates") {
+    val stg = Staging.stgCorebankLoans(rawLoans)
+    val rows = stg.orderBy("loan_id").collect()
+    assert(rows.length === 4)
+    val l1 = rows(0)
+    assert(l1.getAs[String]("loan_id") === "L1")
+    assert(l1.getAs[java.sql.Date]("date_of_birth").toString === "1984-01-01") // %y pivot: 84 → 1984
+    assert(l1.getAs[java.sql.Date]("application_date").toString === "2018-10-15")
+    assert(l1.getAs[java.math.BigDecimal]("loan_amount").doubleValue() === 50000.0)
+    // 29-02-00: 2000 was a leap year → valid date
+    assert(rows(3).getAs[java.sql.Date]("date_of_birth").toString === "2000-02-29")
+  }
+
+  test("staging: customers dedup to one row per id") {
+    val doubled = rawLoans.union(rawLoans)
+    val stg = Staging.stgCorebankCustomers(doubled)
+    assert(stg.count() === 4)
+    assert(stg.select("customer_id").distinct().count() === 4)
+  }
+
+  test("gold: dim_customer age bands use year-boundary diff") {
+    val dim = BankMarts.dimCustomer(Staging.stgCorebankCustomers(rawLoans), anchor = "2026-01-01")
+    val bands = dim.orderBy("customer_id").select("age_band").as[String].collect()
+    // DOBs 1984, 1992, 1999, 2000 vs 2026 → boundary diffs 42, 34, 27, 26
+    assert(bands === Array("40-49", "30-39", "18-29", "18-29"))
+    // surrogate keys dense 1..N
+    assert(dim.select("customer_key").as[Long].collect().sorted === Array(1L, 2L, 3L, 4L))
+  }
+
+  test("gold: star join resolves all surrogate keys") {
+    val stg = Staging.stgCorebankLoans(rawLoans)
+    val customers = BankMarts.dimCustomer(Staging.stgCorebankCustomers(rawLoans))
+    val products = BankMarts.dimProduct(stg)
+    val dealers = BankMarts.dimDealer(stg)
+    val dates = Dims.dateSpine(spark, "2018-01-01", "2019-12-31")
+    val fact = BankMarts.fLoanContract(stg, customers, products, dealers, dates)
+    assert(fact.count() === 4)
+    assert(fact.where(col("customer_key").isNull || col("product_key").isNull ||
+      col("dealer_key").isNull || col("application_date_key").isNull).count() === 0)
+    assert(fact.where(col("loan_id") === "L1").select("application_date_key")
+      .as[Long].head() === 20181015L)
+  }
+
+  test("gold: default events only for defaulted loans, dense keys") {
+    val stg = Staging.stgCorebankLoans(rawLoans)
+    val dates = Dims.dateSpine(spark, "2018-01-01", "2019-12-31")
+    val events = BankMarts.fDefaultEvent(stg, dates)
+    assert(events.select("loan_id").as[String].collect().sorted === Array("L2", "L4"))
+    assert(events.select("default_event_key").as[Long].collect().sorted === Array(1L, 2L))
+  }
+
+  test("gold: dealer performance aggregates") {
+    val stg = Staging.stgCorebankLoans(rawLoans)
+    val dealers = BankMarts.dimDealer(stg)
+    val dates = Dims.dateSpine(spark, "2018-01-01", "2019-12-31")
+    val perf = BankMarts.fDealerPerformanceDaily(stg, dealers, dates)
+    // S1 has loans L1 (2018-10-15) and L3 (2018-10-20) → two day rows
+    val s1Key = dealers.where(col("dealer_id") === "S1").select("dealer_key").as[Long].head()
+    val s1 = perf.where(col("dealer_key") === s1Key)
+    assert(s1.count() === 2)
+    assert(s1.agg(sum("num_applications")).as[Long].head() === 2L)
+    assert(s1.agg(sum("num_approved")).as[Long].head() === 2L) // neither defaulted
+  }
+
+  test("pipeline runner: topological build, table materialization, checks pass") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    val models = Seq(
+      Model("stg_loans", Seq("raw_loans"), r => Staging.stgCorebankLoans(r("raw_loans")),
+        View, Seq(NotNull("loan_id"), Unique("loan_id"), NotNull("customer_id"))),
+      Model("stg_customers", Seq("raw_loans"), r => Staging.stgCorebankCustomers(r("raw_loans")),
+        View, Seq(NotNull("customer_id"), Unique("customer_id"))),
+      Model("dim_customer", Seq("stg_customers"), r => BankMarts.dimCustomer(r("stg_customers")),
+        Table, Seq(NotNull("customer_key"), Unique("customer_key"))),
+      Model("dim_product", Seq("stg_loans"), r => BankMarts.dimProduct(r("stg_loans")),
+        Table, Seq(NotNull("product_key"), Unique("product_key"))),
+      Model("dim_dealer", Seq("stg_loans"), r => BankMarts.dimDealer(r("stg_loans")), Table),
+      Model("dim_date", Nil, _ => Dims.dateSpine(spark, "2018-01-01", "2019-12-31"), Table),
+      Model("f_loan_contract", Seq("stg_loans", "dim_customer", "dim_product", "dim_dealer", "dim_date"),
+        r => BankMarts.fLoanContract(r("stg_loans"), r("dim_customer"), r("dim_product"),
+          r("dim_dealer"), r("dim_date")),
+        Table, Seq(NotNull("loan_id"), Unique("loan_id"))))
+    // deliberately shuffled input order — runner must topo-sort
+    val result = Runner.run(spark, Map("raw_loans" -> rawLoans), models.reverse, tmp)
+    assert(result.built.head === "dim_date" || result.built.indexOf("stg_loans") <
+      result.built.indexOf("f_loan_contract"))
+    assert(result.checks.nonEmpty && result.passed, result.checks.filterNot(_.passed).toString)
+    // table materialization actually wrote parquet
+    assert(new java.io.File(s"$tmp/f_loan_contract").exists())
+  }
+
+  test("quality checks catch violations") {
+    val bad = Seq(("a", 1), ("a", 2), (null, 3)).toDF("k", "v")
+    assert(NotNull("k").violations(bad) === 1)
+    assert(Unique("k").violations(bad) === 1)
+  }
+
+  test("payments fact: date key and fee composition") {
+    val fact = BankMarts.fPaymentTransaction(Staging.stgPayments(rawPayments))
+    assert(fact.count() === 3)
+    assert(fact.where(col("loan_id") === "L2").select("payment_date_key").as[Long].head() === 20181120L)
+    val fee = fact.where(col("loan_id") === "L2")
+      .select(col("fee_component").cast("double")).as[Double].head()
+    assert(fee === 5.0)
+  }
+}

@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.adapt.DatasetAdapter
+import graft.gold.Dims
+import graft.ingest.{CsvLoader, RawSource, SourceRegistry}
+import graft.ops.{Dedup, Multimodal, Projections, Similarity, TextOps}
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("date spine: inclusive endpoints, 5844 rows, weekend flags") {
+    val spine = Dims.dateSpine(spark, "2015-01-01", "2030-12-31")
+    assert(spine.count() === 5844)
+    val first = spine.orderBy("calendar_date").limit(1).collect()(0)
+    assert(first.getAs[Long]("date_key") === 20150101L)
+    assert(first.getAs[Int]("day_of_week") === 5) // 2015-01-01 was a Thursday (1=Sun)
+    assert(!first.getAs[Boolean]("is_weekend"))
+  }
+
+  test("%y pivot: 69-99 map to 19xx, 00-68 to 20xx") {
+    val df = Seq("01-01-69", "31-12-99", "01-01-00", "31-12-68", "nonsense")
+      .toDF("s").select(Projections.safeParseDate2(col("s")).as("d"))
+    val got = df.as[Option[java.sql.Date]].collect().map(_.map(_.toString))
+    assert(got === Array(Some("1969-01-01"), Some("1999-12-31"),
+      Some("2000-01-01"), Some("2068-12-31"), None))
+  }
+
+  test("header sanitize: dots to underscores") {
+    val df = Seq((1, 2)).toDF("PERFORM_CNS.SCORE", "plain")
+    assert(Projections.sanitizeHeaders(df).columns === Array("PERFORM_CNS_SCORE", "plain"))
+  }
+
+  test("shingles: short docs yield empty, k-grams correct") {
+    val df = Seq("a b c d", "a b", "").toDF("t")
+      .select(Dedup.shingles(col("t"), 3).as("sh"))
+    val got = df.as[Seq[String]].collect()
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq.empty)
+    assert(got(2) === Seq.empty)
+  }
+
+  test("exact dedup keeps min id and counts dups") {
+    val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("id", "text")
+    val out = Dedup.exactByHash(df, "text", "id").orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash: identical docs get identical signatures; est_jaccard 1.0") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog today"),
+                 (2L, "the quick brown fox jumps over the lazy dog today"),
+                 (3L, "completely different words appear in this unrelated text here")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(df, "doc_id", "text", threshold = 0.9).collect()
+    assert(pairs.length === 1)
+    assert((pairs(0).getLong(0), pairs(0).getLong(1), pairs(0).getDouble(2)) === (1L, 2L, 1.0))
+  }
+
+  test("simhash: identical docs distance 0; near docs within 3") {
+    val df = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+                 (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+                 (3L, "totally unrelated corpus of completely different tokens")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(Dedup.simhash(df, "doc_id", "text"), maxDistance = 3)
+    val got = pairs.collect()
+    assert(got.length === 1 && got(0).getLong(0) === 1L && got(0).getLong(1) === 2L
+      && got(0).getInt(2) === 0)
+  }
+
+  test("cosine: orthogonal 0, identical 1") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(2.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, df.where(col("vec_id") === 1), "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+    assert(top(0).getLong(1) === 3L && math.abs(top(0).getDouble(3) - 1.0) < 1e-12)
+    assert(top(1).getLong(1) === 2L && math.abs(top(1).getDouble(3)) < 1e-12)
+  }
+
+  test("lsh ann recall on planted duplicate") {
+    val base = (0 until 200).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    val planted = base :+ (999L, base(5)._2.clone()) // exact dup of vec 5
+    val df = planted.toDF("vec_id", "embedding")
+    val top = Similarity.lshTopK(df, df.where(col("vec_id") === 999), "vec_id", "embedding",
+      dim = 16, k = 3)
+    val best = top.orderBy("rank").limit(1).collect()(0)
+    assert(best.getLong(1) === 5L) // identical vector always shares every bucket
+    assert(math.abs(best.getDouble(3) - 1.0) < 1e-12)
+  }
+
+  test("text ops: token counts and ratios") {
+    val df = Seq("The cat and the dog!! 42 times.").toDF("t")
+    val r = df.select(
+      TextOps.tokenCount(col("t")).as("n"),
+      TextOps.bpeishTokenCount(col("t")).as("b"),
+      TextOps.punctRatio(col("t")).as("p"),
+      TextOps.stopwordRatio(col("t")).as("s")).collect()(0)
+    assert(r.getAs[Int]("n") === 7)
+    // The|cat|and|the|dog|!|!|4|2|times|. = 11
+    assert(r.getAs[Int]("b") === 11)
+    assert(r.getAs[Double]("p") > 0 && r.getAs[Double]("p") < 0.2)
+    assert(math.abs(r.getAs[Double]("s") - 3.0 / 7) < 1e-12) // the, and, the
+  }
+
+  test("language id picks marker-heavy language") {
+    val df = Seq(
+      "the cat and the dog is in the house of things",
+      "der hund und die katze ist sehr schön und der baum",
+      "xyzzy plugh").toDF("t")
+    val got = df.select(TextOps.languageId(col("t"))).as[String].collect()
+    assert(got === Array("en", "de", "und"))
+  }
+
+  test("adapter: detection + mapping + transform for all three families") {
+    assert(DatasetAdapter.detect(Seq("SK_ID_CURR", "AMT_CREDIT")).name === "home_credit")
+    assert(DatasetAdapter.detect(Seq("UniqueID", "DisbursalDate")).name === "vehicle_loan")
+    assert(DatasetAdapter.detect(Seq("foo", "bar")).name === "generic")
+
+    // Home Credit: DAYS_BIRTH day-offset decode against pinned anchor
+    val hc = Seq((100002L, 406597.5, -9461, 1))
+      .toDF("SK_ID_CURR", "AMT_CREDIT", "DAYS_BIRTH", "TARGET")
+    val out = DatasetAdapter.stagingTransform(hc.columns, anchor = "2026-01-01")(hc)
+    val row = out.collect()(0)
+    assert(out.columns.contains("loan_id") && out.columns.contains("date_of_birth"))
+    assert(row.getAs[String]("loan_id") === "100002")
+    assert(row.getAs[Long]("loan_default") === 1L)
+    assert(row.getAs[java.sql.Date]("date_of_birth").toString === "2000-02-06") // 2026-01-01 - 9461d
+
+    // generic: analyze reports unmapped columns
+    val report = DatasetAdapter.analyze(Seq("loan_id", "amount", "mystery.col"))
+    assert(report.datasetType === "generic")
+    assert(report.mapped("loan_id") === "loan_id")
+    assert(report.unmapped.contains("mystery_col"))
+    // SQL rendering runs
+    assert(DatasetAdapter.stagingSql(hc.columns, "raw").startsWith("select"))
+  }
+
+  test("csv loader: header sanitize + truncate write + registry idempotence") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csv")
+    val csv = tmp.resolve("in.csv")
+    java.nio.file.Files.writeString(csv, "a.b,c\n1,x\n2,y\n")
+    val src = RawSource("s1", csv.toString, "t1", sanitizeHeaders = true)
+    val df = CsvLoader.loadCsv(spark, src)
+    assert(df.columns === Array("a_b", "c"))
+    assert(df.count() === 2)
+    val out = tmp.resolve("out").toString
+    CsvLoader.writeTruncate(df, out)
+    CsvLoader.writeTruncate(df.limit(1), out) // truncate semantics: replaces
+    assert(spark.read.parquet(out).count() === 1)
+    val reg = new SourceRegistry(Seq(src))
+    assert(!reg.register(src.copy(path = "other")))   // same name → rejected
+    assert(reg.register(RawSource("s2", "p", "t2")))
+    assert(reg.all.map(_.name) === Seq("s1", "s2"))
+  }
+
+  test("multimodal: decode stub features and frame sampling") {
+    val docs = Seq((1L, "abcd" * 100), (2L, "")).toDF("doc_id", "text")
+    val assets = Multimodal.syntheticAssets(docs, "doc_id", "text")
+    assert(assets.schema("payload").dataType.typeName === "binary")
+    val feats = Multimodal.decodeFeatures(assets).orderBy("asset_id").collect()
+    assert(feats(0).getAs[Long]("n_bytes") === 400L)
+    val histo = feats(0).getAs[scala.collection.Seq[Double]]("feature")
+    assert(histo.sum === 400.0 && histo(1) === 400.0) // 'a'..'d' all in [64,128)
+    assert(feats(1).getAs[Long]("n_bytes") === 0L)
+    val frames = Multimodal.sampleFrames(assets.where(col("asset_id") === 1), frameBytes = 64, stride = 2)
+    // 400 bytes → 7 frames (ceil) → idx 0,2,4,6 kept
+    assert(frames.count() === 4)
+    assert(frames.agg(max("n_frames")).collect()(0).getInt(0) === 7)
+  }
+
+  test("surrogateDimScalable: dense unique keys without global sort") {
+    val df = (1 to 1000).map(i => s"k$i").toDF("nk")
+    val dim = Dims.surrogateDimScalable(df.union(df), "nk", "sk")
+    assert(dim.count() === 1000)
+    val keys = dim.select("sk").as[Long].collect().sorted
+    assert(keys === (1L to 1000L).toArray)
+  }
+}
