@@ -239,10 +239,15 @@ object SparkEntry {
     * would otherwise go quadratic on a small vocabulary). */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
+    // shuffle 64-bit shingle hashes, not ~40-char strings (same counts;
+    // hash collisions are ~1e-10 at this cardinality)
     val sh = Dedup.shingled(docs, "doc_id", "text", 5)
-      .select(col("id"), explode(col("sh")).as("s"))
-    val rare = sh.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= 100)
-    val shf = sh.join(rare.select("s"), Seq("s"))
+      .select(col("id"), explode(col("sh")).as("s0"))
+      .select(col("id"), xxhash64(col("s0")).as("s"))
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= 50)
+    // shf feeds 4 plan branches (sizes + both join sides); without cache
+    // Spark recomputes the scan→shingle→hash lineage per branch (~13x)
+    val shf = sh.join(rare.select("s"), Seq("s")).cache()
     val sizes = shf.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = shf.as("x").join(shf.as("y"), Seq("s"))
       .where(col("x.id") < col("y.id"))
@@ -319,7 +324,10 @@ object SparkEntry {
   }
 
   /** Embedding near-dup pairs above a cosine threshold via LSH buckets.
-    * Rows-only check. */
+    * Rows-only check. NOTE: the synthetic corpus has no near-dups (max
+    * pairwise cosine ≈ 0.48), so an empty result here is the correct
+    * answer — true near-dups (cos ≥ 0.9) collide in ≥1 bucket with high
+    * probability and are verified by the planted-duplicate spec. */
   def qCosineNearDups(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDups(t(spark, dir, "embeddings"), "vec_id", "embedding",
       dim = 64, threshold = 0.4)
@@ -394,6 +402,26 @@ object SparkEntry {
       .orderBy("loan_id")
   }
 
+  /** M1–M3 + D8 — schema-adaptive ingestion: a Home-Credit-shaped frame
+    * is detected by its marker columns, mapped through the synonym table,
+    * and staged by the generated transform (incl. the DAYS_BIRTH negative
+    * day-offset decode against a pinned anchor). */
+  def qAdapterStaging(spark: SparkSession, dir: String): DataFrame = {
+    import graft.adapt.DatasetAdapter
+    val orders = t(spark, dir, "orders")
+    val raw = orders.select(
+      col("o_orderkey").as("SK_ID_CURR"),
+      col("o_totalprice").as("AMT_CREDIT"),
+      (col("o_totalprice") * 1.2).as("AMT_GOODS_PRICE"),
+      (-(col("o_custkey") % 15000) - 8000).cast("int").as("DAYS_BIRTH"),
+      when(col("o_orderstatus") === "F", 1).otherwise(0).as("TARGET"),
+      col("o_orderpriority").as("NAME_INCOME_TYPE"),
+      lit("M").as("CODE_GENDER"))
+    require(DatasetAdapter.detect(raw.columns).name == "home_credit")
+    DatasetAdapter.stagingTransform(raw.columns, anchor = "2026-01-01")(raw)
+      .orderBy("loan_id")
+  }
+
   /** JSON property extraction from the events props column (semi-
     * structured payload handling). */
   def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
@@ -429,6 +457,7 @@ object SparkEntry {
     "q_multimodal_meta"  -> qMultimodalMeta,
     "q_json_extract"     -> qJsonExtract,
     "q_bank_pipeline"    -> qBankPipeline,
+    "q_adapter_staging"  -> qAdapterStaging,
   )
 
   /** DuckDB stopword list literal — generated from the same Scala constant
@@ -588,7 +617,7 @@ object SparkEntry {
         |sh0 AS (SELECT id, unnest(CASE WHEN len(t) < 5 THEN []::VARCHAR[]
         |          ELSE list_distinct(list_transform(generate_series(1, len(t) - 4),
         |               i -> array_to_string(t[i:i+4], ' '))) END) AS s FROM toks),
-        |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+        |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 50),
         |sh AS (SELECT id, s FROM sh0 JOIN rare USING (s)),
         |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
         |inter AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS i
@@ -700,5 +729,15 @@ object SparkEntry {
         |LEFT JOIN dim_dealer dd ON s.dealer_id = dd.dealer_id
         |LEFT JOIN dim_date ddt ON s.application_date = ddt.calendar_date
         |ORDER BY s.loan_id""".stripMargin,
+    "q_adapter_staging" ->
+      """SELECT CAST(o_totalprice * 1.2 AS DECIMAL(38,9)) AS asset_cost,
+        |       CAST(o_orderkey AS VARCHAR) AS customer_id,
+        |       DATE '2026-01-01' + CAST((-(o_custkey % 15000) - 8000) AS INTEGER) AS date_of_birth,
+        |       o_orderpriority AS employment_type,
+        |       'M' AS gender,
+        |       CAST(o_totalprice AS DECIMAL(38,9)) AS loan_amount,
+        |       CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT) AS loan_default,
+        |       CAST(o_orderkey AS VARCHAR) AS loan_id
+        |FROM orders ORDER BY loan_id""".stripMargin,
   )
 }

@@ -111,6 +111,12 @@ object DatasetAdapter {
     s"select\n  ${selects.mkString(",\n  ")}\nfrom $table"
   }
 
+  /** M5 — default quality checks auto-registered for every integrated
+    * dataset (`integrate_new_dataset.py:221-235`: not_null on loan_id and
+    * customer_id). */
+  def defaultChecks: Seq[graft.quality.QualityCheck] =
+    Seq(graft.quality.NotNull("loan_id"), graft.quality.NotNull("customer_id"))
+
   /** M1+M2 analysis report (`auto_data_adapter.py:187-203`). */
   final case class Report(datasetType: String, mapped: Map[String, String],
                           unmapped: Seq[String])

@@ -75,20 +75,21 @@ object Similarity {
     * hash tables to boost recall). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               dim: Int, k: Int, numPlanes: Int = 12, numTables: Int = 4): DataFrame = {
-    def banded(df: DataFrame, side: String) = {
-      val v = asDouble(col(vecCol))
-      df.select(col(idCol).as(s"${side}_id"), v.as(s"${side}_v"),
-        posexplode(array((0 until numTables).map(t =>
-          lshBucket(col(vecCol), dim, numPlanes, seed = 1000 + t)): _*))
-          .as(Seq("table", "bucket")))
-    }
+    // norms staged per vector (once), not per candidate pair
+    def banded(df: DataFrame, side: String) =
+      df.select(col(idCol).as(s"${side}_id"), asDouble(col(vecCol)).as(s"${side}_v"))
+        .select(col(s"${side}_id"), col(s"${side}_v"), norm(col(s"${side}_v")).as(s"${side}_n"),
+          posexplode(array((0 until numTables).map(t =>
+            lshBucket(col(s"${side}_v"), dim, numPlanes, seed = 1000 + t)): _*))
+            .as(Seq("table", "bucket")))
     val c = banded(corpus, "corpus")
     val q = banded(queries, "query")
     val candidates = c.join(q, Seq("table", "bucket"))
       .where(col("corpus_id") =!= col("query_id"))
-      .select("query_id", "query_v", "corpus_id", "corpus_v")
+      .select("query_id", "query_v", "query_n", "corpus_id", "corpus_v", "corpus_n")
       .dropDuplicates("query_id", "corpus_id")
-    val scored = candidates.withColumn("score", cosine(col("query_v"), col("corpus_v")))
+    val scored = candidates.withColumn("score",
+      dot(col("query_v"), col("corpus_v")) / (col("query_n") * col("corpus_n")))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -100,18 +101,32 @@ object Similarity {
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                      threshold: Double, numPlanes: Int = 10,
                      numTables: Int = 3): DataFrame = {
-    def banded(side: String) =
-      df.select(col(idCol).as(s"${side}_id"), asDouble(col(vecCol)).as(s"${side}_v"),
-        posexplode(array((0 until numTables).map(t =>
-          lshBucket(col(vecCol), dim, numPlanes, seed = 2000 + t)): _*))
-          .as(Seq("table", "bucket")))
-    val a = banded("a")
-    val b = banded("b")
-    a.join(b, Seq("table", "bucket"))
-      .where(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
-      .withColumn("score", cosine(col("a_v"), col("b_v")))
+    // Shape for scale: (1) buckets are computed ONCE and cached — both
+    // self-join sides read the same materialization instead of re-running
+    // the hash lineage; (2) the candidate dedup shuffles bare id pairs
+    // (16 bytes), never the vectors; vectors re-join after dedup for the
+    // one scoring pass. Norms are computed once per vector.
+    val vecs = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vv"))
+      .withColumn("vn", norm(col("vv")))
+      .cache()
+    val buckets = vecs.select(col("vid"),
+      posexplode(array((0 until numTables).map(t =>
+        lshBucket(col("vv"), dim, numPlanes, seed = 2000 + t)): _*))
+        .as(Seq("table", "bucket")))
+    // per-side renames BEFORE the self-join: aliasing the same plan and
+    // comparing x.vid < y.vid can resolve both sides to one attribute
+    // (trivially-false predicate → silently empty result)
+    val bx = buckets.select(col("table"), col("bucket"), col("vid").as("id_a"))
+    val by = buckets.select(col("table"), col("bucket"), col("vid").as("id_b"))
+    val pairIds = bx.join(by, Seq("table", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates()
+    pairIds
+      .join(vecs.select(col("vid").as("id_a"), col("vv").as("a_v"), col("vn").as("a_n")), Seq("id_a"))
+      .join(vecs.select(col("vid").as("id_b"), col("vv").as("b_v"), col("vn").as("b_n")), Seq("id_b"))
+      .withColumn("score", dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
       .where(col("score") >= threshold)
-      .select(col("a_id").as("id_a"), col("b_id").as("id_b"), col("score"))
+      .select("id_a", "id_b", "score")
   }
 }

@@ -89,6 +89,22 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(best.getDouble(3) - 1.0) < 1e-12)
   }
 
+  test("cosine near-dups finds planted duplicate, skips dissimilar") {
+    val base = (0 until 300).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    val planted = base :+ (999L, base(7)._2.clone()) // exact dup of vec 7
+    val df = planted.toDF("vec_id", "embedding")
+    val dups = Similarity.cosineNearDups(df, "vec_id", "embedding",
+      dim = 16, threshold = 0.99)
+    val got = dups.collect()
+    // identical vectors share every bucket in every table → always found
+    assert(got.length === 1)
+    assert((got(0).getLong(0), got(0).getLong(1)) === (7L, 999L))
+    assert(math.abs(got(0).getDouble(2) - 1.0) < 1e-12)
+  }
+
   test("text ops: token counts and ratios") {
     val df = Seq("The cat and the dog!! 42 times.").toDF("t")
     val r = df.select(
