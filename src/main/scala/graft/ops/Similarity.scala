@@ -19,8 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise dot product of two array<double> columns. */
+  /** Elementwise dot product of two array<double> columns — a native
+    * codegen'd expression (tight loop, no per-element lambda dispatch);
+    * same left-fold order as [[dotFold]] / DuckDB's list_reduce, so
+    * results are bit-identical across all three. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dot_product(a, b)
+
+  /** Composed-builtin reference implementation (kept for equivalence
+    * testing against the codegen'd kernel). */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -65,8 +73,7 @@ object Similarity {
     val planesLit = typedlit(planes)
     val vd = transform(vecCol, _.cast("double"))
     val bits = transform(planesLit, p =>
-      when(aggregate(zip_with(vd, p, (x, y) => x * y), lit(0.0d), (a, v) => a + v) >= 0,
-        lit(1L)).otherwise(lit(0L)))
+      when(dot(vd, p) >= 0, lit(1L)).otherwise(lit(0L)))
     aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
   }
 

@@ -89,6 +89,22 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(best.getDouble(3) - 1.0) < 1e-12)
   }
 
+  test("dot_product kernel: bit-identical to the fold, SQL-registered") {
+    val vecs = (0 until 50).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Array.fill(64)(rnd.nextDouble() * 2 - 1), Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    }.toDF("id", "a", "b")
+    val both = vecs.select(
+      Similarity.dot(col("a"), col("b")).as("kernel"),
+      Similarity.dotFold(col("a"), col("b")).as("fold")).collect()
+    both.foreach(r => assert(r.getDouble(0) === r.getDouble(1))) // exact bits
+    // SQL path via GraftExtensions registration
+    vecs.createOrReplaceTempView("vecs_t")
+    val sqlRow = spark.sql(
+      "SELECT dot_product(a, b) AS d FROM vecs_t WHERE id = 0").collect()(0)
+    assert(sqlRow.getDouble(0) === both(0).getDouble(0))
+  }
+
   test("cosine near-dups finds planted duplicate, skips dissimilar") {
     val base = (0 until 300).map { i =>
       val rnd = new scala.util.Random(i)
