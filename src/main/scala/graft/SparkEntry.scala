@@ -240,10 +240,9 @@ object SparkEntry {
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     // shuffle 64-bit shingle hashes, not ~40-char strings (same counts;
-    // hash collisions are ~1e-10 at this cardinality)
-    val sh = Dedup.shingled(docs, "doc_id", "text", 5)
-      .select(col("id"), explode(col("sh")).as("s0"))
-      .select(col("id"), xxhash64(col("s0")).as("s"))
+    // hash collisions are ~1e-10 at this cardinality); distinct on longs
+    val sh = Dedup.shingleHashed(docs, "doc_id", "text", 5)
+      .select(col("id"), explode(array_distinct(col("shh"))).as("s"))
     val rare = sh.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= 50)
     // shf feeds 4 plan branches (sizes + both join sides); without cache
     // Spark recomputes the scan→shingle→hash lineage per branch (~13x)

@@ -61,6 +61,29 @@ object Dedup {
     df.select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("toks"))
       .select(col("id"), shinglesOfTokens(col("toks"), k).as("sh"))
 
+  /** id + xxhash64 of every k-token window (NOT distinct, may repeat) —
+    * the hashed shingle form minhash/jaccard actually consume. Hashing
+    * the token-slice array directly skips both the shingle-string
+    * construction and `array_distinct` over strings, whose per-element
+    * UTF8String comparisons measured 12× slower than the whole hashed
+    * pipeline. Dedup on the long hashes where set semantics are needed. */
+  def shingleHashed(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("toks"))
+      .select(col("id"), {
+        val n = size(col("toks"))
+        when(n < k, array().cast("array<bigint>"))
+          .otherwise(transform(sequence(lit(1), n - k + 1),
+            i => xxhash64(slice(col("toks"), i, lit(k))))).as("shh")
+      })
+
+  /** MinHash signature from hashed shingles: per seed, min over
+    * seed-rehashed shingle hashes (duplicates can't change a min, so the
+    * non-distinct [[shingleHashed]] form feeds this directly). */
+  def minhashSignatureFromHashes(hashesCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(hashesCol, h => xxhash64(lit(seed), h)))
+    }: _*)
+
   /** Word k-shingles straight from a text column — convenience for
     * single-use contexts (tests, one-shot exprs). For anything that
     * reuses the result, go through [[shingled]]. */
@@ -94,11 +117,11 @@ object Dedup {
                       shingleK: Int = 5, numBands: Int = 4, rowsPerBand: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
     val numHashes = numBands * rowsPerBand
-    // staged projections: toks → shingles → signature, each an attribute
-    // at the next stage (prevents the 16 hash transforms from inlining —
-    // and re-evaluating — the shingle expression)
-    val sig = shingled(df, idCol, textCol, shingleK)
-      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+    // staged projections: toks → shingle hashes → signature, each an
+    // attribute at the next stage (prevents the hash transforms from
+    // inlining — and re-evaluating — the shingle expression)
+    val sig = shingleHashed(df, idCol, textCol, shingleK)
+      .select(col("id"), minhashSignatureFromHashes(col("shh"), numHashes).as("sig"))
     // band key = hash of the band's slice of the signature
     val banded = sig.select(
       col("id"), col("sig"),
