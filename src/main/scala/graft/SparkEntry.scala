@@ -421,6 +421,32 @@ object SparkEntry {
       .orderBy("loan_id")
   }
 
+  /** The SQL-text surface (the reference's user-facing language is SQL
+    * via dbt): shape a raw view, let the adapter GENERATE staging SQL
+    * text (M3's codegen form), and execute that text with spark.sql —
+    * proving the generated SQL and the Column-API transform agree. */
+  def qSqlStaging(spark: SparkSession, dir: String): DataFrame = {
+    import graft.adapt.DatasetAdapter
+    val orders = t(spark, dir, "orders")
+    val raw = orders.select(
+      col("o_orderkey").cast("string").as("UniqueID"),
+      date_format(col("o_orderdate"), "dd-MM-yy").as("DisbursalDate"),
+      date_format(date_sub(col("o_orderdate").cast("date"), 10000), "dd-MM-yy").as("Date_of_Birth"),
+      col("o_totalprice").as("disbursed_amount"),
+      (col("o_totalprice") * 1.25).as("asset_cost"),
+      lit(80.0).as("ltv"),
+      concat(lit("S"), (col("o_custkey") % 10).cast("string")).as("supplier_id"),
+      col("o_orderpriority").as("manufacturer_id"),
+      lit("Salaried").as("Employment_Type"),
+      lit("ST1").as("State_ID"),
+      lit(650).as("PERFORM_CNS_SCORE"),
+      when(col("o_orderstatus") === "F", 1).otherwise(0).as("loan_default"))
+    raw.createOrReplaceTempView("raw_vehicle_loans")
+    require(DatasetAdapter.detect(raw.columns).name == "vehicle_loan")
+    val sql = DatasetAdapter.stagingSql(raw.columns, "raw_vehicle_loans")
+    spark.sql(sql).orderBy("loan_id")
+  }
+
   /** JSON property extraction from the events props column (semi-
     * structured payload handling). */
   def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
@@ -457,6 +483,7 @@ object SparkEntry {
     "q_json_extract"     -> qJsonExtract,
     "q_bank_pipeline"    -> qBankPipeline,
     "q_adapter_staging"  -> qAdapterStaging,
+    "q_sql_staging"      -> qSqlStaging,
   )
 
   /** DuckDB stopword list literal — generated from the same Scala constant
@@ -737,6 +764,21 @@ object SparkEntry {
         |       CAST(o_totalprice AS DECIMAL(38,9)) AS loan_amount,
         |       CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT) AS loan_default,
         |       CAST(o_orderkey AS VARCHAR) AS loan_id
+        |FROM orders ORDER BY loan_id""".stripMargin,
+    "q_sql_staging" ->
+      """SELECT CAST(try_strptime(strftime(o_orderdate, '%d-%m-%y'), '%d-%m-%y') AS DATE) AS application_date,
+        |       CAST(o_totalprice * 1.25 AS DECIMAL(38,9)) AS asset_cost,
+        |       CAST(650 AS DECIMAL(38,9)) AS credit_score,
+        |       CAST(o_orderkey AS VARCHAR) AS customer_id,
+        |       CAST(try_strptime(strftime(CAST(o_orderdate AS DATE) - 10000, '%d-%m-%y'), '%d-%m-%y') AS DATE) AS date_of_birth,
+        |       'S' || CAST(o_custkey % 10 AS VARCHAR) AS dealer_id,
+        |       'Salaried' AS employment_type,
+        |       CAST(o_totalprice AS DECIMAL(38,9)) AS loan_amount,
+        |       CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT) AS loan_default,
+        |       CAST(o_orderkey AS VARCHAR) AS loan_id,
+        |       CAST(80.0 AS DECIMAL(38,9)) AS ltv_ratio,
+        |       o_orderpriority AS product_id,
+        |       'ST1' AS state_id
         |FROM orders ORDER BY loan_id""".stripMargin,
   )
 }

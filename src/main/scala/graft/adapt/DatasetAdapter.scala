@@ -104,7 +104,9 @@ object DatasetAdapter {
       case ("days_birth", actual) =>
         s"date_add(current_date(), cast($actual as int)) as date_of_birth"
       case (canon @ ("date_of_birth" | "application_date"), actual) =>
-        s"to_date(cast($actual as string), 'dd-MM-yy') as $canon"
+        // same %y pivot the Column path applies (Projections.safeParseDate2)
+        val parse = s"try_to_date(cast($actual as string), 'dd-MM-yy')"
+        s"case when year($parse) > 2068 then add_months($parse, -1200) else $parse end as $canon"
       case (canonical, actual) =>
         s"cast($actual as ${typeClass.getOrElse(canonical, "string")}) as $canonical"
     }

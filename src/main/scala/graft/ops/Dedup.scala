@@ -37,6 +37,13 @@ object Dedup {
       .drop("_h")
   }
 
+  /** Exact content dedup keeping the full surviving row (min id per
+    * distinct content) — one shuffle keyed by the content hash; the
+    * window never carries document text twice. */
+  def exactKeepFirst(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    firstPerKey(df.withColumn("_h", sha2(col(textCol), 256)),
+      Seq("_h"), Seq(col(idCol))).drop("_h")
+
   /** Word k-shingles from a pre-split token array column, distinct.
     * Documents shorter than k tokens yield an empty array (guard needed:
     * Spark `sequence(1, 0)` would count *down*, not produce empty).

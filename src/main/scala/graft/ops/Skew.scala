@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling helpers for 100 TB keys that don't hash evenly.
+  *
+  * AQE's skew-join splitting handles join-side skew at runtime; these
+  * helpers cover the aggregation side — a whale key (one dealer with 10%
+  * of all loans) funnels its whole group through one reducer unless the
+  * aggregation is two-phase.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation for algebraic aggregates: rows get a
+    * random-ish deterministic salt (hash of a tiebreaker column mod
+    * `saltBuckets`), phase 1 aggregates per (key, salt) — spreading a
+    * whale key over `saltBuckets` reducers — phase 2 re-aggregates the
+    * partials per key.
+    *
+    * `partials` lists (outCol, phase1Agg, phase2Merge): e.g. a count is
+    * (count(*), sum(partial)); a sum is (sum(x), sum(partial)); an avg
+    * must ship (sum, count) partials and divide after phase 2.
+    */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], saltBy: Column,
+                      saltBuckets: Int,
+                      partials: Seq[(String, Column, Column => Column)]): DataFrame = {
+    val salted = df.withColumn("_salt", pmod(xxhash64(saltBy), lit(saltBuckets)))
+    val phase1 = salted
+      .groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(partials.head._2.as(s"_p_${partials.head._1}"),
+        partials.tail.map { case (name, agg, _) => agg.as(s"_p_$name") }: _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(partials.head._3(col(s"_p_${partials.head._1}")).as(partials.head._1),
+        partials.tail.map { case (name, _, merge) => merge(col(s"_p_$name")).as(name) }: _*)
+  }
+}

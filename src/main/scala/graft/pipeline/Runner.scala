@@ -21,6 +21,10 @@ object Runner {
   sealed trait Materialization
   case object View extends Materialization
   case object Table extends Materialization
+  /** Hive-style partitioned parquet table — the 100 TB materialization:
+    * downstream filters on the partition columns prune whole directories
+    * at the scan (visible as `PartitionFilters` in explain). */
+  final case class PartitionedTable(partitionCols: Seq[String]) extends Materialization
 
   /** One model: name, upstream model names, transform over the resolved
     * upstream frames, materialization, quality checks. */
@@ -76,6 +80,12 @@ object Runner {
         case Table =>
           val path = s"$warehouseDir/${m.name}"
           df.write.mode("overwrite").parquet(path)
+          val back = spark.read.parquet(path)
+          back.createOrReplaceTempView(m.name)
+          back
+        case PartitionedTable(cols) =>
+          val path = s"$warehouseDir/${m.name}"
+          df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
           val back = spark.read.parquet(path)
           back.createOrReplaceTempView(m.name)
           back

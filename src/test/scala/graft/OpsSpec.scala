@@ -201,6 +201,45 @@ class OpsSpec extends SparkSpec {
     assert(frames.agg(max("n_frames")).collect()(0).getInt(0) === 7)
   }
 
+  test("salted aggregate equals plain aggregate on skewed keys") {
+    import graft.ops.Skew
+    // whale key: 'w' carries 90% of rows
+    val rows = (1 to 900).map(i => ("w", i.toDouble)) ++ (1 to 100).map(i => (s"k${i % 7}", i.toDouble))
+    val df = rows.toDF("key", "v")
+    val plain = df.groupBy("key").agg(
+      count(lit(1)).as("n"), sum(col("v").cast("decimal(18,2)")).cast("double").as("s"))
+    val salted = Skew.saltedAggregate(df, Seq("key"), col("v"), saltBuckets = 8, Seq(
+      ("n", count(lit(1)), (p: org.apache.spark.sql.Column) => sum(p)),
+      ("s", sum(col("v").cast("decimal(18,2)")), (p: org.apache.spark.sql.Column) => sum(p).cast("double"))))
+    val a = plain.orderBy("key").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val b = salted.orderBy("key").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("exactKeepFirst keeps full surviving row per distinct content") {
+    val df = Seq((3L, "same", "c"), (1L, "same", "a"), (2L, "other", "b"))
+      .toDF("id", "text", "extra")
+    val out = Dedup.exactKeepFirst(df, "text", "id").orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(2))).toSeq === Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("partitioned table materialization prunes partitions") {
+    import graft.pipeline.Runner
+    import graft.pipeline.Runner.{Model, PartitionedTable}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val src = (1 to 100).map(i => (i.toLong, s"2024-0${i % 3 + 1}", i * 1.0))
+      .toDF("id", "month", "v")
+    val result = Runner.run(spark, Map("src" -> src),
+      Seq(Model("part_tbl", Seq("src"), r => r("src"), PartitionedTable(Seq("month")))), tmp)
+    // hive-style layout on disk
+    assert(new java.io.File(s"$tmp/part_tbl/month=2024-01").exists())
+    val pruned = result("part_tbl").where(col("month") === "2024-02")
+    assert(pruned.count() === 34) // i % 3 == 1 for 34 of 1..100
+    val planText = pruned.queryExecution.executedPlan.toString
+    assert(planText.contains("PartitionFilters") || planText.contains("month=2024-02")
+      || pruned.queryExecution.optimizedPlan.toString.contains("month"))
+  }
+
   test("surrogateDimScalable: dense unique keys without global sort") {
     val df = (1 to 1000).map(i => s"k$i").toDF("nk")
     val dim = Dims.surrogateDimScalable(df.union(df), "nk", "sk")
