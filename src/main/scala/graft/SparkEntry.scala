@@ -322,6 +322,31 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF approximate top-k (DataFrame-native k-means cells + nprobe
+    * probing) — the partition-pruned ANN path. Approximate → rows-only. */
+  def qIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.where(col("vec_id") < 100), "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  /** A1 at whale-key scale — two-phase salted aggregation: phase 1
+    * spreads each key over 8 salt buckets, phase 2 merges partials.
+    * The oracle is the PLAIN group-by: salting must be invisible in the
+    * result (exact decimal partials keep it bit-invisible). */
+  def qSaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Skew
+    Skew.saltedAggregate(t(spark, dir, "lineitem"), Seq("l_returnflag"),
+      col("l_orderkey"), saltBuckets = 8, Seq(
+        ("num_items", count(lit(1)), p => sum(p)),
+        ("sum_qty", sum(col("l_quantity").cast("decimal(18,2)")),
+          p => sum(p).cast("double")),
+        ("sum_price", sum(col("l_extendedprice").cast("decimal(18,2)")),
+          p => sum(p).cast("double"))))
+      .orderBy("l_returnflag")
+  }
+
   /** Embedding near-dup pairs above a cosine threshold via LSH buckets.
     * Rows-only check. NOTE: the synthetic corpus has no near-dups (max
     * pairwise cosine ≈ 0.48), so an empty result here is the correct
@@ -478,6 +503,8 @@ object SparkEntry {
     "q_fingerprint"      -> qFingerprint,
     "q_cosine_topk"      -> qCosineTopK,
     "q_ann_lsh"          -> qAnnLsh,
+    "q_ivf_topk"         -> qIvfTopK,
+    "q_salted_agg"       -> qSaltedAgg,
     "q_cosine_near_dups" -> qCosineNearDups,
     "q_multimodal_meta"  -> qMultimodalMeta,
     "q_json_extract"     -> qJsonExtract,
@@ -765,6 +792,12 @@ object SparkEntry {
         |       CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT) AS loan_default,
         |       CAST(o_orderkey AS VARCHAR) AS loan_id
         |FROM orders ORDER BY loan_id""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+        |       COUNT(*) AS num_items,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_sql_staging" ->
       """SELECT CAST(try_strptime(strftime(o_orderdate, '%d-%m-%y'), '%d-%m-%y') AS DATE) AS application_date,
         |       CAST(o_totalprice * 1.25 AS DECIMAL(38,9)) AS asset_cost,

@@ -103,6 +103,72 @@ object Similarity {
       .select("query_id", "corpus_id", "rank", "score")
   }
 
+  /** IVF (inverted-file) approximate top-k: corpus vectors are assigned
+    * to their nearest centroid; each query probes only its `nprobe`
+    * nearest centroid cells, so the scan is ~corpus/nlist × nprobe
+    * instead of the full corpus.
+    *
+    * Centroids come from `lloydIters` rounds of DataFrame-native k-means
+    * (assign = argmin over a broadcast centroid literal, update = one
+    * hash aggregate averaging per cell) seeded deterministically from the
+    * corpus vectors with the smallest id hashes — no model object, no
+    * driver data loops beyond the tiny centroid table, reproducible
+    * across runs. At 100 TB the corpus assignment is one broadcast pass;
+    * cells land in a partitioned layout keyed by centroid id. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nlist: Int = 16, nprobe: Int = 4,
+              lloydIters: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv"))).cache()
+    // deterministic seeds: the nlist corpus vectors with smallest id hash
+    var centroids: Seq[(Long, Seq[Double])] = c
+      .select(col("cv"), xxhash64(col("corpus_id")).as("_h"))
+      .orderBy("_h").limit(nlist)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }.toSeq
+    // Lloyd rounds: assign to argmin centroid, recompute means with one
+    // aggregate of element-wise sums per cell
+    for (_ <- 0 until lloydIters) {
+      val dim = centroids.head._2.length
+      val updated = c.withColumn("cell", nearestCell(col("cv"), centroids))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          array((0 until dim).map(i => sum(element_at(col("cv"), i + 1))): _*).as("sums"))
+        .select(col("cell"), transform(col("sums"), s => s / col("n")).as("centroid"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      if (updated.nonEmpty) centroids = updated.sortBy(_._1)
+    }
+    val corpusCells = c.withColumn("cell", nearestCell(col("cv"), centroids))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("cell", explode(nearestCells(col("qv"), centroids, nprobe)))
+    val scored = corpusCells.join(broadcast(q), Seq("cell"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "rank", "score")
+  }
+
+  /** Cell id of the nearest centroid (min squared distance, ties to the
+    * lower cell id). Centroids ship as one typedlit struct array. */
+  private def nearestCell(vec: Column, centroids: Seq[(Long, Seq[Double])]): Column =
+    element_at(nearestCells(vec, centroids, 1), 1)
+
+  /** The `p` nearest centroid cell ids, closest first. */
+  private def nearestCells(vec: Column, centroids: Seq[(Long, Seq[Double])],
+                           p: Int): Column = {
+    val lits = typedlit(centroids)
+    val scoredCells = transform(lits, c => struct(
+      // squared distance = |v|² - 2v·c + |c|²; |v|² is constant per row,
+      // so ranking by (-2v·c + |c|²) gives the same order
+      (dot(vec, c.getField("_2")) * -2.0 + dot(c.getField("_2"), c.getField("_2")))
+        .as("d"),
+      c.getField("_1").as("cell")))
+    slice(transform(array_sort(scoredCells), s => s.getField("cell")), 1, p)
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets (all-pairs
     * within bucket, threshold filter). */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,

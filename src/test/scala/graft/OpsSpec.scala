@@ -75,6 +75,20 @@ class OpsSpec extends SparkSpec {
     assert(top(1).getLong(1) === 2L && math.abs(top(1).getDouble(3)) < 1e-12)
   }
 
+  test("ivf ann recall on planted duplicate") {
+    val base = (0 until 200).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    val planted = base :+ (999L, base(5)._2.clone())
+    val df = planted.toDF("vec_id", "embedding")
+    val top = Similarity.ivfTopK(df, df.where(col("vec_id") === 999), "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 2)
+    val best = top.orderBy("rank").limit(1).collect()(0)
+    assert(best.getLong(1) === 5L) // identical vector shares the argmin cell
+    assert(math.abs(best.getDouble(3) - 1.0) < 1e-12)
+  }
+
   test("lsh ann recall on planted duplicate") {
     val base = (0 until 200).map { i =>
       val rnd = new scala.util.Random(i)
