@@ -295,6 +295,33 @@ object SparkEntry {
         countDistinct(col("source")).as("n_sources"))
       .orderBy("lang")
 
+  /** Corpus n-gram (bigram) frequency: top text patterns per language —
+    * explode + two-key aggregate over shingles. */
+  def qNgramFreq(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    docs.select(col("lang"), col("doc_id"),
+      split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("lang"), explode(Dedup.shinglesOfTokens(col("toks"), 2)).as("bigram"))
+      .groupBy("lang", "bigram")
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 20)
+      .orderBy("lang", "bigram")
+  }
+
+  /** The end-use composition: training-corpus filtering — keep documents
+    * above a quality floor with enough tokens, project the features a
+    * downstream tokenizer run would consume. Filter + narrow projection;
+    * at 100 TB this is the map-only pass that feeds the tokenizer. */
+  def qCorpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    docs.select(
+      col("doc_id"), col("lang"), col("source"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      TextOps.qualityScore(col("text")).as("quality"))
+      .where(col("quality") >= 0.5 && col("n_tokens") >= 20)
+      .orderBy("doc_id")
+  }
+
   /** Bottom-k rolling-hash document fingerprints (winnowing-style
     * sketch). xxhash64-based — rows-only check. */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -500,6 +527,8 @@ object SparkEntry {
     "q_text_stats"       -> qTextStats,
     "q_lang_id"          -> qLangId,
     "q_lang_stats"       -> qLangStats,
+    "q_ngram_freq"       -> qNgramFreq,
+    "q_corpus_filter"    -> qCorpusFilter,
     "q_fingerprint"      -> qFingerprint,
     "q_cosine_topk"      -> qCosineTopK,
     "q_ann_lsh"          -> qAnnLsh,
@@ -702,6 +731,33 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin
     },
     "q_lang_id" -> langIdOracle,
+    "q_ngram_freq" ->
+      """WITH toks AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t
+        |              FROM documents),
+        |bg AS (SELECT lang, unnest(CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(t) - 1),
+        |              i -> array_to_string(t[i:i+1], ' '))) END) AS bigram FROM toks)
+        |SELECT lang, bigram, COUNT(*) AS n_docs
+        |FROM bg GROUP BY lang, bigram HAVING COUNT(*) >= 20
+        |ORDER BY lang, bigram""".stripMargin,
+    "q_corpus_filter" -> {
+      val sw = stopwordsSqlList
+      s"""WITH f AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
+         |    least(length(text)::DOUBLE / 500.0, 1.0) * 0.4
+         |      + (1.0 - least((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+         |                     / greatest(length(text), 1) * 4.0, 1.0)) * 0.3
+         |      + least(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |                  x -> list_contains($sw, x)))::DOUBLE
+         |              / greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1) * 5.0, 1.0) * 0.3
+         |      AS quality
+         |  FROM documents)
+         |SELECT doc_id, lang, source, n_tokens, quality
+         |FROM f WHERE quality >= 0.5 AND n_tokens >= 20
+         |ORDER BY doc_id""".stripMargin
+    },
     "q_lang_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |       CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.gold.Dims
+import graft.ops.{Dedup, Projections, TextOps}
+
+/** Property-based checks for the invariants SURVEY.md §5 calls out:
+  * dedup idempotence, surrogate-key density, parse-format roundtrips.
+  * Drives ScalaCheck generators directly (fixed seeds — deterministic)
+  * so no scalatestplus bridge is needed in the offline environment. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val word = Gen.oneOf("the", "cat", "dog", "spark", "data", "fast", "slow", "x1")
+  private val textGen = Gen.listOfN(12, word).map(_.mkString(" "))
+
+  test("property: exact dedup is idempotent") {
+    samples(Gen.listOfN(30, textGen), 5).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val once = Dedup.exactKeepFirst(df, "text", "id")
+      val twice = Dedup.exactKeepFirst(once, "text", "id")
+      assert(once.count() === twice.count())
+      assert(once.select("id").except(twice.select("id")).count() === 0)
+      // survivors are exactly one per distinct text
+      assert(once.count() === texts.distinct.length)
+    }
+  }
+
+  test("property: surrogate keys are dense 1..N for any input") {
+    val keyGen = Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))
+    samples(keyGen, 5).foreach { keys =>
+      val dim = Dims.surrogateDim(keys.toDF("nk"), "nk", "sk")
+      val got = dim.select("sk").as[Long].collect().sorted
+      assert(got.toSeq === (1L to keys.distinct.length).toSeq)
+    }
+  }
+
+  test("property: %y pivot roundtrips dates in 1969-2068") {
+    val dates = samples(Gen.choose(0L, 365L * 99), 20)
+      .map(java.time.LocalDate.of(1969, 1, 1).plusDays(_))
+      .filter(_.getYear <= 2068)
+    val df = dates.map(_.toString).toDF("iso")
+      .select(to_date(col("iso")).as("d"))
+      .select(col("d"), Projections.safeParseDate2(
+        date_format(col("d"), "dd-MM-yy")).as("roundtrip"))
+    df.collect().foreach(r => assert(r.getDate(1) === r.getDate(0)))
+  }
+
+  test("property: token count equals word count under messy spacing") {
+    samples(Gen.listOfN(8, word), 10).foreach { words =>
+      val df = Seq(words.mkString("  ")).toDF("t") // double spaces too
+      assert(df.select(TextOps.tokenCount(col("t"))).as[Int].head() === words.length)
+    }
+  }
+}
