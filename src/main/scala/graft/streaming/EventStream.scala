@@ -74,6 +74,16 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: drop events whose dedup key was already seen
+    * within the watermark horizon — the streaming leg of the dedup
+    * family (state is bounded by the horizon, evicted as the watermark
+    * advances). Content dedup streams use a content hash as the key. */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Wire a streaming frame to a console/memory sink for smoke runs. */
   def startToMemory(df: DataFrame, queryName: String,
                     mode: OutputMode = OutputMode.Update()) =

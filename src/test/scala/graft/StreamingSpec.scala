@@ -40,6 +40,23 @@ class StreamingSpec extends SparkSpec {
     assert(out.length === 1 && out(0).getAs[Long]("num_events") === 2)
   }
 
+  test("streaming dedup drops repeated keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStream.startToMemory(
+      EventStream.streamingDedup(input.toDF(), Seq("user_id"), "1 hour"),
+      "dedup_stream", org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 00:05:00"), 7, "view", 1.0), // dup user within watermark
+        Event(3, ts("2024-01-01 00:06:00"), 8, "click", 1.0))
+      query.processAllAvailable()
+      val users = spark.table("dedup_stream").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(users.toSeq === Seq(1L, 3L)) // one survivor per user
+    } finally query.stop()
+  }
+
   test("sessionize accumulates per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
