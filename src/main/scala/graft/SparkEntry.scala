@@ -210,6 +210,72 @@ object SparkEntry {
       .orderBy("event_date", "event_type")
 
   // ===========================================================================
+  // Analytics-surface breadth: window analytics, set ops, rollup,
+  // semi/anti joins, pivot — the rest of the surface an analytics-engine
+  // user expects even though the reference's own models don't use them
+  // ===========================================================================
+
+  /** Window-function breadth: lag (previous event gap), rank, and a
+    * rolling 3-row frame sum per user over the events table. */
+  def qWindowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(spark, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wFrame = w.rowsBetween(-2, 0)
+    ev.select(
+      col("user_id"), col("event_id"),
+      col("ts").cast("date").as("event_date"),
+      (unix_timestamp(col("ts")) - lag(unix_timestamp(col("ts")), 1).over(w))
+        .as("secs_since_prev"),
+      rank().over(w).cast("long").as("event_rank"),
+      sum(col("value").cast("decimal(18,2)")).over(wFrame).cast("double")
+        .as("rolling3_value"))
+      .orderBy("user_id", "event_rank")
+  }
+
+  /** Set operations: users who clicked INTERSECT users who purchased,
+    * and clickers EXCEPT purchasers, tagged and unioned. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val clickers = ev.where(col("event_type") === "click").select("user_id").distinct()
+    val buyers = ev.where(col("event_type") === "purchase").select("user_id").distinct()
+    clickers.intersect(buyers).withColumn("segment", lit("click_and_buy"))
+      .union(clickers.except(buyers).withColumn("segment", lit("click_no_buy")))
+      .orderBy("segment", "user_id")
+  }
+
+  /** Rollup with grouping id: order counts/amounts by (status, priority)
+    * with subtotals and grand total. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("num_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+
+  /** Semi/anti joins: customers with at least one order vs none. */
+  def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_orders").as("segment"))
+    val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_orders").as("segment"))
+    withOrders.union(without).orderBy("c_custkey")
+  }
+
+  /** Pivot: daily event counts pivoted into one column per event type
+    * (explicit value list → deterministic schema). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("ts").cast("date").as("event_date"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("event_date")
+
+  // ===========================================================================
   // LLM-data-pipeline extensions (builder mandate): dedup, similarity,
   // text analysis, multimodal — over documents/embeddings
   // ===========================================================================
@@ -520,6 +586,11 @@ object SparkEntry {
     "q_null_filter"      -> qNullFilter,
     "q_filtered_fact"    -> qFilteredFact,
     "q_events_daily"     -> qEventsDaily,
+    "q_window_analytics" -> qWindowAnalytics,
+    "q_set_ops"          -> qSetOps,
+    "q_rollup"           -> qRollup,
+    "q_semi_anti"        -> qSemiAnti,
+    "q_pivot"            -> qPivot,
     "q_dedup_exact"      -> qDedupExact,
     "q_dedup_minhash"    -> qDedupMinhash,
     "q_dedup_simhash"    -> qDedupSimhash,
@@ -690,6 +761,45 @@ object SparkEntry {
         |       COUNT(*) AS num_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_window_analytics" ->
+      """SELECT user_id, event_id, CAST(ts AS DATE) AS event_date,
+        |       CAST(floor(epoch(ts)) AS BIGINT)
+        |         - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS secs_since_prev,
+        |       CAST(rank() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS event_rank,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling3_value
+        |FROM events ORDER BY user_id, event_rank""".stripMargin,
+    "q_set_ops" ->
+      """WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |     buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, 'click_and_buy' AS segment FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)
+        |UNION ALL
+        |SELECT user_id, 'click_no_buy' AS segment FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+        |ORDER BY segment, user_id""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |       COUNT(*) AS num_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS segment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS segment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_pivot" ->
+      """SELECT CAST(ts AS DATE) AS event_date,
+        |       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
