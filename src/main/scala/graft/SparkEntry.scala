@@ -215,6 +215,19 @@ object SparkEntry {
   // user expects even though the reference's own models don't use them
   // ===========================================================================
 
+  /** Approximate distinct counts (HLL++) next to exact ones — the sketch
+    * every 100 TB rollup uses when exact distinct would shuffle the
+    * world. HLL register merges are commutative, so results are stable
+    * under any partitioning; estimates still differ from DuckDB's own
+    * HLL → rows-only check, with the error bound pinned by a spec. */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
   /** Window-function breadth: lag (previous event gap), rank, and a
     * rolling 3-row frame sum per user over the events table. */
   def qWindowAnalytics(spark: SparkSession, dir: String): DataFrame = {
@@ -586,6 +599,7 @@ object SparkEntry {
     "q_null_filter"      -> qNullFilter,
     "q_filtered_fact"    -> qFilteredFact,
     "q_events_daily"     -> qEventsDaily,
+    "q_approx_distinct"  -> qApproxDistinct,
     "q_window_analytics" -> qWindowAnalytics,
     "q_set_ops"          -> qSetOps,
     "q_rollup"           -> qRollup,

@@ -25,6 +25,13 @@ object Runner {
     * downstream filters on the partition columns prune whole directories
     * at the scan (visible as `PartitionFilters` in explain). */
   final case class PartitionedTable(partitionCols: Seq[String]) extends Materialization
+  /** Bucketed catalog table: co-locates rows by hash of the bucket
+    * columns at WRITE time, so joins/aggregations between tables bucketed
+    * the same way need no shuffle at READ time — the standard way to
+    * amortize one shuffle across every downstream join of a 100 TB fact.
+    * Requires a catalog (saveAsTable), unlike the path-based modes. */
+  final case class BucketedTable(bucketCols: Seq[String], numBuckets: Int)
+    extends Materialization
 
   /** One model: name, upstream model names, transform over the resolved
     * upstream frames, materialization, quality checks. */
@@ -89,6 +96,12 @@ object Runner {
           val back = spark.read.parquet(path)
           back.createOrReplaceTempView(m.name)
           back
+        case BucketedTable(cols, n) =>
+          df.write.mode("overwrite")
+            .bucketBy(n, cols.head, cols.tail: _*)
+            .sortBy(cols.head, cols.tail: _*)
+            .saveAsTable(m.name)
+          spark.table(m.name)
       }
       resolved(m.name) = materialized
     }

@@ -254,6 +254,36 @@ class OpsSpec extends SparkSpec {
       || pruned.queryExecution.optimizedPlan.toString.contains("month"))
   }
 
+  test("approx distinct stays within 5% of exact on the events table") {
+    val rows = SparkEntry.qApproxDistinct(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    import graft.pipeline.Runner
+    import graft.pipeline.Runner.{Model, BucketedTable}
+    val a = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, i * 3.0)).toDF("k", "vb")
+    Runner.run(spark, Map("sa" -> a, "sb" -> b), Seq(
+      Model("bt_a", Seq("sa"), r => r("sa"), BucketedTable(Seq("k"), 8)),
+      Model("bt_b", Seq("sb"), r => r("sb"), BucketedTable(Seq("k"), 8))),
+      java.nio.file.Files.createTempDirectory("graft-bk").toString)
+    val joined = spark.table("bt_a").join(spark.table("bt_b"), "k")
+    assert(joined.count() === 1000)
+    // co-bucketed same-N tables: the sort-merge join reads buckets
+    // directly — no Exchange (shuffle) in the executed plan
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    spark.sql("DROP TABLE IF EXISTS bt_a")
+    spark.sql("DROP TABLE IF EXISTS bt_b")
+  }
+
   test("surrogateDimScalable: dense unique keys without global sort") {
     val df = (1 to 1000).map(i => s"k$i").toDF("nk")
     val dim = Dims.surrogateDimScalable(df.union(df), "nk", "sk")
