@@ -135,6 +135,24 @@ class BankPipelineSpec extends SparkSpec {
     assert(new java.io.File(s"$tmp/f_loan_contract").exists())
   }
 
+  test("BankDwh: all 13 reference relations build and every dbt-style check passes") {
+    import graft.pipeline.BankDwh
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dwh").toString
+    val result = BankDwh.run(spark, rawLoans, rawPayments, tmp)
+    assert(result.built.size === 13)
+    assert(result.built.toSet === Set(
+      "stg_corebank_loans", "stg_corebank_customers", "stg_payments",
+      "dim_customer", "dim_product", "dim_dealer", "dim_date", "dim_contract_status",
+      "f_loan_contract", "f_default_event", "f_dealer_performance_daily",
+      "f_payment_transaction", "f_loan_balance_monthly"))
+    assert(result.passed, result.checks.filterNot(_.passed).toString)
+    // spot checks: spine size, fact completeness, status recode
+    assert(result("dim_date").count() === 5844)
+    assert(result("f_loan_contract").count() === 4)
+    assert(result("dim_contract_status").count() === 4)
+    assert(result("f_payment_transaction").count() === 3)
+  }
+
   test("quality checks catch violations") {
     val bad = Seq(("a", 1), ("a", 2), (null, 3)).toDF("k", "v")
     assert(NotNull("k").violations(bad) === 1)
