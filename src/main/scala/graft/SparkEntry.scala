@@ -312,34 +312,13 @@ object SparkEntry {
     Dedup.simhashNearDups(Dedup.simhash(t(spark, dir, "documents"), "doc_id", "text"))
       .orderBy("id_a", "id_b")
 
-  /** Exact 5-gram Jaccard near-dup pairs, document-frequency-capped:
-    * shingles appearing in > dfCap docs are dropped before the pair join
-    * (standard stop-shingle trick — bounds the per-shingle fan-out that
-    * would otherwise go quadratic on a small vocabulary). */
-  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    // shuffle 64-bit shingle hashes, not ~40-char strings (same counts;
-    // hash collisions are ~1e-10 at this cardinality); distinct on longs
-    val sh = Dedup.shingleHashed(docs, "doc_id", "text", 5)
-      .select(col("id"), explode(array_distinct(col("shh"))).as("s"))
-    val rare = sh.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= 50)
-    // shf feeds 4 plan branches (sizes + both join sides); without cache
-    // Spark recomputes the scan→shingle→hash lineage per branch (~13x)
-    val shf = sh.join(rare.select("s"), Seq("s")).cache()
-    val sizes = shf.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = shf.as("x").join(shf.as("y"), Seq("s"))
-      .where(col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-          .as("jaccard"))
-      .where(col("jaccard") >= 0.2)
+  /** Exact 5-gram Jaccard near-dup pairs, document-frequency-capped
+    * (stop-shingle trick; see Dedup.ngramJaccardPairs for the scale
+    * rationale). */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
+      k = 5, threshold = 0.2, dfCap = 50)
       .orderBy("id_a", "id_b")
-  }
 
   /** Per-document text statistics: token counts (whitespace + BPE-ish),
     * punctuation/digit/stopword ratios, composite quality score. */

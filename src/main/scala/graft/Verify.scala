@@ -39,6 +39,7 @@ object Verify {
     }
     Await.result(Future.sequence(futures), Duration.Inf)
     pool.shutdown()
+    spark.catalog.clearCache() // release per-query caches before the JSON dump
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -97,12 +97,16 @@ object DatasetAdapter {
   }
 
   /** M3 (text form) — render the staging transform as Spark SQL for
-    * inspection, mirroring the reference's SQL codegen output. */
-  def stagingSql(columns: Seq[String], table: String): String = {
+    * inspection or execution, mirroring the reference's SQL codegen
+    * output. Must stay semantically identical to [[stagingTransform]] —
+    * including the pinned anchor for day-offset decoding (current_date()
+    * would break determinism and diverge from the Column path). */
+  def stagingSql(columns: Seq[String], table: String,
+                 anchor: String = "2026-01-01"): String = {
     val mapping = mapColumns(columns)
     val selects = mapping.toSeq.sortBy(_._1).map {
       case ("days_birth", actual) =>
-        s"date_add(current_date(), cast($actual as int)) as date_of_birth"
+        s"date_add(to_date('$anchor'), cast($actual as int)) as date_of_birth"
       case (canon @ ("date_of_birth" | "application_date"), actual) =>
         // same %y pivot the Column path applies (Projections.safeParseDate2)
         val parse = s"try_to_date(cast($actual as string), 'dd-MM-yy')"

@@ -94,22 +94,8 @@ object Dedup {
   /** Word k-shingles straight from a text column — convenience for
     * single-use contexts (tests, one-shot exprs). For anything that
     * reuses the result, go through [[shingled]]. */
-  def shingles(textCol: Column, k: Int): Column = {
-    val toks = split(trim(textCol), "\\s+")
-    val n = size(toks)
-    when(n < k, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), n - k + 1),
-        i => concat_ws(" ", slice(toks, i, lit(k))))))
-  }
-
-  /** MinHash signature of a shingle array: for each of `numHashes`
-    * seeded permutations take min over shingle hashes. Uses Spark's
-    * codegen'd xxhash64 with per-function seed — no UDFs. */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(shinglesCol, s => xxhash64(lit(seed), s)))
-    }: _*)
+  def shingles(textCol: Column, k: Int): Column =
+    shinglesOfTokens(split(trim(textCol), "\\s+"), k)
 
   /** MinHash + LSH near-duplicate pairs.
     *
@@ -177,12 +163,15 @@ object Dedup {
     * pigeonhole block trick — equi-join on (blockIdx, blockValue), then
     * exact popcount filter. */
   def simhashNearDups(sim: DataFrame, maxDistance: Int = 3): DataFrame = {
+    require(maxDistance >= 0 && maxDistance < 32, s"maxDistance out of range: $maxDistance")
     val blocks = maxDistance + 1
     val bitsPerBlock = 64 / blocks
+    // NB: Scala's 1L << 64 wraps to 1 (shift mod 64), so the full-width
+    // mask for maxDistance=0 must be spelled -1L explicitly
+    val mask = if (bitsPerBlock >= 64) -1L else (1L << bitsPerBlock) - 1
     val banded = sim.select(col("id"), col("simhash"),
       posexplode(array((0 until blocks).map { b =>
-        shiftright(col("simhash"), b * bitsPerBlock)
-          .bitwiseAND((1L << bitsPerBlock) - 1)
+        shiftright(col("simhash"), b * bitsPerBlock).bitwiseAND(mask)
       }: _*)).as(Seq("block", "blockval")))
     val a = banded.select(col("block"), col("blockval"),
       col("id").as("id_a"), col("simhash").as("sh_a"))
@@ -196,24 +185,33 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Exact n-gram Jaccard similarity for candidate pairs (id_a, id_b).
-    * Explodes shingles and computes |A∩B| / |A∪B| via a grouped join —
-    * shuffle is on shingle hash, never materializing the cross product. */
+  /** Exact n-gram Jaccard near-dup pairs, document-frequency-capped.
+    *
+    * Shingles are hashed to longs ([[shingleHashed]]); shingles appearing
+    * in more than `dfCap` documents are dropped before the pair join
+    * (stop-shingle trick — bounds per-shingle fan-out to dfCap², which is
+    * what keeps a small-vocabulary corpus from going quadratic). The
+    * intersection join shuffles 8-byte hashes, never shingle strings, and
+    * the multi-consumer filtered-shingle frame is cached because Spark
+    * re-runs a subplan's whole lineage once per consuming branch. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val sh = shingled(df, idCol, textCol, k)
-      .select(col("id"), explode(col("sh")).as("sh"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("x").join(sh.as("y"), Seq("sh"))
+                        k: Int = 5, threshold: Double = 0.2,
+                        dfCap: Int = 50): DataFrame = {
+    val sh = shingleHashed(df, idCol, textCol, k)
+      .select(col("id"), explode(array_distinct(col("shh"))).as("s"))
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= dfCap)
+    val shf = sh.join(rare.select("s"), Seq("s")).cache()
+    val sizes = shf.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = shf.as("x").join(shf.as("y"), Seq("s"))
       .where(col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+          .as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 }

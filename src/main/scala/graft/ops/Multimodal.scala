@@ -86,6 +86,8 @@ object Multimodal {
     * for video frame extraction) and keep every `stride`-th frame.
     * Pure column ops — posexplode of payload slices, no UDF. */
   def sampleFrames(assets: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0, s"frameBytes must be positive: $frameBytes")
+    require(stride > 0, s"stride must be positive: $stride")
     val nFrames = ceil(octet_length(col("payload")).cast("double") / frameBytes).cast("int")
     assets
       .select(col("asset_id"), col("payload"), nFrames.as("n_frames"))

@@ -195,11 +195,13 @@ object Similarity {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates()
-    // vecs is dimension-sized relative to the pair set — broadcast it so
-    // the pair stream never shuffles and never carries vector payloads
+    // vector lookup joins: vecs is CORPUS-sized, so no broadcast hint —
+    // the optimizer/AQE broadcasts it only when it actually fits, and at
+    // cluster scale this is a shuffle join keyed on bare ids (the pair
+    // stream still never carries vector payloads through the dedup)
     pairIds
-      .join(broadcast(vecs.select(col("vid").as("id_a"), col("vv").as("a_v"), col("vn").as("a_n"))), Seq("id_a"))
-      .join(broadcast(vecs.select(col("vid").as("id_b"), col("vv").as("b_v"), col("vn").as("b_n"))), Seq("id_b"))
+      .join(vecs.select(col("vid").as("id_a"), col("vv").as("a_v"), col("vn").as("a_n")), Seq("id_a"))
+      .join(vecs.select(col("vid").as("id_b"), col("vv").as("b_v"), col("vn").as("b_n")), Seq("id_b"))
       .withColumn("score", dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
       .where(col("score") >= threshold)
       .select("id_a", "id_b", "score")

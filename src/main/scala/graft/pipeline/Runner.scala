@@ -97,9 +97,13 @@ object Runner {
           back.createOrReplaceTempView(m.name)
           back
         case BucketedTable(cols, n) =>
+          // external table pinned under warehouseDir (a bare saveAsTable
+          // would write to the session-global warehouse and let two runs
+          // with different warehouseDirs clobber each other)
           df.write.mode("overwrite")
             .bucketBy(n, cols.head, cols.tail: _*)
             .sortBy(cols.head, cols.tail: _*)
+            .option("path", s"$warehouseDir/${m.name}")
             .saveAsTable(m.name)
           spark.table(m.name)
       }

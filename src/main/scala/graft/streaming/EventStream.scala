@@ -67,7 +67,9 @@ object EventStream {
             val next = SessionState(prev.count + times.size,
               math.min(prev.firstTs, times.min), math.max(prev.lastTs, times.max))
             state.update(next)
-            if (timeout != GroupStateTimeout.NoTimeout())
+            // duration-based timeouts are only legal for processing-time
+            // (event-time requires setTimeoutTimestamp and would throw)
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout())
               state.setTimeoutDuration("30 minutes")
             Session(userId, next.count, (next.lastTs - next.firstTs) / 1000.0, closed = false)
           }

@@ -178,8 +178,13 @@ class OpsSpec extends SparkSpec {
     assert(report.datasetType === "generic")
     assert(report.mapped("loan_id") === "loan_id")
     assert(report.unmapped.contains("mystery_col"))
-    // SQL rendering runs
-    assert(DatasetAdapter.stagingSql(hc.columns, "raw").startsWith("select"))
+    // generated SQL is deterministic (pinned anchor, no current_date)
+    // and produces the same rows as the Column-API transform
+    val sql = DatasetAdapter.stagingSql(hc.columns, "raw_hc")
+    assert(sql.startsWith("select") && !sql.contains("current_date"))
+    hc.createOrReplaceTempView("raw_hc")
+    val viaSql = spark.sql(sql).collect()
+    assert(viaSql.toSeq === out.collect().toSeq)
   }
 
   test("csv loader: header sanitize + truncate write + registry idempotence") {
