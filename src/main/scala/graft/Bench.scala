@@ -12,9 +12,14 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional args select a query subset (scale experiments); the
+    // driver's no-arg invocation runs everything
+    val selected =
+      if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
+      else SparkEntry.queries
     // sorted iteration: deterministic order round-over-round (a HashMap
     // order reshuffle moves JIT/codegen warm-up costs between queries)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val elapsed =
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
