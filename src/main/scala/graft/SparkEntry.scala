@@ -380,6 +380,16 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The complete corpus-cleaning pipeline (quality floor → exact dedup
+    * → MinHash near-dedup) — survivors only. Minhash-dependent →
+    * rows-only check; stage counts are asserted in the spec. */
+  def qCorpusClean(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.CorpusPipeline
+    val (cleaned, _) = CorpusPipeline.clean(t(spark, dir, "documents"),
+      minQuality = 0.3, minTokens = 10, nearThreshold = 0.9)
+    cleaned.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+  }
+
   /** Bottom-k rolling-hash document fingerprints (winnowing-style
     * sketch). xxhash64-based — rows-only check. */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -593,6 +603,7 @@ object SparkEntry {
     "q_lang_stats"       -> qLangStats,
     "q_ngram_freq"       -> qNgramFreq,
     "q_corpus_filter"    -> qCorpusFilter,
+    "q_corpus_clean"     -> qCorpusClean,
     "q_fingerprint"      -> qFingerprint,
     "q_cosine_topk"      -> qCosineTopK,
     "q_ann_lsh"          -> qAnnLsh,

@@ -135,6 +135,29 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got(0).getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("corpus pipeline: quality filter + exact + near dedup end to end") {
+    import graft.ops.CorpusPipeline
+    val good = "the quick brown fox jumps over the lazy dog and then it runs away into the forest for a while today"
+    // appending one word keeps ~94% shingle overlap — inside the 4x4
+    // banding S-curve knee (a mid-document word swap drops j to ~0.55,
+    // which near-dup banding rightly ignores)
+    val near = good + " again"
+    val docs = Seq(
+      (1L, good),                    // survivor
+      (2L, good),                    // exact dup of 1 → dropped
+      (3L, near),                    // near-dup of 1 → dropped
+      (4L, "short junk"),            // fails token minimum → dropped
+      (5L, "an entirely different long document that is about the sea and the ships that sail on it every day with the wind")
+    ).toDF("doc_id", "text")
+    val (cleaned, stats) = CorpusPipeline.clean(docs,
+      minQuality = 0.2, minTokens = 10, nearThreshold = 0.5)
+    assert(stats.input === 5)
+    assert(stats.afterQuality === 4)
+    assert(stats.afterExact === 3)
+    assert(stats.afterNear === 2)
+    assert(cleaned.select("doc_id").as[Long].collect().sorted === Array(1L, 5L))
+  }
+
   test("text ops: token counts and ratios") {
     val df = Seq("The cat and the dog!! 42 times.").toDF("t")
     val r = df.select(
