@@ -215,6 +215,38 @@ object SparkEntry {
   // user expects even though the reference's own models don't use them
   // ===========================================================================
 
+  /** Gap-based batch sessionization (30-minute inactivity): per-session
+    * event counts and durations — the batch mirror of the streaming
+    * sessionizer, expressed as two windows + a rollup. */
+  def qSessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TimeOps
+    TimeOps.sessionStats(t(spark, dir, "events"), "user_id", "ts",
+      gapSeconds = 1800, tieBreak = col("event_id"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** As-of join (backward): each purchase event picks up the user's most
+    * recent prior click — composed from a tagged union + one window (no
+    * range-join explosion). Oracle: DuckDB's native ASOF JOIN, an
+    * entirely independent implementation of the same semantics. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TimeOps
+    val ev = t(spark, dir, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    TimeOps.asofJoinBackward(purchases, clicks, "user_id", "ts", "ts",
+      rightPayload = Seq("event_id", "value"))
+      .select(
+        col("user_id"),
+        col("event_id").as("purchase_id"),
+        floor(unix_timestamp(col("ts"))).cast("long").as("purchase_es"),
+        col("_asof.event_id").as("click_id"),
+        col("_asof.value").cast("decimal(18,2)").cast("double").as("click_value"))
+      .orderBy("purchase_id")
+  }
+
   /** Approximate distinct counts (HLL++) next to exact ones — the sketch
     * every 100 TB rollup uses when exact distinct would shuffle the
     * world. HLL register merges are commutative, so results are stable
@@ -589,6 +621,8 @@ object SparkEntry {
     "q_filtered_fact"    -> qFilteredFact,
     "q_events_daily"     -> qEventsDaily,
     "q_approx_distinct"  -> qApproxDistinct,
+    "q_sessionize_batch" -> qSessionizeBatch,
+    "q_asof_join"        -> qAsofJoin,
     "q_window_analytics" -> qWindowAnalytics,
     "q_set_ops"          -> qSetOps,
     "q_rollup"           -> qRollup,
@@ -765,6 +799,30 @@ object SparkEntry {
         |       COUNT(*) AS num_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sessionize_batch" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |         lag(CAST(floor(epoch(ts)) AS BIGINT))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (SELECT *, SUM(CASE WHEN prev IS NULL OR es - prev > 1800 THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS UNBOUNDED PRECEDING) AS session_id FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       COUNT(*) AS n_events,
+        |       CAST(MIN(ts) AS DATE) AS session_date,
+        |       CAST(floor(epoch(MAX(ts))) AS BIGINT)
+        |         - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_seconds
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_asof_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id,
+        |       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_es,
+        |       c.event_id AS click_id,
+        |       CAST(CAST(c.value AS DECIMAL(18,2)) AS DOUBLE) AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin,
     "q_window_analytics" ->
       """SELECT user_id, event_id, CAST(ts AS DATE) AS event_date,
         |       CAST(floor(epoch(ts)) AS BIGINT)

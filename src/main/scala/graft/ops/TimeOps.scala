@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Event-time operators over keyed streams-as-tables: gap-based
+  * sessionization and as-of joins.
+  *
+  * Both are composed from windows — no custom SparkPlan needed: the
+  * shuffle is one hash-exchange on the key, the per-key work is a local
+  * sort. Sessionization is the batch mirror of
+  * streaming.EventStream.sessionize.
+  */
+object TimeOps {
+
+  /** Gap-based sessionization: a new session starts when the gap from
+    * the previous event of the same key exceeds `gapSeconds`. Session
+    * ids are dense per key (1..N) via a cumulative sum of
+    * session-boundary flags — the standard two-window composition. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+                 gapSeconds: Long, tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), tieBreak)
+    val gap = unix_timestamp(col(tsCol)) - lag(unix_timestamp(col(tsCol)), 1).over(w)
+    val isNew = when(gap.isNull || gap > gapSeconds, 1L).otherwise(0L)
+    df.withColumn("session_id",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** Per-session rollup on top of [[sessionize]]. */
+  def sessionStats(df: DataFrame, keyCol: String, tsCol: String,
+                   gapSeconds: Long, tieBreak: Column): DataFrame =
+    sessionize(df, keyCol, tsCol, gapSeconds, tieBreak)
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).cast("date").as("session_date"),
+        (unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol))))
+          .as("session_seconds"))
+
+  /** As-of join (backward): for each left row, attach the latest right
+    * payload with `rightTs` ≤ left ts within the same key — the operator
+    * Spark lacks natively (DuckDB: ASOF JOIN; no match → null payload).
+    *
+    * Composition: tag and union both sides, then one window per key
+    * ordered by (ts, side) carries the last-seen right payload forward
+    * (`last(_, ignoreNulls)` over preceding rows); keep left rows. One
+    * shuffle on the key, a local sort per partition — no range-join
+    * explosion, no custom SparkPlan. Right rows sort before left rows at
+    * equal ts, so an exact-tie right row IS visible (ASOF `<=`).
+    *
+    * Returns the left frame plus an `_asof` struct of `rightPayload`
+    * columns (null when no prior right row exists). */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, keyCol: String,
+                       leftTs: String, rightTs: String,
+                       rightPayload: Seq[String]): DataFrame = {
+    val payloadType = StructType(right.select(rightPayload.map(col): _*).schema.fields)
+    val otherCols = left.columns.filterNot(c => c == keyCol || c == leftTs).toSeq
+    val l = left.select(
+      Seq(col(keyCol), col(leftTs).as("_ts"), lit(1).as("_side"),
+        lit(null).cast(payloadType).as("_payload")) ++ otherCols.map(col): _*)
+    val r = right.select(
+      Seq(col(keyCol), col(rightTs).as("_ts"), lit(0).as("_side"),
+        struct(rightPayload.map(col): _*).as("_payload")) ++
+        otherCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy(keyCol).orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionByName(r)
+      .withColumn("_asof", last(col("_payload"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .drop("_side", "_payload")
+      .withColumnRenamed("_ts", leftTs)
+  }
+}

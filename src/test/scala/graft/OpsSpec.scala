@@ -135,6 +135,42 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got(0).getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("asof join: backward match, exact-tie visible, null when no prior") {
+    import graft.ops.TimeOps
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),  // after r1 → matches r1
+      (1L, ts("2024-01-01 12:00:00"), 101L),  // after r2 → matches r2
+      (1L, ts("2024-01-01 09:00:00"), 102L),  // exact tie with r1 → matches r1
+      (2L, ts("2024-01-01 10:00:00"), 103L)   // key 2 has no right rows → null
+    ).toDF("k", "lts", "lid")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 201L, 1.5),
+      (1L, ts("2024-01-01 11:00:00"), 202L, 2.5)
+    ).toDF("k", "rts", "rid", "rv")
+    val out = TimeOps.asofJoinBackward(left, right, "k", "lts", "rts", Seq("rid", "rv"))
+      .select(col("lid"), col("_asof.rid").as("rid")).orderBy("lid").collect()
+    assert(out.map(r => (r.getLong(0), Option(r.get(1)))).toSeq === Seq(
+      (100L, Some(201L)), (101L, Some(202L)), (102L, Some(201L)), (103L, None)))
+  }
+
+  test("batch sessionize: gap boundary splits sessions") {
+    import graft.ops.TimeOps
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (7L, ts("2024-01-01 00:00:00"), 1L),
+      (7L, ts("2024-01-01 00:10:00"), 2L),  // 10 min gap → same session
+      (7L, ts("2024-01-01 01:00:00"), 3L)   // 50 min gap → new session
+    ).toDF("user_id", "ts", "event_id")
+    val stats = TimeOps.sessionStats(ev, "user_id", "ts", 1800, col("event_id"))
+      .orderBy("session_id").collect()
+    assert(stats.length === 2)
+    assert(stats(0).getAs[Long]("n_events") === 2 && stats(0).getAs[Long]("session_seconds") === 600)
+    assert(stats(1).getAs[Long]("n_events") === 1 && stats(1).getAs[Long]("session_seconds") === 0)
+  }
+
   test("corpus pipeline: quality filter + exact + near dedup end to end") {
     import graft.ops.CorpusPipeline
     val good = "the quick brown fox jumps over the lazy dog and then it runs away into the forest for a while today"
