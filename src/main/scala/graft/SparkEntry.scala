@@ -484,6 +484,25 @@ object SparkEntry {
       dim = 64, threshold = 0.4)
       .orderBy("id_a", "id_b")
 
+  /** Embedding analytics rollup: per-label vector counts and norm
+    * statistics. Norms go through the bit-stable dot kernel, then
+    * DECIMAL(18,12) partials make the per-group sums order-independent
+    * (a raw double sum would depend on partitioning). */
+  def qEmbeddingStats(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("label"),
+        sqrt(Similarity.dot(
+          transform(col("embedding"), _.cast("double")),
+          transform(col("embedding"), _.cast("double")))).as("nrm"))
+    emb.groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(col("nrm").cast("decimal(18,12)")).cast("double").as("sum_norm"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"))
+      .orderBy("label")
+  }
+
   /** Multimodal asset metadata: binary payload column + typed metadata +
     * frame count — the column-level half of the multimodal pipeline
     * (the decode stub itself is exercised in ScalaTest). */
@@ -643,6 +662,7 @@ object SparkEntry {
     "q_ann_lsh"          -> qAnnLsh,
     "q_ivf_topk"         -> qIvfTopK,
     "q_salted_agg"       -> qSaltedAgg,
+    "q_embedding_stats"  -> qEmbeddingStats,
     "q_cosine_near_dups" -> qCosineNearDups,
     "q_multimodal_meta"  -> qMultimodalMeta,
     "q_json_extract"     -> qJsonExtract,
@@ -951,6 +971,15 @@ object SparkEntry {
          |                     ORDER BY score DESC, corpus_id) AS rank FROM scored)
          |SELECT query_id, corpus_id, CAST(rank AS INTEGER) AS rank, score
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    "q_embedding_stats" -> {
+      val dotVV = sqlDot("v", "v")
+      s"""WITH e AS (SELECT label, sqrt($dotVV) AS nrm
+         |           FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings))
+         |SELECT label, COUNT(*) AS n_vectors,
+         |       CAST(SUM(CAST(nrm AS DECIMAL(18,12))) AS DOUBLE) AS sum_norm,
+         |       MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+         |FROM e GROUP BY label ORDER BY label""".stripMargin
     },
     "q_multimodal_meta" ->
       """SELECT doc_id AS asset_id, 'image/fake' AS media_type,
