@@ -14,6 +14,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // optional args select a query subset (scale experiments); the
     // driver's no-arg invocation runs everything
+    val unknown = args.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val selected =
       if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
       else SparkEntry.queries

@@ -237,7 +237,8 @@ object SparkEntry {
     val clicks = ev.where(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
     TimeOps.asofJoinBackward(purchases, clicks, "user_id", "ts", "ts",
-      rightPayload = Seq("event_id", "value"))
+      rightPayload = Seq("event_id", "value"),
+      rightTieBreak = Some(col("event_id")))
       .select(
         col("user_id"),
         col("event_id").as("purchase_id"),
@@ -490,10 +491,8 @@ object SparkEntry {
     * (a raw double sum would depend on partitioning). */
   def qEmbeddingStats(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-      .select(col("label"),
-        sqrt(Similarity.dot(
-          transform(col("embedding"), _.cast("double")),
-          transform(col("embedding"), _.cast("double")))).as("nrm"))
+      .select(col("label"), transform(col("embedding"), _.cast("double")).as("v"))
+      .select(col("label"), Similarity.norm(col("v")).as("nrm"))
     emb.groupBy("label")
       .agg(
         count(lit(1)).as("n_vectors"),

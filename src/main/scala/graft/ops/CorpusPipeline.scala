@@ -41,7 +41,10 @@ object CorpusPipeline {
     val nearPairs = Dedup.minhashNearDups(exact, idCol, textCol,
       shingleK = shingleK, threshold = nearThreshold)
     val dropIds = nearPairs.select(col("id_b").as(idCol)).distinct()
-    val cleaned = exact.join(dropIds, Seq(idCol), "left_anti")
+    // cached: the stats count below already executes the expensive
+    // near-dedup stage — callers consuming the returned frame must not
+    // pay for it twice
+    val cleaned = exact.join(dropIds, Seq(idCol), "left_anti").cache()
     val afterNear = cleaned.count()
 
     (cleaned, CleanStats(input, afterQuality, afterExact, afterNear))

@@ -54,22 +54,28 @@ object TimeOps {
     * columns (null when no prior right row exists). */
   def asofJoinBackward(left: DataFrame, right: DataFrame, keyCol: String,
                        leftTs: String, rightTs: String,
-                       rightPayload: Seq[String]): DataFrame = {
+                       rightPayload: Seq[String],
+                       rightTieBreak: Option[Column] = None): DataFrame = {
     val payloadType = StructType(right.select(rightPayload.map(col): _*).schema.fields)
     val otherCols = left.columns.filterNot(c => c == keyCol || c == leftTs).toSeq
+    // rightTieBreak makes the winner among right rows sharing (key, ts)
+    // deterministic (last in tie order wins); left rows sort after all
+    // right rows at equal ts regardless, so it never affects visibility
     val l = left.select(
       Seq(col(keyCol), col(leftTs).as("_ts"), lit(1).as("_side"),
+        lit(null).cast("bigint").as("_tie"),
         lit(null).cast(payloadType).as("_payload")) ++ otherCols.map(col): _*)
     val r = right.select(
       Seq(col(keyCol), col(rightTs).as("_ts"), lit(0).as("_side"),
+        rightTieBreak.getOrElse(lit(0L)).cast("bigint").as("_tie"),
         struct(rightPayload.map(col): _*).as("_payload")) ++
         otherCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
-    val w = Window.partitionBy(keyCol).orderBy(col("_ts"), col("_side"))
+    val w = Window.partitionBy(keyCol).orderBy(col("_ts"), col("_side"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, 0)
     l.unionByName(r)
       .withColumn("_asof", last(col("_payload"), ignoreNulls = true).over(w))
       .where(col("_side") === 1)
-      .drop("_side", "_payload")
+      .drop("_side", "_tie", "_payload")
       .withColumnRenamed("_ts", leftTs)
   }
 }
