@@ -21,11 +21,16 @@ object DwhSmoke {
         |PERFORM_CNS_SCORE_DESCRIPTION string, PRI_NO_OF_ACCTS int,
         |PRI_ACTIVE_ACCTS int, PRI_OVERDUE_ACCTS int, PRI_CURRENT_BALANCE double,
         |PRI_SANCTIONED_AMOUNT double, PRI_DISBURSED_AMOUNT double,
+        |VoterID_flag int, Driving_flag int, Passport_flag int,
+        |SEC_NO_OF_ACCTS int, SEC_ACTIVE_ACCTS int, SEC_OVERDUE_ACCTS int,
+        |SEC_CURRENT_BALANCE double, SEC_SANCTIONED_AMOUNT double,
+        |SEC_DISBURSED_AMOUNT double, PRIMARY_INSTAL_AMT double,
+        |SEC_INSTAL_AMT double, AVERAGE_ACCT_AGE string, CREDIT_HISTORY_LENGTH string,
         |NEW_ACCTS_IN_LAST_SIX_MONTHS int, DELINQUENT_ACCTS_IN_LAST_SIX_MONTHS int,
         |NO_OF_INQUIRIES int, loan_default int""".stripMargin.replace("\n", " ")
     val loans = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
-      Row("L1", 50000.0, 70000.0, 71.4, "B1", "S1", "M1", "P1", "01-01-84", "Salaried", "15-10-18", "ST1", 1, 1, 0, 650, "A", 3, 2, 0, 1e4, 6e4, 5.5e4, 1, 0, 2, 0),
-      Row("L2", 30000.0, 45000.0, 66.7, "B1", "S2", "M1", "P2", "15-06-92", "Self", "20-10-18", "ST1", 1, 0, 1, 700, "B", 1, 1, 1, 5e3, 3e4, 2.8e4, 0, 1, 1, 1))),
+      Row("L1", 50000.0, 70000.0, 71.4, "B1", "S1", "M1", "P1", "01-01-84", "Salaried", "15-10-18", "ST1", 1, 1, 0, 650, "A", 3, 2, 0, 1e4, 6e4, 5.5e4, 1, 0, 1, 1, 0, 0, 2e3, 8e3, 7.5e3, 1450.5, 0.0, "1yrs 10mon", "5yrs 2mon", 1, 0, 2, 0),
+      Row("L2", 30000.0, 45000.0, 66.7, "B1", "S2", "M1", "P2", "15-06-92", "Self", "20-10-18", "ST1", 1, 0, 1, 700, "B", 1, 1, 1, 5e3, 3e4, 2.8e4, 0, 0, 0, 0, 0, 0, 0.0, 0.0, 0.0, 900.0, 0.0, "0yrs 6mon", "2yrs 0mon", 0, 1, 1, 1))),
       StructType.fromDDL(schema))
     import spark.implicits._
     import org.apache.spark.sql.functions._

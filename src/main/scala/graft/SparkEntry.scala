@@ -25,6 +25,19 @@ object SparkEntry {
   /** Exact order-independent money sum: decimal(18,2) partial sums, double out. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Determinism rule for query OUTPUT schemas: no raw decimal columns.
+    * Decimals are exact inside the plan (partial sums, staging casts) but
+    * Spark and DuckDB hash their parquet representation differently, so
+    * every result column of DecimalType is cast to double at the edge. */
+  private def decimalsToDouble(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.DecimalType =>
+          col(f.name).cast("double").as(f.name)
+        case _ => col(f.name)
+      }
+    }.toSeq: _*)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The 4-way star join (J1–J4 analogue): orders fact onto customer,
     * nation, region dims + a derived date key. */
@@ -424,11 +437,15 @@ object SparkEntry {
   }
 
   /** Bottom-k rolling-hash document fingerprints (winnowing-style
-    * sketch). xxhash64-based — rows-only check. */
+    * sketch). xxhash64-based — rows-only check. The hash array is
+    * rendered as one comma-joined string so the result is row-sortable
+    * by any harness (an array<bigint> column is not). */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
       col("doc_id"),
-      TextOps.fingerprint(col("text"), k = 5, n = 8).as("fingerprint"))
+      concat_ws(",", transform(
+        TextOps.fingerprint(col("text"), k = 5, n = 8), _.cast("string")))
+        .as("fingerprint"))
       .orderBy("doc_id")
 
   /** Exact brute-force cosine top-k: first 100 vec_ids as the query set,
@@ -539,13 +556,24 @@ object SparkEntry {
       concat(lit("S"), (col("o_custkey") % 10).cast("string")).as("supplier_id"),
       col("o_orderpriority").as("manufacturer_id"),
       when(col("o_orderstatus") === "F", 1).otherwise(0).as("loan_default"),
-      lit("B1").as("branch_id"), lit("ST1").as("State_ID"),
+      concat(lit("B"), (col("o_custkey") % 7).cast("string")).as("branch_id"),
+      lit("ST1").as("State_ID"),
       lit("P1").as("Current_pincode_ID"), lit("Salaried").as("Employment_Type"),
       lit(1).as("MobileNo_Avl_Flag"), lit(1).as("Aadhar_flag"), lit(0).as("PAN_flag"),
+      (col("o_custkey") % 2).cast("int").as("VoterID_flag"),
+      lit(0).as("Driving_flag"), lit(1).as("Passport_flag"),
       lit(650).as("PERFORM_CNS_SCORE"), lit("A").as("PERFORM_CNS_SCORE_DESCRIPTION"),
       lit(0).as("PRI_NO_OF_ACCTS"), lit(0).as("PRI_ACTIVE_ACCTS"),
       lit(0).as("PRI_OVERDUE_ACCTS"), lit(0.0).as("PRI_CURRENT_BALANCE"),
       lit(0.0).as("PRI_SANCTIONED_AMOUNT"), lit(0.0).as("PRI_DISBURSED_AMOUNT"),
+      (col("o_custkey") % 3).cast("int").as("SEC_NO_OF_ACCTS"),
+      lit(0).as("SEC_ACTIVE_ACCTS"), lit(0).as("SEC_OVERDUE_ACCTS"),
+      lit(0.0).as("SEC_CURRENT_BALANCE"), lit(0.0).as("SEC_SANCTIONED_AMOUNT"),
+      lit(0.0).as("SEC_DISBURSED_AMOUNT"),
+      (col("o_totalprice") / 60.0).as("PRIMARY_INSTAL_AMT"),
+      lit(0.0).as("SEC_INSTAL_AMT"),
+      lit("1yrs 10mon").as("AVERAGE_ACCT_AGE"),
+      lit("5yrs 2mon").as("CREDIT_HISTORY_LENGTH"),
       lit(0).as("NEW_ACCTS_IN_LAST_SIX_MONTHS"),
       lit(0).as("DELINQUENT_ACCTS_IN_LAST_SIX_MONTHS"), lit(0).as("NO_OF_INQUIRIES"))
     val models = Seq(
@@ -563,11 +591,14 @@ object SparkEntry {
       sys.props("java.io.tmpdir") + "/graft-wh")
     result("f_loan_contract").select(
       col("loan_id"), col("customer_key"), col("product_key"), col("dealer_key"),
-      col("application_date_key"),
-      col("loan_amount").cast("double").as("loan_amount"),
+      col("origination_date_key"),
+      col("amount_financed").cast("double").as("amount_financed"),
       col("asset_cost").cast("double").as("asset_cost"),
       col("ltv_ratio").cast("double").as("ltv_ratio"),
-      col("loan_default"), col("channel_key"), col("currency_code"))
+      col("primary_instal_amt").cast("double").as("primary_instal_amt"),
+      col("sec_instal_amt").cast("double").as("sec_instal_amt"),
+      col("loan_default"), col("term_months"),
+      col("currency_code"), col("country_code"))
       .orderBy("loan_id")
   }
 
@@ -583,11 +614,14 @@ object SparkEntry {
       col("o_totalprice").as("AMT_CREDIT"),
       (col("o_totalprice") * 1.2).as("AMT_GOODS_PRICE"),
       (-(col("o_custkey") % 15000) - 8000).cast("int").as("DAYS_BIRTH"),
+      (-(col("o_orderkey") % 1000)).cast("int").as("DAYS_DECISION"),
       when(col("o_orderstatus") === "F", 1).otherwise(0).as("TARGET"),
       col("o_orderpriority").as("NAME_INCOME_TYPE"),
-      lit("M").as("CODE_GENDER"))
+      lit("M").as("CODE_GENDER"),
+      (col("o_custkey") % 3 + 1).cast("string").as("REGION_RATING_CLIENT"))
     require(DatasetAdapter.detect(raw.columns).name == "home_credit")
-    DatasetAdapter.stagingTransform(raw.columns, anchor = "2026-01-01")(raw)
+    decimalsToDouble(
+      DatasetAdapter.stagingTransform(raw.columns, anchor = "2026-01-01")(raw))
       .orderBy("loan_id")
   }
 
@@ -605,8 +639,9 @@ object SparkEntry {
       col("o_totalprice").as("disbursed_amount"),
       (col("o_totalprice") * 1.25).as("asset_cost"),
       lit(80.0).as("ltv"),
-      concat(lit("S"), (col("o_custkey") % 10).cast("string")).as("supplier_id"),
+      concat(lit("B"), (col("o_custkey") % 10).cast("string")).as("branch_id"),
       col("o_orderpriority").as("manufacturer_id"),
+      concat(lit("P"), (col("o_custkey") % 100).cast("string")).as("Current_pincode_ID"),
       lit("Salaried").as("Employment_Type"),
       lit("ST1").as("State_ID"),
       lit(650).as("PERFORM_CNS_SCORE"),
@@ -614,7 +649,7 @@ object SparkEntry {
     raw.createOrReplaceTempView("raw_vehicle_loans")
     require(DatasetAdapter.detect(raw.columns).name == "vehicle_loan")
     val sql = DatasetAdapter.stagingSql(raw.columns, "raw_vehicle_loans")
-    spark.sql(sql).orderBy("loan_id")
+    decimalsToDouble(spark.sql(sql)).orderBy("loan_id")
   }
 
   /** JSON property extraction from the events props column (semi-
@@ -995,8 +1030,9 @@ object SparkEntry {
         |         strftime(o_orderdate, '%d-%m-%y') AS disbursal_txt,
         |         o_totalprice AS disbursed_amount,
         |         o_totalprice * 1.25 AS asset_cost,
-        |         'S' || CAST(o_custkey % 10 AS VARCHAR) AS supplier_id,
+        |         'B' || CAST(o_custkey % 7 AS VARCHAR) AS branch_id,
         |         o_orderpriority AS manufacturer_id,
+        |         o_totalprice / 60.0 AS primary_instal_amt,
         |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS loan_default
         |  FROM orders),
         |stg AS (
@@ -1005,7 +1041,9 @@ object SparkEntry {
         |         CAST(disbursed_amount AS DECIMAL(38,9)) AS loan_amount,
         |         CAST(asset_cost AS DECIMAL(38,9)) AS asset_cost,
         |         CAST(80.0 AS DECIMAL(38,9)) AS ltv_ratio,
-        |         supplier_id AS dealer_id, manufacturer_id AS product_id,
+        |         CAST(primary_instal_amt AS DECIMAL(38,9)) AS primary_instal_amt,
+        |         CAST(0.0 AS DECIMAL(38,9)) AS sec_instal_amt,
+        |         branch_id AS dealer_id, manufacturer_id AS product_id,
         |         CAST(loan_default AS BIGINT) AS loan_default
         |  FROM raw),
         |dim_customer AS (
@@ -1025,13 +1063,16 @@ object SparkEntry {
         |         CAST(strftime(gs, '%Y%m%d') AS BIGINT) AS date_key
         |  FROM generate_series(DATE '1990-01-01', DATE '2010-12-31', INTERVAL 1 DAY) t(gs))
         |SELECT s.loan_id, dc.customer_key, dp.product_key, dd.dealer_key,
-        |       ddt.date_key AS application_date_key,
-        |       CAST(s.loan_amount AS DOUBLE) AS loan_amount,
+        |       ddt.date_key AS origination_date_key,
+        |       CAST(s.loan_amount AS DOUBLE) AS amount_financed,
         |       CAST(s.asset_cost AS DOUBLE) AS asset_cost,
         |       CAST(s.ltv_ratio AS DOUBLE) AS ltv_ratio,
+        |       CAST(s.primary_instal_amt AS DOUBLE) AS primary_instal_amt,
+        |       CAST(s.sec_instal_amt AS DOUBLE) AS sec_instal_amt,
         |       s.loan_default,
-        |       CAST(1 AS BIGINT) AS channel_key,
-        |       'INR' AS currency_code
+        |       CAST(NULL AS BIGINT) AS term_months,
+        |       'INR' AS currency_code,
+        |       'IN' AS country_code
         |FROM stg s
         |LEFT JOIN dim_customer dc ON s.customer_id = dc.customer_id
         |LEFT JOIN dim_product dp ON s.product_id = dp.product_id
@@ -1039,14 +1080,16 @@ object SparkEntry {
         |LEFT JOIN dim_date ddt ON s.application_date = ddt.calendar_date
         |ORDER BY s.loan_id""".stripMargin,
     "q_adapter_staging" ->
-      """SELECT CAST(o_totalprice * 1.2 AS DECIMAL(38,9)) AS asset_cost,
+      """SELECT DATE '2026-01-01' + CAST(-(o_orderkey % 1000) AS INTEGER) AS application_date,
+        |       CAST(CAST(o_totalprice * 1.2 AS DECIMAL(38,9)) AS DOUBLE) AS asset_cost,
         |       CAST(o_orderkey AS VARCHAR) AS customer_id,
         |       DATE '2026-01-01' + CAST((-(o_custkey % 15000) - 8000) AS INTEGER) AS date_of_birth,
         |       o_orderpriority AS employment_type,
         |       'M' AS gender,
-        |       CAST(o_totalprice AS DECIMAL(38,9)) AS loan_amount,
+        |       CAST(CAST(o_totalprice AS DECIMAL(38,9)) AS DOUBLE) AS loan_amount,
         |       CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT) AS loan_default,
-        |       CAST(o_orderkey AS VARCHAR) AS loan_id
+        |       CAST(o_orderkey AS VARCHAR) AS loan_id,
+        |       CAST(o_custkey % 3 + 1 AS VARCHAR) AS state_id
         |FROM orders ORDER BY loan_id""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_returnflag,
@@ -1056,16 +1099,17 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_sql_staging" ->
       """SELECT CAST(try_strptime(strftime(o_orderdate, '%d-%m-%y'), '%d-%m-%y') AS DATE) AS application_date,
-        |       CAST(o_totalprice * 1.25 AS DECIMAL(38,9)) AS asset_cost,
-        |       CAST(650 AS DECIMAL(38,9)) AS credit_score,
+        |       CAST(CAST(o_totalprice * 1.25 AS DECIMAL(38,9)) AS DOUBLE) AS asset_cost,
+        |       'B' || CAST(o_custkey % 10 AS VARCHAR) AS branch_id,
+        |       CAST(650 AS BIGINT) AS credit_score,
         |       CAST(o_orderkey AS VARCHAR) AS customer_id,
         |       CAST(try_strptime(strftime(CAST(o_orderdate AS DATE) - 10000, '%d-%m-%y'), '%d-%m-%y') AS DATE) AS date_of_birth,
-        |       'S' || CAST(o_custkey % 10 AS VARCHAR) AS dealer_id,
         |       'Salaried' AS employment_type,
-        |       CAST(o_totalprice AS DECIMAL(38,9)) AS loan_amount,
+        |       CAST(CAST(o_totalprice AS DECIMAL(38,9)) AS DOUBLE) AS loan_amount,
         |       CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT) AS loan_default,
         |       CAST(o_orderkey AS VARCHAR) AS loan_id,
-        |       CAST(80.0 AS DECIMAL(38,9)) AS ltv_ratio,
+        |       CAST(CAST(80.0 AS DECIMAL(38,9)) AS DOUBLE) AS ltv_ratio,
+        |       'P' || CAST(o_custkey % 100 AS VARCHAR) AS pincode_id,
         |       o_orderpriority AS product_id,
         |       'ST1' AS state_id
         |FROM orders ORDER BY loan_id""".stripMargin,

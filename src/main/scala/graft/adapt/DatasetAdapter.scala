@@ -34,25 +34,25 @@ object DatasetAdapter {
     else Generic
   }
 
-  /** Canonical column → synonyms, first match wins
-    * (`auto_data_adapter.py:16-47`). Synonyms are matched
-    * case-insensitively against sanitized headers. */
+  /** Canonical column → synonyms, first match wins — the full
+    * `COLUMN_MAPPINGS` table (`auto_data_adapter.py:16-47`). Synonyms are
+    * matched case-insensitively against sanitized headers. */
   val synonyms: Seq[(String, Seq[String])] = Seq(
-    "loan_id"          -> Seq("uniqueid", "sk_id_curr", "loan_id", "id"),
+    "loan_id"          -> Seq("uniqueid", "sk_id_curr", "loan_id", "application_id", "contract_id"),
     "customer_id"      -> Seq("uniqueid", "sk_id_curr", "customer_id", "client_id"),
-    "loan_amount"      -> Seq("disbursed_amount", "amt_credit", "loan_amount", "amount"),
+    "loan_amount"      -> Seq("disbursed_amount", "amt_credit", "loan_amount", "credit_amount"),
     "asset_cost"       -> Seq("asset_cost", "amt_goods_price", "goods_price"),
-    "ltv_ratio"        -> Seq("ltv", "loan_to_value"),
+    "application_date" -> Seq("disbursaldate", "days_decision", "application_date", "disbursal_date"),
+    "date_of_birth"    -> Seq("date_of_birth", "days_birth"),
     "loan_default"     -> Seq("loan_default", "target", "default_flag"),
-    "date_of_birth"    -> Seq("date_of_birth", "dob"),
-    "days_birth"       -> Seq("days_birth"),
-    "application_date" -> Seq("disbursaldate", "application_date", "app_date"),
-    "employment_type"  -> Seq("employment_type", "name_income_type", "occupation"),
-    "gender"           -> Seq("gender", "code_gender"),
-    "dealer_id"        -> Seq("supplier_id", "dealer_id"),
-    "product_id"       -> Seq("manufacturer_id", "product_id", "product_type"),
-    "state_id"         -> Seq("state_id", "region"),
-    "credit_score"     -> Seq("perform_cns_score", "ext_source_1", "credit_score"))
+    "employment_type"  -> Seq("employment_type", "name_income_type", "occupation_type"),
+    "gender"           -> Seq("code_gender", "gender"),
+    "state_id"         -> Seq("state_id", "region_rating_client"),
+    "branch_id"        -> Seq("branch_id", "dealer_id"),
+    "pincode_id"       -> Seq("current_pincode_id", "region_population_relative"),
+    "product_id"       -> Seq("manufacturer_id", "product_id", "name_contract_type"),
+    "credit_score"     -> Seq("perform_cns_score", "ext_source_1", "ext_source_2", "ext_source_3"),
+    "ltv_ratio"        -> Seq("ltv", "amt_credit_sum_debt"))
 
   /** M2 — resolve canonical → actual column name (first synonym present).
     * Returns the mapping for columns that resolved. */
@@ -64,34 +64,38 @@ object DatasetAdapter {
   }
 
   /** Type class for a canonical column (drives the cast the staging
-    * transform applies — `auto_data_adapter.py:98-164`). */
+    * transform applies — `auto_data_adapter.py:98-164`: ids and
+    * attributes as string, money/ratios as numeric, target and credit
+    * score as int64). */
   private val typeClass: Map[String, String] = Map(
-    "loan_id" -> "string", "customer_id" -> "string", "dealer_id" -> "string",
-    "product_id" -> "string", "state_id" -> "string", "employment_type" -> "string",
-    "gender" -> "string",
+    "loan_id" -> "string", "customer_id" -> "string", "branch_id" -> "string",
+    "pincode_id" -> "string", "product_id" -> "string", "state_id" -> "string",
+    "employment_type" -> "string", "gender" -> "string",
     "loan_amount" -> "decimal(38,9)", "asset_cost" -> "decimal(38,9)",
-    "ltv_ratio" -> "decimal(38,9)", "credit_score" -> "decimal(38,9)",
-    "loan_default" -> "long")
+    "ltv_ratio" -> "decimal(38,9)",
+    "loan_default" -> "long", "credit_score" -> "long")
+
+  /** The reference's date-decode heuristic (`auto_data_adapter.py:113-135`):
+    * a date sourced from a column whose NAME contains "days" is a signed
+    * day offset (Home Credit DAYS_BIRTH / DAYS_DECISION) decoded against
+    * an anchor date; anything else is a 'dd-MM-yy' formatted string.
+    * The anchor replaces the reference's current_date() for determinism. */
+  private def isDayOffset(actual: String): Boolean =
+    actual.toLowerCase.contains("days")
 
   /** M3 — build the staging transform for a detected dataset: canonical
-    * casts, plus date decoding chosen by column-name heuristics —
-    * formatted 'dd-MM-yy' strings for vehicle-loan dates, day-offset
-    * integers (Home Credit DAYS_BIRTH) decoded against a pinned anchor
-    * (`auto_data_adapter.py:113-135`; anchor replaces current_date() for
-    * determinism). */
+    * casts plus the day-offset/string date decode chosen per source
+    * column. */
   def stagingTransform(columns: Seq[String],
                        anchor: String = "2026-01-01"): DataFrame => DataFrame = {
     val mapping = mapColumns(columns)
-    val exprs: Seq[(String, Column)] = mapping.toSeq.sortBy(_._1).flatMap {
-      case ("days_birth", actual) =>
-        // Home Credit: negative day offsets from "today" → date
-        Some("date_of_birth" -> date_add(to_date(lit(anchor)), col(actual).cast("int")))
-      case ("date_of_birth", actual) =>
-        Some("date_of_birth" -> Projections.safeParseDate2(col(actual).cast("string")))
-      case ("application_date", actual) =>
-        Some("application_date" -> Projections.safeParseDate2(col(actual).cast("string")))
+    val exprs: Seq[(String, Column)] = mapping.toSeq.sortBy(_._1).map {
+      case (canon @ ("date_of_birth" | "application_date"), actual) if isDayOffset(actual) =>
+        canon -> date_add(to_date(lit(anchor)), col(actual).cast("int"))
+      case (canon @ ("date_of_birth" | "application_date"), actual) =>
+        canon -> Projections.safeParseDate2(col(actual).cast("string"))
       case (canonical, actual) =>
-        Some(canonical -> col(actual).cast(typeClass.getOrElse(canonical, "string")))
+        canonical -> col(actual).cast(typeClass.getOrElse(canonical, "string"))
     }
     df => Projections.stgGeneric(df, exprs)
   }
@@ -105,8 +109,8 @@ object DatasetAdapter {
                  anchor: String = "2026-01-01"): String = {
     val mapping = mapColumns(columns)
     val selects = mapping.toSeq.sortBy(_._1).map {
-      case ("days_birth", actual) =>
-        s"date_add(to_date('$anchor'), cast($actual as int)) as date_of_birth"
+      case (canon @ ("date_of_birth" | "application_date"), actual) if isDayOffset(actual) =>
+        s"date_add(to_date('$anchor'), cast($actual as int)) as $canon"
       case (canon @ ("date_of_birth" | "application_date"), actual) =>
         // same %y pivot the Column path applies (Projections.safeParseDate2)
         val parse = s"try_to_date(cast($actual as string), 'dd-MM-yy')"

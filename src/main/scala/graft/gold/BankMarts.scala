@@ -31,14 +31,18 @@ object BankMarts {
     stgCustomers.select(
       row_number().over(Window.orderBy(c("customer_id"))).cast("long").as("customer_key"),
       c("customer_id"),
-      c("date_of_birth"),
+      // the reference's with_keys block overrides the staged customer_type
+      // with the 'individual' literal (dim_customer.sql:32)
+      lit("individual").as("customer_type"),
+      lit(null).cast("string").as("kyc_segment"),
       when(c("date_of_birth").isNull, "unknown")
         .when(age < 30, "18-29").when(age < 40, "30-39").when(age < 50, "40-49")
         .otherwise("50+").as("age_band"),
-      c("employment_type"),
-      c("customer_type"),
+      lit(null).cast("string").as("region"),
       lit("IN").as("country"),
-      lit(null).cast("string").as("region"))
+      lit(null).cast("string").as("language"),
+      lit(null).cast("string").as("income_band"),
+      c("employment_type").as("occupation"))
   }
 
   /** dim_product — distinct product ids + surrogate key + stubs.
@@ -49,15 +53,19 @@ object BankMarts {
           "product_category" -> lit("VEHICLE_LOAN"),
           "currency_code" -> lit("INR")))
 
-  /** dim_dealer — null-filtered distinct dealers, name = id duplication.
-    * Ref: `dim_dealer.sql:4-18`. */
+  /** dim_dealer — null-filtered distinct dealers, name = id duplication,
+    * India/offline literal stubs. Ref: `dim_dealer.sql:4-20`. */
   def dimDealer(stgLoans: DataFrame): DataFrame =
     Dims.surrogateDim(stgLoans, "dealer_id", "dealer_key",
       Seq("dealer_name" -> c("dealer_id"),
-          "dealer_tier" -> lit(null).cast("string")))
+          "country" -> lit("IN"),
+          "region" -> lit(null).cast("string"),
+          "dealer_segment" -> lit(null).cast("string"),
+          "channel" -> lit("offline")))
 
   /** f_loan_contract — the 4-way star join: loans onto customer, product,
-    * dealer, date dims; stub columns. Ref: `f_loan_contract.sql:12-44`. */
+    * dealer, date dims; measures + bank-schema stub columns.
+    * Ref: `f_loan_contract.sql:5-44`. */
   def fLoanContract(stgLoans: DataFrame, dimCustomer: DataFrame,
                     dimProduct: DataFrame, dimDealer: DataFrame,
                     dimDate: DataFrame): DataFrame =
@@ -69,11 +77,19 @@ object BankMarts {
         stgLoans("application_date") === c("calendar_date"), "left")
       .select(
         c("loan_id"), c("customer_key"), c("product_key"), c("dealer_key"),
-        c("date_key").as("application_date_key"),
-        c("loan_amount"), c("asset_cost"), c("ltv_ratio"), c("loan_default"),
+        c("date_key").as("origination_date_key"),
+        // Measures (f_loan_contract.sql:20-24)
+        c("loan_amount").as("amount_financed"),
+        c("ltv_ratio"), c("asset_cost"),
+        c("primary_instal_amt"), c("sec_instal_amt"),
+        c("loan_default"),
+        // Stub fields for the bank-like schema (:30-36)
         lit(null).cast(Numeric).as("interest_rate"),
-        lit(1L).as("channel_key"),
-        lit("INR").as("currency_code"))
+        lit(null).cast("long").as("term_months"),
+        lit(null).cast(Numeric).as("down_payment"),
+        lit(null).cast(Numeric).as("commission_amount"),
+        lit("INR").as("currency_code"),
+        lit("IN").as("country_code"))
 
   /** f_default_event — defaulted loans only, date-joined, surrogate event
     * key, amount duplicated under two aliases.

@@ -26,13 +26,18 @@ class BankPipelineSpec extends SparkSpec {
         |PERFORM_CNS_SCORE_DESCRIPTION string, PRI_NO_OF_ACCTS int,
         |PRI_ACTIVE_ACCTS int, PRI_OVERDUE_ACCTS int, PRI_CURRENT_BALANCE double,
         |PRI_SANCTIONED_AMOUNT double, PRI_DISBURSED_AMOUNT double,
+        |VoterID_flag int, Driving_flag int, Passport_flag int,
+        |SEC_NO_OF_ACCTS int, SEC_ACTIVE_ACCTS int, SEC_OVERDUE_ACCTS int,
+        |SEC_CURRENT_BALANCE double, SEC_SANCTIONED_AMOUNT double,
+        |SEC_DISBURSED_AMOUNT double, PRIMARY_INSTAL_AMT double,
+        |SEC_INSTAL_AMT double, AVERAGE_ACCT_AGE string, CREDIT_HISTORY_LENGTH string,
         |NEW_ACCTS_IN_LAST_SIX_MONTHS int, DELINQUENT_ACCTS_IN_LAST_SIX_MONTHS int,
         |NO_OF_INQUIRIES int, loan_default int""".stripMargin.replace("\n", " ")
     val rows = Seq(
-      Row("L1", 50000.0, 70000.0, 71.4, "B1", "S1", "M1", "P1", "01-01-84", "Salaried", "15-10-18", "ST1", 1, 1, 0, 650, "A-Very Low Risk", 3, 2, 0, 10000.0, 60000.0, 55000.0, 1, 0, 2, 0),
-      Row("L2", 30000.0, 45000.0, 66.7, "B1", "S2", "M1", "P2", "15-06-92", "Self employed", "20-10-18", "ST1", 1, 0, 1, 700, "B-Low Risk", 1, 1, 1, 5000.0, 30000.0, 28000.0, 0, 1, 1, 1),
-      Row("L3", 80000.0, 90000.0, 88.9, "B2", "S1", "M2", "P3", "31-12-99", "Salaried", "20-10-18", "ST2", 1, 1, 1, 720, "A-Very Low Risk", 5, 3, 0, 25000.0, 95000.0, 90000.0, 2, 0, 0, 0),
-      Row("L4", 20000.0, 30000.0, 66.7, "B2", "S3", "M2", "P4", "29-02-00", "Student", "21-10-18", "ST2", 0, 1, 0, 0, "No Bureau History Available", 0, 0, 0, 0.0, 0.0, 0.0, 0, 0, 5, 1))
+      Row("L1", 50000.0, 70000.0, 71.4, "B1", "S1", "M1", "P1", "01-01-84", "Salaried", "15-10-18", "ST1", 1, 1, 0, 650, "A-Very Low Risk", 3, 2, 0, 10000.0, 60000.0, 55000.0, 1, 0, 1, 1, 0, 0, 2000.0, 8000.0, 7500.0, 1450.5, 0.0, "1yrs 10mon", "5yrs 2mon", 1, 0, 2, 0),
+      Row("L2", 30000.0, 45000.0, 66.7, "B1", "S2", "M1", "P2", "15-06-92", "Self employed", "20-10-18", "ST1", 1, 0, 1, 700, "B-Low Risk", 1, 1, 1, 5000.0, 30000.0, 28000.0, 0, 0, 0, 0, 0, 0, 0.0, 0.0, 0.0, 900.0, 0.0, "0yrs 6mon", "2yrs 0mon", 0, 1, 1, 1),
+      Row("L3", 80000.0, 90000.0, 88.9, "B2", "S1", "M2", "P3", "31-12-99", "Salaried", "20-10-18", "ST2", 1, 1, 1, 720, "A-Very Low Risk", 5, 3, 0, 25000.0, 95000.0, 90000.0, 1, 1, 2, 1, 0, 0, 12000.0, 15000.0, 14000.0, 2100.0, 350.0, "3yrs 2mon", "8yrs 4mon", 2, 0, 0, 0),
+      Row("L4", 20000.0, 30000.0, 66.7, "B2", "S3", "M2", "P4", "29-02-00", "Student", "21-10-18", "ST2", 0, 1, 0, 0, "No Bureau History Available", 0, 0, 0, 0.0, 0.0, 0.0, 0, 0, 0, 0, 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, "0yrs 0mon", "0yrs 0mon", 0, 0, 5, 1))
     spark.createDataFrame(spark.sparkContext.parallelize(rows),
       org.apache.spark.sql.types.StructType.fromDDL(schema))
   }
@@ -51,11 +56,18 @@ class BankPipelineSpec extends SparkSpec {
     assert(rows.length === 4)
     val l1 = rows(0)
     assert(l1.getAs[String]("loan_id") === "L1")
-    assert(l1.getAs[java.sql.Date]("date_of_birth").toString === "1984-01-01") // %y pivot: 84 → 1984
+    assert(l1.getAs[java.sql.Date]("date_of_birth_raw").toString === "1984-01-01") // %y pivot: 84 → 1984
     assert(l1.getAs[java.sql.Date]("application_date").toString === "2018-10-15")
     assert(l1.getAs[java.math.BigDecimal]("loan_amount").doubleValue() === 50000.0)
+    // dealer_id sources from branch_id (stg_corebank_loans.sql:12)
+    assert(l1.getAs[String]("dealer_id") === "B1")
+    // secondary bureau / instalment / KYC / tenure columns staged
+    assert(l1.getAs[Long]("sec_no_of_accts") === 1L)
+    assert(l1.getAs[java.math.BigDecimal]("primary_instal_amt").doubleValue() === 1450.5)
+    assert(l1.getAs[Long]("voterid_flag") === 1L)
+    assert(l1.getAs[String]("average_acct_age_raw") === "1yrs 10mon")
     // 29-02-00: 2000 was a leap year → valid date
-    assert(rows(3).getAs[java.sql.Date]("date_of_birth").toString === "2000-02-29")
+    assert(rows(3).getAs[java.sql.Date]("date_of_birth_raw").toString === "2000-02-29")
   }
 
   test("staging: customers dedup to one row per id") {
@@ -83,9 +95,19 @@ class BankPipelineSpec extends SparkSpec {
     val fact = BankMarts.fLoanContract(stg, customers, products, dealers, dates)
     assert(fact.count() === 4)
     assert(fact.where(col("customer_key").isNull || col("product_key").isNull ||
-      col("dealer_key").isNull || col("application_date_key").isNull).count() === 0)
-    assert(fact.where(col("loan_id") === "L1").select("application_date_key")
+      col("dealer_key").isNull || col("origination_date_key").isNull).count() === 0)
+    assert(fact.where(col("loan_id") === "L1").select("origination_date_key")
       .as[Long].head() === 20181015L)
+    // measures + stub surface from f_loan_contract.sql:20-36
+    assert(fact.where(col("loan_id") === "L1")
+      .select(col("amount_financed").cast("double")).as[Double].head() === 50000.0)
+    assert(fact.where(col("loan_id") === "L1")
+      .select(col("primary_instal_amt").cast("double")).as[Double].head() === 1450.5)
+    assert(fact.columns.toSet === Set("loan_id", "customer_key", "product_key",
+      "dealer_key", "origination_date_key", "amount_financed", "ltv_ratio",
+      "asset_cost", "primary_instal_amt", "sec_instal_amt", "loan_default",
+      "interest_rate", "term_months", "down_payment", "commission_amount",
+      "currency_code", "country_code"))
   }
 
   test("gold: default events only for defaulted loans, dense keys") {
@@ -101,12 +123,12 @@ class BankPipelineSpec extends SparkSpec {
     val dealers = BankMarts.dimDealer(stg)
     val dates = Dims.dateSpine(spark, "2018-01-01", "2019-12-31")
     val perf = BankMarts.fDealerPerformanceDaily(stg, dealers, dates)
-    // S1 has loans L1 (2018-10-15) and L3 (2018-10-20) → two day rows
-    val s1Key = dealers.where(col("dealer_id") === "S1").select("dealer_key").as[Long].head()
-    val s1 = perf.where(col("dealer_key") === s1Key)
-    assert(s1.count() === 2)
-    assert(s1.agg(sum("num_applications")).as[Long].head() === 2L)
-    assert(s1.agg(sum("num_approved")).as[Long].head() === 2L) // neither defaulted
+    // dealer B1 (branch-sourced) has loans L1 (2018-10-15) and L2 (2018-10-20)
+    val b1Key = dealers.where(col("dealer_id") === "B1").select("dealer_key").as[Long].head()
+    val b1 = perf.where(col("dealer_key") === b1Key)
+    assert(b1.count() === 2)
+    assert(b1.agg(sum("num_applications")).as[Long].head() === 2L)
+    assert(b1.agg(sum("num_approved")).as[Long].head() === 1L) // L2 defaulted
   }
 
   test("pipeline runner: topological build, table materialization, checks pass") {

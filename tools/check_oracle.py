@@ -51,8 +51,22 @@ def main():
             failures += 1
             continue
         try:
-            sdf = norm(con.sql(f"SELECT * FROM '{spark_path}/*.parquet'").df())
-            odf = norm(con.sql(oracle[name]).df())
+            srel = con.sql(f"SELECT * FROM '{spark_path}/*.parquet'")
+            orel = con.sql(oracle[name])
+            # Driver-parity guard: the driver's hasher compares decimals
+            # exactly, but .df() coerces DECIMAL -> float64 and would mask
+            # any representation difference here. Outputs must cast
+            # decimals to double at the edge (SparkEntry.decimalsToDouble).
+            dec = [f"spark {c}:{t}" for c, t in zip(srel.columns, srel.types)
+                   if str(t).startswith("DECIMAL")]
+            dec += [f"oracle {c}:{t}" for c, t in zip(orel.columns, orel.types)
+                    if str(t).startswith("DECIMAL")]
+            if dec:
+                print(f"FAIL {name}: raw decimal output column(s): {', '.join(dec)}")
+                failures += 1
+                continue
+            sdf = norm(srel.df())
+            odf = norm(orel.df())
         except Exception as e:
             print(f"FAIL {name}: {e}")
             failures += 1
