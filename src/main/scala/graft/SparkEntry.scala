@@ -428,11 +428,14 @@ object SparkEntry {
 
   /** The complete corpus-cleaning pipeline (quality floor → exact dedup
     * → MinHash near-dedup) — survivors only. Minhash-dependent →
-    * rows-only check; stage counts are asserted in the spec. */
+    * rows-only check; stage counts are asserted in the spec. Stats stay
+    * off (they cost full corpus scans) and the multi-consumer survivor
+    * frame checkpoints to parquet instead of pinning an executor cache. */
   def qCorpusClean(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.CorpusPipeline
     val (cleaned, _) = CorpusPipeline.clean(t(spark, dir, "documents"),
-      minQuality = 0.3, minTokens = 10, nearThreshold = 0.9)
+      minQuality = 0.3, minTokens = 10, nearThreshold = 0.9,
+      materializeDir = Some(sys.props("java.io.tmpdir") + "/graft-corpus-clean"))
     cleaned.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
   }
 

@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   * greedy rule (not full connected components, which would need an
   * iterative join; documented trade-off, same as most production
   * dedup pipelines).
+  *
+  * Cost model: the pipeline itself triggers NO Spark actions unless the
+  * caller opts in. The exact-dedup survivor frame is consumed by three
+  * downstream branches (both sides of the LSH candidate self-join plus
+  * the anti-join), and Spark re-runs a subplan's lineage once per
+  * consuming branch — so the survivors are materialized exactly once:
+  * to parquet when `materializeDir` is given (the 100 TB shape — a
+  * checkpoint, not an executor-memory cache), else via `.cache()`
+  * (caller releases with `spark.catalog.clearCache()` or by passing a
+  * dir). Stage counts are opt-in (`collectStats`) because each one is a
+  * full corpus scan the common path should not pay.
   */
 object CorpusPipeline {
 
@@ -23,30 +34,37 @@ object CorpusPipeline {
 
   def clean(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
             minQuality: Double = 0.3, minTokens: Int = 10,
-            shingleK: Int = 5, nearThreshold: Double = 0.9): (DataFrame, CleanStats) = {
-    val input = docs.count()
-
+            shingleK: Int = 5, nearThreshold: Double = 0.9,
+            collectStats: Boolean = false,
+            materializeDir: Option[String] = None): (DataFrame, Option[CleanStats]) = {
     // 1. quality floor (narrow map; pushdown-friendly)
     val qualified = docs.where(
       TextOps.qualityScore(col(textCol)) >= minQuality &&
         TextOps.tokenCount(col(textCol)) >= minTokens)
-    val afterQuality = qualified.count()
 
-    // 2. exact dedup — keep the full first row per distinct content
-    val exact = Dedup.exactKeepFirst(qualified, textCol, idCol).cache()
-    val afterExact = exact.count()
+    // 2. exact dedup — keep the full first row per distinct content,
+    // materialized once for the three downstream consumers
+    val exact0 = Dedup.exactKeepFirst(qualified, textCol, idCol)
+    val exact = materializeDir match {
+      case Some(dir) =>
+        exact0.write.mode("overwrite").parquet(dir)
+        docs.sparkSession.read.parquet(dir)
+      case None =>
+        exact0.cache()
+    }
 
     // 3. near-dedup — MinHash/LSH candidates, drop the higher id of
     // every surviving near-dup pair
     val nearPairs = Dedup.minhashNearDups(exact, idCol, textCol,
       shingleK = shingleK, threshold = nearThreshold)
     val dropIds = nearPairs.select(col("id_b").as(idCol)).distinct()
-    // cached: the stats count below already executes the expensive
-    // near-dedup stage — callers consuming the returned frame must not
-    // pay for it twice
-    val cleaned = exact.join(dropIds, Seq(idCol), "left_anti").cache()
-    val afterNear = cleaned.count()
+    val cleaned = exact.join(dropIds, Seq(idCol), "left_anti")
 
-    (cleaned, CleanStats(input, afterQuality, afterExact, afterNear))
+    val stats =
+      if (collectStats)
+        Some(CleanStats(docs.count(), qualified.count(),
+          exact.count(), cleaned.count()))
+      else None
+    (cleaned, stats)
   }
 }

@@ -139,22 +139,47 @@ object Dedup {
   }
 
   /** SimHash (64-bit) of a token stream: sign-sum of per-token hash bits.
-    * Composed from built-ins: explode tokens → per-bit ±1 votes → sum →
-    * reassemble bits. Near-dups = hamming distance ≤ maxDistance, found
-    * via block permutation (pigeonhole: split 64 bits into
-    * maxDistance+1 blocks; equal pair must share ≥1 exact block). */
+    * Composed from built-ins: explode tokens → packed per-bit one-counts
+    * → sum → reassemble bits. Near-dups = hamming distance ≤ maxDistance,
+    * found via block permutation (pigeonhole: split 64 bits into
+    * maxDistance+1 blocks; equal pair must share ≥1 exact block).
+    *
+    * PERF: the vote accumulation packs 3 bit-counters of 20 bits each
+    * into one long, so the aggregate carries 22 packed sums + a count
+    * instead of 64 independent `sum(when(...))` columns. The 64-column
+    * form measured 12 s at sf0.1 — that many agg buffers with branchy
+    * inputs falls out of the fast codegen path, and each exploded token
+    * row paid 64 conditional evaluations. The packed form is branch-free
+    * shift/mask arithmetic and stays map-side-combined: the shuffle is
+    * still one row per document. Lane math: per-lane counts are bounded
+    * by [[SimhashMaxTokens]] < 2^20, and a packed row value is
+    * < 2^41, so partial sums stay far below Long.MaxValue (ANSI-mode
+    * overflow-safe). The ±1 vote sign is recovered as
+    * `2*ones > n_tokens` — identical semantics to the vote-sum form
+    * (asserted against it in the spec). */
+  val SimhashMaxTokens = 65535
+
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val LanesPerWord = 3
+    val LaneBits = 20
     val tokens = df.select(col(idCol).as("id"),
-      explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      explode(slice(split(lower(col(textCol)), "\\s+"), 1, SimhashMaxTokens)).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    // single hash-aggregate with one ±1 vote column per bit (map-side
-    // partial agg keeps the shuffle at one row per doc)
-    val voteCols = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"_v$i")
+    val packCols = (0 until 64).grouped(LanesPerWord).toSeq.zipWithIndex.map {
+      case (bits, g) =>
+        val packed = bits.zipWithIndex.map { case (b, lane) =>
+          shiftleft(shiftright(col("h"), b).bitwiseAND(1), lane * LaneBits)
+        }.reduce(_ + _)
+        sum(packed).as(s"_p$g")
     }
-    val votes = tokens.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+    val aggs = packCols :+ count(lit(1)).as("_n")
+    val votes = tokens.groupBy("id").agg(aggs.head, aggs.tail: _*)
     val sh = (0 until 64).map { i =>
-      when(col(s"_v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      val g = i / LanesPerWord
+      val lane = i % LanesPerWord
+      val ones = shiftright(col(s"_p$g"), lane * LaneBits)
+        .bitwiseAND((1L << LaneBits) - 1)
+      when(ones * 2 > col("_n"), shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     votes.select(col("id"), sh.as("simhash"))
   }

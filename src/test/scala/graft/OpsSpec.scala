@@ -65,6 +65,38 @@ class OpsSpec extends SparkSpec {
       && got(0).getInt(2) === 0)
   }
 
+  test("simhash: packed-counter aggregation equals the per-bit vote-sum form") {
+    // reference implementation: one ±1 vote sum column per bit — the
+    // semantics the packed 20-bit-lane form must reproduce exactly
+    def simhashReference(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val tokens = df.select(col("doc_id").as("id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .withColumn("h", xxhash64(col("tok")))
+      val voteCols = (0 until 64).map { i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"_v$i")
+      }
+      val votes = tokens.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+      val sh = (0 until 64).map { i =>
+        when(col(s"_v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+      votes.select(col("id"), sh.as("simhash"))
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "la", "mu", "nu", "xi", "", "42", "!!")
+    val docs = (1L to 40L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(60))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val fast = Dedup.simhash(docs, "doc_id", "text").orderBy("id").collect()
+    val ref = simhashReference(docs).orderBy("id").collect()
+    assert(fast.length === 40)
+    fast.zip(ref).foreach { case (f, r) =>
+      assert(f.getLong(0) === r.getLong(0))
+      assert(f.getLong(1) === r.getLong(1),
+        s"simhash mismatch for id ${f.getLong(0)}")
+    }
+  }
+
   test("cosine: orthogonal 0, identical 1") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(2.0f, 0.0f))
@@ -185,13 +217,23 @@ class OpsSpec extends SparkSpec {
       (4L, "short junk"),            // fails token minimum → dropped
       (5L, "an entirely different long document that is about the sea and the ships that sail on it every day with the wind")
     ).toDF("doc_id", "text")
-    val (cleaned, stats) = CorpusPipeline.clean(docs,
-      minQuality = 0.2, minTokens = 10, nearThreshold = 0.5)
+    val (cleaned, statsOpt) = CorpusPipeline.clean(docs,
+      minQuality = 0.2, minTokens = 10, nearThreshold = 0.5,
+      collectStats = true)
+    val stats = statsOpt.get
     assert(stats.input === 5)
     assert(stats.afterQuality === 4)
     assert(stats.afterExact === 3)
     assert(stats.afterNear === 2)
     assert(cleaned.select("doc_id").as[Long].collect().sorted === Array(1L, 5L))
+    // stats stay opt-out by default, and the parquet-materialized path
+    // produces the same survivors without pinning a cache
+    val tmp = java.nio.file.Files.createTempDirectory("graft-clean").toString
+    val (cleaned2, none) = CorpusPipeline.clean(docs,
+      minQuality = 0.2, minTokens = 10, nearThreshold = 0.5,
+      materializeDir = Some(tmp + "/exact"))
+    assert(none.isEmpty)
+    assert(cleaned2.select("doc_id").as[Long].collect().sorted === Array(1L, 5L))
   }
 
   test("text ops: token counts and ratios") {
