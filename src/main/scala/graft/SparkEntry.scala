@@ -495,15 +495,27 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
-  /** Embedding near-dup pairs above a cosine threshold via LSH buckets.
-    * Rows-only check. NOTE: the synthetic corpus has no near-dups (max
-    * pairwise cosine ≈ 0.48), so an empty result here is the correct
-    * answer — true near-dups (cos ≥ 0.9) collide in ≥1 bucket with high
-    * probability and are verified by the planted-duplicate spec. */
-  def qCosineNearDups(spark: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDups(t(spark, dir, "embeddings"), "vec_id", "embedding",
-      dim = 64, threshold = 0.4)
+  /** Embedding near-dup pairs above cosine 0.9 via LSH buckets. The
+    * synthetic corpus has no native near-dups (max pairwise cosine
+    * ≈ 0.48), so the query plants one per vector — a copy with 5% of
+    * the next coordinate rotated in (cosine vs the original ≥ 0.9987,
+    * while every cross pair stays below ~0.55) — and must recover all
+    * of them. At that cosine the per-pair LSH miss probability with
+    * 8 planes × 12 tables is ~1e-11, so the exact all-pairs scan is a
+    * valid DuckDB oracle (scores are the same left-fold bits). The
+    * recall-vs-threshold behaviour for pairs NEAR 0.9 is measured in
+    * the spec against a brute-force scan. */
+  def qCosineNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val planted = emb.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      zip_with(col("v"), concat(slice(col("v"), 2, 63), slice(col("v"), 1, 1)),
+        (x, y) => x + lit(0.05) * y).as("v"))
+    Similarity.cosineNearDups(emb.unionByName(planted), "vec_id", "v",
+      dim = 64, threshold = 0.9, numPlanes = 8, numTables = 12)
       .orderBy("id_a", "id_b")
+  }
 
   /** Embedding analytics rollup: per-label vector counts and norm
     * statistics. Norms go through the bit-stable dot kernel, then
@@ -1017,6 +1029,26 @@ object SparkEntry {
          |       CAST(SUM(CAST(nrm AS DECIMAL(18,12))) AS DOUBLE) AS sum_norm,
          |       MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
          |FROM e GROUP BY label ORDER BY label""".stripMargin
+    },
+    "q_cosine_near_dups" -> {
+      // exact all-pairs scan: valid because the planted pairs' LSH miss
+      // probability is ~1e-11 (see qCosineNearDups) — the approximate
+      // path provably returns the exact answer on this corpus
+      val dotAB = sqlDot("a.v", "b.v")
+      val dotAA = sqlDot("a.v", "a.v")
+      val dotBB = sqlDot("b.v", "b.v")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT vec_id + 1000000 AS vec_id,
+         |             list_transform(list_zip(v, v[2:64] || v[1:1]),
+         |                            x -> x[1] + 0.05 * x[2]) AS v
+         |      FROM e),
+         |u AS (SELECT * FROM e UNION ALL SELECT * FROM p),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         $dotAB / (sqrt($dotAA) * sqrt($dotBB)) AS score
+         |  FROM u a CROSS JOIN u b WHERE a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, score FROM pairs
+         |WHERE score >= 0.9 ORDER BY id_a, id_b""".stripMargin
     },
     "q_multimodal_meta" ->
       """SELECT doc_id AS asset_id, 'image/fake' AS media_type,

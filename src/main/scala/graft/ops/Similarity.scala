@@ -170,10 +170,20 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets (all-pairs
-    * within bucket, threshold filter). */
+    * within bucket, threshold filter).
+    *
+    * Recall is governed by the banding: a pair at cosine c collides in
+    * one table with probability (1 - acos(c)/π)^numPlanes, and is found
+    * when it collides in ≥1 of numTables tables. More tables × fewer
+    * planes buys recall at the cost of candidate volume. The 8×8
+    * default gives ~0.94 recall at c = 0.9 (measured in the spec
+    * against a brute-force exact pair scan); the previous 10-plane ×
+    * 3-table shape measured ~0.5 — enough to lose half the true pairs.
+    * Precision is exact regardless: every candidate is re-scored with
+    * the true cosine before the threshold filter. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                     threshold: Double, numPlanes: Int = 10,
-                     numTables: Int = 3): DataFrame = {
+                     threshold: Double, numPlanes: Int = 8,
+                     numTables: Int = 8): DataFrame = {
     // Shape for scale: (1) buckets are computed ONCE and cached — both
     // self-join sides read the same materialization instead of re-running
     // the hash lineage; (2) the candidate dedup shuffles bare id pairs

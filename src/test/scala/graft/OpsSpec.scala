@@ -167,6 +167,31 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got(0).getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("cosine near-dups: measured recall >= 0.9 at the advertised threshold") {
+    // plants sit at cosine ~0.90-0.95 — the hard region just above the
+    // advertised threshold, where LSH recall is weakest (unlike an exact
+    // duplicate, which collides in every bucket and proves nothing)
+    val emb = graft.model.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val planted = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      zip_with(col("v"), concat(slice(col("v"), 2, 63), slice(col("v"), 1, 1)),
+        (x, y) => x + lit(0.45) * y).as("v"))
+    val u = emb.unionByName(planted).cache()
+    // brute-force exact pair scan (per-side renames before the self-join)
+    val a = u.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = u.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .where(Similarity.cosine(col("va"), col("vb")) >= 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.cosineNearDups(u, "vec_id", "v", dim = 64, threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    u.unpersist()
+    assert(exact.size >= 100, s"expected a substantial planted pair set, got ${exact.size}")
+    assert(got.subsetOf(exact)) // precision is exact: candidates are re-scored
+    val recall = got.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${got.size}/${exact.size})")
+  }
+
   test("asof join: backward match, exact-tie visible, null when no prior") {
     import graft.ops.TimeOps
     import java.sql.Timestamp
