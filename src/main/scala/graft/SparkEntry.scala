@@ -462,7 +462,8 @@ object SparkEntry {
   }
 
   /** LSH-bucketed approximate top-k (the 100 TB ANN path). Approximate →
-    * rows-only check. */
+    * rows-only check; recall@5 vs brute force is measured in the spec
+    * (defaults tuned to ≥ 0.8 on this corpus). */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.lshTopK(emb, emb.where(col("vec_id") < 100),
@@ -471,11 +472,12 @@ object SparkEntry {
   }
 
   /** IVF approximate top-k (DataFrame-native k-means cells + nprobe
-    * probing) — the partition-pruned ANN path. Approximate → rows-only. */
+    * probing) — the partition-pruned ANN path. Approximate → rows-only;
+    * recall@5 vs brute force is measured in the spec (≥ 0.8). */
   def qIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.ivfTopK(emb, emb.where(col("vec_id") < 100), "vec_id", "embedding",
-      k = 5, nlist = 16, nprobe = 4)
+      k = 5, nlist = 16, nprobe = 8)
       .orderBy("query_id", "rank")
   }
 

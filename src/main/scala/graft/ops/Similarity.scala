@@ -79,24 +79,42 @@ object Similarity {
 
   /** Approximate top-k: candidates limited to vectors sharing an LSH
     * bucket with the query (multi-probe via `numTables` independent
-    * hash tables to boost recall). */
+    * hash tables to boost recall).
+    *
+    * Banding must match the neighbor regime. A pair at cosine c shares
+    * one table's bucket with probability (1 - acos(c)/π)^numPlanes —
+    * steeply decreasing in numPlanes for mid-range cosines. On the test
+    * corpus, whose true top-5 neighbors sit at cosine ~0.4-0.5, dense
+    * banding (12 planes × 4 tables) measured recall@5 = 0.02; the 4 × 12
+    * default measures 0.83-0.85 (spec-asserted ≥ 0.8 vs brute force).
+    * Fewer planes means coarser buckets: at larger corpus sizes raise
+    * numPlanes (buckets/table = 2^numPlanes, sized so candidate volume
+    * per query stays bounded) and raise numTables to hold recall. For a
+    * near-dup regime (cosine ≥ 0.9) 8 planes already collide at ~0.89
+    * per table — see [[cosineNearDups]]. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              dim: Int, k: Int, numPlanes: Int = 12, numTables: Int = 4): DataFrame = {
-    // norms staged per vector (once), not per candidate pair
-    def banded(df: DataFrame, side: String) =
-      df.select(col(idCol).as(s"${side}_id"), asDouble(col(vecCol)).as(s"${side}_v"))
-        .select(col(s"${side}_id"), col(s"${side}_v"), norm(col(s"${side}_v")).as(s"${side}_n"),
-          posexplode(array((0 until numTables).map(t =>
-            lshBucket(col(s"${side}_v"), dim, numPlanes, seed = 1000 + t)): _*))
-            .as(Seq("table", "bucket")))
-    val c = banded(corpus, "corpus")
-    val q = banded(queries, "query")
-    val candidates = c.join(q, Seq("table", "bucket"))
+              dim: Int, k: Int, numPlanes: Int = 4, numTables: Int = 12): DataFrame = {
+    // Shape for scale: the candidate dedup shuffles bare (query, corpus)
+    // id pairs — never vector payloads (a 64-dim double array is ~64× the
+    // pair). Vectors re-join once for the scoring pass: the corpus is
+    // scanned twice (banding reads only id+vector, column-pruned at the
+    // source), which beats pinning a corpus-sized cache. Norms are
+    // computed once per vector in the scoring pass, not per pair.
+    val c = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    def banded(df: DataFrame, id: String, v: String) =
+      df.select(col(id), posexplode(array((0 until numTables).map(t =>
+        lshBucket(col(v), dim, numPlanes, seed = 1000 + t)): _*))
+        .as(Seq("table", "bucket")))
+    val pairs = banded(c, "corpus_id", "cv")
+      .join(banded(q, "query_id", "qv"), Seq("table", "bucket"))
       .where(col("corpus_id") =!= col("query_id"))
-      .select("query_id", "query_v", "query_n", "corpus_id", "corpus_v", "corpus_n")
-      .dropDuplicates("query_id", "corpus_id")
-    val scored = candidates.withColumn("score",
-      dot(col("query_v"), col("corpus_v")) / (col("query_n") * col("corpus_n")))
+      .select("query_id", "corpus_id")
+      .dropDuplicates()
+    val scored = pairs
+      .join(c.withColumn("cn", norm(col("cv"))), Seq("corpus_id"))
+      .join(broadcast(q.withColumn("qn", norm(col("qv")))), Seq("query_id"))
+      .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -114,9 +132,15 @@ object Similarity {
     * corpus vectors with the smallest id hashes — no model object, no
     * driver data loops beyond the tiny centroid table, reproducible
     * across runs. At 100 TB the corpus assignment is one broadcast pass;
-    * cells land in a partitioned layout keyed by centroid id. */
+    * cells land in a partitioned layout keyed by centroid id.
+    *
+    * Defaults measured on the test corpus vs brute force: nlist=16,
+    * nprobe=8 → recall@5 = 0.81-0.83 (spec-asserted ≥ 0.8); nprobe=4
+    * measured 0.58. The nprobe/nlist ratio sets the scan fraction
+    * (~nprobe/nlist of the corpus per query); grow nlist ~√corpus and
+    * tune nprobe to the recall target. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, nlist: Int = 16, nprobe: Int = 4,
+              k: Int, nlist: Int = 16, nprobe: Int = 8,
               lloydIters: Int = 2): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv"))).cache()

@@ -135,6 +135,30 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(best.getDouble(3) - 1.0) < 1e-12)
   }
 
+  test("ann recall@5: lsh and ivf defaults reach 0.8 vs brute force") {
+    // measured on the driver corpus, whose true top-5 neighbors sit at
+    // cosine ~0.4-0.5 — the regime the default banding is tuned for
+    val emb = graft.model.Tables.load(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    val queries = emb.where(col("vec_id") < 100)
+    def topSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "corpus_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def recall(exact: Map[Long, Set[Long]], approx: Map[Long, Set[Long]]): Double = {
+      val per = exact.map { case (q, ex) =>
+        approx.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
+      per.sum / per.size
+    }
+    val exact = topSet(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5))
+    assert(exact.size === 100)
+    val lshR = recall(exact, topSet(Similarity.lshTopK(
+      emb, queries, "vec_id", "embedding", dim = 64, k = 5)))
+    val ivfR = recall(exact, topSet(Similarity.ivfTopK(
+      emb, queries, "vec_id", "embedding", k = 5)))
+    emb.unpersist()
+    assert(lshR >= 0.8, s"lsh recall@5 $lshR")
+    assert(ivfR >= 0.8, s"ivf recall@5 $ivfR")
+  }
+
   test("dot_product kernel: bit-identical to the fold, SQL-registered") {
     val vecs = (0 until 50).map { i =>
       val rnd = new scala.util.Random(i)
