@@ -1,5 +1,7 @@
 package graft.ingest
 
+import java.nio.file.Paths
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ops.Projections
 
@@ -22,6 +24,21 @@ final case class RawSource(
     schemaDdl: Option[String] = None)
 
 object CsvLoader {
+
+  /** St3 — table/source names derived from the file stem: lowercase,
+    * `-`/space → `_`, and a `_raw` suffix for the raw source
+    * (`integrate_new_dataset.py:61-62`). */
+  def tableNameFromPath(path: String): String = {
+    val file = Paths.get(path).getFileName.toString
+    val stem = file.lastIndexOf('.') match {
+      case -1 => file
+      case i  => file.substring(0, i)
+    }
+    stem.toLowerCase.replace("-", "_").replace(" ", "_")
+  }
+
+  def rawSourceNameFromPath(path: String): String =
+    s"${tableNameFromPath(path)}_raw"
 
   /** S1 + S2 — load one CSV with header + autodetect (or explicit DDL
     * schema), optionally sanitizing header names. */

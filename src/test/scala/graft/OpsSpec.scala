@@ -355,6 +355,38 @@ class OpsSpec extends SparkSpec {
     assert(reg.all.map(_.name) === Seq("s1", "s2"))
   }
 
+  test("registry store: persisted round-trip, idempotent re-integration") {
+    import graft.ingest.RegistryStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft-reg")
+    val cfgPath = tmp.resolve("registry.json").toString
+    // file-stem naming (reference: csv_path.stem.lower() + '_raw')
+    assert(CsvLoader.tableNameFromPath("/data/Application-Train v2.csv")
+      === "application_train_v2")
+    assert(CsvLoader.rawSourceNameFromPath("/data/loans.csv") === "loans_raw")
+    val src = RawSource("loans_raw", "/data/loans.csv", "loans",
+      sanitizeHeaders = true, schemaDdl = Some("loan_id STRING, customer_id STRING"))
+    val first = RegistryStore.integrate(cfgPath, src, "stg_loans")
+    assert(first.rawSources === Seq(src))
+    assert(first.models.map(_.name) === Seq("stg_loans"))
+    // re-read from disk: full round-trip including the Option field
+    val reread = RegistryStore.load(cfgPath)
+    assert(reread === first)
+    // re-integrating the same dataset is a no-op, even with different
+    // details — existing entries are never overwritten (reference skips)
+    val again = RegistryStore.integrate(cfgPath, src.copy(path = "/elsewhere.csv"),
+      "stg_loans", keyColumns = Seq("other"))
+    assert(again === first)
+    // a second dataset appends, and its default checks are runnable
+    val more = RegistryStore.integrate(cfgPath, RawSource("apps_raw", "/data/apps.csv", "apps"),
+      "stg_apps", keyColumns = Seq("application_id"))
+    assert(more.rawSources.map(_.name) === Seq("loans_raw", "apps_raw"))
+    val checks = RegistryStore.toChecks(more.models.find(_.name == "stg_apps").get)
+    assert(checks.map(_.name) === Seq("not_null(application_id)"))
+    val hydrated = RegistryStore.toRegistry(RegistryStore.load(cfgPath))
+    assert(hydrated.all.map(_.name) === Seq("loans_raw", "apps_raw"))
+    assert(!hydrated.register(src)) // still idempotent after hydration
+  }
+
   test("multimodal: decode stub features and frame sampling") {
     val docs = Seq((1L, "abcd" * 100), (2L, "")).toDF("doc_id", "text")
     val assets = Multimodal.syntheticAssets(docs, "doc_id", "text")
