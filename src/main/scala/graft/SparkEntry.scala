@@ -503,10 +503,11 @@ object SparkEntry {
     * the next coordinate rotated in (cosine vs the original ≥ 0.9987,
     * while every cross pair stays below ~0.55) — and must recover all
     * of them. At that cosine the per-pair LSH miss probability with
-    * 8 planes × 12 tables is ~1e-11, so the exact all-pairs scan is a
-    * valid DuckDB oracle (scores are the same left-fold bits). The
-    * recall-vs-threshold behaviour for pairs NEAR 0.9 is measured in
-    * the spec against a brute-force scan. */
+    * size-derived planes × 12 tables is ≤ 3e-11 at every test scale,
+    * so the exact all-pairs scan is a valid DuckDB oracle (scores are
+    * the same left-fold bits). The recall-vs-threshold behaviour for
+    * pairs NEAR 0.9 is measured in the spec against a brute-force
+    * scan. */
   def qCosineNearDups(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
@@ -515,7 +516,7 @@ object SparkEntry {
       zip_with(col("v"), concat(slice(col("v"), 2, 63), slice(col("v"), 1, 1)),
         (x, y) => x + lit(0.05) * y).as("v"))
     Similarity.cosineNearDups(emb.unionByName(planted), "vec_id", "v",
-      dim = 64, threshold = 0.9, numPlanes = 8, numTables = 12)
+      dim = 64, threshold = 0.9, numTables = 12)
       .orderBy("id_a", "id_b")
   }
 

