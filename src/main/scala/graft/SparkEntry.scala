@@ -412,6 +412,30 @@ object SparkEntry {
       .orderBy("lang", "bigram")
   }
 
+  /** Repetition quality signals (Gopher-style): per document, the
+    * most-frequent-bigram fraction and the duplicate-trigram fraction.
+    * Counts are over gram hashes in Spark and gram strings in the
+    * oracle — identical under the no-collision assumption the Jaccard
+    * oracle already relies on. */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionStats(t(spark, dir, "documents"), "doc_id", "text",
+      topN = 2, dupN = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  /** Benchmark-contamination scan: documents probed against the shingle
+    * vocabulary of a held-out benchmark slice (doc_id % 50 == 0) — the
+    * train/eval overlap check run before any training job. */
+  def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    TextOps.contamination(
+      docs.where(col("doc_id") % 50 =!= 0),
+      docs.where(col("doc_id") % 50 === 0),
+      "doc_id", "text", k = 5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** The end-use composition: training-corpus filtering — keep documents
     * above a quality floor with enough tokens, project the features a
     * downstream tokenizer run would consume. Filter + narrow projection;
@@ -707,6 +731,8 @@ object SparkEntry {
     "q_lang_id"          -> qLangId,
     "q_lang_stats"       -> qLangStats,
     "q_ngram_freq"       -> qNgramFreq,
+    "q_repetition"       -> qRepetition,
+    "q_contamination"    -> qContamination,
     "q_corpus_filter"    -> qCorpusFilter,
     "q_corpus_clean"     -> qCorpusClean,
     "q_fingerprint"      -> qFingerprint,
@@ -984,6 +1010,46 @@ object SparkEntry {
         |SELECT lang, bigram, COUNT(*) AS n_docs
         |FROM bg GROUP BY lang, bigram HAVING COUNT(*) >= 20
         |ORDER BY lang, bigram""".stripMargin,
+    "q_repetition" ->
+      """WITH toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t
+        |              FROM documents),
+        |bg AS (SELECT id, unnest(CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+        |         ELSE list_transform(generate_series(1, len(t) - 1),
+        |              i -> array_to_string(t[i:i+1], ' ')) END) AS g FROM toks),
+        |bgc AS (SELECT id, g, count(*) AS cnt FROM bg GROUP BY id, g),
+        |top AS (SELECT id, CAST(sum(cnt) AS BIGINT) AS total_top, max(cnt) AS max_top
+        |        FROM bgc GROUP BY id),
+        |tg AS (SELECT id, unnest(CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+        |         ELSE list_transform(generate_series(1, len(t) - 2),
+        |              i -> array_to_string(t[i:i+2], ' ')) END) AS g FROM toks),
+        |tgc AS (SELECT id, g, count(*) AS cnt FROM tg GROUP BY id, g),
+        |dup AS (SELECT id, CAST(sum(cnt) AS BIGINT) AS total_dup,
+        |               count(*) AS distinct_dup FROM tgc GROUP BY id)
+        |SELECT t.id AS doc_id,
+        |  coalesce(total_top, 0) AS n_top_grams,
+        |  coalesce(max_top::DOUBLE / total_top, 0.0) AS top_ngram_frac,
+        |  coalesce(total_dup, 0) AS n_dup_grams,
+        |  coalesce((total_dup - distinct_dup)::DOUBLE / total_dup, 0.0) AS dup_ngram_frac
+        |FROM toks t LEFT JOIN top USING (id) LEFT JOIN dup USING (id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_contamination" ->
+      """WITH toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t
+        |              FROM documents),
+        |sh AS (SELECT id, unnest(CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |              i -> array_to_string(t[i:i+4], ' '))) END) AS s FROM toks),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE id % 50 = 0),
+        |doc AS (SELECT id, s FROM sh WHERE id % 50 <> 0),
+        |totals AS (SELECT id, count(*) AS n_shingles FROM doc GROUP BY id),
+        |hits AS (SELECT id, count(*) AS n_contaminated FROM doc
+        |         WHERE s IN (SELECT s FROM bench) GROUP BY id)
+        |SELECT t.id AS doc_id,
+        |  coalesce(n_shingles, 0) AS n_shingles,
+        |  coalesce(n_contaminated, 0) AS n_contaminated,
+        |  coalesce(n_contaminated::DOUBLE / n_shingles, 0.0) AS contamination_frac
+        |FROM toks t LEFT JOIN totals USING (id) LEFT JOIN hits USING (id)
+        |WHERE t.id % 50 <> 0
+        |ORDER BY doc_id""".stripMargin,
     "q_corpus_filter" -> {
       val sw = stopwordsSqlList
       s"""WITH f AS (

@@ -90,4 +90,75 @@ object TextOps {
   def fingerprint(textCol: Column, k: Int = 5, n: Int = 8): Column =
     slice(array_sort(array_distinct(
       transform(Dedup.shingles(textCol, k), s => xxhash64(s)))), 1, n)
+
+  /** Repetition quality signals (the Gopher/RefinedWeb-style filters
+    * adapted to token streams): per document,
+    *  - `top_ngram_frac`  — occurrences of the most frequent `topN`-gram
+    *    over total `topN`-gram occurrences (boilerplate/loop detector);
+    *  - `dup_ngram_frac`  — fraction of `dupN`-gram occurrences that are
+    *    repeats of an earlier one (1 − distinct/total).
+    * Documents shorter than the n-gram width score 0 on that signal.
+    *
+    * Scale shape: n-grams are EXPLODED to rows and counted with one hash
+    * aggregate per signal — never collected per-row into a frequency map
+    * (a per-doc HOF mode-count would be O(grams²) per document and fall
+    * out of codegen for long docs). Shuffles carry 8-byte gram hashes,
+    * not gram strings ([[Dedup.shingleHashed]]); map-side partial
+    * aggregation keeps the shuffle at one row per (doc, distinct gram).
+    * Only count/fraction columns are emitted — no mode-gram string — so
+    * results are tie-break-free and engine-portable. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      topN: Int = 2, dupN: Int = 3): DataFrame = {
+    val ids = df.select(col(idCol).as("id"))
+    def gramCounts(n: Int) =
+      Dedup.shingleHashed(df, idCol, textCol, n)
+        .select(col("id"), explode(col("shh")).as("g"))
+        .groupBy("id", "g").agg(count(lit(1)).as("cnt"))
+    val top = gramCounts(topN)
+      .groupBy("id")
+      .agg(sum(col("cnt")).as("total_top"), max(col("cnt")).as("max_top"))
+    val dup = gramCounts(dupN)
+      .groupBy("id")
+      .agg(sum(col("cnt")).as("total_dup"), count(lit(1)).as("distinct_dup"))
+    ids
+      .join(top, Seq("id"), "left")
+      .join(dup, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("total_top"), lit(0L)).as("n_top_grams"),
+        coalesce(col("max_top").cast("double") / col("total_top"), lit(0.0))
+          .as("top_ngram_frac"),
+        coalesce(col("total_dup"), lit(0L)).as("n_dup_grams"),
+        coalesce((col("total_dup") - col("distinct_dup")).cast("double") / col("total_dup"),
+          lit(0.0)).as("dup_ngram_frac"))
+  }
+
+  /** Benchmark-contamination scan: per document, how many of its
+    * distinct k-token shingles also occur anywhere in a benchmark
+    * corpus (the standard train/eval overlap check before training).
+    *
+    * Scale shape: both sides reduce to distinct 8-byte shingle hashes;
+    * the probe is a left-semi-join-shaped equi-join on the hash (the
+    * benchmark side is globally deduped first, so its size is bounded by
+    * its vocabulary, not its row count — dimension-sized benchmarks
+    * broadcast under AQE). Nothing ever shuffles document text. */
+  def contamination(docs: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    val docSh = Dedup.shingleHashed(docs, idCol, textCol, k)
+      .select(col("id"), explode(array_distinct(col("shh"))).as("h"))
+    val benchSh = Dedup.shingleHashed(benchmark, idCol, textCol, k)
+      .select(explode(col("shh")).as("h")).distinct()
+    val totals = docSh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val hits = docSh.join(benchSh, Seq("h"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
+    docs.select(col(idCol).as("id"))
+      .join(totals, Seq("id"), "left")
+      .join(hits, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        coalesce(col("n_contaminated").cast("double") / col("n_shingles"), lit(0.0))
+          .as("contamination_frac"))
+  }
 }

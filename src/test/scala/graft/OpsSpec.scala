@@ -387,6 +387,35 @@ class OpsSpec extends SparkSpec {
     assert(!hydrated.register(src)) // still idempotent after hydration
   }
 
+  test("repetition stats: hand-computed fractions, short-doc zeros") {
+    val docs = Seq(
+      (1L, "a b a b a"),  // bigrams ab,ba,ab,ba → total 4 max 2; trigrams aba,bab,aba → 3 total 2 distinct
+      (2L, "x y"),        // one bigram → top frac 1.0; no trigrams
+      (3L, "z")           // no bigrams, no trigrams
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(docs, "doc_id", "text", topN = 2, dupN = 3)
+      .orderBy("id").collect()
+    assert(got(0).getLong(1) === 4L && got(0).getDouble(2) === 0.5)
+    assert(got(0).getLong(3) === 3L && math.abs(got(0).getDouble(4) - 1.0 / 3) < 1e-15)
+    assert(got(1).getLong(1) === 1L && got(1).getDouble(2) === 1.0)
+    assert(got(1).getLong(3) === 0L && got(1).getDouble(4) === 0.0)
+    assert(got(2).getLong(1) === 0L && got(2).getDouble(2) === 0.0)
+  }
+
+  test("contamination: full overlap 1.0, disjoint 0, short docs 0-shingle") {
+    val bench = Seq((100L, "one two three four five six")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "one two three four five six"),   // both 5-shingles hit
+      (2L, "seven eight nine ten eleven twelve"), // disjoint
+      (3L, "too short")                      // < 5 tokens → 0 shingles
+    ).toDF("doc_id", "text")
+    val got = TextOps.contamination(docs, bench, "doc_id", "text", k = 5)
+      .orderBy("id").collect()
+    assert(got(0).getLong(1) === 2L && got(0).getLong(2) === 2L && got(0).getDouble(3) === 1.0)
+    assert(got(1).getLong(1) === 2L && got(1).getLong(2) === 0L && got(1).getDouble(3) === 0.0)
+    assert(got(2).getLong(1) === 0L && got(2).getLong(2) === 0L && got(2).getDouble(3) === 0.0)
+  }
+
   test("multimodal: decode stub features and frame sampling") {
     val docs = Seq((1L, "abcd" * 100), (2L, "")).toDF("doc_id", "text")
     val assets = Multimodal.syntheticAssets(docs, "doc_id", "text")
