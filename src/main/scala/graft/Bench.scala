@@ -19,6 +19,24 @@ object Bench {
     val selected =
       if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
       else SparkEntry.queries
+    // One untimed generic warm-up so fixed session costs (JVM/JIT,
+    // codegen compiler, shuffle + FS client init) are not attributed to
+    // whichever query sorts first. It touches no query-specific plan and
+    // caches no data — per-query numbers then measure the operator, not
+    // the session bring-up (measured ~4-5 s on the first timed query
+    // otherwise).
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val w = spark.range(100000).select(col("id"), (col("id") % 7).as("k"))
+      w.groupBy("k").count().withColumn("r",
+        row_number().over(Window.partitionBy("k").orderBy("count"))).count()
+      // parquet reader init (footer decode path); tolerate partial dirs
+      // in synthesized scale-experiment datasets
+      scala.util.Try(spark.read.parquet(s"$sfDir/region.parquet").count())
+      scala.util.Try(spark.read.parquet(s"$sfDir/documents.parquet").limit(1).count())
+      spark.catalog.clearCache()
+    }
     // sorted iteration: deterministic order round-over-round (a HashMap
     // order reshuffle moves JIT/codegen warm-up costs between queries)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
