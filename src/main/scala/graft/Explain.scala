@@ -9,8 +9,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    // first arg is the sf dir unless it names a query/smoke target
+    val isName = (s: String) => s == "stream-smoke" || SparkEntry.queries.contains(s)
+    val (sfDir, rest) = args.headOption match {
+      case Some(h) if !isName(h) => (h, args.tail.toSeq)
+      case _                     => ("/root/testdata/sf0.001", args.toSeq)
+    }
+    val names = if (rest.nonEmpty) rest else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -86,6 +86,37 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-static enrichment: join the event stream onto a (batch)
+    * dimension frame. The static side is broadcast when dimension-sized
+    * — the standard enrichment leg; no streaming state is involved, so
+    * this composes with any downstream stateful operator. Works
+    * identically on a batch `events` frame. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Watermarked stream-stream inner join: events matched to a second
+    * stream on a key within a bounded event-time range. Both sides carry
+    * watermarks and the join condition bounds right.ts to a window
+    * around left.ts — that bound is what lets the state store evict
+    * buffered rows as the watermark advances (an unbounded-time
+    * stream-stream join would accumulate state forever). */
+  def joinWithinInterval(left: DataFrame, right: DataFrame, key: String,
+                         interval: String = "15 minutes",
+                         watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key), col("ts").as("l_ts"),
+        col("event_id").as("l_event_id"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as(s"r_$key"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"), col("value").as("r_value"))
+    l.join(r,
+      col(key) === col(s"r_$key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $interval"))
+      .select(col(key), col("l_event_id"), col("r_event_id"),
+        col("l_ts"), col("r_ts"), col("l_value"), col("r_value"))
+  }
+
   /** Wire a streaming frame to a console/memory sink for smoke runs. */
   def startToMemory(df: DataFrame, queryName: String,
                     mode: OutputMode = OutputMode.Update()) =

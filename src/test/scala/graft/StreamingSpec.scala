@@ -57,6 +57,47 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static enrichment joins the broadcast dim per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((7L, "gold"), (8L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    val query = EventStream.startToMemory(
+      EventStream.enrich(input.toDF(), dim, "user_id"), "enriched",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 00:01:00"), 9, "view", 1.0)) // no dim row
+      query.processAllAvailable()
+      val rows = spark.table("enriched").orderBy("event_id").collect()
+      assert(rows(0).getAs[String]("tier") === "gold")
+      assert(rows(1).isNullAt(rows(1).fieldIndex("tier"))) // left join keeps it
+    } finally query.stop()
+  }
+
+  test("stream-stream join matches within the interval, not outside") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val joined = EventStream.joinWithinInterval(
+      clicks.toDF(), buys.toDF(), "user_id", interval = "15 minutes")
+    val query = EventStream.startToMemory(joined, "cj",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      clicks.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 00:00:00"), 8, "click", 1.0))
+      buys.addData(
+        Event(10, ts("2024-01-01 00:10:00"), 7, "buy", 9.0),  // within 15 min
+        Event(11, ts("2024-01-01 01:00:00"), 8, "buy", 5.0))  // outside
+      query.processAllAvailable()
+      val rows = spark.table("cj").collect()
+      assert(rows.length === 1)
+      assert(rows(0).getAs[Long]("user_id") === 7L)
+      assert(rows(0).getAs[Long]("r_event_id") === 10L)
+    } finally query.stop()
+  }
+
   test("sessionize accumulates per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
