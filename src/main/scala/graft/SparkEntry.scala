@@ -436,6 +436,27 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** PII scrub pass: the corpus has no native PII, so the query plants a
+    * deterministic email/phone/SSN per document, counts the spans, and
+    * redacts them. The oracle applies the SAME regexes (generated from
+    * [[TextOps.piiPatterns]]) in the same order — plain character-class
+    * patterns that mean the same thing in Java regex and RE2. */
+  def qPiiRedact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 555-123-4567 ssn 123-45-6789")).as("text"))
+      .select(col("doc_id"),
+        TextOps.piiCount(col("text")).as("n_pii"),
+        TextOps.redactPii(col("text")).as("redacted"))
+      .orderBy("doc_id")
+
+  /** Unigram-rarity score (surprisal proxy) of every document against
+    * the corpus unigram distribution. */
+  def qRarity(spark: SparkSession, dir: String): DataFrame =
+    TextOps.unigramRarity(t(spark, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** The end-use composition: training-corpus filtering — keep documents
     * above a quality floor with enough tokens, project the features a
     * downstream tokenizer run would consume. Filter + narrow projection;
@@ -733,6 +754,8 @@ object SparkEntry {
     "q_ngram_freq"       -> qNgramFreq,
     "q_repetition"       -> qRepetition,
     "q_contamination"    -> qContamination,
+    "q_pii_redact"       -> qPiiRedact,
+    "q_rarity"           -> qRarity,
     "q_corpus_filter"    -> qCorpusFilter,
     "q_corpus_clean"     -> qCorpusClean,
     "q_fingerprint"      -> qFingerprint,
@@ -1049,6 +1072,36 @@ object SparkEntry {
         |  coalesce(n_contaminated::DOUBLE / n_shingles, 0.0) AS contamination_frac
         |FROM toks t LEFT JOIN totals USING (id) LEFT JOIN hits USING (id)
         |WHERE t.id % 50 <> 0
+        |ORDER BY doc_id""".stripMargin,
+    "q_pii_redact" -> {
+      val Seq((email, emailR), (ssn, ssnR), (phone, phoneR)) = TextOps.piiPatterns
+      s"""WITH p AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |  '@example.com or 555-123-4567 ssn 123-45-6789' AS text FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email'))
+         |     + len(regexp_extract_all(text, '$ssn'))
+         |     + len(regexp_extract_all(text, '$phone')) AS INTEGER) AS n_pii,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$email', '$emailR', 'g'), '$ssn', '$ssnR', 'g'),
+         |    '$phone', '$phoneR', 'g') AS redacted
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+    "q_rarity" ->
+      """WITH toks AS (SELECT doc_id AS id,
+        |         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                x -> x <> '')) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS corpus_total FROM freq),
+        |scored AS (SELECT id, corpus_total::DOUBLE / freq::DOUBLE AS rarity
+        |           FROM toks JOIN freq USING (tok) CROSS JOIN tot),
+        |agg AS (SELECT id, count(*) AS n_tokens,
+        |        CAST(sum(CAST(rarity AS DECIMAL(28,10))) AS DOUBLE)
+        |          / count(*)::DOUBLE AS avg_rarity
+        |        FROM scored GROUP BY id)
+        |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+        |       coalesce(avg_rarity, 0.0) AS avg_rarity
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.id
         |ORDER BY doc_id""".stripMargin,
     "q_corpus_filter" -> {
       val sw = stopwordsSqlList

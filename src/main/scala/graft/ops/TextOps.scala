@@ -133,6 +133,63 @@ object TextOps {
           lit(0.0)).as("dup_ngram_frac"))
   }
 
+  /** PII patterns shared by [[redactPii]] and the oracle SQL — plain
+    * character-class regexes that mean the same thing in Java regex
+    * (Spark) and RE2 (DuckDB). Order matters only for overlapping
+    * shapes; these are disjoint. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b" -> "<SSN>",
+    "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b" -> "<PHONE>")
+
+  /** PII redaction: replace email / SSN-shaped / phone-shaped spans with
+    * typed placeholders. A narrow codegen'd regexp_replace chain — no
+    * shuffle, linear scan, the standard pre-training scrub pass. */
+  def redactPii(textCol: Column): Column =
+    piiPatterns.foldLeft(textCol) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Count of PII spans a redaction pass would replace. */
+  def piiCount(textCol: Column): Column =
+    piiPatterns.map { case (pat, _) => regexp_count(textCol, lit(pat)) }
+      .reduce(_ + _)
+
+  /** Unigram-rarity quality score: mean reciprocal unigram probability
+    * of a document's tokens against the corpus unigram distribution —
+    * the surprisal-proxy used to flag gibberish (high rarity) and
+    * boilerplate (low rarity). Reciprocal probability (corpus_total /
+    * token_freq) is used instead of log-surprisal deliberately: a single
+    * IEEE division is bit-identical across engines, while libm log
+    * implementations differ in the last ulp and would break exact oracle
+    * comparison. Per-doc means go through DECIMAL(28,10) partial sums so
+    * results are partition-order-independent.
+    *
+    * Scale shape: one aggregate builds the vocabulary-sized frequency
+    * table; the probe is an equi-join on the token (broadcast when the
+    * vocabulary is dimension-sized — AQE decides); one hash aggregate
+    * per document closes it. Nothing quadratic, no driver loops. */
+  def unigramRarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+    val total = freq.agg(sum(col("freq")).as("corpus_total"))
+    val scored = toks.join(freq, Seq("tok")).crossJoin(total)
+      .select(col("id"),
+        (col("corpus_total").cast("double") / col("freq").cast("double")).as("rarity"))
+    df.select(col(idCol).as("id"))
+      .join(
+        scored.groupBy("id").agg(
+          count(lit(1)).as("n_tokens"),
+          (sum(col("rarity").cast("decimal(28,10)")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_rarity")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("avg_rarity"), lit(0.0)).as("avg_rarity"))
+  }
+
   /** Benchmark-contamination scan: per document, how many of its
     * distinct k-token shingles also occur anywhere in a benchmark
     * corpus (the standard train/eval overlap check before training).

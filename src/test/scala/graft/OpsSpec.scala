@@ -416,6 +416,29 @@ class OpsSpec extends SparkSpec {
     assert(got(2).getLong(1) === 0L && got(2).getLong(2) === 0L && got(2).getDouble(3) === 0.0)
   }
 
+  test("pii redaction: typed placeholders, count on clean text is 0") {
+    val df = Seq(
+      (1L, "mail a@b.co call 555-123-4567 ssn 123-45-6789"),
+      (2L, "no pii here 12345")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextOps.piiCount(col("text")).as("n"),
+      TextOps.redactPii(col("text")).as("r")).orderBy("doc_id").collect()
+    assert(got(0).getInt(1) === 3)
+    assert(got(0).getString(2) === "mail <EMAIL> call <PHONE> ssn <SSN>")
+    assert(got(1).getInt(1) === 0)
+    assert(got(1).getString(2) === "no pii here 12345")
+  }
+
+  test("unigram rarity: hand-computed means, empty doc zero") {
+    val df = Seq((1L, "a a a"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    // freq: a=4, b=1, total=5 → rarity a=1.25, b=5
+    val got = TextOps.unigramRarity(df, "doc_id", "text").orderBy("id").collect()
+    assert(got(0).getLong(1) === 3L && got(0).getDouble(2) === 1.25)
+    assert(got(1).getLong(1) === 2L && got(1).getDouble(2) === 3.125)
+    assert(got(2).getLong(1) === 0L && got(2).getDouble(2) === 0.0)
+  }
+
   test("multimodal: decode stub features and frame sampling") {
     val docs = Seq((1L, "abcd" * 100), (2L, "")).toDF("doc_id", "text")
     val assets = Multimodal.syntheticAssets(docs, "doc_id", "text")
