@@ -457,6 +457,21 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Training-data mix: epoch-weighted language proportions (2 epochs of
+    * de, 1.3 of en, 1 of es, half of fr, zh dropped) via the
+    * deterministic bucket — the corpus-assembly step before
+    * tokenization. The oracle replays the identical integer
+    * arithmetic. */
+  def qDataMix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Mix
+    Mix.weightedMix(
+      t(spark, dir, "documents").select("doc_id", "lang", "source"),
+      "lang",
+      Map("en" -> 1.3, "de" -> 2.0, "fr" -> 0.5, "es" -> 1.0),
+      key = col("doc_id"))
+      .orderBy("doc_id", "epoch")
+  }
+
   /** The end-use composition: training-corpus filtering — keep documents
     * above a quality floor with enough tokens, project the features a
     * downstream tokenizer run would consume. Filter + narrow projection;
@@ -756,6 +771,7 @@ object SparkEntry {
     "q_contamination"    -> qContamination,
     "q_pii_redact"       -> qPiiRedact,
     "q_rarity"           -> qRarity,
+    "q_data_mix"         -> qDataMix,
     "q_corpus_filter"    -> qCorpusFilter,
     "q_corpus_clean"     -> qCorpusClean,
     "q_fingerprint"      -> qFingerprint,
@@ -1073,6 +1089,20 @@ object SparkEntry {
         |FROM toks t LEFT JOIN totals USING (id) LEFT JOIN hits USING (id)
         |WHERE t.id % 50 <> 0
         |ORDER BY doc_id""".stripMargin,
+    "q_data_mix" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, source,
+        |    CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2
+        |              WHEN 'fr' THEN 0 WHEN 'es' THEN 1 ELSE 0 END AS full_e,
+        |    CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 0
+        |              WHEN 'fr' THEN 500 WHEN 'es' THEN 0 ELSE 0 END AS frac_pm,
+        |    (doc_id % 1000003) * 2654435761 % 1000 AS b
+        |  FROM documents),
+        |n AS (SELECT doc_id, lang, source,
+        |        full_e + CASE WHEN b < frac_pm THEN 1 ELSE 0 END AS n_e FROM w)
+        |SELECT doc_id, lang, source, CAST(e.epoch AS BIGINT) AS epoch
+        |FROM n, unnest(range(1, n_e + 1)) AS e(epoch)
+        |ORDER BY doc_id, epoch""".stripMargin,
     "q_pii_redact" -> {
       val Seq((email, emailR), (ssn, ssnR), (phone, phoneR)) = TextOps.piiPatterns
       s"""WITH p AS (SELECT doc_id,

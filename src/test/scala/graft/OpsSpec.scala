@@ -439,6 +439,29 @@ class OpsSpec extends SparkSpec {
     assert(got(2).getLong(1) === 0L && got(2).getDouble(2) === 0.0)
   }
 
+  test("mix: stratified sample fractions and epoch-weighted fan-out") {
+    import graft.ops.Mix
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "s")
+    // stratum a at 30%, b dropped
+    val sampled = Mix.stratifiedSample(df, "s", Map("a" -> 300), col("id"))
+      .groupBy("s").count().collect()
+    assert(sampled.length === 1 && sampled(0).getString(0) === "a")
+    val aKept = sampled(0).getLong(1)
+    assert(aKept > 100 && aKept < 200, s"~30% of 500 expected, got $aKept")
+    // weights: a -> 2.5 (2 full epochs + ~50%), b -> 0 (dropped)
+    val mixed = Mix.weightedMix(df, "s", Map("a" -> 2.5), col("id"))
+    val perEpoch = mixed.groupBy("epoch").count().orderBy("epoch").collect()
+    assert(perEpoch.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(perEpoch(0).getLong(1) === 500L && perEpoch(1).getLong(1) === 500L)
+    val e3 = perEpoch(2).getLong(1)
+    assert(e3 > 175 && e3 < 325, s"~50% of 500 expected in epoch 3, got $e3")
+    // determinism: same bucket decides sample membership and epoch 3
+    val again = Mix.weightedMix(df, "s", Map("a" -> 2.5), col("id"))
+      .groupBy("epoch").count().orderBy("epoch").collect()
+    assert(again(2).getLong(1) === e3)
+  }
+
   test("multimodal: decode stub features and frame sampling") {
     val docs = Seq((1L, "abcd" * 100), (2L, "")).toDF("doc_id", "text")
     val assets = Multimodal.syntheticAssets(docs, "doc_id", "text")
