@@ -457,6 +457,28 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** SCD2 dimension merge: customer snapshot initialized at 2026-01-01,
+    * then an update batch (every 3rd key re-segmented, every 5th key's
+    * balance shifted) merged at 2026-06-01 — changed keys close their
+    * first version and open a second; untouched keys keep one open row.
+    * The oracle derives the same three row groups set-wise. */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.gold.Scd2
+    val snap = t(spark, dir, "customer").select(
+      col("c_custkey"), col("c_mktsegment"),
+      col("c_acctbal").cast("double").as("acctbal"))
+    val state0 = Scd2.init(snap, "2026-01-01")
+    val updates = snap.select(
+      col("c_custkey"),
+      when(col("c_custkey") % 3 === 0, lit("MOVED"))
+        .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+      when(col("c_custkey") % 5 === 0, col("acctbal") + 100.0)
+        .otherwise(col("acctbal")).as("acctbal"))
+    Scd2.merge(state0, updates, "c_custkey",
+      Seq("c_mktsegment", "acctbal"), "2026-06-01")
+      .orderBy("c_custkey", "valid_from")
+  }
+
   /** Training-data mix: epoch-weighted language proportions (2 epochs of
     * de, 1.3 of en, 1 of es, half of fr, zh dropped) via the
     * deterministic bucket — the corpus-assembly step before
@@ -772,6 +794,7 @@ object SparkEntry {
     "q_pii_redact"       -> qPiiRedact,
     "q_rarity"           -> qRarity,
     "q_data_mix"         -> qDataMix,
+    "q_scd2"             -> qScd2,
     "q_corpus_filter"    -> qCorpusFilter,
     "q_corpus_clean"     -> qCorpusClean,
     "q_fingerprint"      -> qFingerprint,
@@ -1089,6 +1112,25 @@ object SparkEntry {
         |FROM toks t LEFT JOIN totals USING (id) LEFT JOIN hits USING (id)
         |WHERE t.id % 50 <> 0
         |ORDER BY doc_id""".stripMargin,
+    "q_scd2" ->
+      """WITH snap AS (SELECT c_custkey, c_mktsegment,
+        |                     CAST(c_acctbal AS DOUBLE) AS acctbal FROM customer),
+        |changed AS (SELECT * FROM snap WHERE c_custkey % 3 = 0 OR c_custkey % 5 = 0)
+        |SELECT c_custkey, c_mktsegment, acctbal,
+        |       DATE '2026-01-01' AS valid_from, DATE '2026-06-01' AS valid_to,
+        |       false AS is_current
+        |FROM changed
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, acctbal,
+        |       DATE '2026-01-01', DATE '9999-12-31', true
+        |FROM snap WHERE c_custkey % 3 <> 0 AND c_custkey % 5 <> 0
+        |UNION ALL
+        |SELECT c_custkey,
+        |       CASE WHEN c_custkey % 3 = 0 THEN 'MOVED' ELSE c_mktsegment END,
+        |       CASE WHEN c_custkey % 5 = 0 THEN acctbal + 100.0 ELSE acctbal END,
+        |       DATE '2026-06-01', DATE '9999-12-31', true
+        |FROM changed
+        |ORDER BY c_custkey, valid_from""".stripMargin,
     "q_data_mix" ->
       """WITH w AS (
         |  SELECT doc_id, lang, source,

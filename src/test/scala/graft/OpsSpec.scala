@@ -462,6 +462,32 @@ class OpsSpec extends SparkSpec {
     assert(again(2).getLong(1) === e3)
   }
 
+  test("scd2: change closes+reopens, new key appends, history untouched, as-of") {
+    import graft.gold.Scd2
+    val s0 = Scd2.init(Seq((1L, "x"), (2L, "y")).toDF("k", "attr"), "2026-01-01")
+    // batch 1: key 1 changes, key 3 is new, key 2 silent
+    val s1 = Scd2.merge(s0, Seq((1L, "x2"), (3L, "z")).toDF("k", "attr"),
+      "k", Seq("attr"), "2026-02-01")
+    val rows1 = s1.orderBy("k", "valid_from").collect()
+    assert(rows1.length === 4)
+    assert(rows1(0).getString(1) === "x" && !rows1(0).getBoolean(4)
+      && rows1(0).getDate(3).toString === "2026-02-01")      // closed v1
+    assert(rows1(1).getString(1) === "x2" && rows1(1).getBoolean(4)) // new v2
+    assert(rows1(2).getString(1) === "y" && rows1(2).getBoolean(4))  // untouched
+    assert(rows1(3).getString(1) === "z" && rows1(3).getBoolean(4)
+      && rows1(3).getDate(2).toString === "2026-02-01")      // fresh key
+    // batch 2: resubmitting identical values is a no-op; history rows survive
+    val s2 = Scd2.merge(s1, Seq((1L, "x2"), (2L, "y")).toDF("k", "attr"),
+      "k", Seq("attr"), "2026-03-01")
+    assert(s2.count() === 4)
+    assert(s2.where(!col("is_current")).count() === 1)
+    // point-in-time: january sees v1 of key 1, february sees v2
+    assert(Scd2.asOf(s2, "2026-01-15").where(col("k") === 1)
+      .collect()(0).getString(1) === "x")
+    assert(Scd2.asOf(s2, "2026-02-15").where(col("k") === 1)
+      .collect()(0).getString(1) === "x2")
+  }
+
   test("multimodal: decode stub features and frame sampling") {
     val docs = Seq((1L, "abcd" * 100), (2L, "")).toDF("doc_id", "text")
     val assets = Multimodal.syntheticAssets(docs, "doc_id", "text")
