@@ -515,9 +515,18 @@ object SparkEntry {
     * frame checkpoints to parquet instead of pinning an executor cache. */
   def qCorpusClean(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.CorpusPipeline
+    // checkpoint path is unique per (process, input dir): concurrent
+    // graft processes (a Verify while a Bench scale run is up) must not
+    // clobber or cross-read each other's survivor sets. NB: choosing the
+    // materializeDir path makes query CONSTRUCTION run the upstream
+    // write job — Explain on this query audits only the downstream plan.
+    val tag = java.lang.Long.toHexString(
+      java.util.UUID.nameUUIDFromBytes(dir.getBytes).getMostSignificantBits)
+    val pid = ProcessHandle.current().pid()
     val (cleaned, _) = CorpusPipeline.clean(t(spark, dir, "documents"),
       minQuality = 0.3, minTokens = 10, nearThreshold = 0.9,
-      materializeDir = Some(sys.props("java.io.tmpdir") + "/graft-corpus-clean"))
+      materializeDir = Some(
+        sys.props("java.io.tmpdir") + s"/graft-corpus-clean-$tag-$pid"))
     cleaned.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
   }
 

@@ -36,9 +36,23 @@ object Scd2 {
       .withColumn("is_current", lit(true))
 
   /** Apply one update batch. `tracked` are the change-detected attribute
-    * columns; `updates` must carry the natural key + tracked columns. */
+    * columns; `updates` must carry the natural key + tracked columns and
+    * ONE row per key — a multi-row key (e.g. a CDC batch spanning two
+    * change events) would fan the current row out into duplicate closed
+    * copies and open multiple current versions. That precondition is
+    * checked with one aggregate on the update batch (dimension-sized by
+    * definition); pass `assumeUniqueKeys = true` to skip the action when
+    * the caller has already deduplicated (e.g. via
+    * [[graft.ops.Dedup.firstPerKey]] on event time). */
   def merge(state: DataFrame, updates: DataFrame, naturalKey: String,
-            tracked: Seq[String], effectiveDate: String): DataFrame = {
+            tracked: Seq[String], effectiveDate: String,
+            assumeUniqueKeys: Boolean = false): DataFrame = {
+    if (!assumeUniqueKeys) {
+      val dups = updates.groupBy(col(naturalKey)).count()
+        .where(col("count") > 1).limit(1).collect()
+      require(dups.isEmpty,
+        s"update batch has multiple rows for $naturalKey=${dups.head.get(0)}")
+    }
     // the state schema is exactly key + tracked + SCD bookkeeping;
     // surrogate keys and derived attributes belong downstream of the
     // merge (they would be unassignable for fresh versions here)

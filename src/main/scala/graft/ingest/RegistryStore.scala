@@ -44,10 +44,17 @@ object RegistryStore {
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
   }
 
+  /** Write-temp-then-atomic-rename: a reader never observes a torn file
+    * and a crash mid-write leaves the previous config intact. (Two
+    * WRITERS racing still last-write-wins — same as the reference's
+    * yaml.dump; serialize integrations externally if that matters.) */
   def save(path: String, config: RegistryConfig): Unit = {
     val p: Path = Paths.get(path)
     Option(p.getParent).foreach(Files.createDirectories(_))
-    Files.write(p, Serialization.writePretty(config).getBytes(StandardCharsets.UTF_8))
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.write(tmp, Serialization.writePretty(config).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Default tests registered for every integrated dataset — not_null on

@@ -54,17 +54,23 @@ object CorpusPipeline {
     }
 
     // 3. near-dedup — MinHash/LSH candidates, drop the higher id of
-    // every surviving near-dup pair
+    // every surviving near-dup pair. The drop-id set is cached (it is
+    // tiny: bare ids of dropped docs) so the expensive LSH stage runs
+    // once even when the stats count AND the caller's action both
+    // consume the anti-join.
     val nearPairs = Dedup.minhashNearDups(exact, idCol, textCol,
       shingleK = shingleK, threshold = nearThreshold)
-    val dropIds = nearPairs.select(col("id_b").as(idCol)).distinct()
+    val dropIds = nearPairs.select(col("id_b").as(idCol)).distinct().cache()
     val cleaned = exact.join(dropIds, Seq(idCol), "left_anti")
 
     val stats =
-      if (collectStats)
+      if (collectStats) {
+        // survivors = exact − dropped: ids are unique per row, so the
+        // anti-join count is derivable without executing the join
+        val afterExact = exact.count()
         Some(CleanStats(docs.count(), qualified.count(),
-          exact.count(), cleaned.count()))
-      else None
+          afterExact, afterExact - dropIds.count()))
+      } else None
     (cleaned, stats)
   }
 }

@@ -156,8 +156,16 @@ object Dedup {
     * < 2^41, so partial sums stay far below Long.MaxValue (ANSI-mode
     * overflow-safe). The ±1 vote sign is recovered as
     * `2*ones > n_tokens` — identical semantics to the vote-sum form
-    * (asserted against it in the spec). */
-  val SimhashMaxTokens = 65535
+    * (asserted against it in the spec).
+    *
+    * SEMANTIC CAP: the signature is computed over the first
+    * [[SimhashMaxTokens]] (1M) whitespace tokens — the 20-bit lane
+    * counters require a bound, and a million tokens of prefix is
+    * overwhelming evidence for a sign-vote sketch anyway. Two documents
+    * differing only beyond the cap hash identical (hamming 0); the cap
+    * is asserted in the spec, and any change to it shifts near-dup
+    * pair sets for over-cap corpora. */
+  val SimhashMaxTokens = 1000000
 
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val LanesPerWord = 3

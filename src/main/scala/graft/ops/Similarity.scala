@@ -111,9 +111,12 @@ object Similarity {
       .where(col("corpus_id") =!= col("query_id"))
       .select("query_id", "corpus_id")
       .dropDuplicates()
+    // no broadcast hint: probe-sized query sets broadcast via AQE stats
+    // anyway, and a corpus-vs-corpus caller with a huge query side must
+    // not be forced through an 8 GB broadcast
     val scored = pairs
       .join(c.withColumn("cn", norm(col("cv"))), Seq("corpus_id"))
-      .join(broadcast(q.withColumn("qn", norm(col("qv")))), Seq("query_id"))
+      .join(q.withColumn("qn", norm(col("qv"))), Seq("query_id"))
       .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -207,8 +210,13 @@ object Similarity {
     * before the threshold filter.
     *
     * numPlanes = 0 (the default) derives the plane count from the corpus
-    * size — ceil(log2(n/64)), i.e. buckets sized ~64 vectors — via one
-    * metadata-cheap count on the cached projection. This is what keeps
+    * size via one count — a column-pruned scan that runs EAGERLY at
+    * DataFrame-construction time and primes the cache the operator needs
+    * anyway (pass numPlanes > 0 to keep construction lazy, e.g. for plan
+    * inspection). The cache backs the returned frame, so the operator
+    * cannot unpersist it; callers running many queries in one session
+    * should `spark.catalog.clearCache()` between them (Bench does).
+    * Sizing planes from the corpus is what keeps
     * candidate volume (∝ n²/2^planes per table) LINEAR in the corpus:
     * a fixed plane count measured 562 s on a 10× corpus (bucket
     * occupancy ×10 → pair volume ×100) vs ~60 s with occupancy held
@@ -229,7 +237,7 @@ object Similarity {
     val planes =
       if (numPlanes > 0) numPlanes
       else {
-        val n = vecs.count() // metadata-cheap: first action also primes the cache
+        val n = vecs.count() // eager column-pruned scan; primes the cache
         math.max(4, math.ceil(math.log(math.max(n, 1L).toDouble / 64.0) / math.log(2.0)).toInt)
       }
     val buckets = vecs.select(col("vid"),

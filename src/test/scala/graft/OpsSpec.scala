@@ -97,6 +97,22 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("simhash: signature is computed over the first SimhashMaxTokens tokens") {
+    val cap = Dedup.SimhashMaxTokens
+    val prefix = (0 until cap).map(i => s"w${i % 57}").mkString(" ")
+    val docs = Seq(
+      (1L, prefix + " tail alpha beta gamma"),
+      (2L, prefix + " completely different ending tokens here"),
+      // different VOCABULARY, not just different length — simhash is a
+      // distribution sketch, so a same-distribution prefix would match
+      (3L, (0 until 1000).map(i => s"z${i % 13}").mkString(" "))
+    ).toDF("doc_id", "text")
+    val sh = Dedup.simhash(docs, "doc_id", "text").orderBy("id").collect()
+    assert(sh(0).getLong(1) === sh(1).getLong(1),
+      "docs differing only beyond the cap must hash identical")
+    assert(sh(0).getLong(1) !== sh(2).getLong(1))
+  }
+
   test("cosine: orthogonal 0, identical 1") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(2.0f, 0.0f))
