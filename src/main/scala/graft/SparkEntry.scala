@@ -457,6 +457,23 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Transitive dedup-group resolution: connected components over the
+    * n-gram Jaccard near-dup pairs (same parameters as
+    * `q_ngram_jaccard`, whose pair set is oracle-verified) — every
+    * document labeled with the min doc id of its duplicate group. The
+    * oracle computes the same closure with a recursive CTE. */
+  def qDedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 5, threshold = 0.2, dfCap = 50)
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    docs.select(col("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"))
+      .orderBy("doc_id")
+  }
+
   /** SCD2 dimension merge: customer snapshot initialized at 2026-01-01,
     * then an update batch (every 3rd key re-segmented, every 5th key's
     * balance shifted) merged at 2026-06-01 — changed keys close their
@@ -804,6 +821,7 @@ object SparkEntry {
     "q_rarity"           -> qRarity,
     "q_data_mix"         -> qDataMix,
     "q_scd2"             -> qScd2,
+    "q_dedup_groups"     -> qDedupGroups,
     "q_corpus_filter"    -> qCorpusFilter,
     "q_corpus_clean"     -> qCorpusClean,
     "q_fingerprint"      -> qFingerprint,
@@ -1121,6 +1139,31 @@ object SparkEntry {
         |FROM toks t LEFT JOIN totals USING (id) LEFT JOIN hits USING (id)
         |WHERE t.id % 50 <> 0
         |ORDER BY doc_id""".stripMargin,
+    "q_dedup_groups" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t
+        |         FROM documents),
+        |sh0 AS (SELECT id, unnest(CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+        |          ELSE list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |               i -> array_to_string(t[i:i+4], ' '))) END) AS s FROM toks),
+        |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 50),
+        |sh AS (SELECT id, s FROM sh0 JOIN rare USING (s)),
+        |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        |inter AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS i
+        |          FROM sh x JOIN sh y USING (s) WHERE x.id < y.id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b
+        |          FROM inter JOIN sizes a ON inter.id_a = a.id
+        |                     JOIN sizes b ON inter.id_b = b.id
+        |          WHERE i::DOUBLE / (a.sz + b.sz - i) >= 0.2),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |walk AS (SELECT src AS id, dst AS reach FROM edges
+        |         UNION
+        |         SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+        |comp AS (SELECT id, least(id, min(reach)) AS group_id FROM walk GROUP BY id)
+        |SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_scd2" ->
       """WITH snap AS (SELECT c_custkey, c_mktsegment,
         |                     CAST(c_acctbal AS DOUBLE) AS acctbal FROM customer),

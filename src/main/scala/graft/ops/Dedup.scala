@@ -218,6 +218,67 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Connected components of a near-dup pair graph: every document gets
+    * the minimum doc id of its transitive duplicate group — the full
+    * group resolution that the greedy pair-drop in
+    * [[CorpusPipeline.clean]] approximates (greedy can split a chain
+    * a~b~c into two survivors; components never do).
+    *
+    * Min-label propagation: each round, every node takes the min of its
+    * own label and its neighbors' labels; fixpoint in ≤ diameter rounds
+    * (near-dup groups are shallow — boilerplate families, not long
+    * chains). An iterative algorithm needs driver-controlled looping;
+    * each round is one equi-join + hash aggregate, labels are bare
+    * (id, label) longs, and the per-round convergence check counts
+    * changed labels. Throws if `maxIters` rounds don't converge —
+    * a silent partial fixpoint would mislabel groups. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 20): DataFrame = {
+    // both edge directions from ONE pass over the pair lineage (a
+    // two-branch union would re-run the upstream pair generation twice —
+    // the plan-branch recompute trap), then cached for the loop. No
+    // distinct: duplicate edges cannot change a min-aggregation, so the
+    // dedup shuffle would buy nothing.
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .cache()
+    // init already folds one propagation round in: label = min(id,
+    // direct neighbors) — one fewer loop iteration for the same fixpoint
+    var labels = edges.groupBy("src").agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("id"), least(col("src"), col("nmin")).as("label"))
+      .cache()
+    // the cached frame BACKING labels (labels itself may be a projection
+    // over it — unpersist must hit the cached plan, not a derivation)
+    var backing = labels
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("dlabel")).as("nmin"))
+      // carry the previous label through the join so materializing the
+      // new labels and counting changes is ONE action per round
+      val step = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("_old"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      val changed = step.where(col("label") =!= col("_old")).count()
+      backing.unpersist()
+      backing = step
+      labels = step.select("id", "label")
+      converged = changed == 0
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(s"not converged after $maxIters rounds")
+    edges.unpersist()
+    labels.withColumnRenamed("label", "group_id")
+  }
+
   /** Exact n-gram Jaccard near-dup pairs, document-frequency-capped.
     *
     * Shingles are hashed to longs ([[shingleHashed]]); shingles appearing

@@ -113,6 +113,21 @@ class OpsSpec extends SparkSpec {
     assert(sh(0).getLong(1) !== sh(2).getLong(1))
   }
 
+  test("connected components: chains merge, singletons absent, greedy would split") {
+    // chain 1-2, 2-3, plus isolated pair 10-11: components {1,2,3} and {10,11}.
+    // greedy higher-id drop on pairs (1,2),(2,3) would drop 2 and 3 — but a
+    // pair list missing (1,3) still must put 3 in group 1 transitively.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+    // non-trivial topology: a 4-long path needs multiple propagation rounds
+    val path = Seq((7L, 6L), (6L, 5L), (5L, 4L), (9L, 8L), (8L, 7L)).toDF("id_a", "id_b")
+    val got2 = Dedup.connectedComponents(path, "id_a", "id_b")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got2.forall(_._2 === 4L) && got2.length === 6)
+  }
+
   test("cosine: orthogonal 0, identical 1") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(2.0f, 0.0f))
