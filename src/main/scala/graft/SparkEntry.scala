@@ -605,6 +605,20 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** Skew-salted join at whale-key scale: orders (big, salted by order
+    * key) joined to customer (small, replicated per salt). The oracle is
+    * the PLAIN join — salting must be invisible in the result. */
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Skew
+    val big = t(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey").as("custkey"),
+      col("o_totalprice").cast("double").as("totalprice"))
+    val small = t(spark, dir, "customer").select(
+      col("c_custkey").as("custkey"), col("c_mktsegment"))
+    Skew.saltedJoin(big, small, "custkey", saltBuckets = 8, saltBy = col("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
   /** Embedding near-dup pairs above cosine 0.9 via LSH buckets. The
     * synthetic corpus has no native near-dups (max pairwise cosine
     * ≈ 0.48), so the query plants one per vector — a copy with 5% of
@@ -829,6 +843,7 @@ object SparkEntry {
     "q_ann_lsh"          -> qAnnLsh,
     "q_ivf_topk"         -> qIvfTopK,
     "q_salted_agg"       -> qSaltedAgg,
+    "q_salted_join"      -> qSaltedJoin,
     "q_embedding_stats"  -> qEmbeddingStats,
     "q_cosine_near_dups" -> qCosineNearDups,
     "q_multimodal_meta"  -> qMultimodalMeta,
@@ -1139,6 +1154,11 @@ object SparkEntry {
         |FROM toks t LEFT JOIN totals USING (id) LEFT JOIN hits USING (id)
         |WHERE t.id % 50 <> 0
         |ORDER BY doc_id""".stripMargin,
+    "q_salted_join" ->
+      """SELECT c.c_custkey AS custkey, o.o_orderkey,
+        |       CAST(o.o_totalprice AS DOUBLE) AS totalprice, c.c_mktsegment
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "q_dedup_groups" ->
       """WITH RECURSIVE
         |toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t

@@ -22,6 +22,23 @@ object Skew {
     * (count(*), sum(partial)); a sum is (sum(x), sum(partial)); an avg
     * must ship (sum, count) partials and divide after phase 2.
     */
+  /** Salted join for a skewed BIG side: big rows get a deterministic
+    * salt (hash of a high-cardinality tiebreaker mod `saltBuckets`), the
+    * small side replicates once per salt value, and the join runs equi
+    * on (key, salt) — a whale key's rows spread over `saltBuckets`
+    * tasks. The result provably equals the unsalted join (the oracle for
+    * `q_salted_join` IS the plain join). Use when a single key exceeds
+    * one task even after AQE skew-splitting, or where AQE isn't
+    * available (streaming micro-batch joins); the cost is shuffling
+    * `saltBuckets` copies of the small side. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltBuckets: Int, saltBy: Column): DataFrame = {
+    val b = big.withColumn("_salt", pmod(xxhash64(saltBy), lit(saltBuckets.toLong)))
+    val s = small.withColumn("_salt",
+      explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
+    b.join(s, Seq(key, "_salt")).drop("_salt")
+  }
+
   def saltedAggregate(df: DataFrame, keys: Seq[String], saltBy: Column,
                       saltBuckets: Int,
                       partials: Seq[(String, Column, Column => Column)]): DataFrame = {

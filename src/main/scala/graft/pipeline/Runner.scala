@@ -32,6 +32,15 @@ object Runner {
     * Requires a catalog (saveAsTable), unlike the path-based modes. */
   final case class BucketedTable(bucketCols: Seq[String], numBuckets: Int)
     extends Materialization
+  /** Incremental partitioned table (dbt incremental-model analogue):
+    * dynamic partition overwrite replaces ONLY the partitions present in
+    * this run's batch and leaves the rest of the table untouched — how a
+    * 100 TB fact absorbs a daily batch without rewriting history. The
+    * model's build should emit just the affected partitions (e.g. the
+    * current load window); a full-refresh rebuild is the plain
+    * [[PartitionedTable]]. */
+  final case class IncrementalTable(partitionCols: Seq[String])
+    extends Materialization
 
   /** One model: name, upstream model names, transform over the resolved
     * upstream frames, materialization, quality checks. */
@@ -93,6 +102,14 @@ object Runner {
         case PartitionedTable(cols) =>
           val path = s"$warehouseDir/${m.name}"
           df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+          val back = spark.read.parquet(path)
+          back.createOrReplaceTempView(m.name)
+          back
+        case IncrementalTable(cols) =>
+          val path = s"$warehouseDir/${m.name}"
+          df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(cols: _*).parquet(path)
           val back = spark.read.parquet(path)
           back.createOrReplaceTempView(m.name)
           back

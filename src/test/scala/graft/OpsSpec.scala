@@ -519,6 +519,32 @@ class OpsSpec extends SparkSpec {
       .collect()(0).getString(1) === "x2")
   }
 
+  test("salted join equals plain join; incremental table overwrites only its partitions") {
+    import graft.ops.Skew
+    import graft.pipeline.Runner
+    val big = (1L to 200L).map(i => (i, i % 3, s"v$i")).toDF("id", "k", "payload")
+    val small = Seq((0L, "zero"), (1L, "one"), (2L, "two")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    val salted = Skew.saltedJoin(big, small, "k", saltBuckets = 4, saltBy = col("id"))
+      .select("k", "id", "payload", "name").orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    assert(salted === plain)
+    // incremental materialization: second run touches only partition p=2,3
+    val wh = java.nio.file.Files.createTempDirectory("graft-inc").toString
+    def model(df: org.apache.spark.sql.DataFrame) = Seq(Runner.Model(
+      "inc_fact", Seq("src"), m => m("src"),
+      Runner.IncrementalTable(Seq("p"))))
+    val b1 = Seq((1L, 1, "a"), (2L, 2, "b")).toDF("id", "p", "v")
+    Runner.run(spark, Map("src" -> b1), model(b1), wh)
+    val b2 = Seq((3L, 2, "b2"), (4L, 3, "c")).toDF("id", "p", "v")
+    Runner.run(spark, Map("src" -> b2), model(b2), wh)
+    val got = spark.read.parquet(s"$wh/inc_fact")
+      .select("id", "p", "v").orderBy("id").collect().map(_.toSeq).toSeq
+    // p=1 survives run 1; p=2 fully replaced by run 2; p=3 appended
+    assert(got === Seq(Seq(1L, 1, "a"), Seq(3L, 2, "b2"), Seq(4L, 3, "c")))
+  }
+
   test("multimodal: decode stub features and frame sampling") {
     val docs = Seq((1L, "abcd" * 100), (2L, "")).toDF("doc_id", "text")
     val assets = Multimodal.syntheticAssets(docs, "doc_id", "text")
