@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.StructType
 object DwhSmoke {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.optimizer.excludedRules", EngineConf.ExcludedOptimizerRules)
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -17,6 +17,7 @@ object Explain {
     }
     val names = if (rest.nonEmpty) rest else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.optimizer.excludedRules", EngineConf.ExcludedOptimizerRules)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

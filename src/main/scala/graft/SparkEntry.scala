@@ -525,6 +525,41 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The flagship end-to-end training-corpus assembly, composed entirely
+    * from oracle-mirrorable stages (unlike `q_corpus_clean`, whose
+    * MinHash stage has no SQL mirror): held-out benchmark slice →
+    * quality floor → repetition filters → contamination filter → exact
+    * dedup (min id per content) → epoch-weighted language mix. Each
+    * stage is the same operator its standalone query gates; this checks
+    * the COMPOSITION end-to-end against one DuckDB query. */
+  def qTrainingCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Mix
+    val docs = t(spark, dir, "documents")
+    val bench = docs.where(col("doc_id") % 50 === 0)
+    // cand feeds five consumer branches (two repetition gram passes, two
+    // contamination passes, the final semi-joins) — cached so the scan +
+    // quality filter run once; Bench clears caches between queries
+    val cand = docs.where(col("doc_id") % 50 =!= 0)
+      .where(TextOps.qualityScore(col("text")) >= 0.3 &&
+        TextOps.tokenCount(col("text")) >= 10)
+      .cache()
+    val repOk = TextOps.repetitionStats(cand, "doc_id", "text")
+      .where(col("top_ngram_frac") <= 0.08 && col("dup_ngram_frac") <= 0.05)
+      .select(col("id").as("doc_id"))
+    val contamOk = TextOps.contamination(cand, bench, "doc_id", "text", k = 5)
+      .where(col("contamination_frac") <= 0.2)
+      .select(col("id").as("doc_id"))
+    val filtered = cand.join(repOk, Seq("doc_id"), "left_semi")
+      .join(contamOk, Seq("doc_id"), "left_semi")
+    val deduped = Dedup.exactKeepFirst(filtered, "text", "doc_id")
+    Mix.weightedMix(deduped.select("doc_id", "lang", "text"), "lang",
+      Map("en" -> 2.0, "de" -> 1.0, "fr" -> 0.5, "es" -> 1.0),
+      key = col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("epoch"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      .orderBy("doc_id", "epoch")
+  }
+
   /** The complete corpus-cleaning pipeline (quality floor → exact dedup
     * → MinHash near-dedup) — survivors only. Minhash-dependent →
     * rows-only check; stage counts are asserted in the spec. Stats stay
@@ -837,6 +872,7 @@ object SparkEntry {
     "q_scd2"             -> qScd2,
     "q_dedup_groups"     -> qDedupGroups,
     "q_corpus_filter"    -> qCorpusFilter,
+    "q_training_corpus"  -> qTrainingCorpus,
     "q_corpus_clean"     -> qCorpusClean,
     "q_fingerprint"      -> qFingerprint,
     "q_cosine_topk"      -> qCosineTopK,
@@ -1247,6 +1283,69 @@ object SparkEntry {
         |       coalesce(avg_rarity, 0.0) AS avg_rarity
         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.id
         |ORDER BY doc_id""".stripMargin,
+    "q_training_corpus" -> {
+      val sw = stopwordsSqlList
+      s"""WITH cand AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  WHERE doc_id % 50 <> 0
+         |    AND least(length(text)::DOUBLE / 500.0, 1.0) * 0.4
+         |      + (1.0 - least((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+         |                     / greatest(length(text), 1) * 4.0, 1.0)) * 0.3
+         |      + least(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |                  x -> list_contains($sw, x)))::DOUBLE
+         |              / greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1) * 5.0, 1.0) * 0.3
+         |        >= 0.3
+         |    AND (CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) >= 10),
+         |toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS t FROM cand),
+         |bg AS (SELECT id, unnest(CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+         |         ELSE list_transform(generate_series(1, len(t) - 1),
+         |              i -> array_to_string(t[i:i+1], ' ')) END) AS g FROM toks),
+         |bgc AS (SELECT id, g, count(*) AS cnt FROM bg GROUP BY id, g),
+         |top AS (SELECT id, CAST(sum(cnt) AS BIGINT) AS total_top, max(cnt) AS max_top
+         |        FROM bgc GROUP BY id),
+         |tg AS (SELECT id, unnest(CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+         |         ELSE list_transform(generate_series(1, len(t) - 2),
+         |              i -> array_to_string(t[i:i+2], ' ')) END) AS g FROM toks),
+         |tgc AS (SELECT id, g, count(*) AS cnt FROM tg GROUP BY id, g),
+         |dup AS (SELECT id, CAST(sum(cnt) AS BIGINT) AS total_dup,
+         |               count(*) AS distinct_dup FROM tgc GROUP BY id),
+         |rep_ok AS (SELECT t.id FROM toks t LEFT JOIN top USING (id) LEFT JOIN dup USING (id)
+         |           WHERE coalesce(max_top::DOUBLE / total_top, 0.0) <= 0.08
+         |             AND coalesce((total_dup - distinct_dup)::DOUBLE / total_dup, 0.0) <= 0.05),
+         |csh AS (SELECT id, unnest(CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+         |          ELSE list_distinct(list_transform(generate_series(1, len(t) - 4),
+         |               i -> array_to_string(t[i:i+4], ' '))) END) AS s FROM toks),
+         |bsh AS (SELECT DISTINCT unnest(CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+         |          ELSE list_distinct(list_transform(generate_series(1, len(t) - 4),
+         |               i -> array_to_string(t[i:i+4], ' '))) END) AS s
+         |        FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+         |              FROM documents WHERE doc_id % 50 = 0)),
+         |totals AS (SELECT id, count(*) AS n_sh FROM csh GROUP BY id),
+         |hits AS (SELECT id, count(*) AS n_hit FROM csh
+         |         WHERE s IN (SELECT s FROM bsh) GROUP BY id),
+         |contam_ok AS (SELECT t.id FROM toks t LEFT JOIN totals USING (id)
+         |              LEFT JOIN hits USING (id)
+         |              WHERE coalesce(n_hit::DOUBLE / n_sh, 0.0) <= 0.2),
+         |filtered AS (SELECT c.* FROM cand c
+         |             WHERE c.doc_id IN (SELECT id FROM rep_ok)
+         |               AND c.doc_id IN (SELECT id FROM contam_ok)),
+         |deduped AS (SELECT doc_id, lang, text FROM (
+         |              SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |              FROM filtered) WHERE rn = 1),
+         |mixed AS (SELECT doc_id, lang, text,
+         |            CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 1
+         |                      WHEN 'fr' THEN 0 WHEN 'es' THEN 1 ELSE 0 END
+         |            + CASE WHEN (doc_id % 1000003) * 2654435761 % 1000 <
+         |                        (CASE lang WHEN 'fr' THEN 500 ELSE 0 END)
+         |                   THEN 1 ELSE 0 END AS n_e
+         |          FROM deduped)
+         |SELECT doc_id, lang, CAST(e.epoch AS BIGINT) AS epoch,
+         |       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INTEGER) AS n_tokens
+         |FROM mixed, unnest(range(1, n_e + 1)) AS e(epoch)
+         |ORDER BY doc_id, epoch""".stripMargin
+    },
     "q_corpus_filter" -> {
       val sw = stopwordsSqlList
       s"""WITH f AS (

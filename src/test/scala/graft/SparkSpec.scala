@@ -15,7 +15,8 @@ object SparkSpec {
     .master("local[4]")
     .appName("graft-test")
     .withExtensions(new graft.functions.GraftExtensions)
-    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.optimizer.excludedRules", EngineConf.ExcludedOptimizerRules)
+      .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
