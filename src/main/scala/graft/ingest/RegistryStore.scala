@@ -45,13 +45,15 @@ object RegistryStore {
   }
 
   /** Write-temp-then-atomic-rename: a reader never observes a torn file
-    * and a crash mid-write leaves the previous config intact. (Two
-    * WRITERS racing still last-write-wins — same as the reference's
-    * yaml.dump; serialize integrations externally if that matters.) */
+    * and a crash mid-write leaves the previous config intact. The temp
+    * file is writer-unique (createTempFile), so two racing writers each
+    * publish a complete file — last-write-wins, same as the reference's
+    * yaml.dump; serialize integrations externally if that matters. */
   def save(path: String, config: RegistryConfig): Unit = {
     val p: Path = Paths.get(path)
-    Option(p.getParent).foreach(Files.createDirectories(_))
-    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    val dir = Option(p.getParent).getOrElse(Paths.get("."))
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, p.getFileName.toString, ".tmp")
     Files.write(tmp, Serialization.writePretty(config).getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -166,10 +166,13 @@ object Dedup {
     * is asserted in the spec, and any change to it shifts near-dup
     * pair sets for over-cap corpora. */
   val SimhashMaxTokens = 1000000
+  private val SimhashLaneBits = 20
+  require(SimhashMaxTokens < (1 << SimhashLaneBits),
+    "SimhashMaxTokens must fit the packed lane counters")
 
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val LanesPerWord = 3
-    val LaneBits = 20
+    val LaneBits = SimhashLaneBits
     val tokens = df.select(col(idCol).as("id"),
       explode(slice(split(lower(col(textCol)), "\\s+"), 1, SimhashMaxTokens)).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
@@ -255,27 +258,37 @@ object Dedup {
     var backing = labels
     var converged = false
     var i = 0
-    while (!converged && i < maxIters) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), Seq("dst"))
-        .groupBy(col("src").as("id")).agg(min(col("dlabel")).as("nmin"))
-      // carry the previous label through the join so materializing the
-      // new labels and counting changes is ONE action per round
-      val step = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("_old"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .cache()
-      val changed = step.where(col("label") =!= col("_old")).count()
-      backing.unpersist()
-      backing = step
-      labels = step.select("id", "label")
-      converged = changed == 0
-      i += 1
+    try {
+      while (!converged && i < maxIters) {
+        val neighborMin = edges
+          .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), Seq("dst"))
+          .groupBy(col("src").as("id")).agg(min(col("dlabel")).as("nmin"))
+        // carry the previous label through the join so materializing the
+        // new labels and counting changes is ONE action per round (the
+        // extra _old column rides in the cache; 8 bytes/row is cheaper
+        // than a second action to drop it)
+        val step = labels
+          .join(neighborMin, Seq("id"), "left")
+          .select(col("id"), col("label").as("_old"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          .cache()
+        val changed = step.where(col("label") =!= col("_old")).count()
+        backing.unpersist()
+        backing = step
+        labels = step.select("id", "label")
+        converged = changed == 0
+        i += 1
+      }
+      if (!converged) {
+        // a silent partial fixpoint would mislabel groups; free the
+        // loop caches before surfacing (backing stays valid for callers
+        // that catch — it is unpersisted here too)
+        throw new IllegalStateException(s"not converged after $maxIters rounds")
+      }
+    } finally {
+      edges.unpersist()
+      if (!converged) backing.unpersist()
     }
-    if (!converged)
-      throw new IllegalStateException(s"not converged after $maxIters rounds")
-    edges.unpersist()
     labels.withColumnRenamed("label", "group_id")
   }
 

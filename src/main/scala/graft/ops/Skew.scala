@@ -12,16 +12,6 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Two-phase salted aggregation for algebraic aggregates: rows get a
-    * random-ish deterministic salt (hash of a tiebreaker column mod
-    * `saltBuckets`), phase 1 aggregates per (key, salt) — spreading a
-    * whale key over `saltBuckets` reducers — phase 2 re-aggregates the
-    * partials per key.
-    *
-    * `partials` lists (outCol, phase1Agg, phase2Merge): e.g. a count is
-    * (count(*), sum(partial)); a sum is (sum(x), sum(partial)); an avg
-    * must ship (sum, count) partials and divide after phase 2.
-    */
   /** Salted join for a skewed BIG side: big rows get a deterministic
     * salt (hash of a high-cardinality tiebreaker mod `saltBuckets`), the
     * small side replicates once per salt value, and the join runs equi
@@ -39,6 +29,16 @@ object Skew {
     b.join(s, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Two-phase salted aggregation for algebraic aggregates: rows get a
+    * random-ish deterministic salt (hash of a tiebreaker column mod
+    * `saltBuckets`), phase 1 aggregates per (key, salt) — spreading a
+    * whale key over `saltBuckets` reducers — phase 2 re-aggregates the
+    * partials per key.
+    *
+    * `partials` lists (outCol, phase1Agg, phase2Merge): e.g. a count is
+    * (count(*), sum(partial)); a sum is (sum(x), sum(partial)); an avg
+    * must ship (sum, count) partials and divide after phase 2.
+    */
   def saltedAggregate(df: DataFrame, keys: Seq[String], saltBy: Column,
                       saltBuckets: Int,
                       partials: Seq[(String, Column, Column => Column)]): DataFrame = {

@@ -532,13 +532,13 @@ class OpsSpec extends SparkSpec {
     assert(salted === plain)
     // incremental materialization: second run touches only partition p=2,3
     val wh = java.nio.file.Files.createTempDirectory("graft-inc").toString
-    def model(df: org.apache.spark.sql.DataFrame) = Seq(Runner.Model(
+    val models = Seq(Runner.Model(
       "inc_fact", Seq("src"), m => m("src"),
       Runner.IncrementalTable(Seq("p"))))
     val b1 = Seq((1L, 1, "a"), (2L, 2, "b")).toDF("id", "p", "v")
-    Runner.run(spark, Map("src" -> b1), model(b1), wh)
+    Runner.run(spark, Map("src" -> b1), models, wh)
     val b2 = Seq((3L, 2, "b2"), (4L, 3, "c")).toDF("id", "p", "v")
-    Runner.run(spark, Map("src" -> b2), model(b2), wh)
+    Runner.run(spark, Map("src" -> b2), models, wh)
     val got = spark.read.parquet(s"$wh/inc_fact")
       .select("id", "p", "v").orderBy("id").collect().map(_.toSeq).toSeq
     // p=1 survives run 1; p=2 fully replaced by run 2; p=3 appended
