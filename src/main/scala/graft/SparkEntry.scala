@@ -423,6 +423,15 @@ object SparkEntry {
       .orderBy("lang", "bigram")
   }
 
+  /** Per-language document-length quantiles (exact discrete p50/p90/p99)
+    * — the distribution summary a tokenizer-budget plan starts from. */
+  def qLengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Stats
+    Stats.quantilesDisc(t(spark, dir, "documents"), Seq("lang"), "n_chars",
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      .orderBy("lang")
+  }
+
   /** Repetition quality signals (Gopher-style): per document, the
     * most-frequent-bigram fraction and the duplicate-trigram fraction.
     * Counts are over gram hashes in Spark and gram strings in the
@@ -879,6 +888,7 @@ object SparkEntry {
     "q_lang_id"          -> qLangId,
     "q_lang_stats"       -> qLangStats,
     "q_ngram_freq"       -> qNgramFreq,
+    "q_length_quantiles" -> qLengthQuantiles,
     "q_repetition"       -> qRepetition,
     "q_contamination"    -> qContamination,
     "q_pii_redact"       -> qPiiRedact,
@@ -1165,6 +1175,17 @@ object SparkEntry {
         |SELECT lang, bigram, COUNT(*) AS n_docs
         |FROM bg GROUP BY lang, bigram HAVING COUNT(*) >= 20
         |ORDER BY lang, bigram""".stripMargin,
+    "q_length_quantiles" ->
+      """WITH counts AS (SELECT lang, n_chars AS v, count(*) AS c
+        |                FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT lang, v,
+        |          sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+        |          sum(c) OVER (PARTITION BY lang) AS n FROM counts)
+        |SELECT lang,
+        |  min(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS p50,
+        |  min(CASE WHEN cum >= ceil(0.9 * n) THEN v END) AS p90,
+        |  min(CASE WHEN cum >= ceil(0.99 * n) THEN v END) AS p99
+        |FROM cum GROUP BY lang ORDER BY lang""".stripMargin,
     "q_repetition" ->
       """WITH toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t
         |              FROM documents),

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution summaries over grouped data. */
+object Stats {
+
+  /** Exact type-1 (discrete) quantiles per group: for each probability
+    * p, the smallest value whose cumulative count reaches ⌈p·n⌉. Always
+    * an element of the data — no interpolation, so results are integers
+    * /exact values and identical in any engine (interpolating quantiles
+    * differ across engines in the last ulp of the lerp arithmetic).
+    *
+    * Scale shape: one hash aggregate to (group, value) counts, then a
+    * window ordered by value WITHIN each group — state is bounded by the
+    * group's distinct-VALUE cardinality, not its row count (for metrics
+    * like lengths/scores that is small). The all-rows global-sort
+    * quantile and the t-digest/approx_percentile sketch are the
+    * alternatives when value cardinality itself explodes. */
+  def quantilesDisc(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                    probs: Seq[(String, Double)]): DataFrame = {
+    require(probs.nonEmpty && probs.forall { case (_, p) => p > 0 && p <= 1 },
+      s"probabilities must be in (0,1]: $probs")
+    val counts = df.groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("_c"))
+    val wOrd = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val cum = counts
+      .withColumn("_cum", sum(col("_c")).over(wOrd))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+    val aggs = probs.map { case (name, p) =>
+      min(when(col("_cum") >= ceil(lit(p) * col("_n")), col(valueCol))).as(name)
+    }
+    cum.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -545,6 +545,22 @@ class OpsSpec extends SparkSpec {
     assert(got === Seq(Seq(1L, 1, "a"), Seq(3L, 2, "b2"), Seq(4L, 3, "c")))
   }
 
+  test("quantilesDisc: hand-computed discrete quantiles per group") {
+    import graft.ops.Stats
+    // group a: values 1..10 → p50 = 5 (cum 5 >= ceil(0.5*10)), p90 = 9, p100 = 10
+    // group b: 7,7,7,9 → p50 = 7 (cum 3 >= 2), p90 = 9 (ceil(3.6)=4), p100 = 9
+    val df = ((1 to 10).map(v => ("a", v.toLong)) ++
+      Seq(("b", 7L), ("b", 7L), ("b", 7L), ("b", 9L))).toDF("g", "v")
+    val got = Stats.quantilesDisc(df, Seq("g"), "v",
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p100" -> 1.0))
+      .orderBy("g").collect()
+    assert(got(0).getLong(1) === 5L && got(0).getLong(2) === 9L && got(0).getLong(3) === 10L)
+    assert(got(1).getLong(1) === 7L && got(1).getLong(2) === 9L && got(1).getLong(3) === 9L)
+    intercept[IllegalArgumentException] {
+      Stats.quantilesDisc(df, Seq("g"), "v", Seq("bad" -> 1.5))
+    }
+  }
+
   test("multimodal: decode stub features and frame sampling") {
     val docs = Seq((1L, "abcd" * 100), (2L, "")).toDF("doc_id", "text")
     val assets = Multimodal.syntheticAssets(docs, "doc_id", "text")
