@@ -57,6 +57,14 @@ object CsvLoader {
   def writeTruncate(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Read a parquet directory whose appended batches carry EVOLVED
+    * schemas (a source added columns over time): mergeSchema unions the
+    * per-file schemas; rows from older files read the new columns as
+    * null. Costs a footer read per file — at 100 TB, prefer a table
+    * format or an explicit schema once evolution settles. */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** O1 — config fan-out: one load per registry entry, registered as a
     * temp view named after the source's table. */
   def loadAll(spark: SparkSession, sources: Seq[RawSource]): Map[String, DataFrame] =

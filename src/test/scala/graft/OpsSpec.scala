@@ -561,6 +561,16 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: merged read unions batch schemas, old rows null-fill") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString + "/t"
+    Seq((1L, "x")).toDF("id", "a").write.parquet(dir)
+    Seq((2L, "y", 9.5)).toDF("id", "a", "score").write.mode("append").parquet(dir)
+    val got = CsvLoader.readEvolved(spark, dir).orderBy("id").collect()
+    assert(got(0).schema.fieldNames.toSet === Set("id", "a", "score"))
+    assert(got(0).isNullAt(got(0).fieldIndex("score")))
+    assert(got(1).getDouble(got(1).fieldIndex("score")) === 9.5)
+  }
+
   test("multimodal: decode stub features and frame sampling") {
     val docs = Seq((1L, "abcd" * 100), (2L, "")).toDF("doc_id", "text")
     val assets = Multimodal.syntheticAssets(docs, "doc_id", "text")
