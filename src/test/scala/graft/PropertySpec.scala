@@ -57,4 +57,41 @@ class PropertySpec extends SparkSpec {
       assert(df.select(TextOps.tokenCount(col("t"))).as[Int].head() === words.length)
     }
   }
+
+  test("property: discrete quantiles are data elements, ordered, p=1 is max") {
+    import graft.ops.Stats
+    val valsGen = Gen.nonEmptyListOf(Gen.choose(-1000L, 1000L))
+    samples(valsGen, 8).foreach { vs =>
+      val df = vs.map(("g", _)).toDF("g", "v")
+      val r = Stats.quantilesDisc(df, Seq("g"), "v",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p100" -> 1.0)).collect()(0)
+      val (p25, p50, p100) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(Seq(p25, p50, p100).forall(vs.contains)) // type-1: always an element
+      assert(p25 <= p50 && p50 <= p100)               // monotone in p
+      assert(p100 === vs.max)
+    }
+  }
+
+  test("property: weightedMix multiplicity matches per-stratum weights") {
+    import graft.ops.Mix
+    val weightGen = Gen.choose(0, 3200).map(_ / 1000.0) // 0.000..3.200
+    samples(Gen.zip(weightGen, weightGen), 6).foreach { case (wa, wb) =>
+      val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+        .toDF("id", "s")
+      val got = Mix.weightedMix(df, "s", Map("a" -> wa, "b" -> wb), col("id"))
+        .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      for ((stratum, w) <- Seq("a" -> wa, "b" -> wb)) {
+        val n = 200.0
+        val fullRows = w.toLong * n
+        val frac = math.round((w - w.toLong) * 1000) / 1000.0
+        val gotRows = got.getOrElse(stratum, 0L).toDouble
+        // full epochs are exact; the fractional epoch is a deterministic
+        // ~frac share of the stratum (bucket spread, not a coin flip)
+        assert(gotRows >= fullRows && gotRows <= fullRows + n)
+        if (frac == 0.0) assert(gotRows === fullRows)
+        else assert(math.abs((gotRows - fullRows) / n - frac) <= 0.15,
+          s"stratum $stratum weight $w: got $gotRows rows")
+      }
+    }
+  }
 }
