@@ -561,6 +561,14 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("driver contract: entry() returns rows and every query name has an oracle or rows gate") {
+    assert(SparkEntry.entry(spark).limit(1).count() === 1L) // driver smoke: rows > 0
+    // every oracle key must name a real query (a typo would silently
+    // downgrade the query to a rows-only check at the driver)
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracle entries without queries: $unknown")
+  }
+
   test("schema evolution: merged read unions batch schemas, old rows null-fill") {
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString + "/t"
     Seq((1L, "x")).toDF("id", "a").write.parquet(dir)
