@@ -1282,7 +1282,7 @@ object SparkEntry {
         |              WHEN 'fr' THEN 0 WHEN 'es' THEN 1 ELSE 0 END AS full_e,
         |    CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 0
         |              WHEN 'fr' THEN 500 WHEN 'es' THEN 0 ELSE 0 END AS frac_pm,
-        |    (doc_id % 1000003) * 2654435761 % 1000 AS b
+        |    (doc_id % 1000003 + 2) * 2654435761 % 1000 AS b
         |  FROM documents),
         |n AS (SELECT doc_id, lang, source,
         |        full_e + CASE WHEN b < frac_pm THEN 1 ELSE 0 END AS n_e FROM w)
@@ -1293,15 +1293,18 @@ object SparkEntry {
       val Seq((email, emailR), (ssn, ssnR), (phone, phoneR)) = TextOps.piiPatterns
       s"""WITH p AS (SELECT doc_id,
          |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
-         |  '@example.com or 555-123-4567 ssn 123-45-6789' AS text FROM documents)
+         |  '@example.com or 555-123-4567 ssn 123-45-6789' AS text FROM documents),
+         |r AS (SELECT doc_id, text,
+         |        regexp_replace(text, '$email', '$emailR', 'g') AS t1,
+         |        regexp_replace(regexp_replace(text, '$email', '$emailR', 'g'),
+         |          '$ssn', '$ssnR', 'g') AS t2
+         |      FROM p)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '$email'))
-         |     + len(regexp_extract_all(text, '$ssn'))
-         |     + len(regexp_extract_all(text, '$phone')) AS INTEGER) AS n_pii,
-         |  regexp_replace(regexp_replace(regexp_replace(text,
-         |    '$email', '$emailR', 'g'), '$ssn', '$ssnR', 'g'),
-         |    '$phone', '$phoneR', 'g') AS redacted
-         |FROM p ORDER BY doc_id""".stripMargin
+         |     + len(regexp_extract_all(t1, '$ssn'))
+         |     + len(regexp_extract_all(t2, '$phone')) AS INTEGER) AS n_pii,
+         |  regexp_replace(t2, '$phone', '$phoneR', 'g') AS redacted
+         |FROM r ORDER BY doc_id""".stripMargin
     },
     "q_rarity" ->
       """WITH toks AS (SELECT doc_id AS id,
@@ -1372,7 +1375,7 @@ object SparkEntry {
          |mixed AS (SELECT doc_id, lang, text,
          |            CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 1
          |                      WHEN 'fr' THEN 0 WHEN 'es' THEN 1 ELSE 0 END
-         |            + CASE WHEN (doc_id % 1000003) * 2654435761 % 1000 <
+         |            + CASE WHEN (doc_id % 1000003 + 2) * 2654435761 % 1000 <
          |                        (CASE lang WHEN 'fr' THEN 500 ELSE 0 END)
          |                   THEN 1 ELSE 0 END AS n_e
          |          FROM deduped)

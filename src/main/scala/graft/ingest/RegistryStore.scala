@@ -50,13 +50,27 @@ object RegistryStore {
     * publish a complete file — last-write-wins, same as the reference's
     * yaml.dump; serialize integrations externally if that matters. */
   def save(path: String, config: RegistryConfig): Unit = {
+    import java.nio.file.StandardCopyOption.{ATOMIC_MOVE, REPLACE_EXISTING}
     val p: Path = Paths.get(path)
     val dir = Option(p.getParent).getOrElse(Paths.get("."))
     Files.createDirectories(dir)
     val tmp = Files.createTempFile(dir, p.getFileName.toString, ".tmp")
-    Files.write(tmp, Serialization.writePretty(config).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try {
+      Files.write(tmp, Serialization.writePretty(config).getBytes(StandardCharsets.UTF_8))
+      try Files.move(tmp, p, ATOMIC_MOVE, REPLACE_EXISTING)
+      catch {
+        // not all filesystems support atomic replace (NFS, some FUSE
+        // mounts) — degrade to a plain replace rather than failing the
+        // integration; the temp file is still complete when moved
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(tmp, p, REPLACE_EXISTING)
+      }
+    } catch {
+      // on any failure the published config is untouched; don't leak tmp
+      case e: Throwable =>
+        try Files.deleteIfExists(tmp) catch { case _: Throwable => () }
+        throw e
+    }
   }
 
   /** Default tests registered for every integrated dataset — not_null on

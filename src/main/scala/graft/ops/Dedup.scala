@@ -227,14 +227,17 @@ object Dedup {
     * [[CorpusPipeline.clean]] approximates (greedy can split a chain
     * a~b~c into two survivors; components never do).
     *
-    * Min-label propagation: each round, every node takes the min of its
-    * own label and its neighbors' labels; fixpoint in ≤ diameter rounds
-    * (near-dup groups are shallow — boilerplate families, not long
-    * chains). An iterative algorithm needs driver-controlled looping;
-    * each round is one equi-join + hash aggregate, labels are bare
-    * (id, label) longs, and the per-round convergence check counts
-    * changed labels. Throws if `maxIters` rounds don't converge —
-    * a silent partial fixpoint would mislabel groups. */
+    * Min-label propagation with pointer halving: each round every node
+    * takes the min of its own and its neighbors' labels (one equi-join +
+    * hash aggregate), then shortcuts label := label(label) (one self-
+    * join) — the halving step collapses chains exponentially, so the
+    * fixpoint lands in O(log diameter) rounds instead of O(diameter).
+    * A 1M-hop pathological chain converges in ~20 rounds; plain 1-hop
+    * propagation would need 1M. An iterative algorithm needs driver-
+    * controlled looping; labels are bare (id, label) longs and the
+    * per-round convergence check counts changed labels. Throws if
+    * `maxIters` rounds don't converge — a silent partial fixpoint would
+    * mislabel groups. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 20): DataFrame = {
     // both edge directions from ONE pass over the pair lineage (a
@@ -267,12 +270,31 @@ object Dedup {
         // new labels and counting changes is ONE action per round (the
         // extra _old column rides in the cache; 8 bytes/row is cheaper
         // than a second action to drop it)
-        val step = labels
+        val prop = labels
           .join(neighborMin, Seq("id"), "left")
           .select(col("id"), col("label").as("_old"),
             least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-          .cache()
+          .cache() // feeds both sides of the halving self-join + the count
+        // pointer halving: label := label(label). Every label value is a
+        // node id (mins of ids), and every node appears as an edge src
+        // (edges hold both directions), so the lookup side covers all
+        // labels — left join + coalesce only guards the init round's
+        // self-labels. Columns are renamed per side: self-joining two
+        // aliases of ONE plan can silently resolve both sides to the
+        // same attribute (trap #4, SCALE.md). The eager localCheckpoint
+        // TRUNCATES LINEAGE — the self-join references prop twice, so
+        // without truncation the logical plan doubles every round and
+        // analysis cost goes exponential (measured: OOM by round ~7).
+        // Checkpoint state is the (id, label) pairs only — 16 bytes/node,
+        // MEMORY_AND_DISK, freed by the context cleaner as rounds retire.
+        val step = prop
+          .join(prop.select(col("id").as("_lid"), col("label").as("_llabel")),
+            col("label") === col("_lid"), "left")
+          .select(col("id"), col("_old"),
+            least(col("label"), coalesce(col("_llabel"), col("label"))).as("label"))
+          .localCheckpoint(true)
         val changed = step.where(col("label") =!= col("_old")).count()
+        prop.unpersist()
         backing.unpersist()
         backing = step
         labels = step.select("id", "label")

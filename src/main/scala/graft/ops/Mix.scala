@@ -20,9 +20,21 @@ object Mix {
     * integer key: pre-mod to bound the product, then a Knuth
     * multiplicative hash. Deliberately NOT xxhash64 — portability to the
     * SQL oracle matters more here than hash quality, and decorrelating
-    * from id order is all sampling needs. */
-  def bucket1000(key: Column): Column =
-    (key % lit(1000003L)) * lit(2654435761L) % lit(1000L)
+    * from id order is all sampling needs.
+    *
+    * `salt` decorrelates DECISIONS made from the same key: sampling and
+    * mixing each use their own salt, so composing them on one key column
+    * does not correlate keep/extra-epoch outcomes (after sampling stratum
+    * s at permille p every survivor would otherwise have bucket < p, and
+    * a fractional epoch weight would apply to all-or-none of them).
+    * Salts must stay small (< ~10^3) so the product stays far from Long
+    * overflow — the oracle replays the identical 64-bit arithmetic. */
+  def bucket1000(key: Column, salt: Long = 0L): Column =
+    (key % lit(1000003L) + lit(salt)) * lit(2654435761L) % lit(1000L)
+
+  /** Per-operator salts (mirrored in every oracle's SQL). */
+  val SampleSalt = 1L
+  val MixSalt    = 2L
 
   private def chain(strataCol: String, m: Map[String, Long], default: Long): Column =
     m.foldLeft(lit(default)) { case (acc, (s, v)) =>
@@ -35,7 +47,8 @@ object Mix {
                        permille: Map[String, Int], key: Column): DataFrame = {
     require(permille.values.forall(p => p >= 0 && p <= 1000),
       s"permille out of [0,1000]: $permille")
-    df.where(bucket1000(key) < chain(strataCol, permille.map { case (k, v) => k -> v.toLong }, 0L))
+    df.where(bucket1000(key, SampleSalt) <
+      chain(strataCol, permille.map { case (k, v) => k -> v.toLong }, 0L))
   }
 
   /** Epoch-weighted mix: each row of stratum s appears floor(w_s) times
@@ -51,7 +64,7 @@ object Mix {
       s -> math.round((w - w.toLong) * 1000)
     }
     val nEpochs = chain(strataCol, fullEpochs, 0L) +
-      when(bucket1000(key) < chain(strataCol, fracPermille, 0L), 1L).otherwise(0L)
+      when(bucket1000(key, MixSalt) < chain(strataCol, fracPermille, 0L), 1L).otherwise(0L)
     // sequence(1, 0) counts DOWN in Spark — the n<1 guard is load-bearing
     df.withColumn("_n", nEpochs)
       .withColumn("epoch",

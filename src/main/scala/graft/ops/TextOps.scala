@@ -150,10 +150,15 @@ object TextOps {
       regexp_replace(c, pat, repl)
     }
 
-  /** Count of PII spans a redaction pass would replace. */
+  /** Count of PII spans a redaction pass would replace. Each pattern is
+    * counted on the text AFTER the preceding patterns were replaced —
+    * exactly the spans [[redactPii]]'s sequential replace consumes — so
+    * one span can never be double-counted (an SSN embedded in an email
+    * local-part is gone by the time the SSN pattern runs). */
   def piiCount(textCol: Column): Column =
-    piiPatterns.map { case (pat, _) => regexp_count(textCol, lit(pat)) }
-      .reduce(_ + _)
+    piiPatterns.foldLeft((lit(0), textCol)) { case ((n, txt), (pat, repl)) =>
+      (n + regexp_count(txt, lit(pat)), regexp_replace(txt, pat, repl))
+    }._1
 
   /** Unigram-rarity quality score: mean reciprocal unigram probability
     * of a document's tokens against the corpus unigram distribution —

@@ -128,6 +128,15 @@ class OpsSpec extends SparkSpec {
     assert(got2.forall(_._2 === 4L) && got2.length === 6)
   }
 
+  test("connected components: a 100-hop chain converges (pointer halving)") {
+    // 1-hop propagation needs ~100 rounds and would blow maxIters=20;
+    // halving converges in O(log n) — label(label) shortcuts each round
+    val chain = (1L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 100 && got.forall(_._2 == 1L))
+  }
+
   test("cosine: orthogonal 0, identical 1") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(2.0f, 0.0f))
@@ -461,6 +470,16 @@ class OpsSpec extends SparkSpec {
     assert(got(1).getString(2) === "no pii here 12345")
   }
 
+  test("pii count: a span consumed by an earlier pattern is not recounted") {
+    // the email regex consumes the whole span; the embedded SSN shape
+    // must not ALSO count — n_pii equals the number of redacted spans
+    val df = Seq((1L, "reach me at 123-45-6789@x.com today")).toDF("doc_id", "text")
+    val got = df.select(TextOps.piiCount(col("text")).as("n"),
+      TextOps.redactPii(col("text")).as("r")).collect()(0)
+    assert(got.getString(1) === "reach me at <EMAIL> today")
+    assert(got.getInt(0) === 1, s"one redacted span, got n_pii=${got.getInt(0)}")
+  }
+
   test("unigram rarity: hand-computed means, empty doc zero") {
     val df = Seq((1L, "a a a"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
     // freq: a=4, b=1, total=5 → rarity a=1.25, b=5
@@ -491,6 +510,23 @@ class OpsSpec extends SparkSpec {
     val again = Mix.weightedMix(df, "s", Map("a" -> 2.5), col("id"))
       .groupBy("epoch").count().orderBy("epoch").collect()
     assert(again(2).getLong(1) === e3)
+  }
+
+  test("mix: sample and mix decisions on one key column are decorrelated") {
+    import graft.ops.Mix
+    // sample stratum a at 300‰, then a fractional 1.3-epoch mix on the
+    // SAME key: with one shared bucket every survivor (bucket < 300)
+    // would get the extra epoch (300‰ frac → 100% of survivors); salted
+    // buckets make the realized extra-epoch fraction ≈ the nominal 30%
+    val df = (0L until 10000L).map(i => (i, "a")).toDF("id", "s")
+    val sampled = Mix.stratifiedSample(df, "s", Map("a" -> 300), col("id"))
+    val survivors = sampled.count()
+    val extra = Mix.weightedMix(sampled, "s", Map("a" -> 1.3), col("id"))
+      .where(col("epoch") === 2).count()
+    val frac = extra.toDouble / survivors
+    assert(frac > 0.2 && frac < 0.4,
+      s"extra-epoch fraction among survivors should be ~0.3, got $frac " +
+        s"($extra of $survivors) — correlated buckets give 0.0 or 1.0")
   }
 
   test("scd2: change closes+reopens, new key appends, history untouched, as-of") {
