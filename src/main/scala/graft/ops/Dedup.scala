@@ -112,25 +112,34 @@ object Dedup {
     val numHashes = numBands * rowsPerBand
     // staged projections: toks → shingle hashes → signature, each an
     // attribute at the next stage (prevents the hash transforms from
-    // inlining — and re-evaluating — the shingle expression)
+    // inlining — and re-evaluating — the shingle expression). Cached:
+    // three consumers (both self-join sides via `banded`, plus the two
+    // verify lookups) would otherwise re-tokenize and re-hash the corpus
+    // once each. Cache rows are (id, 16 longs) — ~140 bytes/doc, far
+    // smaller than the text they replace.
     val sig = shingleHashed(df, idCol, textCol, shingleK)
       .select(col("id"), minhashSignatureFromHashes(col("shh"), numHashes).as("sig"))
+      .cache()
     // band key = hash of the band's slice of the signature
     val banded = sig.select(
-      col("id"), col("sig"),
+      col("id"),
       posexplode(array((0 until numBands).map { b =>
         xxhash64(concat_ws(",",
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))) }: _*))
         .as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
+    // candidate generation shuffles bare (band, bucket, id) longs and the
+    // dedup shuffles bare id pairs — signature arrays re-join AFTER the
+    // dedup for the one verify pass (shipping sig_a/sig_b through the
+    // candidate shuffle would multiply its width ~16×)
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
+      .dropDuplicates()
     candidates
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           x => x)).cast("double") / lit(numHashes.toDouble))

@@ -77,6 +77,36 @@ object Similarity {
     aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
   }
 
+  /** All `numTables` LSH bucket keys of one vector as (table, bucket)
+    * pairs, from a SINGLE expression pass — one plane literal, one
+    * sign-bit fold, one regroup — instead of `numTables` independent
+    * [[lshBucket]] expressions (which measured ~2 s of pure plan/codegen
+    * overhead per banding stage at 12 tables). Plane sequences are
+    * per-table seeded exactly like `lshBucket(seed = seedBase + t)`, so
+    * bucket values are bit-identical to the per-table form.
+    *
+    * `df` must expose the vector as an `array<double>` ATTRIBUTE
+    * (`vecCol` names it); the sign-bit lambda touches only attributes —
+    * an embedded cast/transform would re-evaluate per plane (HOF
+    * recompute trap, SCALE.md). The bits array is staged as its own
+    * projection so the per-table regroup reads an attribute too. */
+  def lshBanded(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                numPlanes: Int, numTables: Int, seedBase: Int): DataFrame = {
+    val planes: Seq[Seq[Double]] = (0 until numTables).flatMap { t =>
+      val rnd = new scala.util.Random(seedBase + t)
+      Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+    }
+    val planesLit = typedlit(planes)
+    val bits = transform(planesLit, p =>
+      when(dot(col(vecCol), p) >= 0, lit(1L)).otherwise(lit(0L)))
+    df.select(col(idCol), bits.as("_bits"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(numTables - 1)), t =>
+          aggregate(slice(col("_bits"), t * numPlanes + 1, lit(numPlanes)),
+            lit(0L), (acc, b) => acc * 2 + b)))
+          .as(Seq("table", "bucket")))
+  }
+
   /** Approximate top-k: candidates limited to vectors sharing an LSH
     * bucket with the query (multi-probe via `numTables` independent
     * hash tables to boost recall).
@@ -102,12 +132,9 @@ object Similarity {
     // computed once per vector in the scoring pass, not per pair.
     val c = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    def banded(df: DataFrame, id: String, v: String) =
-      df.select(col(id), posexplode(array((0 until numTables).map(t =>
-        lshBucket(col(v), dim, numPlanes, seed = 1000 + t)): _*))
-        .as(Seq("table", "bucket")))
-    val pairs = banded(c, "corpus_id", "cv")
-      .join(banded(q, "query_id", "qv"), Seq("table", "bucket"))
+    val pairs = lshBanded(c, "corpus_id", "cv", dim, numPlanes, numTables, seedBase = 1000)
+      .join(lshBanded(q, "query_id", "qv", dim, numPlanes, numTables, seedBase = 1000),
+        Seq("table", "bucket"))
       .where(col("corpus_id") =!= col("query_id"))
       .select("query_id", "corpus_id")
       .dropDuplicates()
@@ -240,10 +267,13 @@ object Similarity {
         val n = vecs.count() // eager column-pruned scan; primes the cache
         math.max(4, math.ceil(math.log(math.max(n, 1L).toDouble / 64.0) / math.log(2.0)).toInt)
       }
-    val buckets = vecs.select(col("vid"),
-      posexplode(array((0 until numTables).map(t =>
-        lshBucket(col("vv"), dim, planes, seed = 2000 + t)): _*))
-        .as(Seq("table", "bucket")))
+    // cached: the self-join below consumes this frame TWICE, and without
+    // the cache each side re-runs the hyperplane hashing (numTables ×
+    // planes dot products per vector — the expensive part). Rows are
+    // bare (vid, table, bucket) longs, ~24 bytes × numTables per vector.
+    val buckets =
+      lshBanded(vecs, "vid", "vv", dim, planes, numTables, seedBase = 2000)
+        .cache()
     // per-side renames BEFORE the self-join: aliasing the same plan and
     // comparing x.vid < y.vid can resolve both sides to one attribute
     // (trivially-false predicate → silently empty result)
