@@ -529,6 +529,52 @@ class OpsSpec extends SparkSpec {
         s"($extra of $survivors) — correlated buckets give 0.0 or 1.0")
   }
 
+  test("curation: split proportions, determinism, and salt independence") {
+    import graft.ops.{Curation, Mix}
+    val df = (0L until 10000L).map(i => (i, "d")).toDF("id", "s")
+    val got = Curation.splitAssign(df, col("id"))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set("train", "val", "test"))
+    assert(got("train") > 8700 && got("train") < 9300, s"~90% train, got $got")
+    assert(got("val") > 300 && got("val") < 700, s"~5% val, got $got")
+    // same key, different decision: split of a sampled stratum is still ~90% train
+    val sampled = Mix.stratifiedSample(df, "s", Map("d" -> 300), col("id"))
+    val sTrain = Curation.splitAssign(sampled, col("id"))
+      .where(col("split") === "train").count().toDouble / sampled.count()
+    assert(sTrain > 0.85 && sTrain < 0.95, s"split correlated with sampling: $sTrain")
+    // determinism
+    val again = Curation.splitAssign(df, col("id"))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
+  test("curation: domain cap keeps top-n per domain with total tie-break") {
+    import graft.ops.Curation
+    val df = Seq(
+      (1L, "a", 10), (2L, "a", 30), (3L, "a", 20), (4L, "a", 30),
+      (5L, "b", 5)
+    ).toDF("id", "dom", "sz")
+    val got = Curation.domainCap(df, "dom", 2, Seq(col("sz").desc, col("id")))
+      .orderBy("dom", "domain_rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+    // ties on sz=30 break by id: 2 before 4; cap 2 drops ids 3, 1
+    assert(got.toSeq === Seq((2L, "a", 1), (4L, "a", 2), (5L, "b", 1)))
+  }
+
+  test("curation: sequence packing offsets, shard cuts, group isolation") {
+    import graft.ops.Curation
+    val df = Seq(
+      (1L, "en", 4), (2L, "en", 5), (3L, "en", 3), (4L, "en", 6),
+      (5L, "de", 12)
+    ).toDF("id", "lang", "n")
+    val got = Curation.packSequences(df, "id", "n", "lang", 10L)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    // en starts: 0, 4, 9, 12 → shards 0,0,0,1 at pos 0,4,9,2; de restarts at 0
+    assert(got.toSeq === Seq((1L, 0L, 0L), (2L, 0L, 4L), (3L, 0L, 9L),
+      (4L, 1L, 2L), (5L, 0L, 0L)))
+  }
+
   test("scd2: change closes+reopens, new key appends, history untouched, as-of") {
     import graft.gold.Scd2
     val s0 = Scd2.init(Seq((1L, "x"), (2L, "y")).toDF("k", "attr"), "2026-01-01")
