@@ -573,6 +573,31 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Sketch-based grouped quantiles (the 100 TB path when value
+    * cardinality defeats the exact window in [[graft.ops.Stats]]) gated
+    * like `q_approx_distinct`: the oracle-comparable surface is the
+    * EXACT discrete quantile plus a boolean asserting the
+    * `percentile_approx` sketch (accuracy 1000 — at accuracy 100 the
+    * p90 of a 100-doc group missed by >10% at sf0.01) landed within
+    * 10% — the oracle emits literal TRUE, so sketch drift fails the
+    * gate. */
+  def qApproxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Stats
+    val lens = t(spark, dir, "documents")
+      .select(col("lang"), length(col("text")).as("len"))
+    val exact = Stats.quantilesDisc(lens, Seq("lang"), "len",
+      Seq("p50" -> 0.5, "p90" -> 0.9))
+    val approx = lens.groupBy("lang").agg(
+      percentile_approx(col("len"), lit(0.5), lit(1000)).as("a50"),
+      percentile_approx(col("len"), lit(0.9), lit(1000)).as("a90"))
+    exact.join(approx, Seq("lang"))
+      .select(col("lang"), col("p50"), col("p90"),
+        (abs(col("a50") - col("p50")).cast("double") / col("p50") <= 0.1 &&
+          abs(col("a90") - col("p90")).cast("double") / col("p90") <= 0.1)
+          .as("within_10pct"))
+      .orderBy("lang")
+  }
+
   /** The end-use composition: training-corpus filtering — keep documents
     * above a quality floor with enough tokens, project the features a
     * downstream tokenizer run would consume. Filter + narrow projection;
@@ -936,6 +961,7 @@ object SparkEntry {
     "q_split_assign"     -> qSplitAssign,
     "q_domain_cap"       -> qDomainCap,
     "q_seq_pack"         -> qSeqPack,
+    "q_approx_quantiles" -> qApproxQuantiles,
     "q_scd2"             -> qScd2,
     "q_dedup_groups"     -> qDedupGroups,
     "q_corpus_filter"    -> qCorpusFilter,
@@ -1234,6 +1260,19 @@ object SparkEntry {
         |  min(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS p50,
         |  min(CASE WHEN cum >= ceil(0.9 * n) THEN v END) AS p90,
         |  min(CASE WHEN cum >= ceil(0.99 * n) THEN v END) AS p99
+        |FROM cum GROUP BY lang ORDER BY lang""".stripMargin,
+    // the sketch estimate is engine-specific; the gate checks the exact
+    // discrete quantiles and that the sketch honored the 10% contract
+    "q_approx_quantiles" ->
+      """WITH counts AS (SELECT lang, length(text) AS v, count(*) AS c
+        |                FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT lang, v,
+        |          sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+        |          sum(c) OVER (PARTITION BY lang) AS n FROM counts)
+        |SELECT lang,
+        |  CAST(min(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS INTEGER) AS p50,
+        |  CAST(min(CASE WHEN cum >= ceil(0.9 * n) THEN v END) AS INTEGER) AS p90,
+        |  TRUE AS within_10pct
         |FROM cum GROUP BY lang ORDER BY lang""".stripMargin,
     "q_repetition" ->
       """WITH toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t

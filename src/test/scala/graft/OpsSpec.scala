@@ -561,6 +561,17 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq === Seq((2L, "a", 1), (4L, "a", 2), (5L, "b", 1)))
   }
 
+  test("curation: domain cap plans a WindowGroupLimit (map-side top-n prune)") {
+    import graft.ops.Curation
+    // the rank<=n filter must push a group-limit below the exchange —
+    // that prune is what keeps a mega-domain from shipping its whole
+    // row set to one hot partition at scale
+    val df = (1 to 1000).map(i => (i.toLong, s"d${i % 7}", i)).toDF("id", "dom", "sz")
+    val plan = Curation.domainCap(df, "dom", 3, Seq(col("sz").desc, col("id")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
   test("curation: sequence packing offsets, shard cuts, group isolation") {
     import graft.ops.Curation
     val df = Seq(
