@@ -590,10 +590,13 @@ object SparkEntry {
     val approx = lens.groupBy("lang").agg(
       percentile_approx(col("len"), lit(0.5), lit(1000)).as("a50"),
       percentile_approx(col("len"), lit(0.9), lit(1000)).as("a90"))
+    // multiplication form, not division: a zero exact quantile (a group
+    // that is ≥50% empty docs) would make the divided form NULL, which
+    // can never hash-match the oracle's literal TRUE
     exact.join(approx, Seq("lang"))
       .select(col("lang"), col("p50"), col("p90"),
-        (abs(col("a50") - col("p50")).cast("double") / col("p50") <= 0.1 &&
-          abs(col("a90") - col("p90")).cast("double") / col("p90") <= 0.1)
+        (abs(col("a50") - col("p50")).cast("double") <= col("p50") * 0.1 &&
+          abs(col("a90") - col("p90")).cast("double") <= col("p90") * 0.1)
           .as("within_10pct"))
       .orderBy("lang")
   }

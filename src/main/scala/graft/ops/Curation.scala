@@ -75,7 +75,13 @@ object Curation {
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
                     groupCol: String, budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
+    // ROWS frame, not the default RANGE: RANGE sums over all ORDER BY
+    // peers, so two rows sharing an id would each absorb the other's
+    // tokens into its own start offset (overlapping layout). With ROWS,
+    // duplicate ids still pack — their relative order is just
+    // partition-dependent; keep idCol unique per group for stable output
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val start = sum(col(tokensCol)).over(w) - col(tokensCol)
     df.withColumn("shard", floor(start / budgetTokens))
       .withColumn("shard_pos", start % budgetTokens)

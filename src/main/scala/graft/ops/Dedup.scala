@@ -116,7 +116,11 @@ object Dedup {
     // three consumers (both self-join sides via `banded`, plus the two
     // verify lookups) would otherwise re-tokenize and re-hash the corpus
     // once each. Cache rows are (id, 16 longs) — ~140 bytes/doc, far
-    // smaller than the text they replace.
+    // smaller than the text they replace. The cache backs the RETURNED
+    // frame, so the operator cannot release it itself: long-lived
+    // sessions calling this repeatedly must `spark.catalog.clearCache()`
+    // between invocations (Bench does), same contract as
+    // [[Similarity.cosineNearDups]].
     val sig = shingleHashed(df, idCol, textCol, shingleK)
       .select(col("id"), minhashSignatureFromHashes(col("shh"), numHashes).as("sig"))
       .cache()
@@ -304,6 +308,11 @@ object Dedup {
           .localCheckpoint(true)
         val changed = step.where(col("label") =!= col("_old")).count()
         prop.unpersist()
+        // backing is a real cache only on round 1 (the init labels);
+        // later rounds' checkpointed steps are NOT cache-manager entries
+        // — Dataset.unpersist() is a no-op for them, and their blocks
+        // are released by the context cleaner as the RDD references
+        // retire with each loop iteration
         backing.unpersist()
         backing = step
         labels = step.select("id", "label")

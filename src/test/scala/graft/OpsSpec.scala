@@ -584,6 +584,13 @@ class OpsSpec extends SparkSpec {
     // en starts: 0, 4, 9, 12 → shards 0,0,0,1 at pos 0,4,9,2; de restarts at 0
     assert(got.toSeq === Seq((1L, 0L, 0L), (2L, 0L, 4L), (3L, 0L, 9L),
       (4L, 1L, 2L), (5L, 0L, 0L)))
+    // duplicate ids must still lay out disjointly (ROWS frame, not
+    // RANGE: RANGE would give both rows the full peer sum and overlap)
+    val dup = Seq((1L, "en", 5), (1L, "en", 7)).toDF("id", "lang", "n")
+    val dupGot = Curation.packSequences(dup, "id", "n", "lang", 100L)
+      .select("shard_pos").collect().map(_.getLong(0)).sorted
+    assert(dupGot.toSeq === Seq(0L, 5L) || dupGot.toSeq === Seq(0L, 7L),
+      s"overlapping offsets for duplicate ids: ${dupGot.toSeq}")
   }
 
   test("scd2: change closes+reopens, new key appends, history untouched, as-of") {
