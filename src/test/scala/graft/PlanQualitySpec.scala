@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape and partition-invariance assertions — the properties that
+  * make the operators survive a 1000-executor cluster, pinned so a
+  * refactor cannot silently regress them:
+  *
+  *  - results must not depend on the shuffle partitioning (the decimal
+  *    partial-sum design claims order-independence — prove it);
+  *  - star joins must broadcast their dimension sides;
+  *  - narrow projections must prune the parquet scan to the columns
+  *    they read.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  test("decimal-partial aggregates are bit-identical at 7 vs 32 shuffle partitions") {
+    val probes = Seq("q_dealer_perf", "q_embedding_stats", "q_events_daily")
+    def runAll(parts: Int): Map[String, Seq[String]] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try probes.map { q =>
+        q -> SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+          .collect().map(_.toString).toSeq
+      }.toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", 32)
+    }
+    val at7 = runAll(7)
+    val at32 = runAll(32)
+    probes.foreach { q =>
+      assert(at7(q) === at32(q), s"$q result depends on shuffle partitioning")
+    }
+  }
+
+  test("star-contract join broadcasts all three dimension sides") {
+    val plan = SparkEntry.qStarContract(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3, s"expected 3 broadcast dim joins, found $broadcasts in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "a star dim fell back to sort-merge — the fact side would shuffle at scale")
+  }
+
+  test("narrow projections prune the parquet scan") {
+    // dealer-perf touches 4 orders columns; the scan must not read the
+    // wide comment/clerk columns (ReadSchema is what ships at 100 TB)
+    val plan = SparkEntry.qDealerPerf(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("o_comment") && !plan.contains("o_clerk"),
+      s"unpruned orders scan:\n$plan")
+    // corpus-filter needs only doc_id/lang/source/text
+    val plan2 = SparkEntry.qCorpusFilter(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan2.contains("n_chars"), s"unpruned documents scan:\n$plan2")
+  }
+
+  test("null-filter predicates reach the parquet scan as pushed filters") {
+    val plan = SparkEntry.qNullFilter(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull"),
+      s"no pushed filters on the scan:\n$plan")
+  }
+}
