@@ -573,6 +573,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Corpus line-dedup over deterministically planted boilerplate: every
+    * doc gains a header and footer line (100% document frequency — must
+    * be stripped everywhere) and every 7th doc a promo line (~14% —
+    * must survive); the original text rides as the middle line. The
+    * oracle replays the whole frequency/filter/reassembly pipeline. */
+  def qLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"),
+      concat(
+        lit("nav home products contact\n"),
+        col("text"),
+        lit("\ncopyright footer all rights reserved"),
+        when(col("doc_id") % 7 === 0, lit("\nsubscribe to the newsletter"))
+          .otherwise(lit(""))).as("text"))
+    TextOps.lineDedup(docs, "doc_id", "text", maxDocFrac = 0.5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Sketch-based grouped quantiles (the 100 TB path when value
     * cardinality defeats the exact window in [[graft.ops.Stats]]) gated
     * like `q_approx_distinct`: the oracle-comparable surface is the
@@ -965,6 +983,7 @@ object SparkEntry {
     "q_domain_cap"       -> qDomainCap,
     "q_seq_pack"         -> qSeqPack,
     "q_approx_quantiles" -> qApproxQuantiles,
+    "q_line_dedup"       -> qLineDedup,
     "q_scd2"             -> qScd2,
     "q_dedup_groups"     -> qDedupGroups,
     "q_corpus_filter"    -> qCorpusFilter,
@@ -1264,6 +1283,25 @@ object SparkEntry {
         |  min(CASE WHEN cum >= ceil(0.9 * n) THEN v END) AS p90,
         |  min(CASE WHEN cum >= ceil(0.99 * n) THEN v END) AS p99
         |FROM cum GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_line_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    'nav home products contact' || chr(10) || text || chr(10) ||
+        |    'copyright footer all rights reserved' ||
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'subscribe to the newsletter'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+        |l AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS line_no,
+        |             unnest(ls) AS line FROM sp),
+        |f AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM l GROUP BY line),
+        |tot AS (SELECT count(*) AS n_docs FROM d),
+        |kept AS (SELECT l.* FROM l JOIN f USING (line) CROSS JOIN tot
+        |         WHERE line_df <= n_docs * 0.5),
+        |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS clean_text,
+        |        count(*) AS n_lines_kept FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(clean_text, '') AS clean_text,
+        |       coalesce(n_lines_kept, 0) AS n_lines_kept
+        |FROM d LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
     // the sketch estimate is engine-specific; the gate checks the exact
     // discrete quantiles and that the sketch honored the 10% contract
     "q_approx_quantiles" ->

@@ -195,6 +195,42 @@ object TextOps {
         coalesce(col("avg_rarity"), lit(0.0)).as("avg_rarity"))
   }
 
+  /** Corpus-level line deduplication (the CCNet/RefinedWeb boilerplate
+    * pass): a line appearing in more than `maxDocFrac` of all documents
+    * is boilerplate (nav headers, footers, cookie banners) and is
+    * dropped from every document; surviving lines are reassembled in
+    * their original order. Documents whose every line is boilerplate
+    * come back with empty text, not missing rows.
+    *
+    * Scale shape: explode to (doc, line_no, line) rows, one aggregate
+    * for per-line document frequency, an equi-join to filter, one
+    * aggregate to reassemble. The join here keys on the line STRING so
+    * the SQL oracle can replay it; at 100 TB key the frequency join on
+    * xxhash64(line) instead and carry the string only on the
+    * reassembly path (the [[Dedup.shingleHashed]] trade — shuffles
+    * 8-byte hashes, not text). The doc-count is a 1-row frame consumed
+    * via crossJoin, so nothing is eager at construction. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                maxDocFrac: Double = 0.5): DataFrame = {
+    require(maxDocFrac > 0 && maxDocFrac <= 1, s"maxDocFrac out of (0,1]: $maxDocFrac")
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+    val docFreq = lines.groupBy("line").agg(countDistinct(col("id")).as("line_df"))
+    val total = df.agg(count(lit(1)).as("n_docs"))
+    val kept = lines.join(docFreq, Seq("line")).crossJoin(total)
+      .where(col("line_df") <= col("n_docs") * maxDocFrac)
+    val rebuilt = kept.groupBy("id").agg(
+      concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+          s => s.getField("line"))).as("clean_text"),
+      count(lit(1)).as("n_lines_kept"))
+    df.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"))
+  }
+
   /** Benchmark-contamination scan: per document, how many of its
     * distinct k-token shingles also occur anywhere in a benchmark
     * corpus (the standard train/eval overlap check before training).

@@ -470,6 +470,22 @@ class OpsSpec extends SparkSpec {
     assert(got(1).getString(2) === "no pii here 12345")
   }
 
+  test("line dedup: boilerplate stripped, order kept, all-boilerplate doc empty") {
+    val df = Seq(
+      (1L, "header\nalpha\nfooter"),
+      (2L, "header\nbeta\ngamma\nfooter"),
+      (3L, "header\nfooter")
+    ).toDF("doc_id", "text")
+    // header+footer are in 3/3 docs (df > 50%); content lines unique
+    val got = TextOps.lineDedup(df, "doc_id", "text", maxDocFrac = 0.5)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (1L, "alpha", 1L),
+      (2L, "beta\ngamma", 2L),
+      (3L, "", 0L)))
+  }
+
   test("pii count: a span consumed by an earlier pattern is not recounted") {
     // the email regex consumes the whole span; the embedded SSN shape
     // must not ALSO count — n_pii equals the number of redacted spans
