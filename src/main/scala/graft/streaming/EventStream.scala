@@ -76,6 +76,44 @@ object EventStream {
       }
   }
 
+  /** Emit-on-close sessionization via flatMapGroupsWithState with an
+    * EVENT-time timeout: a user's session emits exactly one immutable
+    * row when the watermark passes its last event plus the gap —
+    * append-mode output, the shape a downstream fact table wants
+    * ([[sessionize]] is the update-mode running-state complement).
+    * While a session is open the operator emits nothing (an empty
+    * iterator — the reason this is flatMap, not map). State is
+    * O(active users) and evicts with the watermark, so a 100 TB/day
+    * stream holds state only for the gap + lateness horizon. */
+  def sessionizeOnClose(events: Dataset[Event],
+                        gapMinutes: Int = 30,
+                        lateness: String = "10 minutes")
+                       (implicit enc: org.apache.spark.sql.Encoder[Session]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId, batch, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              Session(userId, s.count, (s.lastTs - s.firstTs) / 1000.0, closed = true))
+          } else {
+            val times = batch.map(_.ts.getTime).toSeq
+            val prev = state.getOption.getOrElse(
+              SessionState(0L, times.min, times.min))
+            val next = SessionState(prev.count + times.size,
+              math.min(prev.firstTs, times.min), math.max(prev.lastTs, times.max))
+            state.update(next)
+            state.setTimeoutTimestamp(next.lastTs + gapMinutes * 60000L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming exact dedup: drop events whose dedup key was already seen
     * within the watermark horizon — the streaming leg of the dedup
     * family (state is bounded by the horizon, evicted as the watermark

@@ -115,4 +115,33 @@ class StreamingSpec extends SparkSpec {
       assert(!last.getAs[Boolean]("closed"))
     } finally query.stop()
   }
+
+  test("sessionizeOnClose emits one closed row when the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStream.sessionizeOnClose(input.toDS(), gapMinutes = 30)
+    val query = EventStream.startToMemory(sessions.toDF(), "closed_sessions",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      // user 7: a 5-minute burst — nothing may emit while it is open
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 10:05:00"), 7, "view", 1.0))
+      query.processAllAvailable()
+      assert(spark.table("closed_sessions").isEmpty)
+      // another user far in event time advances the watermark past
+      // 10:05 + 30min gap (watermark updates at end of this batch)...
+      input.addData(Event(3, ts("2024-01-01 12:00:00"), 8, "click", 1.0))
+      query.processAllAvailable()
+      // ...and the NEXT batch fires user 7's event-time timeout
+      input.addData(Event(4, ts("2024-01-01 12:01:00"), 8, "view", 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("closed_sessions").collect()
+      assert(rows.length === 1, s"expected exactly one closed session, got ${rows.length}")
+      assert(rows(0).getAs[Long]("user_id") === 7L)
+      assert(rows(0).getAs[Long]("num_events") === 2L)
+      assert(rows(0).getAs[Double]("session_seconds") === 300.0)
+      assert(rows(0).getAs[Boolean]("closed"))
+    } finally query.stop()
+  }
 }
