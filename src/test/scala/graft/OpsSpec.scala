@@ -758,6 +758,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("compaction: many small files collapse to the target count, data intact") {
+    import graft.pipeline.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val df = (1 to 10000).map(i => (i.toLong, i * 1.5)).toDF("id", "v")
+    df.repartition(32).write.parquet(dir)
+    val stats = Compaction.compact(spark, dir, targetRowsPerFile = 2500)
+    assert(stats.filesBefore === 32 && stats.rows === 10000L)
+    assert(stats.filesAfter === 4, s"expected ceil(10000/2500)=4 files, got $stats")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 10000L)
+    assert(back.agg(sum(col("id"))).collect()(0).getLong(0) === 50005000L)
+    // idempotent at the same target
+    assert(Compaction.compact(spark, dir, 2500).filesAfter === 4)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import graft.pipeline.Runner
     import graft.pipeline.Runner.{Model, BucketedTable}
