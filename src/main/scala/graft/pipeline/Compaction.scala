@@ -40,7 +40,16 @@ object Compaction {
               targetRowsPerFile: Long): CompactionStats = {
     require(targetRowsPerFile > 0, s"target must be positive: $targetRowsPerFile")
     val dir = Paths.get(path)
-    val before = parquetFiles(dir).size
+    val files = parquetFiles(dir)
+    // a hive-partitioned layout (key=value subdirs) would be silently
+    // FLATTENED by a whole-directory rewrite — partition columns become
+    // ordinary columns and every pruned reader full-scans. Compact each
+    // leaf partition directory instead.
+    val partitioned = files.filter(f =>
+      dir.relativize(f).toString.split('/').init.exists(_.contains("=")))
+    require(partitioned.isEmpty,
+      s"$path is hive-partitioned (e.g. ${partitioned.headOption.getOrElse("")}); " +
+        "compact its leaf partition directories individually")
     val df = spark.read.parquet(path)
     val rows = df.count()
     val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
@@ -48,11 +57,10 @@ object Compaction {
     // repartition (round-robin), not coalesce: coalesce only merges
     // co-located input splits, so one straggler input file still yields
     // one straggler output file
-    spark.read.parquet(path).repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
+    df.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
     deleteRecursively(dir)
     Files.move(tmp, dir)
-    CompactionStats(before, parquetFiles(dir).size, rows)
+    CompactionStats(files.size, parquetFiles(dir).size, rows)
   }
 
   private def deleteRecursively(dir: Path): Unit = {

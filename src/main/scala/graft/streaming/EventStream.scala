@@ -44,6 +44,34 @@ object EventStream {
   final case class Session(user_id: Long, num_events: Long,
                            session_seconds: Double, closed: Boolean)
 
+  /** Fold a batch of event times into the open session state, splitting
+    * wherever consecutive times are more than `gapMs` apart — returns
+    * (sessions closed by this batch, the still-open tail session).
+    * Shared by both sessionizers ([[sessionize]] passes gapMs =
+    * Long.MaxValue → plain merge, never splits) so the merge arithmetic
+    * cannot drift between them. Gap splits INSIDE a batch matter on the
+    * backfill/replay path, where one micro-batch can span hours. */
+  private[streaming] def mergeAndSplit(prev: Option[SessionState], times: Seq[Long],
+                                       gapMs: Long): (Seq[SessionState], SessionState) = {
+    require(times.nonEmpty, "mergeAndSplit needs at least one event time")
+    val sorted = times.sorted
+    val init = prev match {
+      case Some(p) if sorted.head - p.lastTs <= gapMs =>
+        (Seq.empty[SessionState], p)
+      case Some(p) =>
+        (Seq(p), SessionState(0L, sorted.head, sorted.head))
+      case None =>
+        (Seq.empty[SessionState], SessionState(0L, sorted.head, sorted.head))
+    }
+    sorted.foldLeft(init) { case ((closed, open), t) =>
+      if (open.count > 0 && t - open.lastTs > gapMs)
+        (closed :+ open, SessionState(1L, t, t))
+      else
+        (closed, SessionState(open.count + 1,
+          math.min(open.firstTs, t), math.max(open.lastTs, t)))
+    }
+  }
+
   /** Stateful sessionization via mapGroupsWithState: per-user running
     * session with a 30-minute inactivity timeout (processing-time).
     * The state object is tiny and explicit — the pattern for any custom
@@ -62,10 +90,9 @@ object EventStream {
             Session(userId, s.count, (s.lastTs - s.firstTs) / 1000.0, closed = true)
           } else {
             val times = batch.map(_.ts.getTime).toSeq
-            val prev = state.getOption.getOrElse(
-              SessionState(0L, times.min, times.min))
-            val next = SessionState(prev.count + times.size,
-              math.min(prev.firstTs, times.min), math.max(prev.lastTs, times.max))
+            // gapMs = MaxValue: the running-state sessionizer never
+            // splits; closing is the timeout's job
+            val (_, next) = mergeAndSplit(state.getOption, times, Long.MaxValue)
             state.update(next)
             // duration-based timeouts are only legal for processing-time
             // (event-time requires setTimeoutTimestamp and would throw)
@@ -81,10 +108,16 @@ object EventStream {
     * row when the watermark passes its last event plus the gap —
     * append-mode output, the shape a downstream fact table wants
     * ([[sessionize]] is the update-mode running-state complement).
-    * While a session is open the operator emits nothing (an empty
-    * iterator — the reason this is flatMap, not map). State is
-    * O(active users) and evicts with the watermark, so a 100 TB/day
-    * stream holds state only for the gap + lateness horizon. */
+    * Sessions also close on the DATA path: a batch whose events sit
+    * more than the gap past the open state (next micro-batch or a
+    * multi-hour backfill batch) splits and emits the finished sessions
+    * immediately — the event-time timeout only covers keys that go
+    * fully silent. Keep `gapMinutes` larger than the lateness horizon:
+    * the watermark trails the newest event by `lateness`, so
+    * `lastTs + gap` then always exceeds the watermark (Spark rejects
+    * timeout timestamps at or below it). State is O(active users) and
+    * evicts with the watermark, so a 100 TB/day stream holds state
+    * only for the gap + lateness horizon. */
   def sessionizeOnClose(events: Dataset[Event],
                         gapMinutes: Int = 30,
                         lateness: String = "10 minutes")
@@ -103,13 +136,17 @@ object EventStream {
               Session(userId, s.count, (s.lastTs - s.firstTs) / 1000.0, closed = true))
           } else {
             val times = batch.map(_.ts.getTime).toSeq
-            val prev = state.getOption.getOrElse(
-              SessionState(0L, times.min, times.min))
-            val next = SessionState(prev.count + times.size,
-              math.min(prev.firstTs, times.min), math.max(prev.lastTs, times.max))
-            state.update(next)
-            state.setTimeoutTimestamp(next.lastTs + gapMinutes * 60000L)
-            Iterator.empty
+            // the gap can close sessions on the DATA path too: a key
+            // with data never fires its timeout in that trigger, so a
+            // later-than-gap event (next micro-batch, or hours later in
+            // one backfill batch) must split here, not merge — the
+            // timeout only covers keys that go fully silent
+            val (closedNow, open) =
+              mergeAndSplit(state.getOption, times, gapMinutes * 60000L)
+            state.update(open)
+            state.setTimeoutTimestamp(open.lastTs + gapMinutes * 60000L)
+            closedNow.iterator.map(s =>
+              Session(userId, s.count, (s.lastTs - s.firstTs) / 1000.0, closed = true))
           }
       }
   }

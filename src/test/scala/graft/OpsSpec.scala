@@ -771,6 +771,11 @@ class OpsSpec extends SparkSpec {
     assert(back.agg(sum(col("id"))).collect()(0).getLong(0) === 50005000L)
     // idempotent at the same target
     assert(Compaction.compact(spark, dir, 2500).filesAfter === 4)
+    // a hive-partitioned layout must be rejected, not silently flattened
+    val pdir = java.nio.file.Files.createTempDirectory("graft-compact-p").toString + "/t"
+    df.withColumn("m", col("id") % 3).write.partitionBy("m").parquet(pdir)
+    val e = intercept[IllegalArgumentException](Compaction.compact(spark, pdir, 2500))
+    assert(e.getMessage.contains("hive-partitioned"))
   }
 
   test("bucketed tables join without a shuffle exchange") {

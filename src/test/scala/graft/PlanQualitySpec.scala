@@ -16,13 +16,16 @@ class PlanQualitySpec extends SparkSpec {
 
   test("decimal-partial aggregates are bit-identical at 7 vs 32 shuffle partitions") {
     val probes = Seq("q_dealer_perf", "q_embedding_stats", "q_events_daily")
+    // restore the FIXTURE's value, not a constant — the session is
+    // shared across suites and a leaked setting changes later plans
+    val fixtureParts = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(parts: Int): Map[String, Seq[String]] = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
       try probes.map { q =>
         q -> SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
           .collect().map(_.toString).toSeq
       }.toMap
-      finally spark.conf.set("spark.sql.shuffle.partitions", 32)
+      finally spark.conf.set("spark.sql.shuffle.partitions", fixtureParts)
     }
     val at7 = runAll(7)
     val at32 = runAll(32)

@@ -144,4 +144,25 @@ class StreamingSpec extends SparkSpec {
       assert(rows(0).getAs[Boolean]("closed"))
     } finally query.stop()
   }
+
+  test("sessionizeOnClose splits on the gap in the data path (backfill batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStream.sessionizeOnClose(input.toDS(), gapMinutes = 30)
+    val query = EventStream.startToMemory(sessions.toDF(), "backfill_sessions",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      // one backfill batch spanning two sessions for user 7: a key WITH
+      // data never fires its timeout, so the split must happen on merge
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 7, "view", 1.0),
+        Event(3, ts("2024-01-01 13:00:00"), 7, "click", 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("backfill_sessions").collect()
+      assert(rows.length === 1, s"first session should close on the data path: ${rows.length}")
+      assert(rows(0).getAs[Long]("num_events") === 2L)
+      assert(rows(0).getAs[Double]("session_seconds") === 600.0)
+    } finally query.stop()
+  }
 }
