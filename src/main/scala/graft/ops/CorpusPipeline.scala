@@ -6,15 +6,17 @@ import org.apache.spark.sql.functions._
 /** The end-to-end training-corpus cleaning pipeline — the composition
   * all the text/dedup operators exist for:
   *
-  *   quality filter → exact dedup → MinHash near-dedup → clean corpus
+  *   quality filter → exact dedup → verified MinHash near-dedup → clean
   *
   * Each stage is the scale-shaped operator from this package: the
   * quality filter is a narrow map, exact dedup shuffles content hashes,
-  * near-dedup goes through LSH banding. Near-dup resolution keeps the
-  * lowest doc id of each pair and drops the other side — the standard
-  * greedy rule (not full connected components, which would need an
-  * iterative join; documented trade-off, same as most production
-  * dedup pipelines).
+  * near-dedup goes through LSH banding with exact-Jaccard verification
+  * (so the output is deterministic — the near-dup stage equals an exact
+  * Jaccard pair scan). Near-dup resolution keeps the lowest doc id of
+  * each pair and drops the other side — the standard greedy rule (not
+  * full connected components, which would need an iterative join;
+  * documented trade-off, same as most production dedup pipelines;
+  * [[Dedup.connectedComponents]] is the full-resolution alternative).
   *
   * Cost model: the pipeline itself triggers NO Spark actions unless the
   * caller opts in. The exact-dedup survivor frame is consumed by three
@@ -53,12 +55,15 @@ object CorpusPipeline {
         exact0.cache()
     }
 
-    // 3. near-dedup — MinHash/LSH candidates, drop the higher id of
-    // every surviving near-dup pair. The drop-id set is cached (it is
-    // tiny: bare ids of dropped docs) so the expensive LSH stage runs
-    // once even when the stats count AND the caller's action both
-    // consume the anti-join.
-    val nearPairs = Dedup.minhashNearDups(exact, idCol, textCol,
+    // 3. near-dedup — MinHash/LSH candidates exact-verified against the
+    // true shingle Jaccard ([[Dedup.minhashVerifiedDups]]), drop the
+    // higher id of every verified pair. Exact verification makes the
+    // drop set — and hence the whole pipeline output — deterministic
+    // and oracle-mirrorable. The drop-id set is cached (it is tiny:
+    // bare ids of dropped docs) so the expensive LSH stage runs once
+    // even when the stats count AND the caller's action both consume
+    // the anti-join.
+    val nearPairs = Dedup.minhashVerifiedDups(exact, idCol, textCol,
       shingleK = shingleK, threshold = nearThreshold)
     val dropIds = nearPairs.select(col("id_b").as(idCol)).distinct().cache()
     val cleaned = exact.join(dropIds, Seq(idCol), "left_anti")

@@ -151,6 +151,69 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** MinHash + LSH candidates, verified with the EXACT shingle-set
+    * Jaccard — output is the exact near-dup pair set (id_a < id_b,
+    * jaccard ≥ threshold), not an estimate.
+    *
+    * Banding is dense by default (24 bands × 3 rows = 72 hashes) so that
+    * recall at the threshold is effectively 1: a pair at Jaccard j
+    * reaches the verify stage unless ALL bands miss, probability
+    * (1 − j³)²⁴ — ≤ 2·10⁻⁶ at j = 0.75, ≤ 5·10⁻¹¹ at j = 0.857. With
+    * recall ~1 and exact verification the output equals a plain exact
+    * Jaccard pair scan, which is what makes this operator ORACLE-CHECKABLE
+    * (the DuckDB mirror computes all-pairs exact Jaccard) while still
+    * running the 100 TB shape: candidate generation is banded equi-joins,
+    * never the quadratic scan the oracle does.
+    *
+    * Scale shape: shuffles carry bare longs everywhere — (band, bucket,
+    * id) for candidates, (id_a, id_b) for the dedup, (id_a, id_b, shingle
+    * hash) for the verify intersection (bounded by candidate pairs ×
+    * shingles, never corpus²). `hashed` (distinct shingle hashes) and
+    * `sig` (72 longs/doc) are cached: hashed feeds the signature build +
+    * two verify lookups + sizes, sig feeds both banding sides. The caches
+    * back the returned frame — callers running many queries per session
+    * clear with `spark.catalog.clearCache()` (Bench does). */
+  def minhashVerifiedDups(df: DataFrame, idCol: String, textCol: String,
+                          shingleK: Int = 5, numBands: Int = 24,
+                          rowsPerBand: Int = 3,
+                          threshold: Double = 0.5): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    val hashed = shingleHashed(df, idCol, textCol, shingleK)
+      .select(col("id"), array_distinct(col("shh")).as("shh"))
+      .cache()
+    val sig = hashed
+      .select(col("id"), minhashSignatureFromHashes(col("shh"), numHashes).as("sig"))
+      .cache()
+    val banded = sig.select(
+      col("id"),
+      posexplode(array((0 until numBands).map { b =>
+        xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))) }: _*))
+        .as(Seq("band", "bucket")))
+    val ca = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val cb = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = ca.join(cb, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates()
+    // exact verify: per-candidate shingle intersection via two equi-joins
+    // on (id, hash) — fan-out is candidates × per-doc shingles, and every
+    // shuffled row is three longs
+    val ex = hashed.select(col("id"), explode(col("shh")).as("s"))
+    val sizes = hashed.select(col("id"), size(col("shh")).as("sz"))
+    val inter = candidates
+      .join(ex.select(col("id").as("id_a"), col("s")), Seq("id_a"))
+      .join(ex.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** SimHash (64-bit) of a token stream: sign-sum of per-token hash bits.
     * Composed from built-ins: explode tokens → packed per-bit one-counts
     * → sum → reassemble bits. Near-dups = hamming distance ≤ maxDistance,

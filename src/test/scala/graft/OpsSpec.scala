@@ -55,6 +55,30 @@ class OpsSpec extends SparkSpec {
     assert((pairs(0).getLong(0), pairs(0).getLong(1), pairs(0).getDouble(2)) === (1L, 2L, 1.0))
   }
 
+  test("verified minhash equals the exact jaccard pair scan") {
+    // fixture: planted near-dups (suffix tweak) + unrelated docs; the
+    // verified operator must return exactly the pairs the exact scan
+    // (ngramJaccardPairs with no effective df cap) returns, jaccard
+    // values bit-equal
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron")
+    val base = (1L to 30L).map { i =>
+      (i, Seq.fill(12 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val planted = (1L to 5L).map { i => (100L + i, base(i.toInt - 1)._2 + " tail") }
+    val df = (base ++ planted).toDF("doc_id", "text")
+    val got = Dedup.minhashVerifiedDups(df, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      k = 5, threshold = 0.3, dfCap = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    assert((1L to 5L).forall(i => exact.exists(p => p._1 == i && p._2 == 100L + i)))
+    assert(got === exact)
+    spark.catalog.clearCache()
+  }
+
   test("simhash: identical docs distance 0; near docs within 3") {
     val df = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
                  (2L, "alpha beta gamma delta epsilon zeta eta theta"),
