@@ -697,16 +697,22 @@ object SparkEntry {
     cleaned.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
   }
 
-  /** Bottom-k rolling-hash document fingerprints (winnowing-style
-    * sketch). xxhash64-based — rows-only check. The hash array is
-    * rendered as one comma-joined string so the result is row-sortable
-    * by any harness (an array<bigint> column is not). */
+  /** Bottom-k rolling-hash document fingerprint contract. The hash
+    * VALUES are xxhash64-based and have no SQL mirror, but the sketch's
+    * structural contract does: its size is exactly
+    * least(k, #distinct shingles) (bottom-k of a distinct set — DuckDB
+    * recomputes it from the text), and it is sorted ascending with no
+    * duplicates (contract bits; oracle emits literal TRUE). The raw
+    * hash values are exercised in the spec. */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents").select(
-      col("doc_id"),
-      concat_ws(",", transform(
-        TextOps.fingerprint(col("text"), k = 5, n = 8), _.cast("string")))
-        .as("fingerprint"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.fingerprint(col("text"), k = 5, n = 8).as("fp"))
+      .select(
+        col("doc_id"),
+        size(col("fp")).as("fp_size"),
+        (col("fp") === array_sort(col("fp"))).as("is_sorted"),
+        (size(array_distinct(col("fp"))) === size(col("fp"))).as("is_distinct"))
       .orderBy("doc_id")
 
   /** Exact brute-force cosine top-k: first 100 vec_ids as the query set,
@@ -719,24 +725,50 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH-bucketed approximate top-k (the 100 TB ANN path). Approximate →
-    * rows-only check; recall@5 vs brute force is measured in the spec
-    * (defaults tuned to ≥ 0.8 on this corpus). */
+  /** One-row ANN recall contract: exact columns DuckDB recomputes (query
+    * count, exact-result count, decimal-summed exact score mass) plus a
+    * contract bit — recall@k of the approximate result against the
+    * brute-force baseline ≥ `floor` — that the oracle emits as literal
+    * TRUE. Both engines agree on the exact columns; the bit converts the
+    * approximate operator's quality bound into a hash-checked value.
+    * Recall here is deterministic (seeded planes / deterministic k-means
+    * init), not a flaky sample. */
+  private def annRecallContract(approx: DataFrame, exact: DataFrame,
+                                floor: Double): DataFrame = {
+    val hits = exact.select("query_id", "corpus_id")
+      .join(approx.select("query_id", "corpus_id"),
+        Seq("query_id", "corpus_id"), "left_semi")
+    exact.agg(
+      countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_exact"),
+      sum(col("score").cast("decimal(18,12)")).cast("double").as("sum_score"))
+      .crossJoin(hits.agg(count(lit(1)).as("_nh")))
+      .select(col("n_queries"), col("n_exact"), col("sum_score"),
+        (col("_nh").cast("double") / col("n_exact") >= lit(floor)).as("recall_ok"))
+  }
+
+  /** LSH-bucketed approximate top-k (the 100 TB ANN path), gated as a
+    * recall contract vs the brute-force baseline (measured 0.83–0.85 on
+    * this corpus; contract floor 0.75 leaves margin). */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    Similarity.lshTopK(emb, emb.where(col("vec_id") < 100),
-      "vec_id", "embedding", dim = 64, k = 5)
-      .orderBy("query_id", "rank")
+    val q = emb.where(col("vec_id") < 100)
+    annRecallContract(
+      Similarity.lshTopK(emb, q, "vec_id", "embedding", dim = 64, k = 5),
+      Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5),
+      floor = 0.75)
   }
 
   /** IVF approximate top-k (DataFrame-native k-means cells + nprobe
-    * probing) — the partition-pruned ANN path. Approximate → rows-only;
-    * recall@5 vs brute force is measured in the spec (≥ 0.8). */
+    * probing) — the partition-pruned ANN path, gated as a recall
+    * contract vs brute force (measured 0.81–0.83; floor 0.75). */
   def qIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    Similarity.ivfTopK(emb, emb.where(col("vec_id") < 100), "vec_id", "embedding",
-      k = 5, nlist = 16, nprobe = 8)
-      .orderBy("query_id", "rank")
+    val q = emb.where(col("vec_id") < 100)
+    annRecallContract(
+      Similarity.ivfTopK(emb, q, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8),
+      Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5),
+      floor = 0.75)
   }
 
   /** A1 at whale-key scale — two-phase salted aggregation: phase 1
@@ -1009,6 +1041,27 @@ object SparkEntry {
     "q_adapter_staging"  -> qAdapterStaging,
     "q_sql_staging"      -> qSqlStaging,
   )
+
+  /** Shared ANN-contract oracle: the exact brute-force top-5 aggregate
+    * (query count, result count, decimal-summed score mass) + literal
+    * TRUE for the recall contract bit. */
+  private def annOracleSql: String = {
+    val dotQC = sqlDot("q.v", "c.v")
+    val dotQQ = sqlDot("q.v", "q.v")
+    val dotCC = sqlDot("c.v", "c.v")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id, v FROM e WHERE vec_id < 100),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |         $dotQC / (sqrt($dotQQ) * sqrt($dotCC)) AS score
+       |  FROM e c CROSS JOIN q WHERE c.vec_id <> q.vec_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY score DESC, corpus_id) AS rank FROM scored)
+       |SELECT count(DISTINCT query_id) AS n_queries, count(*) AS n_exact,
+       |       CAST(SUM(CAST(score AS DECIMAL(18,12))) AS DOUBLE) AS sum_score,
+       |       TRUE AS recall_ok
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
 
   /** DuckDB stopword list literal — generated from the same Scala constant
     * the Spark queries use. */
@@ -1649,6 +1702,23 @@ object SparkEntry {
          |SELECT query_id, corpus_id, CAST(rank AS INTEGER) AS rank, score
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+    // both ANN contracts share the exact brute-force mirror: DuckDB
+    // recomputes the exact top-k mass; recall_ok is the contract bit the
+    // Spark side proves (approx-vs-exact overlap >= floor) and the
+    // oracle emits as literal TRUE
+    "q_ann_lsh" -> annOracleSql,
+    "q_ivf_topk" -> annOracleSql,
+    "q_fingerprint" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |              FROM documents),
+        |n AS (SELECT doc_id,
+        |        CASE WHEN len(t) < 5 THEN 0
+        |             ELSE len(list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |                  i -> array_to_string(t[i:i+4], ' ')))) END AS nd
+        |      FROM toks)
+        |SELECT doc_id, CAST(least(8, nd) AS INTEGER) AS fp_size,
+        |       TRUE AS is_sorted, TRUE AS is_distinct
+        |FROM n ORDER BY doc_id""".stripMargin,
     "q_embedding_stats" -> {
       val dotVV = sqlDot("v", "v")
       s"""WITH e AS (SELECT label, sqrt($dotVV) AS nrm
