@@ -856,6 +856,66 @@ object SparkEntry {
       .orderBy("asset_id")
   }
 
+  /** CDC apply-changes over a deterministic synthetic changeset:
+    * deletes (key%10=0), a two-step update where the later seq must win
+    * (key%10=1: ×2 then ×3), an update superseded by a delete
+    * (key%10=3), and fresh inserts (key%10=4 shifted to new key space).
+    * Exercises latest-wins, delete-wins-over-earlier-update, upsert,
+    * and untouched passthrough in one result. */
+  def qCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Cdc
+    val base = t(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("double").as("totalprice"),
+      col("o_orderstatus"))
+    def change(filterMod: Int, price: Column, status: Column, key: Column,
+               op: String, seq: Long): DataFrame =
+      base.where(col("o_orderkey") % 10 === filterMod).select(
+        key.as("o_orderkey"), col("o_custkey"),
+        price.as("totalprice"), status.as("o_orderstatus"),
+        lit(op).as("op"), lit(seq).as("seq"))
+    val k = col("o_orderkey")
+    val p = col("totalprice")
+    val s = col("o_orderstatus")
+    val changes =
+      change(0, p, s, k, "D", 1L)
+        .unionByName(change(1, p * 2, s, k, "U", 1L))
+        .unionByName(change(1, p * 3, s, k, "U", 2L))
+        .unionByName(change(3, p * 2, s, k, "U", 1L))
+        .unionByName(change(3, p, s, k, "D", 2L))
+        .unionByName(change(4, p, lit("N"), k + 900000000L, "I", 1L))
+    Cdc.applyChanges(base, changes, Seq("o_orderkey"), "seq", "op")
+      .orderBy("o_orderkey")
+  }
+
+  /** The dbt-test layer as a gated query: the full check suite —
+    * not_null, unique, accepted_values, relationships (staging.yml /
+    * marts_core.yml test types) — over the testdata tables, emitted as
+    * one (model, check, violations, passed) report frame. Includes a
+    * deliberately failing accepted_values check so non-zero violation
+    * counting is exercised, not just the all-green path. */
+  def qQualityReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.quality._
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    val lineitem = t(spark, dir, "lineitem")
+    Checks.reportDf(Seq(
+      ("orders", orders, Seq(
+        NotNull("o_orderkey"),
+        Unique("o_orderkey"),
+        AcceptedValues("o_orderstatus", Seq("F", "O", "P")),
+        // deliberately narrow value list — counts the other priorities
+        AcceptedValues("o_orderpriority", Seq("1-URGENT", "2-HIGH")),
+        RelationshipTo("o_custkey", () => customer, "c_custkey"))),
+      ("lineitem", lineitem, Seq(
+        NotNull("l_orderkey"),
+        RelationshipTo("l_orderkey", () => orders, "o_orderkey"))),
+      ("customer", customer, Seq(
+        NotNull("c_custkey"),
+        Unique("c_custkey")))))
+      .orderBy("model", "check_name")
+  }
+
   /** The capstone parity query: the whole bank model end-to-end through
     * the pipeline runner (O2/O3) — testdata orders shaped into the Kaggle
     * raw schema, silver staging (P1-P5, W1, F1), gold dims (A6, W2) and
@@ -1037,6 +1097,8 @@ object SparkEntry {
     "q_cosine_near_dups" -> qCosineNearDups,
     "q_multimodal_meta"  -> qMultimodalMeta,
     "q_json_extract"     -> qJsonExtract,
+    "q_cdc_apply"        -> qCdcApply,
+    "q_quality_report"   -> qQualityReport,
     "q_bank_pipeline"    -> qBankPipeline,
     "q_adapter_staging"  -> qAdapterStaging,
     "q_sql_staging"      -> qSqlStaging,
@@ -1757,6 +1819,68 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_cdc_apply" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey,
+        |                     CAST(o_totalprice AS DOUBLE) AS totalprice, o_orderstatus
+        |              FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, o_custkey, totalprice, o_orderstatus, 'D' AS op, 1 AS seq
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL SELECT o_orderkey, o_custkey, totalprice * 2, o_orderstatus, 'U', 1
+        |  FROM base WHERE o_orderkey % 10 = 1
+        |  UNION ALL SELECT o_orderkey, o_custkey, totalprice * 3, o_orderstatus, 'U', 2
+        |  FROM base WHERE o_orderkey % 10 = 1
+        |  UNION ALL SELECT o_orderkey, o_custkey, totalprice * 2, o_orderstatus, 'U', 1
+        |  FROM base WHERE o_orderkey % 10 = 3
+        |  UNION ALL SELECT o_orderkey, o_custkey, totalprice, o_orderstatus, 'D', 2
+        |  FROM base WHERE o_orderkey % 10 = 3
+        |  UNION ALL SELECT o_orderkey + 900000000, o_custkey, totalprice, 'N', 'I', 1
+        |  FROM base WHERE o_orderkey % 10 = 4),
+        |latest AS (SELECT * FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |                                ORDER BY seq DESC, op DESC) AS rn FROM changes)
+        |  WHERE rn = 1)
+        |SELECT o_orderkey, o_custkey, totalprice, o_orderstatus FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = b.o_orderkey)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, totalprice, o_orderstatus FROM latest WHERE op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_quality_report" ->
+      """WITH r AS (
+        |  SELECT 'orders' AS model, 'not_null(o_orderkey)' AS check_name,
+        |         (SELECT count(*) FROM orders WHERE o_orderkey IS NULL) AS violations
+        |  UNION ALL
+        |  SELECT 'orders', 'unique(o_orderkey)',
+        |         (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+        |          WHERE o_orderkey IS NOT NULL GROUP BY 1 HAVING count(*) > 1))
+        |  UNION ALL
+        |  SELECT 'orders', 'accepted_values(o_orderstatus)',
+        |         (SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL
+        |          AND o_orderstatus NOT IN ('F', 'O', 'P'))
+        |  UNION ALL
+        |  SELECT 'orders', 'accepted_values(o_orderpriority)',
+        |         (SELECT count(*) FROM orders WHERE o_orderpriority IS NOT NULL
+        |          AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+        |  UNION ALL
+        |  SELECT 'orders', 'relationship(o_custkey -> c_custkey)',
+        |         (SELECT count(*) FROM orders o WHERE o_custkey IS NOT NULL
+        |          AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL
+        |  SELECT 'lineitem', 'not_null(l_orderkey)',
+        |         (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'lineitem', 'relationship(l_orderkey -> o_orderkey)',
+        |         (SELECT count(*) FROM lineitem l WHERE l_orderkey IS NOT NULL
+        |          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL
+        |  SELECT 'customer', 'not_null(c_custkey)',
+        |         (SELECT count(*) FROM customer WHERE c_custkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'customer', 'unique(c_custkey)',
+        |         (SELECT count(*) FROM (SELECT c_custkey FROM customer
+        |          WHERE c_custkey IS NOT NULL GROUP BY 1 HAVING count(*) > 1)))
+        |SELECT model, check_name, violations, violations = 0 AS passed
+        |FROM r ORDER BY model, check_name""".stripMargin,
     "q_bank_pipeline" ->
       """WITH raw AS (
         |  SELECT CAST(o_orderkey AS VARCHAR) AS uid,

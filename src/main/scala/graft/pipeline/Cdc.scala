@@ -1,0 +1,44 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC changeset application — the MERGE INTO / APPLY CHANGES pattern:
+  * fold a stream of keyed insert/update/delete events into a base
+  * snapshot. Complements [[graft.gold.Scd2]] (which keeps history;
+  * this produces the current-state table) and the incremental
+  * partition-overwrite sink (which replaces whole partitions; this
+  * merges row-level changes).
+  *
+  * Semantics: per key, the change with the highest `seqCol` wins
+  * (ties break by `opCol` descending — "U" over "I" over "D" is NOT
+  * assumed; callers should make `seqCol` a total order per key, the
+  * tie-break only pins determinism). A winning "D" removes the key;
+  * any other op upserts the change row's payload columns.
+  *
+  * Scale shape: one shuffle of the CHANGES by key for the latest-wins
+  * window (changesets are normally ≪ base), then a left-anti join
+  * (AQE broadcasts the latest-change key set when it fits) plus a
+  * union — the base is never shuffled, which is what makes this viable
+  * against a 100 TB snapshot with a daily changeset. */
+object Cdc {
+
+  def applyChanges(base: DataFrame, changes: DataFrame, keys: Seq[String],
+                   seqCol: String, opCol: String,
+                   deleteOp: String = "D"): DataFrame = {
+    val dataCols = base.columns.toSeq
+    val missing = dataCols.filterNot(changes.columns.contains)
+    require(missing.isEmpty, s"changes frame lacks base columns: $missing")
+    require(keys.nonEmpty && keys.forall(dataCols.contains),
+      s"keys must be base columns: $keys")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc, col(opCol).desc)
+    val latest = changes.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+    val untouched = base.join(latest.select(keys.map(col): _*), keys, "left_anti")
+    val upserts = latest.where(col(opCol) =!= deleteOp)
+      .select(dataCols.map(col): _*)
+    untouched.unionByName(upserts)
+  }
+}

@@ -11,31 +11,47 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: notNull is a single filtered count (pushdown-friendly);
   * unique is one hash aggregate — both single-shuffle or less. accepted
-  * values is a broadcast-free isin filter.
+  * values is a broadcast-free isin filter; relationships is a left-anti
+  * join (broadcast when the parent key set fits). Each check also exposes
+  * a one-row COUNT FRAME so a whole suite can run as one declarative
+  * union ([[Checks.reportDf]]) instead of N driver-side `.count()`
+  * actions.
   */
 sealed trait QualityCheck {
   def name: String
+
+  /** One-row frame holding the violating-row count (column `violations`,
+    * always non-null — empty inputs count as 0). */
+  def violationsFrame(df: DataFrame): DataFrame
+
   /** Number of violating rows (0 = pass). */
-  def violations(df: DataFrame): Long
+  def violations(df: DataFrame): Long =
+    violationsFrame(df).collect()(0).getLong(0)
 }
 
 final case class NotNull(column: String) extends QualityCheck {
   val name = s"not_null($column)"
-  def violations(df: DataFrame): Long = df.where(col(column).isNull).count()
+  def violationsFrame(df: DataFrame): DataFrame =
+    df.agg(coalesce(sum(when(col(column).isNull, 1L).otherwise(0L)), lit(0L))
+      .as("violations"))
 }
 
+/** dbt semantics: violations = number of KEY VALUES appearing more than
+  * once (not the number of extra rows). */
 final case class Unique(column: String) extends QualityCheck {
   val name = s"unique($column)"
-  def violations(df: DataFrame): Long =
+  def violationsFrame(df: DataFrame): DataFrame =
     df.where(col(column).isNotNull)
       .groupBy(col(column)).agg(count(lit(1)).as("n"))
-      .where(col("n") > 1).count()
+      .where(col("n") > 1)
+      .agg(count(lit(1)).as("violations"))
 }
 
 final case class AcceptedValues(column: String, values: Seq[String]) extends QualityCheck {
   val name = s"accepted_values($column)"
-  def violations(df: DataFrame): Long =
-    df.where(col(column).isNotNull && !col(column).isin(values: _*)).count()
+  def violationsFrame(df: DataFrame): DataFrame =
+    df.agg(coalesce(sum(when(col(column).isNotNull && !col(column).isin(values: _*),
+      1L).otherwise(0L)), lit(0L)).as("violations"))
 }
 
 /** Referential integrity: every non-null FK value exists in the parent
@@ -43,10 +59,10 @@ final case class AcceptedValues(column: String, values: Seq[String]) extends Qua
 final case class RelationshipTo(column: String, parent: () => DataFrame,
                                 parentColumn: String) extends QualityCheck {
   val name = s"relationship($column -> $parentColumn)"
-  def violations(df: DataFrame): Long =
+  def violationsFrame(df: DataFrame): DataFrame =
     df.where(col(column).isNotNull)
       .join(parent().select(col(parentColumn)), col(column) === col(parentColumn), "left_anti")
-      .count()
+      .agg(count(lit(1)).as("violations"))
 }
 
 final case class CheckResult(model: String, check: String, violations: Long) {
@@ -61,4 +77,20 @@ object Checks {
       (model, df, checks) <- suite
       check <- checks
     } yield CheckResult(model, check.name, check.violations(df))
+
+  /** The whole suite as ONE DataFrame — (model, check_name, violations,
+    * passed), one row per check — so `dbt test` output is itself a
+    * queryable, oracle-checkable result set. Each check contributes a
+    * one-row aggregate branch to a union: counts stay distributed (no
+    * driver-side `.count()` loop), and at cluster scale the branches
+    * schedule concurrently within one action. */
+  def reportDf(suite: Seq[(String, DataFrame, Seq[QualityCheck])]): DataFrame = {
+    val rows = for {
+      (model, df, checks) <- suite
+      check <- checks
+    } yield check.violationsFrame(df)
+      .select(lit(model).as("model"), lit(check.name).as("check_name"),
+        col("violations"), (col("violations") === 0L).as("passed"))
+    rows.reduce(_.unionByName(_))
+  }
 }

@@ -181,6 +181,46 @@ class BankPipelineSpec extends SparkSpec {
     assert(Unique("k").violations(bad) === 1)
   }
 
+  test("quality report frame: one row per check, counts match, empty input counts 0") {
+    import graft.quality.{AcceptedValues, Checks, RelationshipTo}
+    val bad = Seq(("a", 1), ("a", 2), (null, 3), ("x", 4)).toDF("k", "v")
+    val parent = Seq("a").toDF("pk")
+    val empty = Seq.empty[(String, Int)].toDF("k", "v")
+    val rep = Checks.reportDf(Seq(
+      ("bad", bad, Seq(NotNull("k"), Unique("k"),
+        AcceptedValues("k", Seq("a")),
+        RelationshipTo("k", () => parent, "pk"))),
+      ("empty", empty, Seq(NotNull("k"), Unique("k")))))
+      .orderBy("model", "check_name").collect()
+    val got = rep.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq === Seq(
+      ("bad", "accepted_values(k)", 1L, false),
+      ("bad", "not_null(k)", 1L, false),
+      ("bad", "relationship(k -> pk)", 1L, false),
+      ("bad", "unique(k)", 1L, false),
+      ("empty", "not_null(k)", 0L, true),
+      ("empty", "unique(k)", 0L, true)))
+  }
+
+  test("cdc apply: latest wins, delete supersedes, insert, untouched passthrough") {
+    import graft.pipeline.Cdc
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "amt")
+    val changes = Seq(
+      (1L, "a", 11.0, "U", 1L), (1L, "a2", 12.0, "U", 2L), // latest wins
+      (2L, "b", 20.0, "U", 1L), (2L, "b", 20.0, "D", 2L),  // delete supersedes
+      (9L, "new", 99.0, "I", 1L))                          // insert
+      .toDF("k", "name", "amt", "op", "seq")
+    val got = Cdc.applyChanges(base, changes, Seq("k"), "seq", "op")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, "a2", 12.0), (3L, "c", 30.0), (9L, "new", 99.0)))
+    // guard: changes missing a base column is rejected
+    intercept[IllegalArgumentException] {
+      Cdc.applyChanges(base, changes.drop("name"), Seq("k"), "seq", "op")
+    }
+  }
+
   test("payments fact: date key and fee composition") {
     val fact = BankMarts.fPaymentTransaction(Staging.stgPayments(rawPayments))
     assert(fact.count() === 3)
