@@ -366,11 +366,12 @@ object SparkEntry {
   /** MinHash + LSH near-duplicate pairs, exact-verified: LSH banding
     * generates candidates (the 100 TB shape), then each candidate is
     * re-scored with the exact shingle-set Jaccard. Dense banding makes
-    * the miss probability at the threshold ≤ 2e-6, so the output equals
-    * the exact all-pairs Jaccard scan — which IS the DuckDB oracle. */
+    * the miss probability ≤ 2.5e-9 for this corpus's pair regime
+    * (j ≥ 0.75), so the output equals the exact all-pairs Jaccard scan
+    * — which IS the DuckDB oracle. */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashVerifiedDups(t(spark, dir, "documents"), "doc_id", "text",
-      shingleK = 5, numBands = 24, rowsPerBand = 3, threshold = 0.5)
+      shingleK = 5, numBands = 24, rowsPerBand = 2, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
   /** SimHash near-duplicate pairs (hamming ≤ 3 via pigeonhole blocks).
@@ -1362,11 +1363,11 @@ object SparkEntry {
         |WHERE i::DOUBLE / (a.sz + b.sz - i) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
     // valid oracle because the Spark side exact-verifies every LSH
-    // candidate and the banding's miss probability at the threshold is
-    // ≤ 2e-6 (see Dedup.minhashVerifiedDups) — the approximate candidate
-    // path provably returns the exact pair set on any corpus whose
-    // near-threshold pairs aren't razor-thin (this one has a 0.03→0.75
-    // gap below 0.5, measured at every sf)
+    // candidate and the banding's miss probability is ≤ 2.5e-9 in this
+    // corpus's pair regime (see Dedup.minhashVerifiedDups) — the
+    // approximate candidate path provably returns the exact pair set on
+    // any corpus whose near-threshold pairs aren't razor-thin (this one
+    // has a 0.03→0.75 jaccard gap below 0.5, measured at every sf)
     "q_dedup_minhash" ->
       """WITH toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t
         |              FROM documents),
@@ -1706,8 +1707,8 @@ object SparkEntry {
     },
     // the full pipeline mirrored: quality floor → keep-first-by-text →
     // exact-Jaccard near-dedup (valid for the same reason as
-    // q_dedup_minhash: the Spark side exact-verifies LSH candidates
-    // with ≤ 2e-6 banding miss at the threshold)
+    // q_dedup_minhash: the Spark side exact-verifies LSH candidates,
+    // banding miss ≤ 2.5e-9 in this corpus's pair regime)
     "q_corpus_clean" -> {
       val sw = stopwordsSqlList
       s"""WITH f AS (
