@@ -6,6 +6,10 @@ import java.sql.Timestamp
 import graft.streaming.EventStream
 import graft.streaming.EventStream.Event
 
+/** CDC change-row fixture (top-level: MemoryStream needs a TypeTag-
+  * stable product encoder, which method-local case classes lack). */
+final case class CdcChange(k: Long, name: String, amt: Double, op: String, seq: Long)
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -163,6 +167,34 @@ class StreamingSpec extends SparkSpec {
       assert(rows.length === 1, s"first session should close on the data path: ${rows.length}")
       assert(rows(0).getAs[Long]("num_events") === 2L)
       assert(rows(0).getAs[Double]("session_seconds") === 600.0)
+    } finally query.stop()
+  }
+
+  test("cdc stream maintains a versioned snapshot across micro-batches") {
+    import graft.streaming.CdcStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CdcChange]
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val query = CdcStream.applyChangesSink(input.toDF(), s"$dir/snap",
+      Seq("k"), "seq", "op", s"$dir/ckpt")
+    try {
+      // batch 0: three inserts
+      input.addData(CdcChange(1, "a", 10.0, "I", 1), CdcChange(2, "b", 20.0, "I", 1),
+        CdcChange(3, "c", 30.0, "I", 1))
+      query.processAllAvailable()
+      val schema = org.apache.spark.sql.types.StructType(
+        input.toDF().schema.filterNot(f => f.name == "seq" || f.name == "op"))
+      val snap0 = CdcStream.readSnapshot(spark, s"$dir/snap", schema)
+        .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      assert(snap0.toSeq === Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+      // batch 1: update k=1 twice (latest seq wins), delete k=2
+      input.addData(CdcChange(1, "a1", 11.0, "U", 2), CdcChange(1, "a2", 12.0, "U", 3),
+        CdcChange(2, "b", 20.0, "D", 2))
+      query.processAllAvailable()
+      val snap1 = CdcStream.readSnapshot(spark, s"$dir/snap", schema)
+        .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      assert(snap1.toSeq === Seq((1L, "a2", 12.0), (3L, "c", 30.0)))
+      assert(CdcStream.latestVersion(spark, s"$dir/snap") === Some(1L))
     } finally query.stop()
   }
 }
