@@ -272,6 +272,31 @@ object SparkEntry {
       .orderBy("purchase_id")
   }
 
+  /** Binned range join: events matched into 200 deterministic
+    * overlapping promo windows (varying lengths, so windows span 1-5
+    * hourly bins) and rolled up per window. The oracle does the naive
+    * BETWEEN join — the bin trick must be invisible in the result. */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TimeOps
+    val ev = t(spark, dir, "events").select(col("event_id"), col("ts"), col("value"))
+    val base = to_timestamp(lit("2024-01-01 00:00:00"))
+    val ranges = spark.range(200).select(
+      col("id").as("range_id"),
+      (base + expr("make_interval(0, 0, 0, 0, 0, cast(id * 200 as int), 0)"))
+        .as("start_ts"),
+      (base + expr("make_interval(0, 0, 0, 0, 0, cast(id * 200 + (id % 7 + 1) * 40 as int), 0)"))
+        .as("end_ts"))
+    val rolled = TimeOps.binnedRangeJoin(ev, "ts", ranges, "start_ts", "end_ts",
+      binSeconds = 3600)
+      .groupBy("range_id")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    ranges.select("range_id").join(rolled, Seq("range_id"), "left")
+      .select(col("range_id"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("sum_value"))
+      .orderBy("range_id")
+  }
+
   /** Approximate distinct counts (HLL++) next to exact ones — the sketch
     * every 100 TB rollup uses when exact distinct would shuffle the
     * world. HLL register merges are commutative, so results are stable
@@ -1059,6 +1084,7 @@ object SparkEntry {
     "q_approx_distinct"  -> qApproxDistinct,
     "q_sessionize_batch" -> qSessionizeBatch,
     "q_asof_join"        -> qAsofJoin,
+    "q_range_join"       -> qRangeJoin,
     "q_window_analytics" -> qWindowAnalytics,
     "q_set_ops"          -> qSetOps,
     "q_rollup"           -> qRollup,
@@ -1820,6 +1846,18 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH r AS (
+        |  SELECT i AS range_id,
+        |         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i * 200) MINUTE AS start_ts,
+        |         TIMESTAMP '2024-01-01 00:00:00'
+        |           + INTERVAL (i * 200 + (i % 7 + 1) * 40) MINUTE AS end_ts
+        |  FROM generate_series(0, 199) t(i))
+        |SELECT r.range_id,
+        |       count(e.event_id) AS n_events,
+        |       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM r LEFT JOIN events e ON e.ts >= r.start_ts AND e.ts <= r.end_ts
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_cdc_apply" ->
       """WITH base AS (SELECT o_orderkey, o_custkey,
         |                     CAST(o_totalprice AS DOUBLE) AS totalprice, o_orderstatus

@@ -28,6 +28,42 @@ object TimeOps {
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)))
   }
 
+  /** Binned interval-containment join (range join): left rows matched to
+    * right intervals with `start ≤ ts ≤ end`. Spark has no native range
+    * join — a naive formulation is a broadcast nested loop (quadratic
+    * scans). The bin trick makes it an EQUI-join: left rows key by
+    * `floor(ts / binSeconds)`, intervals explode one row per covered
+    * bin, the join is hash on bin id, and the exact containment filter
+    * runs on the (bin-bounded) matches. Each (row, interval) match
+    * lands in exactly one bin — the row's own — so no post-join dedup
+    * is needed.
+    *
+    * Scale: interval replication is len/binSeconds rows, so pick
+    * binSeconds near the median interval length; fan-out is bounded and
+    * the shuffle carries bin ids, not cross products. Hot bins (many
+    * rows and intervals in one time slice) are ordinary join skew — AQE
+    * skew-join splits them. Timestamp truncation to seconds for binning
+    * is monotone, so bin(ts) always lies within [bin(start), bin(end)];
+    * the exact filter uses full-precision timestamps. Intervals with
+    * `end < start` are dropped (Spark's `sequence` would count DOWN and
+    * fabricate bins). Column names must be disjoint between the two
+    * frames (equi-join on the synthesized bin only). */
+  def binnedRangeJoin(left: DataFrame, leftTs: String,
+                      right: DataFrame, startCol: String, endCol: String,
+                      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive: $binSeconds")
+    val lb = left.withColumn("_bin",
+      floor(unix_timestamp(col(leftTs)) / binSeconds).cast("long"))
+    val rb = right
+      .where(col(endCol) >= col(startCol))
+      .withColumn("_bin", explode(sequence(
+        floor(unix_timestamp(col(startCol)) / binSeconds).cast("long"),
+        floor(unix_timestamp(col(endCol)) / binSeconds).cast("long"))))
+    lb.join(rb, Seq("_bin"))
+      .where(col(leftTs) >= col(startCol) && col(leftTs) <= col(endCol))
+      .drop("_bin")
+  }
+
   /** Per-session rollup on top of [[sessionize]]. */
   def sessionStats(df: DataFrame, keyCol: String, tsCol: String,
                    gapSeconds: Long, tieBreak: Column): DataFrame =

@@ -79,6 +79,28 @@ class OpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("binned range join equals the naive between-join; inverted ranges drop") {
+    import graft.ops.TimeOps
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val rnd = new scala.util.Random(5)
+    val events = (1L to 200L).map { i =>
+      (i, ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d.${rnd.nextInt(1000)}%03d"))
+    }.toDF("event_id", "ts")
+    val ranges = (0L until 30L).map { r =>
+      (r, ts(f"2024-01-01 ${(r % 22)}%02d:15:00"), ts(f"2024-01-01 ${r % 22 + 2}%02d:10:30"))
+    } :+ ((99L, ts("2024-01-01 10:00:00"), ts("2024-01-01 09:00:00"))) // inverted
+    val rdf = ranges.toDF("range_id", "start_ts", "end_ts")
+    val got = TimeOps.binnedRangeJoin(events, "ts", rdf, "start_ts", "end_ts", 3600)
+      .select("event_id", "range_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = events.crossJoin(rdf)
+      .where(col("ts") >= col("start_ts") && col("ts") <= col("end_ts"))
+      .select("event_id", "range_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty)
+    assert(got === naive)
+    assert(!got.exists(_._2 == 99L)) // inverted range matches nothing
+  }
+
   test("simhash: identical docs distance 0; near docs within 3") {
     val df = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
                  (2L, "alpha beta gamma delta epsilon zeta eta theta"),
