@@ -62,4 +62,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull"),
       s"no pushed filters on the scan:\n$plan")
   }
+
+  test("binned range join is a hash join on the bin key, never a nested loop") {
+    val plan = SparkEntry.qRangeJoin(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degenerated to a quadratic scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"no equi-join on the bin key found:\n$plan")
+  }
+
+  test("cdc apply never shuffles the base side for the anti-join") {
+    import graft.pipeline.Cdc
+    val base = t3("orders").select(col("o_orderkey"), col("o_totalprice"))
+    val changes = base.limit(100).select(col("o_orderkey"), col("o_totalprice"),
+      lit("U").as("op"), lit(1L).as("seq"))
+    val plan = Cdc.applyChanges(base, changes, Seq("o_orderkey"), "seq", "op")
+      .queryExecution.executedPlan.toString
+    // the anti-join's streamed (base) side must not sit under an
+    // Exchange: broadcast of the latest-change key set is the 100 TB
+    // shape (a shuffled base would move the whole snapshot per batch)
+    assert("BroadcastHashJoin .*LeftAnti, BuildRight".r.findFirstIn(plan).isDefined,
+      s"base side not streamed through a broadcast anti-join:\n$plan")
+  }
+
+  private def t3(name: String) =
+    spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
 }
