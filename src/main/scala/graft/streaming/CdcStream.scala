@@ -29,9 +29,15 @@ object CdcStream {
 
   private val VersionRe = "v=(\\d+)".r
 
+  /** Hadoop-FS listing, not java.io — snapshot dirs live on whatever
+    * filesystem the session writes to (HDFS/S3/local alike). */
   private def versions(spark: SparkSession, dir: String): Seq[Long] = {
-    val d = new java.io.File(dir)
-    Option(d.list()).toSeq.flatten.collect { case VersionRe(v) => v.toLong }
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .map(_.getPath.getName)
+      .collect { case VersionRe(v) => v.toLong }
   }
 
   /** Latest snapshot version in `dir`, or None before the first batch. */
