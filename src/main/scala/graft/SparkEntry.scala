@@ -272,6 +272,20 @@ object SparkEntry {
       .orderBy("purchase_id")
   }
 
+  /** Hopping (sliding) window aggregation: 2-hour windows every 30
+    * minutes — each event lands in 4 windows. Spark's `window()` grid
+    * aligns to the 1970 epoch, so the oracle regenerates the same grid
+    * with generate_series; only non-empty windows are emitted by both
+    * engines. The batch mirror of the streaming windowed aggregation
+    * (same expression runs under readStream — see EventStream). */
+  def qHoppingWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "2 hours", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("window_start")
+
   /** Binned range join: events matched into 200 deterministic
     * overlapping promo windows (varying lengths, so windows span 1-5
     * hourly bins) and rolled up per window. The oracle does the naive
@@ -1085,6 +1099,7 @@ object SparkEntry {
     "q_sessionize_batch" -> qSessionizeBatch,
     "q_asof_join"        -> qAsofJoin,
     "q_range_join"       -> qRangeJoin,
+    "q_hopping_window"   -> qHoppingWindow,
     "q_window_analytics" -> qWindowAnalytics,
     "q_set_ops"          -> qSetOps,
     "q_rollup"           -> qRollup,
@@ -1846,6 +1861,18 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_hopping_window" ->
+      """WITH w AS (
+        |  SELECT ws AS window_start
+        |  FROM generate_series(TIMESTAMP '2023-12-31 22:30:00',
+        |                       TIMESTAMP '2024-01-31 00:00:00',
+        |                       INTERVAL 30 MINUTE) t(ws))
+        |SELECT w.window_start,
+        |       count(*) AS n_events,
+        |       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w JOIN events e
+        |  ON e.ts >= w.window_start AND e.ts < w.window_start + INTERVAL 2 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_range_join" ->
       """WITH r AS (
         |  SELECT i AS range_id,
