@@ -17,8 +17,8 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     // optional comma-separated substring filter — local iteration on a
-    // few queries without paying the full 57-query dump (the driver
-    // always runs unfiltered)
+    // few queries without paying the full query dump (the driver always
+    // runs unfiltered)
     val only: Option[Seq[String]] =
       if (args.length >= 3) Some(args(2).split(",").toSeq.map(_.trim)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -97,6 +97,27 @@ object Dedup {
   def shingles(textCol: Column, k: Int): Column =
     shinglesOfTokens(split(trim(textCol), "\\s+"), k)
 
+  /** Deduped LSH candidate pairs from a signature frame (id, sig): per
+    * band, bucket docs by the hash of the band's signature slice, pair
+    * up bucket members, dedup bare id pairs. Shared by the estimating
+    * and verifying minhash operators so the band-key scheme cannot
+    * drift between them. */
+  private def bandedCandidates(sig: DataFrame, numBands: Int,
+                               rowsPerBand: Int): DataFrame = {
+    val banded = sig.select(
+      col("id"),
+      posexplode(array((0 until numBands).map { b =>
+        xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))) }: _*))
+        .as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates()
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * signature (numBands × rowsPerBand hashes) → band keys → group docs
@@ -128,23 +149,11 @@ object Dedup {
       .where(size(col("shh")) > 0)
       .select(col("id"), minhashSignatureFromHashes(col("shh"), numHashes).as("sig"))
       .cache()
-    // band key = hash of the band's slice of the signature
-    val banded = sig.select(
-      col("id"),
-      posexplode(array((0 until numBands).map { b =>
-        xxhash64(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))) }: _*))
-        .as(Seq("band", "bucket")))
     // candidate generation shuffles bare (band, bucket, id) longs and the
     // dedup shuffles bare id pairs — signature arrays re-join AFTER the
     // dedup for the one verify pass (shipping sig_a/sig_b through the
     // candidate shuffle would multiply its width ~16×)
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates()
+    val candidates = bandedCandidates(sig, numBands, rowsPerBand)
     candidates
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
@@ -199,18 +208,7 @@ object Dedup {
       .where(size(col("shh")) > 0) // degenerate-bucket guard (see Scaladoc)
       .select(col("id"), minhashSignatureFromHashes(col("shh"), numHashes).as("sig"))
       .cache()
-    val banded = sig.select(
-      col("id"),
-      posexplode(array((0 until numBands).map { b =>
-        xxhash64(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))) }: _*))
-        .as(Seq("band", "bucket")))
-    val ca = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val cb = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val candidates = ca.join(cb, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates()
+    val candidates = bandedCandidates(sig, numBands, rowsPerBand)
     // exact verify: join the candidate pairs back to the cached per-doc
     // hash ARRAYS and intersect in-row. The pair side is ≪ corpus, so
     // both joins broadcast it against the cache — no corpus-sized

@@ -52,6 +52,8 @@ object TimeOps {
                       right: DataFrame, startCol: String, endCol: String,
                       binSeconds: Long): DataFrame = {
     require(binSeconds > 0, s"binSeconds must be positive: $binSeconds")
+    require(!left.columns.contains("_bin") && !right.columns.contains("_bin"),
+      "inputs must not carry a _bin column (it would be silently clobbered)")
     val lb = left.withColumn("_bin",
       floor(unix_timestamp(col(leftTs)) / binSeconds).cast("long"))
     val rb = right

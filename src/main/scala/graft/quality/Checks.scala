@@ -85,6 +85,8 @@ object Checks {
     * driver-side `.count()` loop), and at cluster scale the branches
     * schedule concurrently within one action. */
   def reportDf(suite: Seq[(String, DataFrame, Seq[QualityCheck])]): DataFrame = {
+    require(suite.exists(_._3.nonEmpty),
+      "reportDf needs at least one check (the union has no empty form)")
     val rows = for {
       (model, df, checks) <- suite
       check <- checks

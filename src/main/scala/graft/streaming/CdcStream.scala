@@ -40,9 +40,20 @@ object CdcStream {
       .collect { case VersionRe(v) => v.toLong }
   }
 
-  /** Latest snapshot version in `dir`, or None before the first batch. */
-  def latestVersion(spark: SparkSession, dir: String): Option[Long] =
-    versions(spark, dir).sorted.lastOption
+  /** Latest COMMITTED snapshot version in `dir` (has its _SUCCESS
+    * marker), or None before the first batch. The marker check keeps a
+    * concurrent reader off the version the stream is mid-writing — an
+    * uncommitted dir read with an explicit schema would silently
+    * return 0 rows instead of erroring. (While a failure REPLAY is
+    * rewriting version N, its marker is briefly absent and readers
+    * fall back to N-1 — stale-but-consistent, never partial.) */
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    versions(spark, dir).sorted.reverse.find { v =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=$v/_SUCCESS"))
+    }
+  }
 
   /** Read the current snapshot (empty frame with `schema` if none). */
   def readSnapshot(spark: SparkSession, dir: String, schema: StructType): DataFrame =
@@ -66,7 +77,15 @@ object CdcStream {
         // base = newest version BELOW this batchId (a replayed batch must
         // merge onto the same base it saw the first time, not onto its
         // own partial output)
-        val base = versions(spark, snapshotDir).filter(_ < batchId)
+        val existing = versions(spark, snapshotDir)
+        // batchId > 0 with versions present but none below it means the
+        // base this replay needs was pruned (or the dir belongs to a
+        // different checkpoint) — merging onto an empty base would
+        // silently drop every previously merged key; fail instead
+        require(batchId == 0 || existing.exists(_ < batchId),
+          s"no snapshot version below batch $batchId in $snapshotDir " +
+            s"(found: ${existing.sorted.mkString(",")}); base was pruned?")
+        val base = existing.filter(_ < batchId)
           .sorted.lastOption match {
           case Some(v) => spark.read.schema(baseSchema).parquet(s"$snapshotDir/v=$v")
           case None    => spark.createDataFrame(

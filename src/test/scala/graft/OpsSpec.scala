@@ -79,6 +79,27 @@ class OpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("fingerprint: bottom-k of the distinct shingle hashes, raw values") {
+    // independent construction: build the two 5-gram shingle strings by
+    // hand, hash them through the same xxhash64 expression, and demand
+    // the fingerprint equal their sorted hashes — pins slice bounds,
+    // distinctness, ordering, and the hash itself (the driver gate only
+    // checks the structural contract)
+    val doc = "a b c d e f"
+    val expected = Seq("a b c d e", "b c d e f").toDF("s")
+      .select(xxhash64(col("s")).as("h")).collect().map(_.getLong(0)).sorted.toSeq
+    val got = Seq((1L, doc)).toDF("doc_id", "text")
+      .select(TextOps.fingerprint(col("text"), k = 5, n = 8).as("fp"))
+      .collect()(0).getSeq[Long](0)
+    assert(got === expected)
+    // n caps the sketch; repeated shingles collapse first
+    val rep = ("x y z w v " * 20).trim // one distinct 5-window per offset cycle
+    val gotRep = Seq((2L, rep)).toDF("doc_id", "text")
+      .select(TextOps.fingerprint(col("text"), k = 5, n = 3).as("fp"))
+      .collect()(0).getSeq[Long](0)
+    assert(gotRep.length === 3 && gotRep === gotRep.sorted && gotRep.distinct === gotRep)
+  }
+
   test("binned range join equals the naive between-join; inverted ranges drop") {
     import graft.ops.TimeOps
     import java.sql.Timestamp
