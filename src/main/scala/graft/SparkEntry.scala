@@ -781,7 +781,7 @@ object SparkEntry {
     exact.agg(
       countDistinct(col("query_id")).as("n_queries"),
       count(lit(1)).as("n_exact"),
-      sum(col("score").cast("decimal(18,12)")).cast("double").as("sum_score"))
+      sum(col("score").cast("decimal(12,6)")).cast("double").as("sum_score"))
       .crossJoin(hits.agg(count(lit(1)).as("_nh")))
       .select(col("n_queries"), col("n_exact"), col("sum_score"),
         (col("_nh").cast("double") / col("n_exact") >= lit(floor)).as("recall_ok"))
@@ -866,7 +866,7 @@ object SparkEntry {
 
   /** Embedding analytics rollup: per-label vector counts and norm
     * statistics. Norms go through the bit-stable dot kernel, then
-    * DECIMAL(18,12) partials make the per-group sums order-independent
+    * DECIMAL(12,6) partials make the per-group sums order-independent
     * (a raw double sum would depend on partitioning). */
   def qEmbeddingStats(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
@@ -875,11 +875,41 @@ object SparkEntry {
     emb.groupBy("label")
       .agg(
         count(lit(1)).as("n_vectors"),
-        sum(col("nrm").cast("decimal(18,12)")).cast("double").as("sum_norm"),
+        sum(col("nrm").cast("decimal(12,6)")).cast("double").as("sum_norm"),
         min(col("nrm")).as("min_norm"),
         max(col("nrm")).as("max_norm"))
       .orderBy("label")
   }
+
+  /** Per-DIMENSION embedding statistics: mean and variance of every
+    * coordinate across the corpus (embedding-drift / QA surface — a
+    * collapsed or exploded dimension shows up immediately). One
+    * posexplode + one hash aggregate on the 64 dimension ids; decimal
+    * partial sums keep the result partition-invariant and
+    * oracle-exact. */
+  def qDimStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(posexplode(transform(col("embedding"), _.cast("double")))
+        .as(Seq("dim", "x")))
+      // ONE quantize to decimal(12,6), then all sums/products in exact
+      // decimal. Quantizing at 6 digits is the cross-engine-safe scale:
+      // an engine pair disagrees on a value's quantization only when a
+      // rounding boundary falls inside the value's half-ulp (~1e-17
+      // relative) — probability ~1e-11 at 1e-6 granularity vs ~1e-5 at
+      // 1e-12, which measurably flipped single ulps at sf0.1 volume
+      .select(col("dim"), col("x").cast("decimal(12,6)").as("xq"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("xq")).cast("double").as("_s"),
+        sum(col("xq") * col("xq")).cast("double").as("_s2"))
+      // all post-aggregate arithmetic in DOUBLE: IEEE ops are
+      // bit-identical across engines, decimal division scales are not
+      .select(col("dim"), col("n"),
+        (col("_s") / col("n")).as("mean"),
+        (col("_s2") / col("n") - (col("_s") / col("n")) * (col("_s") / col("n")))
+          .as("variance"))
+      .orderBy("dim")
 
   /** Multimodal asset metadata: binary payload column + typed metadata +
     * frame count — the column-level half of the multimodal pipeline
@@ -1136,6 +1166,7 @@ object SparkEntry {
     "q_salted_agg"       -> qSaltedAgg,
     "q_salted_join"      -> qSaltedJoin,
     "q_embedding_stats"  -> qEmbeddingStats,
+    "q_dim_stats"        -> qDimStats,
     "q_cosine_near_dups" -> qCosineNearDups,
     "q_multimodal_meta"  -> qMultimodalMeta,
     "q_json_extract"     -> qJsonExtract,
@@ -1162,7 +1193,7 @@ object SparkEntry {
        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
        |                     ORDER BY score DESC, corpus_id) AS rank FROM scored)
        |SELECT count(DISTINCT query_id) AS n_queries, count(*) AS n_exact,
-       |       CAST(SUM(CAST(score AS DECIMAL(18,12))) AS DOUBLE) AS sum_score,
+       |       CAST(SUM(CAST(score AS DECIMAL(12,6))) AS DOUBLE) AS sum_score,
        |       TRUE AS recall_ok
        |FROM ranked WHERE rank <= 5""".stripMargin
   }
@@ -1828,10 +1859,21 @@ object SparkEntry {
       s"""WITH e AS (SELECT label, sqrt($dotVV) AS nrm
          |           FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings))
          |SELECT label, COUNT(*) AS n_vectors,
-         |       CAST(SUM(CAST(nrm AS DECIMAL(18,12))) AS DOUBLE) AS sum_norm,
+         |       CAST(SUM(CAST(nrm AS DECIMAL(12,6))) AS DOUBLE) AS sum_norm,
          |       MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
          |FROM e GROUP BY label ORDER BY label""".stripMargin
     },
+    "q_dim_stats" ->
+      """WITH x AS (
+        |  SELECT CAST(i - 1 AS INTEGER) AS dim,
+        |         CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,6)) AS xq
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+        |s AS (SELECT dim, count(*) AS n,
+        |             CAST(SUM(xq) AS DOUBLE) AS s,
+        |             CAST(SUM(xq * xq) AS DOUBLE) AS s2
+        |      FROM x GROUP BY dim)
+        |SELECT dim, n, s / n AS mean, s2 / n - (s / n) * (s / n) AS variance
+        |FROM s ORDER BY dim""".stripMargin,
     "q_cosine_near_dups" -> {
       // exact all-pairs scan: valid because the planted pairs' LSH miss
       // probability is ~1e-11 (see qCosineNearDups) — the approximate
