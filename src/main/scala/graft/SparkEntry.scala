@@ -286,6 +286,19 @@ object SparkEntry {
         col("n_events"), col("sum_value"))
       .orderBy("window_start")
 
+  /** Context-window chunk spans: every document split into 40-token
+    * windows stepping by 30 (10-token overlap carried between
+    * consecutive chunks) — the per-document windowing step before
+    * sequence packing. Spans only, never substrings (narrow map,
+    * no payload duplication). */
+  def qChunkSpans(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Curation
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+    Curation.chunkSpans(docs, "doc_id", "n_tokens", maxTokens = 40, overlap = 10)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Binned range join: events matched into 200 deterministic
     * overlapping promo windows (varying lengths, so windows span 1-5
     * hourly bins) and rolled up per window. The oracle does the naive
@@ -1152,6 +1165,7 @@ object SparkEntry {
     "q_split_assign"     -> qSplitAssign,
     "q_domain_cap"       -> qDomainCap,
     "q_seq_pack"         -> qSeqPack,
+    "q_chunk_spans"      -> qChunkSpans,
     "q_approx_quantiles" -> qApproxQuantiles,
     "q_line_dedup"       -> qLineDedup,
     "q_scd2"             -> qScd2,
@@ -1651,6 +1665,22 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
         |       CAST(rnk AS INTEGER) AS domain_rank
         |FROM r WHERE rnk <= 25 ORDER BY source, rnk""".stripMargin,
+    // static series bound (this DuckDB lacks lateral generate_series
+    // over a column); starts are multiples of the 30-token step, so
+    // chunk_idx = start/step with no window needed
+    "q_chunk_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS n
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(t.s / 30 AS INTEGER) AS chunk_idx,
+        |       CAST(t.s AS INTEGER) AS tok_start,
+        |       CAST(least(t.s + 40, n) AS INTEGER) AS tok_end
+        |FROM d JOIN generate_series(0, 1000000, 30) t(s) ON t.s < d.n
+        |WHERE t.s = 0 OR t.s + 10 < d.n
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_seq_pack" ->
       """WITH t AS (SELECT doc_id, lang,
         |    CASE WHEN length(trim(text)) = 0 THEN 0

@@ -86,4 +86,35 @@ object Curation {
     df.withColumn("shard", floor(start / budgetTokens))
       .withColumn("shard_pos", start % budgetTokens)
   }
+
+  /** Context-window chunking: split each document into token spans of
+    * `maxTokens` with `overlap` tokens carried between consecutive
+    * chunks — the per-DOCUMENT windowing step before packing (which
+    * concatenates across documents; [[packSequences]]). Emits spans
+    * (chunk_idx, tok_start, tok_end half-open), not substrings — at
+    * corpus scale the caller slices text/token arrays from the spans
+    * in the same projection that tokenizes, keeping this operator a
+    * pure narrow map (explode of a per-row integer sequence; no
+    * shuffle, no payload duplication).
+    *
+    * Chunk starts step by `maxTokens - overlap`; every token position
+    * is covered, the last chunk may be short, and a document shorter
+    * than `maxTokens` yields exactly one chunk. Zero-token documents
+    * yield none. */
+  def chunkSpans(df: DataFrame, idCol: String, tokensCol: String,
+                 maxTokens: Int, overlap: Int): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got overlap=$overlap max=$maxTokens")
+    val step = maxTokens - overlap
+    val n = col(tokensCol)
+    df.where(n > 0)
+      .select(col(idCol), n.as("_n"),
+        posexplode(sequence(lit(0), n - 1, lit(step))).as(Seq("chunk_idx", "tok_start")))
+      // a start inside the final overlap region would produce a chunk
+      // fully contained in its predecessor — drop it (mirrors the
+      // "last chunk may be short but never redundant" contract)
+      .where(col("chunk_idx") === 0 || col("tok_start") + lit(overlap) < col("_n"))
+      .select(col(idCol), col("chunk_idx"), col("tok_start"),
+        least(col("tok_start") + maxTokens, col("_n")).as("tok_end"))
+  }
 }

@@ -79,6 +79,32 @@ class OpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("chunk spans: coverage, overlap, redundant-suffix drop, edge sizes") {
+    import graft.ops.Curation
+    val docs = Seq((1L, 95), (2L, 30), (3L, 0), (4L, 31), (5L, 100))
+      .toDF("doc_id", "n_tokens")
+    val got = Curation.chunkSpans(docs, "doc_id", "n_tokens", maxTokens = 40, overlap = 10)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // doc 1 (95): starts 0,30,60 (90 dropped: 90+10 >= 95) → [0,40) [30,70) [60,95)
+    // doc 2 (30): one short chunk; doc 3 (0): none
+    // doc 4 (31): start 30 dropped (30+10 >= 31) → one chunk [0,31)
+    // doc 5 (100): start 90 dropped too — [90,100) ⊆ [60,100)
+    assert(got.toSeq === Seq(
+      (1L, 0, 0, 40), (1L, 1, 30, 70), (1L, 2, 60, 95),
+      (2L, 0, 0, 30),
+      (4L, 0, 0, 31),
+      (5L, 0, 0, 40), (5L, 1, 30, 70), (5L, 2, 60, 100)))
+    // every token position of every doc is covered by at least one span
+    for (d <- Seq(1L -> 95, 2L -> 30, 4L -> 31, 5L -> 100)) {
+      val covered = got.filter(_._1 == d._1).flatMap(c => c._3 until c._4).toSet
+      assert(covered === (0 until d._2).toSet, s"coverage gap in doc ${d._1}")
+    }
+    intercept[IllegalArgumentException] {
+      Curation.chunkSpans(docs, "doc_id", "n_tokens", maxTokens = 10, overlap = 10)
+    }
+  }
+
   test("fingerprint: bottom-k of the distinct shingle hashes, raw values") {
     // independent construction: build the two 5-gram shingle strings by
     // hand, hash them through the same xxhash64 expression, and demand
