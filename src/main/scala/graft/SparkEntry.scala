@@ -918,10 +918,13 @@ object SparkEntry {
         sum(col("xq") * col("xq")).cast("double").as("_s2"))
       // all post-aggregate arithmetic in DOUBLE: IEEE ops are
       // bit-identical across engines, decimal division scales are not
+      // greatest(..., 0): E[x²] − mean² can round to a tiny negative for
+      // a collapsed (constant) dimension — the exact case this QA
+      // surface exists to flag; clamp in BOTH engines
       .select(col("dim"), col("n"),
         (col("_s") / col("n")).as("mean"),
-        (col("_s2") / col("n") - (col("_s") / col("n")) * (col("_s") / col("n")))
-          .as("variance"))
+        greatest(col("_s2") / col("n") - (col("_s") / col("n")) * (col("_s") / col("n")),
+          lit(0.0)).as("variance"))
       .orderBy("dim")
 
   /** Multimodal asset metadata: binary payload column + typed metadata +
@@ -1902,7 +1905,8 @@ object SparkEntry {
         |             CAST(SUM(xq) AS DOUBLE) AS s,
         |             CAST(SUM(xq * xq) AS DOUBLE) AS s2
         |      FROM x GROUP BY dim)
-        |SELECT dim, n, s / n AS mean, s2 / n - (s / n) * (s / n) AS variance
+        |SELECT dim, n, s / n AS mean,
+        |       greatest(s2 / n - (s / n) * (s / n), 0.0) AS variance
         |FROM s ORDER BY dim""".stripMargin,
     "q_cosine_near_dups" -> {
       // exact all-pairs scan: valid because the planted pairs' LSH miss
