@@ -383,6 +383,17 @@ object SparkEntry {
         dsum(col("o_totalprice")).as("total_price"))
       .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
 
+  /** CUBE over two dimensions — all four grouping combinations in one
+    * pass (q_rollup's hierarchy-prefix complement), disambiguated by
+    * grouping_id. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("num_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+
   /** Semi/anti joins: customers with at least one order vs none. */
   def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")
@@ -1149,6 +1160,7 @@ object SparkEntry {
     "q_window_analytics" -> qWindowAnalytics,
     "q_set_ops"          -> qSetOps,
     "q_rollup"           -> qRollup,
+    "q_cube"             -> qCube,
     "q_semi_anti"        -> qSemiAnti,
     "q_pivot"            -> qPivot,
     "q_dedup_exact"      -> qDedupExact,
@@ -1417,6 +1429,13 @@ object SparkEntry {
         |       COUNT(*) AS num_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |       COUNT(*) AS num_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q_semi_anti" ->
       """SELECT c_custkey, 'has_orders' AS segment FROM customer c
