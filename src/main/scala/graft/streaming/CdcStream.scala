@@ -78,13 +78,16 @@ object CdcStream {
         // merge onto the same base it saw the first time, not onto its
         // own partial output)
         val existing = versions(spark, snapshotDir)
-        // batchId > 0 with versions present but none below it means the
-        // base this replay needs was pruned (or the dir belongs to a
-        // different checkpoint) — merging onto an empty base would
-        // silently drop every previously merged key; fail instead
-        require(batchId == 0 || existing.exists(_ < batchId),
-          s"no snapshot version below batch $batchId in $snapshotDir " +
-            s"(found: ${existing.sorted.mkString(",")}); base was pruned?")
+        // legal states for batch b: every existing version ≤ b (== b
+        // only from this batch's own crashed write), and for b > 0 a
+        // base < b must exist. A version ABOVE b means a fresh
+        // checkpoint was pointed at an existing snapshot dir; no base
+        // below b means it was pruned. Either way, merging onto an
+        // empty base would silently drop every previously merged key —
+        // fail instead.
+        require(existing.forall(_ <= batchId) && (batchId == 0 || existing.exists(_ < batchId)),
+          s"snapshot versions in $snapshotDir (${existing.sorted.mkString(",")}) " +
+            s"are inconsistent with batch $batchId: pruned base or stale checkpoint?")
         val base = existing.filter(_ < batchId)
           .sorted.lastOption match {
           case Some(v) => spark.read.schema(baseSchema).parquet(s"$snapshotDir/v=$v")
