@@ -197,4 +197,26 @@ class StreamingSpec extends SparkSpec {
       assert(CdcStream.latestVersion(spark, s"$dir/snap") === Some(1L))
     } finally query.stop()
   }
+
+  test("cdc stream refuses a fresh checkpoint over an existing snapshot") {
+    import graft.streaming.CdcStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CdcChange]
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-guard").toString
+    // pre-existing snapshot version from some other checkpoint's batch 5
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/snap/v=5"))
+    val query = CdcStream.applyChangesSink(input.toDF(), s"$dir/snap",
+      Seq("k"), "seq", "op", s"$dir/ckpt")
+    try {
+      input.addData(CdcChange(1, "a", 10.0, "I", 1))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        query.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+      assert(chain(e).exists(_.getMessage != null) &&
+        chain(e).exists(c => Option(c.getMessage).exists(_.contains("stale checkpoint"))),
+        s"expected the consistency guard to fire, got: $e")
+    } finally query.stop()
+  }
 }
