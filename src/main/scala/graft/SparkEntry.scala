@@ -394,6 +394,31 @@ object SparkEntry {
         dsum(col("o_totalprice")).as("total_price"))
       .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
 
+  /** Ordered funnel: users who clicked, then viewed AFTER the first
+    * click, then purchased AFTER that first view — strict event-time
+    * ordering, not mere co-occurrence. Three aggregate-and-join stages
+    * (each one hash shuffle on user_id; the stage frames are
+    * user-cardinality, so at scale the joins hash on bare ids). */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select("user_id", "event_type", "ts")
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val views = ev.where(col("event_type") === "view").as("e")
+      .join(clicks, Seq("user_id"))
+      .where(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .join(views, Seq("user_id"))
+      .where(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    clicks.agg(count(lit(1)).as("n_users")).select(lit("1_click").as("stage"), col("n_users"))
+      .unionByName(views.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_view").as("stage"), col("n_users")))
+      .unionByName(purchases.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("stage"), col("n_users")))
+      .orderBy("stage")
+  }
+
   /** Semi/anti joins: customers with at least one order vs none. */
   def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")
@@ -1161,6 +1186,7 @@ object SparkEntry {
     "q_set_ops"          -> qSetOps,
     "q_rollup"           -> qRollup,
     "q_cube"             -> qCube,
+    "q_funnel"           -> qFunnel,
     "q_semi_anti"        -> qSemiAnti,
     "q_pivot"            -> qPivot,
     "q_dedup_exact"      -> qDedupExact,
@@ -1437,6 +1463,19 @@ object SparkEntry {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_funnel" ->
+      """WITH c AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'click' GROUP BY 1),
+        |v AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |      JOIN c ON e.user_id = c.user_id AND e.ts > c.t1
+        |      WHERE e.event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |      JOIN v ON e.user_id = v.user_id AND e.ts > v.t2
+        |      WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT '1_click' AS stage, count(*) AS n_users FROM c
+        |UNION ALL SELECT '2_view', count(*) FROM v
+        |UNION ALL SELECT '3_purchase', count(*) FROM p
+        |ORDER BY stage""".stripMargin,
     "q_semi_anti" ->
       """SELECT c_custkey, 'has_orders' AS segment FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
