@@ -1005,7 +1005,10 @@ object SparkEntry {
         .unionByName(change(1, p * 3, s, k, "U", 2L))
         .unionByName(change(3, p * 2, s, k, "U", 1L))
         .unionByName(change(3, p, s, k, "D", 2L))
-        .unionByName(change(4, p, lit("N"), k + 900000000L, "I", 1L))
+        // inserted keys are the NEGATED source keys: o_orderkey >= 1 at every
+        // sf, so -k can never collide with a real key (an additive shift
+        // collides once max(o_orderkey) reaches it — +900M broke at sf ~150)
+        .unionByName(change(4, p, lit("N"), -k, "I", 1L))
     Cdc.applyChanges(base, changes, Seq("o_orderkey"), "seq", "op")
       .orderBy("o_orderkey")
   }
@@ -1726,21 +1729,25 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
         |       CAST(rnk AS INTEGER) AS domain_rank
         |FROM r WHERE rnk <= 25 ORDER BY source, rnk""".stripMargin,
-    // static series bound (this DuckDB lacks lateral generate_series
-    // over a column); starts are multiples of the 30-token step, so
-    // chunk_idx = start/step with no window needed
+    // per-document series via the SCALAR generate_series list + unnest
+    // (the table function needs constant bounds in this DuckDB; the scalar
+    // form takes columns) — no arbitrary token cap, any document length;
+    // starts are multiples of the 30-token step, so chunk_idx = start/step
     "q_chunk_spans" ->
       """WITH d AS (
         |  SELECT doc_id,
         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
         |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS n
-        |  FROM documents)
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n, unnest(generate_series(0, n - 1, 30)) AS s
+        |  FROM d WHERE n > 0)
         |SELECT doc_id,
-        |       CAST(t.s / 30 AS INTEGER) AS chunk_idx,
-        |       CAST(t.s AS INTEGER) AS tok_start,
-        |       CAST(least(t.s + 40, n) AS INTEGER) AS tok_end
-        |FROM d JOIN generate_series(0, 1000000, 30) t(s) ON t.s < d.n
-        |WHERE t.s = 0 OR t.s + 10 < d.n
+        |       CAST(s / 30 AS INTEGER) AS chunk_idx,
+        |       CAST(s AS INTEGER) AS tok_start,
+        |       CAST(least(s + 40, n) AS INTEGER) AS tok_end
+        |FROM s
+        |WHERE s = 0 OR s + 10 < n
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_seq_pack" ->
       """WITH t AS (SELECT doc_id, lang,
@@ -1995,12 +2002,18 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
         |FROM events ORDER BY event_id""".stripMargin,
+    // window grid derived from the DATA (30-min epoch-aligned buckets, same
+    // alignment as Spark's window(); first window is the one whose 2-hour
+    // span still reaches min(ts)) — a hardcoded grid broke whenever the
+    // driver regenerated events with a different time range
     "q_hopping_window" ->
-      """WITH w AS (
-        |  SELECT ws AS window_start
-        |  FROM generate_series(TIMESTAMP '2023-12-31 22:30:00',
-        |                       TIMESTAMP '2024-01-31 00:00:00',
-        |                       INTERVAL 30 MINUTE) t(ws))
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL 30 MINUTE, min(ts)) - INTERVAL 90 MINUTE AS lo,
+        |         time_bucket(INTERVAL 30 MINUTE, max(ts)) AS hi
+        |  FROM events),
+        |w AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 30 MINUTE)) AS window_start
+        |  FROM b)
         |SELECT w.window_start,
         |       count(*) AS n_events,
         |       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -2034,7 +2047,7 @@ object SparkEntry {
         |  FROM base WHERE o_orderkey % 10 = 3
         |  UNION ALL SELECT o_orderkey, o_custkey, totalprice, o_orderstatus, 'D', 2
         |  FROM base WHERE o_orderkey % 10 = 3
-        |  UNION ALL SELECT o_orderkey + 900000000, o_custkey, totalprice, 'N', 'I', 1
+        |  UNION ALL SELECT -o_orderkey, o_custkey, totalprice, 'N', 'I', 1
         |  FROM base WHERE o_orderkey % 10 = 4),
         |latest AS (SELECT * FROM
         |  (SELECT *, row_number() OVER (PARTITION BY o_orderkey

@@ -212,17 +212,34 @@ object Dedup {
     * below the cut needs a ≥ (margin/σ)·σ downward deviation — at
     * threshold 0.5 / margin 0.25 that is 3.5σ (≤ 2·10⁻⁴, exact
     * binomial tail), and in this corpus's j ≥ 0.75 pair regime it is
-    * 8σ (≤ 10⁻¹⁴, Chernoff) — the same class of bound as the banding
-    * miss above, so the output still equals the exact all-pairs scan.
-    * A background pair at j ≈ 0.03 has estimate mean 1.4/48 and
-    * essentially never crosses a 12/48 cut, so the exact verify sees
-    * ~only true pairs (measured: 175k sf0.1 candidates → 212
-    * survivors). */
+    * 8σ (≤ 10⁻¹⁴, Chernoff). The COMBINED per-pair miss probability is
+    * therefore banding miss + prefilter tail — at j = 0.5 exactly that
+    * is ≤ 1·10⁻³ + 2·10⁻⁴ ≈ 1.2·10⁻³, and in this corpus's j ≥ 0.75
+    * regime ≤ 2.5·10⁻⁹ + 10⁻¹⁴. Equality with the exact all-pairs scan
+    * is thus PROBABILISTIC and corpus-dependent: it holds (to ~10⁻⁹)
+    * because the measured corpus has no pairs near the threshold; a
+    * corpus with mass at j ≈ threshold would see ~1.2·10⁻³ of those
+    * pairs dropped. A background pair at j ≈ 0.03 has estimate mean
+    * 1.4/48 and essentially never crosses a 12/48 cut, so the exact
+    * verify sees ~only true pairs (measured: 175k sf0.1 candidates →
+    * 212 survivors).
+    *
+    * `prefilterMargin` semantics: larger margin = safer (lower cut =
+    * smaller prefilter tail, more survivors to verify); margin ≥
+    * threshold sets the cut to 0 and DISABLES the screen entirely.
+    * margin = 0 is rejected: it puts the cut AT the threshold, where a
+    * true pair at j exactly = threshold falls below it with probability
+    * ~P(Binomial(48, j) < 24) ≈ 44% — not a screen, a coin flip. */
   def minhashVerifiedDups(df: DataFrame, idCol: String, textCol: String,
                           shingleK: Int = 5, numBands: Int = 24,
                           rowsPerBand: Int = 2,
                           threshold: Double = 0.5,
                           prefilterMargin: Double = 0.25): DataFrame = {
+    require(prefilterMargin > 0,
+      s"prefilterMargin must be > 0 (got $prefilterMargin): margin 0 puts the " +
+        "prefilter cut AT the threshold and drops ~44% of true pairs at " +
+        "j = threshold; to disable the prefilter pass margin >= threshold " +
+        "(cut becomes 0)")
     val numHashes = numBands * rowsPerBand
     val hashed = shingleHashed(df, idCol, textCol, shingleK)
       .select(col("id"), array_distinct(col("shh")).as("shh"))
