@@ -1349,6 +1349,7 @@ object SparkEntry {
         |       CAST(quarter(gs) AS INTEGER) AS quarter,
         |       CAST(month(gs) AS INTEGER) AS month,
         |       CAST(weekofyear(gs) AS INTEGER) AS week_of_year,
+        |       CAST(strftime(gs, '%U') AS INTEGER) AS week_of_year_sunday,
         |       CAST(dayofweek(gs) + 1 AS INTEGER) AS day_of_week,
         |       dayofweek(gs) IN (0, 6) AS is_weekend
         |FROM generate_series(DATE '2015-01-01', DATE '2030-12-31', INTERVAL 1 DAY) t(gs)

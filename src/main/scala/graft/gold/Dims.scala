@@ -20,8 +20,10 @@ object Dims {
     *
     * Scale note: the spine is tiny (5,844 rows for 2015–2030) — it is
     * generated on one task and always broadcast into joins. Week-of-year
-    * uses ISO-8601 (`weekofyear`), a documented deviation from BigQuery's
-    * Sunday-start week (SURVEY.md D6) chosen to match the DuckDB oracle. */
+    * is carried in BOTH calendars: `week_of_year` is ISO-8601
+    * (`weekofyear`, Monday-start), `week_of_year_sunday` is BigQuery's
+    * `EXTRACT(WEEK ...)` Sunday-start 0–53 ([[Projections.bqWeek]]),
+    * matching the reference `dim_date.sql:14` exactly (SURVEY.md D6). */
   def dateSpine(spark: SparkSession, start: String, end: String): DataFrame = {
     val days = spark.range(1).select(
       explode(sequence(
@@ -33,6 +35,7 @@ object Dims {
       quarter(col("calendar_date")).as("quarter"),
       month(col("calendar_date")).as("month"),
       weekofyear(col("calendar_date")).as("week_of_year"),
+      Projections.bqWeek(col("calendar_date")).as("week_of_year_sunday"),
       dayofweek(col("calendar_date")).as("day_of_week"),
       Projections.isWeekend(col("calendar_date")).as("is_weekend"))
   }

@@ -66,4 +66,21 @@ object Projections {
   /** P8 — weekend flag; both Spark and BQ use 1=Sunday..7=Saturday.
     * Ref: `dim_date.sql:16`. */
   def isWeekend(d: Column): Column = dayofweek(d).isin(1, 7)
+
+  /** D6 — BigQuery `EXTRACT(WEEK FROM d)`: Sunday-start week-of-year in
+    * [0, 53], where week 1 begins on the year's first Sunday and dates
+    * before it are week 0 (C strftime `%U` semantics — the independent
+    * DuckDB oracle). Spark's `weekofyear` is ISO-8601 (Monday-start,
+    * 1–53, week 1 owns Jan 4) — a different partition of the calendar,
+    * so the reference's `dim_date.sql:14` needs this composed form.
+    *
+    * week(d) = floor((dayofyear(d) − 1 + daysFromPrecedingSundayToJan1) / 7)
+    * counted so that the first Sunday starts week 1: with
+    * dayofweek(Jan 1) in 1=Sun..7=Sat, the offset (dow + 5) % 7 + 1
+    * shifts Jan 1 to position 7 when Jan 1 is itself a Sunday (week 1)
+    * and to position 1 when Jan 1 is a Monday (week 0 until Jan 7).
+    * All-integer arithmetic on values ≤ 372 — exact, codegen'd, no UDF. */
+  def bqWeek(d: Column): Column =
+    floor((dayofyear(d) + (dayofweek(trunc(d, "year")) + lit(5)) % 7) / 7)
+      .cast("int")
 }

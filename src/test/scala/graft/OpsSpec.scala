@@ -18,6 +18,44 @@ class OpsSpec extends SparkSpec {
     assert(!first.getAs[Boolean]("is_weekend"))
   }
 
+  test("bqWeek: Sunday-start week matches BigQuery for Jan 1 on every weekday") {
+    // One year per weekday of Jan 1 (Sun..Sat), with known BigQuery
+    // EXTRACT(WEEK ...) values: Jan 1 lands in week 1 iff it IS a Sunday,
+    // else week 0 until the first Sunday; Dec 31 of a Sunday-start year
+    // reaches week 53.
+    val cases = Seq(
+      "2023-01-01" -> 1,  // Sunday
+      "2024-01-01" -> 0,  // Monday
+      "2019-01-01" -> 0,  // Tuesday
+      "2014-01-01" -> 0,  // Wednesday
+      "2015-01-01" -> 0,  // Thursday
+      "2016-01-01" -> 0,  // Friday
+      "2022-01-01" -> 0,  // Saturday
+      "2024-01-06" -> 0,  // last day before 2024's first Sunday
+      "2024-01-07" -> 1,  // first Sunday
+      "2023-12-31" -> 53, // Sunday-start year runs to week 53
+      "2024-12-31" -> 52,
+      "2018-12-31" -> 52)
+    val got = cases.map(_._1).toDF("s")
+      .select(col("s"), graft.ops.Projections.bqWeek(to_date(col("s"))).as("w"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    cases.foreach { case (d, exp) => assert(got(d) === exp, s"bqWeek($d)") }
+
+    // Exhaustive: over the full 16-year spine, bqWeek must equal the
+    // independent definition "number of Sundays in [Jan 1, d]".
+    val spine = Dims.dateSpine(spark, "2015-01-01", "2030-12-31")
+      .select("calendar_date", "week_of_year_sunday")
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getInt(1)))
+    spine.foreach { case (d, w) =>
+      val jan1 = d.withDayOfYear(1)
+      val firstSunday = jan1.plusDays((7 - jan1.getDayOfWeek.getValue) % 7)
+      val expected =
+        if (d.isBefore(firstSunday)) 0
+        else 1 + java.time.temporal.ChronoUnit.WEEKS.between(firstSunday, d).toInt
+      assert(w === expected, s"week_of_year_sunday($d)")
+    }
+  }
+
   test("%y pivot: 69-99 map to 19xx, 00-68 to 20xx") {
     val df = Seq("01-01-69", "31-12-99", "01-01-00", "31-12-68", "nonsense")
       .toDF("s").select(Projections.safeParseDate2(col("s")).as("d"))
