@@ -16,7 +16,26 @@ import graft.pipeline.Cdc
   * idempotent overwrite of the same version instead of a double-apply.
   * Readers take the max version ([[readSnapshot]]); stale versions are
   * pruneable like any small-file maintenance
-  * ([[graft.pipeline.Compaction]] territory).
+  * ([[graft.pipeline.Compaction]] territory) — under the retention
+  * contract below.
+  *
+  * ==Pruning contract==
+  * A pruner may delete `v=*` directories EXCEPT:
+  *  1. the newest committed version N (readers resolve to it), and
+  *  2. its predecessor, until batch N's CHECKPOINT commit is durable
+  *     (`<checkpoint>/commits/N` exists) — a crash between the v=N
+  *     write and the checkpoint commit replays batch N on restart, and
+  *     the replay must merge onto the same base it saw the first time.
+  *     A snapshot version carrying its _SUCCESS marker does NOT mean
+  *     the batch committed; only the checkpoint says that.
+  *  3. While an external query is running against version V, V must be
+  *     outlive the query (plain parquet has no reader snapshot pin —
+  *     operationally: retain ≥ the max expected reader runtime).
+  * Violating (2) is detected, not absorbed: the base guard in
+  * [[applyChangesSink]] fails the replayed batch loudly ("pruned base
+  * or stale checkpoint") rather than merging onto an empty base and
+  * silently dropping every previously merged key. Spec-pinned in
+  * StreamingSpec ("prune-during-replay").
   *
   * Scale shape: per micro-batch work is one changeset shuffle plus an
   * anti-join against the snapshot (the snapshot is never shuffled —

@@ -198,6 +198,63 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("cdc stream prune-during-replay: safe retention replays idempotently, over-pruning fails loudly") {
+    import graft.streaming.CdcStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CdcChange]
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-prune").toString
+    val schema = org.apache.spark.sql.types.StructType(
+      input.toDF().schema.filterNot(f => f.name == "seq" || f.name == "op"))
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      CdcStream.applyChangesSink(input.toDF(), s"$dir/snap",
+        Seq("k"), "seq", "op", s"$dir/ckpt")
+    val q1 = run()
+    try {
+      input.addData(CdcChange(1, "a", 10.0, "I", 1), CdcChange(2, "b", 20.0, "I", 1))
+      q1.processAllAvailable()
+      input.addData(CdcChange(1, "a1", 11.0, "U", 2))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(CdcStream.latestVersion(spark, s"$dir/snap") === Some(1L))
+    def simulateCrashBeforeCheckpointCommit(): Unit = {
+      // v=1 is fully written (_SUCCESS present) but the checkpoint never
+      // recorded batch 1 — on restart, foreachBatch replays batchId 1.
+      // The local fs keeps a ChecksumFileSystem sibling (.1.crc) that must
+      // go too, or the replay's atomic rename of the rewritten commit file
+      // fails and Spark reports it as concurrent checkpoint use.
+      java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/ckpt/commits/1"))
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$dir/ckpt/commits/.1.crc"))
+    }
+
+    // retention contract honored (v=0 kept until commits/1 is durable):
+    // the replay overwrites v=1 from the same v=0 base — idempotent
+    simulateCrashBeforeCheckpointCommit()
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    val replayed = CdcStream.readSnapshot(spark, s"$dir/snap", schema)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(replayed.toSeq === Seq((1L, "a1", 11.0), (2L, "b", 20.0)))
+
+    // contract violated: a pruner that trusted v=1's _SUCCESS marker and
+    // deleted the predecessor v=0 — the replayed batch must fail loudly,
+    // never merge onto an empty base
+    simulateCrashBeforeCheckpointCommit()
+    val v0 = java.nio.file.Paths.get(s"$dir/snap/v=0")
+    java.nio.file.Files.walk(v0).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    val q3 = run()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+      assert(chain(e).exists(c => Option(c.getMessage).exists(
+        _.contains("pruned base or stale checkpoint"))),
+        s"expected the pruned-base guard to fire, got: $e")
+    } finally q3.stop()
+  }
+
   test("cdc stream refuses a fresh checkpoint over an existing snapshot") {
     import graft.streaming.CdcStream
     implicit val sqlCtx = spark.sqlContext
