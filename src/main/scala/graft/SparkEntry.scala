@@ -1518,7 +1518,12 @@ object SparkEntry {
     // corpus's pair regime (see Dedup.minhashVerifiedDups) — the
     // approximate candidate path provably returns the exact pair set on
     // any corpus whose near-threshold pairs aren't razor-thin (this one
-    // has a 0.03→0.75 jaccard gap below 0.5, measured at every sf)
+    // has a 0.03→0.75 jaccard gap below 0.5, measured at every sf and
+    // spec-gated in OpsSpec "minhash oracle validity").
+    // TRIAGE NOTE for a future hash-gate failure here: first suspect a
+    // REGENERATED corpus with pair mass inside (0.03, 0.75) — i.e. a
+    // banding/prefilter miss on a near-threshold pair, fixed by raising
+    // numBands (and re-checking the gap spec) — NOT an operator bug.
     "q_dedup_minhash" ->
       """WITH toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t
         |              FROM documents),

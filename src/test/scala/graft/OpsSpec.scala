@@ -117,6 +117,45 @@ class OpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("minhash oracle validity: corpus pair-jaccard distribution has the assumed gap") {
+    // The q_dedup_minhash / q_corpus_clean oracle equivalence rests on a
+    // CORPUS property, not just the operator: with no pair mass in
+    // (0.03, 0.75), every true output pair sits at j ≥ 0.75 where the
+    // banding miss is ≤ 2.5e-9 and the prefilter tail ≤ 1e-14 — so the
+    // LSH candidate path returns exactly the all-pairs scan's set. This
+    // spec measures the exact all-pairs distribution (500 docs, 124,750
+    // pairs, driver-side — exactness over scale here) and gates the gap.
+    // If the driver ever regenerates documents with near-threshold
+    // pairs, THIS fails first: triage a q_dedup_minhash hash-gate
+    // failure as a banding miss (raise numBands), not an operator bug.
+    val docs = graft.model.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val sets = Dedup.shingleHashed(docs, "doc_id", "text", 5)
+      .select(col("id"), array_distinct(col("shh")).as("shh"))
+      .as[(Long, Seq[Long])].collect()
+      .collect { case (i, s) if s.nonEmpty => (i, s.toSet) }
+    assert(sets.length > 400, s"corpus unexpectedly small: ${sets.length}")
+    var inGap = 0; var above = 0; var background = 0
+    var i = 0
+    while (i < sets.length) {
+      var j = i + 1
+      while (j < sets.length) {
+        val (a, b) = (sets(i)._2, sets(j)._2)
+        val inter = if (a.size <= b.size) a.count(b) else b.count(a)
+        val jac = inter.toDouble / (a.size + b.size - inter)
+        if (jac > 0.03 && jac < 0.75) inGap += 1
+        else if (jac >= 0.75) above += 1
+        else background += 1
+        j += 1
+      }
+      i += 1
+    }
+    assert(inGap === 0, s"pair mass inside the (0.03, 0.75) gap: $inGap pairs " +
+      "— the minhash oracle-equivalence argument no longer holds at the " +
+      "2.5e-9 bound; re-derive the banding for the new corpus")
+    assert(above > 0, "no true near-dup pairs at j >= 0.75 — fixture changed?")
+    assert(background > 100000, s"background pair count implausible: $background")
+  }
+
   test("chunk spans: coverage, overlap, redundant-suffix drop, edge sizes") {
     import graft.ops.Curation
     val docs = Seq((1L, 95), (2L, 30), (3L, 0), (4L, 31), (5L, 100))
