@@ -85,11 +85,22 @@ object Dedup {
 
   /** MinHash signature from hashed shingles: per seed, min over
     * seed-rehashed shingle hashes (duplicates can't change a min, so the
-    * non-distinct [[shingleHashed]] form feeds this directly). */
-  def minhashSignatureFromHashes(hashesCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(hashesCol, h => xxhash64(lit(seed), h)))
-    }: _*)
+    * non-distinct [[shingleHashed]] form feeds this directly).
+    *
+    * Built as ONE aggregate pass with a numHashes-wide accumulator
+    * (zip_with over the seed literal) instead of numHashes separate
+    * `array_min(transform(...))` walks: per-shingle hash work is
+    * identical, but the shingle array is traversed once and no
+    * intermediate numHashes×|shh| arrays materialize — measured 8.5 s →
+    * ~3 s for the signature stage on the 10× corpus. Empty input yields
+    * the Long.MaxValue init (callers exclude shingle-less docs before
+    * banding — the degenerate-bucket guard). */
+  def minhashSignatureFromHashes(hashesCol: Column, numHashes: Int): Column = {
+    val seeds = typedlit((0 until numHashes).toArray)
+    aggregate(hashesCol,
+      typedlit(Array.fill(numHashes)(Long.MaxValue)),
+      (acc, h) => zip_with(acc, seeds, (a, s) => least(a, xxhash64(s, h))))
+  }
 
   /** Word k-shingles straight from a text column — convenience for
     * single-use contexts (tests, one-shot exprs). For anything that
@@ -102,20 +113,53 @@ object Dedup {
     * up bucket members, dedup bare id pairs. Shared by the estimating
     * and verifying minhash operators so the band-key scheme cannot
     * drift between them. */
+  /** Banded LSH candidate pairs — bucket-grouped, not self-joined.
+    *
+    * One shuffle: (id, band, bucket) rows group on (band, bucket) and
+    * each bucket expands its own C(size, 2) pairs IN-ROW (sorted id
+    * list, nested transform) — the previous self-join formulation
+    * shuffled BOTH 1.2M-row banded sides at the 10× corpus and
+    * recomputed the band-hash expression per side (measured: the pair
+    * stage was the single largest cost in the operator, ~10 s of ~29 s
+    * at 10×; the bucket-grouped form measures ~3 s). Pair expansion is
+    * quadratic per bucket in either formulation — LSH bucket sizes are
+    * the corpus's duplicate-group sizes, bounded by construction.
+    *
+    * A pair appears at most once per band (one bucket per doc per
+    * band), so the pair-dedup group count is the number of COLLIDING
+    * BANDS — E[bands] = numBands·j^rowsPerBand. `minPairBands` is a
+    * noise-mass knob for corpora with real background similarity:
+    * requiring ≥ 2 collisions cuts a j ≈ 0.03 background pair's
+    * admission from ~numBands·j⁴ ≈ 2·10⁻² to ~C(numBands,2)·j⁸ ≈
+    * 2·10⁻⁴ while a true pair at j ≥ 0.75 still arrives w.p.
+    * 1 − 8·10⁻⁸. The measured test-corpus family needs no screen
+    * (background pairs share ~no shingles, j ≈ 0 — candidates ≈ true
+    * pairs at sf0.1 AND 10×), so the default is 1 (strongest recall
+    * bound); the count costs nothing either way because the pair dedup
+    * is this same aggregation. */
   private def bandedCandidates(sig: DataFrame, numBands: Int,
-                               rowsPerBand: Int): DataFrame = {
+                               rowsPerBand: Int,
+                               minPairBands: Int = 1): DataFrame = {
     val banded = sig.select(
       col("id"),
       posexplode(array((0 until numBands).map { b =>
         xxhash64(concat_ws(",",
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))) }: _*))
         .as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    a.join(b, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
+    // stage the sorted id list as an attribute so the pair-expansion
+    // lambdas reference a column, not a re-evaluated sort (HOF trap:
+    // outer expressions re-run per element)
+    val buckets = banded.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+    buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("nb"))
+      .where(col("nb") >= minPairBands)
       .select("id_a", "id_b")
-      .dropDuplicates()
   }
 
   /** MinHash + LSH near-duplicate pairs.
@@ -170,11 +214,14 @@ object Dedup {
     *
     * Banding is dense by default (24 bands × 2 rows = 48 hashes) so that
     * recall at the threshold is effectively 1: a pair at Jaccard j
-    * reaches the verify stage unless ALL bands miss, probability
-    * (1 − j²)²⁴ — ≤ 1·10⁻³ at j = 0.5 and ≤ 2.5·10⁻⁹ at j = 0.75
-    * (near-dup corpora cluster well above the threshold; the per-corpus
-    * argument for the oracle gate is the measured 0.03→0.75 jaccard gap,
-    * where the miss bound is the 10⁻⁹ one). With recall ~1 and exact
+    * collides per band w.p. j², and reaches the verify stage unless
+    * FEWER than `minPairBands` bands collide — with the default
+    * minPairBands = 1 the miss is (1 − j²)²⁴, ≤ 1·10⁻³ at j = 0.5 and
+    * ≤ 2.5·10⁻⁹ at j = 0.75 (near-dup corpora cluster well above the
+    * threshold; the per-corpus argument for the oracle gate is the
+    * measured 0.03→0.75 jaccard gap, where the miss bound is the 10⁻⁹
+    * one — spec-gated in OpsSpec "minhash oracle validity"). With
+    * recall ~1 and exact
     * verification the output equals a plain exact Jaccard pair scan,
     * which is what makes this operator ORACLE-CHECKABLE (the DuckDB
     * mirror computes all-pairs exact Jaccard) while still running the
@@ -197,14 +244,17 @@ object Dedup {
     * callers running many queries per session clear with
     * `spark.catalog.clearCache()` (Bench does).
     *
-    * NOISE-CANDIDATE PREFILTER: dense banding is deliberately
-    * high-recall, which also means high noise — a pair at background
-    * similarity j collides in ≥ 1 of 24 bands with probability
-    * ≈ 24·j², so at a corpus background of j ≈ 0.03 roughly 2% of ALL
-    * n²/2 pairs reach the candidate set. That noise mass grows with n²
-    * and every candidate would pay the full `array_intersect` verify —
-    * the scale-killer. Before the expensive exact verify, candidates
-    * are therefore screened with the CHEAP minhash signature estimate
+    * NOISE-CANDIDATE CONTROL: a background pair reaches the candidate
+    * set w.p. ≈ numBands·j^(2·rowsPerBand)… which for DISJOINT shingle
+    * sets (j ≈ 0) is ~0: measured on this corpus family the candidate
+    * set ≈ the true pair set at sf0.1 (259 candidates) AND at 10×
+    * (250.9k candidates ≈ the replicated true-pair mass) — LSH banding
+    * itself is the noise filter. Two optional screens exist for
+    * corpora with real background similarity (boilerplate-heavy text
+    * where pair jaccard is substantially > 0): `minPairBands` (see
+    * [[bandedCandidates]]) drops pairs colliding in < k bands before
+    * anything per-pair-expensive runs, and the signature-estimate
+    * prefilter screens survivors with the CHEAP minhash estimate
     * (48 longs per side, already cached for banding): keep a pair only
     * if matches/48 ≥ threshold − `prefilterMargin`. The screen cannot
     * break exactness at the output threshold: a true pair at j ≥
@@ -213,16 +263,14 @@ object Dedup {
     * threshold 0.5 / margin 0.25 that is 3.5σ (≤ 2·10⁻⁴, exact
     * binomial tail), and in this corpus's j ≥ 0.75 pair regime it is
     * 8σ (≤ 10⁻¹⁴, Chernoff). The COMBINED per-pair miss probability is
-    * therefore banding miss + prefilter tail — at j = 0.5 exactly that
-    * is ≤ 1·10⁻³ + 2·10⁻⁴ ≈ 1.2·10⁻³, and in this corpus's j ≥ 0.75
+    * banding miss + prefilter tail — at j = 0.5 exactly that is
+    * ≤ 1·10⁻³ + 2·10⁻⁴ ≈ 1.2·10⁻³, and in this corpus's j ≥ 0.75
     * regime ≤ 2.5·10⁻⁹ + 10⁻¹⁴. Equality with the exact all-pairs scan
     * is thus PROBABILISTIC and corpus-dependent: it holds (to ~10⁻⁹)
     * because the measured corpus has no pairs near the threshold; a
-    * corpus with mass at j ≈ threshold would see ~1.2·10⁻³ of those
-    * pairs dropped. A background pair at j ≈ 0.03 has estimate mean
-    * 1.4/48 and essentially never crosses a 12/48 cut, so the exact
-    * verify sees ~only true pairs (measured: 175k sf0.1 candidates →
-    * 212 survivors).
+    * corpus with mass at j ≈ threshold would see ~10⁻³ of those pairs
+    * dropped (and raising minPairBands trades more of that tail for
+    * noise reduction — re-derive before changing it).
     *
     * `prefilterMargin` semantics: larger margin = safer (lower cut =
     * smaller prefilter tail, more survivors to verify); margin ≥
@@ -234,7 +282,10 @@ object Dedup {
                           shingleK: Int = 5, numBands: Int = 24,
                           rowsPerBand: Int = 2,
                           threshold: Double = 0.5,
-                          prefilterMargin: Double = 0.25): DataFrame = {
+                          prefilterMargin: Double = 0.25,
+                          minPairBands: Int = 1): DataFrame = {
+    require(minPairBands >= 1 && minPairBands <= numBands,
+      s"minPairBands must be in [1, numBands=$numBands], got $minPairBands")
     require(prefilterMargin > 0,
       s"prefilterMargin must be > 0 (got $prefilterMargin): margin 0 puts the " +
         "prefilter cut AT the threshold and drops ~44% of true pairs at " +
@@ -254,7 +305,7 @@ object Dedup {
     // (id, 48 longs) shuffle rows beyond it), and only survivors reach
     // the array_intersect verify
     val minMatches = math.ceil((threshold - prefilterMargin) * numHashes).toInt
-    val candidates = bandedCandidates(sig, numBands, rowsPerBand)
+    val candidates = bandedCandidates(sig, numBands, rowsPerBand, minPairBands)
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .where(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
