@@ -1,55 +1,98 @@
 package graft
+
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+
+/** Stage-timing probe for the verified-MinHash dedup path
+  * (`Dedup.minhashVerifiedDups`): times signature build, candidate
+  * generation, the signature-estimate screen, and the exact verify
+  * SEPARATELY, and reports candidate/survivor counts at minPairBands 1
+  * and 2 — the numbers SCALE.md's 10× table cites.
+  *
+  * Usage: `runMain graft.CandProbe <sfDir> [threshold] [margin]`.
+  *
+  * Every stage calls the SAME code the shipped operator runs
+  * ([[graft.ops.Dedup.bandedCandidates]], [[graft.ops.Dedup.shingleHashed]],
+  * [[graft.ops.Dedup.minhashSignatureFromHashes]]) with the operator's
+  * default parameters — the band-key scheme and the estimate cut are
+  * derived, not inlined, so the probe cannot drift from the engine.
+  */
 object CandProbe {
+  // the shipped defaults of Dedup.minhashVerifiedDups — single source of
+  // truth for the probe's banding geometry
+  private val NumBands = 24
+  private val RowsPerBand = 2
+  private val NumHashes = NumBands * RowsPerBand
+  private val ShingleK = 5
+
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[32]")
+    require(args.nonEmpty,
+      "usage: CandProbe <sfDir> [threshold=0.5] [prefilterMargin=0.25]")
+    val sfDir = args(0)
+    val threshold = if (args.length > 1) args(1).toDouble else 0.5
+    val margin = if (args.length > 2) args(2).toDouble else 0.25
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
       .config("spark.sql.optimizer.excludedRules", EngineConf.ExcludedOptimizerRules)
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.ops.Dedup
-    val docs = graft.model.Tables.load(spark, args(0), "documents")
-    val hashed = Dedup.shingleHashed(docs, "doc_id", "text", 5)
+
+    val docs = graft.model.Tables.load(spark, sfDir, "documents")
+    val hashed = Dedup.shingleHashed(docs, "doc_id", "text", ShingleK)
       .select(col("id"), array_distinct(col("shh")).as("shh")).cache()
     val sig = hashed.where(size(col("shh")) > 0)
-      .select(col("id"), Dedup.minhashSignatureFromHashes(col("shh"), 48).as("sig")).cache()
-    val banded = sig.select(col("id"),
-      posexplode(array((0 until 24).map { b =>
-        xxhash64(concat_ws(",", slice(col("sig"), b * 2 + 1, 2))) }: _*)).as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val pairs = a.join(b, Seq("band", "bucket")).where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("nb")).cache()
-    def tm(label: String)(f: => Long): Unit = {
+      .select(col("id"),
+        Dedup.minhashSignatureFromHashes(col("shh"), NumHashes).as("sig"))
+      .cache()
+
+    def tm(label: String)(f: => Long): Long = {
       val t0 = System.nanoTime; val n = f
       println(f"PROBE-STAGE $label%-22s ${(System.nanoTime - t0) / 1e9}%8.2f s  rows=$n")
+      n
     }
+
     tm("hashed(cache)")(hashed.count())
     tm("sig(cache)")(sig.count())
-    tm("pairs(nb)")(pairs.count())
-    val nb1 = pairs.count()
-    val nb2 = pairs.where(col("nb") >= 2).count()
+    // the shipped candidate generator, both screen settings
+    val cand1 = Dedup.bandedCandidates(sig, NumBands, RowsPerBand, minPairBands = 1).cache()
+    val nb1 = tm("candidates(nb>=1)")(cand1.count())
+    val nb2 = tm("candidates(nb>=2)")(
+      Dedup.bandedCandidates(sig, NumBands, RowsPerBand, minPairBands = 2).count())
+    // signature-estimate screen, cut derived exactly as the operator does
+    val minMatches = math.ceil((threshold - margin) * NumHashes).toInt
+    val est = tm(s"est-screen(>=$minMatches/$NumHashes)")(
+      cand1
+        .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .where(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          x => x)) >= lit(minMatches))
+        .count())
+    // exact-verify survivors over the UNSCREENED candidates (stage cost
+    // upper bound; the shipped operator verifies only est survivors)
+    val verified = tm("verify(exact-jaccard)")(
+      cand1
+        .join(hashed.select(col("id").as("id_a"), col("shh").as("sh_a")), Seq("id_a"))
+        .join(hashed.select(col("id").as("id_b"), col("shh").as("sh_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+          size(col("sh_a")).as("sz_a"), size(col("sh_b")).as("sz_b"))
+        .where(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter"))
+          >= threshold)
+        .count())
+    // the shipped operator end-to-end, for cross-checking the stage sum
+    spark.catalog.clearCache()
     val t0 = System.nanoTime
-    val est = pairs.where(col("nb") >= 2)
-      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .where(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), x => x)) >= 12)
-      .count()
-    println(f"PROBE-STAGE est-screen            ${(System.nanoTime - t0) / 1e9}%8.2f s")
-    val t1 = System.nanoTime
-    val verified = pairs.select("id_a", "id_b")
-      .join(hashed.select(col("id").as("id_a"), col("shh").as("sh_a")), Seq("id_a"))
-      .join(hashed.select(col("id").as("id_b"), col("shh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
-        size(col("sh_a")).as("sz_a"), size(col("sh_b")).as("sz_b"))
-      .where(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")) >= 0.5)
-      .count()
-    println(f"PROBE-STAGE verify                ${(System.nanoTime - t1) / 1e9}%8.2f s  rows=$verified")
-    println(s"PROBE dir=${args(0)} nb>=1: $nb1  nb>=2: $nb2  est-survivors: $est")
+    val e2e = Dedup.minhashVerifiedDups(docs, "doc_id", "text",
+      shingleK = ShingleK, numBands = NumBands, rowsPerBand = RowsPerBand,
+      threshold = threshold, prefilterMargin = margin).count()
+    println(f"PROBE-STAGE e2e(shipped)          ${(System.nanoTime - t0) / 1e9}%8.2f s  rows=$e2e")
+    println(s"PROBE dir=$sfDir nb>=1: $nb1  nb>=2: $nb2  est-survivors: $est  verified: $verified")
+    spark.stop()
   }
 }

@@ -116,47 +116,76 @@ object Dedup {
   /** Banded LSH candidate pairs — bucket-grouped, not self-joined.
     *
     * One shuffle: (id, band, bucket) rows group on (band, bucket) and
-    * each bucket expands its own C(size, 2) pairs IN-ROW (sorted id
-    * list, nested transform) — the previous self-join formulation
-    * shuffled BOTH 1.2M-row banded sides at the 10× corpus and
-    * recomputed the band-hash expression per side (measured: the pair
-    * stage was the single largest cost in the operator, ~10 s of ~29 s
-    * at 10×; the bucket-grouped form measures ~3 s). Pair expansion is
-    * quadratic per bucket in either formulation — LSH bucket sizes are
-    * the corpus's duplicate-group sizes, bounded by construction.
+    * each bucket expands its own C(size, 2) pairs by a STREAMED double
+    * explode over the sorted id list — the previous self-join
+    * formulation shuffled BOTH 1.2M-row banded sides at the 10× corpus
+    * and recomputed the band-hash expression per side (measured: the
+    * pair stage was the single largest cost in the operator, ~10 s of
+    * ~29 s at 10×; the bucket-grouped form measures ~3 s). Pair
+    * expansion is quadratic per bucket in either formulation — LSH
+    * bucket sizes are the corpus's duplicate-group sizes — but the two
+    * generates PIPELINE the pairs: per-row memory is O(bucket size)
+    * (the sorted id list each exploded row carries), never O(bucket²).
+    * An earlier in-row form (flatten of nested transform) materialized
+    * all C(n, 2) pair structs inside ONE row before exploding — fine on
+    * corpus-sized duplicate groups, but a degenerate bucket of ~10⁵
+    * members would build multi-GB single rows and trip Spark's ~2 GB
+    * array limit; the double explode has the same plan shape and
+    * measured cost with that cliff removed. The remaining per-row bound
+    * is the collect_list itself (8 bytes × bucket size — a 10⁷-member
+    * bucket is an 80 MB aggregation row; beyond that, shard the bucket
+    * key before grouping).
     *
     * A pair appears at most once per band (one bucket per doc per
     * band), so the pair-dedup group count is the number of COLLIDING
-    * BANDS — E[bands] = numBands·j^rowsPerBand. `minPairBands` is a
-    * noise-mass knob for corpora with real background similarity:
-    * requiring ≥ 2 collisions cuts a j ≈ 0.03 background pair's
-    * admission from ~numBands·j⁴ ≈ 2·10⁻² to ~C(numBands,2)·j⁸ ≈
-    * 2·10⁻⁴ while a true pair at j ≥ 0.75 still arrives w.p.
-    * 1 − 8·10⁻⁸. The measured test-corpus family needs no screen
-    * (background pairs share ~no shingles, j ≈ 0 — candidates ≈ true
-    * pairs at sf0.1 AND 10×), so the default is 1 (strongest recall
-    * bound); the count costs nothing either way because the pair dedup
-    * is this same aggregation. */
-  private def bandedCandidates(sig: DataFrame, numBands: Int,
-                               rowsPerBand: Int,
-                               minPairBands: Int = 1): DataFrame = {
+    * BANDS — E[bands] = numBands·j^rowsPerBand, and under seed
+    * independence a background pair at jaccard j reaches the output
+    * w.p. 1 − (1−j^r)^b at minPairBands 1 vs the much smaller ≥ 2-band
+    * binomial tail at 2. `minPairBands` is a noise-mass knob for
+    * corpora with real background similarity; a true pair at j ≥ 0.75
+    * still arrives w.p. ≈ 1 (miss ≤ 10⁻⁷ at the shipped geometries).
+    *
+    * The binomial model is an average over hash FAMILIES — for a
+    * boilerplate corpus (all docs sharing template shingles) the
+    * realized counts under ONE fixed seed set deviate in the screen's
+    * favor: per seed, "the min lands in the template" is decided once
+    * for every pair by how small the fixed template-min hash is, so
+    * per-seed match rates are bimodal (measured 0.00–0.98 across 48
+    * seeds, mean = j as theory demands) and background admission
+    * concentrates in the few hot bands whose seeds are all
+    * template-favored. Requiring a SECOND hot band then suppresses
+    * background super-multiplicatively (measured 83 → 0 background
+    * pairs on the template-corpus spec, vs the ~29× binomial
+    * prediction); true pairs are immune because their payloads
+    * coincide, matching in most bands regardless of template luck
+    * (spec: OpsSpec "minPairBands >= 2 screens boilerplate noise").
+    * The driver test-corpus family needs no screen (background pairs
+    * share ~no shingles, j ≈ 0 — candidates ≈ true pairs at sf0.1 AND
+    * 10×), so the default is 1 (strongest recall bound); the count
+    * costs nothing either way because the pair dedup is this same
+    * aggregation. */
+  private[graft] def bandedCandidates(sig: DataFrame, numBands: Int,
+                                      rowsPerBand: Int,
+                                      minPairBands: Int = 1): DataFrame = {
     val banded = sig.select(
       col("id"),
       posexplode(array((0 until numBands).map { b =>
         xxhash64(concat_ws(",",
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))) }: _*))
         .as(Seq("band", "bucket")))
-    // stage the sorted id list as an attribute so the pair-expansion
-    // lambdas reference a column, not a re-evaluated sort (HOF trap:
-    // outer expressions re-run per element)
+    // stage the sorted id list as an attribute so the explodes reference
+    // a column, not a re-evaluated sort
     val buckets = banded.groupBy("band", "bucket")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")) > 1)
+    // streamed pair expansion: posexplode picks each id_a with its
+    // position, the second explode pairs it with every LATER id (slice
+    // start is 1-based, pos is 0-based, so pos + 2 = the next element).
+    // Empty tails are dropped by the inner explode.
     buckets
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
-          struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("pos", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("pos") + lit(2), size(col("ids")))).as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("nb"))
       .where(col("nb") >= minPairBands)
       .select("id_a", "id_b")

@@ -74,11 +74,19 @@ object Projections {
     * 1–53, week 1 owns Jan 4) — a different partition of the calendar,
     * so the reference's `dim_date.sql:14` needs this composed form.
     *
-    * week(d) = floor((dayofyear(d) − 1 + daysFromPrecedingSundayToJan1) / 7)
-    * counted so that the first Sunday starts week 1: with
-    * dayofweek(Jan 1) in 1=Sun..7=Sat, the offset (dow + 5) % 7 + 1
-    * shifts Jan 1 to position 7 when Jan 1 is itself a Sunday (week 1)
-    * and to position 1 when Jan 1 is a Monday (week 0 until Jan 7).
+    * Implemented identity:
+    *   week(d) = floor((dayofyear(d) + (dayofweek(Jan 1) + 5) % 7) / 7)
+    * With dayofweek in 1=Sun..7=Sat, the offset (dow + 5) % 7 equals
+    * 7 − dayofyear(first Sunday of the year): 6 when Jan 1 is itself a
+    * Sunday, 0 when it is a Monday (first Sunday = Jan 7), … 5 when a
+    * Saturday. So equivalently
+    *   week(d) = floor((dayofyear(d) + 7 − dayofyearOfFirstSunday) / 7),
+    * which counts 0 for days before the first Sunday and increments on
+    * each Sunday after it. Anchors: Jan-1-on-Sunday → floor((1+6)/7)=1
+    * (week 1 starts Jan 1, %U convention); Jan-1-on-Monday →
+    * floor((1+0)/7)=0 through Jan 6, then Jan 7 (the first Sunday) →
+    * floor(7/7)=1. Exhaustively pinned against strftime %U for every
+    * Jan-1 weekday and the full 16-year spine (`OpsSpec` "bqWeek").
     * All-integer arithmetic on values ≤ 372 — exact, codegen'd, no UDF. */
   def bqWeek(d: Column): Column =
     floor((dayofyear(d) + (dayofweek(trunc(d, "year")) + lit(5)) % 7) / 7)

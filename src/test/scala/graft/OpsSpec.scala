@@ -156,6 +156,95 @@ class OpsSpec extends SparkSpec {
     assert(background > 100000, s"background pair count implausible: $background")
   }
 
+  test("minPairBands >= 2 screens boilerplate noise without losing true pairs") {
+    // A corpus with REAL background similarity — the regime the
+    // minPairBands knob exists for (the driver corpus has none, spec
+    // above). 120 docs share a 24-word template and carry 25 doc-unique
+    // payload words: every doc has 45 distinct 5-shingles of which the
+    // 20 template-only ones are shared, so every background pair sits at
+    // exactly j = 20 / (45 + 45 − 20) = 2/7 ≈ 0.286. 8 planted dups
+    // append two words to an existing doc (j = 45/47 ≈ 0.957).
+    // Geometry 12 bands × 4 rows (48 hashes, same signature cost as the
+    // shipped default): under the INDEPENDENCE model a background pair
+    // is admitted w.p. P(B ≥ 1) = 1−(1−j⁴)¹² ≈ 0.077 at minPairBands 1
+    // and P(B ≥ 2) ≈ 0.0026 at 2 (~29× cut), while a planted pair at
+    // j ≈ 0.957 misses w.p. ≤ 5e-9.
+    //
+    // MEASURED REALITY (kept as the spec's contract): the independence
+    // model is an average over hash FAMILIES, and for a shared-template
+    // corpus the realized counts for one fixed seed set sit far from
+    // it. Per seed, the match event "min lands in the template" is
+    // decided once for ALL pairs by how small the fixed template-min
+    // hash is — the per-seed match rates are bimodal (measured 0.00 to
+    // 0.98 across the 48 seeds, mean ≈ j as theory demands). Background
+    // admission therefore concentrates in the few "hot bands" whose 4
+    // seeds are all template-favored: measured 83 background pairs at
+    // nb ≥ 1 (vs 626 predicted) and 0 at nb ≥ 2 — requiring a SECOND
+    // hot band suppresses background super-multiplicatively vs the
+    // binomial ratio. True pairs are immune: their payloads nearly
+    // coincide, so they match in ~84% of bands regardless of template
+    // luck. The asserts below treat the binomial prediction as an
+    // UPPER envelope on background admission and the ~29× predicted
+    // ratio as a LOWER bound on the screen's cut.
+    val template = (0 until 24).map(i => s"tmpl$i")
+    val base = (1L to 120L).map { d =>
+      (d, (template ++ (0 until 25).map(i => s"w${d}_$i")).mkString(" "))
+    }
+    val planted = (0 until 8).map { i =>
+      (1000L + i, base(i * 3)._2 + s" extra${i}a extra${i}b")
+    }
+    val df = (base ++ planted).toDF("doc_id", "text")
+    val truePairs = (0 until 8).map(i => (base(i * 3)._1, 1000L + i)).toSet
+
+    val numBands = 12; val rowsPerBand = 4
+    val numHashes = numBands * rowsPerBand
+    val sig = Dedup.shingleHashed(df, "doc_id", "text", 5)
+      .select(col("id"), array_distinct(col("shh")).as("shh"))
+      .where(size(col("shh")) > 0)
+      .select(col("id"), Dedup.minhashSignatureFromHashes(col("shh"), numHashes).as("sig"))
+      .cache()
+    val cand1 = Dedup.bandedCandidates(sig, numBands, rowsPerBand, minPairBands = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand2 = Dedup.bandedCandidates(sig, numBands, rowsPerBand, minPairBands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // (a) the screen cuts background admission by AT LEAST the binomial
+    // ratio. Background pairs: C(128,2) − 8 = 8120, all at j = 2/7.
+    val p = math.pow(2.0 / 7.0, rowsPerBand) // per-band collision
+    val p1 = 1 - math.pow(1 - p, numBands)
+    val p2 = p1 - numBands * p * math.pow(1 - p, numBands - 1)
+    val bg = 8120.0
+    val bg1 = (cand1 -- truePairs).size.toDouble
+    val bg2 = (cand2 -- truePairs).size.toDouble
+    assert(truePairs.subsetOf(cand1) && truePairs.subsetOf(cand2),
+      s"true pairs lost: cand1 misses ${truePairs -- cand1}, cand2 misses ${truePairs -- cand2}")
+    assert(bg1 >= 10,
+      s"nb>=1 background count $bg1 too small for the screen to demonstrate anything " +
+        "— corpus no longer has real background similarity?")
+    assert(bg1 < bg * p1 * 1.5,
+      s"nb>=1 background count $bg1 above the binomial envelope ${bg * p1 * 1.5}")
+    // predicted cut p1/p2 ≈ 29×; hot-band concentration makes the real
+    // cut stronger (measured bg2 = 0), so assert the predicted ratio as
+    // a lower bound with 2× slack
+    assert(bg2 <= math.max(2.0, bg1 * (p2 / p1) * 2),
+      s"screen cut weaker than predicted: nb>=1 $bg1 vs nb>=2 $bg2 " +
+        s"(binomial ratio ~${math.round(p1 / p2)}x)")
+
+    // (b) output under the screen still equals the exact all-pairs scan
+    // at threshold 0.75 — the screen drops only sub-threshold noise
+    val got = Dedup.minhashVerifiedDups(df, "doc_id", "text",
+      shingleK = 5, numBands = numBands, rowsPerBand = rowsPerBand,
+      threshold = 0.75, minPairBands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      k = 5, threshold = 0.75, dfCap = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.map(t => (t._1, t._2)) === truePairs,
+      "exact scan should find exactly the planted pairs")
+    assert(got === exact)
+    spark.catalog.clearCache()
+  }
+
   test("chunk spans: coverage, overlap, redundant-suffix drop, edge sizes") {
     import graft.ops.Curation
     val docs = Seq((1L, 95), (2L, 30), (3L, 0), (4L, 31), (5L, 100))

@@ -240,8 +240,10 @@ class StreamingSpec extends SparkSpec {
     // never merge onto an empty base
     simulateCrashBeforeCheckpointCommit()
     val v0 = java.nio.file.Paths.get(s"$dir/snap/v=0")
-    java.nio.file.Files.walk(v0).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.delete(p))
+    scala.util.Using.resource(java.nio.file.Files.walk(v0)) { walk =>
+      walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
     val q3 = run()
     try {
       val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
