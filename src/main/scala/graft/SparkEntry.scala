@@ -824,10 +824,16 @@ object SparkEntry {
     * init), not a flaky sample. */
   private def annRecallContract(approx: DataFrame, exact: DataFrame,
                                 floor: Double): DataFrame = {
-    val hits = exact.select("query_id", "corpus_id")
+    // the exact baseline feeds TWO branches (the recall semi-join and
+    // the aggregate) — cache it or the brute-force subplan runs twice
+    // (plan-branch recompute, SCALE.md). k·queries rows only. The cache
+    // backs the returned frame; Bench/Verify clear between queries,
+    // same contract as the dedup operators' caches.
+    val exactC = exact.cache()
+    val hits = exactC.select("query_id", "corpus_id")
       .join(approx.select("query_id", "corpus_id"),
         Seq("query_id", "corpus_id"), "left_semi")
-    exact.agg(
+    exactC.agg(
       countDistinct(col("query_id")).as("n_queries"),
       count(lit(1)).as("n_exact"),
       sum(col("score").cast("decimal(12,6)")).cast("double").as("sum_score"))

@@ -113,28 +113,27 @@ object Dedup {
     * up bucket members, dedup bare id pairs. Shared by the estimating
     * and verifying minhash operators so the band-key scheme cannot
     * drift between them. */
-  /** Banded LSH candidate pairs — bucket-grouped, not self-joined.
+  /** Banded LSH candidate pairs — signature-grouped and bucket-grouped,
+    * not self-joined.
     *
-    * One shuffle: (id, band, bucket) rows group on (band, bucket) and
-    * each bucket expands its own C(size, 2) pairs by a STREAMED double
-    * explode over the sorted id list — the previous self-join
-    * formulation shuffled BOTH 1.2M-row banded sides at the 10× corpus
-    * and recomputed the band-hash expression per side (measured: the
-    * pair stage was the single largest cost in the operator, ~10 s of
-    * ~29 s at 10×; the bucket-grouped form measures ~3 s). Pair
-    * expansion is quadratic per bucket in either formulation — LSH
-    * bucket sizes are the corpus's duplicate-group sizes — but the two
-    * generates PIPELINE the pairs: per-row memory is O(bucket size)
-    * (the sorted id list each exploded row carries), never O(bucket²).
-    * An earlier in-row form (flatten of nested transform) materialized
-    * all C(n, 2) pair structs inside ONE row before exploding — fine on
-    * corpus-sized duplicate groups, but a degenerate bucket of ~10⁵
-    * members would build multi-GB single rows and trip Spark's ~2 GB
-    * array limit; the double explode has the same plan shape and
-    * measured cost with that cliff removed. The remaining per-row bound
-    * is the collect_list itself (8 bytes × bucket size — a 10⁷-member
-    * bucket is an 80 MB aggregation row; beyond that, shard the bucket
-    * key before grouping).
+    * Two grouping shuffles, both on compact keys: (1) docs group on
+    * their FULL signature, collapsing exact-duplicate cliques to one
+    * row each (see the dup-mass comment in the body — banding cost
+    * scales with distinct content mass, not raw docs); (2) distinct
+    * signatures band and group on (band, bucket), and each bucket
+    * expands its C(size, 2) group pairs by a STREAMED double explode
+    * over the sorted key list. The previous self-join formulation
+    * shuffled BOTH 1.2M-row banded sides at the 10× corpus and
+    * recomputed the band-hash expression per side (measured: the pair
+    * stage was the single largest cost in the operator, ~10 s of ~29 s
+    * at 10×; the bucket-grouped form measures ~3-7 s). Pair expansion
+    * is quadratic per bucket, but bucket sizes after signature
+    * grouping are the corpus's DISTINCT near-dup family sizes, and the
+    * generates pipeline the pairs: per-row memory is O(set size),
+    * never O(set²). The remaining per-row bound is the collect_list
+    * itself (8 bytes × set size — a 10⁷-member identical-dup clique is
+    * an 80 MB `groups` row; beyond that, shard the key before
+    * grouping).
     *
     * A pair appears at most once per band (one bucket per doc per
     * band), so the pair-dedup group count is the number of COLLIDING
@@ -167,28 +166,65 @@ object Dedup {
   private[graft] def bandedCandidates(sig: DataFrame, numBands: Int,
                                       rowsPerBand: Int,
                                       minPairBands: Int = 1): DataFrame = {
-    val banded = sig.select(
-      col("id"),
+    // DISTINCT-SIGNATURE GROUPING (the dup-mass guard): raw training
+    // corpora carry heavy exact-duplicate mass (30-60% of a web crawl),
+    // and identical documents have identical signatures — banding raw
+    // docs would emit every within-clique pair once PER BAND before the
+    // dedup (measured on the 100× corpus, where every doc is a
+    // 100-member clique: 655M pre-dedup pair rows for 27.3M candidates,
+    // 211 s of the 415 s operator total). Grouping on the full
+    // signature first makes banding cost scale with DISTINCT content
+    // mass: within-group pairs are emitted directly exactly once
+    // (identical signatures collide in every band, so their band count
+    // is numBands and passes any minPairBands screen), and only the
+    // distinct signatures go through banding, keyed by the group's min
+    // id. Output is pair-for-pair identical to banding raw ids, for
+    // any corpus and any minPairBands. The `groups` cache backs the
+    // returned frame — callers clear between queries (Bench does),
+    // same contract as the signature caches.
+    val groups = sig.groupBy("sig")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .select(element_at(col("ids"), 1).as("gid"), col("sig"), col("ids"))
+      .cache()
+    // streamed pair expansion (used for all three quadratic-per-set
+    // expansions below): posexplode picks each left element with its
+    // position, the second explode pairs it with every LATER element
+    // (slice start is 1-based, pos is 0-based, so pos + 2 = the next
+    // element; empty tails are dropped by the inner explode). Per-row
+    // memory is O(set size), never O(set²) — an earlier in-row form
+    // (flatten of nested transform) materialized all C(n, 2) structs in
+    // ONE row and would trip Spark's ~2 GB array limit on a degenerate
+    // set; the streamed form A/B-measured identical cost.
+    def pairsOf(sets: DataFrame, setCol: String, aCol: String, bCol: String) =
+      sets.select(col(setCol), posexplode(col(setCol)).as(Seq("pos", aCol)))
+        .select(col(aCol),
+          explode(slice(col(setCol), col("pos") + lit(2), size(col(setCol)))).as(bCol))
+    val withinGroup = pairsOf(groups.where(size(col("ids")) > 1), "ids", "id_a", "id_b")
+    val banded = groups.select(
+      col("gid"),
       posexplode(array((0 until numBands).map { b =>
         xxhash64(concat_ws(",",
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))) }: _*))
         .as(Seq("band", "bucket")))
-    // stage the sorted id list as an attribute so the explodes reference
-    // a column, not a re-evaluated sort
     val buckets = banded.groupBy("band", "bucket")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .where(size(col("ids")) > 1)
-    // streamed pair expansion: posexplode picks each id_a with its
-    // position, the second explode pairs it with every LATER id (slice
-    // start is 1-based, pos is 0-based, so pos + 2 = the next element).
-    // Empty tails are dropped by the inner explode.
-    buckets
-      .select(col("ids"), posexplode(col("ids")).as(Seq("pos", "id_a")))
-      .select(col("id_a"),
-        explode(slice(col("ids"), col("pos") + lit(2), size(col("ids")))).as("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("nb"))
+      .agg(sort_array(collect_list(col("gid"))).as("gids"))
+      .where(size(col("gids")) > 1)
+    // group-level pair dedup: nb = number of colliding bands between
+    // the two signatures, identical semantics to the raw-id form
+    val groupPairs = pairsOf(buckets, "gids", "ga", "gb")
+      .groupBy("ga", "gb").agg(count(lit(1)).as("nb"))
       .where(col("nb") >= minPairBands)
-      .select("id_a", "id_b")
+    // expand surviving group pairs to member pairs; groups are disjoint
+    // id sets, so no cross-pair dedup is needed after the group-level
+    // dedup, and least/greatest restores the id_a < id_b orientation
+    val crossGroup = groupPairs
+      .join(groups.select(col("gid").as("ga"), col("ids").as("ids_a")), Seq("ga"))
+      .join(groups.select(col("gid").as("gb"), col("ids").as("ids_b")), Seq("gb"))
+      .select(explode(col("ids_a")).as("x"), col("ids_b"))
+      .select(col("x"), explode(col("ids_b")).as("y"))
+      .select(least(col("x"), col("y")).as("id_a"),
+        greatest(col("x"), col("y")).as("id_b"))
+    withinGroup.unionByName(crossGroup)
   }
 
   /** MinHash + LSH near-duplicate pairs.
