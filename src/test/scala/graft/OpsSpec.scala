@@ -245,6 +245,63 @@ class OpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("signature-grouped banding equals raw-id banding pair-for-pair") {
+    // bandedCandidates collapses identical signatures before banding
+    // (the dup-mass guard). This spec pins output equivalence with the
+    // naive raw-id formulation on a corpus mixing all three regimes:
+    // identical cliques (within-group pairs), near-dups with DIFFERENT
+    // signatures (cross-group pairs), and unrelated background — at
+    // minPairBands 1 and 2.
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron")
+    val base = (1L to 40L).map { i =>
+      (i, Seq.fill(15 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // identical cliques: 3 extra exact copies of each of docs 1-6
+    val cliques = for (i <- 1L to 6L; c <- 1 to 3)
+      yield (100L * i + c, base(i.toInt - 1)._2)
+    // near-dups: suffix tweak (different shingle set -> different sig)
+    val nears = (7L to 12L).map(i => (1000L + i, base(i.toInt - 1)._2 + " tail"))
+    val df = (base ++ cliques ++ nears).toDF("doc_id", "text")
+    val sig = Dedup.shingleHashed(df, "doc_id", "text", 3)
+      .select(col("id"), array_distinct(col("shh")).as("shh"))
+      .where(size(col("shh")) > 0)
+      .select(col("id"), Dedup.minhashSignatureFromHashes(col("shh"), 24).as("sig"))
+      .cache()
+    // the naive formulation the optimization must be invisible against
+    def rawBanding(minPairBands: Int) = {
+      val banded = sig.select(col("id"),
+        posexplode(array((0 until 12).map { b =>
+          xxhash64(concat_ws(",", slice(col("sig"), b * 2 + 1, 2))) }: _*))
+          .as(Seq("band", "bucket")))
+      banded.groupBy("band", "bucket")
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+        .where(size(col("ids")) > 1)
+        .select(col("ids"), posexplode(col("ids")).as(Seq("pos", "id_a")))
+        .select(col("id_a"),
+          explode(slice(col("ids"), col("pos") + lit(2), size(col("ids")))).as("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("nb"))
+        .where(col("nb") >= minPairBands)
+        .select("id_a", "id_b")
+    }
+    for (mpb <- Seq(1, 2)) {
+      val grouped = Dedup.bandedCandidates(sig, 12, 2, mpb)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val raw = rawBanding(mpb)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(grouped === raw, s"divergence at minPairBands=$mpb")
+      // the corpus must actually exercise both pair kinds
+      if (mpb == 1) {
+        assert(grouped.exists { case (a, b) => a >= 100L && b > a },
+          "no within-clique pair in the candidate set — fixture broken")
+        assert(grouped.exists { case (a, b) => b >= 1000L && a < 100L },
+          "no cross-group near-dup pair in the candidate set — fixture broken")
+      }
+    }
+    spark.catalog.clearCache()
+  }
+
   test("chunk spans: coverage, overlap, redundant-suffix drop, edge sizes") {
     import graft.ops.Curation
     val docs = Seq((1L, 95), (2L, 30), (3L, 0), (4L, 31), (5L, 100))
