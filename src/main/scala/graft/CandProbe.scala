@@ -32,6 +32,8 @@ object CandProbe {
     val threshold = if (args.length > 1) args(1).toDouble else 0.5
     val margin = if (args.length > 2) args(2).toDouble else 0.25
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    require(cpus.nonEmpty && cpus.forall(_.isDigit) && cpus.toInt > 0,
+      s"SPARK_GRAFT_CPUS must be a positive integer, got '$cpus'")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.optimizer.excludedRules", EngineConf.ExcludedOptimizerRules)
@@ -59,10 +61,14 @@ object CandProbe {
 
     tm("hashed(cache)")(hashed.count())
     tm("sig(cache)")(sig.count())
-    // the shipped candidate generator, both screen settings
+    // the shipped candidate generator, both screen settings. NB: the
+    // first call materializes bandedCandidates' internal sig-group
+    // cache; the second call's identical groups subplan resolves to the
+    // SAME cache entry (Spark canonicalized-plan matching), so the two
+    // stage times are not comparable — the labels say which is which.
     val cand1 = Dedup.bandedCandidates(sig, NumBands, RowsPerBand, minPairBands = 1).cache()
-    val nb1 = tm("candidates(nb>=1)")(cand1.count())
-    val nb2 = tm("candidates(nb>=2)")(
+    val nb1 = tm("candidates(nb>=1,+groups)")(cand1.count())
+    val nb2 = tm("candidates(nb>=2,cached)")(
       Dedup.bandedCandidates(sig, NumBands, RowsPerBand, minPairBands = 2).count())
     // signature-estimate screen, cut derived exactly as the operator does
     val minMatches = math.ceil((threshold - margin) * NumHashes).toInt

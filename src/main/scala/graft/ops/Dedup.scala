@@ -108,13 +108,10 @@ object Dedup {
   def shingles(textCol: Column, k: Int): Column =
     shinglesOfTokens(split(trim(textCol), "\\s+"), k)
 
-  /** Deduped LSH candidate pairs from a signature frame (id, sig): per
-    * band, bucket docs by the hash of the band's signature slice, pair
-    * up bucket members, dedup bare id pairs. Shared by the estimating
-    * and verifying minhash operators so the band-key scheme cannot
-    * drift between them. */
-  /** Banded LSH candidate pairs — signature-grouped and bucket-grouped,
-    * not self-joined.
+  /** Banded LSH candidate pairs from a signature frame (id, sig) —
+    * signature-grouped and bucket-grouped, not self-joined. Shared by
+    * the estimating and verifying minhash operators (and `CandProbe`)
+    * so the band-key scheme cannot drift between them.
     *
     * Two grouping shuffles, both on compact keys: (1) docs group on
     * their FULL signature, collapsing exact-duplicate cliques to one
@@ -166,6 +163,11 @@ object Dedup {
   private[graft] def bandedCandidates(sig: DataFrame, numBands: Int,
                                       rowsPerBand: Int,
                                       minPairBands: Int = 1): DataFrame = {
+    // within-group pairs collide in every band by construction, so the
+    // raw-id equivalence (and any sensible screen) needs the bound here
+    // too, not only in minhashVerifiedDups
+    require(minPairBands >= 1 && minPairBands <= numBands,
+      s"minPairBands must be in [1, numBands=$numBands], got $minPairBands")
     // DISTINCT-SIGNATURE GROUPING (the dup-mass guard): raw training
     // corpora carry heavy exact-duplicate mass (30-60% of a web crawl),
     // and identical documents have identical signatures — banding raw
