@@ -108,6 +108,21 @@ object Dedup {
   def shingles(textCol: Column, k: Int): Column =
     shinglesOfTokens(split(trim(textCol), "\\s+"), k)
 
+  /** Streamed C(n, 2) pair expansion of a sorted-array column:
+    * posexplode picks each left element with its position, the second
+    * explode pairs it with every LATER element (slice start is
+    * 1-based, pos is 0-based, so pos + 2 = the next element; empty
+    * tails are dropped by the inner explode). Per-row memory is O(set
+    * size), never O(set²) — an earlier in-row form (flatten of nested
+    * transform) materialized all C(n, 2) structs in ONE row and would
+    * trip Spark's ~2 GB array limit on a degenerate set; the streamed
+    * form A/B-measured identical cost. */
+  private def pairsOf(sets: DataFrame, setCol: String,
+                      aCol: String, bCol: String): DataFrame =
+    sets.select(col(setCol), posexplode(col(setCol)).as(Seq("pos", aCol)))
+      .select(col(aCol),
+        explode(slice(col(setCol), col("pos") + lit(2), size(col(setCol)))).as(bCol))
+
   /** Banded LSH candidate pairs from a signature frame (id, sig) —
     * signature-grouped and bucket-grouped, not self-joined. Shared by
     * the estimating and verifying minhash operators (and `CandProbe`)
@@ -188,19 +203,6 @@ object Dedup {
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .select(element_at(col("ids"), 1).as("gid"), col("sig"), col("ids"))
       .cache()
-    // streamed pair expansion (used for all three quadratic-per-set
-    // expansions below): posexplode picks each left element with its
-    // position, the second explode pairs it with every LATER element
-    // (slice start is 1-based, pos is 0-based, so pos + 2 = the next
-    // element; empty tails are dropped by the inner explode). Per-row
-    // memory is O(set size), never O(set²) — an earlier in-row form
-    // (flatten of nested transform) materialized all C(n, 2) structs in
-    // ONE row and would trip Spark's ~2 GB array limit on a degenerate
-    // set; the streamed form A/B-measured identical cost.
-    def pairsOf(sets: DataFrame, setCol: String, aCol: String, bCol: String) =
-      sets.select(col(setCol), posexplode(col(setCol)).as(Seq("pos", aCol)))
-        .select(col(aCol),
-          explode(slice(col(setCol), col("pos") + lit(2), size(col(setCol)))).as(bCol))
     val withinGroup = pairsOf(groups.where(size(col("ids")) > 1), "ids", "id_a", "id_b")
     val banded = groups.select(
       col("gid"),
@@ -457,7 +459,20 @@ object Dedup {
 
   /** Hamming-distance near-dup pairs over simhash values using the
     * pigeonhole block trick — equi-join on (blockIdx, blockValue), then
-    * exact popcount filter. */
+    * exact popcount filter.
+    *
+    * Same dup-mass guard as [[bandedCandidates]]: docs group on their
+    * exact simhash value first (identical documents sketch
+    * identically), within-group pairs are emitted directly at hamming
+    * 0 exactly once, and only DISTINCT simhash values enter the block
+    * join — the raw-id join would produce every within-clique pair
+    * once per shared block (blocks × C(clique, 2) rows) before the
+    * dedup, and two cliques of sizes m, n at hamming ≤ k would pay the
+    * m·n expansion inside the join instead of once at group level.
+    * Output is pair-for-pair identical; join and expansion cost scale
+    * with distinct sketch mass. The `groups` cache backs the returned
+    * frame — callers clear between queries, same contract as the
+    * minhash caches. */
   def simhashNearDups(sim: DataFrame, maxDistance: Int = 3): DataFrame = {
     require(maxDistance >= 0 && maxDistance < 32, s"maxDistance out of range: $maxDistance")
     val blocks = maxDistance + 1
@@ -465,20 +480,36 @@ object Dedup {
     // NB: Scala's 1L << 64 wraps to 1 (shift mod 64), so the full-width
     // mask for maxDistance=0 must be spelled -1L explicitly
     val mask = if (bitsPerBlock >= 64) -1L else (1L << bitsPerBlock) - 1
-    val banded = sim.select(col("id"), col("simhash"),
+    val groups = sim.groupBy("simhash")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .select(element_at(col("ids"), 1).as("gid"), col("simhash"), col("ids"))
+      .cache()
+    val withinGroup = pairsOf(groups.where(size(col("ids")) > 1), "ids", "id_a", "id_b")
+      .withColumn("hamming", lit(0))
+    val banded = groups.select(col("gid"), col("simhash"),
       posexplode(array((0 until blocks).map { b =>
         shiftright(col("simhash"), b * bitsPerBlock).bitwiseAND(mask)
       }: _*)).as(Seq("block", "blockval")))
     val a = banded.select(col("block"), col("blockval"),
-      col("id").as("id_a"), col("simhash").as("sh_a"))
+      col("gid").as("ga"), col("simhash").as("sh_a"))
     val b = banded.select(col("block"), col("blockval"),
-      col("id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("block", "blockval"))
-      .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      col("gid").as("gb"), col("simhash").as("sh_b"))
+    val groupPairs = a.join(b, Seq("block", "blockval"))
+      .where(col("ga") < col("gb"))
+      .dropDuplicates("ga", "gb")
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .where(col("hamming") <= maxDistance)
-      .select("id_a", "id_b", "hamming")
+    // expand surviving group pairs to member pairs; groups are disjoint
+    // id sets, so no member-level dedup is needed, and the pair hamming
+    // is the group-level hamming (sketch equality within a group)
+    val crossGroup = groupPairs
+      .join(groups.select(col("gid").as("ga"), col("ids").as("ids_a")), Seq("ga"))
+      .join(groups.select(col("gid").as("gb"), col("ids").as("ids_b")), Seq("gb"))
+      .select(col("hamming"), explode(col("ids_a")).as("x"), col("ids_b"))
+      .select(col("hamming"), col("x"), explode(col("ids_b")).as("y"))
+      .select(least(col("x"), col("y")).as("id_a"),
+        greatest(col("x"), col("y")).as("id_b"), col("hamming"))
+    withinGroup.select("id_a", "id_b", "hamming").unionByName(crossGroup)
   }
 
   /** Connected components of a near-dup pair graph: every document gets

@@ -381,6 +381,57 @@ class OpsSpec extends SparkSpec {
       && got(0).getInt(2) === 0)
   }
 
+  test("simhash grouped block join equals raw-id block join pair-for-pair") {
+    // simhashNearDups groups identical sketch values before the
+    // pigeonhole block join (dup-mass guard). Pin equivalence with the
+    // naive raw-id formulation on a corpus with identical cliques,
+    // near-identical docs (small hamming), and background.
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron",
+      "pi", "rho", "sigma", "tau", "upsilon")
+    val base = (1L to 30L).map { i =>
+      (i, Seq.fill(20 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val cliques = for (i <- 1L to 5L; c <- 1 to 3)
+      yield (100L * i + c, base(i.toInt - 1)._2)
+    val nears = (6L to 10L).map(i => (1000L + i, base(i.toInt - 1)._2 + " tail word"))
+    val df = (base ++ cliques ++ nears).toDF("doc_id", "text")
+    val sim = Dedup.simhash(df, "doc_id", "text").cache()
+    val maxDistance = 6
+    // naive raw-id formulation the grouping must be invisible against
+    val rawPairs = {
+      val blocks = maxDistance + 1
+      val bitsPerBlock = 64 / blocks
+      val mask = (1L << bitsPerBlock) - 1
+      val banded = sim.select(col("id"), col("simhash"),
+        posexplode(array((0 until blocks).map { b =>
+          shiftright(col("simhash"), b * bitsPerBlock).bitwiseAND(mask)
+        }: _*)).as(Seq("block", "blockval")))
+      val a = banded.select(col("block"), col("blockval"),
+        col("id").as("id_a"), col("simhash").as("sh_a"))
+      val b = banded.select(col("block"), col("blockval"),
+        col("id").as("id_b"), col("simhash").as("sh_b"))
+      a.join(b, Seq("block", "blockval"))
+        .where(col("id_a") < col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+        .where(col("hamming") <= maxDistance)
+        .select("id_a", "id_b", "hamming")
+    }
+    val raw = rawPairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val grouped = Dedup.simhashNearDups(sim, maxDistance).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(grouped === raw)
+    // the fixture must exercise both pair kinds
+    assert(grouped.exists { case (a, b, h) => a >= 100L && b > a && h == 0 },
+      "no within-clique pair — fixture broken")
+    assert(grouped.exists { case (_, b, h) => b >= 1000L && h > 0 },
+      "no cross-group near pair at hamming > 0 — fixture broken")
+    spark.catalog.clearCache()
+  }
+
   test("simhash: packed-counter aggregation equals the per-bit vote-sum form") {
     // reference implementation: one ±1 vote sum column per bit — the
     // semantics the packed 20-bit-lane form must reproduce exactly
