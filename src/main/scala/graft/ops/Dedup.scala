@@ -117,11 +117,13 @@ object Dedup {
     * transform) materialized all C(n, 2) structs in ONE row and would
     * trip Spark's ~2 GB array limit on a degenerate set; the streamed
     * form A/B-measured identical cost. */
-  private def pairsOf(sets: DataFrame, setCol: String,
-                      aCol: String, bCol: String): DataFrame =
-    sets.select(col(setCol), posexplode(col(setCol)).as(Seq("pos", aCol)))
-      .select(col(aCol),
-        explode(slice(col(setCol), col("pos") + lit(2), size(col(setCol)))).as(bCol))
+  private[ops] def pairsOf(sets: DataFrame, setCol: String,
+                           aCol: String, bCol: String,
+                           carry: Seq[String] = Nil): DataFrame =
+    sets.select(carry.map(col) :+ col(setCol) :+
+        posexplode(col(setCol)).as(Seq("pos", aCol)): _*)
+      .select(carry.map(col) :+ col(aCol) :+
+        explode(slice(col(setCol), col("pos") + lit(2), size(col(setCol)))).as(bCol): _*)
 
   /** Banded LSH candidate pairs from a signature frame (id, sig) —
     * signature-grouped and bucket-grouped, not self-joined. Shared by

@@ -236,14 +236,14 @@ object Similarity {
     * exact regardless: every candidate is re-scored with the true cosine
     * before the threshold filter.
     *
-    * numPlanes = 0 (the default) derives the plane count from the corpus
-    * size via one count — a column-pruned scan that runs EAGERLY at
+    * numPlanes = 0 (the default) derives the plane count from the
+    * DISTINCT-vector count via one count — a scan that runs EAGERLY at
     * DataFrame-construction time and primes the cache the operator needs
     * anyway (pass numPlanes > 0 to keep construction lazy, e.g. for plan
     * inspection). The cache backs the returned frame, so the operator
     * cannot unpersist it; callers running many queries in one session
     * should `spark.catalog.clearCache()` between them (Bench does).
-    * Sizing planes from the corpus is what keeps
+    * Sizing planes from the occupying mass is what keeps
     * candidate volume (∝ n²/2^planes per table) LINEAR in the corpus:
     * a fixed plane count measured 562 s on a 10× corpus (bucket
     * occupancy ×10 → pair volume ×100) vs ~60 s with occupancy held
@@ -253,45 +253,77 @@ object Similarity {
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                      threshold: Double, numPlanes: Int = 0,
                      numTables: Int = 8): DataFrame = {
-    // Shape for scale: (1) buckets are computed ONCE and cached — both
-    // self-join sides read the same materialization instead of re-running
-    // the hash lineage; (2) the candidate dedup shuffles bare id pairs
-    // (16 bytes), never the vectors; vectors re-join after dedup for the
-    // one scoring pass. Norms are computed once per vector.
-    val vecs = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vv"))
-      .withColumn("vn", norm(col("vv")))
+    // Shape for scale: (1) BIT-IDENTICAL vectors group first (the
+    // dup-mass guard, same as Dedup.bandedCandidates: exact-duplicate
+    // content embeds identically, and raw-id bucketing would pay
+    // numTables copies of every within-clique pair plus a dot product
+    // per member pair — grouped, the bucket join and the scoring both
+    // scale with DISTINCT vector mass, and each group pair is scored
+    // once); (2) buckets are computed ONCE and cached — both self-join
+    // sides read the same materialization; (3) the candidate dedup
+    // shuffles bare group-key pairs (16 bytes), never vectors; vectors
+    // re-join after dedup for the one scoring pass. Norms are computed
+    // once per distinct vector. Scores stay bit-identical to per-pair
+    // scoring because cosine is a pure function of the two vector
+    // values, evaluated through the SAME expression.
+    val groups = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vv"))
+      .groupBy("vv")
+      .agg(sort_array(collect_list(col("vid"))).as("ids"))
+      .select(element_at(col("ids"), 1).as("gid"), col("vv"),
+        norm(col("vv")).as("vn"), col("ids"))
       .cache()
     val planes =
       if (numPlanes > 0) numPlanes
       else {
-        val n = vecs.count() // eager column-pruned scan; primes the cache
+        // eager column-pruned count; primes the cache. DISTINCT vectors
+        // are what occupy buckets now, so the occupancy-derived plane
+        // count uses the group count — candidate volume stays linear in
+        // distinct mass (a fixed plane count measured 562 s at 10×)
+        val n = groups.count()
         math.max(4, math.ceil(math.log(math.max(n, 1L).toDouble / 64.0) / math.log(2.0)).toInt)
       }
+    // within-group pairs: identical vectors, cosine computed through the
+    // same formula on the group's vector (bit-equal to the pairwise
+    // expression; NaN-propagating for zero vectors exactly like it)
+    val withinGroup = Dedup.pairsOf(
+      groups.where(size(col("ids")) > 1)
+        .withColumn("score", dot(col("vv"), col("vv")) / (col("vn") * col("vn")))
+        .where(col("score") >= threshold),
+      "ids", "id_a", "id_b", carry = Seq("score"))
     // cached: the self-join below consumes this frame TWICE, and without
     // the cache each side re-runs the hyperplane hashing (numTables ×
     // planes dot products per vector — the expensive part). Rows are
-    // bare (vid, table, bucket) longs, ~24 bytes × numTables per vector.
+    // bare (gid, table, bucket) longs, ~24 bytes × numTables per vector.
     val buckets =
-      lshBanded(vecs, "vid", "vv", dim, planes, numTables, seedBase = 2000)
+      lshBanded(groups.select(col("gid").as("vid"), col("vv")),
+        "vid", "vv", dim, planes, numTables, seedBase = 2000)
         .cache()
     // per-side renames BEFORE the self-join: aliasing the same plan and
     // comparing x.vid < y.vid can resolve both sides to one attribute
     // (trivially-false predicate → silently empty result)
-    val bx = buckets.select(col("table"), col("bucket"), col("vid").as("id_a"))
-    val by = buckets.select(col("table"), col("bucket"), col("vid").as("id_b"))
-    val pairIds = bx.join(by, Seq("table", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    val bx = buckets.select(col("table"), col("bucket"), col("vid").as("ga"))
+    val by = buckets.select(col("table"), col("bucket"), col("vid").as("gb"))
+    val groupPairs = bx.join(by, Seq("table", "bucket"))
+      .where(col("ga") < col("gb"))
+      .select("ga", "gb")
       .dropDuplicates()
-    // vector lookup joins: vecs is CORPUS-sized, so no broadcast hint —
-    // the optimizer/AQE broadcasts it only when it actually fits, and at
-    // cluster scale this is a shuffle join keyed on bare ids (the pair
-    // stream still never carries vector payloads through the dedup)
-    pairIds
-      .join(vecs.select(col("vid").as("id_a"), col("vv").as("a_v"), col("vn").as("a_n")), Seq("id_a"))
-      .join(vecs.select(col("vid").as("id_b"), col("vv").as("b_v"), col("vn").as("b_n")), Seq("id_b"))
+    // vector lookup joins: groups is distinct-corpus-sized, so no
+    // broadcast hint — the optimizer/AQE broadcasts it only when it
+    // actually fits; score once per group pair, expand member pairs
+    // after the threshold filter (groups are disjoint id sets, so no
+    // member-level dedup is needed; least/greatest restores id_a < id_b)
+    val crossGroup = groupPairs
+      .join(groups.select(col("gid").as("ga"), col("vv").as("a_v"),
+        col("vn").as("a_n"), col("ids").as("ids_a")), Seq("ga"))
+      .join(groups.select(col("gid").as("gb"), col("vv").as("b_v"),
+        col("vn").as("b_n"), col("ids").as("ids_b")), Seq("gb"))
       .withColumn("score", dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
       .where(col("score") >= threshold)
-      .select("id_a", "id_b", "score")
+      .select(col("score"), explode(col("ids_a")).as("x"), col("ids_b"))
+      .select(col("score"), col("x"), explode(col("ids_b")).as("y"))
+      .select(least(col("x"), col("y")).as("id_a"),
+        greatest(col("x"), col("y")).as("id_b"), col("score"))
+    withinGroup.select(col("id_a"), col("id_b"), col("score"))
+      .unionByName(crossGroup)
   }
 }

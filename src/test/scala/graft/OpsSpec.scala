@@ -598,6 +598,55 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got(0).getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("cosine near-dups: vector-grouped bucketing equals raw-id bucketing") {
+    // cosineNearDups groups bit-identical vectors before the LSH bucket
+    // join (dup-mass guard). Pin pair-for-pair AND score-bit equality
+    // with the raw-id formulation on a corpus with vector cliques, near
+    // vectors, and background — numPlanes fixed so both forms hash the
+    // same buckets.
+    val base = (0 until 200).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    val cliques = for (i <- 0 until 5; c <- 1 to 3)
+      yield (1000L + 10 * i + c, base(i)._2.clone())
+    val nears = (5 until 10).map { i =>
+      val v = base(i)._2.clone(); v(0) = v(0) + 0.05f
+      (2000L + i, v)
+    }
+    val df = (base ++ cliques ++ nears).toDF("vec_id", "embedding")
+    val fixedPlanes = 5
+    val grouped = Similarity.cosineNearDups(df, "vec_id", "embedding",
+      dim = 16, threshold = 0.9, numPlanes = fixedPlanes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // raw-id reference formulation (the pre-grouping shape)
+    val raw = {
+      val vecs = df.select(col("vec_id").as("vid"),
+        transform(col("embedding"), _.cast("double")).as("vv"))
+        .withColumn("vn", Similarity.norm(col("vv")))
+        .cache()
+      val buckets = Similarity.lshBanded(vecs, "vid", "vv", 16,
+        fixedPlanes, numTables = 8, seedBase = 2000).cache()
+      val bx = buckets.select(col("table"), col("bucket"), col("vid").as("id_a"))
+      val by = buckets.select(col("table"), col("bucket"), col("vid").as("id_b"))
+      bx.join(by, Seq("table", "bucket"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").dropDuplicates()
+        .join(vecs.select(col("vid").as("id_a"), col("vv").as("a_v"), col("vn").as("a_n")), Seq("id_a"))
+        .join(vecs.select(col("vid").as("id_b"), col("vv").as("b_v"), col("vn").as("b_n")), Seq("id_b"))
+        .withColumn("score", Similarity.dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
+        .where(col("score") >= 0.9)
+        .select("id_a", "id_b", "score")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    assert(grouped === raw) // includes score BITS, not just pair identity
+    assert(grouped.exists { case (a, b, s) => a >= 1000L && b > a && s >= 0.999 },
+      "no within-clique pair — fixture broken")
+    assert(grouped.exists { case (a, b, _) => a < 200L && b >= 2000L },
+      "no cross-group near pair — fixture broken")
+    spark.catalog.clearCache()
+  }
+
   test("cosine near-dups: measured recall >= 0.9 at the advertised threshold") {
     // plants sit at cosine ~0.90-0.95 — the hard region just above the
     // advertised threshold, where LSH recall is weakest (unlike an exact
