@@ -86,6 +86,22 @@ class PlanQualitySpec extends SparkSpec {
       s"base side not streamed through a broadcast anti-join:\n$plan")
   }
 
+  test("near-dup candidate plans are equi-join only — no quadratic fallback") {
+    // the three dup-mass-grouped operators: every join must stay an
+    // equi-join on bucket/band/group keys; a resolution change that
+    // degenerates one to a nested-loop/cartesian would scale O(n²)
+    for ((label, df) <- Seq(
+      "minhash" -> SparkEntry.qDedupMinhash(spark, "/root/testdata/sf0.001"),
+      "simhash" -> SparkEntry.qDedupSimhash(spark, "/root/testdata/sf0.001"),
+      "cosine" -> SparkEntry.qCosineNearDups(spark, "/root/testdata/sf0.001"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$label near-dup plan degenerated to a quadratic join:\n$plan")
+    }
+    spark.catalog.clearCache()
+  }
+
   private def t3(name: String) =
     spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
 }
