@@ -48,9 +48,12 @@ object CandProbe {
     val docs = graft.model.Tables.load(spark, sfDir, "documents")
     val hashed = Dedup.shingleHashed(docs, "doc_id", "text", ShingleK)
       .select(col("id"), array_distinct(col("shh")).as("shh")).cache()
+    // mirrors the shipped construction: signature once per DISTINCT
+    // shingle array, exploded back to per-doc rows
     val sig = hashed.where(size(col("shh")) > 0)
-      .select(col("id"),
-        Dedup.minhashSignatureFromHashes(col("shh"), NumHashes).as("sig"))
+      .groupBy("shh").agg(sort_array(collect_list(col("id"))).as("ids"))
+      .withColumn("sig", Dedup.minhashSignatureFromHashes(col("shh"), NumHashes))
+      .select(explode(col("ids")).as("id"), col("sig"))
       .cache()
 
     def tm(label: String)(f: => Long): Long = {

@@ -366,9 +366,21 @@ object Dedup {
     val hashed = shingleHashed(df, idCol, textCol, shingleK)
       .select(col("id"), array_distinct(col("shh")).as("shh"))
       .cache()
+    // signature computed once per DISTINCT shingle array, then exploded
+    // back to per-doc rows — the signature is a pure function of the
+    // array, and dup-heavy corpora repeat arrays in cliques (identical
+    // docs tokenize identically), so the numHashes×|shh| hash work
+    // scales with distinct content mass (same dup-mass guard as
+    // bandedCandidates; the signature stage measured 107 s of the
+    // 180 s operator total on the 100× clique corpus before this).
+    // The group-by key is the array as-ordered: identical texts yield
+    // identical arrays, and differently-ordered equal sets merely
+    // group apart (bit-equal signatures either way).
     val sig = hashed
       .where(size(col("shh")) > 0) // degenerate-bucket guard (see Scaladoc)
-      .select(col("id"), minhashSignatureFromHashes(col("shh"), numHashes).as("sig"))
+      .groupBy("shh").agg(sort_array(collect_list(col("id"))).as("ids"))
+      .withColumn("sig", minhashSignatureFromHashes(col("shh"), numHashes))
+      .select(explode(col("ids")).as("id"), col("sig"))
       .cache()
     // signature-estimate prefilter (see Scaladoc): integer match-count
     // cut over the cached 48-long signatures; the candidate side joins
