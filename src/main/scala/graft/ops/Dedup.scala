@@ -636,21 +636,55 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 5, threshold: Double = 0.2,
                         dfCap: Int = 50): DataFrame = {
-    val sh = shingleHashed(df, idCol, textCol, k)
-      .select(col("id"), explode(array_distinct(col("shh"))).as("s"))
-    val rare = sh.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= dfCap)
+    // Dup-mass guard (same pattern as the other near-dup operators):
+    // docs group on their distinct-shingle-hash array, so identical
+    // documents collapse to one row through the shingle explode, the
+    // df computation, the intersection self-join, and the jaccard
+    // scoring. The DOCUMENT-frequency semantics are preserved exactly:
+    // each group carries its member count `w`, and df per shingle is
+    // sum(w) — the cap still counts raw documents, so a 100-member
+    // identical clique still turns its own shingles into stop-shingles
+    // at dfCap < 100, exactly as the ungrouped form did. Within-group
+    // pairs (identical surviving sets) score through the same
+    // inter/(sz_a + sz_b − inter) expression with all three terms
+    // equal — exactly 1.0, bit-equal to the pairwise division — and
+    // are emitted only when the group has ≥ 1 surviving shingle
+    // (groups whose shingles were all capped produce no pairs, same
+    // as the ungrouped form).
+    val groups = shingleHashed(df, idCol, textCol, k)
+      .select(col("id"), array_distinct(col("shh")).as("shh"))
+      .groupBy("shh").agg(sort_array(collect_list(col("id"))).as("ids"))
+      .select(element_at(col("ids"), 1).as("gid"), col("shh"), col("ids"),
+        size(col("ids")).cast("long").as("w"))
+      .cache()
+    val sh = groups.select(col("gid"), col("w"), explode(col("shh")).as("s"))
+    val rare = sh.groupBy("s").agg(sum(col("w")).as("df")).where(col("df") <= dfCap)
     val shf = sh.join(rare.select("s"), Seq("s")).cache()
-    val sizes = shf.groupBy("id").agg(count(lit(1)).as("sz"))
+    val sizes = shf.groupBy("gid").agg(count(lit(1)).as("sz"))
+    val withinGroup = pairsOf(
+      groups.join(sizes, Seq("gid")) // inner: drops all-capped groups
+        .where(size(col("ids")) > 1)
+        .withColumn("jaccard",
+          col("sz").cast("double") / (col("sz") + col("sz") - col("sz")))
+        .where(col("jaccard") >= threshold),
+      "ids", "id_a", "id_b", carry = Seq("jaccard"))
     val inter = shf.as("x").join(shf.as("y"), Seq("s"))
-      .where(col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .where(col("x.gid") < col("y.gid"))
+      .groupBy(col("x.gid").as("ga"), col("y.gid").as("gb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-          .as("jaccard"))
+    val crossGroup = inter
+      .join(sizes.select(col("gid").as("ga"), col("sz").as("sz_a")), Seq("ga"))
+      .join(sizes.select(col("gid").as("gb"), col("sz").as("sz_b")), Seq("gb"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .where(col("jaccard") >= threshold)
+      .join(groups.select(col("gid").as("ga"), col("ids").as("ids_a")), Seq("ga"))
+      .join(groups.select(col("gid").as("gb"), col("ids").as("ids_b")), Seq("gb"))
+      .select(col("jaccard"), explode(col("ids_a")).as("x"), col("ids_b"))
+      .select(col("jaccard"), col("x"), explode(col("ids_b")).as("y"))
+      .select(least(col("x"), col("y")).as("id_a"),
+        greatest(col("x"), col("y")).as("id_b"), col("jaccard"))
+    withinGroup.select(col("id_a"), col("id_b"), col("jaccard"))
+      .unionByName(crossGroup)
   }
 }

@@ -302,6 +302,60 @@ class OpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ngram jaccard grouped form equals raw-id form, incl. df-cap weights") {
+    // ngramJaccardPairs groups identical distinct-shingle arrays; the
+    // df cap must still count RAW documents (group weights), so an
+    // identical clique bigger than dfCap caps its own shingles away.
+    // Compare against the raw-id formulation at a generous cap (cliques
+    // survive, jaccard 1.0 pairs) and a restrictive one (cliques of 4
+    // exceed dfCap 3 and must vanish in BOTH forms).
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron")
+    val base = (1L to 25L).map { i =>
+      (i, Seq.fill(12 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val cliques = for (i <- 1L to 4L; c <- 1 to 3) // cliques of 4 incl. original
+      yield (100L * i + c, base(i.toInt - 1)._2)
+    val nears = (5L to 8L).map(i => (1000L + i, base(i.toInt - 1)._2 + " tail"))
+    val df = (base ++ cliques ++ nears).toDF("doc_id", "text")
+    def rawForm(k: Int, threshold: Double, dfCap: Int) = {
+      val sh = Dedup.shingleHashed(df, "doc_id", "text", k)
+        .select(col("id"), explode(array_distinct(col("shh"))).as("s"))
+      val rare = sh.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= dfCap)
+      val shf = sh.join(rare.select("s"), Seq("s")).cache()
+      val sizes = shf.groupBy("id").agg(count(lit(1)).as("sz"))
+      shf.as("x").join(shf.as("y"), Seq("s"))
+        .where(col("x.id") < col("y.id"))
+        .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+            .as("jaccard"))
+        .where(col("jaccard") >= threshold)
+    }
+    for (dfCap <- Seq(1000000, 3)) {
+      val got = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+        k = 4, threshold = 0.2, dfCap = dfCap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val raw = rawForm(4, 0.2, dfCap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === raw, s"divergence at dfCap=$dfCap") // jaccard BITS included
+      if (dfCap > 1000) {
+        assert(got.exists { case (a, b, j) => a >= 100L && b > a && j == 1.0 },
+          "no within-clique 1.0 pair at the generous cap — fixture broken")
+        assert(got.exists { case (_, b, j) => b >= 1000L && j < 1.0 },
+          "no cross near pair — fixture broken")
+      } else {
+        assert(!got.exists { case (a, b, _) => a >= 100L || (a <= 4L && b >= 100L) },
+          "clique pairs survived a dfCap smaller than the clique — weight semantics broken")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("chunk spans: coverage, overlap, redundant-suffix drop, edge sizes") {
     import graft.ops.Curation
     val docs = Seq((1L, 95), (2L, 30), (3L, 0), (4L, 31), (5L, 100))
