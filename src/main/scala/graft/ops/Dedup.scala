@@ -116,7 +116,10 @@ object Dedup {
     * size), never O(set²) — an earlier in-row form (flatten of nested
     * transform) materialized all C(n, 2) structs in ONE row and would
     * trip Spark's ~2 GB array limit on a degenerate set; the streamed
-    * form A/B-measured identical cost. */
+    * form A/B-measured identical cost. The strict `aCol =!= bCol`
+    * filter preserves the raw formulations' `id_a < id_b` semantics
+    * when the input carries duplicate ids (a sorted list with equal
+    * adjacent values would otherwise pair an id with itself). */
   private[ops] def pairsOf(sets: DataFrame, setCol: String,
                            aCol: String, bCol: String,
                            carry: Seq[String] = Nil): DataFrame =
@@ -124,6 +127,7 @@ object Dedup {
         posexplode(col(setCol)).as(Seq("pos", aCol)): _*)
       .select(carry.map(col) :+ col(aCol) :+
         explode(slice(col(setCol), col("pos") + lit(2), size(col(setCol)))).as(bCol): _*)
+      .where(col(aCol) =!= col(bCol))
 
   /** Banded LSH candidate pairs from a signature frame (id, sig) —
     * signature-grouped and bucket-grouped, not self-joined. Shared by
@@ -230,6 +234,10 @@ object Dedup {
       .select(col("x"), explode(col("ids_b")).as("y"))
       .select(least(col("x"), col("y")).as("id_a"),
         greatest(col("x"), col("y")).as("id_b"))
+      // duplicate-id guard, same rationale as in pairsOf: an id present
+      // in two groups (duplicate id, different content) must not
+      // self-pair — the raw form's id_a < id_b excluded it
+      .where(col("id_a") =!= col("id_b"))
     withinGroup.unionByName(crossGroup)
   }
 
@@ -523,6 +531,7 @@ object Dedup {
       .select(col("hamming"), col("x"), explode(col("ids_b")).as("y"))
       .select(least(col("x"), col("y")).as("id_a"),
         greatest(col("x"), col("y")).as("id_b"), col("hamming"))
+      .where(col("id_a") =!= col("id_b")) // duplicate-id guard (see pairsOf)
     withinGroup.select("id_a", "id_b", "hamming").unionByName(crossGroup)
   }
 
@@ -684,6 +693,7 @@ object Dedup {
       .select(col("jaccard"), col("x"), explode(col("ids_b")).as("y"))
       .select(least(col("x"), col("y")).as("id_a"),
         greatest(col("x"), col("y")).as("id_b"), col("jaccard"))
+      .where(col("id_a") =!= col("id_b")) // duplicate-id guard (see pairsOf)
     withinGroup.select(col("id_a"), col("id_b"), col("jaccard"))
       .unionByName(crossGroup)
   }

@@ -323,6 +323,9 @@ object Similarity {
       .select(col("score"), col("x"), explode(col("ids_b")).as("y"))
       .select(least(col("x"), col("y")).as("id_a"),
         greatest(col("x"), col("y")).as("id_b"), col("score"))
+      // duplicate-id guard (see Dedup.pairsOf): an id present in two
+      // groups must not self-pair — the raw form's id_a < id_b excluded it
+      .where(col("id_a") =!= col("id_b"))
     withinGroup.select(col("id_a"), col("id_b"), col("score"))
       .unionByName(crossGroup)
   }

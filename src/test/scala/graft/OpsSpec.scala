@@ -356,6 +356,32 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("near-dup operators never self-pair on duplicate-id input") {
+    // malformed-but-possible input: the same id twice (identical text,
+    // and the nastier case of different text). The raw formulations'
+    // id_a < id_b silently excluded self-pairs; the grouped forms must
+    // preserve that, not emit (a, a).
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"), // dup id, same text
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+      (3L, "totally different words entirely unrelated content here now")) // dup id, diff text
+      .toDF("doc_id", "text")
+    val mh = Dedup.minhashVerifiedDups(df, "doc_id", "text", shingleK = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sh = Dedup.simhashNearDups(Dedup.simhash(df, "doc_id", "text"), maxDistance = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nj = Dedup.ngramJaccardPairs(df, "doc_id", "text", k = 3,
+      threshold = 0.3, dfCap = 1000).collect().map(r => (r.getLong(0), r.getLong(1)))
+    for ((label, pairs) <- Seq("minhash" -> mh, "simhash" -> sh, "jaccard" -> nj)) {
+      assert(pairs.forall { case (a, b) => a < b },
+        s"$label emitted a self- or unordered pair: ${pairs.filterNot(p => p._1 < p._2).toSeq}")
+      assert(pairs.contains((1L, 2L)), s"$label lost the true near-dup pair")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("chunk spans: coverage, overlap, redundant-suffix drop, edge sizes") {
     import graft.ops.Curation
     val docs = Seq((1L, 95), (2L, 30), (3L, 0), (4L, 31), (5L, 100))
