@@ -46,54 +46,63 @@ object CandProbe {
     import graft.ops.Dedup
 
     val docs = graft.model.Tables.load(spark, sfDir, "documents")
+    // mirrors the shipped construction: the DISTINCT SHINGLE SET is the
+    // unit of every stage (signature, banding, screen, verify); member
+    // expansion happens only at the end
     val hashed = Dedup.shingleHashed(docs, "doc_id", "text", ShingleK)
-      .select(col("id"), array_distinct(col("shh")).as("shh")).cache()
-    // mirrors the shipped construction: signature once per DISTINCT
-    // shingle array, exploded back to per-doc rows
-    val sig = hashed.where(size(col("shh")) > 0)
-      .groupBy("shh").agg(sort_array(collect_list(col("id"))).as("ids"))
-      .withColumn("sig", Dedup.minhashSignatureFromHashes(col("shh"), NumHashes))
-      .select(explode(col("ids")).as("id"), col("sig"))
+      .select(col("id"), array_distinct(col("shh")).as("shh"))
       .cache()
+    val setGroups = hashed
+      .where(size(col("shh")) > 0)
+      .groupBy("shh").agg(sort_array(collect_list(col("id"))).as("ids"))
+      .select(element_at(col("ids"), 1).as("gid"), col("shh"), col("ids"),
+        Dedup.minhashSignatureFromHashes(col("shh"), NumHashes).as("sig"))
+      .cache()
+    val sig = setGroups.select(col("gid").as("id"), col("sig"))
 
     def tm(label: String)(f: => Long): Long = {
       val t0 = System.nanoTime; val n = f
-      println(f"PROBE-STAGE $label%-22s ${(System.nanoTime - t0) / 1e9}%8.2f s  rows=$n")
+      println(f"PROBE-STAGE $label%-26s ${(System.nanoTime - t0) / 1e9}%8.2f s  rows=$n")
       n
     }
 
     tm("hashed(cache)")(hashed.count())
-    tm("sig(cache)")(sig.count())
-    // the shipped candidate generator, both screen settings. NB: the
-    // first call materializes bandedCandidates' internal sig-group
-    // cache; the second call's identical groups subplan resolves to the
-    // SAME cache entry (Spark canonicalized-plan matching), so the two
-    // stage times are not comparable — the labels say which is which.
-    val cand1 = Dedup.bandedCandidates(sig, NumBands, RowsPerBand, minPairBands = 1).cache()
-    val nb1 = tm("candidates(nb>=1,+groups)")(cand1.count())
-    val nb2 = tm("candidates(nb>=2,cached)")(
+    tm("setGroups(cache)")(setGroups.count())
+    // the shipped candidate generator over set representatives, both
+    // screen settings. NB: the first call materializes
+    // bandedCandidates' internal sig-group cache; the second call's
+    // identical subplan resolves to the SAME cache entry (canonicalized
+    // -plan matching), so the two stage times are not comparable — the
+    // labels say which is which.
+    val cand1 = Dedup.bandedCandidates(sig, NumBands, RowsPerBand, minPairBands = 1)
+      .select(col("id_a").as("ga"), col("id_b").as("gb")).cache()
+    val nb1 = tm("setPairs(nb>=1,+groups)")(cand1.count())
+    val nb2 = tm("setPairs(nb>=2,cached)")(
       Dedup.bandedCandidates(sig, NumBands, RowsPerBand, minPairBands = 2).count())
-    // signature-estimate screen, cut derived exactly as the operator does
+    // signature-estimate screen at set level, cut derived as shipped
     val minMatches = math.ceil((threshold - margin) * NumHashes).toInt
     val est = tm(s"est-screen(>=$minMatches/$NumHashes)")(
       cand1
-        .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-        .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .join(sig.select(col("id").as("ga"), col("sig").as("sig_a")), Seq("ga"))
+        .join(sig.select(col("id").as("gb"), col("sig").as("sig_b")), Seq("gb"))
         .where(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           x => x)) >= lit(minMatches))
         .count())
-    // exact-verify survivors over the UNSCREENED candidates (stage cost
-    // upper bound; the shipped operator verifies only est survivors)
-    val verified = tm("verify(exact-jaccard)")(
+    // exact-verify surviving SET pairs over the unscreened candidates
+    // (stage cost upper bound; the shipped operator verifies only est
+    // survivors), plus the within-set pair mass for reference
+    val verified = tm("verify(exact,set-pairs)")(
       cand1
-        .join(hashed.select(col("id").as("id_a"), col("shh").as("sh_a")), Seq("id_a"))
-        .join(hashed.select(col("id").as("id_b"), col("shh").as("sh_b")), Seq("id_b"))
-        .select(col("id_a"), col("id_b"),
-          size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        .join(setGroups.select(col("gid").as("ga"), col("shh").as("sh_a")), Seq("ga"))
+        .join(setGroups.select(col("gid").as("gb"), col("shh").as("sh_b")), Seq("gb"))
+        .select(size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
           size(col("sh_a")).as("sz_a"), size(col("sh_b")).as("sz_b"))
         .where(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter"))
           >= threshold)
         .count())
+    tm("withinSetPairs")(
+      setGroups.select(((size(col("ids")) * (size(col("ids")) - 1)) / 2).as("p"))
+        .agg(sum(col("p"))).collect()(0).getLong(0))
     // the shipped operator end-to-end, for cross-checking the stage sum
     spark.catalog.clearCache()
     val t0 = System.nanoTime

@@ -371,55 +371,86 @@ object Dedup {
         "j = threshold; to disable the prefilter pass margin >= threshold " +
         "(cut becomes 0)")
     val numHashes = numBands * rowsPerBand
+    // The DISTINCT SHINGLE SET is the unit of every per-content stage
+    // (the dup-mass guard, fully applied): docs group on their distinct
+    // shingle-hash array, the signature is computed once per set, and
+    // banding, the estimate screen, AND the exact verify all run on
+    // one row per distinct set — identical docs (30-60% of a raw
+    // crawl) collapse everywhere. Within-set pairs (identical arrays)
+    // are emitted directly: their jaccard is inter/(sz_a + sz_b −
+    // inter) with all three terms equal — exactly 1.0, bit-equal to
+    // the pairwise division the cross path computes. Cross-set pairs
+    // are admitted by banding on the set signatures (every member
+    // pair maps to exactly one set pair with the same signatures, so
+    // admission is pair-for-pair identical to per-doc banding),
+    // verified once per set pair, and expanded to member pairs only
+    // AFTER the threshold — so every stage costs distinct content
+    // mass, and only the final expansion costs output mass. Measured
+    // on the 100× identical-clique corpus: 524 s (raw-id round-start
+    // form) → 59 s (grouped banding + per-set signatures) → see
+    // SCALE.md for the per-set-verify numbers. The group-by key is
+    // the array as-ordered: identical texts yield identical arrays;
+    // differently-ordered equal sets merely group apart (bit-equal
+    // signatures and jaccard either way, just less collapsing).
+    // The cache backs the returned frame — callers clear between
+    // queries (Bench/Verify do).
+    // two stages, both cached: the per-doc arrays materialize BEFORE the
+    // array-keyed groupBy. ObjectHashAggregate falls back to sort-based
+    // aggregation on array grouping keys, and feeding it the raw
+    // tokenize→shingle→distinct lineage measured ~10× the cached form
+    // on the 100× corpus (263 s vs 22 + 3 s) — the sort path
+    // re-materializes its input, so the expensive projection must
+    // already be columnar bytes, not a pipeline.
+    // the degenerate-set filter sits AFTER the cache: a where on
+    // size(shh) pushes below the projection and re-evaluates the staged
+    // tokenize→shingle pipeline inside the predicate (measured 5×
+    // on this stage) — filtering materialized arrays is free
     val hashed = shingleHashed(df, idCol, textCol, shingleK)
       .select(col("id"), array_distinct(col("shh")).as("shh"))
       .cache()
-    // signature computed once per DISTINCT shingle array, then exploded
-    // back to per-doc rows — the signature is a pure function of the
-    // array, and dup-heavy corpora repeat arrays in cliques (identical
-    // docs tokenize identically), so the numHashes×|shh| hash work
-    // scales with distinct content mass (same dup-mass guard as
-    // bandedCandidates; the signature stage measured 107 s of the
-    // 180 s operator total on the 100× clique corpus before this).
-    // The group-by key is the array as-ordered: identical texts yield
-    // identical arrays, and differently-ordered equal sets merely
-    // group apart (bit-equal signatures either way).
-    val sig = hashed
+    val setGroups = hashed
       .where(size(col("shh")) > 0) // degenerate-bucket guard (see Scaladoc)
       .groupBy("shh").agg(sort_array(collect_list(col("id"))).as("ids"))
-      .withColumn("sig", minhashSignatureFromHashes(col("shh"), numHashes))
-      .select(explode(col("ids")).as("id"), col("sig"))
+      .select(element_at(col("ids"), 1).as("gid"), col("shh"), col("ids"),
+        minhashSignatureFromHashes(col("shh"), numHashes).as("sig"))
       .cache()
+    val szW = size(col("shh"))
+    val within = pairsOf(
+      setGroups.where(size(col("ids")) > 1)
+        .withColumn("jaccard", szW.cast("double") / (szW + szW - szW))
+        .where(col("jaccard") >= threshold),
+      "ids", "id_a", "id_b", carry = Seq("jaccard"))
     // signature-estimate prefilter (see Scaladoc): integer match-count
-    // cut over the cached 48-long signatures; the candidate side joins
-    // against the small cached sig frame (broadcast at this scale; bare
-    // (id, 48 longs) shuffle rows beyond it), and only survivors reach
-    // the array_intersect verify
+    // cut over the 48-long set signatures; survivors reach the
+    // array_intersect verify. Candidate set pairs are ≪ distinct sets,
+    // so these joins broadcast the pair side against the cache —
+    // shingle arrays ship only for verified-candidate set pairs.
     val minMatches = math.ceil((threshold - prefilterMargin) * numHashes).toInt
-    val candidates = bandedCandidates(sig, numBands, rowsPerBand, minPairBands)
-      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+    val crossVerified = bandedCandidates(
+      setGroups.select(col("gid").as("id"), col("sig")),
+      numBands, rowsPerBand, minPairBands)
+      .select(col("id_a").as("ga"), col("id_b").as("gb"))
+      .join(setGroups.select(col("gid").as("ga"), col("sig").as("sig_a"),
+        col("shh").as("sh_a"), col("ids").as("ids_a")), Seq("ga"))
+      .join(setGroups.select(col("gid").as("gb"), col("sig").as("sig_b"),
+        col("shh").as("sh_b"), col("ids").as("ids_b")), Seq("gb"))
       .where(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
         x => x)) >= lit(minMatches))
-      .select("id_a", "id_b")
-    // exact verify: join the candidate pairs back to the cached per-doc
-    // hash ARRAYS and intersect in-row. The pair side is ≪ corpus, so
-    // both joins broadcast it against the cache — no corpus-sized
-    // shuffle at all (an explode-join formulation shuffled the full
-    // (id, shingle) table twice and measured 23 s vs ~9 s on the 10×
-    // corpus). array_intersect hashes 8-byte longs, not strings —
-    // the 12× string-array penalty does not apply.
-    val inter = candidates
-      .join(hashed.select(col("id").as("id_a"), col("shh").as("sh_a")), Seq("id_a"))
-      .join(hashed.select(col("id").as("id_b"), col("shh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
+      // array_intersect hashes 8-byte longs, not strings — the 12×
+      // string-array penalty does not apply
+      .select(col("ids_a"), col("ids_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
         size(col("sh_a")).as("sz_a"), size(col("sh_b")).as("sz_b"))
-    inter
-      .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-          .as("jaccard"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .where(col("jaccard") >= threshold)
+      .select(col("jaccard"), explode(col("ids_a")).as("x"), col("ids_b"))
+      .select(col("jaccard"), col("x"), explode(col("ids_b")).as("y"))
+      .select(least(col("x"), col("y")).as("id_a"),
+        greatest(col("x"), col("y")).as("id_b"), col("jaccard"))
+      .where(col("id_a") =!= col("id_b")) // duplicate-id guard (see pairsOf)
+    within.select(col("id_a"), col("id_b"), col("jaccard"))
+      .unionByName(crossVerified.select(col("id_a"), col("id_b"), col("jaccard")))
   }
 
   /** SimHash (64-bit) of a token stream: sign-sum of per-token hash bits.
