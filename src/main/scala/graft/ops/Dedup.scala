@@ -309,19 +309,21 @@ object Dedup {
     * knob: hashes = numBands × rowsPerBand xxhash64 evaluations per
     * shingle (48 measured ~1.1 s vs 72 ~2.4 s on the sf0.1 corpus).
     *
-    * Scale shape: shuffles carry bare longs everywhere — (band, bucket,
-    * id) for candidates, (id_a, id_b) for the dedup, (id_a, id_b, shingle
-    * hash) for the verify intersection (bounded by candidate pairs ×
-    * shingles, never corpus²). Documents with NO shingles (< k tokens)
-    * are excluded before banding: their all-null signatures would
+    * Scale shape: the DISTINCT SHINGLE SET is the unit of every
+    * per-content stage (see the body comment) — banding shuffles bare
+    * (band, bucket, gid) longs over distinct sets, the pair dedup
+    * shuffles bare set-key pairs, and the screen/verify join shingle
+    * arrays only for candidate SET pairs (bounded by set pairs ×
+    * shingles, never corpus²); member pairs exist only in the final
+    * post-threshold expansion. Documents with NO shingles (< k tokens)
+    * are excluded before grouping: their all-null signatures would
     * otherwise share one degenerate bucket per band — quadratic in the
     * short-doc count at corpus scale — and they can never reach the
-    * threshold anyway (empty shingle set ⇒ jaccard 0). `hashed`
-    * (distinct shingle hashes) and `sig` (48 longs/doc) are cached:
-    * hashed feeds the signature build + two verify lookups + sizes, sig
-    * feeds both banding sides. The caches back the returned frame —
-    * callers running many queries per session clear with
-    * `spark.catalog.clearCache()` (Bench does).
+    * threshold anyway (empty shingle set ⇒ jaccard 0). `hashed` (the
+    * per-doc distinct arrays) and `setGroups` (one row per distinct
+    * set) are cached; both back the returned frame — callers running
+    * many queries per session clear with `spark.catalog.clearCache()`
+    * (Bench does).
     *
     * NOISE-CANDIDATE CONTROL: a background pair reaches the candidate
     * set w.p. ≈ numBands·j^(2·rowsPerBand)… which for DISJOINT shingle
