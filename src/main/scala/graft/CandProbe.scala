@@ -54,7 +54,7 @@ object CandProbe {
       .cache()
     val setGroups = hashed
       .where(size(col("shh")) > 0)
-      .groupBy("shh").agg(sort_array(collect_list(col("id"))).as("ids"))
+      .groupBy("shh").agg(array_distinct(sort_array(collect_list(col("id")))).as("ids"))
       .select(element_at(col("ids"), 1).as("gid"), col("shh"), col("ids"),
         Dedup.minhashSignatureFromHashes(col("shh"), NumHashes).as("sig"))
       .cache()
@@ -101,8 +101,9 @@ object CandProbe {
           >= threshold)
         .count())
     tm("withinSetPairs")(
-      setGroups.select(((size(col("ids")) * (size(col("ids")) - 1)) / 2).as("p"))
-        .agg(sum(col("p"))).collect()(0).getLong(0))
+      setGroups.select(((size(col("ids")).cast("long") *
+          (size(col("ids")).cast("long") - 1)) / 2).as("p"))
+        .agg(coalesce(sum(col("p")), lit(0L))).collect()(0).getLong(0))
     // the shipped operator end-to-end, for cross-checking the stage sum
     spark.catalog.clearCache()
     val t0 = System.nanoTime

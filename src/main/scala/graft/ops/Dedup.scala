@@ -8,6 +8,14 @@ import org.apache.spark.sql.functions._
   * training-data variants (exact hash, MinHash+LSH, SimHash, n-gram
   * Jaccard).
   *
+  * ID CONTRACT for the near-dup operators: `idCol` is assumed unique
+  * per document (it is the pair-output key). Duplicate id values with
+  * identical content are tolerated — member lists dedup, so pairs are
+  * emitted once and never self-pair — but the SAME id carrying
+  * DIFFERENT content is malformed input: group keys (min member id)
+  * can collide across groups and pairs involving that id may be
+  * dropped or mis-scored. Dedup the id space first (`firstPerKey`).
+  *
   * Reference parity: `stg_corebank_customers.sql:16,30` dedups with
   * `row_number() over (partition by k order by k)` + `rn = 1`.
   *
@@ -206,7 +214,7 @@ object Dedup {
     // returned frame — callers clear between queries (Bench does),
     // same contract as the signature caches.
     val groups = sig.groupBy("sig")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .agg(array_distinct(sort_array(collect_list(col("id")))).as("ids"))
       .select(element_at(col("ids"), 1).as("gid"), col("sig"), col("ids"))
       .cache()
     val withinGroup = pairsOf(groups.where(size(col("ids")) > 1), "ids", "id_a", "id_b")
@@ -217,7 +225,7 @@ object Dedup {
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))) }: _*))
         .as(Seq("band", "bucket")))
     val buckets = banded.groupBy("band", "bucket")
-      .agg(sort_array(collect_list(col("gid"))).as("gids"))
+      .agg(array_distinct(sort_array(collect_list(col("gid")))).as("gids"))
       .where(size(col("gids")) > 1)
     // group-level pair dedup: nb = number of colliding bands between
     // the two signatures, identical semantics to the raw-id form
@@ -412,7 +420,7 @@ object Dedup {
       .cache()
     val setGroups = hashed
       .where(size(col("shh")) > 0) // degenerate-bucket guard (see Scaladoc)
-      .groupBy("shh").agg(sort_array(collect_list(col("id"))).as("ids"))
+      .groupBy("shh").agg(array_distinct(sort_array(collect_list(col("id")))).as("ids"))
       .select(element_at(col("ids"), 1).as("gid"), col("shh"), col("ids"),
         minhashSignatureFromHashes(col("shh"), numHashes).as("sig"))
       .cache()
@@ -428,16 +436,25 @@ object Dedup {
     // so these joins broadcast the pair side against the cache —
     // shingle arrays ship only for verified-candidate set pairs.
     val minMatches = math.ceil((threshold - prefilterMargin) * numHashes).toInt
-    val crossVerified = bandedCandidates(
+    // stage order matters: join the 48-long signatures FIRST, apply the
+    // estimate cut, and only join the (wide) shingle arrays and member
+    // lists for screen survivors — on a boilerplate corpus the screen
+    // exists to reject most candidates, and they must not pay the
+    // array columns through the joins
+    val screened = bandedCandidates(
       setGroups.select(col("gid").as("id"), col("sig")),
       numBands, rowsPerBand, minPairBands)
       .select(col("id_a").as("ga"), col("id_b").as("gb"))
-      .join(setGroups.select(col("gid").as("ga"), col("sig").as("sig_a"),
-        col("shh").as("sh_a"), col("ids").as("ids_a")), Seq("ga"))
-      .join(setGroups.select(col("gid").as("gb"), col("sig").as("sig_b"),
-        col("shh").as("sh_b"), col("ids").as("ids_b")), Seq("gb"))
+      .join(setGroups.select(col("gid").as("ga"), col("sig").as("sig_a")), Seq("ga"))
+      .join(setGroups.select(col("gid").as("gb"), col("sig").as("sig_b")), Seq("gb"))
       .where(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
         x => x)) >= lit(minMatches))
+      .select("ga", "gb")
+    val crossVerified = screened
+      .join(setGroups.select(col("gid").as("ga"),
+        col("shh").as("sh_a"), col("ids").as("ids_a")), Seq("ga"))
+      .join(setGroups.select(col("gid").as("gb"),
+        col("shh").as("sh_b"), col("ids").as("ids_b")), Seq("gb"))
       // array_intersect hashes 8-byte longs, not strings — the 12×
       // string-array penalty does not apply
       .select(col("ids_a"), col("ids_b"),
@@ -536,7 +553,7 @@ object Dedup {
     // mask for maxDistance=0 must be spelled -1L explicitly
     val mask = if (bitsPerBlock >= 64) -1L else (1L << bitsPerBlock) - 1
     val groups = sim.groupBy("simhash")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .agg(array_distinct(sort_array(collect_list(col("id")))).as("ids"))
       .select(element_at(col("ids"), 1).as("gid"), col("simhash"), col("ids"))
       .cache()
     val withinGroup = pairsOf(groups.where(size(col("ids")) > 1), "ids", "id_a", "id_b")
@@ -693,11 +710,23 @@ object Dedup {
     // are emitted only when the group has ≥ 1 surviving shingle
     // (groups whose shingles were all capped produce no pairs, same
     // as the ungrouped form).
-    val groups = shingleHashed(df, idCol, textCol, k)
+    // per-doc arrays cache BEFORE the array-keyed groupBy (the sort-agg
+    // fallback re-materializes its input — the measured 10× pitfall
+    // documented in minhashVerifiedDups), and the degenerate-set guard
+    // sits after the cache: docs shorter than k tokens all share the
+    // empty array and would otherwise collapse into one corpus-sized
+    // group row (they can produce no pairs either way — no shingles)
+    val docHashed = shingleHashed(df, idCol, textCol, k)
       .select(col("id"), array_distinct(col("shh")).as("shh"))
-      .groupBy("shh").agg(sort_array(collect_list(col("id"))).as("ids"))
-      .select(element_at(col("ids"), 1).as("gid"), col("shh"), col("ids"),
-        size(col("ids")).cast("long").as("w"))
+      .cache()
+    val groups = docHashed
+      .where(size(col("shh")) > 0)
+      .groupBy("shh").agg(sort_array(collect_list(col("id"))).as("rawIds"))
+      // w (the df weight) counts collected rows; ids dedup for pair
+      // expansion (no-op under the unique-id contract)
+      .select(element_at(col("rawIds"), 1).as("gid"), col("shh"),
+        array_distinct(col("rawIds")).as("ids"),
+        size(col("rawIds")).cast("long").as("w"))
       .cache()
     val sh = groups.select(col("gid"), col("w"), explode(col("shh")).as("s"))
     val rare = sh.groupBy("s").agg(sum(col("w")).as("df")).where(col("df") <= dfCap)

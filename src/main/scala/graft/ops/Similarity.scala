@@ -268,7 +268,7 @@ object Similarity {
     // values, evaluated through the SAME expression.
     val groups = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vv"))
       .groupBy("vv")
-      .agg(sort_array(collect_list(col("vid"))).as("ids"))
+      .agg(array_distinct(sort_array(collect_list(col("vid")))).as("ids"))
       .select(element_at(col("ids"), 1).as("gid"), col("vv"),
         norm(col("vv")).as("vn"), col("ids"))
       .cache()

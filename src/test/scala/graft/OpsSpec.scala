@@ -357,10 +357,12 @@ class OpsSpec extends SparkSpec {
   }
 
   test("near-dup operators never self-pair on duplicate-id input") {
-    // malformed-but-possible input: the same id twice (identical text,
-    // and the nastier case of different text). The raw formulations'
-    // id_a < id_b silently excluded self-pairs; the grouped forms must
-    // preserve that, not emit (a, a).
+    // malformed-but-possible input: the same id twice. Identical-text
+    // copies are TOLERATED per the Dedup id contract (member lists
+    // dedup — pairs emitted once, never (a, a)); same-id-different-text
+    // is outside the contract (group keys can collide), so this spec
+    // asserts only that such input degrades safely: no self-pairs, no
+    // unordered pairs, and the well-formed near-dup pair survives.
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota"), // dup id, same text
