@@ -18,12 +18,12 @@ import org.apache.spark.sql.functions._
   * derived, not inlined, so the probe cannot drift from the engine.
   */
 object CandProbe {
-  // the shipped defaults of Dedup.minhashVerifiedDups — single source of
-  // truth for the probe's banding geometry
-  private val NumBands = 24
-  private val RowsPerBand = 2
+  // the shipped defaults of Dedup.minhashVerifiedDups, referenced (not
+  // copied) — a change to the operator's geometry flows here
+  private val NumBands = graft.ops.Dedup.DefaultNumBands
+  private val RowsPerBand = graft.ops.Dedup.DefaultRowsPerBand
   private val NumHashes = NumBands * RowsPerBand
-  private val ShingleK = 5
+  private val ShingleK = graft.ops.Dedup.DefaultShingleK
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,

@@ -26,6 +26,45 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Shipped defaults of [[minhashVerifiedDups]]'s shingle/banding
+    * geometry — the single source of truth for everything that must
+    * reproduce the operator's stage behavior (the `CandProbe`
+    * stage-timing main references these, so its numbers cannot
+    * desynchronize from the shipped path when the defaults change). */
+  val DefaultShingleK = 5
+  val DefaultNumBands = 24
+  val DefaultRowsPerBand = 2
+
+  /** Default bound for the grouped operators' `maxGroupSize` valve:
+    * 10⁷ members ≈ 80 MB of ids in ONE group row — large enough that no
+    * legitimate corpus trips it (the biggest clique measured in the 100×
+    * experiment is 100 members), small enough to fail long before an
+    * executor OOMs on a multi-GB row. */
+  val DefaultMaxGroupSize: Int = 10000000
+
+  /** The identical-content-clique safety valve shared by every grouped
+    * near-dup operator: group rows carry their full member-id list
+    * (`collect_list`), so one degenerate content value repeated n times
+    * is ONE n-wide row. The guard fails fast — with the group size and
+    * a member id, at the grouping stage, BEFORE the row fans out into
+    * pair expansion — instead of letting a pathological corpus OOM an
+    * executor deep in a downstream stage. (The aggregation buffer for
+    * the one offending row is still paid while the list is collected;
+    * a corpus expected to be adversarial should be pre-collapsed with
+    * [[exactKeepFirst]], which counts per key without building lists.)
+    * Embedded in the projection that CONSUMES the list — not a
+    * dropped side column — so column pruning cannot eliminate it. */
+  private[ops] def boundedIds(rawIds: Column, maxGroupSize: Int, op: String): Column = {
+    require(maxGroupSize > 0, s"maxGroupSize must be > 0, got $maxGroupSize")
+    when(size(rawIds) > maxGroupSize,
+      raise_error(format_string(
+        s"$op: a single content value has %s members, over maxGroupSize=$maxGroupSize" +
+          " — one group row would carry the whole member list; pre-collapse exact" +
+          " duplicates (Dedup.exactKeepFirst) or raise maxGroupSize (member id %s)",
+        size(rawIds).cast("string"), element_at(rawIds, 1).cast("string"))))
+      .otherwise(rawIds)
+  }
+
   /** W1 + F3 — keep exactly one row per key, first by `order` (must be a
     * total order within the key for determinism). */
   def firstPerKey(df: DataFrame, key: Seq[String], order: Seq[Column]): DataFrame = {
@@ -191,7 +230,8 @@ object Dedup {
     * aggregation. */
   private[graft] def bandedCandidates(sig: DataFrame, numBands: Int,
                                       rowsPerBand: Int,
-                                      minPairBands: Int = 1): DataFrame = {
+                                      minPairBands: Int = 1,
+                                      maxGroupSize: Int = DefaultMaxGroupSize): DataFrame = {
     // within-group pairs collide in every band by construction, so the
     // raw-id equivalence (and any sensible screen) needs the bound here
     // too, not only in minhashVerifiedDups
@@ -214,7 +254,8 @@ object Dedup {
     // returned frame — callers clear between queries (Bench does),
     // same contract as the signature caches.
     val groups = sig.groupBy("sig")
-      .agg(array_distinct(sort_array(collect_list(col("id")))).as("ids"))
+      .agg(array_distinct(sort_array(boundedIds(collect_list(col("id")),
+        maxGroupSize, "bandedCandidates"))).as("ids"))
       .select(element_at(col("ids"), 1).as("gid"), col("sig"), col("ids"))
       .cache()
     val withinGroup = pairsOf(groups.where(size(col("ids")) > 1), "ids", "id_a", "id_b")
@@ -260,7 +301,8 @@ object Dedup {
     * bucket keys, never a cross join. Output: (id_a < id_b, similarity). */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 5, numBands: Int = 4, rowsPerBand: Int = 4,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      maxGroupSize: Int = DefaultMaxGroupSize): DataFrame = {
     val numHashes = numBands * rowsPerBand
     // staged projections: toks → shingle hashes → signature, each an
     // attribute at the next stage (prevents the hash transforms from
@@ -284,7 +326,8 @@ object Dedup {
     // dedup shuffles bare id pairs — signature arrays re-join AFTER the
     // dedup for the one verify pass (shipping sig_a/sig_b through the
     // candidate shuffle would multiply its width ~16×)
-    val candidates = bandedCandidates(sig, numBands, rowsPerBand)
+    val candidates = bandedCandidates(sig, numBands, rowsPerBand,
+      maxGroupSize = maxGroupSize)
     candidates
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
@@ -368,11 +411,13 @@ object Dedup {
     * true pair at j exactly = threshold falls below it with probability
     * ~P(Binomial(48, j) < 24) ≈ 44% — not a screen, a coin flip. */
   def minhashVerifiedDups(df: DataFrame, idCol: String, textCol: String,
-                          shingleK: Int = 5, numBands: Int = 24,
-                          rowsPerBand: Int = 2,
+                          shingleK: Int = DefaultShingleK,
+                          numBands: Int = DefaultNumBands,
+                          rowsPerBand: Int = DefaultRowsPerBand,
                           threshold: Double = 0.5,
                           prefilterMargin: Double = 0.25,
-                          minPairBands: Int = 1): DataFrame = {
+                          minPairBands: Int = 1,
+                          maxGroupSize: Int = DefaultMaxGroupSize): DataFrame = {
     require(minPairBands >= 1 && minPairBands <= numBands,
       s"minPairBands must be in [1, numBands=$numBands], got $minPairBands")
     require(prefilterMargin > 0,
@@ -420,7 +465,8 @@ object Dedup {
       .cache()
     val setGroups = hashed
       .where(size(col("shh")) > 0) // degenerate-bucket guard (see Scaladoc)
-      .groupBy("shh").agg(array_distinct(sort_array(collect_list(col("id")))).as("ids"))
+      .groupBy("shh").agg(array_distinct(sort_array(boundedIds(
+        collect_list(col("id")), maxGroupSize, "minhashVerifiedDups"))).as("ids"))
       .select(element_at(col("ids"), 1).as("gid"), col("shh"), col("ids"),
         minhashSignatureFromHashes(col("shh"), numHashes).as("sig"))
       .cache()
@@ -443,7 +489,7 @@ object Dedup {
     // array columns through the joins
     val screened = bandedCandidates(
       setGroups.select(col("gid").as("id"), col("sig")),
-      numBands, rowsPerBand, minPairBands)
+      numBands, rowsPerBand, minPairBands, maxGroupSize)
       .select(col("id_a").as("ga"), col("id_b").as("gb"))
       .join(setGroups.select(col("gid").as("ga"), col("sig").as("sig_a")), Seq("ga"))
       .join(setGroups.select(col("gid").as("gb"), col("sig").as("sig_b")), Seq("gb"))
@@ -545,7 +591,8 @@ object Dedup {
     * with distinct sketch mass. The `groups` cache backs the returned
     * frame — callers clear between queries, same contract as the
     * minhash caches. */
-  def simhashNearDups(sim: DataFrame, maxDistance: Int = 3): DataFrame = {
+  def simhashNearDups(sim: DataFrame, maxDistance: Int = 3,
+                      maxGroupSize: Int = DefaultMaxGroupSize): DataFrame = {
     require(maxDistance >= 0 && maxDistance < 32, s"maxDistance out of range: $maxDistance")
     val blocks = maxDistance + 1
     val bitsPerBlock = 64 / blocks
@@ -553,7 +600,8 @@ object Dedup {
     // mask for maxDistance=0 must be spelled -1L explicitly
     val mask = if (bitsPerBlock >= 64) -1L else (1L << bitsPerBlock) - 1
     val groups = sim.groupBy("simhash")
-      .agg(array_distinct(sort_array(collect_list(col("id")))).as("ids"))
+      .agg(array_distinct(sort_array(boundedIds(collect_list(col("id")),
+        maxGroupSize, "simhashNearDups"))).as("ids"))
       .select(element_at(col("ids"), 1).as("gid"), col("simhash"), col("ids"))
       .cache()
     val withinGroup = pairsOf(groups.where(size(col("ids")) > 1), "ids", "id_a", "id_b")
@@ -694,7 +742,8 @@ object Dedup {
     * re-runs a subplan's whole lineage once per consuming branch. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 5, threshold: Double = 0.2,
-                        dfCap: Int = 50): DataFrame = {
+                        dfCap: Int = 50,
+                        maxGroupSize: Int = DefaultMaxGroupSize): DataFrame = {
     // Dup-mass guard (same pattern as the other near-dup operators):
     // docs group on their distinct-shingle-hash array, so identical
     // documents collapse to one row through the shingle explode, the
@@ -721,7 +770,8 @@ object Dedup {
       .cache()
     val groups = docHashed
       .where(size(col("shh")) > 0)
-      .groupBy("shh").agg(sort_array(collect_list(col("id"))).as("rawIds"))
+      .groupBy("shh").agg(sort_array(boundedIds(collect_list(col("id")),
+        maxGroupSize, "ngramJaccardPairs")).as("rawIds"))
       // w (the df weight) counts collected rows; ids dedup for pair
       // expansion (no-op under the unique-id contract)
       .select(element_at(col("rawIds"), 1).as("gid"), col("shh"),

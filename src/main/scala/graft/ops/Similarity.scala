@@ -252,7 +252,8 @@ object Similarity {
     * quadratic term is clamped. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                      threshold: Double, numPlanes: Int = 0,
-                     numTables: Int = 8): DataFrame = {
+                     numTables: Int = 8,
+                     maxGroupSize: Int = Dedup.DefaultMaxGroupSize): DataFrame = {
     // Shape for scale: (1) BIT-IDENTICAL vectors group first (the
     // dup-mass guard, same as Dedup.bandedCandidates: exact-duplicate
     // content embeds identically, and raw-id bucketing would pay
@@ -268,7 +269,8 @@ object Similarity {
     // values, evaluated through the SAME expression.
     val groups = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vv"))
       .groupBy("vv")
-      .agg(array_distinct(sort_array(collect_list(col("vid")))).as("ids"))
+      .agg(array_distinct(sort_array(Dedup.boundedIds(collect_list(col("vid")),
+        maxGroupSize, "cosineNearDups"))).as("ids"))
       .select(element_at(col("ids"), 1).as("gid"), col("vv"),
         norm(col("vv")).as("vn"), col("ids"))
       .cache()

@@ -384,6 +384,43 @@ class OpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("maxGroupSize valve fails fast on a degenerate identical-content clique") {
+    // Group rows carry their full member-id list, so ONE content value
+    // repeated n times is one n-wide row (~80 MB at n = 10⁷). The valve
+    // must fail at the grouping stage with an actionable error — naming
+    // the bound and a member id — instead of OOMing an executor in the
+    // downstream pair expansion; and the default bound must not fire.
+    val text = "alpha beta gamma delta epsilon zeta eta"
+    val df = ((1L to 6L).map(i => (i, text)) :+
+      (7L, "totally different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    val runs = Seq[(String, () => Long)](
+      "minhashVerifiedDups" -> (() => Dedup.minhashVerifiedDups(df, "doc_id", "text",
+        shingleK = 3, maxGroupSize = 5).count()),
+      "simhashNearDups" -> (() => Dedup.simhashNearDups(
+        Dedup.simhash(df, "doc_id", "text"), maxDistance = 3, maxGroupSize = 5).count()),
+      "ngramJaccardPairs" -> (() => Dedup.ngramJaccardPairs(df, "doc_id", "text",
+        k = 3, dfCap = 1000, maxGroupSize = 5).count()))
+    for ((label, run) <- runs) {
+      val e = intercept[Exception](run())
+      assert(chain(e).exists(m => m.contains("maxGroupSize=5") && m.contains(label)),
+        s"$label surfaced the wrong error: $e")
+    }
+    // bit-identical embedding vectors trip the cosine valve the same way
+    val vecs = ((1L to 6L).map(i => (i, Array(1.0f, 2.0f, 3.0f))) :+
+      (7L, Array(-1.0f, 0.5f, 2.0f))).toDF("vec_id", "embedding")
+    val ce = intercept[Exception](Similarity.cosineNearDups(vecs, "vec_id", "embedding",
+      dim = 3, threshold = 0.9, numPlanes = 4, maxGroupSize = 5).count())
+    assert(chain(ce).exists(m => m.contains("maxGroupSize=5") && m.contains("cosineNearDups")))
+    // the same corpora pass untouched at the shipped default bound:
+    // C(6,2) = 15 jaccard-1.0 pairs from the clique
+    assert(Dedup.minhashVerifiedDups(df, "doc_id", "text", shingleK = 3).count() === 15L)
+    spark.catalog.clearCache()
+  }
+
   test("chunk spans: coverage, overlap, redundant-suffix drop, edge sizes") {
     import graft.ops.Curation
     val docs = Seq((1L, 95), (2L, 30), (3L, 0), (4L, 31), (5L, 100))
