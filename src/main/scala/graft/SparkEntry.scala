@@ -827,9 +827,10 @@ object SparkEntry {
     // the exact baseline feeds TWO branches (the recall semi-join and
     // the aggregate) — cache it or the brute-force subplan runs twice
     // (plan-branch recompute, SCALE.md). k·queries rows only. The cache
-    // backs the returned frame; Bench/Verify clear between queries,
-    // same contract as the dedup operators' caches.
-    val exactC = exact.cache()
+    // backs the returned frame; Bench/Verify clear between queries
+    // (or OpCaches.scoped releases it), same contract as the dedup
+    // operators' caches.
+    val exactC = graft.ops.OpCaches.registered(exact)
     val hits = exactC.select("query_id", "corpus_id")
       .join(approx.select("query_id", "corpus_id"),
         Seq("query_id", "corpus_id"), "left_semi")

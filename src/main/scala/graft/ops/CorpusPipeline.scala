@@ -24,10 +24,12 @@ import org.apache.spark.sql.functions._
   * the anti-join), and Spark re-runs a subplan's lineage once per
   * consuming branch — so the survivors are materialized exactly once:
   * to parquet when `materializeDir` is given (the 100 TB shape — a
-  * checkpoint, not an executor-memory cache), else via `.cache()`
-  * (caller releases with `spark.catalog.clearCache()` or by passing a
-  * dir). Stage counts are opt-in (`collectStats`) because each one is a
-  * full corpus scan the common path should not pay.
+  * checkpoint, not an executor-memory cache), else via an
+  * [[OpCaches]]-registered cache (caller releases by wrapping the call
+  * + materialization in [[OpCaches.scoped]], with a session-level
+  * `spark.catalog.clearCache()`, or by passing a dir). Stage counts are
+  * opt-in (`collectStats`) because each one is a full corpus scan the
+  * common path should not pay.
   */
 object CorpusPipeline {
 
@@ -52,7 +54,7 @@ object CorpusPipeline {
         exact0.write.mode("overwrite").parquet(dir)
         docs.sparkSession.read.parquet(dir)
       case None =>
-        exact0.cache()
+        OpCaches.registered(exact0)
     }
 
     // 3. near-dedup — MinHash/LSH candidates exact-verified against the
@@ -65,7 +67,8 @@ object CorpusPipeline {
     // the anti-join.
     val nearPairs = Dedup.minhashVerifiedDups(exact, idCol, textCol,
       shingleK = shingleK, threshold = nearThreshold)
-    val dropIds = nearPairs.select(col("id_b").as(idCol)).distinct().cache()
+    val dropIds = OpCaches.registered(
+      nearPairs.select(col("id_b").as(idCol)).distinct())
     val cleaned = exact.join(dropIds, Seq(idCol), "left_anti")
 
     val stats =

@@ -251,13 +251,13 @@ object Dedup {
     // distinct signatures go through banding, keyed by the group's min
     // id. Output is pair-for-pair identical to banding raw ids, for
     // any corpus and any minPairBands. The `groups` cache backs the
-    // returned frame — callers clear between queries (Bench does),
-    // same contract as the signature caches.
-    val groups = sig.groupBy("sig")
+    // returned frame — callers release via OpCaches.scoped or a session
+    // clearCache between queries (Bench does the latter), same contract
+    // as the signature caches.
+    val groups = OpCaches.registered(sig.groupBy("sig")
       .agg(array_distinct(sort_array(boundedIds(collect_list(col("id")),
         maxGroupSize, "bandedCandidates"))).as("ids"))
-      .select(element_at(col("ids"), 1).as("gid"), col("sig"), col("ids"))
-      .cache()
+      .select(element_at(col("ids"), 1).as("gid"), col("sig"), col("ids")))
     val withinGroup = pairsOf(groups.where(size(col("ids")) > 1), "ids", "id_a", "id_b")
     val banded = groups.select(
       col("gid"),
@@ -312,16 +312,16 @@ object Dedup {
     // once each. Cache rows are (id, 16 longs) — ~140 bytes/doc, far
     // smaller than the text they replace. The cache backs the RETURNED
     // frame, so the operator cannot release it itself: long-lived
-    // sessions calling this repeatedly must `spark.catalog.clearCache()`
-    // between invocations (Bench does), same contract as
-    // [[Similarity.cosineNearDups]].
-    val sig = shingleHashed(df, idCol, textCol, shingleK)
+    // sessions calling this repeatedly wrap the call + materialization
+    // in OpCaches.scoped (releases exactly these caches) or
+    // `spark.catalog.clearCache()` between invocations (global; Bench
+    // does this), same contract as [[Similarity.cosineNearDups]].
+    val sig = OpCaches.registered(shingleHashed(df, idCol, textCol, shingleK)
       // degenerate-bucket guard: all-null signatures of shingle-less
       // docs would share one bucket per band (quadratic in their count)
       // and can never pass the threshold — drop them before banding
       .where(size(col("shh")) > 0)
-      .select(col("id"), minhashSignatureFromHashes(col("shh"), numHashes).as("sig"))
-      .cache()
+      .select(col("id"), minhashSignatureFromHashes(col("shh"), numHashes).as("sig")))
     // candidate generation shuffles bare (band, bucket, id) longs and the
     // dedup shuffles bare id pairs — signature arrays re-join AFTER the
     // dedup for the one verify pass (shipping sig_a/sig_b through the
@@ -373,8 +373,8 @@ object Dedup {
     * threshold anyway (empty shingle set ⇒ jaccard 0). `hashed` (the
     * per-doc distinct arrays) and `setGroups` (one row per distinct
     * set) are cached; both back the returned frame — callers running
-    * many queries per session clear with `spark.catalog.clearCache()`
-    * (Bench does).
+    * many queries per session release via [[OpCaches.scoped]] or
+    * `spark.catalog.clearCache()` (Bench does the latter).
     *
     * NOISE-CANDIDATE CONTROL: a background pair reaches the candidate
     * set w.p. ≈ numBands·j^(2·rowsPerBand)… which for DISJOINT shingle
@@ -460,16 +460,14 @@ object Dedup {
     // size(shh) pushes below the projection and re-evaluates the staged
     // tokenize→shingle pipeline inside the predicate (measured 5×
     // on this stage) — filtering materialized arrays is free
-    val hashed = shingleHashed(df, idCol, textCol, shingleK)
-      .select(col("id"), array_distinct(col("shh")).as("shh"))
-      .cache()
-    val setGroups = hashed
+    val hashed = OpCaches.registered(shingleHashed(df, idCol, textCol, shingleK)
+      .select(col("id"), array_distinct(col("shh")).as("shh")))
+    val setGroups = OpCaches.registered(hashed
       .where(size(col("shh")) > 0) // degenerate-bucket guard (see Scaladoc)
       .groupBy("shh").agg(array_distinct(sort_array(boundedIds(
         collect_list(col("id")), maxGroupSize, "minhashVerifiedDups"))).as("ids"))
       .select(element_at(col("ids"), 1).as("gid"), col("shh"), col("ids"),
-        minhashSignatureFromHashes(col("shh"), numHashes).as("sig"))
-      .cache()
+        minhashSignatureFromHashes(col("shh"), numHashes).as("sig")))
     val szW = size(col("shh"))
     val within = pairsOf(
       setGroups.where(size(col("ids")) > 1)
@@ -589,8 +587,9 @@ object Dedup {
     * m·n expansion inside the join instead of once at group level.
     * Output is pair-for-pair identical; join and expansion cost scale
     * with distinct sketch mass. The `groups` cache backs the returned
-    * frame — callers clear between queries, same contract as the
-    * minhash caches. */
+    * frame — callers release via [[OpCaches.scoped]] or a session
+    * clearCache between queries, same contract as the minhash
+    * caches. */
   def simhashNearDups(sim: DataFrame, maxDistance: Int = 3,
                       maxGroupSize: Int = DefaultMaxGroupSize): DataFrame = {
     require(maxDistance >= 0 && maxDistance < 32, s"maxDistance out of range: $maxDistance")
@@ -599,11 +598,10 @@ object Dedup {
     // NB: Scala's 1L << 64 wraps to 1 (shift mod 64), so the full-width
     // mask for maxDistance=0 must be spelled -1L explicitly
     val mask = if (bitsPerBlock >= 64) -1L else (1L << bitsPerBlock) - 1
-    val groups = sim.groupBy("simhash")
+    val groups = OpCaches.registered(sim.groupBy("simhash")
       .agg(array_distinct(sort_array(boundedIds(collect_list(col("id")),
         maxGroupSize, "simhashNearDups"))).as("ids"))
-      .select(element_at(col("ids"), 1).as("gid"), col("simhash"), col("ids"))
-      .cache()
+      .select(element_at(col("ids"), 1).as("gid"), col("simhash"), col("ids")))
     val withinGroup = pairsOf(groups.where(size(col("ids")) > 1), "ids", "id_a", "id_b")
       .withColumn("hamming", lit(0))
     val banded = groups.select(col("gid"), col("simhash"),
@@ -765,10 +763,9 @@ object Dedup {
     // sits after the cache: docs shorter than k tokens all share the
     // empty array and would otherwise collapse into one corpus-sized
     // group row (they can produce no pairs either way — no shingles)
-    val docHashed = shingleHashed(df, idCol, textCol, k)
-      .select(col("id"), array_distinct(col("shh")).as("shh"))
-      .cache()
-    val groups = docHashed
+    val docHashed = OpCaches.registered(shingleHashed(df, idCol, textCol, k)
+      .select(col("id"), array_distinct(col("shh")).as("shh")))
+    val groups = OpCaches.registered(docHashed
       .where(size(col("shh")) > 0)
       .groupBy("shh").agg(sort_array(boundedIds(collect_list(col("id")),
         maxGroupSize, "ngramJaccardPairs")).as("rawIds"))
@@ -776,11 +773,10 @@ object Dedup {
       // expansion (no-op under the unique-id contract)
       .select(element_at(col("rawIds"), 1).as("gid"), col("shh"),
         array_distinct(col("rawIds")).as("ids"),
-        size(col("rawIds")).cast("long").as("w"))
-      .cache()
+        size(col("rawIds")).cast("long").as("w")))
     val sh = groups.select(col("gid"), col("w"), explode(col("shh")).as("s"))
     val rare = sh.groupBy("s").agg(sum(col("w")).as("df")).where(col("df") <= dfCap)
-    val shf = sh.join(rare.select("s"), Seq("s")).cache()
+    val shf = OpCaches.registered(sh.join(rare.select("s"), Seq("s")))
     val sizes = shf.groupBy("gid").agg(count(lit(1)).as("sz"))
     val withinGroup = pairsOf(
       groups.join(sizes, Seq("gid")) // inner: drops all-capped groups

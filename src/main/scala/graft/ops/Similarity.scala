@@ -172,8 +172,9 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nlist: Int = 16, nprobe: Int = 8,
               lloydIters: Int = 2): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", norm(col("cv"))).cache()
+    val c = OpCaches.registered(
+      corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
+        .withColumn("cn", norm(col("cv"))))
     // deterministic seeds: the nlist corpus vectors with smallest id hash
     var centroids: Seq[(Long, Seq[Double])] = c
       .select(col("cv"), xxhash64(col("corpus_id")).as("_h"))
@@ -242,7 +243,8 @@ object Similarity {
     * anyway (pass numPlanes > 0 to keep construction lazy, e.g. for plan
     * inspection). The cache backs the returned frame, so the operator
     * cannot unpersist it; callers running many queries in one session
-    * should `spark.catalog.clearCache()` between them (Bench does).
+    * release via [[OpCaches.scoped]] or `spark.catalog.clearCache()`
+    * between them (Bench does the latter).
     * Sizing planes from the occupying mass is what keeps
     * candidate volume (∝ n²/2^planes per table) LINEAR in the corpus:
     * a fixed plane count measured 562 s on a 10× corpus (bucket
@@ -267,13 +269,13 @@ object Similarity {
     // once per distinct vector. Scores stay bit-identical to per-pair
     // scoring because cosine is a pure function of the two vector
     // values, evaluated through the SAME expression.
-    val groups = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vv"))
-      .groupBy("vv")
-      .agg(array_distinct(sort_array(Dedup.boundedIds(collect_list(col("vid")),
-        maxGroupSize, "cosineNearDups"))).as("ids"))
-      .select(element_at(col("ids"), 1).as("gid"), col("vv"),
-        norm(col("vv")).as("vn"), col("ids"))
-      .cache()
+    val groups = OpCaches.registered(
+      df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vv"))
+        .groupBy("vv")
+        .agg(array_distinct(sort_array(Dedup.boundedIds(collect_list(col("vid")),
+          maxGroupSize, "cosineNearDups"))).as("ids"))
+        .select(element_at(col("ids"), 1).as("gid"), col("vv"),
+          norm(col("vv")).as("vn"), col("ids")))
     val planes =
       if (numPlanes > 0) numPlanes
       else {
@@ -296,10 +298,9 @@ object Similarity {
     // the cache each side re-runs the hyperplane hashing (numTables ×
     // planes dot products per vector — the expensive part). Rows are
     // bare (gid, table, bucket) longs, ~24 bytes × numTables per vector.
-    val buckets =
+    val buckets = OpCaches.registered(
       lshBanded(groups.select(col("gid").as("vid"), col("vv")),
-        "vid", "vv", dim, planes, numTables, seedBase = 2000)
-        .cache()
+        "vid", "vv", dim, planes, numTables, seedBase = 2000))
     // per-side renames BEFORE the self-join: aliasing the same plan and
     // comparing x.vid < y.vid can resolve both sides to one attribute
     // (trivially-false predicate → silently empty result)

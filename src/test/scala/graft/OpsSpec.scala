@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.adapt.DatasetAdapter
 import graft.gold.Dims
 import graft.ingest.{CsvLoader, RawSource, SourceRegistry}
-import graft.ops.{Dedup, Multimodal, Projections, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, OpCaches, Projections, Similarity, TextOps}
 
 class OpsSpec extends SparkSpec {
   import spark.implicits._
@@ -419,6 +419,44 @@ class OpsSpec extends SparkSpec {
     // C(6,2) = 15 jaccard-1.0 pairs from the clique
     assert(Dedup.minhashVerifiedDups(df, "doc_id", "text", shingleK = 3).count() === 15L)
     spark.catalog.clearCache()
+  }
+
+  test("OpCaches.scoped releases operator-internal caches; outer scopes keep theirs") {
+    // The near-dup operators cache internals that back their returned
+    // frames, so they cannot unpersist themselves. scoped {} must
+    // release exactly the caches registered inside it — not the
+    // session's or an outer scope's — once results are materialized.
+    spark.catalog.clearCache()
+    val sc = spark.sparkContext
+    assert(sc.getPersistentRDDs.isEmpty, "leftover caches from an earlier spec")
+    val docs = ((1L to 40L).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta token$i payload${i % 7}")))
+      .toDF("doc_id", "text")
+    var outer: org.apache.spark.sql.DataFrame = null
+    OpCaches.scoped {
+      outer = OpCaches.registered(docs.select(col("doc_id")))
+      outer.count() // materialize the outer scope's cache
+      val inner = OpCaches.scoped {
+        val pairs = Dedup.minhashVerifiedDups(docs, "doc_id", "text", shingleK = 3)
+        val n = pairs.count() // materialize INSIDE the scope
+        assert(sc.getPersistentRDDs.size > 1, "operator caches did not materialize")
+        n
+      }
+      assert(inner >= 0L)
+      // inner scope released the operator caches; the outer's survives
+      assert(outer.storageLevel.useMemory, "inner scope evicted the outer cache")
+      assert(sc.getPersistentRDDs.size === 1,
+        s"inner scope leaked: ${sc.getPersistentRDDs.size} persistent RDDs remain")
+    }
+    assert(!outer.storageLevel.useMemory, "outer scope did not release its cache")
+    assert(sc.getPersistentRDDs.isEmpty, "scoped run leaked persistent RDDs")
+    // outside any scope, registration is a no-op and the session-level
+    // clearCache contract applies unchanged
+    val unscoped = OpCaches.registered(docs.select(col("doc_id")))
+    unscoped.count()
+    assert(unscoped.storageLevel.useMemory)
+    spark.catalog.clearCache()
+    assert(sc.getPersistentRDDs.isEmpty)
   }
 
   test("chunk spans: coverage, overlap, redundant-suffix drop, edge sizes") {
