@@ -54,16 +54,26 @@ object Dedup {
     * [[exactKeepFirst]], which counts per key without building lists.)
     * Embedded in the projection that CONSUMES the list — not a
     * dropped side column — so column pruning cannot eliminate it. */
-  private[ops] def boundedIds(rawIds: Column, maxGroupSize: Int, op: String): Column = {
+  private[ops] def boundedIds(rawIds: Column, maxGroupSize: Int, what: String,
+      remedy: String = "pre-collapse exact duplicates (Dedup.exactKeepFirst)"): Column = {
     require(maxGroupSize > 0, s"maxGroupSize must be > 0, got $maxGroupSize")
     when(size(rawIds) > maxGroupSize,
       raise_error(format_string(
-        s"$op: a single content value has %s members, over maxGroupSize=$maxGroupSize" +
-          " — one group row would carry the whole member list; pre-collapse exact" +
-          " duplicates (Dedup.exactKeepFirst) or raise maxGroupSize (member id %s)",
+        s"$what has %s members, over maxGroupSize=$maxGroupSize" +
+          s" — one group row would carry the whole member list; $remedy" +
+          " or raise maxGroupSize (member id %s)",
         size(rawIds).cast("string"), element_at(rawIds, 1).cast("string"))))
       .otherwise(rawIds)
   }
+
+  /** The shared grouping aggregate of the dup-mass pattern: collected
+    * member ids, valve-bounded ([[boundedIds]]), sorted, deduped — the
+    * one expression every grouped near-dup operator builds its group
+    * rows with (ngramJaccardPairs uses the unbounded-dedup variant
+    * because it needs the raw collected count as its df weight). */
+  private[ops] def groupIdsAgg(id: Column, maxGroupSize: Int, what: String,
+      remedy: String = "pre-collapse exact duplicates (Dedup.exactKeepFirst)"): Column =
+    array_distinct(sort_array(boundedIds(collect_list(id), maxGroupSize, what, remedy)))
 
   /** W1 + F3 — keep exactly one row per key, first by `order` (must be a
     * total order within the key for determinism). */
@@ -255,8 +265,8 @@ object Dedup {
     // clearCache between queries (Bench does the latter), same contract
     // as the signature caches.
     val groups = OpCaches.registered(sig.groupBy("sig")
-      .agg(array_distinct(sort_array(boundedIds(collect_list(col("id")),
-        maxGroupSize, "bandedCandidates"))).as("ids"))
+      .agg(groupIdsAgg(col("id"), maxGroupSize,
+        "bandedCandidates: a single content value").as("ids"))
       .select(element_at(col("ids"), 1).as("gid"), col("sig"), col("ids")))
     val withinGroup = pairsOf(groups.where(size(col("ids")) > 1), "ids", "id_a", "id_b")
     val banded = groups.select(
@@ -265,8 +275,14 @@ object Dedup {
         xxhash64(concat_ws(",",
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))) }: _*))
         .as(Seq("band", "bucket")))
+    // the same valve covers the bucket rows: a low-entropy corpus where
+    // millions of DISTINCT signatures agree on one band's values would
+    // build one unbounded gid list here (and C(n,2) pairs after it) —
+    // fail with the bucket named rather than OOM in the expansion
     val buckets = banded.groupBy("band", "bucket")
-      .agg(array_distinct(sort_array(collect_list(col("gid")))).as("gids"))
+      .agg(groupIdsAgg(col("gid"), maxGroupSize,
+        "bandedCandidates: one band bucket (distinct signatures)",
+        remedy = "use more rowsPerBand (more selective buckets)").as("gids"))
       .where(size(col("gids")) > 1)
     // group-level pair dedup: nb = number of colliding bands between
     // the two signatures, identical semantics to the raw-id form
@@ -464,8 +480,8 @@ object Dedup {
       .select(col("id"), array_distinct(col("shh")).as("shh")))
     val setGroups = OpCaches.registered(hashed
       .where(size(col("shh")) > 0) // degenerate-bucket guard (see Scaladoc)
-      .groupBy("shh").agg(array_distinct(sort_array(boundedIds(
-        collect_list(col("id")), maxGroupSize, "minhashVerifiedDups"))).as("ids"))
+      .groupBy("shh").agg(groupIdsAgg(col("id"), maxGroupSize,
+        "minhashVerifiedDups: a single content value").as("ids"))
       .select(element_at(col("ids"), 1).as("gid"), col("shh"), col("ids"),
         minhashSignatureFromHashes(col("shh"), numHashes).as("sig")))
     val szW = size(col("shh"))
@@ -599,8 +615,8 @@ object Dedup {
     // mask for maxDistance=0 must be spelled -1L explicitly
     val mask = if (bitsPerBlock >= 64) -1L else (1L << bitsPerBlock) - 1
     val groups = OpCaches.registered(sim.groupBy("simhash")
-      .agg(array_distinct(sort_array(boundedIds(collect_list(col("id")),
-        maxGroupSize, "simhashNearDups"))).as("ids"))
+      .agg(groupIdsAgg(col("id"), maxGroupSize,
+        "simhashNearDups: a single sketch value").as("ids"))
       .select(element_at(col("ids"), 1).as("gid"), col("simhash"), col("ids")))
     val withinGroup = pairsOf(groups.where(size(col("ids")) > 1), "ids", "id_a", "id_b")
       .withColumn("hamming", lit(0))
@@ -768,7 +784,7 @@ object Dedup {
     val groups = OpCaches.registered(docHashed
       .where(size(col("shh")) > 0)
       .groupBy("shh").agg(sort_array(boundedIds(collect_list(col("id")),
-        maxGroupSize, "ngramJaccardPairs")).as("rawIds"))
+        maxGroupSize, "ngramJaccardPairs: a single content value")).as("rawIds"))
       // w (the df weight) counts collected rows; ids dedup for pair
       // expansion (no-op under the unique-id contract)
       .select(element_at(col("rawIds"), 1).as("gid"), col("shh"),

@@ -49,14 +49,24 @@ object OpCaches {
 
   /** Cache `df` (`MEMORY_AND_DISK`) and register the cached frame with
     * the innermost active scope on this thread, if any. Every
-    * operator-internal cache goes through here. */
+    * operator-internal cache goes through here.
+    *
+    * OWNERSHIP: `Dataset.cache()` dedups by canonicalized plan — if a
+    * semantically-equal plan is ALREADY cached (by the caller, an outer
+    * scope, or an earlier registration in this scope), this call reuses
+    * that entry rather than creating one. Such a frame is NOT enrolled:
+    * unpersisting it at scope exit would evict a cache someone else
+    * owns (exactly the cross-eviction this class exists to prevent).
+    * A scope therefore releases only entries it genuinely created. */
   private[graft] def registered(df: DataFrame): DataFrame = {
-    val cached = df.cache()
     scopes.get() match {
-      case buf :: _ => buf += cached
-      case Nil =>
+      case buf :: _ =>
+        val preCached = df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+        val cached = df.cache()
+        if (!preCached) buf += cached
+        cached
+      case Nil => df.cache()
     }
-    cached
   }
 
   /** Run `body`, then unpersist every operator-internal cache created

@@ -272,8 +272,8 @@ object Similarity {
     val groups = OpCaches.registered(
       df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vv"))
         .groupBy("vv")
-        .agg(array_distinct(sort_array(Dedup.boundedIds(collect_list(col("vid")),
-          maxGroupSize, "cosineNearDups"))).as("ids"))
+        .agg(Dedup.groupIdsAgg(col("vid"), maxGroupSize,
+          "cosineNearDups: a single vector value").as("ids"))
         .select(element_at(col("ids"), 1).as("gid"), col("vv"),
           norm(col("vv")).as("vn"), col("ids")))
     val planes =

@@ -415,6 +415,14 @@ class OpsSpec extends SparkSpec {
     val ce = intercept[Exception](Similarity.cosineNearDups(vecs, "vec_id", "embedding",
       dim = 3, threshold = 0.9, numPlanes = 4, maxGroupSize = 5).count())
     assert(chain(ce).exists(m => m.contains("maxGroupSize=5") && m.contains("cosineNearDups")))
+    // bucket-level valve: DISTINCT signatures that agree on one band's
+    // values collapse into one (band, bucket) gid list — 6 signatures
+    // sharing band 0 (first rowsPerBand hashes) but unique elsewhere
+    val sigs = (1L to 6L).map(i => (i, Array(7L, 8L, 100L + i, 200L + i)))
+      .toDF("id", "sig")
+    val be = intercept[Exception](
+      Dedup.bandedCandidates(sigs, numBands = 2, rowsPerBand = 2, maxGroupSize = 5).count())
+    assert(chain(be).exists(m => m.contains("maxGroupSize=5") && m.contains("band bucket")))
     // the same corpora pass untouched at the shipped default bound:
     // C(6,2) = 15 jaccard-1.0 pairs from the clique
     assert(Dedup.minhashVerifiedDups(df, "doc_id", "text", shingleK = 3).count() === 15L)
@@ -426,9 +434,12 @@ class OpsSpec extends SparkSpec {
     // frames, so they cannot unpersist themselves. scoped {} must
     // release exactly the caches registered inside it — not the
     // session's or an outer scope's — once results are materialized.
-    spark.catalog.clearCache()
+    // The shared session may carry persistent RDDs from earlier suites
+    // (localCheckpoint blocks survive clearCache), so every assertion
+    // is a set-difference against the pre-test baseline, never isEmpty.
     val sc = spark.sparkContext
-    assert(sc.getPersistentRDDs.isEmpty, "leftover caches from an earlier spec")
+    val before = sc.getPersistentRDDs.keySet
+    def added = sc.getPersistentRDDs.keySet -- before
     val docs = ((1L to 40L).map(i =>
       (i, s"alpha beta gamma delta epsilon zeta token$i payload${i % 7}")))
       .toDF("doc_id", "text")
@@ -436,27 +447,42 @@ class OpsSpec extends SparkSpec {
     OpCaches.scoped {
       outer = OpCaches.registered(docs.select(col("doc_id")))
       outer.count() // materialize the outer scope's cache
+      val outerAdded = added
+      assert(outerAdded.nonEmpty, "outer cache did not materialize")
       val inner = OpCaches.scoped {
         val pairs = Dedup.minhashVerifiedDups(docs, "doc_id", "text", shingleK = 3)
         val n = pairs.count() // materialize INSIDE the scope
-        assert(sc.getPersistentRDDs.size > 1, "operator caches did not materialize")
+        assert(added.size > outerAdded.size, "operator caches did not materialize")
         n
       }
       assert(inner >= 0L)
       // inner scope released the operator caches; the outer's survives
       assert(outer.storageLevel.useMemory, "inner scope evicted the outer cache")
-      assert(sc.getPersistentRDDs.size === 1,
-        s"inner scope leaked: ${sc.getPersistentRDDs.size} persistent RDDs remain")
+      assert(added === outerAdded,
+        s"inner scope leaked persistent RDDs: ${added -- outerAdded}")
     }
     assert(!outer.storageLevel.useMemory, "outer scope did not release its cache")
-    assert(sc.getPersistentRDDs.isEmpty, "scoped run leaked persistent RDDs")
+    assert(added.isEmpty, s"scoped run leaked persistent RDDs: $added")
+    // registering a frame whose plan someone else already cached must
+    // NOT enroll it: Dataset.cache() dedups by canonicalized plan, and
+    // unpersisting the shared entry at scope exit would evict the
+    // owner's cache (the cross-eviction this class exists to prevent)
+    val owned = docs.select(col("doc_id")).cache()
+    owned.count()
+    OpCaches.scoped {
+      val reused = OpCaches.registered(docs.select(col("doc_id")))
+      reused.count()
+    }
+    assert(owned.storageLevel.useMemory,
+      "scope exit evicted a caller-owned cache it merely reused")
+    owned.unpersist()
     // outside any scope, registration is a no-op and the session-level
     // clearCache contract applies unchanged
     val unscoped = OpCaches.registered(docs.select(col("doc_id")))
     unscoped.count()
     assert(unscoped.storageLevel.useMemory)
     spark.catalog.clearCache()
-    assert(sc.getPersistentRDDs.isEmpty)
+    assert(added.isEmpty)
   }
 
   test("chunk spans: coverage, overlap, redundant-suffix drop, edge sizes") {
