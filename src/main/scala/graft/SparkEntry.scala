@@ -738,11 +738,12 @@ object SparkEntry {
     val bench = docs.where(col("doc_id") % 50 === 0)
     // cand feeds five consumer branches (two repetition gram passes, two
     // contamination passes, the final semi-joins) — cached so the scan +
-    // quality filter run once; Bench clears caches between queries
-    val cand = docs.where(col("doc_id") % 50 =!= 0)
-      .where(TextOps.qualityScore(col("text")) >= 0.3 &&
-        TextOps.tokenCount(col("text")) >= 10)
-      .cache()
+    // quality filter run once; Bench clears caches between queries (or
+    // OpCaches.scoped releases it)
+    val cand = graft.ops.OpCaches.registered(
+      docs.where(col("doc_id") % 50 =!= 0)
+        .where(TextOps.qualityScore(col("text")) >= 0.3 &&
+          TextOps.tokenCount(col("text")) >= 10))
     val repOk = TextOps.repetitionStats(cand, "doc_id", "text")
       .where(col("top_ngram_frac") <= 0.08 && col("dup_ngram_frac") <= 0.05)
       .select(col("id").as("doc_id"))
