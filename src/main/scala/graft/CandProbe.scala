@@ -54,7 +54,10 @@ object CandProbe {
       .cache()
     val setGroups = hashed
       .where(size(col("shh")) > 0)
-      .groupBy("shh").agg(array_distinct(sort_array(collect_list(col("id")))).as("ids"))
+      // the shipped grouping aggregate (valve included) — reused, not
+      // copied, so the probe's stage cost cannot drift from the engine
+      .groupBy("shh").agg(Dedup.groupIdsAgg(col("id"),
+        Dedup.DefaultMaxGroupSize, "CandProbe setGroups").as("ids"))
       .select(element_at(col("ids"), 1).as("gid"), col("shh"), col("ids"),
         Dedup.minhashSignatureFromHashes(col("shh"), NumHashes).as("sig"))
       .cache()

@@ -71,7 +71,7 @@ object Dedup {
     * one expression every grouped near-dup operator builds its group
     * rows with (ngramJaccardPairs uses the unbounded-dedup variant
     * because it needs the raw collected count as its df weight). */
-  private[ops] def groupIdsAgg(id: Column, maxGroupSize: Int, what: String,
+  private[graft] def groupIdsAgg(id: Column, maxGroupSize: Int, what: String,
       remedy: String = "pre-collapse exact duplicates (Dedup.exactKeepFirst)"): Column =
     array_distinct(sort_array(boundedIds(collect_list(id), maxGroupSize, what, remedy)))
 
