@@ -1,6 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-minute system load from /proc/loadavg (-1.0 where unreadable —
+    * non-Linux or restricted container). Captured before and after the
+    * sweep so a bench record is self-diagnosing under host contention:
+    * three of four recent driver records were contended-host artifacts
+    * that each needed a manual re-run to adjudicate (VERDICT r8 "What's
+    * wrong" #1) — with the load in the artifact, a reader rules
+    * contention in or out without re-measuring. */
+  private def loadAvg1m(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Exception => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -40,6 +53,7 @@ object Bench {
     }
     // sorted iteration: deterministic order round-over-round (a HashMap
     // order reshuffle moves JIT/codegen warm-up costs between queries)
+    val loadBefore = loadAvg1m()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val elapsed =
@@ -56,7 +70,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val loadAfter = loadAvg1m()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter}""")
     spark.stop()
   }
 }

@@ -462,11 +462,79 @@ object SparkEntry {
       shingleK = 5, numBands = 24, rowsPerBand = 2, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
-  /** SimHash near-duplicate pairs (hamming ≤ 3 via pigeonhole blocks).
-    * Rows-only check. */
-  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDups(Dedup.simhash(t(spark, dir, "documents"), "doc_id", "text"))
-      .orderBy("id_a", "id_b")
+  /** Exact all-pairs hamming reference for the simhash contract gate:
+    * every (id_a < id_b, hamming ≤ maxDistance) pair, computed the
+    * brute-force way — C(distinct sketches, 2) bit_count comparisons
+    * via a non-equi self-join (a BroadcastNestedLoopJoin by
+    * construction; ~12.5M comparisons at sf0.1 — fine for a
+    * verification gate, never for the operator, which is why
+    * [[Dedup.simhashNearDups]] exists). Pairs expand from DISTINCT
+    * sketch values so the scan is quadratic in distinct sketch mass,
+    * not raw docs: within-sketch member pairs at hamming 0, cross-
+    * sketch pairs at the popcount of the XOR. */
+  private[graft] def simhashExactPairs(sim: DataFrame, maxDistance: Int): DataFrame = {
+    // three consumers (within + both sides of the non-equi self-join)
+    val g = graft.ops.OpCaches.registered(sim.groupBy("simhash")
+      .agg(array_distinct(sort_array(collect_list(col("id")))).as("ids")))
+    val within = g.where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("x"), col("ids"))
+      .select(col("x"), explode(col("ids")).as("y"))
+      .where(col("x") < col("y"))
+      .select(col("x").as("id_a"), col("y").as("id_b"), lit(0).as("hamming"))
+    // columns renamed per side — self-joining two aliases of one plan
+    // can silently resolve both sides to the same attribute (SCALE.md
+    // trap #4)
+    val a = g.select(col("simhash").as("sh_a"), col("ids").as("ids_a"))
+    val b = g.select(col("simhash").as("sh_b"), col("ids").as("ids_b"))
+    val cross = a.join(b, col("sh_a") < col("sh_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= maxDistance)
+      .select(col("hamming"), explode(col("ids_a")).as("x"), col("ids_b"))
+      .select(col("hamming"), col("x"), explode(col("ids_b")).as("y"))
+      .select(least(col("x"), col("y")).as("id_a"),
+        greatest(col("x"), col("y")).as("id_b"), col("hamming"))
+    within.unionByName(cross)
+  }
+
+  /** SimHash near-duplicate pairs (hamming ≤ 3 via pigeonhole blocks),
+    * gated as a contract row — the house pattern of `q_ann_lsh` /
+    * `q_fingerprint`. The sketch VALUES are xxhash64-based and have no
+    * SQL mirror (round-4 analysis: DuckDB cannot reproduce them; the
+    * SQL-mirror conversion is a dead end), but the operator's defining
+    * property is checkable entirely in Spark: its output must equal
+    * the exact all-pairs hamming scan over the same sketches
+    * ([[simhashExactPairs]] — quadratic brute force, no pigeonhole
+    * blocks, no banding). The gate emits one row: `n_docs` (which
+    * DuckDB recomputes from the parquet) plus two contract bits the
+    * oracle emits as literal TRUE — `found_pairs` (the corpus really
+    * has near-dup pairs, so set equality is not vacuous; the sf0.01
+    * corpus has 17, sf0.1 more) and `pair_set_exact` (the multiset
+    * symmetric difference of (id_a, id_b, hamming) rows between the
+    * operator and the exact scan is empty). Hash-checked TRUE here
+    * means the pigeonhole block join found exactly the brute-force
+    * pair set — ids AND hamming values. */
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val maxDistance = 3
+    // the sketch frame feeds the operator and the exact reference —
+    // cache it so the packed-vote aggregation runs once; all gate
+    // caches follow the session/OpCaches release contract
+    val sim = graft.ops.OpCaches.registered(
+      Dedup.simhash(docs, "doc_id", "text"))
+    val op = graft.ops.OpCaches.registered(
+      Dedup.simhashNearDups(sim, maxDistance)
+        .select("id_a", "id_b", "hamming"))
+    val exact = graft.ops.OpCaches.registered(simhashExactPairs(sim, maxDistance))
+    // multiset-aware symmetric difference: empty ⟺ pair sets identical
+    // (exceptAll, not except — a duplicated output pair must fail)
+    val diff = op.exceptAll(exact).unionAll(exact.exceptAll(op))
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(op.agg(count(lit(1)).as("_np")))
+      .crossJoin(diff.agg(count(lit(1)).as("_nd")))
+      .select(col("n_docs"),
+        (col("_np") > 0).as("found_pairs"),
+        (col("_nd") === 0).as("pair_set_exact"))
+  }
 
   /** Exact 5-gram Jaccard near-dup pairs, document-frequency-capped
     * (stop-shingle trick; see Dedup.ngramJaccardPairs for the scale
@@ -1545,6 +1613,15 @@ object SparkEntry {
         |FROM inter JOIN sizes a ON inter.id_a = a.id JOIN sizes b ON inter.id_b = b.id
         |WHERE i::DOUBLE / (a.sz + b.sz - i) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    // q_dedup_simhash is a CONTRACT GATE (the q_ann_lsh house pattern),
+    // not a SQL mirror: the xxhash64 sketch values cannot be reproduced
+    // in DuckDB (round-4 analysis — do not retry that conversion). The
+    // Spark side compares the operator's pair set against its own exact
+    // all-pairs hamming scan and emits the verdict bits; the oracle
+    // checks n_docs exactly and the bits as literal TRUE.
+    "q_dedup_simhash" ->
+      """SELECT count(*) AS n_docs, TRUE AS found_pairs, TRUE AS pair_set_exact
+        |FROM documents""".stripMargin,
     "q_text_stats" -> {
       val sw = stopwordsSqlList
       s"""SELECT doc_id,

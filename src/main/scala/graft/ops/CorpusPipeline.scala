@@ -36,11 +36,18 @@ object CorpusPipeline {
   final case class CleanStats(input: Long, afterQuality: Long,
                               afterExact: Long, afterNear: Long)
 
+  /** `maxGroupSize` is the embedded near-dedup's identical-content
+    * valve ([[Dedup.DefaultMaxGroupSize]]); threading it here keeps the
+    * composed entry point tunable. It guards the NEAR-dedup grouping
+    * only — stage 2's exact dedup has already collapsed identical
+    * content by then, so on this pipeline it can fire only for distinct
+    * texts colliding on a shingle set or signature bucket. */
   def clean(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
             minQuality: Double = 0.3, minTokens: Int = 10,
             shingleK: Int = 5, nearThreshold: Double = 0.9,
             collectStats: Boolean = false,
-            materializeDir: Option[String] = None): (DataFrame, Option[CleanStats]) = {
+            materializeDir: Option[String] = None,
+            maxGroupSize: Int = Dedup.DefaultMaxGroupSize): (DataFrame, Option[CleanStats]) = {
     // 1. quality floor (narrow map; pushdown-friendly)
     val qualified = docs.where(
       TextOps.qualityScore(col(textCol)) >= minQuality &&
@@ -66,7 +73,8 @@ object CorpusPipeline {
     // even when the stats count AND the caller's action both consume
     // the anti-join.
     val nearPairs = Dedup.minhashVerifiedDups(exact, idCol, textCol,
-      shingleK = shingleK, threshold = nearThreshold)
+      shingleK = shingleK, threshold = nearThreshold,
+      maxGroupSize = maxGroupSize)
     val dropIds = OpCaches.registered(
       nearPairs.select(col("id_b").as(idCol)).distinct())
     val cleaned = exact.join(dropIds, Seq(idCol), "left_anti")

@@ -57,12 +57,16 @@ object Dedup {
   private[ops] def boundedIds(rawIds: Column, maxGroupSize: Int, what: String,
       remedy: String = "pre-collapse exact duplicates (Dedup.exactKeepFirst)"): Column = {
     require(maxGroupSize > 0, s"maxGroupSize must be > 0, got $maxGroupSize")
+    // `what`/`remedy` ride as %s ARGUMENTS, not spliced into the
+    // template — a call-site label containing '%' must surface in the
+    // error verbatim, not throw IllegalFormatException inside the valve
     when(size(rawIds) > maxGroupSize,
       raise_error(format_string(
-        s"$what has %s members, over maxGroupSize=$maxGroupSize" +
-          s" — one group row would carry the whole member list; $remedy" +
+        s"%s has %s members, over maxGroupSize=$maxGroupSize" +
+          " — one group row would carry the whole member list; %s" +
           " or raise maxGroupSize (member id %s)",
-        size(rawIds).cast("string"), element_at(rawIds, 1).cast("string"))))
+        lit(what), size(rawIds).cast("string"), lit(remedy),
+        element_at(rawIds, 1).cast("string"))))
       .otherwise(rawIds)
   }
 
@@ -266,7 +270,7 @@ object Dedup {
     // as the signature caches.
     val groups = OpCaches.registered(sig.groupBy("sig")
       .agg(groupIdsAgg(col("id"), maxGroupSize,
-        "bandedCandidates: a single content value").as("ids"))
+        "bandedCandidates: a single signature value").as("ids"))
       .select(element_at(col("ids"), 1).as("gid"), col("sig"), col("ids")))
     val withinGroup = pairsOf(groups.where(size(col("ids")) > 1), "ids", "id_a", "id_b")
     val banded = groups.select(

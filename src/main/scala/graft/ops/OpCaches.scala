@@ -57,7 +57,16 @@ object OpCaches {
     * that entry rather than creating one. Such a frame is NOT enrolled:
     * unpersisting it at scope exit would evict a cache someone else
     * owns (exactly the cross-eviction this class exists to prevent).
-    * A scope therefore releases only entries it genuinely created. */
+    * A scope therefore releases only entries it genuinely created.
+    *
+    * The detection is ORDER-SENSITIVE, in the reverse direction: a
+    * caller that caches a semantically-equal plan AFTER the scope has
+    * registered it dedups into the scope-owned entry, and scope exit
+    * releases it — the caller's `cache()` call created no entry of its
+    * own to survive. Callers sharing a plan with an operator they
+    * invoke inside a scope should cache it BEFORE entering the scope
+    * (then the `preCached` check above protects it), or re-`cache()`
+    * after the scope exits. */
   private[graft] def registered(df: DataFrame): DataFrame = {
     scopes.get() match {
       case buf :: _ =>

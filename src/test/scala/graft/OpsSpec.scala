@@ -1403,4 +1403,108 @@ class OpsSpec extends SparkSpec {
     val keys = dim.select("sk").as[Long].collect().sorted
     assert(keys === (1L to 1000L).toArray)
   }
+
+  private def messageChain(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).toSeq
+
+  test("simhash gate: operator pair set equals the exact all-pairs hamming scan") {
+    // the q_dedup_simhash contract gate compares the pigeonhole-block
+    // operator against SparkEntry.simhashExactPairs (brute-force
+    // bit_count over distinct sketches). The two must agree as
+    // MULTISETS of (id_a, id_b, hamming) at every radius — a missed
+    // pair, an invented pair, a duplicated pair, or a wrong hamming
+    // value all have to surface
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dups: hamming-0 clique
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "totally different words entirely unrelated content"),
+      (5L, "the sea and the ships that sail on it every day")).toDF("doc_id", "text")
+    val sim = Dedup.simhash(docs, "doc_id", "text").cache()
+    for (d <- Seq(0, 3, 10)) {
+      val op = Dedup.simhashNearDups(sim, d).select("id_a", "id_b", "hamming")
+      val exact = SparkEntry.simhashExactPairs(sim, d)
+      assert(op.exceptAll(exact).count() === 0L, s"operator invented pairs at maxDistance=$d")
+      assert(exact.exceptAll(op).count() === 0L, s"operator missed pairs at maxDistance=$d")
+    }
+    // the identical-content clique is in the reference at hamming 0
+    val ex0 = SparkEntry.simhashExactPairs(sim, 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((1L, 2L), (1L, 3L), (2L, 3L)).subsetOf(ex0))
+    sim.unpersist()
+    // and the shipped gate is green end to end on the driver corpus
+    // (sf0.01: 500 docs, a known-nonempty pair set — found_pairs guards
+    // against a vacuous both-sides-empty equality)
+    val row = SparkEntry.qDedupSimhash(spark, "/root/testdata/sf0.01").collect()(0)
+    assert(row.getAs[Long]("n_docs") === 500L)
+    assert(row.getAs[Boolean]("found_pairs"), "gate corpus has no near-dup pairs")
+    assert(row.getAs[Boolean]("pair_set_exact"))
+    spark.catalog.clearCache()
+  }
+
+  test("OpCaches scopes are thread-local: cross-thread registration falls back to session") {
+    // operators invoked from another thread (e.g. parallel mart builds
+    // on Scala futures) see NO active scope: their caches fall back to
+    // the session contract — and a scope exiting on thread A must
+    // never release thread B's caches
+    val docs = (1L to 30L).map(i => (i, s"w$i")).toDF("doc_id", "text")
+    // distinct plans per thread so cache() cannot dedup across them
+    val planA = docs.select(col("doc_id"))
+    val planB = docs.select((col("doc_id") + 1L).as("doc_id"))
+    var inA: org.apache.spark.sql.DataFrame = null
+    var fromB: org.apache.spark.sql.DataFrame = null
+    OpCaches.scoped {
+      inA = OpCaches.registered(planA)
+      inA.count()
+      val t = new Thread(() => {
+        fromB = OpCaches.registered(planB)
+        fromB.count()
+      })
+      t.start()
+      t.join() // join is the happens-before edge for fromB
+      assert(fromB.storageLevel.useMemory, "cross-thread cache did not materialize")
+    }
+    assert(!inA.storageLevel.useMemory, "scope did not release its own registration")
+    assert(fromB.storageLevel.useMemory,
+      "scope exit on thread A released a cache registered on thread B")
+    fromB.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("maxGroupSize valve fires through CorpusPipeline.clean") {
+    import graft.ops.CorpusPipeline
+    // exact dedup (stage 2) collapses identical TEXT before the
+    // near-dedup, so through the pipeline the valve can only trip on
+    // DISTINCT texts sharing one shingle set — whitespace variants
+    // tokenize identically (split on \s+) but hash differently,
+    // surviving stage 2 intact
+    val toks = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (1 to 6).map(i => (i.toLong, toks.split(" ").mkString(" " * i)))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception](
+      CorpusPipeline.clean(docs, minQuality = 0.0, minTokens = 1,
+        maxGroupSize = 3)._1.count())
+    assert(messageChain(e).exists(m =>
+      m.contains("maxGroupSize=3") && m.contains("minhashVerifiedDups")),
+      s"pipeline surfaced the wrong error: $e")
+    // the same corpus passes at the default bound: one shingle set,
+    // C(6,2) jaccard-1.0 pairs, greedy drop keeps the lowest id
+    val (cleaned, _) = CorpusPipeline.clean(docs, minQuality = 0.0, minTokens = 1)
+    assert(cleaned.select("doc_id").as[Long].collect().sorted === Array(1L))
+    spark.catalog.clearCache()
+  }
+
+  test("valve labels containing '%' surface verbatim in the error") {
+    // what/remedy ride as format_string ARGUMENTS, not template text —
+    // a '%' in a future call-site label must reach the error message
+    // instead of throwing IllegalFormatException inside the valve
+    val df = (1L to 4L).map(i => (i, 1)).toDF("id", "k")
+    val e = intercept[Exception](
+      df.groupBy("k").agg(Dedup.groupIdsAgg(col("id"), 2,
+        "a label with 100% percent", remedy = "do 50% less").as("ids")).collect())
+    assert(messageChain(e).exists(m =>
+      m.contains("a label with 100% percent") && m.contains("do 50% less")),
+      s"'%' label did not surface verbatim: $e")
+  }
 }

@@ -90,9 +90,19 @@ class PlanQualitySpec extends SparkSpec {
     // the three dup-mass-grouped operators: every join must stay an
     // equi-join on bucket/band/group keys; a resolution change that
     // degenerates one to a nested-loop/cartesian would scale O(n²)
+    // simhash is asserted on the OPERATOR composition, not the
+    // q_dedup_simhash gate query: the gate deliberately embeds the
+    // exact all-pairs hamming reference (a BroadcastNestedLoopJoin by
+    // construction — it plays the oracle's role), while the operator
+    // itself must stay equi-join only
+    val simhashOp = {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      graft.ops.Dedup.simhashNearDups(
+        graft.ops.Dedup.simhash(docs, "doc_id", "text"))
+    }
     for ((label, df) <- Seq(
       "minhash" -> SparkEntry.qDedupMinhash(spark, "/root/testdata/sf0.001"),
-      "simhash" -> SparkEntry.qDedupSimhash(spark, "/root/testdata/sf0.001"),
+      "simhash" -> simhashOp,
       "cosine" -> SparkEntry.qCosineNearDups(spark, "/root/testdata/sf0.001"))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") &&
