@@ -493,6 +493,12 @@ object SparkEntry {
       .select(col("hamming"), col("x"), explode(col("ids_b")).as("y"))
       .select(least(col("x"), col("y")).as("id_a"),
         greatest(col("x"), col("y")).as("id_b"), col("hamming"))
+      // an out-of-contract duplicate id landing under two sketches
+      // would make a self-pair here; the operator suppresses those
+      // (id_a =!= id_b guard), and the reference must judge by the
+      // same rule or the gate would flag an input defect as an
+      // operator bug
+      .where(col("id_a") =!= col("id_b"))
     within.unionByName(cross)
   }
 

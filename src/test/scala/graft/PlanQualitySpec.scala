@@ -95,11 +95,8 @@ class PlanQualitySpec extends SparkSpec {
     // exact all-pairs hamming reference (a BroadcastNestedLoopJoin by
     // construction — it plays the oracle's role), while the operator
     // itself must stay equi-join only
-    val simhashOp = {
-      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      graft.ops.Dedup.simhashNearDups(
-        graft.ops.Dedup.simhash(docs, "doc_id", "text"))
-    }
+    val simhashOp = graft.ops.Dedup.simhashNearDups(
+      graft.ops.Dedup.simhash(t3("documents"), "doc_id", "text"))
     for ((label, df) <- Seq(
       "minhash" -> SparkEntry.qDedupMinhash(spark, "/root/testdata/sf0.001"),
       "simhash" -> simhashOp,
