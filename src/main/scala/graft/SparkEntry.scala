@@ -494,10 +494,15 @@ object SparkEntry {
       .select(least(col("x"), col("y")).as("id_a"),
         greatest(col("x"), col("y")).as("id_b"), col("hamming"))
       // an out-of-contract duplicate id landing under two sketches
-      // would make a self-pair here; the operator suppresses those
-      // (id_a =!= id_b guard), and the reference must judge by the
-      // same rule or the gate would flag an input defect as an
-      // operator bug
+      // would make a self-pair here; suppress it exactly as the
+      // operator's crossGroup guard does. Unreachable via
+      // qDedupSimhash — simhash() vote-merges per id, so its output
+      // has unique ids by construction — this is defense-in-depth for
+      // direct callers. NB unique ids are the INPUT CONTRACT of both
+      // functions: on duplicate-id frames their full pair sets may
+      // still diverge (the operator's min-id group tiebreak assumes
+      // disjoint groups); the guard only keeps nonsensical (x,x) rows
+      // out of either output.
       .where(col("id_a") =!= col("id_b"))
     within.unionByName(cross)
   }

@@ -1443,6 +1443,42 @@ class OpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("duplicate ids collapse upstream of the simhash gate; self-pairs never surface") {
+    // a doc_id appearing twice violates the Dedup ID contract. The
+    // shipped gate never sees it: simhash() vote-merges per id
+    // (groupBy(id)), so its output — the only frame qDedupSimhash
+    // hands to the operator AND the exact reference — has unique ids
+    // by construction
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val variant = ((1 to 39).map(i => s"tok$i") :+ "tokX").mkString(" ")
+    val docs = Seq((7L, base), (7L, variant), (8L, base)).toDF("doc_id", "text")
+    val sim = Dedup.simhash(docs, "doc_id", "text")
+    assert(sim.count() === 2L, "simhash must vote-merge duplicate ids to one sketch row")
+    assert(sim.select("id").distinct().count() === 2L)
+    // for direct callers handing either function a handcrafted sketch
+    // frame with a duplicate id, both suppress the nonsensical
+    // self-pair — the operator at its crossGroup guard, the reference
+    // at its cross branch. (Their FULL pair sets may still diverge on
+    // such input — the operator's min-id group tiebreak assumes
+    // disjoint groups — which is why unique ids are the input
+    // contract, not something guards can restore.)
+    val crafted = Seq((7L, 0L), (7L, 1L), (8L, 0L)).toDF("id", "simhash")
+    for (d <- Seq(1, 31)) {
+      assert(Dedup.simhashNearDups(crafted, d)
+        .where(col("id_a") === col("id_b")).count() === 0L,
+        s"operator emitted a self-pair at maxDistance=$d")
+      assert(SparkEntry.simhashExactPairs(crafted, d)
+        .where(col("id_a") === col("id_b")).count() === 0L,
+        s"exact reference emitted a self-pair at maxDistance=$d")
+    }
+    // the legitimate cross-sketch pair survives the guard on both sides
+    assert(SparkEntry.simhashExactPairs(crafted, 1)
+      .where(col("id_a") === 7L && col("id_b") === 8L).count() >= 1L)
+    assert(Dedup.simhashNearDups(crafted, 1)
+      .where(col("id_a") === 7L && col("id_b") === 8L).count() >= 1L)
+    spark.catalog.clearCache()
+  }
+
   test("OpCaches scopes are thread-local: cross-thread registration falls back to session") {
     // operators invoked from another thread (e.g. parallel mart builds
     // on Scala futures) see NO active scope: their caches fall back to
