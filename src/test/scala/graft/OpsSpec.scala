@@ -1479,6 +1479,39 @@ class OpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("simhash oracle triangulation: reference and operator match a JVM nested-loop model") {
+    // the 65/65 gate leans on simhashExactPairs as the in-engine
+    // oracle; this triangulates BOTH independent implementations (the
+    // brute-force reference and the pigeonhole-block operator) against
+    // a third — a plain Scala nested loop — on seeded random sketch
+    // frames. Deterministic (fixed seed), so never flaky; sketches
+    // cluster around a few base values so every radius has pairs.
+    val rnd = new scala.util.Random(42)
+    val bases = Array.fill(4)(rnd.nextLong())
+    val rows = (1L to 60L).map { id =>
+      val base = bases(rnd.nextInt(bases.length))
+      // flip 0-5 random bits off the base so hammings 0..10 all occur
+      val sk = (0 until rnd.nextInt(6)).foldLeft(base)((s, _) => s ^ (1L << rnd.nextInt(64)))
+      (id, sk)
+    }
+    val byId = rows.toMap // ids are unique by construction (1..60)
+    val frame = rows.toDF("id", "simhash")
+    for (d <- Seq(0, 2, 5, 10)) {
+      val expected = (for {
+        (a, sa) <- byId; (b, sb) <- byId if a < b
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= d
+      } yield (a, b, h)).toSeq.sorted
+      val ref = SparkEntry.simhashExactPairs(frame, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+      val op = Dedup.simhashNearDups(frame, d)
+        .select("id_a", "id_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+      assert(ref === expected, s"reference diverged from the JVM model at maxDistance=$d")
+      assert(op === expected, s"operator diverged from the JVM model at maxDistance=$d")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("OpCaches scopes are thread-local: cross-thread registration falls back to session") {
     // operators invoked from another thread (e.g. parallel mart builds
     // on Scala futures) see NO active scope: their caches fall back to
