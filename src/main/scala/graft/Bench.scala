@@ -15,6 +15,13 @@ object Bench {
       try src.mkString.split("\\s+")(0).toDouble finally src.close()
     } catch { case _: Exception => -1.0 }
 
+  /** Headline total and failure count for the result JSON. Failed
+    * queries carry the -1.0 sentinel; summing it would silently
+    * DEFLATE the headline total while looking like a valid sweep —
+    * they are excluded from the sum and surfaced as a count instead. */
+  private[graft] def summarize(results: Seq[(String, Double)]): (Double, Int) =
+    (results.map(_._2).filter(_ >= 0).sum, results.count(_._2 < 0))
+
   def main(args: Array[String]): Unit = {
     // first statement: ambient load BEFORE session bring-up — JVM/Spark
     // startup plus the untimed warm-up burn ~32 threads for seconds,
@@ -76,11 +83,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // failed queries carry the -1.0 sentinel; summing it would silently
-    // DEFLATE the headline total while looking like a valid sweep —
-    // exclude them from the sum and surface the count instead
-    val errors = results.count(_._2 < 0)
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val (total, errors) = summarize(results)
     val loadAfter = loadAvg1m()
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errors,"load_before":$loadBefore,"load_after":$loadAfter}""")
     spark.stop()

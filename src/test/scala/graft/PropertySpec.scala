@@ -94,4 +94,22 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("Bench.summarize: failure sentinels never deflate the headline total") {
+    // a failed query records -1.0; the artifact total must be the sum
+    // of the SUCCESSFUL timings with failures surfaced as a count
+    assert(Bench.summarize(Seq("a" -> 2.0, "b" -> -1.0, "c" -> 3.5)) === ((5.5, 1)))
+    assert(Bench.summarize(Seq("a" -> -1.0, "b" -> -1.0)) === ((0.0, 2)))
+    assert(Bench.summarize(Nil) === ((0.0, 0)))
+    assert(Bench.summarize(Seq("a" -> 0.0, "b" -> 1.25)) === ((1.25, 0)))
+    // invariant over random mixes: total is non-negative and counts add up
+    val timing = Gen.oneOf(Gen.choose(0.0, 30.0), Gen.const(-1.0))
+    samples(Gen.listOf(timing), 20).foreach { ts =>
+      val results = ts.zipWithIndex.map { case (t, i) => (s"q$i", t) }
+      val (total, errors) = Bench.summarize(results)
+      assert(total >= 0.0)
+      assert(errors >= 0 && errors <= results.size)
+      assert(total >= results.map(_._2).sum) // dropping negatives can only raise the sum
+    }
+  }
 }
