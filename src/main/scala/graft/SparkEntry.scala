@@ -472,10 +472,19 @@ object SparkEntry {
     * sketch values so the scan is quadratic in distinct sketch mass,
     * not raw docs: within-sketch member pairs at hamming 0, cross-
     * sketch pairs at the popcount of the XOR. */
-  private[graft] def simhashExactPairs(sim: DataFrame, maxDistance: Int): DataFrame = {
-    // three consumers (within + both sides of the non-equi self-join)
+  private[graft] def simhashExactPairs(sim: DataFrame, maxDistance: Int,
+      maxGroupSize: Int = Dedup.DefaultMaxGroupSize): DataFrame = {
+    // same domain as the operator it checks — without this, a direct
+    // caller passing e.g. -1 would get the within branch's hamming-0
+    // pairs while the true exact pair set is empty
+    require(maxDistance >= 0 && maxDistance < 32, s"maxDistance out of range: $maxDistance")
+    // three consumers (within + both sides of the non-equi self-join).
+    // Grouping goes through the shared valved aggregation: qDedupSimhash
+    // runs operator and reference in ONE job, so an unvalved collect_list
+    // here could OOM an executor before the operator's own valve fires
     val g = graft.ops.OpCaches.registered(sim.groupBy("simhash")
-      .agg(array_distinct(sort_array(collect_list(col("id")))).as("ids")))
+      .agg(Dedup.groupIdsAgg(col("id"), maxGroupSize,
+        "simhashExactPairs: a single sketch value").as("ids")))
     val within = g.where(size(col("ids")) > 1)
       .select(explode(col("ids")).as("x"), col("ids"))
       .select(col("x"), explode(col("ids")).as("y"))

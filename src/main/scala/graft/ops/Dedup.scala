@@ -485,7 +485,7 @@ object Dedup {
     val setGroups = OpCaches.registered(hashed
       .where(size(col("shh")) > 0) // degenerate-bucket guard (see Scaladoc)
       .groupBy("shh").agg(groupIdsAgg(col("id"), maxGroupSize,
-        "minhashVerifiedDups: a single content value").as("ids"))
+        "minhashVerifiedDups: a single shingle-set value").as("ids"))
       .select(element_at(col("ids"), 1).as("gid"), col("shh"), col("ids"),
         minhashSignatureFromHashes(col("shh"), numHashes).as("sig")))
     val szW = size(col("shh"))
@@ -788,7 +788,7 @@ object Dedup {
     val groups = OpCaches.registered(docHashed
       .where(size(col("shh")) > 0)
       .groupBy("shh").agg(sort_array(boundedIds(collect_list(col("id")),
-        maxGroupSize, "ngramJaccardPairs: a single content value")).as("rawIds"))
+        maxGroupSize, "ngramJaccardPairs: a single shingle-set value")).as("rawIds"))
       // w (the df weight) counts collected rows; ids dedup for pair
       // expansion (no-op under the unique-id contract)
       .select(element_at(col("rawIds"), 1).as("gid"), col("shh"),

@@ -1576,4 +1576,23 @@ class OpsSpec extends SparkSpec {
       m.contains("a label with 100% percent") && m.contains("do 50% less")),
       s"'%' label did not surface verbatim: $e")
   }
+
+  test("simhashExactPairs enforces the operator's domain and group valve") {
+    // the exact reference must REJECT what the operator rejects: an
+    // out-of-range radius would otherwise return a wrong "exact" pair
+    // set (the within branch emits hamming-0 pairs at any radius)
+    val crafted = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("id", "simhash")
+    for (d <- Seq(-1, 32))
+      intercept[IllegalArgumentException](SparkEntry.simhashExactPairs(crafted, d))
+    // and its grouping rides the shared valve — qDedupSimhash evaluates
+    // operator and reference in ONE job, so an unvalved reference
+    // grouping could OOM an executor before the operator's valve fires
+    val e = intercept[Exception](
+      SparkEntry.simhashExactPairs(crafted, 1, maxGroupSize = 2).count())
+    assert(messageChain(e).exists(m =>
+      m.contains("maxGroupSize=2") &&
+        m.contains("simhashExactPairs: a single sketch value")),
+      s"reference valve did not fire: $e")
+    spark.catalog.clearCache()
+  }
 }
