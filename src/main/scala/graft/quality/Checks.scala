@@ -55,14 +55,20 @@ final case class AcceptedValues(column: String, values: Seq[String]) extends Qua
 }
 
 /** Referential integrity: every non-null FK value exists in the parent
-  * (dbt `relationships` test). Left-anti join — no row explosion. */
+  * (dbt `relationships` test). Left-anti join — no row explosion. The
+  * parent key is renamed to a reserved name before the join: the most
+  * common dbt shape has the FK and the parent key SHARING a name
+  * (`customer_id -> customer_id`), and a bare same-name equality would
+  * be an ambiguous reference, crashing the check instead of counting. */
 final case class RelationshipTo(column: String, parent: () => DataFrame,
                                 parentColumn: String) extends QualityCheck {
   val name = s"relationship($column -> $parentColumn)"
-  def violationsFrame(df: DataFrame): DataFrame =
+  def violationsFrame(df: DataFrame): DataFrame = {
+    val pk = "__graft_parent_key"
     df.where(col(column).isNotNull)
-      .join(parent().select(col(parentColumn)), col(column) === col(parentColumn), "left_anti")
+      .join(parent().select(col(parentColumn).as(pk)), col(column) === col(pk), "left_anti")
       .agg(count(lit(1)).as("violations"))
+  }
 }
 
 final case class CheckResult(model: String, check: String, violations: Long) {

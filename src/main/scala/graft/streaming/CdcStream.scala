@@ -35,7 +35,12 @@ import graft.pipeline.Cdc
   * [[applyChangesSink]] fails the replayed batch loudly ("pruned base
   * or stale checkpoint") rather than merging onto an empty base and
   * silently dropping every previously merged key. Spec-pinned in
-  * StreamingSpec ("prune-during-replay").
+  * StreamingSpec ("prune-during-replay"). The dir also carries an
+  * owner stamp (`_owner_checkpoint`, written at batch 0 — the pruner
+  * must retain it) binding the snapshot to its checkpoint: batch 0 of
+  * a DIFFERENT checkpoint against a non-empty snapshot is refused,
+  * closing the one state (existing=[0], batchId=0) that version
+  * numbers alone cannot distinguish from a legitimate batch-0 replay.
   *
   * Scale shape: per micro-batch work is one changeset shuffle plus an
   * anti-join against the snapshot (the snapshot is never shuffled —
@@ -48,16 +53,32 @@ object CdcStream {
 
   private val VersionRe = "v=(\\d+)".r
 
+  /** Snapshot-to-checkpoint binding stamp (`dir/_owner_checkpoint`):
+    * written once at batch 0, holding the owning checkpoint location.
+    * Closes the one hole version numbers alone can't see — a FRESH
+    * checkpoint pointed at a snapshot holding only v=0 presents
+    * exactly like a legitimate batch-0 crash replay (both arrive with
+    * batchId=0 and existing=[0]), and would silently rebuild v=0 from
+    * an empty base. The stamp disambiguates: replay carries the same
+    * checkpoint location; a new checkpoint doesn't. Compared as the
+    * string passed to [[applyChangesSink]] — spell the location the
+    * same way across restarts. */
+  private val OwnerMarker = "_owner_checkpoint"
+
+  private def fsPath(spark: SparkSession, dir: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    (path.getFileSystem(spark.sessionState.newHadoopConf()), path)
+  }
+
   /** Hadoop-FS listing, not java.io — snapshot dirs live on whatever
     * filesystem the session writes to (HDFS/S3/local alike). */
-  private def versions(spark: SparkSession, dir: String): Seq[Long] = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+  private def versions(fs: org.apache.hadoop.fs.FileSystem,
+                       path: org.apache.hadoop.fs.Path): Seq[Long] =
     if (!fs.exists(path)) Seq.empty
     else fs.listStatus(path).toSeq
       .map(_.getPath.getName)
       .collect { case VersionRe(v) => v.toLong }
-  }
 
   /** Latest COMMITTED snapshot version in `dir` (has its _SUCCESS
     * marker), or None before the first batch. The marker check keeps a
@@ -67,9 +88,8 @@ object CdcStream {
     * rewriting version N, its marker is briefly absent and readers
     * fall back to N-1 — stale-but-consistent, never partial.) */
   def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    versions(spark, dir).sorted.reverse.find { v =>
+    val (fs, path) = fsPath(spark, dir)
+    versions(fs, path).sorted.reverse.find { v =>
       fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=$v/_SUCCESS"))
     }
   }
@@ -81,6 +101,22 @@ object CdcStream {
       case None    => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
+
+  private def readOwner(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+
+  private def writeOwner(fs: org.apache.hadoop.fs.FileSystem,
+                         p: org.apache.hadoop.fs.Path, owner: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** Start the snapshot maintainer. `changes` must be a streaming frame
     * whose columns are the snapshot columns plus `seqCol` and `opCol`. */
@@ -96,7 +132,33 @@ object CdcStream {
         // base = newest version BELOW this batchId (a replayed batch must
         // merge onto the same base it saw the first time, not onto its
         // own partial output)
-        val existing = versions(spark, snapshotDir)
+        val (fs, snapPath) = fsPath(spark, snapshotDir)
+        val existing = versions(fs, snapPath)
+        // batch 0 is where version numbers can't tell a crash REPLAY
+        // (same checkpoint, overwrite of v=0 is idempotent and legal)
+        // from a FRESH checkpoint pointed at an existing snapshot
+        // (existing=[0] passes every numeric check, then merges onto an
+        // empty base) — the owner stamp decides
+        if (batchId == 0L) {
+          val marker = new org.apache.hadoop.fs.Path(s"$snapshotDir/$OwnerMarker")
+          readOwner(fs, marker) match {
+            case Some(owner) =>
+              require(owner == checkpointDir,
+                s"snapshot $snapshotDir is owned by checkpoint '$owner' but batch 0 " +
+                  s"arrived from checkpoint '$checkpointDir' — a fresh checkpoint " +
+                  "pointed at an existing snapshot would silently rebuild it from an " +
+                  "empty base; start with an empty snapshot dir or restore the " +
+                  "original checkpoint")
+            case None =>
+              require(existing.isEmpty,
+                s"snapshot $snapshotDir has versions (${existing.sorted.mkString(",")}) " +
+                  "but no owner stamp, and batch 0 arrived from checkpoint " +
+                  s"'$checkpointDir' — refusing to rebuild an existing snapshot from " +
+                  "an empty base; start with an empty snapshot dir or restore the " +
+                  "original checkpoint")
+              writeOwner(fs, marker, checkpointDir)
+          }
+        }
         // legal states for batch b: every existing version ≤ b (== b
         // only from this batch's own crashed write), and for b > 0 a
         // base < b must exist. A version ABOVE b means a fresh

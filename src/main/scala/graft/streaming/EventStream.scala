@@ -75,10 +75,24 @@ object EventStream {
   /** Stateful sessionization via mapGroupsWithState: per-user running
     * session with a 30-minute inactivity timeout (processing-time).
     * The state object is tiny and explicit — the pattern for any custom
-    * streaming state (fraud windows, balance accumulators). */
+    * streaming state (fraud windows, balance accumulators).
+    *
+    * `timeout` admits exactly two modes. ProcessingTimeTimeout (the
+    * production default) evicts a silent user's state after 30 minutes,
+    * keeping state O(active users). NoTimeout disarms eviction — state
+    * is O(all users ever seen) — and is only for bounded streams and
+    * batch runs (where per-group state doesn't outlive the job; the
+    * specs use it to avoid wall-clock waits). EventTimeTimeout is
+    * rejected up front: this function never sets a timeout timestamp,
+    * so it would fail at query start with an opaque planner error —
+    * the event-time sessionizer is [[sessionizeOnClose]]. */
   def sessionize(events: Dataset[Event],
                  timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
                 (implicit enc1: org.apache.spark.sql.Encoder[Session]): Dataset[Session] = {
+    require(timeout != GroupStateTimeout.EventTimeTimeout(),
+      "sessionize supports ProcessingTimeTimeout (production) or NoTimeout " +
+        "(bounded/batch runs, no state eviction); for event-time session close " +
+        "use sessionizeOnClose")
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
@@ -154,20 +168,33 @@ object EventStream {
   /** Streaming exact dedup: drop events whose dedup key was already seen
     * within the watermark horizon — the streaming leg of the dedup
     * family (state is bounded by the horizon, evicted as the watermark
-    * advances). Content dedup streams use a content hash as the key. */
+    * advances). Content dedup streams use a content hash as the key.
+    * On a BATCH frame the within-watermark form is unsupported (Spark
+    * rejects it — there is no incremental state to bound), so the batch
+    * leg falls back to the exact global dedup, which is what a bounded
+    * horizon converges to when the whole input is one batch. */
   def streamingDedup(events: DataFrame, keyCols: Seq[String],
                      watermark: String = "10 minutes"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark(keyCols)
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keyCols)
+    else
+      events.dropDuplicates(keyCols)
 
   /** Stream-static enrichment: join the event stream onto a (batch)
-    * dimension frame. The static side is broadcast when dimension-sized
-    * — the standard enrichment leg; no streaming state is involved, so
-    * this composes with any downstream stateful operator. Works
-    * identically on a batch `events` frame. */
-  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
-    events.join(broadcast(dim), Seq(key), "left")
+    * dimension frame. No streaming state is involved, so this composes
+    * with any downstream stateful operator. Works identically on a
+    * batch `events` frame.
+    *
+    * `broadcastDim` (default true) pins the dimension-sized plan: the
+    * static side ships once per executor and the stream never shuffles
+    * for the join. Pass false for a dim that is NOT dimension-sized —
+    * the broadcast hint is a hard commitment (build fails above
+    * Spark's 8 GB broadcast limit, and driver memory bounds it well
+    * before that), and without the hint the planner still broadcasts
+    * statistically small static sides on its own. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String,
+             broadcastDim: Boolean = true): DataFrame =
+    events.join(if (broadcastDim) broadcast(dim) else dim, Seq(key), "left")
 
   /** Watermarked stream-stream inner join: events matched to a second
     * stream on a key within a bounded event-time range. Both sides carry

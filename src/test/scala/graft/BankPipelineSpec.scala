@@ -179,6 +179,13 @@ class BankPipelineSpec extends SparkSpec {
     val bad = Seq(("a", 1), ("a", 2), (null, 3)).toDF("k", "v")
     assert(NotNull("k").violations(bad) === 1)
     assert(Unique("k").violations(bad) === 1)
+    // FK and parent key SHARING a name — the most common dbt
+    // relationships shape — must count violations, not crash on an
+    // ambiguous column reference
+    import graft.quality.RelationshipTo
+    val withOrphan = bad.union(Seq(("x", 4)).toDF("k", "v"))
+    val parentSameName = Seq(("a", 0)).toDF("k", "extra")
+    assert(RelationshipTo("k", () => parentSameName, "k").violations(withOrphan) === 1)
   }
 
   test("quality report frame: one row per check, counts match, empty input counts 0") {

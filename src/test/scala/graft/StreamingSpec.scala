@@ -61,6 +61,19 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamingDedup batch leg falls back to exact dedup (no watermark-state form)") {
+    // the file-level contract: every transform runs on batch frames too.
+    // dropDuplicatesWithinWatermark is streaming-only in Spark, so the
+    // batch leg must route through plain dropDuplicates, not throw
+    val batch = Seq(
+      Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+      Event(2, ts("2024-01-01 00:05:00"), 7, "view", 1.0),
+      Event(3, ts("2024-01-01 00:06:00"), 8, "click", 1.0)).toDF()
+    val users = EventStream.streamingDedup(batch, Seq("user_id"))
+      .select("user_id").collect().map(_.getLong(0)).sorted
+    assert(users.toSeq === Seq(7L, 8L))
+  }
+
   test("stream-static enrichment joins the broadcast dim per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((7L, "gold"), (8L, "basic")).toDF("user_id", "tier")
@@ -118,6 +131,15 @@ class StreamingSpec extends SparkSpec {
       assert(last.getAs[Double]("session_seconds") === 600.0)
       assert(!last.getAs[Boolean]("closed"))
     } finally query.stop()
+  }
+
+  test("sessionize rejects EventTimeTimeout up front") {
+    // sessionize never sets a timeout timestamp, so EventTimeTimeout
+    // would fail at query start with an opaque planner error; the
+    // event-time sessionizer is sessionizeOnClose
+    val e = intercept[IllegalArgumentException](
+      EventStream.sessionize(Seq.empty[Event].toDS(), GroupStateTimeout.EventTimeTimeout()))
+    assert(e.getMessage.contains("sessionizeOnClose"))
   }
 
   test("sessionizeOnClose emits one closed row when the watermark passes the gap") {
@@ -274,8 +296,61 @@ class StreamingSpec extends SparkSpec {
       def chain(t: Throwable): Seq[Throwable] =
         Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
       assert(chain(e).exists(_.getMessage != null) &&
-        chain(e).exists(c => Option(c.getMessage).exists(_.contains("stale checkpoint"))),
+        chain(e).exists(c => Option(c.getMessage).exists(
+          _.contains("refusing to rebuild an existing snapshot"))),
         s"expected the consistency guard to fire, got: $e")
     } finally query.stop()
+  }
+
+  test("cdc owner stamp: batch-0 replay passes, a fresh checkpoint over v=0 is refused") {
+    // the one state version numbers can't adjudicate: batchId=0 with
+    // existing=[0] is EITHER this checkpoint's own crash replay
+    // (idempotent overwrite — must proceed) or a brand-new checkpoint
+    // pointed at an existing snapshot (would rebuild v=0 from an empty
+    // base — must refuse). The _owner_checkpoint stamp decides.
+    import graft.streaming.CdcStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CdcChange]
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-owner").toString
+    val schema = org.apache.spark.sql.types.StructType(
+      input.toDF().schema.filterNot(f => f.name == "seq" || f.name == "op"))
+    def run(ckpt: String): org.apache.spark.sql.streaming.StreamingQuery =
+      CdcStream.applyChangesSink(input.toDF(), s"$dir/snap",
+        Seq("k"), "seq", "op", ckpt)
+    val q1 = run(s"$dir/ckptA")
+    try {
+      input.addData(CdcChange(1, "a", 10.0, "I", 1), CdcChange(2, "b", 20.0, "I", 1))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(CdcStream.latestVersion(spark, s"$dir/snap") === Some(0L))
+
+    // crash before the checkpoint committed batch 0 → same checkpoint
+    // replays batchId 0 against existing=[0]: the stamp matches, the
+    // overwrite is idempotent, data intact
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/ckptA/commits/0"))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$dir/ckptA/commits/.0.crc"))
+    val q2 = run(s"$dir/ckptA")
+    try q2.processAllAvailable() finally q2.stop()
+    val replayed = CdcStream.readSnapshot(spark, s"$dir/snap", schema)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(replayed.toSeq === Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+
+    // a DIFFERENT (fresh) checkpoint over the same snapshot also
+    // arrives as batchId 0 with existing=[0] — the stamp mismatch
+    // refuses it before any write
+    input.addData(CdcChange(3, "c", 30.0, "I", 1))
+    val q3 = run(s"$dir/ckptB")
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+      assert(chain(e).exists(c => Option(c.getMessage).exists(
+        _.contains("owned by checkpoint"))),
+        s"expected the owner-stamp guard to fire, got: $e")
+    } finally q3.stop()
+    // and the refused run wrote nothing: snapshot still the replay's
+    assert(CdcStream.readSnapshot(spark, s"$dir/snap", schema).count() === 2L)
   }
 }
