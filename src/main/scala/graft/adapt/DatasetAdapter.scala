@@ -83,22 +83,49 @@ object DatasetAdapter {
   private def isDayOffset(actual: String): Boolean =
     actual.toLowerCase.contains("days")
 
+  /** Synonym resolution with [[analyze]]'s header-sanitize parity:
+    * matching happens on sanitized names (so a raw dotted header like
+    * `loan.id` maps exactly as analyze reports), but the returned
+    * actuals are the ORIGINAL names so the staging transform references
+    * columns that exist in the frame. Fails fast when nothing maps —
+    * a zero-column staging projection has no SQL rendering, and the
+    * Column path silently emitting an empty frame while [[stagingSql]]
+    * throws would break the two surfaces' semantic identity. */
+  private def resolveMapping(columns: Seq[String]): Map[String, String] = {
+    val sanitizedToOriginal = columns.map(c => c.replace(".", "_") -> c).toMap
+    val mapping = mapColumns(columns.map(_.replace(".", "_"))).map {
+      case (canon, sanitized) => canon -> sanitizedToOriginal(sanitized)
+    }
+    require(mapping.nonEmpty,
+      s"no canonical columns resolved from headers ${columns.mkString(", ")} — " +
+        "nothing to stage (check the synonym table)")
+    mapping
+  }
+
   /** M3 — build the staging transform for a detected dataset: canonical
     * casts plus the day-offset/string date decode chosen per source
     * column. */
   def stagingTransform(columns: Seq[String],
                        anchor: String = "2026-01-01"): DataFrame => DataFrame = {
-    val mapping = mapColumns(columns)
+    val mapping = resolveMapping(columns)
     val exprs: Seq[(String, Column)] = mapping.toSeq.sortBy(_._1).map {
       case (canon @ ("date_of_birth" | "application_date"), actual) if isDayOffset(actual) =>
-        canon -> date_add(to_date(lit(anchor)), col(actual).cast("int"))
+        canon -> date_add(to_date(lit(anchor)), colOf(actual).cast("int"))
       case (canon @ ("date_of_birth" | "application_date"), actual) =>
-        canon -> Projections.safeParseDate2(col(actual).cast("string"))
+        canon -> Projections.safeParseDate2(colOf(actual).cast("string"))
       case (canonical, actual) =>
-        canonical -> col(actual).cast(typeClass.getOrElse(canonical, "string"))
+        canonical -> colOf(actual).cast(typeClass.getOrElse(canonical, "string"))
     }
     df => Projections.stgGeneric(df, exprs)
   }
+
+  /** Column reference for a RAW header: a dotted name (`loan.id`) must
+    * be backtick-quoted or `col` parses the dot as struct-field access;
+    * same quoting in the SQL rendering. */
+  private def colOf(actual: String): Column =
+    if (actual.contains(".")) col(s"`$actual`") else col(actual)
+  private def sqlRef(actual: String): String =
+    if (actual.matches("[A-Za-z_][A-Za-z0-9_]*")) actual else s"`$actual`"
 
   /** M3 (text form) — render the staging transform as Spark SQL for
     * inspection or execution, mirroring the reference's SQL codegen
@@ -107,16 +134,16 @@ object DatasetAdapter {
     * would break determinism and diverge from the Column path). */
   def stagingSql(columns: Seq[String], table: String,
                  anchor: String = "2026-01-01"): String = {
-    val mapping = mapColumns(columns)
+    val mapping = resolveMapping(columns)
     val selects = mapping.toSeq.sortBy(_._1).map {
       case (canon @ ("date_of_birth" | "application_date"), actual) if isDayOffset(actual) =>
-        s"date_add(to_date('$anchor'), cast($actual as int)) as $canon"
+        s"date_add(to_date('$anchor'), cast(${sqlRef(actual)} as int)) as $canon"
       case (canon @ ("date_of_birth" | "application_date"), actual) =>
         // same %y pivot the Column path applies (Projections.safeParseDate2)
-        val parse = s"try_to_date(cast($actual as string), 'dd-MM-yy')"
+        val parse = s"try_to_date(cast(${sqlRef(actual)} as string), 'dd-MM-yy')"
         s"case when year($parse) > 2068 then add_months($parse, -1200) else $parse end as $canon"
       case (canonical, actual) =>
-        s"cast($actual as ${typeClass.getOrElse(canonical, "string")}) as $canonical"
+        s"cast(${sqlRef(actual)} as ${typeClass.getOrElse(canonical, "string")}) as $canonical"
     }
     s"select\n  ${selects.mkString(",\n  ")}\nfrom $table"
   }

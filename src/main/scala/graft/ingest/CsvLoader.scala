@@ -26,15 +26,22 @@ final case class RawSource(
 object CsvLoader {
 
   /** St3 — table/source names derived from the file stem: lowercase,
-    * `-`/space → `_`, and a `_raw` suffix for the raw source
-    * (`integrate_new_dataset.py:61-62`). */
+    * `-`/space/`.` → `_`, and a `_raw` suffix for the raw source
+    * (`integrate_new_dataset.py:61-62`). Inner dots are sanitized, not
+    * kept — only the LAST extension is stripped, and a residual dot
+    * (`loans.v2.csv` → `loans.v2`) would be an invalid multi-part temp
+    * view name downstream. A stem that sanitizes to nothing (e.g. a
+    * hidden file `.csv`) is rejected rather than yielding an unusable
+    * empty table name. */
   def tableNameFromPath(path: String): String = {
     val file = Paths.get(path).getFileName.toString
     val stem = file.lastIndexOf('.') match {
       case -1 => file
       case i  => file.substring(0, i)
     }
-    stem.toLowerCase.replace("-", "_").replace(" ", "_")
+    val name = stem.toLowerCase.replace("-", "_").replace(" ", "_").replace(".", "_")
+    require(name.nonEmpty, s"cannot derive a table name from '$path' (empty file stem)")
+    name
   }
 
   def rawSourceNameFromPath(path: String): String =
@@ -66,13 +73,21 @@ object CsvLoader {
     spark.read.option("mergeSchema", "true").parquet(path)
 
   /** O1 — config fan-out: one load per registry entry, registered as a
-    * temp view named after the source's table. */
-  def loadAll(spark: SparkSession, sources: Seq[RawSource]): Map[String, DataFrame] =
+    * temp view named after the source's table. Table names must be
+    * distinct: [[SourceRegistry]] dedupes by `name` only, and two
+    * sources resolving to one table would silently shadow each other in
+    * both the returned map and the temp-view namespace. */
+  def loadAll(spark: SparkSession, sources: Seq[RawSource]): Map[String, DataFrame] = {
+    val dup = sources.groupBy(_.table).collect { case (t, ss) if ss.size > 1 => t }
+    require(dup.isEmpty,
+      s"multiple sources map to the same table name(s) ${dup.mkString(", ")} — " +
+        "later loads would silently replace earlier ones")
     sources.map { src =>
       val df = loadCsv(spark, src)
       df.createOrReplaceTempView(src.table)
       src.table -> df
     }.toMap
+  }
 }
 
 /** M4 — source registry with idempotent registration (dedupe by name).

@@ -103,7 +103,14 @@ object RegistryStore {
         case "not_null" => graft.quality.NotNull(c.name)
         case "unique"   => graft.quality.Unique(c.name)
         case t if t.startsWith("accepted_values:") =>
-          graft.quality.AcceptedValues(c.name, t.stripPrefix("accepted_values:").split('|').toSeq)
+          val vals = t.stripPrefix("accepted_values:").split('|').toSeq
+          // a bare "accepted_values:" yields Seq("") — a check that
+          // counts every real value as a violation; malformed specs get
+          // the same fail-fast as unknown test names
+          if (vals.isEmpty || vals.forall(_.isEmpty))
+            throw new IllegalArgumentException(
+              s"malformed test '$t' (expected accepted_values:v1|v2)")
+          graft.quality.AcceptedValues(c.name, vals)
         case other => throw new IllegalArgumentException(s"unknown test: $other")
       }
     }

@@ -83,6 +83,9 @@ object Dedup {
     * total order within the key for determinism). */
   def firstPerKey(df: DataFrame, key: Seq[String], order: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
+    require(!df.columns.contains("_rn"),
+      "input carries a column named _rn — it would be overwritten by the " +
+        "dedup rank and then dropped; rename it first")
     df.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
       .drop("_rn")

@@ -16,7 +16,11 @@ import graft.silver.Staging
   * (`dbt/models/marts/core/`), with the reference's dbt schema tests
   * (`staging.yml:12-28`, `marts_core.yml:3-16`) attached to their
   * models. Staging stays lazy (dbt view materialization); marts persist
-  * (dbt table materialization).
+  * (dbt table materialization) EXCEPT `f_payment_transaction` and
+  * `f_loan_balance_monthly`, which the reference itself declares as
+  * views (`f_payment_transaction.sql:1`, `f_loan_balance_monthly
+  * .sql:1`) — the per-model materializations below mirror the
+  * reference's config exactly.
   */
 object BankDwh {
 

@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
   * (ties break by `opCol` descending — "U" over "I" over "D" is NOT
   * assumed; callers should make `seqCol` a total order per key, the
   * tie-break only pins determinism). A winning "D" removes the key;
-  * any other op upserts the change row's payload columns.
+  * any other op upserts the change row's payload columns. A winning
+  * row with a NULL op fails fast: the key is already anti-joined out
+  * of the base by then, so treating null as "not the delete op" OR as
+  * a delete would both be silent guesses — dirty op columns must
+  * surface, not pick one.
   *
   * Scale shape: one shuffle of the CHANGES by key for the latest-wins
   * window (changesets are normally ≪ base), then a left-anti join
@@ -32,12 +36,24 @@ object Cdc {
     require(missing.isEmpty, s"changes frame lacks base columns: $missing")
     require(keys.nonEmpty && keys.forall(dataCols.contains),
       s"keys must be base columns: $keys")
+    require(!changes.columns.contains("_rn"),
+      "changes frame carries a column named _rn — it would be overwritten " +
+        "by the latest-wins window rank; rename it first")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(seqCol).desc, col(opCol).desc)
     val latest = changes.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
     val untouched = base.join(latest.select(keys.map(col): _*), keys, "left_anti")
-    val upserts = latest.where(col(opCol) =!= deleteOp)
+    // the null-op guard rides the filter's own input (not a dropped side
+    // column, so pruning can't eliminate it): a null op here would make
+    // `op =!= deleteOp` null, silently dropping the upsert AFTER the
+    // anti-join already removed the key — a silent delete
+    val opChecked = when(col(opCol).isNull, raise_error(format_string(
+      s"applyChanges: null %s on the winning change for key (%s) — null is " +
+        "neither a delete nor an upsert; clean the op column",
+      lit(opCol), concat_ws(",", keys.map(k => col(k).cast("string")): _*))))
+      .otherwise(col(opCol))
+    val upserts = latest.where(opChecked =!= deleteOp)
       .select(dataCols.map(col): _*)
     untouched.unionByName(upserts)
   }

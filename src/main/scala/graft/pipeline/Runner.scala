@@ -61,6 +61,11 @@ object Runner {
     * names (source/bronze frames) count as already satisfied. Cycles or
     * unknown deps fail fast with the offending names. */
   def topoOrder(models: Seq[Model], external: Set[String] = Set.empty): Seq[Model] = {
+    // duplicate names would both run, with the later frame clobbering
+    // the resolution map — the FIRST model's checks would then silently
+    // validate the SECOND model's output
+    val dup = models.groupBy(_.name).collect { case (n, ms) if ms.size > 1 => n }
+    require(dup.isEmpty, s"duplicate model name(s): ${dup.mkString(", ")}")
     val byName = models.map(m => m.name -> m).toMap
     models.foreach { m =>
       val missing = m.deps.filterNot(d => byName.contains(d) || external.contains(d))
@@ -115,8 +120,13 @@ object Runner {
           back
         case BucketedTable(cols, n) =>
           // external table pinned under warehouseDir (a bare saveAsTable
-          // would write to the session-global warehouse and let two runs
-          // with different warehouseDirs clobber each other)
+          // would write to the session-global warehouse). The table NAME
+          // is still catalog-global — bucketing metadata only lives in a
+          // catalog, so concurrent runs sharing one session must use
+          // distinct model names. A stale temp view from a previous
+          // View-materialized run of this name would shadow the catalog
+          // table in spark.table — drop it first.
+          spark.catalog.dropTempView(m.name)
           df.write.mode("overwrite")
             .bucketBy(n, cols.head, cols.tail: _*)
             .sortBy(cols.head, cols.tail: _*)

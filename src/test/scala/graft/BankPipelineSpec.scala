@@ -228,6 +228,35 @@ class BankPipelineSpec extends SparkSpec {
     }
   }
 
+  test("cdc apply guards: null op fails fast, _rn collision rejected") {
+    import graft.pipeline.Cdc
+    val base = Seq((1L, "a", 10.0)).toDF("k", "name", "amt")
+    // a WINNING null op is neither a delete nor an upsert — by the time
+    // the filter sees it the key is already anti-joined out of the base,
+    // so either guess silently corrupts; it must raise instead
+    val nullOp = Seq((1L, "a2", 11.0, null.asInstanceOf[String], 2L))
+      .toDF("k", "name", "amt", "op", "seq")
+    val e = intercept[Exception](
+      Cdc.applyChanges(base, nullOp, Seq("k"), "seq", "op").collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .flatMap(x => Option(x.getMessage)).toSeq
+    assert(msgs.exists(_.contains("null op")), s"expected the null-op guard, got: $e")
+    // a payload column named _rn would be clobbered by the rank column
+    val withRn = Seq((1L, "a", 10.0, "U", 1L, 5))
+      .toDF("k", "name", "amt", "op", "seq", "_rn")
+    intercept[IllegalArgumentException](
+      Cdc.applyChanges(base, withRn, Seq("k"), "seq", "op"))
+  }
+
+  test("runner rejects duplicate model names") {
+    import graft.pipeline.Runner
+    // both copies would run with the resolution map clobbered — the
+    // first model's checks would silently validate the second's frame
+    val m = Runner.Model("dup", Nil, _ => spark.range(1).toDF())
+    val e = intercept[IllegalArgumentException](Runner.topoOrder(Seq(m, m)))
+    assert(e.getMessage.contains("dup"))
+  }
+
   test("payments fact: date key and fee composition") {
     val fact = BankMarts.fPaymentTransaction(Staging.stgPayments(rawPayments))
     assert(fact.count() === 3)

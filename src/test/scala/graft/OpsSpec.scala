@@ -976,6 +976,47 @@ class OpsSpec extends SparkSpec {
     assert(viaSql.toSeq === out.collect().toSeq)
   }
 
+  test("adapter: raw dotted headers stage through both surfaces; empty mapping fails fast") {
+    // analyze() matches on sanitized names (loan.id → loan_id); the
+    // transform must agree — matching sanitized but REFERENCING the
+    // original column (backtick-quoted in col() and in the SQL text,
+    // or the dot parses as struct-field access)
+    val dotted = Seq(("77", 5000.0)).toDF("loan.id", "loan.amount")
+    assert(DatasetAdapter.analyze(dotted.columns).mapped.keySet
+      === Set("loan_id", "loan_amount"))
+    val staged = DatasetAdapter.stagingTransform(dotted.columns)(dotted)
+    assert(staged.columns.sorted.toSeq === Seq("loan_amount", "loan_id"))
+    assert(staged.collect()(0).getAs[String]("loan_id") === "77")
+    dotted.createOrReplaceTempView("raw_dotted")
+    val viaSql = spark.sql(DatasetAdapter.stagingSql(dotted.columns, "raw_dotted")).collect()
+    assert(viaSql.toSeq === staged.collect().toSeq)
+    // nothing mapped: both surfaces reject identically — previously the
+    // Column path returned a zero-column frame while the SQL path
+    // rendered an unparseable projection-less select
+    intercept[IllegalArgumentException](DatasetAdapter.stagingTransform(Seq("foo", "bar")))
+    intercept[IllegalArgumentException](DatasetAdapter.stagingSql(Seq("foo", "bar"), "t"))
+  }
+
+  test("csv loader guards: dotted stems sanitize, empty stems and duplicate tables reject") {
+    // only the LAST extension strips; inner dots must sanitize or the
+    // temp view name is an invalid multi-part identifier
+    assert(CsvLoader.tableNameFromPath("/data/loans.v2.csv") === "loans_v2")
+    intercept[IllegalArgumentException](CsvLoader.tableNameFromPath("/data/.csv"))
+    // two sources resolving to one table would silently shadow each
+    // other in the returned map and the temp-view namespace
+    val e = intercept[IllegalArgumentException](CsvLoader.loadAll(spark,
+      Seq(RawSource("a", "x.csv", "t"), RawSource("b", "y.csv", "t"))))
+    assert(e.getMessage.contains("t"))
+  }
+
+  test("registry store: bare accepted_values spec is rejected, not an always-failing check") {
+    import graft.ingest.RegistryStore
+    val model = RegistryStore.ModelChecks("m",
+      Seq(RegistryStore.ColumnChecks("status", Seq("accepted_values:"))))
+    val e = intercept[IllegalArgumentException](RegistryStore.toChecks(model))
+    assert(e.getMessage.contains("accepted_values"))
+  }
+
   test("csv loader: header sanitize + truncate write + registry idempotence") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-csv")
     val csv = tmp.resolve("in.csv")
