@@ -1510,11 +1510,11 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sessionize_batch" ->
       """WITH g AS (
-        |  SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es,
-        |         lag(CAST(floor(epoch(ts)) AS BIGINT))
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS eus,
+        |         lag(epoch_us(ts))
         |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |  FROM events),
-        |s AS (SELECT *, SUM(CASE WHEN prev IS NULL OR es - prev > 1800 THEN 1 ELSE 0 END)
+        |s AS (SELECT *, SUM(CASE WHEN prev IS NULL OR eus - prev > 1800 * 1000000 THEN 1 ELSE 0 END)
         |        OVER (PARTITION BY user_id ORDER BY ts, event_id
         |              ROWS UNBOUNDED PRECEDING) AS session_id FROM g)
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,

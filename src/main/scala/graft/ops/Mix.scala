@@ -16,14 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object Mix {
 
-  /** Deterministic pseudo-random bucket in [0, 1000) from a non-negative
-    * integer key: pre-mod to bound the product, multiply by the salt's
+  /** Deterministic pseudo-random bucket in [0, 1000) from any 64-bit
+    * integer key: pre-mod (POSITIVE modulus via pmod — a plain `%` on a
+    * negative key, e.g. an xxhash64 of a string id, would carry the sign
+    * through the shift and make every `bucket < threshold` decision
+    * trivially true) to bound the product, multiply by the salt's
     * odd constant, keep the product's bits 32..63, scale to [0, 1000) by
     * taking the HIGH 10-ish bits (multiply-shift). Deliberately NOT
     * xxhash64 — portability to the SQL oracle matters more here than
     * hash quality; every step is plain 64-bit integer arithmetic
     * (max intermediate ≈ 2^52, far from overflow) that DuckDB replays
-    * verbatim: `((key % 1000003) * C % 4294967296) * 1000 >> 32`.
+    * verbatim: `((key % 1000003) * C % 4294967296) * 1000 >> 32` for
+    * non-negative keys; a key column that can go negative mirrors the
+    * pmod as `(((key % 1000003) + 1000003) % 1000003)`.
     *
     * The HIGH bits matter: `(x*C) % 1000` depends only on `x % 1000`,
     * so a low-bits bucket is merely an affine permutation of the key's
@@ -39,7 +44,7 @@ object Mix {
     * correlate keep / extra-epoch / train-val-test outcomes. */
   def bucket1000(key: Column, salt: Long = 0L): Column =
     shiftright(
-      key % lit(1000003L) * lit(multiplier(salt)) % lit(4294967296L) * lit(1000L),
+      pmod(key, lit(1000003L)) * lit(multiplier(salt)) % lit(4294967296L) * lit(1000L),
       32)
 
   /** The salt's multiplier (xxhash-family odd primes; mirrored verbatim

@@ -84,7 +84,12 @@ object Multimodal {
 
   /** Frame sampling: split a payload into fixed-size "frames" (stand-in
     * for video frame extraction) and keep every `stride`-th frame.
-    * Pure column ops — posexplode of payload slices, no UDF. */
+    * Pure column ops — posexplode of payload slices, no UDF. Empty and
+    * null payloads yield NO rows (posexplode of an empty array) — the
+    * chunkSpans convention; a guard-forced single frame would emit a
+    * self-contradictory (n_frames=0, one row) phantom. The empty-array
+    * branch also covers Spark's descending-sequence trap (sequence(0,-1)
+    * counts DOWN instead of being empty). */
   def sampleFrames(assets: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
     require(frameBytes > 0, s"frameBytes must be positive: $frameBytes")
     require(stride > 0, s"stride must be positive: $stride")
@@ -92,8 +97,10 @@ object Multimodal {
     assets
       .select(col("asset_id"), col("payload"), nFrames.as("n_frames"))
       .select(col("asset_id"), col("n_frames"),
-        posexplode(transform(sequence(lit(0), greatest(col("n_frames"), lit(1)) - 1),
-          i => col("payload").substr(i * frameBytes + 1, lit(frameBytes))))
+        posexplode(when(col("n_frames").isNull || col("n_frames") < 1,
+          array().cast("array<binary>"))
+          .otherwise(transform(sequence(lit(0), col("n_frames") - 1),
+            i => col("payload").substr(i * frameBytes + 1, lit(frameBytes)))))
           .as(Seq("frame_idx", "frame_payload")))
       .where(col("frame_idx") % stride === 0)
   }

@@ -22,7 +22,11 @@ object Similarity {
   /** Elementwise dot product of two array<double> columns — a native
     * codegen'd expression (tight loop, no per-element lambda dispatch);
     * same left-fold order as [[dotFold]] / DuckDB's list_reduce, so
-    * results are bit-identical across all three. */
+    * results are bit-identical across all three — including the
+    * mismatched-length case, which yields NULL in both forms (zip_with
+    * pads the shorter side with nulls and the fold propagates them; a
+    * truncated partial dot product would be a plausible-looking wrong
+    * score). */
   def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.dot_product(a, b)
 
@@ -181,6 +185,12 @@ object Similarity {
       .orderBy("_h").limit(nlist)
       .collect().zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }.toSeq
+    // an empty corpus seeds no centroids: return the empty result the
+    // brute-force and LSH paths produce, instead of crashing the Lloyd
+    // loop on centroids.head
+    if (centroids.isEmpty)
+      return queries.select(col(idCol).as("query_id"), col(idCol).as("corpus_id"),
+        lit(1).as("rank"), lit(0.0d).as("score")).where(lit(false))
     // Lloyd rounds: assign to argmin centroid, recompute means with one
     // aggregate of element-wise sums per cell
     for (_ <- 0 until lloydIters) {
@@ -251,7 +261,15 @@ object Similarity {
     * occupancy ×10 → pair volume ×100) vs ~60 s with occupancy held
     * constant. High-cosine pairs survive added planes easily (per-plane
     * collision at c = 0.999 is 0.986), so recall stays put while the
-    * quadratic term is clamped. */
+    * quadratic term is clamped.
+    *
+    * UNIQUE ids are the INPUT CONTRACT (same as every Dedup near-dup
+    * operator): an id that appears under two DISTINCT vectors and is
+    * the minimum of both groups would collapse them onto one gid — the
+    * `ga < gb` bucket self-join then never scores that group pair and
+    * the gid-keyed vector lookups fan out. The crossGroup self-pair
+    * guard below only keeps nonsensical (x,x) rows out of the output;
+    * it cannot restore correct pair sets for duplicate-id input. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                      threshold: Double, numPlanes: Int = 0,
                      numTables: Int = 8,

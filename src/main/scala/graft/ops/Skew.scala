@@ -23,6 +23,9 @@ object Skew {
     * `saltBuckets` copies of the small side. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  saltBuckets: Int, saltBy: Column): DataFrame = {
+    require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "inputs must not carry a _salt column (it would be clobbered by the " +
+        "synthesized salt and dropped from the result)")
     val b = big.withColumn("_salt", pmod(xxhash64(saltBy), lit(saltBuckets.toLong)))
     val s = small.withColumn("_salt",
       explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
@@ -42,6 +45,9 @@ object Skew {
   def saltedAggregate(df: DataFrame, keys: Seq[String], saltBy: Column,
                       saltBuckets: Int,
                       partials: Seq[(String, Column, Column => Column)]): DataFrame = {
+    require(!df.columns.contains("_salt"),
+      "input must not carry a _salt column (it would be clobbered by the " +
+        "synthesized salt)")
     val salted = df.withColumn("_salt", pmod(xxhash64(saltBy), lit(saltBuckets)))
     val phase1 = salted
       .groupBy((keys.map(col) :+ col("_salt")): _*)

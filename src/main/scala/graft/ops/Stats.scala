@@ -32,7 +32,11 @@ object Stats {
       .withColumn("_cum", sum(col("_c")).over(wOrd))
       .withColumn("_n", sum(col("_c")).over(wAll))
     val aggs = probs.map { case (name, p) =>
-      min(when(col("_cum") >= ceil(lit(p) * col("_n")), col(valueCol))).as(name)
+      // p·n in IEEE doubles can land a hair ABOVE the exact integer
+      // product (0.07 × 100 = 7.000000000000001 → ceil 8, one rank too
+      // high); rounding to 6 decimals first recovers the exact-decimal
+      // arithmetic a SQL engine applies to a decimal literal like 0.07
+      min(when(col("_cum") >= ceil(round(lit(p) * col("_n"), 6)), col(valueCol))).as(name)
     }
     cum.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)

@@ -18,12 +18,16 @@ object TimeOps {
   /** Gap-based sessionization: a new session starts when the gap from
     * the previous event of the same key exceeds `gapSeconds`. Session
     * ids are dense per key (1..N) via a cumulative sum of
-    * session-boundary flags — the standard two-window composition. */
+    * session-boundary flags — the standard two-window composition.
+    * Gaps are measured on MICROSECOND-exact integer timestamps
+    * (unix_micros): second-truncated stamps would merge a 1800.9 s gap
+    * into an 1800 s threshold (and the SQL mirror is epoch_us, equally
+    * exact — no floating point anywhere in the boundary decision). */
   def sessionize(df: DataFrame, keyCol: String, tsCol: String,
                  gapSeconds: Long, tieBreak: Column): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), tieBreak)
-    val gap = unix_timestamp(col(tsCol)) - lag(unix_timestamp(col(tsCol)), 1).over(w)
-    val isNew = when(gap.isNull || gap > gapSeconds, 1L).otherwise(0L)
+    val gap = unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w)
+    val isNew = when(gap.isNull || gap > gapSeconds * 1000000L, 1L).otherwise(0L)
     df.withColumn("session_id",
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)))
   }
@@ -94,6 +98,14 @@ object TimeOps {
                        leftTs: String, rightTs: String,
                        rightPayload: Seq[String],
                        rightTieBreak: Option[Column] = None): DataFrame = {
+    // same loud-clobber guard as binnedRangeJoin's _bin: a left _asof
+    // would be silently overwritten by the result column; _ts/_side/
+    // _tie/_payload would collide inside the tagged union
+    val reserved = Seq("_asof", "_ts", "_side", "_tie", "_payload")
+    val clash = left.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"left frame must not carry reserved column(s) ${clash.mkString(", ")} " +
+        "(synthesized by the as-of union); rename them first")
     val payloadType = StructType(right.select(rightPayload.map(col): _*).schema.fields)
     val otherCols = left.columns.filterNot(c => c == keyCol || c == leftTs).toSeq
     // rightTieBreak makes the winner among right rows sharing (key, ts)

@@ -709,6 +709,12 @@ class OpsSpec extends SparkSpec {
     val best = top.orderBy("rank").limit(1).collect()(0)
     assert(best.getLong(1) === 5L) // identical vector shares the argmin cell
     assert(math.abs(best.getDouble(3) - 1.0) < 1e-12)
+    // empty corpus seeds no centroids: empty result like the brute-force
+    // path, not a crash in the Lloyd loop
+    val none = Similarity.ivfTopK(df.where(lit(false)),
+      df.where(col("vec_id") === 999), "vec_id", "embedding", k = 3)
+    assert(none.count() === 0L)
+    assert(none.columns.toSeq === Seq("query_id", "corpus_id", "rank", "score"))
   }
 
   test("lsh ann recall on planted duplicate") {
@@ -763,6 +769,12 @@ class OpsSpec extends SparkSpec {
     val sqlRow = spark.sql(
       "SELECT dot_product(a, b) AS d FROM vecs_t WHERE id = 0").collect()(0)
     assert(sqlRow.getDouble(0) === both(0).getDouble(0))
+    // mismatched lengths: NULL in BOTH forms (zip_with null-pads, the
+    // fold poisons) — never a truncated min-length partial sum
+    val mm = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("kernel"),
+        Similarity.dotFold(col("a"), col("b")).as("fold")).collect()(0)
+    assert(mm.isNullAt(0) && mm.isNullAt(1))
   }
 
   test("cosine near-dups finds planted duplicate, skips dissimilar") {
@@ -889,6 +901,48 @@ class OpsSpec extends SparkSpec {
     assert(stats.length === 2)
     assert(stats(0).getAs[Long]("n_events") === 2 && stats(0).getAs[Long]("session_seconds") === 600)
     assert(stats(1).getAs[Long]("n_events") === 1 && stats(1).getAs[Long]("session_seconds") === 0)
+    // microsecond-exact boundary: 1800.9 s > 1800 s must SPLIT — on
+    // second-truncated stamps the gap reads exactly 1800 and merges
+    val subSec = Seq(
+      (8L, ts("2024-01-01 00:00:00"), 1L),
+      (8L, new Timestamp(ts("2024-01-01 00:30:00").getTime + 900), 2L))
+      .toDF("user_id", "ts", "event_id")
+    assert(TimeOps.sessionize(subSec, "user_id", "ts", 1800, col("event_id"))
+      .select("session_id").distinct().count() === 2L)
+    // and 1799.9 s stays merged (the truncated form would also merge
+    // here — the exact form must not over-split)
+    val under = Seq(
+      (9L, ts("2024-01-01 00:00:00"), 1L),
+      (9L, new Timestamp(ts("2024-01-01 00:29:59").getTime + 900), 2L))
+      .toDF("user_id", "ts", "event_id")
+    assert(TimeOps.sessionize(under, "user_id", "ts", 1800, col("event_id"))
+      .select("session_id").distinct().count() === 1L)
+  }
+
+  test("asof join rejects reserved columns on the left frame") {
+    import graft.ops.TimeOps
+    import java.sql.Timestamp
+    val left = Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1))
+      .toDF("k", "lts", "_asof")
+    val right = Seq((1L, Timestamp.valueOf("2024-01-01 09:00:00"), 201L))
+      .toDF("k", "rts", "rid")
+    val e = intercept[IllegalArgumentException](
+      TimeOps.asofJoinBackward(left, right, "k", "lts", "rts", Seq("rid")))
+    assert(e.getMessage.contains("_asof"))
+  }
+
+  test("bucket1000: negative keys bucket in [0,1000), no sign leakage") {
+    import graft.ops.Mix
+    // a natural key choice — xxhash64 of a string id — is negative for
+    // ~half of all ids; a signed % would make every b < t decision
+    // trivially true for those rows
+    val df = Seq(-1L, -999999L, -1000003L, Long.MinValue + 1, 5L).toDF("k")
+    val buckets = df.select(Mix.bucket1000(col("k"), 1L).as("b"))
+      .collect().map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0 && b < 1000), s"out of range: ${buckets.toSeq}")
+    // permille 0 must drop everything, negative keys included
+    val strat = Seq((-1L, "web"), (-42L, "web"), (7L, "web")).toDF("k", "src")
+    assert(Mix.stratifiedSample(strat, "src", Map("web" -> 0), col("k")).count() === 0L)
   }
 
   test("corpus pipeline: quality filter + exact + near dedup end to end") {
@@ -1286,6 +1340,12 @@ class OpsSpec extends SparkSpec {
       .select("k", "id", "payload", "name").orderBy("id")
       .collect().map(_.toSeq).toSeq
     assert(salted === plain)
+    // a user _salt column would be clobbered then dropped — reject loudly
+    intercept[IllegalArgumentException](Skew.saltedJoin(
+      big.withColumn("_salt", lit(1)), small, "k", 4, col("id")))
+    intercept[IllegalArgumentException](Skew.saltedAggregate(
+      big.withColumn("_salt", lit(1)), Seq("k"), col("id"), 4,
+      Seq(("n", count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c)))))
     // incremental materialization: second run touches only partition p=2,3
     val wh = java.nio.file.Files.createTempDirectory("graft-inc").toString
     val models = Seq(Runner.Model(
@@ -1315,6 +1375,11 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Stats.quantilesDisc(df, Seq("g"), "v", Seq("bad" -> 1.5))
     }
+    // IEEE traps: 0.07 × 100 = 7.000000000000001 in doubles — a naive
+    // ceil lands on rank 8; the round-first form must return the 7th
+    val hundred = (1 to 100).map(v => ("c", v.toLong)).toDF("g", "v")
+    assert(Stats.quantilesDisc(hundred, Seq("g"), "v", Seq("p07" -> 0.07))
+      .collect()(0).getLong(1) === 7L)
   }
 
   test("driver contract: entry() returns rows and every query name has an oracle or rows gate") {
@@ -1348,6 +1413,12 @@ class OpsSpec extends SparkSpec {
     // 400 bytes → 7 frames (ceil) → idx 0,2,4,6 kept
     assert(frames.count() === 4)
     assert(frames.agg(max("n_frames")).collect()(0).getInt(0) === 7)
+    // empty and null payloads yield NO rows — no phantom frame whose
+    // n_frames column contradicts its own existence
+    assert(Multimodal.sampleFrames(assets.where(col("asset_id") === 2),
+      frameBytes = 64, stride = 1).count() === 0L)
+    val nullAssets = Seq((9L, null.asInstanceOf[Array[Byte]])).toDF("asset_id", "payload")
+    assert(Multimodal.sampleFrames(nullAssets, frameBytes = 64, stride = 1).count() === 0L)
   }
 
   test("salted aggregate equals plain aggregate on skewed keys") {
