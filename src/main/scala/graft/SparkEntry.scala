@@ -2232,9 +2232,9 @@ object SparkEntry {
         |         customer_id
         |  FROM (SELECT DISTINCT customer_id FROM stg)),
         |dim_product AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY product_id) AS BIGINT) AS product_key,
+        |  SELECT CAST(row_number() OVER (ORDER BY product_id NULLS FIRST) AS BIGINT) AS product_key,
         |         product_id
-        |  FROM (SELECT DISTINCT product_id FROM stg WHERE product_id IS NOT NULL)),
+        |  FROM (SELECT DISTINCT product_id FROM stg)),
         |dim_dealer AS (
         |  SELECT CAST(row_number() OVER (ORDER BY dealer_id) AS BIGINT) AS dealer_key,
         |         dealer_id

@@ -1,6 +1,6 @@
 package graft.gold
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Projections
@@ -19,7 +19,8 @@ import graft.ops.Projections
   */
 object BankMarts {
 
-  private val Numeric = "decimal(38,9)"
+  // single source of truth for the BigQuery-NUMERIC equivalence
+  private val Numeric = Projections.BqNumeric
   private def c(name: String): Column = col(name)
 
   /** dim_customer — age bands from a pinned anchor (BQ DATE_DIFF year-
@@ -46,12 +47,16 @@ object BankMarts {
   }
 
   /** dim_product — distinct product ids + surrogate key + stubs.
-    * Ref: `dim_product.sql:4-17`. */
+    * Ref: `dim_product.sql:4-17`. keepNull mirrors the reference's bare
+    * SELECT DISTINCT (no null filter, unlike dim_dealer): a null
+    * product_id becomes a real dim row keyed first, so surrogate keys
+    * line up with the reference on data carrying null products. */
   def dimProduct(stgLoans: DataFrame): DataFrame =
     Dims.surrogateDim(stgLoans, "product_id", "product_key",
       Seq("product_name" -> c("product_id"),
           "product_category" -> lit("VEHICLE_LOAN"),
-          "currency_code" -> lit("INR")))
+          "currency_code" -> lit("INR")),
+      keepNull = true)
 
   /** dim_dealer — null-filtered distinct dealers, name = id duplication,
     * India/offline literal stubs. Ref: `dim_dealer.sql:4-20`. */
@@ -93,13 +98,21 @@ object BankMarts {
 
   /** f_default_event — defaulted loans only, date-joined, surrogate event
     * key, amount duplicated under two aliases.
-    * Ref: `f_default_event.sql:10-33`. */
+    * Ref: `f_default_event.sql:10-33`. The event key uses
+    * [[Dims.denseRowKeys]] (partition-local + offsets), NOT the
+    * reference's global `row_number() over (order by loan_id)`: the
+    * defaulted subset is a constant fraction of the FACT (~20%+ of
+    * loans), and a global sort funnels it through one task at 100 TB.
+    * The surrogate-key contract (dense, unique) is preserved; only the
+    * assignment order differs. */
   def fDefaultEvent(stgLoans: DataFrame, dimDate: DataFrame): DataFrame =
-    stgLoans.where(c("loan_default") === 1)
-      .join(broadcast(dimDate.select(c("date_key"), c("calendar_date"))),
-        c("application_date") === c("calendar_date"), "left")
+    Dims.denseRowKeys(
+      stgLoans.where(c("loan_default") === 1)
+        .join(broadcast(dimDate.select(c("date_key"), c("calendar_date"))),
+          c("application_date") === c("calendar_date"), "left"),
+      "default_event_key", Seq(c("loan_id")))
       .select(
-        row_number().over(Window.orderBy(c("loan_id"))).cast("long").as("default_event_key"),
+        c("default_event_key"),
         c("loan_id"),
         c("date_key").as("event_date_key"),
         c("loan_amount").as("default_balance"),
@@ -131,7 +144,11 @@ object BankMarts {
       c("amount"),
       c("principal_component"),
       c("interest_amt").as("interest_component"),
-      c("fee_amt") + c("late_fee_amt") as "fee_component",
+      // null-safe: + null-propagates, so a real fee with a null late fee
+      // (absent for on-time payments in many feeds) would null out —
+      // sum() then silently understates fee revenue downstream
+      (coalesce(c("fee_amt"), lit(0).cast(Numeric)) +
+        coalesce(c("late_fee_amt"), lit(0).cast(Numeric))).as("fee_component"),
       c("channel_id").as("channel_key"),
       lit("INR").as("currency_code"))
 

@@ -43,38 +43,64 @@ object Dims {
   /** A6 + W2 + P5 — distinct-values dimension with a dense surrogate key
     * 1..N. Ref: `dim_product.sql:4-17`, `dim_dealer.sql:4-18`.
     *
+    * `keepNull = true` admits a NULL natural key as a dimension row
+    * (keyed first — Spark sorts nulls first ascending): the reference's
+    * dim_product has NO null filter (`dim_product.sql:4-7`, a bare
+    * SELECT DISTINCT) while dim_dealer filters explicitly
+    * (`dim_dealer.sql:7`) — the flag mirrors that asymmetry instead of
+    * silently null-filtering both.
+    *
     * Scale note: the unpartitioned `row_number` forces all distinct keys
     * through one task — correct for dimension-sized outputs (≤ millions).
     * For dimensions that would not fit one task, use
     * [[surrogateDimScalable]] instead. */
   def surrogateDim(src: DataFrame, naturalKey: String, keyName: String,
-                   extras: Seq[(String, Column)] = Nil): DataFrame = {
-    val distinctKeys = src.select(naturalKey).where(col(naturalKey).isNotNull).distinct()
+                   extras: Seq[(String, Column)] = Nil,
+                   keepNull: Boolean = false): DataFrame = {
+    val distinctAll = src.select(naturalKey).distinct()
+    val distinctKeys =
+      if (keepNull) distinctAll else distinctAll.where(col(naturalKey).isNotNull)
     val keyed = distinctKeys.withColumn(
       keyName, row_number().over(Window.orderBy(col(naturalKey))).cast("long"))
     val cols = col(keyName) +: col(naturalKey) +: extras.map { case (a, e) => e.as(a) }
     keyed.select(cols: _*)
   }
 
-  /** W2 at 100 TB — surrogate keys without a global sort: partition-local
-    * `monotonically_increasing_id` densified to 1..N by adding per-partition
-    * offsets (two narrow passes, no single-task bottleneck). Keys are dense
-    * and unique but their assignment order follows the hash-partitioning of
-    * the distinct, not a global sort — acceptable for surrogate keys, whose
-    * only contract is uniqueness. */
-  def surrogateDimScalable(src: DataFrame, naturalKey: String, keyName: String): DataFrame = {
-    val distinctKeys = src.select(naturalKey).where(col(naturalKey).isNotNull).distinct()
-    val withPart = distinctKeys
+  /** Dense 1..N keys for EVERY ROW without a global sort — the
+    * fact-scale keying primitive shared by [[surrogateDimScalable]] and
+    * fact builders (e.g. BankMarts.fDefaultEvent): partition-local
+    * row_number plus cumulative per-partition offsets (two narrow passes
+    * and a broadcast of the tiny offset table — no single-task
+    * bottleneck). Keys are dense and unique; their assignment follows
+    * the partition layout, not a global order — the surrogate-key
+    * contract is uniqueness, not ordering. `localOrder` pins the
+    * within-partition order for determinism under a fixed layout. */
+  def denseRowKeys(df: DataFrame, keyName: String,
+                   localOrder: Seq[Column]): DataFrame = {
+    val reserved = Seq("_pid", "_local", "_offset")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"input must not carry reserved column(s) ${clash.mkString(", ")}")
+    val withPart = df
       .withColumn("_pid", spark_partition_id())
       .withColumn("_local", row_number().over(
-        Window.partitionBy(col("_pid")).orderBy(col(naturalKey))))
+        Window.partitionBy(col("_pid")).orderBy(localOrder: _*)))
     val offsets = withPart.groupBy("_pid")
       .agg(count(lit(1)).as("_cnt"))
       .withColumn("_offset",
         coalesce(sum(col("_cnt")).over(
           Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     withPart.join(broadcast(offsets.select("_pid", "_offset")), Seq("_pid"))
-      .select((col("_local") + col("_offset")).cast("long").as(keyName), col(naturalKey))
+      .withColumn(keyName, (col("_local") + col("_offset")).cast("long"))
+      .drop("_pid", "_local", "_offset")
+  }
+
+  /** W2 at 100 TB — surrogate keys without a global sort
+    * ([[denseRowKeys]] over the distinct key set). */
+  def surrogateDimScalable(src: DataFrame, naturalKey: String, keyName: String): DataFrame = {
+    val distinctKeys = src.select(naturalKey).where(col(naturalKey).isNotNull).distinct()
+    denseRowKeys(distinctKeys, keyName, Seq(col(naturalKey)))
+      .select(col(keyName), col(naturalKey))
   }
 
   /** S7 + U1 + W2 + P7 — constant inline status dimension via literal rows

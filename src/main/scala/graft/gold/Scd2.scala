@@ -37,21 +37,34 @@ object Scd2 {
 
   /** Apply one update batch. `tracked` are the change-detected attribute
     * columns; `updates` must carry the natural key + tracked columns and
-    * ONE row per key — a multi-row key (e.g. a CDC batch spanning two
-    * change events) would fan the current row out into duplicate closed
-    * copies and open multiple current versions. That precondition is
-    * checked with one aggregate on the update batch (dimension-sized by
-    * definition); pass `assumeUniqueKeys = true` to skip the action when
-    * the caller has already deduplicated (e.g. via
-    * [[graft.ops.Dedup.firstPerKey]] on event time). */
+    * ONE row per NON-NULL key — a multi-row key (e.g. a CDC batch
+    * spanning two change events) would fan the current row out into
+    * duplicate closed copies and open multiple current versions, and a
+    * NULL key would never equi-join, appending one more open version per
+    * merge. Both preconditions are checked with one aggregate on the
+    * update batch (dimension-sized by definition); pass
+    * `assumeUniqueKeys = true` to skip the action when the caller has
+    * already deduplicated and null-filtered (e.g. via
+    * [[graft.ops.Dedup.firstPerKey]] on event time after a null guard). */
   def merge(state: DataFrame, updates: DataFrame, naturalKey: String,
             tracked: Seq[String], effectiveDate: String,
             assumeUniqueKeys: Boolean = false): DataFrame = {
+    require(tracked.nonEmpty,
+      "tracked must name at least one change-detected column " +
+        "(an empty list would crash the change predicate)")
     if (!assumeUniqueKeys) {
-      val dups = updates.groupBy(col(naturalKey)).count()
-        .where(col("count") > 1).limit(1).collect()
-      require(dups.isEmpty,
-        s"update batch has multiple rows for $naturalKey=${dups.head.get(0)}")
+      // null keys corrupt silently, not loudly: equi-joins never match
+      // null, so a null-key row is never closed AND always re-admitted
+      // as 'brand new' — each merge would append one more open version
+      val bad = updates.groupBy(col(naturalKey)).count()
+        .where(col("count") > 1 || col(naturalKey).isNull).limit(1).collect()
+      require(bad.isEmpty,
+        if (bad.nonEmpty && bad.head.isNullAt(0))
+          s"update batch has a null $naturalKey — SCD2 equi-joins never " +
+            "match null, so each merge would append another open version; " +
+            "filter or repair null keys upstream"
+        else
+          s"update batch has multiple rows for $naturalKey=${bad.headOption.map(_.get(0)).orNull}")
     }
     // the state schema is exactly key + tracked + SCD bookkeeping;
     // surrogate keys and derived attributes belong downstream of the

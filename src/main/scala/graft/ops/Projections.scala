@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object Projections {
 
+  /** BigQuery NUMERIC equivalence for bank-model money/ratio columns —
+    * the single source of truth (Staging and BankMarts both cast
+    * through it; two local copies could drift silently). */
+  val BqNumeric = "decimal(38,9)"
+
   /** S2 — header sanitize: `.` → `_` in column names (schema-level rename,
     * zero data movement). Ref: `load_raw_to_bq.py:10-30`,
     * `scripts/clean_vehicle_loans.py:16-22`. */

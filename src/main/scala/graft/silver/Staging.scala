@@ -14,8 +14,9 @@ import graft.ops.{Dedup, Projections}
   */
 object Staging {
 
-  /** BigQuery NUMERIC equivalent for bank-model money/ratio columns. */
-  private val Numeric = "decimal(38,9)"
+  /** BigQuery NUMERIC equivalent for bank-model money/ratio columns
+    * (shared constant — see [[Projections.BqNumeric]]). */
+  private val Numeric = Projections.BqNumeric
 
   private def c(name: String): Column = col(name)
 
@@ -82,10 +83,20 @@ object Staging {
 
   /** stg_corebank_customers — dedup to one row per customer (W1) with a
     * null-guard filter (F1) and literal stubs (P5).
-    * Ref: `stg_corebank_customers.sql:7-30`. */
+    * Ref: `stg_corebank_customers.sql:7-30`. The reference orders its
+    * row_number by the PARTITION KEY (`:16` — a constant within the
+    * partition, so its survivor among conflicting duplicates is
+    * engine-chosen); here the tie order is the staged attributes, a
+    * total order over everything the output carries, so the survivor is
+    * run- and partitioning-independent (deterministic strengthening of
+    * the reference's underspecified pick — identical duplicate rows,
+    * the normal case, are unaffected). */
   def stgCorebankCustomers(raw: DataFrame): DataFrame = {
     val base = raw.where(c("UniqueID").isNotNull)
-    Dedup.firstPerKey(base, Seq("UniqueID"), Seq(c("UniqueID")))
+    Dedup.firstPerKey(base, Seq("UniqueID"),
+      Seq(c("Date_of_Birth").cast("string"), c("branch_id").cast("string"),
+        c("Employment_Type").cast("string"), c("State_ID").cast("string"),
+        c("Current_pincode_ID").cast("string")))
       .select(
         c("UniqueID").cast("string").as("customer_id"),
         Projections.safeParseDate2(c("Date_of_Birth").cast("string")).as("date_of_birth"),

@@ -75,6 +75,15 @@ class BankPipelineSpec extends SparkSpec {
     val stg = Staging.stgCorebankCustomers(doubled)
     assert(stg.count() === 4)
     assert(stg.select("customer_id").distinct().count() === 4)
+    // CONFLICTING duplicates: the survivor follows the staged-attribute
+    // total order (the reference's own tiebreak is the partition key —
+    // engine-chosen), so the pick is run- and partitioning-independent:
+    // the original employment strings sort before the planted 'zzz'
+    val conflicted = rawLoans.union(
+      rawLoans.withColumn("Employment_Type", lit("zzz")))
+    val stg2 = Staging.stgCorebankCustomers(conflicted)
+    assert(stg2.count() === 4)
+    assert(stg2.where(col("employment_type") === "zzz").count() === 0)
   }
 
   test("gold: dim_customer age bands use year-boundary diff") {
@@ -116,6 +125,22 @@ class BankPipelineSpec extends SparkSpec {
     val events = BankMarts.fDefaultEvent(stg, dates)
     assert(events.select("loan_id").as[String].collect().sorted === Array("L2", "L4"))
     assert(events.select("default_event_key").as[Long].collect().sorted === Array(1L, 2L))
+  }
+
+  test("gold: dim_product keeps a null product id as a keyed row (reference parity)") {
+    // dim_product.sql has NO null filter (bare SELECT DISTINCT, unlike
+    // dim_dealer's explicit one): a null product must become a real dim
+    // row, keyed first like Spark's nulls-first ascending sort
+    val stg = Staging.stgCorebankLoans(rawLoans)
+    val withNull = stg.withColumn("product_id",
+      when(col("loan_id") === "L1", lit(null).cast("string")).otherwise(col("product_id")))
+    val dim = BankMarts.dimProduct(withNull)
+    assert(dim.where(col("product_id").isNull).select("product_key").as[Long].head() === 1L)
+    assert(dim.select("product_key").as[Long].collect().sorted === (1L to dim.count()).toArray)
+    // and the dealer dim keeps its explicit null filter
+    val dealers = BankMarts.dimDealer(
+      stg.withColumn("dealer_id", lit(null).cast("string")))
+    assert(dealers.count() === 0)
   }
 
   test("gold: dealer performance aggregates") {
@@ -264,5 +289,13 @@ class BankPipelineSpec extends SparkSpec {
     val fee = fact.where(col("loan_id") === "L2")
       .select(col("fee_component").cast("double")).as[Double].head()
     assert(fee === 5.0)
+    // a null late fee must not null out a real fee (+ null-propagates;
+    // sum() would then silently understate fee revenue)
+    val nullFee = Seq(("L9", "2018-12-01", 100.0, 90.0, 5.0, Some(5.0), Option.empty[Double], 1))
+      .toDF("loan_id", "payment_date", "amount", "principal_amt",
+        "interest_amt", "fee_amt", "late_fee_amt", "channel_id")
+      .withColumn("payment_date", to_date(col("payment_date")))
+    val nf = BankMarts.fPaymentTransaction(Staging.stgPayments(nullFee))
+    assert(nf.select(col("fee_component").cast("double")).as[Double].head() === 5.0)
   }
 }

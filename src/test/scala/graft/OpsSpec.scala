@@ -1327,6 +1327,15 @@ class OpsSpec extends SparkSpec {
       .collect()(0).getString(1) === "x")
     assert(Scd2.asOf(s2, "2026-02-15").where(col("k") === 1)
       .collect()(0).getString(1) === "x2")
+    // guards: a null key would never equi-join (one more open version
+    // per merge, silently); an empty tracked list would crash the
+    // change predicate with an opaque empty.reduce
+    val e = intercept[IllegalArgumentException](Scd2.merge(s2,
+      Seq((null.asInstanceOf[java.lang.Long], "q")).toDF("k", "attr"),
+      "k", Seq("attr"), "2026-04-01"))
+    assert(e.getMessage.contains("null"))
+    intercept[IllegalArgumentException](
+      Scd2.merge(s2, Seq((9L, "q")).toDF("k", "attr"), "k", Nil, "2026-04-01"))
   }
 
   test("salted join equals plain join; incremental table overwrites only its partitions") {
