@@ -109,6 +109,50 @@ class PlanQualitySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("fact-scale event keying has no unpartitioned window") {
+    // fDefaultEvent keys a FACT subset: an unpartitioned row_number
+    // would funnel every defaulted loan through one task (the plan
+    // shows it as 'Window [...]' with an empty partition spec under a
+    // SinglePartition exchange). denseRowKeys must keep the window
+    // partitioned by _pid and never collapse to a single partition.
+    import graft.gold.{BankMarts, Dims}
+    import graft.silver.Staging
+    val stg = Staging.stgCorebankLoans(
+      t3("orders").select(
+        col("o_orderkey").cast("string").as("UniqueID"),
+        lit(50000.0).as("disbursed_amount"), lit(70000.0).as("asset_cost"),
+        lit(71.4).as("ltv"), lit("B1").as("branch_id"), lit("S1").as("supplier_id"),
+        lit("M1").as("manufacturer_id"), lit("P1").as("Current_pincode_ID"),
+        lit("01-01-84").as("Date_of_Birth"), lit("Salaried").as("Employment_Type"),
+        lit("15-10-18").as("DisbursalDate"), lit("ST1").as("State_ID"),
+        lit(1).as("MobileNo_Avl_Flag"), lit(1).as("Aadhar_flag"), lit(0).as("PAN_flag"),
+        lit(650).as("PERFORM_CNS_SCORE"), lit("A").as("PERFORM_CNS_SCORE_DESCRIPTION"),
+        lit(3).as("PRI_NO_OF_ACCTS"), lit(2).as("PRI_ACTIVE_ACCTS"),
+        lit(0).as("PRI_OVERDUE_ACCTS"), lit(10000.0).as("PRI_CURRENT_BALANCE"),
+        lit(60000.0).as("PRI_SANCTIONED_AMOUNT"), lit(55000.0).as("PRI_DISBURSED_AMOUNT"),
+        lit(1).as("VoterID_flag"), lit(0).as("Driving_flag"), lit(1).as("Passport_flag"),
+        lit(1).as("SEC_NO_OF_ACCTS"), lit(0).as("SEC_ACTIVE_ACCTS"),
+        lit(0).as("SEC_OVERDUE_ACCTS"), lit(2000.0).as("SEC_CURRENT_BALANCE"),
+        lit(8000.0).as("SEC_SANCTIONED_AMOUNT"), lit(7500.0).as("SEC_DISBURSED_AMOUNT"),
+        lit(1450.5).as("PRIMARY_INSTAL_AMT"), lit(0.0).as("SEC_INSTAL_AMT"),
+        lit("1yrs").as("AVERAGE_ACCT_AGE"), lit("5yrs").as("CREDIT_HISTORY_LENGTH"),
+        lit(1).as("NEW_ACCTS_IN_LAST_SIX_MONTHS"),
+        lit(0).as("DELINQUENT_ACCTS_IN_LAST_SIX_MONTHS"),
+        lit(2).as("NO_OF_INQUIRIES"), lit(1).as("loan_default")))
+    val dates = Dims.dateSpine(spark, "2018-01-01", "2018-12-31")
+    val plan = BankMarts.fDefaultEvent(stg, dates)
+      .queryExecution.executedPlan.toString
+    // every row_number window must carry the _pid partition spec — an
+    // unpartitioned one (windowspecdefinition with no partition column)
+    // would be the global-sort single-task shape this fact must avoid.
+    // (The tiny OFFSETS window — a cumulative sum over ≤ one row per
+    // partition — deliberately runs single-partition; it contains
+    // sum(_cnt), not row_number, so it is exempt here.)
+    val windowLines = plan.linesIterator.filter(_.contains("row_number")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("_pid")),
+      s"row_number window lost its _pid partition spec:\n$plan")
+  }
+
   private def t3(name: String) =
     spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
 }
