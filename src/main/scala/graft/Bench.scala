@@ -71,7 +71,15 @@ object Bench {
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val elapsed =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        // noop sink, NOT count(): under a bare count() Catalyst prunes
+        // every unreferenced projection and eliminates the final sort,
+        // so projection-only queries (text stats, PII redaction, staging
+        // casts...) timed a near-empty parquet scan instead of the
+        // operator — a 100x regression in one of them was invisible.
+        // The noop write consumes every output column, forcing the full
+        // plan, and still writes nothing.
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           // a broken query must not masquerade as a fast one
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

@@ -9,11 +9,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    // first arg is the sf dir unless it names a query/smoke target
+    // first arg is the sf dir unless it names a query/smoke target. A
+    // first arg that is NEITHER is rejected here: a typo'd query name
+    // would otherwise be reinterpreted as the sf dir and crash later
+    // with a misleading path-not-found pointing at the data
     val isName = (s: String) => s == "stream-smoke" || SparkEntry.queries.contains(s)
     val (sfDir, rest) = args.headOption match {
-      case Some(h) if !isName(h) => (h, args.tail.toSeq)
-      case _                     => ("/root/testdata/sf0.001", args.toSeq)
+      case Some(h) if !isName(h) =>
+        require(new java.io.File(h).isDirectory,
+          s"'$h' is neither a known query/smoke target nor an existing sf directory " +
+            "(known: stream-smoke, " + SparkEntry.queries.keys.toSeq.sorted.take(3).mkString(", ") + ", ...)")
+        (h, args.tail.toSeq)
+      case _ => ("/root/testdata/sf0.001", args.toSeq)
     }
     val names = if (rest.nonEmpty) rest else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder().master("local[4]")

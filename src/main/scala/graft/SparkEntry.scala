@@ -403,7 +403,7 @@ object SparkEntry {
     val ev = t(spark, dir, "events").select("user_id", "event_type", "ts")
     val clicks = ev.where(col("event_type") === "click")
       .groupBy("user_id").agg(min(col("ts")).as("t1"))
-    val views = ev.where(col("event_type") === "view").as("e")
+    val views = ev.where(col("event_type") === "view")
       .join(clicks, Seq("user_id"))
       .where(col("ts") > col("t1"))
       .groupBy("user_id").agg(min(col("ts")).as("t2"))

@@ -36,18 +36,39 @@ object Verify {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val selected = SparkEntry.queries.toSeq.filter { case (name, _) =>
       only.forall(_.exists(name.contains)) }
+    def deleteRecursively(p: java.nio.file.Path): Unit =
+      if (Files.exists(p))
+        scala.util.Using.resource(Files.walk(p)) { walk =>
+          walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+        }
     val futures = selected.map { case (name, fn) =>
       Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        // scoped: each query's operator-internal caches release as its
+        // write completes (thread-local — concurrent queries' scopes
+        // don't interact) instead of all ~65 queries' caches staying
+        // resident until the sweep ends. A cross-thread release of a
+        // plan another in-flight query shares just recomputes — safe.
+        try graft.ops.OpCaches.scoped {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        }
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // a failed query must not leave the PREVIOUS run's parquet in
+          // place — rerunning into a reused outDir would let the DuckDB
+          // gate hash-match the stale (old, correct) output and pass a
+          // broken query silently
+          try deleteRecursively(Paths.get(s"$outDir/$name"))
+          catch { case c: Throwable =>
+            System.err.println(s"[verify] $name stale-output cleanup failed: ${c.getMessage}")
+          }
         }
       }
     }
     Await.result(Future.sequence(futures), Duration.Inf)
     pool.shutdown()
-    spark.catalog.clearCache() // release per-query caches before the JSON dump
+    spark.catalog.clearCache() // release any caches registered outside scopes
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
