@@ -60,6 +60,14 @@ object Bench {
       val w = spark.range(100000).select(col("id"), (col("id") % 7).as("k"))
       w.groupBy("k").count().withColumn("r",
         row_number().over(Window.partitionBy("k").orderBy("count"))).count()
+      // first-touch class-loading of the lambda interpreter (HOFs are
+      // CodegenFallback), the regex engine, and literal replace costs
+      // ~2 s once per session and would otherwise land on whichever
+      // query alphabetically first exercises each path
+      w.select(
+        filter(transform(sequence(lit(1), lit(3)), x => x + 1), x => x > 1),
+        regexp_replace(col("id").cast("string"), "[0-9]", "x"),
+        replace(col("id").cast("string"), lit("1"), lit(""))).count()
       // parquet reader init (footer decode path); tolerate partial dirs
       // in synthesized scale-experiment datasets
       scala.util.Try(spark.read.parquet(s"$sfDir/region.parquet").count())

@@ -75,7 +75,6 @@ object SparkEntry {
         sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("num_filled"),
         dsum(col("o_totalprice")).as("total_price"),
         (dsum(col("o_totalprice")) / count(lit(1))).as("avg_price"))
-      .orderBy("nation_key", "date_key")
   }
 
   /** J1–J4 + P5 + P10 — f_loan_contract analogue: 4-way chained left join
@@ -104,7 +103,6 @@ object SparkEntry {
         orders("o_totalprice").cast("decimal(18,2)").cast("double").as("contract_amount"),
         lit("INR").as("currency_code"),                          // P5: literal stub
         lit(null).cast("double").as("interest_rate"))            // P5: typed null stub
-      .orderBy("contract_id")
   }
 
   /** P1/P3/P4/P5/P10 + M6 — the staging rename-and-cast projection driven
@@ -121,7 +119,6 @@ object SparkEntry {
       "gross_amount"   -> col("l_extendedprice").cast("decimal(18,2)").cast("double"),
       "customer_type"  -> lit("RETAIL"),                             // P5 literal stub
       "interest_rate"  -> lit(null).cast("double")))                 // P5 typed null
-      .orderBy("item_id", "line_no")
   }
 
   /** P2/P3 — SAFE.PARSE_DATE with the BigQuery two-digit-year pivot:
@@ -142,7 +139,6 @@ object SparkEntry {
       txt.as("date_text"),
       parsed.as("parsed_date"),
       try_to_date(col("o_orderpriority"), "dd-MM-yy").as("bad_parse"))
-      .orderBy("order_id")
   }
 
   /** W1 + F3 — windowed dedup: one row per user, first event by
@@ -152,13 +148,12 @@ object SparkEntry {
     Dedup.firstPerKey(ev, Seq("user_id"), Seq(col("ts"), col("event_id")))
       .select(col("user_id"), col("event_id"), col("ts").cast("date").as("first_date"),
         col("event_type"), col("value").cast("decimal(18,2)").cast("double").as("value"))
-      .orderBy("user_id")
   }
 
   /** S8 + D3–D7 + P8 — generated date dimension (5,844-row spine with
     * calendar attributes). Ref: `dim_date.sql:3-17`. */
   def qDimDate(spark: SparkSession, dir: String): DataFrame =
-    Dims.dateSpine(spark, "2015-01-01", "2030-12-31").orderBy("date_key")
+    Dims.dateSpine(spark, "2015-01-01", "2030-12-31")
 
   /** A6 + W2 + P5 — distinct-values dimension with dense surrogate keys.
     * Ref: `dim_product.sql:4-17`, `dim_dealer.sql:4-18`. */
@@ -166,12 +161,11 @@ object SparkEntry {
     Dims.surrogateDim(t(spark, dir, "part"), "p_brand", "brand_key",
       Seq("brand_name" -> col("p_brand"),              // P10 dup alias
           "source_system" -> lit("CATALOG")))          // P5 literal stub
-      .orderBy("brand_key")
 
   /** S7 + U1 + W2 + P7 — constant inline dimension (literal UNION ALL) with
     * set-membership recode. Ref: `dim_contract_status.sql:1-16`. */
   def qStatusDim(spark: SparkSession, dir: String): DataFrame =
-    Dims.contractStatusDim(spark).orderBy("status_key")
+    Dims.contractStatusDim(spark)
 
   /** P6 + D2 — CASE banding with a null bucket over a numeric measure and
     * BQ-style year-boundary diff from a pinned anchor date.
@@ -192,7 +186,6 @@ object SparkEntry {
         Projections.band(Projections.yearDiff(anchor, col("first_order_date")).cast("double"),
           Seq(10.0 -> "recent", 20.0 -> "established"), "legacy")
           .as("tenure_band"))
-      .orderBy("customer_id")
   }
 
   /** F1/F2/F5 — null-guard and IN-list filters ahead of keying.
@@ -202,7 +195,6 @@ object SparkEntry {
       .where(col("user_id").isNotNull && col("props").isNotNull)
       .where(col("event_type").isin("click", "view", "purchase"))
       .select(col("event_id"), col("user_id"), col("event_type"))
-      .orderBy("event_id")
 
   /** F4 + J5 + D4 — filtered fact subset joined to the date spine:
     * returned lineitems with their ship-date calendar attributes.
@@ -217,7 +209,6 @@ object SparkEntry {
         li("l_orderkey").as("order_id"), li("l_linenumber").as("line_no"),
         dd("date_key"), dd("year"), dd("is_weekend"),
         li("l_extendedprice").cast("decimal(18,2)").cast("double").as("amount"))
-      .orderBy("order_id", "line_no")
   }
 
   /** D5–D7 + A1 — tumbling daily aggregation over the events table
@@ -231,7 +222,6 @@ object SparkEntry {
       .agg(
         count(lit(1)).as("num_events"),
         dsum(col("value")).as("total_value"))
-      .orderBy("event_date", "event_type")
 
   // ===========================================================================
   // Analytics-surface breadth: window analytics, set ops, rollup,
@@ -246,7 +236,6 @@ object SparkEntry {
     import graft.ops.TimeOps
     TimeOps.sessionStats(t(spark, dir, "events"), "user_id", "ts",
       gapSeconds = 1800, tieBreak = col("event_id"))
-      .orderBy("user_id", "session_id")
   }
 
   /** As-of join (backward): each purchase event picks up the user's most
@@ -269,7 +258,6 @@ object SparkEntry {
         floor(unix_timestamp(col("ts"))).cast("long").as("purchase_es"),
         col("_asof.event_id").as("click_id"),
         col("_asof.value").cast("decimal(18,2)").cast("double").as("click_value"))
-      .orderBy("purchase_id")
   }
 
   /** Hopping (sliding) window aggregation: 2-hour windows every 30
@@ -284,7 +272,6 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"),
         col("n_events"), col("sum_value"))
-      .orderBy("window_start")
 
   /** Context-window chunk spans: every document split into 40-token
     * windows stepping by 30 (10-token overlap carried between
@@ -296,7 +283,6 @@ object SparkEntry {
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
     Curation.chunkSpans(docs, "doc_id", "n_tokens", maxTokens = 40, overlap = 10)
-      .orderBy("doc_id", "chunk_idx")
   }
 
   /** Binned range join: events matched into 200 deterministic
@@ -321,7 +307,6 @@ object SparkEntry {
       .select(col("range_id"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         col("sum_value"))
-      .orderBy("range_id")
   }
 
   /** Approximate distinct counts (HLL++) next to exact ones — the sketch
@@ -342,7 +327,6 @@ object SparkEntry {
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")).cast("double") /
           col("exact_users") <= 0.1).as("within_10pct"))
-      .orderBy("event_type")
 
   /** Window-function breadth: lag (previous event gap), rank, and a
     * rolling 3-row frame sum per user over the events table. */
@@ -359,7 +343,6 @@ object SparkEntry {
       rank().over(w).cast("long").as("event_rank"),
       sum(col("value").cast("decimal(18,2)")).over(wFrame).cast("double")
         .as("rolling3_value"))
-      .orderBy("user_id", "event_rank")
   }
 
   /** Set operations: users who clicked INTERSECT users who purchased,
@@ -370,7 +353,6 @@ object SparkEntry {
     val buyers = ev.where(col("event_type") === "purchase").select("user_id").distinct()
     clickers.intersect(buyers).withColumn("segment", lit("click_and_buy"))
       .union(clickers.except(buyers).withColumn("segment", lit("click_no_buy")))
-      .orderBy("segment", "user_id")
   }
 
   /** Rollup with grouping id: order counts/amounts by (status, priority)
@@ -381,7 +363,6 @@ object SparkEntry {
       .agg(grouping_id().cast("long").as("gid"),
         count(lit(1)).as("num_orders"),
         dsum(col("o_totalprice")).as("total_price"))
-      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
 
   /** CUBE over two dimensions — all four grouping combinations in one
     * pass (q_rollup's hierarchy-prefix complement), disambiguated by
@@ -392,7 +373,6 @@ object SparkEntry {
       .agg(grouping_id().cast("long").as("gid"),
         count(lit(1)).as("num_orders"),
         dsum(col("o_totalprice")).as("total_price"))
-      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
 
   /** Ordered funnel: users who clicked, then viewed AFTER the first
     * click, then purchased AFTER that first view — strict event-time
@@ -416,7 +396,6 @@ object SparkEntry {
         .select(lit("2_view").as("stage"), col("n_users")))
       .unionByName(purchases.agg(count(lit(1)).as("n_users"))
         .select(lit("3_purchase").as("stage"), col("n_users")))
-      .orderBy("stage")
   }
 
   /** Semi/anti joins: customers with at least one order vs none. */
@@ -427,7 +406,7 @@ object SparkEntry {
       .select(col("c_custkey"), lit("has_orders").as("segment"))
     val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), lit("no_orders").as("segment"))
-    withOrders.union(without).orderBy("c_custkey")
+    withOrders.union(without)
   }
 
   /** Pivot: daily event counts pivoted into one column per event type
@@ -438,7 +417,6 @@ object SparkEntry {
       .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
       .agg(count(lit(1)))
       .na.fill(0L)
-      .orderBy("event_date")
 
   // ===========================================================================
   // LLM-data-pipeline extensions (builder mandate): dedup, similarity,
@@ -449,7 +427,6 @@ object SparkEntry {
     * plus the duplicate count. Shuffles 64-hex hashes, not documents. */
   def qDedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactByHash(t(spark, dir, "documents"), "text", "doc_id")
-      .orderBy("doc_id")
 
   /** MinHash + LSH near-duplicate pairs, exact-verified: LSH banding
     * generates candidates (the 100 TB shape), then each candidate is
@@ -460,7 +437,6 @@ object SparkEntry {
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashVerifiedDups(t(spark, dir, "documents"), "doc_id", "text",
       shingleK = 5, numBands = 24, rowsPerBand = 2, threshold = 0.5)
-      .orderBy("id_a", "id_b")
 
   /** Exact all-pairs hamming reference for the simhash contract gate:
     * every (id_a < id_b, hamming ≤ maxDistance) pair, computed the
@@ -562,7 +538,6 @@ object SparkEntry {
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
       k = 5, threshold = 0.2, dfCap = 50)
-      .orderBy("id_a", "id_b")
 
   /** Per-document text statistics: token counts (whitespace + BPE-ish),
     * punctuation/digit/stopword ratios, composite quality score. */
@@ -575,7 +550,6 @@ object SparkEntry {
       TextOps.digitRatio(col("text")).as("digit_ratio"),
       TextOps.stopwordRatio(col("text")).as("stopword_ratio"),
       TextOps.qualityScore(col("text")).as("quality"))
-      .orderBy("doc_id")
 
   /** Language-ID heuristic (n-gram markers, argmax with deterministic
     * tie-break) vs. the labeled lang column. */
@@ -583,7 +557,6 @@ object SparkEntry {
     t(spark, dir, "documents").select(
       col("doc_id"), col("lang"),
       TextOps.languageId(col("text")).as("predicted_lang"))
-      .orderBy("doc_id")
 
   /** Corpus language breakdown: per-lang doc count, exact token totals,
     * average chars — the groupBy("lang") text-analysis rollup. */
@@ -595,7 +568,6 @@ object SparkEntry {
         sum(TextOps.tokenCount(col("text")).cast("long")).as("total_tokens"),
         sum(col("n_chars")).as("total_chars"),
         countDistinct(col("source")).as("n_sources"))
-      .orderBy("lang")
 
   /** Corpus n-gram (bigram) frequency: top text patterns per language —
     * explode + two-key aggregate over shingles. */
@@ -607,7 +579,6 @@ object SparkEntry {
       .groupBy("lang", "bigram")
       .agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= 20)
-      .orderBy("lang", "bigram")
   }
 
   /** Per-language document-length quantiles (exact discrete p50/p90/p99)
@@ -616,7 +587,6 @@ object SparkEntry {
     import graft.ops.Stats
     Stats.quantilesDisc(t(spark, dir, "documents"), Seq("lang"), "n_chars",
       Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
-      .orderBy("lang")
   }
 
   /** Repetition quality signals (Gopher-style): per document, the
@@ -628,7 +598,6 @@ object SparkEntry {
     TextOps.repetitionStats(t(spark, dir, "documents"), "doc_id", "text",
       topN = 2, dupN = 3)
       .withColumnRenamed("id", "doc_id")
-      .orderBy("doc_id")
 
   /** Benchmark-contamination scan: documents probed against the shingle
     * vocabulary of a held-out benchmark slice (doc_id % 50 == 0) — the
@@ -640,7 +609,6 @@ object SparkEntry {
       docs.where(col("doc_id") % 50 === 0),
       "doc_id", "text", k = 5)
       .withColumnRenamed("id", "doc_id")
-      .orderBy("doc_id")
   }
 
   /** PII scrub pass: the corpus has no native PII, so the query plants a
@@ -655,14 +623,12 @@ object SparkEntry {
       .select(col("doc_id"),
         TextOps.piiCount(col("text")).as("n_pii"),
         TextOps.redactPii(col("text")).as("redacted"))
-      .orderBy("doc_id")
 
   /** Unigram-rarity score (surprisal proxy) of every document against
     * the corpus unigram distribution. */
   def qRarity(spark: SparkSession, dir: String): DataFrame =
     TextOps.unigramRarity(t(spark, dir, "documents"), "doc_id", "text")
       .withColumnRenamed("id", "doc_id")
-      .orderBy("doc_id")
 
   /** Transitive dedup-group resolution: connected components over the
     * n-gram Jaccard near-dup pairs (same parameters as
@@ -678,7 +644,6 @@ object SparkEntry {
       .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("group_id"), col("doc_id")).as("group_id"))
-      .orderBy("doc_id")
   }
 
   /** SCD2 dimension merge: customer snapshot initialized at 2026-01-01,
@@ -703,7 +668,6 @@ object SparkEntry {
     // number about the merge itself)
     Scd2.merge(state0, updates, "c_custkey",
       Seq("c_mktsegment", "acctbal"), "2026-06-01", assumeUniqueKeys = true)
-      .orderBy("c_custkey", "valid_from")
   }
 
   /** Training-data mix: epoch-weighted language proportions (2 epochs of
@@ -718,7 +682,6 @@ object SparkEntry {
       "lang",
       Map("en" -> 1.3, "de" -> 2.0, "fr" -> 0.5, "es" -> 1.0),
       key = col("doc_id"))
-      .orderBy("doc_id", "epoch")
   }
 
   /** Deterministic train/val/test assignment (90/5/5) — the
@@ -728,7 +691,6 @@ object SparkEntry {
   def qSplitAssign(spark: SparkSession, dir: String): DataFrame =
     Curation.splitAssign(
       t(spark, dir, "documents").select("doc_id", "lang"), col("doc_id"))
-      .orderBy("doc_id")
 
   /** Per-domain volume cap: top-25 docs per source by token count
     * (doc_id tie-break makes the rank total) — the crawl-mix guard
@@ -739,7 +701,6 @@ object SparkEntry {
         TextOps.tokenCount(col("text")).as("n_tokens"))
     Curation.domainCap(docs, "source", 25,
       Seq(col("n_tokens").desc, col("doc_id")))
-      .orderBy("source", "domain_rank")
   }
 
   /** Fixed-budget sequence packing: per-language token stream cut every
@@ -750,7 +711,6 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"),
         TextOps.tokenCount(col("text")).as("n_tokens"))
     Curation.packSequences(docs, "doc_id", "n_tokens", "lang", 2048L)
-      .orderBy("doc_id")
   }
 
   /** Corpus line-dedup over deterministically planted boilerplate: every
@@ -768,7 +728,6 @@ object SparkEntry {
           .otherwise(lit(""))).as("text"))
     TextOps.lineDedup(docs, "doc_id", "text", maxDocFrac = 0.5)
       .withColumnRenamed("id", "doc_id")
-      .orderBy("doc_id")
   }
 
   /** Sketch-based grouped quantiles (the 100 TB path when value
@@ -796,7 +755,6 @@ object SparkEntry {
         (abs(col("a50") - col("p50")).cast("double") <= col("p50") * 0.1 &&
           abs(col("a90") - col("p90")).cast("double") <= col("p90") * 0.1)
           .as("within_10pct"))
-      .orderBy("lang")
   }
 
   /** The end-use composition: training-corpus filtering — keep documents
@@ -810,7 +768,6 @@ object SparkEntry {
       TextOps.tokenCount(col("text")).as("n_tokens"),
       TextOps.qualityScore(col("text")).as("quality"))
       .where(col("quality") >= 0.5 && col("n_tokens") >= 20)
-      .orderBy("doc_id")
   }
 
   /** The flagship end-to-end training-corpus assembly, composed entirely
@@ -846,7 +803,6 @@ object SparkEntry {
       key = col("doc_id"))
       .select(col("doc_id"), col("lang"), col("epoch"),
         TextOps.tokenCount(col("text")).as("n_tokens"))
-      .orderBy("doc_id", "epoch")
   }
 
   /** The complete corpus-cleaning pipeline (quality floor → exact dedup
@@ -872,7 +828,7 @@ object SparkEntry {
     val (cleaned, _) = CorpusPipeline.clean(t(spark, dir, "documents"),
       minQuality = 0.3, minTokens = 10, nearThreshold = 0.9,
       materializeDir = Some(checkpointDir))
-    cleaned.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+    cleaned.select("doc_id", "lang", "source", "n_chars")
   }
 
   /** Bottom-k rolling-hash document fingerprint contract. The hash
@@ -891,7 +847,6 @@ object SparkEntry {
         size(col("fp")).as("fp_size"),
         (col("fp") === array_sort(col("fp"))).as("is_sorted"),
         (size(array_distinct(col("fp"))) === size(col("fp"))).as("is_distinct"))
-      .orderBy("doc_id")
 
   /** Exact brute-force cosine top-k: first 100 vec_ids as the query set,
     * broadcast against the full corpus; scores via a sequential double
@@ -900,7 +855,6 @@ object SparkEntry {
     val emb = t(spark, dir, "embeddings")
     Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 100),
       "vec_id", "embedding", k = 5)
-      .orderBy("query_id", "rank")
   }
 
   /** One-row ANN recall contract: exact columns DuckDB recomputes (query
@@ -969,7 +923,6 @@ object SparkEntry {
           p => sum(p).cast("double")),
         ("sum_price", sum(col("l_extendedprice").cast("decimal(18,2)")),
           p => sum(p).cast("double"))))
-      .orderBy("l_returnflag")
   }
 
   /** Skew-salted join at whale-key scale: orders (big, salted by order
@@ -983,7 +936,6 @@ object SparkEntry {
     val small = t(spark, dir, "customer").select(
       col("c_custkey").as("custkey"), col("c_mktsegment"))
     Skew.saltedJoin(big, small, "custkey", saltBuckets = 8, saltBy = col("o_orderkey"))
-      .orderBy("o_orderkey")
   }
 
   /** Embedding near-dup pairs above cosine 0.9 via LSH buckets. The
@@ -1006,7 +958,6 @@ object SparkEntry {
         (x, y) => x + lit(0.05) * y).as("v"))
     Similarity.cosineNearDups(emb.unionByName(planted), "vec_id", "v",
       dim = 64, threshold = 0.9, numTables = 12)
-      .orderBy("id_a", "id_b")
   }
 
   /** Embedding analytics rollup: per-label vector counts and norm
@@ -1023,7 +974,6 @@ object SparkEntry {
         sum(col("nrm").cast("decimal(12,6)")).cast("double").as("sum_norm"),
         min(col("nrm")).as("min_norm"),
         max(col("nrm")).as("max_norm"))
-      .orderBy("label")
   }
 
   /** Per-DIMENSION embedding statistics: mean and variance of every
@@ -1057,7 +1007,6 @@ object SparkEntry {
         (col("_s") / col("n")).as("mean"),
         greatest(col("_s2") / col("n") - (col("_s") / col("n")) * (col("_s") / col("n")),
           lit(0.0)).as("variance"))
-      .orderBy("dim")
 
   /** Multimodal asset metadata: binary payload column + typed metadata +
     * frame count — the column-level half of the multimodal pipeline
@@ -1071,7 +1020,6 @@ object SparkEntry {
       // binary-substr prefix; == char prefix since the corpus is ASCII
       upper(hex(col("payload").substr(lit(1), lit(8)))).as("prefix_hex"),
       ceil(col("meta.n_bytes").cast("double") / 256.0).cast("long").as("n_frames"))
-      .orderBy("asset_id")
   }
 
   /** CDC apply-changes over a deterministic synthetic changeset:
@@ -1106,7 +1054,6 @@ object SparkEntry {
         // collides once max(o_orderkey) reaches it — +900M broke at sf ~150)
         .unionByName(change(4, p, lit("N"), -k, "I", 1L))
     Cdc.applyChanges(base, changes, Seq("o_orderkey"), "seq", "op")
-      .orderBy("o_orderkey")
   }
 
   /** The dbt-test layer as a gated query: the full check suite —
@@ -1134,7 +1081,6 @@ object SparkEntry {
       ("customer", customer, Seq(
         NotNull("c_custkey"),
         Unique("c_custkey")))))
-      .orderBy("model", "check_name")
   }
 
   /** The capstone parity query: the whole bank model end-to-end through
@@ -1202,7 +1148,6 @@ object SparkEntry {
       col("sec_instal_amt").cast("double").as("sec_instal_amt"),
       col("loan_default"), col("term_months"),
       col("currency_code"), col("country_code"))
-      .orderBy("loan_id")
   }
 
   /** M1–M3 + D8 — schema-adaptive ingestion: a Home-Credit-shaped frame
@@ -1225,7 +1170,6 @@ object SparkEntry {
     require(DatasetAdapter.detect(raw.columns).name == "home_credit")
     decimalsToDouble(
       DatasetAdapter.stagingTransform(raw.columns, anchor = "2026-01-01")(raw))
-      .orderBy("loan_id")
   }
 
   /** The SQL-text surface (the reference's user-facing language is SQL
@@ -1252,7 +1196,7 @@ object SparkEntry {
     raw.createOrReplaceTempView("raw_vehicle_loans")
     require(DatasetAdapter.detect(raw.columns).name == "vehicle_loan")
     val sql = DatasetAdapter.stagingSql(raw.columns, "raw_vehicle_loans")
-    decimalsToDouble(spark.sql(sql)).orderBy("loan_id")
+    decimalsToDouble(spark.sql(sql))
   }
 
   /** JSON property extraction from the events props column (semi-
@@ -1261,7 +1205,6 @@ object SparkEntry {
     t(spark, dir, "events").select(
       col("event_id"),
       get_json_object(col("props"), "$.k").cast("long").as("k_value"))
-      .orderBy("event_id")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dealer_perf"      -> qDealerPerf,

@@ -20,10 +20,12 @@ import org.apache.spark.sql.SparkSessionExtensions
   * as the fold (and as DuckDB's list_reduce), so results stay
   * bit-identical to the oracle.
   *
-  * This is deliberately the ONLY custom expression in the engine: per
-  * SURVEY.md §4 every reference operator maps to built-ins; the vector
-  * kernels are the one hot path where composition genuinely can't
-  * express the efficient form.
+  * Custom expressions are deliberately rare: per SURVEY.md §4 every
+  * reference operator maps to built-ins. The two exceptions are the
+  * hot paths where composition genuinely can't express the efficient
+  * form — this vector kernel, and the text-hash kernels in
+  * [[graft.functions.TextHash TextHashExpressions]] (whose composed
+  * forms are higher-order functions, i.e. `CodegenFallback`).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -137,34 +137,33 @@ object Dedup {
     * the token-slice array directly skips both the shingle-string
     * construction and `array_distinct` over strings, whose per-element
     * UTF8String comparisons measured 12× slower than the whole hashed
-    * pipeline. Dedup on the long hashes where set semantics are needed. */
+    * pipeline. Dedup on the long hashes where set semantics are needed.
+    *
+    * Evaluated by the native [[graft.functions.TokenWindowHashes]]
+    * kernel — bit-identical to the composed
+    * `transform(sequence(...), i => xxhash64(slice(toks, i, k)))` form
+    * (equivalence property spec), which as a higher-order function ran
+    * interpreted (`CodegenFallback`) and dominated every shingle-stage
+    * profile once the bench stopped letting Catalyst prune it. */
   def shingleHashed(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("toks"))
-      .select(col("id"), {
-        val n = size(col("toks"))
-        when(n < k, array().cast("array<bigint>"))
-          .otherwise(transform(sequence(lit(1), n - k + 1),
-            i => xxhash64(slice(col("toks"), i, lit(k))))).as("shh")
-      })
+    df.select(col(idCol).as("id"),
+      graft.functions.TextHashFunctions
+        .token_window_hashes(col(textCol), k).as("shh"))
 
   /** MinHash signature from hashed shingles: per seed, min over
     * seed-rehashed shingle hashes (duplicates can't change a min, so the
     * non-distinct [[shingleHashed]] form feeds this directly).
     *
-    * Built as ONE aggregate pass with a numHashes-wide accumulator
-    * (zip_with over the seed literal) instead of numHashes separate
-    * `array_min(transform(...))` walks: per-shingle hash work is
-    * identical, but the shingle array is traversed once and no
-    * intermediate numHashes×|shh| arrays materialize — measured 8.5 s →
-    * ~3 s for the signature stage on the 10× corpus. Empty input yields
-    * the Long.MaxValue init (callers exclude shingle-less docs before
+    * Evaluated by the native [[graft.functions.MinHashSignature]]
+    * kernel — bit-identical to the composed one-pass fold
+    * `aggregate(shh, fill(MaxValue), zip_with(acc, seeds, least(a,
+    * xxhash64(s, h))))` (equivalence property spec), with the
+    * h-independent `hashInt(seed, 42)` stage precomputed once per seed
+    * instead of per (shingle, seed) pair. Empty input yields the
+    * Long.MaxValue init (callers exclude shingle-less docs before
     * banding — the degenerate-bucket guard). */
-  def minhashSignatureFromHashes(hashesCol: Column, numHashes: Int): Column = {
-    val seeds = typedlit((0 until numHashes).toArray)
-    aggregate(hashesCol,
-      typedlit(Array.fill(numHashes)(Long.MaxValue)),
-      (acc, h) => zip_with(acc, seeds, (a, s) => least(a, xxhash64(s, h))))
-  }
+  def minhashSignatureFromHashes(hashesCol: Column, numHashes: Int): Column =
+    graft.functions.TextHashFunctions.minhash_signature(hashesCol, numHashes)
 
   /** Word k-shingles straight from a text column — convenience for
     * single-use contexts (tests, one-shot exprs). For anything that

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -93,6 +94,104 @@ class PropertySpec extends SparkSpec {
           s"stratum $stratum weight $w: got $gotRows rows")
       }
     }
+  }
+
+  // ---- native text-hash kernel ⇔ composed-builtin bit parity ----
+  // The native expressions in graft.functions.TextHashExpressions
+  // replace interpreted HOF trees; these properties pin BIT parity
+  // against the exact composed forms they replaced. Parity is
+  // load-bearing: minhash/jaccard oracle hashes and the recorded
+  // 10×/100× CandProbe candidate counts are functions of these values.
+
+  /** The pre-native composed form of [[Dedup.shingleHashed]]'s per-row
+    * expression, kept here as the parity reference. */
+  private def composedWindowHashes(text: Column, k: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    val n = size(toks)
+    when(n < k, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1), n - k + 1),
+        i => xxhash64(slice(toks, i, lit(k)))))
+  }
+
+  /** The pre-native composed form of [[TextOps.fingerprint]]. */
+  private def composedFingerprint(text: Column, k: Int, n: Int): Column =
+    slice(array_sort(array_distinct(
+      transform(Dedup.shingles(text, k), s => xxhash64(s)))), 1, n)
+
+  /** The pre-native composed form of
+    * [[Dedup.minhashSignatureFromHashes]]. */
+  private def composedMinhashSig(hashes: Column, numHashes: Int): Column = {
+    val seeds = typedlit((0 until numHashes).toArray)
+    aggregate(hashes,
+      typedlit(Array.fill(numHashes)(Long.MaxValue)),
+      (acc, h) => zip_with(acc, seeds, (a, s) => least(a, xxhash64(s, h))))
+  }
+
+  /** Messy corpus: unicode tokens, tab/newline separators (matched by
+    * \s+ but NOT by trim, which strips spaces only — so a leading tab
+    * makes an empty first token), non-breaking space (neither), plus
+    * the degenerate shapes (null, empty, single token, < k tokens). */
+  private val messyTexts: Seq[String] = {
+    val tok = Gen.oneOf("the", "cat", "Straße", "日本語", "x1", "a b",
+      "naïve", "🙂ok", "-", "2024-01-01")
+    val sep = Gen.oneOf(" ", "  ", "\t", "\n", " \t ", "\r\n")
+    val doc = for {
+      n <- Gen.choose(0, 14)
+      toks <- Gen.listOfN(n, tok)
+      seps <- Gen.listOfN(math.max(n - 1, 0), sep)
+      lead <- Gen.oneOf("", " ", "\t", "  ")
+      trail <- Gen.oneOf("", " ", "\n")
+    } yield lead + toks.zipAll(seps, "", "").map { case (t, s) => t + s }.mkString + trail
+    samples(doc, 60) ++ Seq("", " ", "\t", "one", "one two three four",
+      "a a a a a a a a", "の の の の の の")
+  }
+
+  /** Both expressions over the corpus (plus a NULL row), equal under
+    * null-safe comparison, in whole-stage codegen AND interpreted
+    * mode — the native kernels route both paths through one compute
+    * method, but the argument plumbing differs. */
+  private def assertColumnsAgree(native: Column, composed: Column): Unit = {
+    val df = (messyTexts.map(Option(_)) :+ None).toDF("text")
+      .select(native.as("a"), composed.as("b"))
+    for (wholeStage <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", wholeStage)
+      try {
+        val diff = df.where(!(col("a") <=> col("b")))
+        assert(diff.count() === 0,
+          s"wholeStage=$wholeStage: ${diff.take(3).mkString("; ")}")
+      } finally spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
+  }
+
+  test("property: native TokenWindowHashes is bit-identical to the composed HOF form") {
+    for (k <- Seq(1, 2, 5))
+      assertColumnsAgree(
+        graft.functions.TextHashFunctions.token_window_hashes(col("text"), k),
+        composedWindowHashes(col("text"), k))
+  }
+
+  test("property: native ShingleFingerprint is bit-identical to the composed HOF form") {
+    for ((k, n) <- Seq((5, 8), (2, 3), (1, 8)))
+      assertColumnsAgree(
+        graft.functions.TextHashFunctions.shingle_fingerprint(col("text"), k, n),
+        composedFingerprint(col("text"), k, n))
+  }
+
+  test("property: native MinHashSignature is bit-identical to the composed fold") {
+    // signatures over real shingle frames (the operator pipeline shape)
+    for ((k, nh) <- Seq((5, 16), (2, 4)))
+      assertColumnsAgree(
+        graft.functions.TextHashFunctions.minhash_signature(
+          graft.functions.TextHashFunctions.token_window_hashes(col("text"), k), nh),
+        composedMinhashSig(composedWindowHashes(col("text"), k), nh))
+    // plus handcrafted hash arrays: empty (MaxValue init) and null
+    val arrays: Seq[Option[Seq[Long]]] =
+      Seq(Some(Seq(1L, -5L, Long.MaxValue, 0L)), Some(Seq.empty[Long]), None,
+        Some(Seq(Long.MinValue)), Some((1L to 40L).toSeq))
+    val df = arrays.toDF("h").select(
+      graft.functions.TextHashFunctions.minhash_signature(col("h"), 8).as("a"),
+      composedMinhashSig(col("h"), 8).as("b"))
+    assert(df.where(!(col("a") <=> col("b"))).count() === 0)
   }
 
   test("Bench.summarize: failure sentinels never deflate the headline total") {
