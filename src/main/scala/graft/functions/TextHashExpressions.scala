@@ -189,7 +189,12 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, true) => TypeCheckResult.TypeCheckFailure(
+      "minhash_signature requires array<bigint> with non-null elements " +
+        "(the token_window_hashes output shape): compute() reads slots " +
+        "with getLong, which would fold a null as 0 instead of skipping " +
+        "it the way the composed xxhash64 fold does")
     case t => TypeCheckResult.TypeCheckFailure(
       s"minhash_signature requires an array<bigint> input, got $t")
   }

@@ -87,14 +87,55 @@ object VectorFunctions {
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 }
 
-/** SQL-side registration: `SELECT dot_product(a, b)` after installing via
+/** SQL-side registration: `SELECT dot_product(a, b)`,
+  * `token_window_hashes(text, 5)`, `shingle_fingerprint(text, 5, 8)`,
+  * `minhash_signature(hashes, 64)` after installing via
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.intArg
+
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    extensions.injectFunction((
+      FunctionIdentifier("token_window_hashes"),
+      new ExpressionInfo(classOf[TokenWindowHashes].getName, "token_window_hashes"),
+      (exprs: Seq[Expression]) =>
+        TokenWindowHashes(exprs.head, intArg("token_window_hashes", "k", exprs, 1))))
+    extensions.injectFunction((
+      FunctionIdentifier("shingle_fingerprint"),
+      new ExpressionInfo(classOf[ShingleFingerprint].getName, "shingle_fingerprint"),
+      (exprs: Seq[Expression]) =>
+        ShingleFingerprint(exprs.head,
+          intArg("shingle_fingerprint", "k", exprs, 1),
+          intArg("shingle_fingerprint", "n", exprs, 2))))
+    extensions.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (exprs: Seq[Expression]) =>
+        MinHashSignature(exprs.head, intArg("minhash_signature", "numHashes", exprs, 1))))
+  }
+}
+
+object GraftExtensions {
+  /** The kernels take their widths as constructor Ints (they size
+    * per-row buffers and the seed-base table at planning time), so the
+    * SQL arguments must be foldable integer literals. */
+  private def intArg(fn: String, name: String, exprs: Seq[Expression], pos: Int): Int = {
+    require(exprs.length > pos,
+      s"$fn: missing argument $name at position ${pos + 1}")
+    val e = exprs(pos)
+    require(e.foldable, s"$fn: $name must be a literal integer, got $e")
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $name must be a literal integer, got $other")
+    }
   }
 }

@@ -777,6 +777,44 @@ class OpsSpec extends SparkSpec {
     assert(mm.isNullAt(0) && mm.isNullAt(1))
   }
 
+  test("text-hash kernels: SQL-registered via GraftExtensions") {
+    // the SQL-text surface (q_sql_staging's story) reaches the same
+    // native kernels as the Column API — same bits, by construction
+    Seq((0L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+      .createOrReplaceTempView("texts_t")
+    val sqlRow = spark.sql(
+      """SELECT token_window_hashes(text, 5) AS twh,
+        |       shingle_fingerprint(text, 5, 8) AS sfp,
+        |       minhash_signature(token_window_hashes(text, 5), 16) AS sig
+        |FROM texts_t""".stripMargin).collect()(0)
+    val colRow = spark.table("texts_t").select(
+      graft.functions.TextHashFunctions.token_window_hashes(col("text"), 5).as("twh"),
+      graft.functions.TextHashFunctions.shingle_fingerprint(col("text"), 5, 8).as("sfp"),
+      graft.functions.TextHashFunctions.minhash_signature(
+        graft.functions.TextHashFunctions.token_window_hashes(col("text"), 5), 16).as("sig"))
+      .collect()(0)
+    for (i <- 0 until 3)
+      assert(sqlRow.getSeq[Long](i) === colRow.getSeq[Long](i))
+    // width args are planning-time Ints: non-literal must fail, not
+    // silently misplan
+    val e = intercept[Exception](
+      spark.sql("SELECT token_window_hashes(text, id) FROM texts_t"))
+    assert(e.getMessage.contains("literal integer"))
+  }
+
+  test("minhash_signature rejects nullable-element hash arrays") {
+    // compute() reads slots with getLong (null ⇒ 0 ⇒ hashLong(0, base)),
+    // which would silently diverge from the composed fold's null-skip;
+    // the type check refuses the shape instead of producing
+    // plausible-looking non-parity signatures
+    val nullable = Seq(Seq(Some(1L), None)).toDF("h") // array<bigint> containsNull=true
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      nullable.select(graft.functions.TextHashFunctions
+        .minhash_signature(col("h"), 8)).collect()
+    }
+    assert(e.getMessage.contains("non-null elements"))
+  }
+
   test("cosine near-dups finds planted duplicate, skips dissimilar") {
     val base = (0 until 300).map { i =>
       val rnd = new scala.util.Random(i)

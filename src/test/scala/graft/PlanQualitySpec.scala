@@ -112,6 +112,46 @@ class PlanQualitySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("native text-hash kernels stay in the plan, inside whole-stage codegen") {
+    // The composed HOF forms (transform/aggregate/slice) are
+    // CodegenFallback: a "simplification" back to them would re-impose
+    // the ~100× interpreted per-row tax the kernels removed — and the
+    // bit-parity property specs would NOT catch it (they check values,
+    // not execution mode). Pin both facts: the kernel expression is in
+    // the executed plan, and the projection evaluating it sits inside a
+    // WholeStageCodegen span (its operator line carries the "*(n)"
+    // codegen marker).
+    def kernelLines(df: org.apache.spark.sql.DataFrame, kernels: Seq[String],
+                    codegen: Boolean = true): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      for (k <- kernels) {
+        val lines = plan.linesIterator.filter(_.contains(s"$k(")).toSeq
+        assert(lines.nonEmpty, s"kernel $k missing from plan:\n$plan")
+        if (codegen)
+          assert(lines.exists(l => """\*\(\d+\)""".r.findFirstIn(l).isDefined),
+            s"kernel $k evaluates outside whole-stage codegen:\n$plan")
+      }
+      // the per-document stages must carry no interpreted HOF fold; the
+      // full queries are exempt (minhash's per-candidate-pair signature
+      // agreement legitimately zips two numHashes-length arrays)
+      if (codegen)
+        assert(!plan.contains("aggregate(") && !plan.contains("zip_with("),
+          s"an interpreted HOF fold crept back into a kernel pipeline:\n$plan")
+    }
+    kernelLines(SparkEntry.qFingerprint(spark, "/root/testdata/sf0.001"),
+      Seq("shingle_fingerprint"))
+    // the full minhash query sits under an unexecuted AdaptiveSparkPlan
+    // (codegen markers only materialize in AQE's final plan), so the
+    // marker is asserted on the operator's exchange-free signature
+    // stage — the exact projection the pipeline evaluates per document
+    kernelLines(graft.ops.Dedup.shingleHashed(t3("documents"), "doc_id", "text", k = 5)
+        .select(col("id"), graft.ops.Dedup.minhashSignatureFromHashes(col("shh"), 64)),
+      Seq("token_window_hashes", "minhash_signature"))
+    kernelLines(SparkEntry.qDedupMinhash(spark, "/root/testdata/sf0.001"),
+      Seq("token_window_hashes", "minhash_signature"), codegen = false)
+    spark.catalog.clearCache()
+  }
+
   test("fact-scale event keying has no unpartitioned window") {
     // fDefaultEvent keys a FACT subset: an unpartitioned row_number
     // would funnel every defaulted loan through one task (the plan
