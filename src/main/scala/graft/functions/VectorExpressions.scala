@@ -2,12 +2,14 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native Catalyst expression for the vector dot product.
@@ -81,10 +83,109 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All `numTables` random-hyperplane LSH bucket keys of one vector in a
+  * single native pass — the kernel form of
+  * [[graft.ops.Similarity.lshBanded]]'s composed expression (a sign-bit
+  * `transform` plus per-table `slice`/`aggregate` folds, all
+  * CodegenFallback HOFs — the same interpreted per-row tax the text-hash
+  * kernels removed, and numTables × numPlanes dot products per vector
+  * make this the hottest per-row stage of every ANN query). Output:
+  * `array<bigint>` of length `numTables`, where
+  * `bucket[t] = fold(acc * 2 + signbit)` over that table's planes, drawn
+  * from `Random(seedBase + t)` in the composed form's exact order —
+  * bucket values are bit-identical (parity spec in both codegen modes).
+  *
+  * Null parity quirk, preserved deliberately: the composed bits come
+  * from `when(dot(v, p) >= 0, 1).otherwise(0)`, so a NULL vector — or
+  * one whose length ≠ dim, where dot yields NULL — produces all-ZERO
+  * bits, i.e. bucket 0 in every table, not NULL. The kernel therefore
+  * never returns null and evaluates its own null branch (no
+  * nullSafeEval). */
+case class LshBandBuckets(child: Expression, dim: Int, numPlanes: Int,
+                          numTables: Int, seedBase: Int)
+    extends UnaryExpression {
+  require(dim >= 1, s"dim must be >= 1, got $dim")
+  require(numPlanes >= 1 && numPlanes <= 62,
+    s"numPlanes must be in [1,62] (bucket fold is a long), got $numPlanes")
+  require(numTables >= 1, s"numTables must be >= 1, got $numTables")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"lsh_band_buckets requires an array<double> input, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "lsh_band_buckets"
+
+  // planes laid out flat, (table, plane, component)-major — the order the
+  // composed form draws them; rebuilt per executor from the four Ints
+  // (lazy val init is synchronized, the array is never mutated after)
+  @transient private lazy val planes: Array[Double] = {
+    val out = new Array[Double](numTables * numPlanes * dim)
+    var idx = 0
+    var t = 0
+    while (t < numTables) {
+      val rnd = new scala.util.Random(seedBase + t)
+      var j = 0
+      while (j < numPlanes * dim) { out(idx) = rnd.nextGaussian(); idx += 1; j += 1 }
+      t += 1
+    }
+    out
+  }
+
+  def compute(input: Any): ArrayData = {
+    val out = new Array[Long](numTables)
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr != null && arr.numElements() == dim) {
+      val p = planes
+      var idx = 0
+      var t = 0
+      while (t < numTables) {
+        var bucket = 0L
+        var j = 0
+        while (j < numPlanes) {
+          // same left-fold order and getDouble calls as DotProduct
+          var s = 0.0
+          var i = 0
+          while (i < dim) { s += arr.getDouble(i) * p(idx); idx += 1; i += 1 }
+          // Spark's >= on doubles is nan-safe (NaN sorts greater than
+          // everything), so a NaN dot gives bit 1 in the composed form;
+          // Java's primitive >= would give 0 — match Spark, not Java
+          bucket = bucket * 2 + (if (s >= 0 || java.lang.Double.isNaN(s)) 1L else 0L)
+          j += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def eval(input: InternalRow): Any = compute(child.eval(input))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("lshb", this, classOf[LshBandBuckets].getName)
+    ev.copy(
+      code = childGen.code +
+        code"""ArrayData ${ev.value} = $ref.compute(${childGen.isNull} ? null : ${childGen.value});""",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column-API entry point (requires array<double> inputs; cast first). */
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  /** Column-API entry point (array<double> input; widths are
+    * planning-time constants). */
+  def lsh_band_buckets(vec: Column, dim: Int, numPlanes: Int,
+                       numTables: Int, seedBase: Int): Column =
+    Bridge.column(LshBandBuckets(Bridge.expression(vec),
+      dim, numPlanes, numTables, seedBase))
 }
 
 /** SQL-side registration: `SELECT dot_product(a, b)`,
@@ -117,6 +218,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
       (exprs: Seq[Expression]) =>
         MinHashSignature(exprs.head, intArg("minhash_signature", "numHashes", exprs, 1))))
+    extensions.injectFunction((
+      FunctionIdentifier("lsh_band_buckets"),
+      new ExpressionInfo(classOf[LshBandBuckets].getName, "lsh_band_buckets"),
+      (exprs: Seq[Expression]) =>
+        LshBandBuckets(exprs.head,
+          intArg("lsh_band_buckets", "dim", exprs, 1),
+          intArg("lsh_band_buckets", "numPlanes", exprs, 2),
+          intArg("lsh_band_buckets", "numTables", exprs, 3),
+          intArg("lsh_band_buckets", "seedBase", exprs, 4))))
   }
 }
 

@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   *    key; per-bucket work is bounded by bucket size, tunable via the
   *    number of hyperplanes).
   *
-  * Dot products are computed in double precision via zip_with + aggregate
-  * (sequential left fold — deterministic order, reproducible bits).
+  * Dot products and LSH bucket keys run on native codegen'd kernels
+  * ([[graft.functions.DotProduct]] / [[graft.functions.LshBandBuckets]])
+  * with the same sequential left-fold order as the composed built-in
+  * forms — deterministic order, reproducible bits, parity spec-pinned.
   */
 object Similarity {
 
@@ -82,20 +84,32 @@ object Similarity {
   }
 
   /** All `numTables` LSH bucket keys of one vector as (table, bucket)
-    * pairs, from a SINGLE expression pass — one plane literal, one
-    * sign-bit fold, one regroup — instead of `numTables` independent
-    * [[lshBucket]] expressions (which measured ~2 s of pure plan/codegen
-    * overhead per banding stage at 12 tables). Plane sequences are
+    * pairs, via the native [[graft.functions.LshBandBuckets]] kernel —
+    * one codegen'd pass computes every table's sign-bit fold (the
+    * composed `transform`/`slice`/`aggregate` form was CodegenFallback:
+    * numTables × numPlanes interpreted dot products per vector, the
+    * hottest per-row stage of every ANN query). Plane sequences are
     * per-table seeded exactly like `lshBucket(seed = seedBase + t)`, so
-    * bucket values are bit-identical to the per-table form.
-    *
-    * `df` must expose the vector as an `array<double>` ATTRIBUTE
-    * (`vecCol` names it); the sign-bit lambda touches only attributes —
-    * an embedded cast/transform would re-evaluate per plane (HOF
-    * recompute trap, SCALE.md). The bits array is staged as its own
-    * projection so the per-table regroup reads an attribute too. */
+    * bucket values are bit-identical to the per-table form AND to the
+    * composed [[lshBandedComposed]] reference (parity spec in both
+    * codegen modes). */
   def lshBanded(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                numPlanes: Int, numTables: Int, seedBase: Int): DataFrame = {
+                numPlanes: Int, numTables: Int, seedBase: Int): DataFrame =
+    df.select(col(idCol),
+      posexplode(graft.functions.VectorFunctions.lsh_band_buckets(
+        col(vecCol), dim, numPlanes, numTables, seedBase))
+        .as(Seq("table", "bucket")))
+
+  /** The pre-kernel composed form of [[lshBanded]], kept as the parity
+    * reference for the equivalence spec: one plane `typedlit`, a
+    * sign-bit `transform`, per-table `slice`+`aggregate` folds. The
+    * vector must be an ATTRIBUTE (`vecCol` names it) — the sign-bit
+    * lambda touching only attributes is what keeps the HOF-recompute
+    * trap (SCALE.md) out of the reference too; the bits array stages as
+    * its own projection so the per-table regroup reads an attribute. */
+  private[graft] def lshBandedComposed(df: DataFrame, idCol: String, vecCol: String,
+                                       dim: Int, numPlanes: Int, numTables: Int,
+                                       seedBase: Int): DataFrame = {
     val planes: Seq[Seq[Double]] = (0 until numTables).flatMap { t =>
       val rnd = new scala.util.Random(seedBase + t)
       Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))

@@ -800,6 +800,13 @@ class OpsSpec extends SparkSpec {
     val e = intercept[Exception](
       spark.sql("SELECT token_window_hashes(text, id) FROM texts_t"))
     assert(e.getMessage.contains("literal integer"))
+    // the banding kernel has the same SQL↔Column parity
+    val sqlB = spark.sql(
+      """SELECT lsh_band_buckets(CAST(array(0.5, -1.5, 2.0) AS array<double>),
+        |  3, 4, 2, 1000) AS b""".stripMargin).collect()(0).getSeq[Long](0)
+    val colB = spark.range(1).select(graft.functions.VectorFunctions.lsh_band_buckets(
+      typedlit(Seq(0.5, -1.5, 2.0)), 3, 4, 2, 1000).as("b")).collect()(0).getSeq[Long](0)
+    assert(sqlB === colB && sqlB.length === 2)
   }
 
   test("minhash_signature rejects nullable-element hash arrays") {

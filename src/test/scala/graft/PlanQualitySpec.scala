@@ -149,6 +149,15 @@ class PlanQualitySpec extends SparkSpec {
       Seq("token_window_hashes", "minhash_signature"))
     kernelLines(SparkEntry.qDedupMinhash(spark, "/root/testdata/sf0.001"),
       Seq("token_window_hashes", "minhash_signature"), codegen = false)
+    // the banding kernel: the composed form's per-table slice/aggregate
+    // folds were the one remaining hot HOF pipeline (every ANN query)
+    kernelLines(graft.ops.Similarity.lshBanded(
+      t3("embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("vv")),
+      "vec_id", "vv", 64, 4, 12, seedBase = 1000),
+      Seq("lsh_band_buckets"))
+    kernelLines(SparkEntry.qAnnLsh(spark, "/root/testdata/sf0.001"),
+      Seq("lsh_band_buckets"), codegen = false)
     spark.catalog.clearCache()
   }
 

@@ -194,6 +194,41 @@ class PropertySpec extends SparkSpec {
     assert(df.where(!(col("a") <=> col("b"))).count() === 0)
   }
 
+  test("property: native LshBandBuckets is bit-identical to the composed banding form") {
+    import graft.ops.Similarity
+    // random vectors plus the parity edge shapes: a NULL vector and a
+    // wrong-length vector (the composed form's dot yields NULL there, so
+    // every sign bit is 0 — all-zero buckets, NOT a null row)
+    val dim = 16
+    val coord = Gen.chooseNum(-10.0, 10.0)
+    val vecs: Seq[Option[Seq[Double]]] =
+      samples(Gen.listOfN(dim, coord).map(l => Option(l.toSeq)), 40) ++
+        Seq(None, Some(Seq(1.0, 2.0)), Some(Seq.empty[Double]),
+          Some(Seq.fill(dim)(0.0)), Some(Seq.fill(dim)(-0.0)),
+          // NaN dot: Spark's nan-safe >= makes it bit 1, not 0
+          Some(Seq.fill(dim)(Double.NaN)),
+          Some(Double.PositiveInfinity +: Seq.fill(dim - 1)(1.0)),
+          Some(Double.NegativeInfinity +: Seq.fill(dim - 1)(1.0)))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vid", "vv")
+    for ((planes, tables, seedBase) <- Seq((4, 12, 1000), (8, 3, 2000), (1, 1, 7))) {
+      for (wholeStage <- Seq("true", "false")) {
+        spark.conf.set("spark.sql.codegen.wholeStage", wholeStage)
+        try {
+          val kernel = Similarity.lshBanded(df, "vid", "vv", dim, planes, tables, seedBase)
+            .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+          val composed = Similarity.lshBandedComposed(df, "vid", "vv", dim, planes, tables, seedBase)
+            .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+          assert(kernel === composed,
+            s"wholeStage=$wholeStage planes=$planes tables=$tables")
+          // the null-vector quirk is pinned, not accidental: bucket 0 in
+          // every table (vid of the None row is vecs.indexOf(None))
+          val nullVid = vecs.indexWhere(_.isEmpty).toLong
+          assert(kernel.filter(_._1 == nullVid).map(_._3) === Set(0L))
+        } finally spark.conf.unset("spark.sql.codegen.wholeStage")
+      }
+    }
+  }
+
   test("Bench.summarize: failure sentinels never deflate the headline total") {
     // a failed query records -1.0; the artifact total must be the sum
     // of the SUCCESSFUL timings with failures surfaced as a count
