@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructType, TimestampNTZType, TimestampType}
 
 /** Event-time operators over keyed streams-as-tables: gap-based
   * sessionization and as-of joins.
@@ -14,6 +14,21 @@ import org.apache.spark.sql.types.StructType
   * streaming.EventStream.sessionize.
   */
 object TimeOps {
+
+  /** Microsecond-exact epoch integer for gap arithmetic, tolerant of
+    * both timestamp flavors: parquet written without a timezone
+    * annotation (arrow/duckdb writers, some lakehouse tables) reads as
+    * TIMESTAMP_NTZ, which `unix_micros` rejects outright. The NTZ
+    * branch reinterprets the wall-clock in the session timezone; gap
+    * decisions compare DIFFERENCES, so the reinterpretation offset
+    * cancels (exactly under a fixed-offset session timezone — the
+    * engine pins UTC; only a DST-transition inside a gap under a
+    * DST session zone could shift a boundary by the DST delta). */
+  private def tsMicros(df: DataFrame, tsCol: String): Column =
+    df.schema(tsCol).dataType match {
+      case TimestampNTZType => unix_micros(col(tsCol).cast(TimestampType))
+      case _                => unix_micros(col(tsCol))
+    }
 
   /** Gap-based sessionization: a new session starts when the gap from
     * the previous event of the same key exceeds `gapSeconds`. Session
@@ -26,7 +41,8 @@ object TimeOps {
   def sessionize(df: DataFrame, keyCol: String, tsCol: String,
                  gapSeconds: Long, tieBreak: Column): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), tieBreak)
-    val gap = unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w)
+    val m = tsMicros(df, tsCol)
+    val gap = m - lag(m, 1).over(w)
     val isNew = when(gap.isNull || gap > gapSeconds * 1000000L, 1L).otherwise(0L)
     df.withColumn("session_id",
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)))

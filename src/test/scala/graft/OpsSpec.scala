@@ -964,6 +964,33 @@ class OpsSpec extends SparkSpec {
       .select("session_id").distinct().count() === 1L)
   }
 
+  test("batch sessionize accepts TIMESTAMP_NTZ (parity with the LTZ twin)") {
+    // parquet written without a timezone annotation (arrow/duckdb
+    // writers) reads as TIMESTAMP_NTZ, which unix_micros rejects —
+    // the 10x scale sweep's events table hit exactly this. The NTZ
+    // frame must sessionize identically to its LTZ twin, sub-second
+    // boundary behavior included.
+    import graft.ops.TimeOps
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ltz = Seq(
+      (7L, ts("2024-01-01 00:00:00"), 1L),
+      (7L, ts("2024-01-01 00:10:00"), 2L),
+      (7L, new Timestamp(ts("2024-01-01 00:40:00").getTime + 900), 3L), // 1800.9 s → split
+      (7L, ts("2024-01-01 01:00:00"), 4L)
+    ).toDF("user_id", "ts", "event_id")
+    val ntz = ltz.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    assert(ntz.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    val run = (df: org.apache.spark.sql.DataFrame) =>
+      TimeOps.sessionize(df, "user_id", "ts", 1800, col("event_id"))
+        .select(col("event_id"), col("session_id"))
+        .orderBy("event_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(run(ntz) === run(ltz))
+    // 600 s gap merges, the 1800.9 s gap splits, the 1199.1 s gap merges
+    assert(run(ntz).map(_._2) === Seq(1L, 1L, 2L, 2L))
+  }
+
   test("asof join rejects reserved columns on the left frame") {
     import graft.ops.TimeOps
     import java.sql.Timestamp
