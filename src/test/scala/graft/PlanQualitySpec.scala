@@ -123,6 +123,10 @@ class PlanQualitySpec extends SparkSpec {
     // codegen marker).
     def kernelLines(df: org.apache.spark.sql.DataFrame, kernels: Seq[String],
                     codegen: Boolean = true): Unit = {
+      // execute the SAME QueryExecution first: under AQE (present in any
+      // plan with an exchange, e.g. the corpus-spread repartition) the
+      // codegen "*(n)" markers only materialize in the final plan
+      if (codegen) df.collect()
       val plan = df.queryExecution.executedPlan.toString
       for (k <- kernels) {
         val lines = plan.linesIterator.filter(_.contains(s"$k(")).toSeq
@@ -140,10 +144,10 @@ class PlanQualitySpec extends SparkSpec {
     }
     kernelLines(SparkEntry.qFingerprint(spark, "/root/testdata/sf0.001"),
       Seq("shingle_fingerprint"))
-    // the full minhash query sits under an unexecuted AdaptiveSparkPlan
-    // (codegen markers only materialize in AQE's final plan), so the
-    // marker is asserted on the operator's exchange-free signature
-    // stage — the exact projection the pipeline evaluates per document
+    // the codegen marker is asserted on the operator's own signature
+    // stage — the exact projection the pipeline evaluates per document;
+    // the full query below is checked for kernel PRESENCE only (its
+    // pair stage carries a legitimate zip_with the HOF assertion bans)
     kernelLines(graft.ops.Dedup.shingleHashed(t3("documents"), "doc_id", "text", k = 5)
         .select(col("id"), graft.ops.Dedup.minhashSignatureFromHashes(col("shh"), 64)),
       Seq("token_window_hashes", "minhash_signature"))
