@@ -18,35 +18,63 @@ object Tables {
 
   /** Corpus tables whose downstream per-row CPU (shingle hashing, token
     * counting, vector math) dwarfs their compressed on-disk bytes by
-    * orders of magnitude. Compressed columnar text under-splits: a
-    * sub-`maxPartitionBytes` file plans as ONE scan task, so every
-    * scan-stage text/vector expression runs on one core while the rest
-    * idle — measured 3-6x over linear on a 10x single-file corpus. */
-  private val cpuHeavyKey = Map("documents" -> "doc_id", "embeddings" -> "vec_id")
+    * orders of magnitude, with the unique key to spread on and the row
+    * count above which a single-task scan measurably starves that CPU.
+    * Compressed columnar text under-splits: a sub-`maxPartitionBytes`
+    * file plans as ONE scan task, so every scan-stage text/vector
+    * expression runs on one core while the rest idle — measured 3-6x
+    * over linear on a 10x single-file corpus (50k docs: contamination
+    * 20.5s → 1.9s spread). Below the row floor the spread inverts into a
+    * regression: at sf0.1 (5k docs / 2k vectors) the extra exchange +
+    * 32-task stages cost more than the single-task scan saves
+    * (q_cosine_topk 0.7s → 3.2s, q_ann_lsh 3.8s → 10.7s measured), so
+    * the floors sit between the two measured scales, margin both ways. */
+  private val cpuHeavySpread = Map(
+    "documents" -> ("doc_id", 20000L),
+    "embeddings" -> ("vec_id", 10000L))
+
+  /** Per-path parquet row counts for the spread gate — counted once
+    * (a zero-column scan: footer metadata + null iteration, no column
+    * IO) and cached; table files are immutable for a run. Only consulted
+    * for paths already under-split by bytes, which bounds the counted
+    * file to a few `maxPartitionBytes` total — never a large-table job. */
+  private val rowCountCache = scala.collection.concurrent.TrieMap.empty[String, Long]
 
   /** Spread an under-split scan across the cluster before expensive
-    * per-row work: when the planned file splits are below half the
-    * default parallelism, hash-repartition on the table key (unique →
-    * skew-free; a column partitioning, so no round-robin stabilization
-    * sort, and AQE honors the explicit partition count). On a real
-    * multi-file table splits exceed cores and this is a no-op — the
-    * shuffle is only paid exactly when the layout starves the scan. */
-  private def spreadScan(spark: SparkSession, df: DataFrame, key: String): DataFrame = {
-    val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 <= target)
-      df.repartition(target, org.apache.spark.sql.functions.col(key))
+    * per-row work: when the file layout plans fewer splits than half the
+    * default parallelism AND the table has enough rows (floor above) for
+    * single-task scanning to dominate, hash-repartition on the table key
+    * (unique → skew-free; a column partitioning, so no round-robin
+    * stabilization sort, and AQE honors the explicit partition count).
+    * The split estimate comes from plan statistics (file bytes /
+    * `maxPartitionBytes`) — plan-only, no job, no RDD materialization.
+    * On a real multi-file table splits exceed cores and this is a no-op:
+    * the shuffle is only paid exactly when the layout starves the scan. */
+  private def spreadScan(spark: SparkSession, df: DataFrame, path: String,
+                         key: String, minRows: Long): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism.toLong
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val maxSplit = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
+    val plannedSplits = ((bytes + maxSplit - 1) / maxSplit).max(1)
+    val underSplit = plannedSplits * 2 <= target
+    if (underSplit &&
+        rowCountCache.getOrElseUpdate(path, spark.read.parquet(path).count()) >= minRows)
+      df.repartition(target.toInt, org.apache.spark.sql.functions.col(key))
     else df
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
     // events.ts is parquet INT64 TIMESTAMP(NANOS) — Spark 4 reads it only
     // as a long (spark.sql.legacy.parquet.nanosAsLong=true, set by
     // Verify/Bench/tests). The data's real precision is microseconds, so
     // the ns→us integer division below is exact.
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else cpuHeavyKey.get(name).map(spreadScan(spark, df, _)).getOrElse(df)
+    else cpuHeavySpread.get(name)
+      .map { case (key, minRows) => spreadScan(spark, df, path, key, minRows) }
+      .getOrElse(df)
   }
 
   /** Register every table as a temp view named after itself (lets
