@@ -104,8 +104,10 @@ object CandProbe {
           >= threshold)
         .count())
     tm("withinSetPairs")(
+      // Column./ is double division (n*(n-1) is even, so the quotient is
+      // exact); cast back so sum() stays LongType for getLong
       setGroups.select(((size(col("ids")).cast("long") *
-          (size(col("ids")).cast("long") - 1)) / 2).as("p"))
+          (size(col("ids")).cast("long") - 1)) / 2).cast("long").as("p"))
         .agg(coalesce(sum(col("p")), lit(0L))).collect()(0).getLong(0))
     // the shipped operator end-to-end, for cross-checking the stage sum
     spark.catalog.clearCache()
