@@ -194,7 +194,7 @@ object VectorFunctions {
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  import GraftExtensions.intArg
+  import GraftExtensions.{intArg, stringArg}
 
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction((
@@ -227,6 +227,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intArg("lsh_band_buckets", "numPlanes", exprs, 2),
           intArg("lsh_band_buckets", "numTables", exprs, 3),
           intArg("lsh_band_buckets", "seedBase", exprs, 4))))
+    extensions.injectFunction((
+      FunctionIdentifier("token_stop_counts"),
+      new ExpressionInfo(classOf[TokenStopCounts].getName, "token_stop_counts"),
+      (exprs: Seq[Expression]) =>
+        TokenStopCounts(exprs.head,
+          exprs.drop(1).map(stringArg("token_stop_counts", "stopword", _)))))
+    extensions.injectFunction((
+      FunctionIdentifier("ascii_class_counts"),
+      new ExpressionInfo(classOf[AsciiClassCounts].getName, "ascii_class_counts"),
+      (exprs: Seq[Expression]) => AsciiClassCounts(exprs.head)))
   }
 }
 
@@ -246,6 +256,18 @@ object GraftExtensions {
       case b: Byte => b.toInt
       case other => throw new IllegalArgumentException(
         s"$fn: $name must be a literal integer, got $other")
+    }
+  }
+
+  /** `token_stop_counts` takes its stopword list as trailing string
+    * literals (sized into per-plan byte tables); no trailing args means
+    * pure token counting (`stop_hits` always 0). */
+  private def stringArg(fn: String, name: String, e: Expression): String = {
+    require(e.foldable, s"$fn: $name must be a literal string, got $e")
+    e.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: $name must be a literal string, got $other")
     }
   }
 }

