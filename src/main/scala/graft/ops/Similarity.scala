@@ -141,13 +141,81 @@ object Similarity {
     * near-dup regime (cosine ≥ 0.9) 8 planes already collide at ~0.89
     * per table — see [[cosineNearDups]]. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              dim: Int, k: Int, numPlanes: Int = 4, numTables: Int = 12): DataFrame = {
-    // Shape for scale: the candidate dedup shuffles bare (query, corpus)
-    // id pairs — never vector payloads (a 64-dim double array is ~64× the
-    // pair). Vectors re-join once for the scoring pass: the corpus is
-    // scanned twice (banding reads only id+vector, column-pruned at the
-    // source), which beats pinning a corpus-sized cache. Norms are
-    // computed once per vector in the scoring pass, not per pair.
+              dim: Int, k: Int, numPlanes: Int = 4, numTables: Int = 12,
+              maxGroupSize: Int = Dedup.DefaultMaxGroupSize): DataFrame = {
+    // Shape for scale, same two rules as [[cosineNearDups]]:
+    // (1) BIT-IDENTICAL corpus vectors group first (the dup-mass guard,
+    //     SCALE.md principle #7). Identical vectors share every bucket,
+    //     so ungrouped they flood the candidate join AND the scoring
+    //     pass with clique-many copies of every (query, vector) pair —
+    //     on the 100×-replicated corpus (100-member cliques) that
+    //     measured ~11M scored pairs / 25.8 s where the distinct mass
+    //     is 2k vectors. Grouped, banding, candidate dedup, and scoring
+    //     all scale with DISTINCT vector mass; members expand only at
+    //     the top-k boundary (below).
+    // (2) the candidate dedup shuffles bare (query, group) id pairs —
+    //     never vector payloads. Vectors re-join once for the one
+    //     scoring pass; norms are computed once per distinct vector.
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val groups = OpCaches.registered(
+      corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
+        .groupBy("cv")
+        .agg(Dedup.groupIdsAgg(col("corpus_id"), maxGroupSize,
+          "lshTopK: a single corpus vector value").as("ids"))
+        .select(element_at(col("ids"), 1).as("gid"), col("cv"),
+          norm(col("cv")).as("cn"), col("ids")))
+    val pairs = lshBanded(groups.select(col("gid"), col("cv")),
+        "gid", "cv", dim, numPlanes, numTables, seedBase = 1000)
+      .join(lshBanded(q, "query_id", "qv", dim, numPlanes, numTables, seedBase = 1000),
+        Seq("table", "bucket"))
+      .select("query_id", "gid")
+      .dropDuplicates()
+    // no broadcast hint: probe-sized query sets broadcast via AQE stats
+    // anyway, and a corpus-vs-corpus caller with a huge query side must
+    // not be forced through an 8 GB broadcast
+    val scored = pairs
+      .join(groups, Seq("gid"))
+      .join(q.withColumn("qn", norm(col("qv"))), Seq("query_id"))
+      .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      // the query's own row is excluded from its neighbors (it may sit
+      // inside a group — the group stays, minus that one member)
+      .withColumn("eff", size(col("ids")) -
+        when(array_contains(col("ids"), col("query_id")), 1).otherwise(0))
+      .where(col("eff") > 0)
+    // member expansion only at the top-k boundary: under score-desc
+    // group order, the boundary score s* is the score of the group at
+    // which the running member count first reaches k — every member
+    // ranked top-k has score >= s* (score is the rank's primary key),
+    // and all groups TIED at s* are kept so member-id tie-breaks stay
+    // exact. Two window passes over candidate GROUP rows, then the
+    // explode is bounded by k plus the tied groups' members instead of
+    // the full candidate member mass.
+    val wg = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("gid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = scored
+      .withColumn("cum", sum(col("eff")).over(wg))
+      .withColumn("s_star",
+        max(when(col("cum") >= k, col("score"))).over(Window.partitionBy("query_id")))
+      .where(col("s_star").isNull || col("score") >= col("s_star"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
+    boundary
+      .select(col("query_id"), col("score"), explode(col("ids")).as("corpus_id"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "rank", "score")
+  }
+
+  /** The pre-grouping form of [[lshTopK]], kept as the parity reference
+    * for the equivalence spec: per-member banding, candidate dedup and
+    * scoring over raw (query, corpus) id pairs. Output-identical to the
+    * grouped form by construction — identical vectors share identical
+    * buckets and scores, so grouping changes where the expansion
+    * happens, not which rows come out. */
+  private[graft] def lshTopKUngrouped(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      dim: Int, k: Int, numPlanes: Int = 4, numTables: Int = 12): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val pairs = lshBanded(c, "corpus_id", "cv", dim, numPlanes, numTables, seedBase = 1000)
@@ -156,9 +224,6 @@ object Similarity {
       .where(col("corpus_id") =!= col("query_id"))
       .select("query_id", "corpus_id")
       .dropDuplicates()
-    // no broadcast hint: probe-sized query sets broadcast via AQE stats
-    // anyway, and a corpus-vs-corpus caller with a huge query side must
-    // not be forced through an 8 GB broadcast
     val scored = pairs
       .join(c.withColumn("cn", norm(col("cv"))), Seq("corpus_id"))
       .join(q.withColumn("qn", norm(col("qv"))), Seq("query_id"))

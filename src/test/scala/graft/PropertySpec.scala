@@ -274,6 +274,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: grouped lshTopK is row-identical to the ungrouped reference") {
+    import graft.ops.Similarity
+    // corpus with planted duplicate cliques (grouping's reason to
+    // exist), scaled copies of some vectors (equal cosine to every
+    // query → cross-GROUP score ties at the top-k boundary), and
+    // queries drawn from inside cliques (self-exclusion inside a group)
+    val rnd = new scala.util.Random(7)
+    val distinct = (0 until 40).map(_ => Array.fill(8)(rnd.nextGaussian()))
+    val rows = for {
+      (v, i) <- distinct.zipWithIndex
+      c <- 0 until (i % 5 + 1) // clique sizes 1..5
+    } yield (i.toLong + c * 1000L, v.toSeq)
+    val scaled = distinct.take(6).zipWithIndex.map { case (v, i) =>
+      (5000L + i, v.map(_ * 2.0).toSeq) }
+    val df = (rows ++ scaled).toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") < 8)
+    for (k <- Seq(1, 5, 1000)) {
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      val grouped = rows(Similarity.lshTopK(df, q, "vec_id", "embedding", dim = 8, k = k))
+      val reference = rows(Similarity.lshTopKUngrouped(df, q, "vec_id", "embedding", dim = 8, k = k))
+      assert(grouped === reference, s"k=$k")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("Bench.summarize: failure sentinels never deflate the headline total") {
     // a failed query records -1.0; the artifact total must be the sum
     // of the SUCCESSFUL timings with failures surfaced as a count
