@@ -54,6 +54,12 @@ object TextStat {
   * = number of tokens equal to a stopword. Null text ⇒ null. */
 case class TokenStopCounts(child: Expression, stopwords: Seq[String])
     extends UnaryExpression {
+  // the composed filter(toks, isin(...)) would count the empty TOKENS a
+  // leading/trailing separator emits against an empty stopword; the
+  // kernel scans only non-whitespace runs — refuse the shape rather
+  // than silently diverge (no real stopword list contains "")
+  require(stopwords.forall(_.nonEmpty),
+    "token_stop_counts: empty-string stopwords are not supported")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess

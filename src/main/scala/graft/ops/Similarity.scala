@@ -183,13 +183,21 @@ object Similarity {
         when(array_contains(col("ids"), col("query_id")), 1).otherwise(0))
       .where(col("eff") > 0)
     // member expansion only at the top-k boundary: under score-desc
-    // group order, the boundary score s* is the score of the group at
-    // which the running member count first reaches k — every member
-    // ranked top-k has score >= s* (score is the rank's primary key),
-    // and all groups TIED at s* are kept so member-id tie-breaks stay
-    // exact. Two window passes over candidate GROUP rows, then the
-    // explode is bounded by k plus the tied groups' members instead of
-    // the full candidate member mass.
+    // group order, keep every group until the running member count
+    // first reaches k (cum − eff < k ⟺ fewer than k members rank
+    // strictly before the group), plus all groups TIED with the
+    // boundary group's score s* so member-id tie-breaks stay exact.
+    // The tie match is the null/NaN-safe <=>, NOT score >= s*: zero
+    // vectors score NULL (non-ANSI divide-by-zero) and NaN components
+    // propagate NaN — both rank deterministically in the window order
+    // (NULL last, NaN first) yet compare false under >=, which would
+    // silently drop groups the ungrouped form ranks. <=> matches both;
+    // a NULL s* over-keeping every null-score group is harmless — the
+    // final member rank re-sorts whatever the boundary keeps, so extra
+    // kept groups cost expansion rows, never correctness. Two window
+    // passes over candidate GROUP rows; the explode is bounded by k
+    // plus the tied groups' members instead of the full candidate
+    // member mass.
     val wg = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("gid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -197,7 +205,7 @@ object Similarity {
       .withColumn("cum", sum(col("eff")).over(wg))
       .withColumn("s_star",
         max(when(col("cum") >= k, col("score"))).over(Window.partitionBy("query_id")))
-      .where(col("s_star").isNull || col("score") >= col("s_star"))
+      .where(col("cum") - col("eff") < k || col("score") <=> col("s_star"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
     boundary
       .select(col("query_id"), col("score"), explode(col("ids")).as("corpus_id"))

@@ -288,16 +288,28 @@ class PropertySpec extends SparkSpec {
     } yield (i.toLong + c * 1000L, v.toSeq)
     val scaled = distinct.take(6).zipWithIndex.map { case (v, i) =>
       (5000L + i, v.map(_ * 2.0).toSeq) }
-    val df = (rows ++ scaled).toDF("vec_id", "embedding")
-    val q = df.where(col("vec_id") < 8)
-    for (k <- Seq(1, 5, 1000)) {
-      def rows(d: org.apache.spark.sql.DataFrame) =
-        d.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
-      val grouped = rows(Similarity.lshTopK(df, q, "vec_id", "embedding", dim = 8, k = k))
-      val reference = rows(Similarity.lshTopKUngrouped(df, q, "vec_id", "embedding", dim = 8, k = k))
-      assert(grouped === reference, s"k=$k")
-      spark.catalog.clearCache()
-    }
+    // zero vectors score NULL against every query (Spark's non-ANSI
+    // divide-by-zero; ANSI raises identically in both forms). NULLs
+    // sort LAST in the descending rank but still fill trailing top-k
+    // slots when non-null candidates run out — a ≥k clique of them
+    // forces the boundary score itself to NULL, where an ordinary
+    // comparison is always false and only the null-safe <=> keeps the
+    // tied groups
+    val zeros = (0 until 7).map(i => (6000L + i, Seq.fill(8)(0.0)))
+    val df = (rows ++ scaled ++ zeros).toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") < 8 || col("vec_id") === 6000L)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      for (k <- Seq(1, 5, 1000)) {
+        def resultRows(d: org.apache.spark.sql.DataFrame) =
+          d.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+            if (r.isNullAt(3)) "null" else r.getDouble(3).toString)).toSet
+        val grouped = resultRows(Similarity.lshTopK(df, q, "vec_id", "embedding", dim = 8, k = k))
+        val reference = resultRows(Similarity.lshTopKUngrouped(df, q, "vec_id", "embedding", dim = 8, k = k))
+        assert(grouped === reference, s"k=$k")
+        spark.catalog.clearCache()
+      }
+    } finally spark.conf.unset("spark.sql.ansi.enabled")
   }
 
   test("Bench.summarize: failure sentinels never deflate the headline total") {
