@@ -45,14 +45,38 @@ case class DotProduct(left: Expression, right: Expression)
   // nullable even when both children are not: mismatched lengths yield
   // NULL (matching the zip_with+aggregate fold, whose null padding
   // poisons the sum) — a truncated min-length partial sum would be a
-  // plausible-looking wrong score for a corrupt vector
+  // plausible-looking wrong score for a corrupt vector. A NULL ELEMENT
+  // poisons the composed fold the same way (x*null => null, acc+null
+  // => null), so it must yield NULL too — getDouble would read the
+  // slot as 0.0, a plausible-looking wrong score. The element checks
+  // are gated at plan time on containsNull: parquet float-list schemas
+  // routinely declare nullable elements while the data has none, so
+  // rejecting the TYPE (the minhash_signature treatment) would break
+  // every real embeddings table, and a clean containsNull=false schema
+  // pays no per-element branch.
   override def nullable: Boolean = true
+
+  @transient private lazy val mayHaveNullElements: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
+  /** True when a slot in either array is NULL (only called for schemas
+    * that admit null elements). */
+  def anyNullElement(x: ArrayData, y: ArrayData, n: Int): Boolean = {
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (y.numElements() != n) return null
+    if (mayHaveNullElements && anyNullElement(x, y, n)) return null
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -64,11 +88,19 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val nullCheck =
+        if (!mayHaveNullElements) ""
+        else {
+          val ref = ctx.addReferenceObj("dotp", this, classOf[DotProduct].getName)
+          s"if (!${ev.isNull}) ${ev.isNull} = $ref.anyNullElement($a, $b, $n);"
+        }
       s"""
          |int $n = $a.numElements();
          |if ($b.numElements() != $n) {
          |  ${ev.isNull} = true;
-         |} else {
+         |}
+         |$nullCheck
+         |if (!${ev.isNull}) {
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    $s += $a.getDouble($i) * $b.getDouble($i);
@@ -97,10 +129,14 @@ case class DotProduct(left: Expression, right: Expression)
   *
   * Null parity quirk, preserved deliberately: the composed bits come
   * from `when(dot(v, p) >= 0, 1).otherwise(0)`, so a NULL vector — or
-  * one whose length ≠ dim, where dot yields NULL — produces all-ZERO
-  * bits, i.e. bucket 0 in every table, not NULL. The kernel therefore
-  * never returns null and evaluates its own null branch (no
-  * nullSafeEval). */
+  * one whose length ≠ dim, or one with a NULL ELEMENT (either way dot
+  * yields NULL for every plane) — produces all-ZERO bits, i.e. bucket 0
+  * in every table, not NULL. The kernel therefore never returns null
+  * and evaluates its own null branch (no nullSafeEval); the element
+  * check is gated at plan time on the schema's containsNull, so a clean
+  * schema pays nothing (getDouble would otherwise silently read a null
+  * slot as 0.0 — non-zero buckets where the composed form degrades to
+  * bucket 0, a silently different candidate set). */
 case class LshBandBuckets(child: Expression, dim: Int, numPlanes: Int,
                           numTables: Int, seedBase: Int)
     extends UnaryExpression {
@@ -134,10 +170,26 @@ case class LshBandBuckets(child: Expression, dim: Int, numPlanes: Int,
     out
   }
 
+  @transient private lazy val mayHaveNullElements: Boolean =
+    child.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    }
+
+  private def anyNullElement(arr: ArrayData): Boolean = {
+    var i = 0
+    while (i < dim) {
+      if (arr.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
   def compute(input: Any): ArrayData = {
     val out = new Array[Long](numTables)
     val arr = input.asInstanceOf[ArrayData]
-    if (arr != null && arr.numElements() == dim) {
+    if (arr != null && arr.numElements() == dim &&
+        !(mayHaveNullElements && anyNullElement(arr))) {
       val p = planes
       var idx = 0
       var t = 0

@@ -33,12 +33,33 @@ object Tables {
     "documents" -> ("doc_id", 20000L),
     "embeddings" -> ("vec_id", 10000L))
 
-  /** Per-path parquet row counts for the spread gate — counted once
-    * (a zero-column scan: footer metadata + null iteration, no column
-    * IO) and cached; table files are immutable for a run. Only consulted
-    * for paths already under-split by bytes, which bounds the counted
-    * file to a few `maxPartitionBytes` total — never a large-table job. */
+  /** Per-path parquet row counts for the spread gate — read once from
+    * the parquet FOOTER metadata, driver-side (no Spark job: `load`
+    * stays lazy-construction like every other loader path), and cached;
+    * table files are immutable for a run. Only consulted for paths
+    * already under-split by bytes, which bounds the footers read to a
+    * few `maxPartitionBytes` of file — never a large-table walk. The
+    * zero-column count() fallback covers exotic layouts the footer
+    * reader can't open. */
   private val rowCountCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private def parquetRowCount(spark: SparkSession, path: String): Long =
+    try {
+      import org.apache.hadoop.fs.{Path => HPath}
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new HPath(path)
+      val fs = root.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).filter(f => f.isFile &&
+            f.getPath.getName.endsWith(".parquet")).map(_.getPath)
+        else Array(root)
+      files.map { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try reader.getRecordCount finally reader.close()
+      }.sum
+    } catch { case _: Exception => spark.read.parquet(path).count() }
 
   /** Spread an under-split scan across the cluster before expensive
     * per-row work: when the file layout plans fewer splits than half the
@@ -58,7 +79,7 @@ object Tables {
     val plannedSplits = ((bytes + maxSplit - 1) / maxSplit).max(1)
     val underSplit = plannedSplits * 2 <= target
     if (underSplit &&
-        rowCountCache.getOrElseUpdate(path, spark.read.parquet(path).count()) >= minRows)
+        rowCountCache.getOrElseUpdate(path, parquetRowCount(spark, path)) >= minRows)
       // The trailing always-true nondeterministic predicate is a
       // pushdown barrier: Catalyst pushes deterministic filters through
       // RepartitionByExpression, which would run expensive per-row

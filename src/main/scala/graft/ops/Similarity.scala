@@ -157,13 +157,8 @@ object Similarity {
     //     never vector payloads. Vectors re-join once for the one
     //     scoring pass; norms are computed once per distinct vector.
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    val groups = OpCaches.registered(
-      corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
-        .groupBy("cv")
-        .agg(Dedup.groupIdsAgg(col("corpus_id"), maxGroupSize,
-          "lshTopK: a single corpus vector value").as("ids"))
-        .select(element_at(col("ids"), 1).as("gid"), col("cv"),
-          norm(col("cv")).as("cn"), col("ids")))
+    val groups = groupedVectors(corpus, idCol, vecCol, "cv", "cn",
+      maxGroupSize, "lshTopK: a single corpus vector value")
     val pairs = lshBanded(groups.select(col("gid"), col("cv")),
         "gid", "cv", dim, numPlanes, numTables, seedBase = 1000)
       .join(lshBanded(q, "query_id", "qv", dim, numPlanes, numTables, seedBase = 1000),
@@ -214,6 +209,22 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "corpus_id", "rank", "score")
   }
+
+  /** Distinct-vector group frame — the dup-mass guard (SCALE.md
+    * principle #7) shared by [[lshTopK]] and [[cosineNearDups]]: one row
+    * per DISTINCT vector value with `gid` = smallest member id, the
+    * vector (as `vecOut`), its norm (`normOut`, computed once per
+    * distinct vector), and the sorted member-id array. Registered with
+    * [[OpCaches]] — every caller consumes it from at least two branches
+    * (banding + the scoring join). */
+  private def groupedVectors(df: DataFrame, idCol: String, vecCol: String,
+      vecOut: String, normOut: String, maxGroupSize: Int, what: String): DataFrame =
+    OpCaches.registered(
+      df.select(col(idCol).as("_gv_id"), asDouble(col(vecCol)).as(vecOut))
+        .groupBy(vecOut)
+        .agg(Dedup.groupIdsAgg(col("_gv_id"), maxGroupSize, what).as("ids"))
+        .select(element_at(col("ids"), 1).as("gid"), col(vecOut),
+          norm(col(vecOut)).as(normOut), col("ids")))
 
   /** The pre-grouping form of [[lshTopK]], kept as the parity reference
     * for the equivalence spec: per-member banding, candidate dedup and
@@ -374,13 +385,8 @@ object Similarity {
     // once per distinct vector. Scores stay bit-identical to per-pair
     // scoring because cosine is a pure function of the two vector
     // values, evaluated through the SAME expression.
-    val groups = OpCaches.registered(
-      df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vv"))
-        .groupBy("vv")
-        .agg(Dedup.groupIdsAgg(col("vid"), maxGroupSize,
-          "cosineNearDups: a single vector value").as("ids"))
-        .select(element_at(col("ids"), 1).as("gid"), col("vv"),
-          norm(col("vv")).as("vn"), col("ids")))
+    val groups = groupedVectors(df, idCol, vecCol, "vv", "vn",
+      maxGroupSize, "cosineNearDups: a single vector value")
     val planes =
       if (numPlanes > 0) numPlanes
       else {

@@ -775,6 +775,30 @@ class OpsSpec extends SparkSpec {
       .select(Similarity.dot(col("a"), col("b")).as("kernel"),
         Similarity.dotFold(col("a"), col("b")).as("fold")).collect()(0)
     assert(mm.isNullAt(0) && mm.isNullAt(1))
+    // a NULL ELEMENT poisons the composed fold (x*null => null) — the
+    // kernel must yield NULL too, not read the slot as 0.0; parquet
+    // float-list schemas routinely declare containsNull=true, so the
+    // type is accepted and the VALUE semantics must match
+    val ne = Seq(
+      (Seq(Some(1.0), None, Some(3.0)), Seq(Some(1.0), Some(2.0), Some(3.0))),
+      (Seq(Some(1.0), Some(2.0)), Seq(Some(4.0), Some(5.0))))
+      .toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("kernel"),
+        Similarity.dotFold(col("a"), col("b")).as("fold")).collect()
+    assert(ne(0).isNullAt(0) && ne(0).isNullAt(1))
+    assert(ne(1).getDouble(0) === 14.0 && ne(1).getDouble(1) === 14.0)
+    // same class in the banding kernel: a null slot means every plane's
+    // dot is NULL => all-zero bits => bucket 0 in every table (the
+    // composed degenerate-bucket quirk), never a partial-sum bucket
+    val bandDf = Seq((1L, Seq(Option(1.0), None, Option(2.0), Option(0.5))),
+      (2L, Seq(Option(1.0), Option(-1.0), Option(2.0), Option(0.5))))
+      .toDF("vid", "vv")
+    val bandKernel = graft.ops.Similarity.lshBanded(bandDf, "vid", "vv", 4, 3, 2, 500)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val bandComposed = graft.ops.Similarity.lshBandedComposed(bandDf, "vid", "vv", 4, 3, 2, 500)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(bandKernel === bandComposed)
+    assert(bandKernel.filter(_._1 == 1L).map(_._3) === Set(0L))
   }
 
   test("text-hash kernels: SQL-registered via GraftExtensions") {

@@ -173,6 +173,43 @@ class PlanQualitySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("corpus-scan spread fires above the row floor and holds predicates above the exchange") {
+    // The spread gate and its pushdown barrier have no coverage from the
+    // driver datasets (every test-scale corpus sits below the row
+    // floors), and the barrier leans on optimizer behavior Spark has
+    // already changed once (rand-based guards fold away in Spark 4) —
+    // pin both on a synthetic over-floor table: (a) the spread exchange
+    // and SPARK_PARTITION_ID barrier are in the plan, (b) an expensive
+    // text predicate evaluates ABOVE the exchange, not on the
+    // pre-spread single-task scan (measured 50.4 s vs 1.6 s at 100×),
+    // (c) an under-floor table gets neither.
+    val dir = java.nio.file.Files.createTempDirectory("graft-spread").toFile.getAbsolutePath
+    spark.range(25000).select(col("id").as("doc_id"),
+      concat(lit("document text number "), col("id").cast("string")).as("text"),
+      lit("en").as("lang"), lit("synth").as("source"), lit(21).as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val spread = graft.model.Tables.load(spark, dir, "documents")
+      .where(graft.ops.TextOps.qualityScore(col("text")) >= 0.0)
+    val plan = spread.queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toSeq
+    val exchangeAt = lines.indexWhere(l => l.contains("Exchange hashpartitioning"))
+    val barrierAt = lines.indexWhere(_.contains("SPARK_PARTITION_ID"))
+    val predicateAt = lines.indexWhere(l =>
+      l.contains("token_stop_counts(") && l.contains("Filter"))
+    assert(exchangeAt >= 0, s"spread exchange missing:\n$plan")
+    assert(barrierAt >= 0 && barrierAt < exchangeAt,
+      s"pushdown barrier missing or below the exchange:\n$plan")
+    assert(predicateAt >= 0 && predicateAt < exchangeAt,
+      s"quality predicate pushed below the spread exchange:\n$plan")
+    // under the floor: no exchange, no barrier — predicates push to the
+    // scan as usual
+    val unspread = graft.model.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .where(graft.ops.TextOps.qualityScore(col("text")) >= 0.0)
+    val uplan = unspread.queryExecution.executedPlan.toString
+    assert(!uplan.contains("SPARK_PARTITION_ID") && !uplan.contains("Exchange"),
+      s"spread fired below the row floor:\n$uplan")
+  }
+
   test("fact-scale event keying has no unpartitioned window") {
     // fDefaultEvent keys a FACT subset: an unpartitioned row_number
     // would funnel every defaulted loan through one task (the plan
