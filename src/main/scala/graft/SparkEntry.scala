@@ -1022,6 +1022,39 @@ object SparkEntry {
       ceil(col("meta.n_bytes").cast("double") / 256.0).cast("long").as("n_frames"))
   }
 
+  /** Real image-header decode over the multimodal surface: per-document
+    * PNG (even ids) and JPEG (odd ids) payloads are assembled
+    * declaratively (hex/unhex/concat — codegen'd, no UDF) with
+    * dimensions derived from the id, then [[Multimodal.decodeImageMeta]]
+    * parses format/width/height back out of the BYTES with the real
+    * header codec (PNG IHDR int32s; JPEG SOF marker walk past APP0).
+    * The oracle recomputes the expected dims arithmetically, so a parser
+    * that misreads offsets, endianness, or the marker stream fails the
+    * hash gate. (The PNG CRC trailer is a fixed filler — header parsers,
+    * like this one, don't verify CRCs; the spec covers genuine
+    * `ImageIO`-encoded files.) */
+  def qImageMeta(spark: SparkSession, dir: String): DataFrame = {
+    val w = (lit(16) + col("doc_id") % 31).cast("int")
+    val h = (lit(16) + (col("doc_id") * 7) % 31).cast("int")
+    def be(c: Column, hexDigits: Int): Column = unhex(lpad(hex(c), hexDigits, "0"))
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A")), // signature
+      unhex(lit("0000000D49484452")), // IHDR chunk: length 13, type
+      be(col("w"), 8), be(col("h"), 8),
+      unhex(lit("08060000001F15C489"))) // depth 8, RGBA, CRC filler
+    val jpeg = concat(
+      unhex(lit("FFD8")), // SOI
+      unhex(lit("FFE000104A46494600010100000100010000")), // APP0 (JFIF), len 16
+      unhex(lit("FFC0001108")), // SOF0, len 17, precision 8
+      be(col("h"), 4), be(col("w"), 4),
+      unhex(lit("03011100021101031101"))) // 3 components
+    val assets = t(spark, dir, "documents")
+      .select(col("doc_id").as("asset_id"), w.as("w"), h.as("h"))
+      .select(col("asset_id"),
+        when(col("asset_id") % 2 === 0, png).otherwise(jpeg).as("payload"))
+    Multimodal.decodeImageMeta(assets)
+  }
+
   /** CDC apply-changes over a deterministic synthetic changeset:
     * deletes (key%10=0), a two-step update where the later seq must win
     * (key%10=1: ×2 then ×3), an update superseded by a delete
@@ -1266,6 +1299,7 @@ object SparkEntry {
     "q_dim_stats"        -> qDimStats,
     "q_cosine_near_dups" -> qCosineNearDups,
     "q_multimodal_meta"  -> qMultimodalMeta,
+    "q_image_meta"       -> qImageMeta,
     "q_json_extract"     -> qJsonExtract,
     "q_cdc_apply"        -> qCdcApply,
     "q_quality_report"   -> qQualityReport,
@@ -2052,6 +2086,12 @@ object SparkEntry {
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       upper(hex(encode(substr(text, 1, 8)))) AS prefix_hex,
         |       CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    "q_image_meta" ->
+      """SELECT doc_id AS asset_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |       CAST(16 + doc_id % 31 AS INTEGER) AS width,
+        |       CAST(16 + (doc_id * 7) % 31 AS INTEGER) AS height
         |FROM documents ORDER BY asset_id""".stripMargin,
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value

@@ -60,26 +60,28 @@ case class DotProduct(left: Expression, right: Expression)
     left.dataType.asInstanceOf[ArrayType].containsNull ||
       right.dataType.asInstanceOf[ArrayType].containsNull
 
-  /** True when a slot in either array is NULL (only called for schemas
-    * that admit null elements). */
-  def anyNullElement(x: ArrayData, y: ArrayData, n: Int): Boolean = {
-    var i = 0
-    while (i < n) {
-      if (x.isNullAt(i) || y.isNullAt(i)) return true
-      i += 1
-    }
-    false
-  }
-
+  // The element-null check is FUSED into the accumulation loop (a null
+  // anywhere ⇒ result NULL regardless of position, so bailing mid-sum is
+  // exact): a separate pre-pass would double element accesses on the
+  // common all-non-null path of containsNull=true schemas. The partial
+  // sum accumulated before the bail is discarded with isNull set, so
+  // summation order for non-null results is unchanged (still the strict
+  // left fold the oracle parity depends on).
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (y.numElements() != n) return null
-    if (mayHaveNullElements && anyNullElement(x, y, n)) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    if (mayHaveNullElements) {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getDouble(i) * y.getDouble(i); i += 1
+      }
+    } else {
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    }
     s
   }
 
@@ -90,22 +92,21 @@ case class DotProduct(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val nullCheck =
         if (!mayHaveNullElements) ""
-        else {
-          val ref = ctx.addReferenceObj("dotp", this, classOf[DotProduct].getName)
-          s"if (!${ev.isNull}) ${ev.isNull} = $ref.anyNullElement($a, $b, $n);"
-        }
+        else s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
       s"""
          |int $n = $a.numElements();
          |if ($b.numElements() != $n) {
          |  ${ev.isNull} = true;
          |}
-         |$nullCheck
          |if (!${ev.isNull}) {
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    $s += $a.getDouble($i) * $b.getDouble($i);
          |  }
-         |  ${ev.value} = $s;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $s;
+         |  }
          |}
        """.stripMargin
     })

@@ -28,38 +28,67 @@ object Tables {
     * regression: at sf0.1 (5k docs / 2k vectors) the extra exchange +
     * 32-task stages cost more than the single-task scan saves
     * (q_cosine_topk 0.7s → 3.2s, q_ann_lsh 3.8s → 10.7s measured), so
-    * the floors sit between the two measured scales, margin both ways. */
+    * the floors sit between the two measured scales, margin both ways.
+    *
+    * Tuning recipe for a new corpus-scale table: the floor is the row
+    * count where single-task scan-stage CPU (rows × per-row cost of the
+    * heaviest scan expression — measure one partition with a timed
+    * `mapPartitions` or take it from SCALE.md's per-kernel numbers)
+    * clearly exceeds the spread's fixed cost (one full-table exchange +
+    * `defaultParallelism` task launches, ~1-2 s at local[32]). Measure
+    * one sweep at a scale below and one above the candidate floor (as
+    * done here at sf0.1 vs 10×) and keep margin both ways; err high —
+    * an under-fired spread costs linear single-core time, an over-fired
+    * one costs a constant exchange. */
   private val cpuHeavySpread = Map(
     "documents" -> ("doc_id", 20000L),
     "embeddings" -> ("vec_id", 10000L))
 
-  /** Per-path parquet row counts for the spread gate — read once from
-    * the parquet FOOTER metadata, driver-side (no Spark job: `load`
-    * stays lazy-construction like every other loader path), and cached;
-    * table files are immutable for a run. Only consulted for paths
-    * already under-split by bytes, which bounds the footers read to a
-    * few `maxPartitionBytes` of file — never a large-table walk. The
-    * zero-column count() fallback covers exotic layouts the footer
+  /** Per-path parquet file lists and row counts for the spread gate —
+    * listed/read once driver-side (no Spark job: `load` stays
+    * lazy-construction like every other loader path), and cached; table
+    * files are immutable for a run. The listing RECURSES so a
+    * partitioned/nested layout (key=value subdirectories) is seen — a
+    * non-recursive list would find zero files and silently disable the
+    * spread for exactly the layouts it can't see. Footer row counts are
+    * only read for paths already under-split by bytes AND file count,
+    * which bounds the footers read to fewer than `defaultParallelism/2`
+    * files — never a large-table walk. The zero-column count() fallback
+    * covers layouts with no visible .parquet files or footers the
     * reader can't open. */
+  private val fileListCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[org.apache.hadoop.fs.Path]]
   private val rowCountCache = scala.collection.concurrent.TrieMap.empty[String, Long]
 
-  private def parquetRowCount(spark: SparkSession, path: String): Long =
+  private def parquetFiles(spark: SparkSession, path: String): Seq[org.apache.hadoop.fs.Path] =
     try {
       import org.apache.hadoop.fs.{Path => HPath}
       val conf = spark.sessionState.newHadoopConf()
       val root = new HPath(path)
       val fs = root.getFileSystem(conf)
-      val files =
-        if (fs.getFileStatus(root).isDirectory)
-          fs.listStatus(root).filter(f => f.isFile &&
-            f.getPath.getName.endsWith(".parquet")).map(_.getPath)
-        else Array(root)
+      if (fs.getFileStatus(root).isDirectory) {
+        val out = Seq.newBuilder[HPath]
+        val it = fs.listFiles(root, /* recursive = */ true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && f.getPath.getName.endsWith(".parquet")) out += f.getPath
+        }
+        out.result()
+      } else Seq(root)
+    } catch { case _: Exception => Seq.empty }
+
+  private def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val files = fileListCache.getOrElseUpdate(path, parquetFiles(spark, path))
+    if (files.isEmpty) spark.read.parquet(path).count()
+    else try {
+      val conf = spark.sessionState.newHadoopConf()
       files.map { f =>
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
         try reader.getRecordCount finally reader.close()
       }.sum
     } catch { case _: Exception => spark.read.parquet(path).count() }
+  }
 
   /** Spread an under-split scan across the cluster before expensive
     * per-row work: when the file layout plans fewer splits than half the
@@ -67,16 +96,22 @@ object Tables {
     * single-task scanning to dominate, hash-repartition on the table key
     * (unique → skew-free; a column partitioning, so no round-robin
     * stabilization sort, and AQE honors the explicit partition count).
-    * The split estimate comes from plan statistics (file bytes /
-    * `maxPartitionBytes`) — plan-only, no job, no RDD materialization.
-    * On a real multi-file table splits exceed cores and this is a no-op:
-    * the shuffle is only paid exactly when the layout starves the scan. */
+    * The split estimate is max(file count, file bytes /
+    * `maxPartitionBytes`): Spark plans at least one split per file, so a
+    * many-small-file table whose total bytes sit under one split is NOT
+    * under-split — byte math alone would misdiagnose it and pay a
+    * needless full-table shuffle (plus lose pushdown to the barrier).
+    * Both inputs are plan/driver-side only — no job, no RDD
+    * materialization. On a real multi-file table splits exceed cores and
+    * this is a no-op: the shuffle is only paid exactly when the layout
+    * starves the scan. */
   private def spreadScan(spark: SparkSession, df: DataFrame, path: String,
                          key: String, minRows: Long): DataFrame = {
     val target = spark.sparkContext.defaultParallelism.toLong
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val maxSplit = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
-    val plannedSplits = ((bytes + maxSplit - 1) / maxSplit).max(1)
+    val fileCount = fileListCache.getOrElseUpdate(path, parquetFiles(spark, path)).size
+    val plannedSplits = ((bytes + maxSplit - 1) / maxSplit).max(1).max(fileCount)
     val underSplit = plannedSplits * 2 <= target
     if (underSplit &&
         rowCountCache.getOrElseUpdate(path, parquetRowCount(spark, path)) >= minRows)
@@ -89,22 +124,38 @@ object Tables {
       // spark_partition_id marks the partition boundary at one integer
       // compare per row; rand(seed) would read nicer but Spark 4 folds
       // bounded rand comparisons away and the barrier vanishes.
+      // Documented tradeoff: the barrier also keeps CHEAP selective
+      // predicates (doc_id = literal) from reaching the scan for
+      // row-group skipping — consumers doing point lookups or highly
+      // selective filters should use `loadRaw`, which skips the spread
+      // and keeps full pushdown.
       df.repartition(target.toInt, org.apache.spark.sql.functions.col(key))
         .where(org.apache.spark.sql.functions.spark_partition_id() >= 0)
     else df
   }
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val path = s"$dir/$name.parquet"
-    val df = spark.read.parquet(path)
+  /** Raw load: the table as the file layout plans it — no spread, no
+    * pushdown barrier, so every predicate reaches the parquet scan for
+    * row-group skipping. Use for point lookups and selective filters on
+    * the corpus tables; `load` trades that pushdown for scan-stage
+    * parallelism, which only pays off when downstream per-row CPU
+    * dominates (the pipeline case). */
+  def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is parquet INT64 TIMESTAMP(NANOS) — Spark 4 reads it only
     // as a long (spark.sql.legacy.parquet.nanosAsLong=true, set by
     // Verify/Bench/tests). The data's real precision is microseconds, so
     // the ns→us integer division below is exact.
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else cpuHeavySpread.get(name)
-      .map { case (key, minRows) => spreadScan(spark, df, path, key, minRows) }
+    else df
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = loadRaw(spark, dir, name)
+    cpuHeavySpread.get(name)
+      .map { case (key, minRows) =>
+        spreadScan(spark, df, s"$dir/$name.parquet", key, minRows) }
       .getOrElse(df)
   }
 

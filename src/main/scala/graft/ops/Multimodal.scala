@@ -7,12 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata, processed in partition-sized batches.
   *
-  * The decode step itself (JPEG/WAV/MP4 → tensors) needs native codec
-  * libraries that are NOT in this container — it is STUBBED with a
-  * deterministic fake ([[fakeDecodeFeatures]]). Everything around the
-  * stub — the asset schema, binary column handling, batched
-  * `mapPartitions` execution shape, frame sampling, feature schema — is
-  * real Spark plumbing and is what carries over to a production codec.
+  * Two decode tiers: [[decodeImageMeta]] is a REAL pure-JVM codec
+  * (PNG/JPEG header parse → pixel dimensions, spec'd against genuine
+  * `ImageIO`-encoded files). The full pixel/tensor decode (JPEG/WAV/MP4
+  * → tensors) needs native codec libraries that are NOT in this
+  * container — that tier is STUBBED with a deterministic fake
+  * ([[fakeDecodeFeatures]]). Everything around it — the asset schema,
+  * binary column handling, batched `mapPartitions` execution shape,
+  * frame sampling, feature schema — is real Spark plumbing and is what
+  * carries over to a production codec.
   *
   * Scale notes: payloads stay opaque bytes end-to-end (no driver
   * collect); per-row work is a narrow map (no shuffle); batch shape =
@@ -80,6 +83,87 @@ object Multimodal {
     val hist = new Array[Double](4)
     unsigned.foreach(v => hist(v / 64) += 1.0)
     Seq(n.toLong, mean, max, hist.toSeq)
+  }
+
+  /** Output schema of [[decodeImageMeta]]: parse failures carry null
+    * format/dims (kept, not dropped — a corrupt payload is a data-quality
+    * signal the pipeline filters on downstream). */
+  val imageMetaSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true)))
+
+  /** REAL image-header decode (no stub): pixel dimensions from PNG and
+    * JPEG payload bytes, pure JVM, batched per partition exactly like
+    * [[decodeFeatures]] — the production shape where this parser is a
+    * libjpeg/ffmpeg call. Header-only: no pixel decode, so cost is O(1)
+    * per asset regardless of payload size (at 100 TB of media that is
+    * the difference between a metadata scan and a decode job). */
+  def decodeImageMeta(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val rdd = assets.select("asset_id", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+        imageDims(bytes) match {
+          case Some((fmt, w, h)) => Row(r.getLong(0), fmt, w, h)
+          case None => Row(r.getLong(0), null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, imageMetaSchema)
+  }
+
+  /** Parse (format, width, height) from image header bytes.
+    *
+    * PNG: 8-byte signature, then the IHDR chunk (always first, per the
+    * spec) carries width/height as big-endian int32 at offsets 16/20.
+    * JPEG: walk the marker stream from SOI (FFD8) skipping
+    * variable-length segments until a start-of-frame marker (SOFn,
+    * n ∉ {4,8,12} — those are DHT/JPG/DAC, not frames); height/width
+    * are big-endian uint16 at offsets +5/+7 into the SOF segment.
+    * Anything unparseable (truncated, wrong magic, zero dims, marker
+    * desync) → None, never a throw: one corrupt payload must not kill a
+    * 100 TB scan task. */
+  private[graft] def imageDims(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (bytes.length >= 24 && pngSig.indices.forall(i => u8(i) == pngSig(i))) {
+      // bytes 12..15 must name the IHDR chunk
+      if (u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R') {
+        val w = be32(16); val h = be32(20)
+        if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+          Some(("png", w.toInt, h.toInt))
+        else None
+      } else None
+    } else if (bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      while (i + 1 < bytes.length) {
+        if (u8(i) != 0xff) return None // marker desync
+        var m = u8(i + 1)
+        // fill bytes: any number of FFs may pad before a marker
+        while (m == 0xff && i + 2 < bytes.length) { i += 1; m = u8(i + 1) }
+        m match {
+          case 0xc0 | 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+               0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            if (i + 8 >= bytes.length) return None
+            val h = be16(i + 5); val w = be16(i + 7)
+            return if (w > 0 && h > 0) Some(("jpeg", w, h)) else None
+          case 0xd8 | 0x01 => i += 2 // standalone markers, no length
+          case x if x >= 0xd0 && x <= 0xd7 => i += 2 // RSTn
+          case 0xd9 => return None // EOI before any frame header
+          case _ =>
+            if (i + 3 >= bytes.length) return None
+            val segLen = be16(i + 2)
+            if (segLen < 2) return None
+            i += 2 + segLen
+        }
+      }
+      None
+    } else None
   }
 
   /** Frame sampling: split a payload into fixed-size "frames" (stand-in

@@ -787,6 +787,19 @@ class OpsSpec extends SparkSpec {
         Similarity.dotFold(col("a"), col("b")).as("fold")).collect()
     assert(ne(0).isNullAt(0) && ne(0).isNullAt(1))
     assert(ne(1).getDouble(0) === 14.0 && ne(1).getDouble(1) === 14.0)
+    // interpreted path (nullSafeEval) directly — the null check is fused
+    // into the accumulation loop, so pin both the bail and the clean sum
+    // on the exact code projections may fall back to
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      val at = ArrayType(DoubleType, containsNull = true)
+      def lit(xs: Seq[Any]) = Literal.create(xs, at)
+      assert(graft.functions.DotProduct(
+        lit(Seq(1.0, null, 3.0)), lit(Seq(1.0, 2.0, 3.0))).eval(null) == null)
+      assert(graft.functions.DotProduct(
+        lit(Seq(1.0, 2.0)), lit(Seq(4.0, 5.0))).eval(null) == 14.0)
+    }
     // same class in the banding kernel: a null slot means every plane's
     // dot is NULL => all-zero bits => bucket 0 in every table (the
     // composed degenerate-bucket quirk), never a partial-sum bucket
@@ -1557,6 +1570,42 @@ class OpsSpec extends SparkSpec {
       frameBytes = 64, stride = 1).count() === 0L)
     val nullAssets = Seq((9L, null.asInstanceOf[Array[Byte]])).toDF("asset_id", "payload")
     assert(Multimodal.sampleFrames(nullAssets, frameBytes = 64, stride = 1).count() === 0L)
+  }
+
+  test("multimodal: real image-header codec parses genuine PNG and JPEG bytes") {
+    // fixtures are REAL files from the JDK's own encoders, not hand-built
+    // headers — if the parser's offsets/endianness/marker walk are wrong
+    // for actual PNG/JPEG output, this fails
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0x336699)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt encoder")
+      bos.toByteArray
+    }
+    assert(Multimodal.imageDims(encode("png", 3, 2)) === Some(("png", 3, 2)))
+    assert(Multimodal.imageDims(encode("png", 640, 480)) === Some(("png", 640, 480)))
+    // ImageIO JPEGs carry APP0 (+ optional APP segments) before SOF0 —
+    // the marker walk has to skip them by segment length
+    assert(Multimodal.imageDims(encode("jpg", 5, 7)) === Some(("jpeg", 5, 7)))
+    assert(Multimodal.imageDims(encode("jpg", 1024, 3)) === Some(("jpeg", 1024, 3)))
+    // corrupt/truncated payloads → None, never a throw
+    assert(Multimodal.imageDims(Array.emptyByteArray) === None)
+    assert(Multimodal.imageDims("not an image".getBytes) === None)
+    assert(Multimodal.imageDims(encode("png", 3, 2).take(20)) === None)
+    assert(Multimodal.imageDims(encode("jpg", 5, 7).take(12)) === None)
+    // distributed path: decodeImageMeta keeps parse failures as null rows
+    val assets = Seq(
+      (1L, encode("png", 8, 4)), (2L, encode("jpg", 6, 9)),
+      (3L, "garbage".getBytes), (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("asset_id", "payload")
+    val got = Multimodal.decodeImageMeta(assets).orderBy("asset_id").collect()
+    assert(got.map(r => (r.getLong(0),
+      if (r.isNullAt(1)) null else r.getString(1),
+      if (r.isNullAt(2)) -1 else r.getInt(2),
+      if (r.isNullAt(3)) -1 else r.getInt(3))).toSeq === Seq(
+      (1L, "png", 8, 4), (2L, "jpeg", 6, 9), (3L, null, -1, -1), (4L, null, -1, -1)))
   }
 
   test("salted aggregate equals plain aggregate on skewed keys") {

@@ -210,6 +210,91 @@ class PlanQualitySpec extends SparkSpec {
       s"spread fired below the row floor:\n$uplan")
   }
 
+  test("InferFiltersFromGenerate stays excluded; repetition subplan has no duplicated generate-input predicate") {
+    // EngineConf.ExcludedOptimizerRules is a GLOBAL optimizer exclusion
+    // covering a per-plan problem (the inferred size(input)>0 pre-filter
+    // duplicates staged HOF generate inputs — 7.9 s vs 0.9 s measured on
+    // the repetition subplan). Pin (a) the exclusion list stays exactly
+    // this one rule, so a config merge can't drop or broaden it
+    // silently; (b) the plan effect: no size()-carrying Filter below the
+    // explode; (c) the discriminating control: with the rule re-enabled
+    // the duplicate predicate reappears — if Spark ever stops inferring
+    // it, the control fails and the exclusion should be re-evaluated.
+    assert(EngineConf.ExcludedOptimizerRules ===
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    assert(spark.conf.get("spark.sql.optimizer.excludedRules") ===
+      EngineConf.ExcludedOptimizerRules)
+    def sizeFilterLines(plan: String): Seq[String] =
+      plan.linesIterator.filter(l => l.contains("Filter ") && l.contains("size(")).toSeq
+    val dir = "/root/testdata/sf0.001"
+    val excluded = SparkEntry.qRepetition(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(sizeFilterLines(excluded).isEmpty,
+      s"inferred generate-input predicate present despite exclusion:\n$excluded")
+    spark.conf.unset("spark.sql.optimizer.excludedRules")
+    try {
+      val withRule = SparkEntry.qRepetition(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      assert(sizeFilterLines(withRule).nonEmpty,
+        "control: InferFiltersFromGenerate no longer infers the duplicate " +
+          "predicate — the global exclusion may be obsolete")
+    } finally spark.conf.set("spark.sql.optimizer.excludedRules",
+      EngineConf.ExcludedOptimizerRules)
+  }
+
+  test("spread gate counts files: a many-small-file table is not under-split") {
+    // Spark plans at least one split per file, so a table already split
+    // across >= parallelism/2 files is NOT starved even when its total
+    // bytes sit under one maxPartitionBytes split — byte math alone
+    // would misdiagnose it and pay a needless full-table shuffle plus
+    // lose all pushdown to the barrier.
+    val dir = java.nio.file.Files.createTempDirectory("graft-manyfiles").toFile.getAbsolutePath
+    spark.range(25000).select(col("id").as("doc_id"),
+      concat(lit("document text number "), col("id").cast("string")).as("text"),
+      lit("en").as("lang"), lit("synth").as("source"), lit(21).as("n_chars"))
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val plan = graft.model.Tables.load(spark, dir, "documents")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SPARK_PARTITION_ID") && !plan.contains("Exchange"),
+      s"spread fired on a 4-file layout (file count ignored in the split estimate):\n$plan")
+  }
+
+  test("spread gate sees rows in a nested partitioned layout") {
+    // partitionBy writes key=value subdirectories; a non-recursive file
+    // listing finds zero .parquet files there, counts zero rows, and
+    // silently disables the spread for exactly the layouts the footer
+    // reader can't see flat. The recursive listing must count the rows
+    // and fire the spread (2 files <= parallelism/2, 25k rows >= floor).
+    val dir = java.nio.file.Files.createTempDirectory("graft-nested").toFile.getAbsolutePath
+    spark.range(25000).select(col("id").as("doc_id"),
+      concat(lit("document text number "), col("id").cast("string")).as("text"),
+      when(col("id") % 2 === 0, "en").otherwise("fr").as("lang"),
+      lit("synth").as("source"), lit(21).as("n_chars"))
+      .coalesce(1).write.partitionBy("lang")
+      .mode("overwrite").parquet(s"$dir/documents.parquet")
+    val plan = graft.model.Tables.load(spark, dir, "documents")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SPARK_PARTITION_ID") && plan.contains("Exchange hashpartitioning"),
+      s"spread missed a nested partitioned layout (non-recursive listing?):\n$plan")
+  }
+
+  test("loadRaw keeps selective predicates pushed to the scan") {
+    // The spread's barrier deliberately blocks pushdown; point lookups
+    // must have an un-spread path where doc_id = literal reaches the
+    // parquet scan for row-group skipping.
+    val dir = java.nio.file.Files.createTempDirectory("graft-raw").toFile.getAbsolutePath
+    spark.range(25000).select(col("id").as("doc_id"),
+      concat(lit("document text number "), col("id").cast("string")).as("text"),
+      lit("en").as("lang"), lit("synth").as("source"), lit(21).as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val plan = graft.model.Tables.loadRaw(spark, dir, "documents")
+      .where(col("doc_id") === 7).queryExecution.executedPlan.toString
+    assert(!plan.contains("SPARK_PARTITION_ID") && !plan.contains("Exchange"),
+      s"loadRaw must never spread:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(doc_id,7)"),
+      s"point-lookup predicate not pushed to the scan:\n$plan")
+  }
+
   test("fact-scale event keying has no unpartitioned window") {
     // fDefaultEvent keys a FACT subset: an unpartitioned row_number
     // would funnel every defaulted loan through one task (the plan

@@ -329,4 +329,21 @@ class PropertySpec extends SparkSpec {
       assert(total >= results.map(_._2).sum) // dropping negatives can only raise the sum
     }
   }
+
+  test("Bench.median: failure sentinels dropped, -1.0 only when every rep failed") {
+    assert(Bench.median(Seq(3.0)) === 3.0)
+    assert(Bench.median(Seq(9.0, 1.0, 4.0)) === 4.0)
+    assert(Bench.median(Seq(1.0, 2.0, 3.0, 10.0)) === 2.5)
+    // one crashed rep must not drag the median negative
+    assert(Bench.median(Seq(-1.0, 5.0, 7.0)) === 6.0)
+    assert(Bench.median(Seq(-1.0, -1.0)) === -1.0)
+    assert(Bench.median(Nil) === -1.0)
+    // property: for all-successful reps the median is an order statistic
+    // bounded by min and max, and permutation-invariant
+    samples(Gen.nonEmptyListOf(Gen.choose(0.0, 30.0)), 20).foreach { ts =>
+      val m = Bench.median(ts)
+      assert(m >= ts.min && m <= ts.max)
+      assert(Bench.median(scala.util.Random.shuffle(ts)) === m)
+    }
+  }
 }
