@@ -1022,17 +1022,25 @@ object SparkEntry {
       ceil(col("meta.n_bytes").cast("double") / 256.0).cast("long").as("n_frames"))
   }
 
+  /** Little-endian byte encoding of a non-negative integer column —
+    * RIFF/GIF headers are LE where PNG/JPEG are BE; byte order is just
+    * hex-string order under unhex, so both assemble declaratively. */
+  private def leBytes(c: Column, nBytes: Int): Column =
+    concat((0 until nBytes).map(b =>
+      unhex(lpad(hex(shiftright(c, 8 * b) % 256), 2, "0"))): _*)
+
   /** Real image-header decode over the multimodal surface: per-document
-    * PNG (even ids) and JPEG (odd ids) payloads are assembled
+    * PNG / JPEG / GIF payloads (doc_id mod 3) are assembled
     * declaratively (hex/unhex/concat — codegen'd, no UDF) with
     * dimensions derived from the id, then [[Multimodal.decodeImageMeta]]
     * parses format/width/height back out of the BYTES with the real
-    * header codec (PNG IHDR int32s; JPEG SOF marker walk past APP0).
-    * The oracle recomputes the expected dims arithmetically, so a parser
-    * that misreads offsets, endianness, or the marker stream fails the
-    * hash gate. (The PNG CRC trailer is a fixed filler — header parsers,
-    * like this one, don't verify CRCs; the spec covers genuine
-    * `ImageIO`-encoded files.) */
+    * header codec (PNG IHDR big-endian int32s; JPEG SOF marker walk past
+    * APP0; GIF little-endian screen descriptor). The oracle recomputes
+    * the expected dims arithmetically, so a parser that misreads
+    * offsets, endianness, or the marker stream fails the hash gate.
+    * (The PNG CRC trailer is a fixed filler — header parsers, like this
+    * one, don't verify CRCs; the spec covers genuine `ImageIO`-encoded
+    * files of all three formats.) */
   def qImageMeta(spark: SparkSession, dir: String): DataFrame = {
     val w = (lit(16) + col("doc_id") % 31).cast("int")
     val h = (lit(16) + (col("doc_id") * 7) % 31).cast("int")
@@ -1048,11 +1056,45 @@ object SparkEntry {
       unhex(lit("FFC0001108")), // SOF0, len 17, precision 8
       be(col("h"), 4), be(col("w"), 4),
       unhex(lit("03011100021101031101"))) // 3 components
+    val gif = concat(
+      lit("GIF89a".getBytes("US-ASCII")),
+      leBytes(col("w"), 2), leBytes(col("h"), 2),
+      unhex(lit("F70000"))) // screen-descriptor packed/bg/aspect bytes
     val assets = t(spark, dir, "documents")
       .select(col("doc_id").as("asset_id"), w.as("w"), h.as("h"))
       .select(col("asset_id"),
-        when(col("asset_id") % 2 === 0, png).otherwise(jpeg).as("payload"))
+        when(col("asset_id") % 3 === 0, png)
+          .when(col("asset_id") % 3 === 1, jpeg)
+          .otherwise(gif).as("payload"))
     Multimodal.decodeImageMeta(assets)
+  }
+
+  /** Real audio-header decode: per-document WAV payloads (RIFF/fmt/data
+    * chunks, all little-endian, assembled declaratively) carry PCM
+    * geometry derived from the id; [[Multimodal.decodeAudioMeta]] walks
+    * the chunk list and reports channels/rate/bits/frame-count, which
+    * the oracle recomputes arithmetically. Header-only payloads (the
+    * data chunk declares its size but carries no samples) — exactly the
+    * metadata-scan shape a 100 TB audio corpus wants. */
+  def qAudioMeta(spark: SparkSession, dir: String): DataFrame = {
+    val channels = (lit(1) + col("doc_id") % 2).cast("int")
+    val rate = (lit(8000) * (lit(1) + col("doc_id") % 5)).cast("int")
+    val blockAlign = (channels * 2).cast("int") // 16-bit PCM
+    val dataSize = ((col("doc_id") % 100 + 1) * 64).cast("int")
+    val wav = concat(
+      lit("RIFF".getBytes("US-ASCII")), leBytes(lit(36) + col("dsz"), 4),
+      lit("WAVE".getBytes("US-ASCII")),
+      lit("fmt ".getBytes("US-ASCII")), leBytes(lit(16), 4),
+      leBytes(lit(1), 2), // PCM
+      leBytes(col("ch"), 2), leBytes(col("rate"), 4),
+      leBytes(col("rate") * col("block"), 4), // byte rate
+      leBytes(col("block"), 2), leBytes(lit(16), 2),
+      lit("data".getBytes("US-ASCII")), leBytes(col("dsz"), 4))
+    val assets = t(spark, dir, "documents")
+      .select(col("doc_id").as("asset_id"), channels.as("ch"), rate.as("rate"),
+        blockAlign.as("block"), dataSize.as("dsz"))
+      .select(col("asset_id"), wav.as("payload"))
+    Multimodal.decodeAudioMeta(assets)
   }
 
   /** CDC apply-changes over a deterministic synthetic changeset:
@@ -1300,6 +1342,7 @@ object SparkEntry {
     "q_cosine_near_dups" -> qCosineNearDups,
     "q_multimodal_meta"  -> qMultimodalMeta,
     "q_image_meta"       -> qImageMeta,
+    "q_audio_meta"       -> qAudioMeta,
     "q_json_extract"     -> qJsonExtract,
     "q_cdc_apply"        -> qCdcApply,
     "q_quality_report"   -> qQualityReport,
@@ -2089,9 +2132,16 @@ object SparkEntry {
         |FROM documents ORDER BY asset_id""".stripMargin,
     "q_image_meta" ->
       """SELECT doc_id AS asset_id,
-        |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
         |       CAST(16 + doc_id % 31 AS INTEGER) AS width,
         |       CAST(16 + (doc_id * 7) % 31 AS INTEGER) AS height
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    "q_audio_meta" ->
+      """SELECT doc_id AS asset_id,
+        |       CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |       CAST(8000 * (1 + doc_id % 5) AS INTEGER) AS sample_rate,
+        |       CAST(16 AS INTEGER) AS bits_per_sample,
+        |       CAST(((doc_id % 100 + 1) * 64) // (2 * (1 + doc_id % 2)) AS BIGINT) AS n_frames
         |FROM documents ORDER BY asset_id""".stripMargin,
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value

@@ -122,6 +122,8 @@ object Multimodal {
     * variable-length segments until a start-of-frame marker (SOFn,
     * n ∉ {4,8,12} — those are DHT/JPG/DAC, not frames); height/width
     * are big-endian uint16 at offsets +5/+7 into the SOF segment.
+    * GIF: "GIF87a"/"GIF89a" magic, then the logical-screen descriptor
+    * carries width/height as LITTLE-endian uint16 at offsets 6/8.
     * Anything unparseable (truncated, wrong magic, zero dims, marker
     * desync) → None, never a throw: one corrupt payload must not kill a
     * 100 TB scan task. */
@@ -130,8 +132,14 @@ object Multimodal {
     def be32(i: Int): Long =
       (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
     def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def ascii(i: Int, s: String): Boolean =
+      i + s.length <= bytes.length && s.indices.forall(j => u8(i + j) == s.charAt(j))
     val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
-    if (bytes.length >= 24 && pngSig.indices.forall(i => u8(i) == pngSig(i))) {
+    if (bytes.length >= 10 && (ascii(0, "GIF87a") || ascii(0, "GIF89a"))) {
+      val w = le16(6); val h = le16(8)
+      if (w > 0 && h > 0) Some(("gif", w, h)) else None
+    } else if (bytes.length >= 24 && pngSig.indices.forall(i => u8(i) == pngSig(i))) {
       // bytes 12..15 must name the IHDR chunk
       if (u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R') {
         val w = be32(16); val h = be32(20)
@@ -164,6 +172,73 @@ object Multimodal {
       }
       None
     } else None
+  }
+
+  /** Output schema of [[decodeAudioMeta]] — same null-on-parse-failure
+    * convention as [[imageMetaSchema]]. `n_frames` = PCM sample frames
+    * in the declared data chunk (data bytes / block align), the basis
+    * for duration (`n_frames / sample_rate`) without touching samples. */
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("bits_per_sample", IntegerType, nullable = true),
+    StructField("n_frames", LongType, nullable = true)))
+
+  /** REAL audio-header decode: PCM metadata from WAV (RIFF) payload
+    * bytes, batched per partition like [[decodeImageMeta]]. Header-only
+    * (fmt + declared data size), so O(1) per asset — a 100 TB audio
+    * corpus scans as metadata, not as samples. */
+  def decodeAudioMeta(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val rdd = assets.select("asset_id", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+        wavMeta(bytes) match {
+          case Some((ch, rate, bits, frames)) => Row(r.getLong(0), ch, rate, bits, frames)
+          case None => Row(r.getLong(0), null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, audioMetaSchema)
+  }
+
+  /** Parse (channels, sampleRate, bitsPerSample, frameCount) from a WAV
+    * header: "RIFF"/"WAVE" magic, then a chunk walk ("fmt " for the PCM
+    * geometry, "data" for the declared payload size — chunks are padded
+    * to even offsets, and unknown chunks like LIST/fact are skipped by
+    * their declared length). The data chunk's size is trusted as
+    * declared even if the buffer is truncated after the header: this is
+    * a header parser, and the frame count is metadata, not a read.
+    * Unparseable/zero-geometry input → None, never a throw. */
+  private[graft] def wavMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def ascii(i: Int, s: String): Boolean =
+      i + s.length <= bytes.length && s.indices.forall(j => u8(i + j) == s.charAt(j))
+    if (!(bytes.length >= 12 && ascii(0, "RIFF") && ascii(8, "WAVE"))) return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, bits, blockAlign
+    var dataBytes = -1L
+    while (i + 8 <= bytes.length && (fmt.isEmpty || dataBytes < 0)) {
+      val size = le32(i + 4)
+      if (size > Int.MaxValue - 16) return None // corrupt size, avoid wrap
+      if (ascii(i, "fmt ") && size >= 16 && i + 8 + 16 <= bytes.length) {
+        fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 22), le16(i + 20)))
+      } else if (ascii(i, "data")) {
+        dataBytes = size
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    fmt match {
+      case Some((ch, rate, bits, block)) if ch > 0 && rate > 0 && bits > 0 &&
+          block > 0 && dataBytes >= 0 =>
+        Some((ch, rate, bits, dataBytes / block))
+      case _ => None
+    }
   }
 
   /** Frame sampling: split a payload into fixed-size "frames" (stand-in

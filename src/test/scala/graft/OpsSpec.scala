@@ -1590,6 +1590,9 @@ class OpsSpec extends SparkSpec {
     // the marker walk has to skip them by segment length
     assert(Multimodal.imageDims(encode("jpg", 5, 7)) === Some(("jpeg", 5, 7)))
     assert(Multimodal.imageDims(encode("jpg", 1024, 3)) === Some(("jpeg", 1024, 3)))
+    // GIF dims are LITTLE-endian — 300 = 0x012C exercises both bytes
+    assert(Multimodal.imageDims(encode("gif", 300, 2)) === Some(("gif", 300, 2)))
+    assert(Multimodal.imageDims(encode("gif", 4, 6)) === Some(("gif", 4, 6)))
     // corrupt/truncated payloads → None, never a throw
     assert(Multimodal.imageDims(Array.emptyByteArray) === None)
     assert(Multimodal.imageDims("not an image".getBytes) === None)
@@ -1606,6 +1609,36 @@ class OpsSpec extends SparkSpec {
       if (r.isNullAt(2)) -1 else r.getInt(2),
       if (r.isNullAt(3)) -1 else r.getInt(3))).toSeq === Seq(
       (1L, "png", 8, 4), (2L, "jpeg", 6, 9), (3L, null, -1, -1), (4L, null, -1, -1)))
+  }
+
+  test("multimodal: real WAV-header codec parses genuine AudioSystem files") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // fixture from the JDK's own WAV writer — real RIFF chunk layout
+    def wav(rate: Float, bits: Int, channels: Int, frames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate, bits, channels, true, false)
+      val data = new Array[Byte](frames * fmt.getFrameSize)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.wavMeta(wav(16000f, 16, 2, 1600)) === Some((2, 16000, 16, 1600L)))
+    assert(Multimodal.wavMeta(wav(44100f, 16, 1, 441)) === Some((1, 44100, 16, 441L)))
+    assert(Multimodal.wavMeta(wav(8000f, 8, 1, 3)) === Some((1, 8000, 8, 3L)))
+    // corrupt/truncated/foreign input → None, never a throw
+    assert(Multimodal.wavMeta(Array.emptyByteArray) === None)
+    assert(Multimodal.wavMeta("RIFFxxxxNOPE".getBytes) === None)
+    assert(Multimodal.wavMeta(wav(16000f, 16, 2, 1600).take(11)) === None)
+    // truncated AFTER the header: declared data size still reported —
+    // header-only metadata by design
+    assert(Multimodal.wavMeta(wav(16000f, 16, 2, 1600).take(60)) === Some((2, 16000, 16, 1600L)))
+    val assets = Seq((1L, wav(22050f, 16, 2, 100)), (2L, "junk".getBytes))
+      .toDF("asset_id", "payload")
+    val got = Multimodal.decodeAudioMeta(assets).orderBy("asset_id").collect()
+    assert(got(0).getInt(1) === 2 && got(0).getInt(2) === 22050 &&
+      got(0).getInt(3) === 16 && got(0).getLong(4) === 100L)
+    assert(got(1).isNullAt(1) && got(1).isNullAt(4))
   }
 
   test("salted aggregate equals plain aggregate on skewed keys") {
