@@ -1022,6 +1022,22 @@ object SparkEntry {
       ceil(col("meta.n_bytes").cast("double") / 256.0).cast("long").as("n_frames"))
   }
 
+  /** Int8 scalar quantization of the embeddings table
+    * ([[Similarity.quantizeEmbeddings]]: per-dim min/max learned from
+    * the corpus, codes in [-128,127]) gated through per-vector integer
+    * invariants (dim count, code sum/min/max) — scalars, so the oracle
+    * compare is exact-integer, immune to array-cell formatting. The
+    * oracle recomputes the same codes from the same per-dim stats in
+    * SQL; a quantizer off by one dimension, one rounding rule, or one
+    * scale factor shifts the sums and fails the hash. */
+  def qQuantizeEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeEmbeddings(t(spark, dir, "embeddings"), "embedding")
+      .select(col("vec_id"),
+        size(col("codes")).as("n_dims"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"))
+
   /** Little-endian byte encoding of a non-negative integer column —
     * RIFF/GIF headers are LE where PNG/JPEG are BE; byte order is just
     * hex-string order under unhex, so both assemble declaratively. */
@@ -1343,6 +1359,7 @@ object SparkEntry {
     "q_multimodal_meta"  -> qMultimodalMeta,
     "q_image_meta"       -> qImageMeta,
     "q_audio_meta"       -> qAudioMeta,
+    "q_quantize_emb"     -> qQuantizeEmbeddings,
     "q_json_extract"     -> qJsonExtract,
     "q_cdc_apply"        -> qCdcApply,
     "q_quality_report"   -> qQualityReport,
@@ -2136,6 +2153,19 @@ object SparkEntry {
         |       CAST(16 + doc_id % 31 AS INTEGER) AS width,
         |       CAST(16 + (doc_id * 7) % 31 AS INTEGER) AS height
         |FROM documents ORDER BY asset_id""".stripMargin,
+    "q_quantize_emb" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |d AS (SELECT t.i AS i, min(e.v[t.i+1]) AS mn, max(e.v[t.i+1]) AS mx
+        |      FROM e, range(64) t(i) GROUP BY 1),
+        |c AS (SELECT e.vec_id,
+        |             CASE WHEN d.mx = d.mn THEN 0
+        |                  ELSE CAST(round((e.v[t.i+1] - d.mn) / (d.mx - d.mn) * 255) AS INTEGER) - 128
+        |             END AS code
+        |      FROM e, range(64) t(i), d WHERE d.i = t.i)
+        |SELECT vec_id, CAST(count(*) AS INTEGER) AS n_dims,
+        |       CAST(sum(code) AS BIGINT) AS code_sum,
+        |       min(code) AS code_min, max(code) AS code_max
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_audio_meta" ->
       """SELECT doc_id AS asset_id,
         |       CAST(1 + doc_id % 2 AS INTEGER) AS channels,

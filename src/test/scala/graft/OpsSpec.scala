@@ -1641,6 +1641,39 @@ class OpsSpec extends SparkSpec {
     assert(got(1).isNullAt(1) && got(1).isNullAt(4))
   }
 
+  test("int8 quantization: codes bounded, endpoints exact, dequant error within half a step") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 40).map(i =>
+      // dim 3 is CONSTANT — must code to 0, not divide by zero
+      (i.toLong, Array(rnd.nextDouble() * 10 - 5, rnd.nextDouble() * 0.01,
+        rnd.nextDouble() * 1000, 42.0)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.quantizeEmbeddings(vecs, "embedding")
+      .select("vec_id", "embedding", "codes").collect()
+    val raw = got.map(r => (r.getLong(0),
+      r.getAs[scala.collection.Seq[Double]](1), r.getAs[scala.collection.Seq[Int]](2)))
+    val dims = raw.head._2.indices
+    val mins = dims.map(d => raw.map(_._2(d)).min)
+    val maxs = dims.map(d => raw.map(_._2(d)).max)
+    raw.foreach { case (_, v, codes) =>
+      assert(codes.size === v.size)
+      dims.foreach { d =>
+        val c = codes(d)
+        assert(c >= -128 && c <= 127)
+        if (maxs(d) == mins(d)) assert(c === 0)
+        else {
+          val step = (maxs(d) - mins(d)) / 255
+          val dequant = mins(d) + (c + 128) * step
+          assert(math.abs(dequant - v(d)) <= step / 2 + 1e-12,
+            s"dim $d: x=${v(d)} code=$c dequant=$dequant step=$step")
+          // corpus extremes hit the code range ends exactly
+          if (v(d) == mins(d)) assert(c === -128)
+          if (v(d) == maxs(d)) assert(c === 127)
+        }
+      }
+    }
+  }
+
   test("salted aggregate equals plain aggregate on skewed keys") {
     import graft.ops.Skew
     // whale key: 'w' carries 90% of rows
