@@ -167,7 +167,11 @@ object Multimodal {
             if (i + 3 >= bytes.length) return None
             val segLen = be16(i + 2)
             if (segLen < 2) return None
-            i += 2 + segLen
+            // Long cursor math: near-2GB payloads must exit the walk,
+            // not wrap the Int cursor negative and throw on the index
+            val next = i.toLong + 2 + segLen
+            if (next > bytes.length) return None
+            i = next.toInt
         }
       }
       None
@@ -224,14 +228,17 @@ object Multimodal {
     var dataBytes = -1L
     while (i + 8 <= bytes.length && (fmt.isEmpty || dataBytes < 0)) {
       val size = le32(i + 4)
-      if (size > Int.MaxValue - 16) return None // corrupt size, avoid wrap
       if (ascii(i, "fmt ") && size >= 16 && i + 8 + 16 <= bytes.length) {
         fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 22), le16(i + 20)))
       } else if (ascii(i, "data")) {
         dataBytes = size
       }
-      // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + size.toInt + (size.toInt & 1)
+      // Long cursor math (chunks are word-aligned: odd sizes carry a pad
+      // byte): a corrupt 4-byte size must end the walk, not wrap the Int
+      // cursor negative and throw on the index. Past-the-end is fine for
+      // the FINAL chunk (header-only truncation) — the loop just exits.
+      val next = i.toLong + 8 + size + (size & 1)
+      i = if (next > bytes.length) bytes.length else next.toInt // ends the walk
     }
     fmt match {
       case Some((ch, rate, bits, block)) if ch > 0 && rate > 0 && bits > 0 &&
