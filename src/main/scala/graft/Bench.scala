@@ -91,7 +91,19 @@ object Bench {
     // driver's single-pass default (reps=1) is byte-identical to the
     // old output; with reps>1 "queries" carries the per-query MEDIAN,
     // plus "queries_min"/"reps" for the floor and provenance.
-    val reps = math.max(1, sys.env.get("SPARK_GRAFT_REPS").map(_.trim.toInt).getOrElse(1))
+    // tolerant parse: a malformed value (typo, unexpanded template var)
+    // must degrade to the single-pass default with a warning, not crash
+    // the sweep after the session is already up and lose the round's
+    // numbers to a NumberFormatException
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.trim) match {
+      case Some(s) =>
+        scala.util.Try(s.toInt).toOption.filter(_ >= 1).getOrElse {
+          System.err.println(
+            s"[bench] ignoring invalid SPARK_GRAFT_REPS='$s' (want a positive integer); reps=1")
+          1
+        }
+      case None => 1
+    }
     // sorted iteration: deterministic order round-over-round (a HashMap
     // order reshuffle moves JIT/codegen warm-up costs between queries)
     val perRun = selected.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -68,11 +68,19 @@ object Tables {
       val fs = root.getFileSystem(conf)
       if (fs.getFileStatus(root).isDirectory) {
         val out = Seq.newBuilder[HPath]
-        val it = fs.listFiles(root, /* recursive = */ true)
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.isFile && f.getPath.getName.endsWith(".parquet")) out += f.getPath
+        // skip what Spark's own file index skips (path components
+        // starting with `_` or `.`: _temporary from a killed write,
+        // _SUCCESS markers, hidden files) — counting files Spark will
+        // never scan would inflate the split estimate (wrongly
+        // suppressing the spread) and the row floor alike
+        def walk(d: HPath): Unit = fs.listStatus(d).foreach { st =>
+          val n = st.getPath.getName
+          if (!n.startsWith("_") && !n.startsWith(".")) {
+            if (st.isDirectory) walk(st.getPath)
+            else if (n.endsWith(".parquet")) out += st.getPath
+          }
         }
+        walk(root)
         out.result()
       } else Seq(root)
     } catch { case _: Exception => Seq.empty }
@@ -102,7 +110,15 @@ object Tables {
     * under-split — byte math alone would misdiagnose it and pay a
     * needless full-table shuffle (plus lose pushdown to the barrier).
     * Both inputs are plan/driver-side only — no job, no RDD
-    * materialization. On a real multi-file table splits exceed cores and
+    * materialization. Deliberately NOT Spark's openCost/bytesPerCore
+    * bin-packing formula: that predicts PLANNED partitions, but the
+    * starvation this gate fixes is bounded by row-group parallelism —
+    * Spark "plans" 32 splits of a 300 MB file whose row groups are
+    * ~128 MB, yet only ~3 tasks receive a row group; bytes over
+    * `maxPartitionBytes` (≈ the row-group ceiling) approximates the
+    * EFFECTIVE parallelism those layouts actually get, which is why the
+    * measured 10×/100× single-file corpora needed the spread despite a
+    * generous planned-split count. On a real multi-file table splits exceed cores and
     * this is a no-op: the shuffle is only paid exactly when the layout
     * starves the scan. */
   private def spreadScan(spark: SparkSession, df: DataFrame, path: String,

@@ -7,11 +7,12 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata, processed in partition-sized batches.
   *
-  * Two decode tiers: [[decodeImageMeta]] is a REAL pure-JVM codec
-  * (PNG/JPEG header parse → pixel dimensions, spec'd against genuine
-  * `ImageIO`-encoded files). The full pixel/tensor decode (JPEG/WAV/MP4
-  * → tensors) needs native codec libraries that are NOT in this
-  * container — that tier is STUBBED with a deterministic fake
+  * Two decode tiers: [[decodeImageMeta]] (PNG/JPEG/GIF header parse →
+  * pixel dimensions) and [[decodeAudioMeta]] (WAV/RIFF chunk walk →
+  * PCM geometry) are REAL pure-JVM codecs, spec'd against genuine
+  * `ImageIO`/`AudioSystem`-encoded files. The full pixel/tensor decode
+  * (JPEG/WAV/MP4 → tensors) needs native codec libraries that are NOT
+  * in this container — that tier is STUBBED with a deterministic fake
   * ([[fakeDecodeFeatures]]). Everything around it — the asset schema,
   * binary column handling, batched `mapPartitions` execution shape,
   * frame sampling, feature schema — is real Spark plumbing and is what
@@ -94,8 +95,8 @@ object Multimodal {
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true)))
 
-  /** REAL image-header decode (no stub): pixel dimensions from PNG and
-    * JPEG payload bytes, pure JVM, batched per partition exactly like
+  /** REAL image-header decode (no stub): pixel dimensions from PNG,
+    * JPEG, and GIF payload bytes, pure JVM, batched per partition exactly like
     * [[decodeFeatures]] — the production shape where this parser is a
     * libjpeg/ffmpeg call. Header-only: no pixel decode, so cost is O(1)
     * per asset regardless of payload size (at 100 TB of media that is

@@ -259,6 +259,26 @@ class PlanQualitySpec extends SparkSpec {
       s"spread fired on a 4-file layout (file count ignored in the split estimate):\n$plan")
   }
 
+  test("spread gate ignores hidden and _temporary leftovers Spark won't scan") {
+    // a killed overwrite leaves _temporary/**/part-*.parquet behind;
+    // Spark's file index skips any `_`/`.`-prefixed path component, so
+    // the gate must too — counting the stale files would inflate the
+    // split estimate and wrongly suppress the spread on a genuinely
+    // single-split table
+    val dir = java.nio.file.Files.createTempDirectory("graft-hidden").toFile.getAbsolutePath
+    spark.range(25000).select(col("id").as("doc_id"),
+      concat(lit("document text number "), col("id").cast("string")).as("text"),
+      lit("en").as("lang"), lit("synth").as("source"), lit(21).as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val junk = spark.range(100).select(col("id").as("doc_id"))
+    junk.repartition(2).write.parquet(s"$dir/documents.parquet/_temporary/0/stale.parquet")
+    junk.coalesce(1).write.parquet(s"$dir/documents.parquet/.hidden/more.parquet")
+    val plan = graft.model.Tables.load(spark, dir, "documents")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SPARK_PARTITION_ID") && plan.contains("Exchange hashpartitioning"),
+      s"stale _temporary/.hidden files suppressed the spread:\n$plan")
+  }
+
   test("spread gate sees rows in a nested partitioned layout") {
     // partitionBy writes key=value subdirectories; a non-recursive file
     // listing finds zero .parquet files there, counts zero rows, and
