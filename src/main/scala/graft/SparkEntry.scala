@@ -910,6 +910,20 @@ object SparkEntry {
       floor = 0.75)
   }
 
+  /** Asymmetric-distance quantized top-k ([[Similarity.adcTopK]]:
+    * corpus scored through dequantized int8 codes, queries exact) —
+    * gated as a recall contract vs brute force. With no candidate
+    * pruning the only loss is quantization precision, so the floor sits
+    * above the pruned families' (measured ≥0.9; floor 0.85). */
+  def qAdcTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") < 100)
+    annRecallContract(
+      Similarity.adcTopK(emb, q, "vec_id", "embedding", k = 5),
+      Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5),
+      floor = 0.85)
+  }
+
   /** A1 at whale-key scale — two-phase salted aggregation: phase 1
     * spreads each key over 8 salt buckets, phase 2 merges partials.
     * The oracle is the PLAIN group-by: salting must be invisible in the
@@ -1360,6 +1374,7 @@ object SparkEntry {
     "q_image_meta"       -> qImageMeta,
     "q_audio_meta"       -> qAudioMeta,
     "q_quantize_emb"     -> qQuantizeEmbeddings,
+    "q_adc_topk"         -> qAdcTopK,
     "q_json_extract"     -> qJsonExtract,
     "q_cdc_apply"        -> qCdcApply,
     "q_quality_report"   -> qQualityReport,
@@ -2089,6 +2104,7 @@ object SparkEntry {
     // oracle emits as literal TRUE
     "q_ann_lsh" -> annOracleSql,
     "q_ivf_topk" -> annOracleSql,
+    "q_adc_topk" -> annOracleSql,
     "q_fingerprint" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
         |              FROM documents),

@@ -464,7 +464,13 @@ object Similarity {
     * bit-reproducible across engines and partitionings; `round` is
     * half-up, which agrees with DuckDB's half-away-from-zero on the
     * non-negative scaled values. */
-  def quantizeEmbeddings(df: DataFrame, vecCol: String): DataFrame = {
+  def quantizeEmbeddings(df: DataFrame, vecCol: String): DataFrame =
+    quantizeEmbeddings(df, vecCol, keepStats = false)
+
+  /** As above; `keepStats = true` additionally keeps the per-dimension
+    * `mns`/`mxs` arrays on every row (broadcast-joined, so ~free) for
+    * consumers that dequantize — [[adcTopK]]. */
+  def quantizeEmbeddings(df: DataFrame, vecCol: String, keepStats: Boolean): DataFrame = {
     // per-dim min/max: posexplode + hash agg on dim ids (64 groups), then
     // collapse to ONE row of position-ordered arrays. sort_array on
     // (dim, value) structs makes the collect_list order deterministic —
@@ -483,6 +489,39 @@ object Similarity {
           when(mx === mn, lit(0)).otherwise(
             (round((x.cast("double") - mn) / (mx - mn) * 255) - 128).cast("int"))
         }))
-      .drop("mns", "mxs")
+      .drop((if (keepStats) Seq.empty[String] else Seq("mns", "mxs")): _*)
+  }
+
+  /** Asymmetric-distance (ADC) top-k: corpus vectors are scored through
+    * their int8 codes — dequantized on the fly from the per-dim stats —
+    * while queries stay exact float. This is how a production ANN system
+    * scores candidates in memory: the 4×-smaller codebook is what keeps
+    * the scoring working set resident at 100 TB.
+    *
+    * Scoring shape matches [[bruteForceTopK]] (broadcast query side, no
+    * corpus shuffle, per-query top-k window); at scale the corpus side
+    * is a CANDIDATE subset ([[lshTopK]]/[[ivfTopK]] output), not the
+    * full table — ADC is the memory-side complement of those pruners,
+    * demonstrated here over the full corpus so the recall contract
+    * isolates pure quantization loss (measured recall@5 vs exact:
+    * ~0.9+ on this corpus). */
+  def adcTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = quantizeEmbeddings(corpus, vecCol, keepStats = true)
+      .select(col(idCol).as("corpus_id"),
+        transform(col("codes"), (code, i) => {
+          val mn = element_at(col("mns"), i + 1)
+          val mx = element_at(col("mxs"), i + 1)
+          mn + (code.cast("double") + 128) * (mx - mn) / 255
+        }).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
+    c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "rank", "score")
   }
 }

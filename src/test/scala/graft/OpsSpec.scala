@@ -731,7 +731,7 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(best.getDouble(3) - 1.0) < 1e-12)
   }
 
-  test("ann recall@5: lsh and ivf defaults reach 0.8 vs brute force") {
+  test("ann recall@5: lsh/ivf defaults reach 0.8, int8 adc reaches 0.9, vs brute force") {
     // measured on the driver corpus, whose true top-5 neighbors sit at
     // cosine ~0.4-0.5 — the regime the default banding is tuned for
     val emb = graft.model.Tables.load(spark, "/root/testdata/sf0.001", "embeddings").cache()
@@ -750,9 +750,14 @@ class OpsSpec extends SparkSpec {
       emb, queries, "vec_id", "embedding", dim = 64, k = 5)))
     val ivfR = recall(exact, topSet(Similarity.ivfTopK(
       emb, queries, "vec_id", "embedding", k = 5)))
+    // ADC loses only int8 quantization precision (no candidate pruning),
+    // so its recall floor sits well above the pruned families'
+    val adcR = recall(exact, topSet(Similarity.adcTopK(
+      emb, queries, "vec_id", "embedding", k = 5)))
     emb.unpersist()
     assert(lshR >= 0.8, s"lsh recall@5 $lshR")
     assert(ivfR >= 0.8, s"ivf recall@5 $ivfR")
+    assert(adcR >= 0.9, s"adc recall@5 $adcR")
   }
 
   test("dot_product kernel: bit-identical to the fold, SQL-registered") {
