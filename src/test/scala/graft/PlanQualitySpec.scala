@@ -315,6 +315,28 @@ class PlanQualitySpec extends SparkSpec {
       s"point-lookup predicate not pushed to the scan:\n$plan")
   }
 
+  test("quantization joins its per-dim stats as a broadcast, never a corpus shuffle") {
+    // the per-dim min/max collapse to ONE row; the corpus side must pick
+    // it up via broadcast (nested-loop on a 1-row build is fine) — a
+    // sort-merge fallback would shuffle the full corpus for a 2-column
+    // lookup table and break the no-corpus-shuffle contract at 100 TB.
+    // Pinned on the OPERATOR frames (the gated queries wrap them in the
+    // recall contract, whose tiny top-k semi-join may legitimately
+    // sort-merge)
+    import graft.ops.Similarity
+    val emb = graft.model.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val quant = Similarity.quantizeEmbeddings(emb, "embedding")
+      .queryExecution.executedPlan.toString
+    assert(quant.contains("BroadcastNestedLoopJoin") || quant.contains("BroadcastHashJoin"),
+      s"quantize: stats join is not broadcast:\n$quant")
+    assert(!quant.contains("SortMergeJoin"),
+      s"quantize: corpus-side sort-merge join appeared:\n$quant")
+    val adc = Similarity.adcTopK(emb, emb.where(col("vec_id") < 100),
+      "vec_id", "embedding", k = 5).queryExecution.executedPlan.toString
+    assert(!adc.contains("SortMergeJoin"),
+      s"adc: corpus-side sort-merge join appeared:\n$adc")
+  }
+
   test("fact-scale event keying has no unpartitioned window") {
     // fDefaultEvent keys a FACT subset: an unpartitioned row_number
     // would funnel every defaulted loan through one task (the plan
