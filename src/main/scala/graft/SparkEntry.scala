@@ -630,6 +630,28 @@ object SparkEntry {
     TextOps.unigramRarity(t(spark, dir, "documents"), "doc_id", "text")
       .withColumnRenamed("id", "doc_id")
 
+  /** Query terms for the BM25 gate — mid-frequency corpus vocabulary,
+    * shared with the generated oracle SQL. */
+  private[graft] val Bm25Terms = Seq("spark", "join", "vector", "stream")
+
+  /** BM25 relevance of every document against a fixed query-term set
+    * (rational RSJ idf — no libm log — so scores are bit-exact across
+    * engines; see TextOps.bm25). */
+  def qBm25(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bm25(t(spark, dir, "documents"), "doc_id", "text", Bm25Terms)
+      .withColumnRenamed("id", "doc_id")
+
+  /** Proportional stratified sample: ~120 docs preserving the corpus
+    * language mix, selected per-stratum by md5(id) rank (deterministic
+    * reservoir). The operator runs the two-stage salted rank; the
+    * oracle is the plain single-window form — the salting must be
+    * invisible in the result. */
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Curation.proportionalSample(
+      t(spark, dir, "documents").select(col("doc_id"), col("lang")),
+      "doc_id", "lang", total = 120)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+
   /** Transitive dedup-group resolution: connected components over the
     * n-gram Jaccard near-dup pairs (same parameters as
     * `q_ngram_jaccard`, whose pair set is oracle-verified) — every
@@ -1349,6 +1371,8 @@ object SparkEntry {
     "q_contamination"    -> qContamination,
     "q_pii_redact"       -> qPiiRedact,
     "q_rarity"           -> qRarity,
+    "q_bm25"             -> qBm25,
+    "q_stratified_sample" -> qStratifiedSample,
     "q_data_mix"         -> qDataMix,
     "q_split_assign"     -> qSplitAssign,
     "q_domain_cap"       -> qDomainCap,
@@ -1382,6 +1406,43 @@ object SparkEntry {
     "q_adapter_staging"  -> qAdapterStaging,
     "q_sql_staging"      -> qSqlStaging,
   )
+
+  /** BM25 oracle, generated from the SAME term list and k1/b constants
+    * the operator folds with — every numeric literal is interpolated
+    * via Double.toString (round-trips to identical bits in DuckDB), and
+    * the arithmetic mirrors the Spark expression shape operation for
+    * operation (rational RSJ idf, fixed-order term sum), so the scores
+    * hash-match exactly. */
+  private def bm25OracleSql: String = {
+    val k1 = TextOps.Bm25K1
+    val b = TextOps.Bm25B
+    def d(x: Double): String = s"CAST($x AS DOUBLE)"
+    val tfCols = Bm25Terms.indices.map { i =>
+      s"""CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |         x -> x = '${Bm25Terms(i)}')) AS BIGINT) AS tf_$i""".stripMargin
+    }.mkString(",\n       ")
+    val dfCols = Bm25Terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+      .mkString(",\n              ")
+    val avgdl = s"(CAST(sumdl AS DOUBLE) / CAST(nn AS DOUBLE))"
+    val score = Bm25Terms.indices.map { i =>
+      s"""((nn - df_$i + ${d(0.5)}) / (df_$i + ${d(0.5)}))
+         |    * (CAST(tf_$i AS DOUBLE) * ${d(k1 + 1.0)})
+         |    / (CAST(tf_$i AS DOUBLE) + ${d(k1)} * (${d(1.0)} - ${d(b)}
+         |       + ${d(b)} * (CAST(dl AS DOUBLE) / $avgdl)))""".stripMargin
+    }.mkString("\n  + ")
+    s"""WITH p AS (SELECT doc_id,
+       |       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS dl,
+       |       $tfCols
+       |  FROM documents),
+       |s AS (SELECT count(*) AS nn, CAST(sum(dl) AS BIGINT) AS sumdl,
+       |              $dfCols
+       |      FROM p)
+       |SELECT doc_id, dl AS n_tokens,
+       |  $score AS bm25
+       |FROM p CROSS JOIN s ORDER BY doc_id""".stripMargin
+  }
 
   /** Shared ANN-contract oracle: the exact brute-force top-5 aggregate
     * (query count, result count, decimal-summed score mass) + literal
@@ -1941,6 +2002,17 @@ object SparkEntry {
          |  regexp_replace(t2, '$phone', '$phoneR', 'g') AS redacted
          |FROM r ORDER BY doc_id""".stripMargin
     },
+    "q_bm25" -> bm25OracleSql,
+    "q_stratified_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS ns FROM documents GROUP BY lang),
+        |n AS (SELECT CAST(sum(ns) AS BIGINT) AS nn FROM c),
+        |r AS (SELECT doc_id, lang, row_number() OVER
+        |        (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |      FROM documents)
+        |SELECT doc_id, lang, CAST(rnk AS INTEGER) AS sample_rank
+        |FROM r JOIN c USING (lang) CROSS JOIN n
+        |WHERE rnk = 1 OR rnk * nn <= 120 * ns
+        |ORDER BY doc_id""".stripMargin,
     "q_rarity" ->
       """WITH toks AS (SELECT doc_id AS id,
         |         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),

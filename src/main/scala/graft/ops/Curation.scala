@@ -117,4 +117,81 @@ object Curation {
       .select(col(idCol), col("chunk_idx"), col("tok_start"),
         least(col("tok_start") + maxTokens, col("_n")).as("tok_end"))
   }
+
+  /** Proportional stratified sample: downsample to ~`total` rows while
+    * preserving the stratum (language / source / quality-bucket)
+    * distribution — the standard corpus-shrink that keeps a 100 TB
+    * crawl's language mix intact. Complements [[Mix.stratifiedSample]]:
+    * that one keeps an approximate per-stratum FRACTION (a per-row
+    * Bernoulli-style bucket test, count varies with the data); this one
+    * hits an exact total BUDGET with exact proportional allocation
+    * (rank-based, count is a deterministic function of the stratum
+    * sizes). Per-stratum quota is the exact
+    * proportional share `floor(total · n_s / N)` (bounded below by 1 so
+    * tiny strata stay represented), applied WITHOUT division: a row of
+    * rank r survives iff `r == 1 or r · N <= total · n_s` — pure 64-bit
+    * integer arithmetic, so every engine computes the identical sample.
+    * (At corpora where `rank · N` could exceed 2⁶³ — N beyond ~10¹²
+    * with million-row quotas — widen the comparison to decimal(38,0);
+    * the driver corpus is 9 orders of magnitude below that.)
+    *
+    * Within a stratum, selection order is `md5(id)` (tie-break id): a
+    * uniform deterministic permutation, i.e. the distributed equivalent
+    * of reservoir sampling — membership is a pure function of the id,
+    * so a document keeps or loses its slot reproducibly across runs and
+    * partitionings, and the sample is unbiased w.r.t. any data order.
+    *
+    * Scale shape: the naive form is one window per stratum — but strata
+    * are FEW (languages), so `partitionBy(stratum)` concentrates each
+    * stratum's full mass in one task at 100 TB. Instead the rank runs in
+    * two exact stages: (1) rank within (stratum, salt) over
+    * `saltBuckets` hash-salted slices and keep each slice's local
+    * top-quota — any row in the global stratum top-quota is necessarily
+    * in its own slice's top-quota, so nothing that matters is lost;
+    * (2) exact global rank per stratum over the ≤ saltBuckets · quota
+    * survivors — quota-bounded mass, not corpus-bounded. The result is
+    * bit-identical to the single-window form (spec-pinned), while the
+    * heavy stage-1 windows are 1/saltBuckets of a stratum each and the
+    * stage-2 window is small by construction. Quota stats come from one
+    * tiny per-stratum count aggregate, broadcast back. */
+  def proportionalSample(df: DataFrame, idCol: String, stratumCol: String,
+                       total: Long, saltBuckets: Int = 16): DataFrame = {
+    require(total > 0, s"sample budget must be positive: $total")
+    require(saltBuckets > 0, s"saltBuckets must be positive: $saltBuckets")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_ns"))
+    val stats = counts.crossJoin(counts.agg(sum(col("_ns")).as("_nn")))
+    // survives ⟺ rank·N ≤ total·n_s (exact integer floor-quota), rank 1 always
+    def inQuota(rank: Column): Column =
+      rank === 1 || rank * col("_nn") <= lit(total) * col("_ns")
+    val key = md5(col(idCol).cast("string").cast("binary"))
+    val salted = df
+      .join(broadcast(stats), Seq(stratumCol))
+      .withColumn("_key", key)
+      .withColumn("_salt", pmod(xxhash64(col(idCol)), lit(saltBuckets)))
+    val w1 = Window.partitionBy(col(stratumCol), col("_salt"))
+      .orderBy(col("_key"), col(idCol))
+    val w2 = Window.partitionBy(col(stratumCol)).orderBy(col("_key"), col(idCol))
+    salted
+      .withColumn("_r1", row_number().over(w1))
+      .where(inQuota(col("_r1")))
+      .withColumn("sample_rank", row_number().over(w2))
+      .where(inQuota(col("sample_rank")))
+      .drop("_ns", "_nn", "_key", "_salt", "_r1")
+  }
+
+  /** Single-window reference form of [[proportionalSample]] — the spec
+    * pins the two-stage operator bit-identical to this. Not the scale
+    * path (one window partition per stratum). */
+  private[graft] def proportionalSampleDirect(df: DataFrame, idCol: String,
+                                            stratumCol: String, total: Long): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_ns"))
+    val stats = counts.crossJoin(counts.agg(sum(col("_ns")).as("_nn")))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    df.join(broadcast(stats), Seq(stratumCol))
+      .withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") === 1 ||
+        col("sample_rank") * col("_nn") <= lit(total) * col("_ns"))
+      .drop("_ns", "_nn")
+  }
 }

@@ -73,6 +73,13 @@ object TextOps {
       .cast("double") / greatest(size(toks), lit(1)).cast("double")
   }
 
+  /** BM25 defaults (Okapi's standard values) — named so the generated
+    * oracle SQL interpolates the SAME doubles the operator folds with
+    * (Double.toString round-trips, so both engines parse the exact
+    * bits). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
   val defaultStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as", "at", "by", "be", "this")
@@ -284,6 +291,58 @@ object TextOps {
     * benchmark side is globally deduped first, so its size is bounded by
     * its vocabulary, not its row count — dimension-sized benchmarks
     * broadcast under AQE). Nothing ever shuffles document text. */
+  /** BM25 relevance scores for a fixed query-term set over the corpus —
+    * the retrieval-scoring primitive behind decontamination search,
+    * targeted corpus slicing ("all docs about X"), and quality-weighted
+    * sampling. Output: one row per document with `n_tokens` and `bm25`.
+    *
+    * Determinism deviation, mirrored in the oracle: idf is the
+    * Robertson–Spärck-Jones RATIO `(N - df + 0.5) / (df + 0.5)` without
+    * the usual `ln` — the ranking is order-equivalent per term, and
+    * dropping the log keeps every operation IEEE-exact (+ − × ÷ are
+    * bit-defined; libm `log` is correctly-rounded on neither engine, so
+    * a logged idf could differ in the last ulp between Spark and
+    * DuckDB). The per-term sum runs in the FIXED order of `queryTerms`
+    * (an expression left-fold, not an aggregation), so scores are
+    * bit-reproducible across engines and partitionings.
+    *
+    * Scale shape: zero shuffles on the corpus. Per-term tf comes from
+    * the native [[graft.functions.TokenStopCounts]] kernel with a
+    * single-term list — one byte pass per (row, term), no token
+    * explode, no (doc, token) shuffle. The corpus-level stats (N,
+    * per-term df, Σdl) reduce in ONE narrow aggregate to a single row,
+    * broadcast back. Terms are a QUERY (a handful), not a vocabulary —
+    * for vocabulary-scale scoring use the exploded-token join shape of
+    * [[unigramRarity]] instead. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String, queryTerms: Seq[String],
+           k1: Double = Bm25K1, b: Double = Bm25B): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    require(queryTerms.forall(t => t.nonEmpty && t == t.toLowerCase),
+      s"query terms must be non-empty lowercase tokens: $queryTerms")
+    val text = col(textCol)
+    def tf(term: String): Column =
+      token_stop_counts(lower(trim(text)), Seq(term)).getField("stop_hits")
+        .cast("long")
+    val perDoc = docs.select(
+      (col(idCol).as("id") +:
+        tokenCount(text).cast("long").as("dl") +:
+        queryTerms.zipWithIndex.map { case (t, i) => tf(t).as(s"tf_$i") }): _*)
+    val statCols = count(lit(1)).as("_n") +:
+      sum(col("dl")).as("_sumdl") +:
+      queryTerms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"_df_$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val avgdl = col("_sumdl").cast("double") / col("_n").cast("double")
+    val score = queryTerms.indices.map { i =>
+      val tfi = col(s"tf_$i").cast("double")
+      val idf = (col("_n") - col(s"_df_$i") + lit(0.5)) / (col(s"_df_$i") + lit(0.5))
+      idf * (tfi * lit(k1 + 1.0)) /
+        (tfi + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("id"), col("dl").as("n_tokens"), score.as("bm25"))
+  }
+
   def contamination(docs: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String, k: Int = 5): DataFrame = {
     val docSh = Dedup.shingleHashed(docs, idCol, textCol, k)

@@ -1429,6 +1429,75 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("curation: proportional sample hits exact floor quotas, min-1 strata") {
+    import graft.ops.Curation
+    // strata: a=60, b=30, c=9, d=1 → budget 10 ⇒ quotas 6, 3, 0→1, 0→1
+    val df = ((1 to 60).map(i => (i.toLong, "a")) ++
+      (61 to 90).map(i => (i.toLong, "b")) ++
+      (91 to 99).map(i => (i.toLong, "c")) ++ Seq((100L, "d"))).toDF("id", "s")
+    val got = Curation.proportionalSample(df, "id", "s", total = 10)
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 6L, "b" -> 3L, "c" -> 1L, "d" -> 1L))
+    // ranks are 1..quota with no gaps
+    val ranks = Curation.proportionalSample(df, "id", "s", total = 10)
+      .groupBy("s").agg(max("sample_rank").as("mx"), count(lit(1)).as("n"))
+      .collect()
+    ranks.foreach(r => assert(r.getInt(1) === r.getLong(2).toInt,
+      s"rank gap in stratum ${r.getString(0)}"))
+  }
+
+  test("curation: two-stage salted sample is bit-identical to the single window") {
+    import graft.ops.Curation
+    // enough rows per stratum that every salt bucket is populated and
+    // stage-1 local pruning really fires
+    val df = (1 to 2000).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "s")
+    for (buckets <- Seq(1, 4, 16)) {
+      val salted = Curation.proportionalSample(df, "id", "s", total = 100,
+        saltBuckets = buckets)
+      val direct = Curation.proportionalSampleDirect(df, "id", "s", total = 100)
+      assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty,
+        s"salted ($buckets buckets) diverges from the single-window form")
+    }
+    // partitioning-invariant: same sample from a reshuffled input
+    val a = Curation.proportionalSample(df, "id", "s", total = 100)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Curation.proportionalSample(df.repartition(7), "id", "s", total = 100)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+  }
+
+  test("text: bm25 formula, tf/df/dl edges, corpus-side plan stays narrow") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "spark join spark"),   // tf(spark)=2, tf(join)=1, dl=3
+      (2L, "join and nothing"),   // tf(join)=1, dl=3
+      (3L, ""),                   // empty: dl=0, all tf 0 → score 0
+      (4L, "vector")              // dl=1
+    ).toDF("id", "text")
+    val out = TextOps.bm25(docs, "id", "text", Seq("spark", "join"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // constants the operator folds with
+    val (k1, b) = (TextOps.Bm25K1, TextOps.Bm25B)
+    val n = 4L; val sumdl = 3L + 3L + 0L + 1L
+    val avgdl = sumdl.toDouble / n.toDouble
+    def idf(dfT: Long): Double = (n - dfT + 0.5) / (dfT + 0.5)
+    def term(tf: Long, dfT: Long, dl: Long): Double =
+      idf(dfT) * (tf.toDouble * (k1 + 1.0)) /
+        (tf.toDouble + k1 * (1.0 - b + b * (dl.toDouble / avgdl)))
+    // df(spark)=1, df(join)=2
+    assert(out(1L)._1 === 3L)
+    assert(out(1L)._2 === term(2, 1, 3) + term(1, 2, 3))
+    assert(out(2L)._2 === term(0, 1, 3) + term(1, 2, 3))
+    assert(out(3L) === (0L, 0.0)) // zero-token doc scores exactly 0
+    assert(out(4L)._2 === 0.0)    // no query term present
+    // corpus side never shuffles: the only join is the broadcast of the
+    // one-row stats aggregate
+    val plan = TextOps.bm25(docs, "id", "text", Seq("spark", "join"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"stats not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
+
   test("curation: sequence packing offsets, shard cuts, group isolation") {
     import graft.ops.Curation
     val df = Seq(
