@@ -611,6 +611,40 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** Bloom-filter contamination screen, gated as a contract row (the
+    * `q_dedup_simhash` house pattern — the sketch bits have no SQL
+    * mirror, but the operator's defining properties are checkable in
+    * Spark against the exact semi-join operator over the SAME split):
+    * `no_false_negatives` — every document's flagged count ≥ its exact
+    * contaminated count (a Bloom miss is impossible by construction;
+    * any violation is a broken sketch) — and `fp_rate_ok` — the
+    * false-positive mass over clean probes stays under 5× the sizing
+    * target (10 bits/item ≈ 1%). The oracle recomputes `n_docs` and
+    * `n_exact_hits` exactly from the parquet and emits the two
+    * contract bits as literal TRUE. */
+  def qBloomContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val probe = docs.where(col("doc_id") % 50 =!= 0)
+    val bench = docs.where(col("doc_id") % 50 === 0)
+    val exact = graft.ops.OpCaches.registered(
+      TextOps.contamination(probe, bench, "doc_id", "text", k = 5)
+        .select(col("id"), col("n_shingles"), col("n_contaminated")))
+    val fuzzy = graft.ops.OpCaches.registered(
+      TextOps.contaminationBloom(probe, bench, "doc_id", "text", k = 5)
+        .select(col("id"), col("n_flagged")))
+    exact.join(fuzzy, Seq("id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_contaminated")).as("n_exact_hits"),
+        sum(when(col("n_flagged") < col("n_contaminated"), 1L).otherwise(0L)).as("_fn"),
+        sum(col("n_flagged") - col("n_contaminated")).as("_fp"),
+        sum(col("n_shingles") - col("n_contaminated")).as("_clean"))
+      .select(col("n_docs"), col("n_exact_hits"),
+        (col("_fn") === 0).as("no_false_negatives"),
+        (col("_fp").cast("double") <=
+          lit(0.05) * greatest(col("_clean"), lit(1L)).cast("double")).as("fp_rate_ok"))
+  }
+
   /** PII scrub pass: the corpus has no native PII, so the query plants a
     * deterministic email/phone/SSN per document, counts the spans, and
     * redacts them. The oracle applies the SAME regexes (generated from
@@ -1369,6 +1403,7 @@ object SparkEntry {
     "q_length_quantiles" -> qLengthQuantiles,
     "q_repetition"       -> qRepetition,
     "q_contamination"    -> qContamination,
+    "q_bloom_contamination" -> qBloomContamination,
     "q_pii_redact"       -> qPiiRedact,
     "q_rarity"           -> qRarity,
     "q_bm25"             -> qBm25,
@@ -1870,6 +1905,24 @@ object SparkEntry {
         |FROM toks t LEFT JOIN totals USING (id) LEFT JOIN hits USING (id)
         |WHERE t.id % 50 <> 0
         |ORDER BY doc_id""".stripMargin,
+    // contract-row oracle: exact hit mass recomputed in SQL over the same
+    // id%50 bench/probe split; the two Bloom contract bits are literal
+    // TRUE (no-false-negatives, FP mass under bound) — hash-match means
+    // the sketch screen held both properties against the exact operator
+    "q_bloom_contamination" ->
+      """WITH toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t
+        |              FROM documents),
+        |sh AS (SELECT id, unnest(CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |              i -> array_to_string(t[i:i+4], ' '))) END) AS s FROM toks),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE id % 50 = 0),
+        |doc AS (SELECT id, s FROM sh WHERE id % 50 <> 0),
+        |hits AS (SELECT count(*) AS h FROM doc
+        |         WHERE s IN (SELECT s FROM bench))
+        |SELECT (SELECT count(*) FROM documents WHERE doc_id % 50 <> 0) AS n_docs,
+        |       CAST(h AS BIGINT) AS n_exact_hits,
+        |       TRUE AS no_false_negatives, TRUE AS fp_rate_ok
+        |FROM hits""".stripMargin,
     "q_salted_join" ->
       """SELECT c.c_custkey AS custkey, o.o_orderkey,
         |       CAST(o.o_totalprice AS DOUBLE) AS totalprice, c.c_mktsegment

@@ -343,6 +343,59 @@ object TextOps {
       .select(col("id"), col("dl").as("n_tokens"), score.as("bm25"))
   }
 
+  /** Benchmark contamination via a Bloom-filter membership probe — the
+    * 100 TB form of [[contamination]]. The exact operator probes with a
+    * semi join, which builds/broadcasts a hash relation of every
+    * benchmark shingle; here the benchmark reduces to a ~10-bits-per-
+    * shingle sketch (built distributively — partial sketches OR-merge,
+    * only sketch bytes move) and the probe is a narrow per-row
+    * predicate on the corpus side: NO join operator at all
+    * (plan-pinned), so the corpus never reshuffles and executor memory
+    * holds sketch bytes instead of a hash relation. Two orders of
+    * magnitude smaller reference state at the same probe cost.
+    *
+    * Error model: `n_flagged` can exceed the exact count by the false-
+    * positive rate (~1% at the default 10 bits/item, one-sided — a miss
+    * is impossible), which for a contamination SCREEN is the right
+    * trade: flagged documents go to the exact [[contamination]] check
+    * (candidate-then-verify, the same shape as every near-dup operator
+    * here), unflagged ones are provably clean. The gating query pins
+    * both properties: zero false negatives per document, FP mass under
+    * bound.
+    *
+    * Driver state: the benchmark's distinct-shingle count (sketch
+    * sizing) and the built sketch bytes — benchmark-sized driver work,
+    * the same class as IVF's centroid table. */
+  def contaminationBloom(docs: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, k: Int = 5,
+                         bitsPerItem: Int = 10): DataFrame = {
+    import graft.functions.BloomFunctions.{bloom_filter_agg, might_contain}
+    require(bitsPerItem > 0, s"bitsPerItem must be positive: $bitsPerItem")
+    val benchSh = Dedup.shingleHashed(benchmark, idCol, textCol, k)
+      .select(explode(col("shh")).as("h")).distinct()
+    val est = benchSh.count()
+    val bloomBytes: Array[Byte] =
+      if (est == 0) null
+      else benchSh.agg(bloom_filter_agg(col("h"), est, est * bitsPerItem.toLong))
+        .head.getAs[Array[Byte]](0)
+    val hit =
+      if (bloomBytes == null) lit(false) // empty benchmark: nothing can hit
+      else might_contain(bloomBytes, col("h"))
+    val docSh = Dedup.shingleHashed(docs, idCol, textCol, k)
+      .select(col("id"), explode(array_distinct(col("shh"))).as("h"))
+    val perDoc = docSh.groupBy("id").agg(
+      count(lit(1)).as("n_shingles"),
+      sum(when(hit, 1L).otherwise(0L)).as("n_flagged"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        coalesce(col("n_flagged").cast("double") / col("n_shingles"), lit(0.0))
+          .as("flagged_frac"))
+  }
+
   def contamination(docs: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String, k: Int = 5): DataFrame = {
     val docSh = Dedup.shingleHashed(docs, idCol, textCol, k)

@@ -1297,6 +1297,51 @@ class OpsSpec extends SparkSpec {
     assert(got(2).getLong(1) === 0L && got(2).getLong(2) === 0L && got(2).getDouble(3) === 0.0)
   }
 
+  test("bloom contamination: no false negatives, empty bench, join-free probe") {
+    val bench = Seq((100L, "one two three four five six")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "one two three four five six"),        // both 5-shingles hit
+      (2L, "seven eight nine ten eleven twelve"), // disjoint
+      (3L, "too short")                           // < 5 tokens → 0 shingles
+    ).toDF("doc_id", "text")
+    val fuzzy = TextOps.contaminationBloom(docs, bench, "doc_id", "text", k = 5)
+      .orderBy("id").collect()
+    // a Bloom miss is impossible: every exact hit must be flagged; on
+    // this 2-shingle benchmark a false positive (prob ~1e-2 per probe)
+    // would show as n_flagged > exact — assert ≥ exact and the exact
+    // values where FP is impossible (doc 1's probes ARE the bench set)
+    assert(fuzzy(0).getLong(1) === 2L && fuzzy(0).getLong(2) === 2L)
+    assert(fuzzy(1).getLong(2) >= 0L && fuzzy(1).getLong(2) <= 2L)
+    assert(fuzzy(2).getLong(1) === 0L && fuzzy(2).getLong(2) === 0L)
+    // empty benchmark: nothing can be flagged, and the operator must
+    // not crash building a sketch over zero rows
+    val none = TextOps.contaminationBloom(docs,
+      bench.where(lit(false)), "doc_id", "text", k = 5)
+      .agg(sum("n_flagged")).collect()(0).getLong(0)
+    assert(none === 0L)
+    // the scale claim, pinned: the probe is a narrow predicate — no
+    // semi join against the benchmark anywhere in the plan; the sketch
+    // probe expression is present instead
+    val plan = TextOps.contaminationBloom(docs, bench, "doc_id", "text", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("LeftSemi"), s"benchmark semi join survived:\n$plan")
+    assert(plan.contains("might_contain"), s"no sketch probe in:\n$plan")
+  }
+
+  test("bloom contamination: FP mass stays near the bits-per-item design rate") {
+    // 500 bench shingle-hashes vs 5000 disjoint probes at 10 bits/item
+    // (design fpp ≈ 1%): expect a small but plausibly nonzero flagged
+    // count — bound it at 5% (the same margin the driver gate uses)
+    val bench = (1 to 100).map(i =>
+      (i.toLong + 1000L, s"b$i w$i x$i y$i z$i v$i w$i x$i y$i z$i")).toDF("doc_id", "text")
+    val docs = (1 to 500).map(i =>
+      (i.toLong, s"a$i b$i c$i d$i e$i f$i g$i h$i i$i j$i")).toDF("doc_id", "text")
+    val agg = TextOps.contaminationBloom(docs, bench, "doc_id", "text", k = 5)
+      .agg(sum("n_shingles").as("n"), sum("n_flagged").as("f")).collect()(0)
+    val rate = agg.getLong(1).toDouble / agg.getLong(0).toDouble
+    assert(rate <= 0.05, s"false-positive rate $rate above design bound")
+  }
+
   test("pii redaction: typed placeholders, count on clean text is 0") {
     val df = Seq(
       (1L, "mail a@b.co call 555-123-4567 ssn 123-45-6789"),
