@@ -980,6 +980,20 @@ object SparkEntry {
       floor = 0.85)
   }
 
+  /** Product-quantization top-k (8×256 learned codebooks; full-corpus
+    * screen over codes only, exact re-rank of the 10× shortlist) — the
+    * 32×-compression ANN path, gated as a recall contract vs brute
+    * force (measured 0.99 at sf0.001; floor 0.75 leaves margin for the
+    * lossier large-corpus regime). */
+  def qPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") < 100)
+    annRecallContract(
+      Similarity.pqTopK(emb, q, "vec_id", "embedding", k = 5, dim = 64),
+      Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5),
+      floor = 0.75)
+  }
+
   /** A1 at whale-key scale — two-phase salted aggregation: phase 1
     * spreads each key over 8 salt buckets, phase 2 merges partials.
     * The oracle is the PLAIN group-by: salting must be invisible in the
@@ -1434,6 +1448,7 @@ object SparkEntry {
     "q_audio_meta"       -> qAudioMeta,
     "q_quantize_emb"     -> qQuantizeEmbeddings,
     "q_adc_topk"         -> qAdcTopK,
+    "q_pq_topk"          -> qPqTopK,
     "q_json_extract"     -> qJsonExtract,
     "q_cdc_apply"        -> qCdcApply,
     "q_quality_report"   -> qQualityReport,
@@ -2230,6 +2245,7 @@ object SparkEntry {
     "q_ann_lsh" -> annOracleSql,
     "q_ivf_topk" -> annOracleSql,
     "q_adc_topk" -> annOracleSql,
+    "q_pq_topk" -> annOracleSql,
     "q_fingerprint" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
         |              FROM documents),
