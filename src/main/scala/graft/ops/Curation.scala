@@ -171,11 +171,19 @@ object Curation {
     val w1 = Window.partitionBy(col(stratumCol), col("_salt"))
       .orderBy(col("_key"), col(idCol))
     val w2 = Window.partitionBy(col(stratumCol)).orderBy(col("_key"), col(idCol))
+    // the constant rank cap is semantically redundant (every stratum's
+    // quota ≤ total, and the min-1 rank is ≤ total too) but load-bearing
+    // for the plan: InferWindowGroupLimit only fires on rank <= LITERAL
+    // conjuncts (it splits the And), pushing a WindowGroupLimit below
+    // each exchange — every map task pre-prunes to its local top-`total`
+    // before shuffling, so the shuffled mass is bounded by
+    // partitions × total instead of the corpus (plan-spec-pinned)
+    val cap = lit(total.min(Int.MaxValue.toLong).toInt)
     salted
       .withColumn("_r1", row_number().over(w1))
-      .where(inQuota(col("_r1")))
+      .where(col("_r1") <= cap && inQuota(col("_r1")))
       .withColumn("sample_rank", row_number().over(w2))
-      .where(inQuota(col("sample_rank")))
+      .where(col("sample_rank") <= cap && inQuota(col("sample_rank")))
       .drop("_ns", "_nn", "_key", "_salt", "_r1")
   }
 

@@ -1531,6 +1531,19 @@ class OpsSpec extends SparkSpec {
       s"rank gap in stratum ${r.getString(0)}"))
   }
 
+  test("curation: proportional sample plans WindowGroupLimits (map-side prune)") {
+    import graft.ops.Curation
+    // both rank stages must carry the constant-cap conjunct that lets
+    // InferWindowGroupLimit pre-prune each map task to its local top-total
+    // before the exchange — without it the stage-1 windows shuffle the
+    // whole corpus
+    val df = (1 to 1000).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "s")
+    val plan = Curation.proportionalSample(df, "id", "s", total = 50)
+      .queryExecution.executedPlan.toString
+    val hits = "WindowGroupLimit".r.findAllIn(plan).size
+    assert(hits >= 2, s"expected both rank stages group-limited, got $hits in:\n$plan")
+  }
+
   test("curation: two-stage salted sample is bit-identical to the single window") {
     import graft.ops.Curation
     // enough rows per stratum that every salt bucket is populated and
