@@ -550,13 +550,11 @@ object Similarity {
         seeds.toIndexedSeq.map(v => v.slice(m * sub, m * sub + sub))
       }
     for (_ <- 0 until lloydIters) {
-      val assigns = array((0 until numSubspaces).map { m =>
-        struct(lit(m).as("m"),
-          nearestCell(slice(col("cv"), m * sub + 1, sub),
-            books(m).zipWithIndex.map { case (v, i) => (i.toLong, v) }).as("cell"))
-      }: _*)
-      val updated = c.select(col("cv"), explode(assigns).as("mc"))
-        .select(col("cv"), col("mc.m").as("m"), col("mc.cell").as("cell"))
+      // assignment via the native pq_encode kernel (one tight loop per
+      // row; the composed per-subspace argmin is an interpreted HOF
+      // stack — see PqEncodeCodes, parity spec-pinned)
+      val codes = graft.functions.PqFunctions.pq_encode(col("cv"), books)
+      val updated = c.select(col("cv"), posexplode(codes).as(Seq("m", "cell")))
         .groupBy("m", "cell")
         .agg(count(lit(1)).as("n"),
           array((0 until sub).map(i =>
@@ -565,7 +563,7 @@ object Similarity {
         .collect()
       books = (0 until numSubspaces).map { m =>
         val cells = updated.filter(_.getInt(0) == m)
-          .map(r => (r.getLong(1), r.getSeq[Double](2)))
+          .map(r => (r.getInt(1), r.getSeq[Double](2)))
           .sortBy(_._1).map(_._2)
         // empty subspace update (cannot happen while the corpus is
         // nonempty, every vector asserts into some cell) — keep previous
@@ -576,12 +574,21 @@ object Similarity {
   }
 
   /** PQ-encode a vector column: `codes(m)` = index of the nearest
-    * subspace-m centroid — M small integers per vector (4 bits each at
-    * codebookSize 16) in place of dim floats. A narrow per-row
-    * projection against broadcast codebook literals; no shuffle. */
+    * subspace-m centroid — M small integers per vector in place of dim
+    * floats. A narrow per-row projection on the native
+    * [[graft.functions.PqEncodeCodes]] kernel; no shuffle. */
   private[graft] def pqEncode(df: DataFrame, vecCol: String,
-                              books: IndexedSeq[IndexedSeq[Seq[Double]]],
-                              sub: Int): DataFrame =
+                              books: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame =
+    df.withColumn("codes",
+      graft.functions.PqFunctions.pq_encode(col(vecCol), books))
+
+  /** Composed-builtin reference encoder (per-subspace `nearestCell`
+    * argmin over codebook literals) — kept for the kernel parity spec;
+    * interpreted HOFs make it ~an order of magnitude slower at
+    * production codebook sizes. */
+  private[graft] def pqEncodeComposed(df: DataFrame, vecCol: String,
+                                      books: IndexedSeq[IndexedSeq[Seq[Double]]],
+                                      sub: Int): DataFrame =
     df.withColumn("codes", array(books.indices.map { m =>
       nearestCell(slice(col(vecCol), m * sub + 1, sub),
         books(m).zipWithIndex.map { case (v, i) => (i.toLong, v) }).cast("int")
@@ -634,7 +641,7 @@ object Similarity {
     // screen pass: reconstruction from codes ONLY (plus the broadcast
     // codebooks) — the float vector is dropped before scoring, modeling
     // the codes-resident working set
-    val encoded = pqEncode(c, "cv", books, sub).select("corpus_id", "codes")
+    val encoded = pqEncode(c, "cv", books).select("corpus_id", "codes")
     val rv = concat(books.indices.map { m =>
       element_at(bookLits(m), element_at(col("codes"), m + 1) + 1)
     }: _*)

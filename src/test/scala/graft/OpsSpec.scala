@@ -755,10 +755,24 @@ class OpsSpec extends SparkSpec {
       transform(col("embedding"), _.cast("double")).as("cv"))
     val books = Similarity.pqCodebooks(c, dim = 16, numSubspaces = 4,
       codebookSize = 16, lloydIters = 2)
-    val codeBounds = Similarity.pqEncode(c, "cv", books, sub = 4)
+    val codeBounds = Similarity.pqEncode(c, "cv", books)
       .select(explode(col("codes")).as("code"))
       .agg(min("code"), max("code")).collect()(0)
     assert(codeBounds.getInt(0) >= 0 && codeBounds.getInt(1) < 16)
+    // native encoder ≡ composed per-subspace argmin (same argmin
+    // arithmetic, tie, and NaN order), checked in both codegen modes
+    for (mode <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", mode)
+      try {
+        val kernel = Similarity.pqEncode(c, "cv", books)
+          .select(col("corpus_id"), col("codes")).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+        val composed = Similarity.pqEncodeComposed(c, "cv", books, sub = 4)
+          .select(col("corpus_id"), col("codes")).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+        assert(kernel === composed, s"kernel/composed codes diverge (codegen=$mode)")
+      } finally spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
   }
 
   test("ann recall@5: lsh/ivf defaults reach 0.8, int8 adc reaches 0.9, vs brute force") {
