@@ -323,10 +323,15 @@ object TextOps {
     def tf(term: String): Column =
       token_stop_counts(lower(trim(text)), Seq(term)).getField("stop_hits")
         .cast("long")
-    val perDoc = docs.select(
+    // the per-doc frame (1 + |terms| kernel byte passes over every
+    // document) feeds TWO branches — the stats aggregate and the scored
+    // output — so cache it or the text passes run twice (plan-branch
+    // recompute, SCALE.md); it is id + small ints per row, far smaller
+    // than the text it replaces. Released via the OpCaches contract.
+    val perDoc = OpCaches.registered(docs.select(
       (col(idCol).as("id") +:
         tokenCount(text).cast("long").as("dl") +:
-        queryTerms.zipWithIndex.map { case (t, i) => tf(t).as(s"tf_$i") }): _*)
+        queryTerms.zipWithIndex.map { case (t, i) => tf(t).as(s"tf_$i") }): _*))
     val statCols = count(lit(1)).as("_n") +:
       sum(col("dl")).as("_sumdl") +:
       queryTerms.indices.map(i =>
