@@ -686,6 +686,12 @@ object SparkEntry {
       "doc_id", "lang", total = 120)
       .select(col("doc_id"), col("lang"), col("sample_rank"))
 
+  /** BPE merge-candidate pair counts over the corpus (tokenizer vocab
+    * induction, first iteration): adjacent character pairs weighted by
+    * word frequency — pair work is vocabulary-sized, not corpus-sized. */
+  def qBpePairs(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bpePairCounts(t(spark, dir, "documents"), "text")
+
   /** Transitive dedup-group resolution: connected components over the
     * n-gram Jaccard near-dup pairs (same parameters as
     * `q_ngram_jaccard`, whose pair set is oracle-verified) — every
@@ -1421,6 +1427,7 @@ object SparkEntry {
     "q_pii_redact"       -> qPiiRedact,
     "q_rarity"           -> qRarity,
     "q_bm25"             -> qBm25,
+    "q_bpe_pairs"        -> qBpePairs,
     "q_stratified_sample" -> qStratifiedSample,
     "q_data_mix"         -> qDataMix,
     "q_split_assign"     -> qSplitAssign,
@@ -2071,6 +2078,16 @@ object SparkEntry {
          |FROM r ORDER BY doc_id""".stripMargin
     },
     "q_bm25" -> bm25OracleSql,
+    "q_bpe_pairs" ->
+      """WITH toks AS (SELECT unnest(list_filter(
+        |         regexp_split_to_array(lower(trim(text)), '\s+'),
+        |         x -> x <> '')) AS w FROM documents),
+        |wf AS (SELECT w, count(*) AS f FROM toks GROUP BY w),
+        |pairs AS (SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, f
+        |          FROM wf, unnest(generate_series(1, length(w) - 1)) t(i)
+        |          WHERE length(w) > 1)
+        |SELECT a, b, CAST(sum(f) AS BIGINT) AS pair_count
+        |FROM pairs GROUP BY a, b ORDER BY a, b""".stripMargin,
     "q_stratified_sample" ->
       """WITH c AS (SELECT lang, count(*) AS ns FROM documents GROUP BY lang),
         |n AS (SELECT CAST(sum(ns) AS BIGINT) AS nn FROM c),

@@ -348,6 +348,38 @@ object TextOps {
       .select(col("id"), col("dl").as("n_tokens"), score.as("bm25"))
   }
 
+  /** BPE merge-candidate statistics: adjacent character-pair counts
+    * over the corpus, weighted by word frequency — the first-iteration
+    * signal of byte-pair-encoding vocabulary induction (the pair with
+    * the max count is the first merge; re-running after merges drives
+    * the full BPE loop).
+    *
+    * Scale shape — the part that matters at 100 TB: the corpus
+    * collapses to WORD FREQUENCIES first (one hash aggregate on the
+    * token, the only corpus-sized shuffle), and pair explosion runs
+    * over DISTINCT words weighted by their counts — cost proportional
+    * to the VOCABULARY (≤ a few million rows at web scale, Zipf-bounded)
+    * rather than the token stream. Exploding pairs per token occurrence
+    * would be ~avg-word-frequency times more work for identical output.
+    *
+    * Single-character words contribute no pairs and are filtered BEFORE
+    * the explode: Spark's `sequence(1, n)` generates a DESCENDING
+    * sequence when n < 1 (it would emit [1, 0] — phantom pairs), unlike
+    * SQL engines whose generate_series is empty there. `substr` is
+    * character-based (UTF-8 aware) in Spark and DuckDB alike, so CJK
+    * corpora count the same pairs. */
+  def bpePairCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = docs.select(explode(
+      filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= "")).as("w"))
+    val wf = toks.groupBy("w").agg(count(lit(1)).as("f"))
+    wf.where(length(col("w")) > 1)
+      .select(col("w"), col("f"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w").substr(col("i"), lit(1)).as("a"),
+        col("w").substr(col("i") + 1, lit(1)).as("b"), col("f"))
+      .groupBy("a", "b").agg(sum(col("f")).as("pair_count"))
+  }
+
   /** Benchmark contamination via a Bloom-filter membership probe — the
     * 100 TB form of [[contamination]]. The exact operator probes with a
     * semi join, which builds/broadcasts a hash relation of every

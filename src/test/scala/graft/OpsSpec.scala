@@ -1351,6 +1351,24 @@ class OpsSpec extends SparkSpec {
     assert(got(2).getLong(1) === 0L && got(2).getLong(2) === 0L && got(2).getDouble(3) === 0.0)
   }
 
+  test("bpe pairs: weighted adjacent pairs, single-char words excluded, CJK chars") {
+    val docs = Seq(
+      (1L, "ab ab cd x"),   // ab twice, cd once, x contributes no pair
+      (2L, "abc 你好")      // abc: (a,b),(b,c); CJK pair (你,好)
+    ).toDF("doc_id", "text")
+    val got = TextOps.bpePairCounts(docs, "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // word freqs: ab=2, cd=1, x=1, abc=1, 你好=1
+    // pairs: (a,b) from ab×2 + abc×1 = 3; (c,d)=1; (b,c)=1; (你,好)=1
+    assert(got === Map(("a", "b") -> 3L, ("c", "d") -> 1L,
+      ("b", "c") -> 1L, ("你", "好") -> 1L))
+    // vocabulary-scaling property: replicating the corpus doubles the
+    // counts but adds NO pair rows — pair work tracks the vocabulary
+    val doubled = TextOps.bpePairCounts(docs.unionAll(docs), "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(doubled === got.map { case (k, v) => k -> v * 2 })
+  }
+
   test("bloom contamination: no false negatives, empty bench, join-free probe") {
     val bench = Seq((100L, "one two three four five six")).toDF("doc_id", "text")
     val docs = Seq(
