@@ -686,6 +686,19 @@ object SparkEntry {
       "doc_id", "lang", total = 120)
       .select(col("doc_id"), col("lang"), col("sample_rank"))
 
+  /** Cross-corpus fuzzy decontamination: exact 5-gram Jaccard pairs
+    * between the probe corpus and the benchmark side (same id%50 split
+    * as `q_contamination`), df-capped across both sides. The oracle
+    * recomputes every cross pair in SQL — the emitted pair set and
+    * scores must match exactly. */
+  def qCrossDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.crossCorpusNearDups(
+      docs.where(col("doc_id") % 50 =!= 0),
+      docs.where(col("doc_id") % 50 === 0),
+      "doc_id", "text", k = 5, threshold = 0.2, dfCap = 50)
+  }
+
   /** BPE merge-candidate pair counts over the corpus (tokenizer vocab
     * induction, first iteration): adjacent character pairs weighted by
     * word frequency — pair work is vocabulary-sized, not corpus-sized. */
@@ -1428,6 +1441,7 @@ object SparkEntry {
     "q_rarity"           -> qRarity,
     "q_bm25"             -> qBm25,
     "q_bpe_pairs"        -> qBpePairs,
+    "q_cross_dedup"      -> qCrossDedup,
     "q_stratified_sample" -> qStratifiedSample,
     "q_data_mix"         -> qDataMix,
     "q_split_assign"     -> qSplitAssign,
@@ -2088,6 +2102,24 @@ object SparkEntry {
         |          WHERE length(w) > 1)
         |SELECT a, b, CAST(sum(f) AS BIGINT) AS pair_count
         |FROM pairs GROUP BY a, b ORDER BY a, b""".stripMargin,
+    "q_cross_dedup" ->
+      """WITH toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t
+        |              FROM documents),
+        |sh0 AS (SELECT id, unnest(CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+        |          ELSE list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |               i -> array_to_string(t[i:i+4], ' '))) END) AS s FROM toks),
+        |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 50),
+        |sh AS (SELECT id, s FROM sh0 JOIN rare USING (s)),
+        |l AS (SELECT id, s FROM sh WHERE id % 50 <> 0),
+        |r AS (SELECT id, s FROM sh WHERE id % 50 = 0),
+        |lsz AS (SELECT id, count(*) AS sz FROM l GROUP BY id),
+        |rsz AS (SELECT id, count(*) AS sz FROM r GROUP BY id),
+        |inter AS (SELECT l.id AS left_id, r.id AS right_id, count(*) AS i
+        |          FROM l JOIN r USING (s) GROUP BY 1, 2)
+        |SELECT left_id, right_id, i::DOUBLE / (a.sz + b.sz - i) AS jaccard
+        |FROM inter JOIN lsz a ON left_id = a.id JOIN rsz b ON right_id = b.id
+        |WHERE i::DOUBLE / (a.sz + b.sz - i) >= 0.2
+        |ORDER BY left_id, right_id""".stripMargin,
     "q_stratified_sample" ->
       """WITH c AS (SELECT lang, count(*) AS ns FROM documents GROUP BY lang),
         |n AS (SELECT CAST(sum(ns) AS BIGINT) AS nn FROM c),

@@ -827,4 +827,65 @@ object Dedup {
     withinGroup.select(col("id_a"), col("id_b"), col("jaccard"))
       .unionByName(crossGroup)
   }
+
+  /** Cross-corpus near-duplicate pairs: exact k-gram Jaccard between
+    * every (left, right) document pair above `threshold` — the FUZZY
+    * form of train/eval decontamination ([[graft.ops.TextOps
+    * .contamination]] counts exact shingle overlap; this finds eval
+    * documents that survive paraphrase-level edits in the training
+    * corpus, the standard fuzzy-decontamination pass before an eval is
+    * trusted). Output: (left_id, right_id, jaccard); within-side pairs
+    * are NEVER computed — running the within-corpus operator on a
+    * tagged union would spend its work on the (usually much larger)
+    * within-side pair mass just to discard it.
+    *
+    * Scale shape, inherited from [[ngramJaccardPairs]]: per side, docs
+    * group on their distinct-shingle-set (dup-mass guard — clique
+    * replication costs distinct work, member expansion happens only at
+    * the output); the df cap counts DOCUMENTS across both sides
+    * (weights `w`), so a boilerplate shingle shared by everything
+    * becomes a stop-shingle before it can quadratically join; the
+    * intersection is a shared-shingle equi-join — pairs sharing
+    * nothing are never materialized (their jaccard is 0 < threshold).
+    * At 100 TB the right side is typically benchmark-sized: its capped
+    * shingle frame broadcasts under AQE and the left corpus never
+    * reshuffles more than its shingle explode. */
+  def crossCorpusNearDups(left: DataFrame, right: DataFrame,
+                          idCol: String, textCol: String,
+                          k: Int = 5, threshold: Double = 0.2, dfCap: Int = 50,
+                          maxGroupSize: Int = DefaultMaxGroupSize): DataFrame = {
+    def grouped(df: DataFrame, tag: String): DataFrame = OpCaches.registered(
+      shingleHashed(df, idCol, textCol, k)
+        .select(col("id"), array_distinct(col("shh")).as("shh"))
+        .where(size(col("shh")) > 0)
+        .groupBy("shh").agg(sort_array(boundedIds(collect_list(col("id")),
+          maxGroupSize, s"crossCorpusNearDups: a single $tag shingle-set value"))
+          .as("rawIds"))
+        .select(element_at(col("rawIds"), 1).as("gid"), col("shh"),
+          array_distinct(col("rawIds")).as("ids"),
+          size(col("rawIds")).cast("long").as("w")))
+    val lg = grouped(left, "left")
+    val rg = grouped(right, "right")
+    val lsh = lg.select(col("gid"), col("w"), explode(col("shh")).as("s"))
+    val rsh = rg.select(col("gid"), col("w"), explode(col("shh")).as("s"))
+    val rare = lsh.select("s", "w").unionAll(rsh.select("s", "w"))
+      .groupBy("s").agg(sum(col("w")).as("df"))
+      .where(col("df") <= dfCap).select("s")
+    val lf = OpCaches.registered(lsh.select("gid", "s").join(rare, Seq("s")))
+    val rf = OpCaches.registered(rsh.select("gid", "s").join(rare, Seq("s")))
+    val lsz = lf.groupBy("gid").agg(count(lit(1)).as("sz_l"))
+    val rsz = rf.groupBy("gid").agg(count(lit(1)).as("sz_r"))
+    lf.select(col("gid").as("ga"), col("s"))
+      .join(rf.select(col("gid").as("gb"), col("s")), Seq("s"))
+      .groupBy("ga", "gb").agg(count(lit(1)).as("inter"))
+      .join(lsz.select(col("gid").as("ga"), col("sz_l")), Seq("ga"))
+      .join(rsz.select(col("gid").as("gb"), col("sz_r")), Seq("gb"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_l") + col("sz_r") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .join(lg.select(col("gid").as("ga"), col("ids").as("ids_a")), Seq("ga"))
+      .join(rg.select(col("gid").as("gb"), col("ids").as("ids_b")), Seq("gb"))
+      .select(col("jaccard"), explode(col("ids_a")).as("left_id"), col("ids_b"))
+      .select(col("left_id"), explode(col("ids_b")).as("right_id"), col("jaccard"))
+  }
 }

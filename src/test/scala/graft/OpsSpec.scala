@@ -1351,6 +1351,35 @@ class OpsSpec extends SparkSpec {
     assert(got(2).getLong(1) === 0L && got(2).getLong(2) === 0L && got(2).getDouble(3) === 0.0)
   }
 
+  test("cross-corpus near-dups: cross pairs only, clique expansion, exact scores") {
+    import graft.ops.Dedup
+    val t1 = "alpha beta gamma delta epsilon zeta" // 2 shingles
+    val t2 = "alpha beta gamma delta epsilon eta"  // shares 1 of 2 with t1
+    val far = "one two three four five six"
+    val left = Seq(
+      (1L, t1), (2L, t1),        // identical pair WITHIN left — must not emit
+      (3L, far), (4L, "short")
+    ).toDF("doc_id", "text")
+    val right = Seq((100L, t2), (101L, far)).toDF("doc_id", "text")
+    val got = Dedup.crossCorpusNearDups(left, right, "doc_id", "text",
+      k = 5, threshold = 0.2, dfCap = 50)
+      .orderBy("left_id", "right_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // t1 vs t2: inter 1, union 3 → 1/3; the left clique {1,2} expands to
+    // BOTH members; doc 3 matches 101 exactly (jaccard 1.0); the
+    // within-left identical pair (1,2) never appears
+    assert(got.toSeq === Seq(
+      (1L, 100L, 1.0 / 3), (2L, 100L, 1.0 / 3), (3L, 101L, 1.0)))
+    // df cap: a shingle present in > cap documents across BOTH sides
+    // becomes a stop-shingle — with cap 2 the t1/t2 overlap shingle
+    // (3 docs: 1, 2, 100) is capped, killing the 1/3 pairs, while the
+    // far pair (2 docs) survives
+    val capped = Dedup.crossCorpusNearDups(left, right, "doc_id", "text",
+      k = 5, threshold = 0.2, dfCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq === Seq((3L, 101L)))
+  }
+
   test("bpe pairs: weighted adjacent pairs, single-char words excluded, CJK chars") {
     val docs = Seq(
       (1L, "ab ab cd x"),   // ab twice, cd once, x contributes no pair
