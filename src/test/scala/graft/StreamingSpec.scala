@@ -353,4 +353,42 @@ class StreamingSpec extends SparkSpec {
     // and the refused run wrote nothing: snapshot still the replay's
     assert(CdcStream.readSnapshot(spark, s"$dir/snap", schema).count() === 2L)
   }
+
+  test("bloom contamination probe runs on a stream (online-ingest screen)") {
+    // the sketch probe is a pure narrow predicate, so the SAME screen
+    // that gates the batch corpus composes with structured streaming
+    // (append mode, no state) — the online-ingest decontamination path:
+    // benchmark sketch built once from the static side, incoming docs
+    // flagged per micro-batch
+    import graft.functions.BloomFunctions.{bloom_filter_agg, might_contain}
+    import graft.ops.Dedup
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "one two three four five six")).toDF("doc_id", "text")
+    val benchSh = Dedup.shingleHashed(bench, "doc_id", "text", 5)
+      .select(explode(col("shh")).as("h")).distinct()
+    val bloom = benchSh.agg(bloom_filter_agg(col("h"), 16L, 256L))
+      .head.getAs[Array[Byte]](0)
+    val input = MemoryStream[StreamDoc]
+    val flagged = Dedup.shingleHashed(input.toDF(), "doc_id", "text", 5)
+      .withColumn("contaminated",
+        exists(array_distinct(col("shh")), h => might_contain(bloom, h)))
+      .select("id", "contaminated")
+    val query = EventStream.startToMemory(flagged, "bloom_stream")
+    try {
+      input.addData(
+        StreamDoc(1L, "one two three four five six"),   // hits the bench
+        StreamDoc(2L, "seven eight nine ten eleven twelve"))
+      query.processAllAvailable()
+      input.addData(StreamDoc(3L, "zz one two three four five end")) // overlap
+      query.processAllAvailable()
+      val rows = spark.table("bloom_stream").orderBy("id")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(rows === Map(1L -> true, 2L -> false, 3L -> true))
+    } finally query.stop()
+  }
 }
+
+/** Streaming-document fixture (top-level for the TypeTag-stable
+  * encoder, like [[CdcChange]]). */
+final case class StreamDoc(doc_id: Long, text: String)
