@@ -79,6 +79,32 @@ object Dedup {
       remedy: String = "pre-collapse exact duplicates (Dedup.exactKeepFirst)"): Column =
     array_distinct(sort_array(boundedIds(collect_list(id), maxGroupSize, what, remedy)))
 
+  /** Weighted distinct-shingle-set group rows — the shared builder of
+    * the df-weighted grouped operators ([[ngramJaccardPairs]],
+    * [[crossCorpusNearDups]]): one row per distinct shingle set with
+    * `gid` (min member id), `shh`, deduped member `ids`, and `w` = RAW
+    * collected row count (the df weight — document frequency counts
+    * documents, so duplicates must weigh). Encodes both measured
+    * array-keyed-groupBy rules in one place: the per-doc arrays cache
+    * BEFORE the groupBy (the sort-agg fallback re-materializes its
+    * input — the 10× pitfall documented in minhashVerifiedDups), and
+    * the degenerate-set guard sits AFTER that cache (pushed below the
+    * projection it would re-evaluate the tokenize→shingle pipeline
+    * inside the predicate, measured 5×; and docs shorter than k tokens
+    * all share the empty array — one corpus-sized group row). */
+  private[ops] def weightedSetGroups(df: DataFrame, idCol: String, textCol: String,
+                                     k: Int, maxGroupSize: Int, what: String): DataFrame = {
+    val docHashed = OpCaches.registered(shingleHashed(df, idCol, textCol, k)
+      .select(col("id"), array_distinct(col("shh")).as("shh")))
+    OpCaches.registered(docHashed
+      .where(size(col("shh")) > 0)
+      .groupBy("shh").agg(sort_array(boundedIds(collect_list(col("id")),
+        maxGroupSize, what)).as("rawIds"))
+      .select(element_at(col("rawIds"), 1).as("gid"), col("shh"),
+        array_distinct(col("rawIds")).as("ids"),
+        size(col("rawIds")).cast("long").as("w")))
+  }
+
   /** W1 + F3 — keep exactly one row per key, first by `order` (must be a
     * total order within the key for determinism). */
   def firstPerKey(df: DataFrame, key: Seq[String], order: Seq[Column]): DataFrame = {
@@ -778,24 +804,10 @@ object Dedup {
     // equal — exactly 1.0, bit-equal to the pairwise division — and
     // are emitted only when the group has ≥ 1 surviving shingle
     // (groups whose shingles were all capped produce no pairs, same
-    // as the ungrouped form).
-    // per-doc arrays cache BEFORE the array-keyed groupBy (the sort-agg
-    // fallback re-materializes its input — the measured 10× pitfall
-    // documented in minhashVerifiedDups), and the degenerate-set guard
-    // sits after the cache: docs shorter than k tokens all share the
-    // empty array and would otherwise collapse into one corpus-sized
-    // group row (they can produce no pairs either way — no shingles)
-    val docHashed = OpCaches.registered(shingleHashed(df, idCol, textCol, k)
-      .select(col("id"), array_distinct(col("shh")).as("shh")))
-    val groups = OpCaches.registered(docHashed
-      .where(size(col("shh")) > 0)
-      .groupBy("shh").agg(sort_array(boundedIds(collect_list(col("id")),
-        maxGroupSize, "ngramJaccardPairs: a single shingle-set value")).as("rawIds"))
-      // w (the df weight) counts collected rows; ids dedup for pair
-      // expansion (no-op under the unique-id contract)
-      .select(element_at(col("rawIds"), 1).as("gid"), col("shh"),
-        array_distinct(col("rawIds")).as("ids"),
-        size(col("rawIds")).cast("long").as("w")))
+    // as the ungrouped form). Group-row construction (cache placement,
+    // valve, df weight): [[weightedSetGroups]].
+    val groups = weightedSetGroups(df, idCol, textCol, k, maxGroupSize,
+      "ngramJaccardPairs: a single shingle-set value")
     val sh = groups.select(col("gid"), col("w"), explode(col("shh")).as("s"))
     val rare = sh.groupBy("s").agg(sum(col("w")).as("df")).where(col("df") <= dfCap)
     val shf = OpCaches.registered(sh.join(rare.select("s"), Seq("s")))
@@ -854,18 +866,10 @@ object Dedup {
                           idCol: String, textCol: String,
                           k: Int = 5, threshold: Double = 0.2, dfCap: Int = 50,
                           maxGroupSize: Int = DefaultMaxGroupSize): DataFrame = {
-    def grouped(df: DataFrame, tag: String): DataFrame = OpCaches.registered(
-      shingleHashed(df, idCol, textCol, k)
-        .select(col("id"), array_distinct(col("shh")).as("shh"))
-        .where(size(col("shh")) > 0)
-        .groupBy("shh").agg(sort_array(boundedIds(collect_list(col("id")),
-          maxGroupSize, s"crossCorpusNearDups: a single $tag shingle-set value"))
-          .as("rawIds"))
-        .select(element_at(col("rawIds"), 1).as("gid"), col("shh"),
-          array_distinct(col("rawIds")).as("ids"),
-          size(col("rawIds")).cast("long").as("w")))
-    val lg = grouped(left, "left")
-    val rg = grouped(right, "right")
+    val lg = weightedSetGroups(left, idCol, textCol, k, maxGroupSize,
+      "crossCorpusNearDups: a single left shingle-set value")
+    val rg = weightedSetGroups(right, idCol, textCol, k, maxGroupSize,
+      "crossCorpusNearDups: a single right shingle-set value")
     val lsh = lg.select(col("gid"), col("w"), explode(col("shh")).as("s"))
     val rsh = rg.select(col("gid"), col("w"), explode(col("shh")).as("s"))
     val rare = lsh.select("s", "w").unionAll(rsh.select("s", "w"))

@@ -562,12 +562,17 @@ object Similarity {
         .select(col("m"), col("cell"), transform(col("sums"), s => s / col("n")).as("centroid"))
         .collect()
       books = (0 until numSubspaces).map { m =>
-        val cells = updated.filter(_.getInt(0) == m)
-          .map(r => (r.getInt(1), r.getSeq[Double](2)))
-          .sortBy(_._1).map(_._2)
-        // empty subspace update (cannot happen while the corpus is
-        // nonempty, every vector asserts into some cell) — keep previous
-        if (cells.nonEmpty) cells.toIndexedSeq else books(m)
+        val upd = updated.filter(_.getInt(0) == m)
+          .map(r => r.getInt(1) -> r.getSeq[Double](2)).toMap
+        // a cell with no members keeps its previous centroid — empty
+        // cells are ROUTINE (duplicate seed slices tie to the lower
+        // cell, starving the higher; corpora smaller than codebookSize
+        // leave cells unseeded of mass), and dropping them would
+        // silently shrink AND renumber the codebook every round,
+        // raising quantization error while invalidating nothing
+        // visibly. Keeping the stale centroid is standard Lloyd
+        // practice; cell ids stay stable so codes remain valid indices
+        books(m).indices.map(i => upd.getOrElse(i, books(m)(i))).toIndexedSeq
       }
     }
     books

@@ -408,8 +408,12 @@ object TextOps {
                          bitsPerItem: Int = 10): DataFrame = {
     import graft.functions.BloomFunctions.{bloom_filter_agg, might_contain}
     require(bitsPerItem > 0, s"bitsPerItem must be positive: $bitsPerItem")
-    val benchSh = Dedup.shingleHashed(benchmark, idCol, textCol, k)
-      .select(explode(col("shh")).as("h")).distinct()
+    // cached: the frame is materialized TWICE at construction (count for
+    // sketch sizing, then the sketch-build aggregate) — uncached, the
+    // benchmark-side tokenize/hash/distinct pipeline would run twice
+    val benchSh = OpCaches.registered(
+      Dedup.shingleHashed(benchmark, idCol, textCol, k)
+        .select(explode(col("shh")).as("h")).distinct())
     val est = benchSh.count()
     val bloomBytes: Array[Byte] =
       if (est == 0) null
