@@ -418,6 +418,40 @@ object SparkEntry {
       .agg(count(lit(1)))
       .na.fill(0L)
 
+  /** UNPIVOT (wide → long): the per-type daily count matrix of `q_pivot`
+    * melted back to (event_date, event_type, n) rows — BigQuery's
+    * UNPIVOT / dbt's melt. Spark-native `Dataset.unpivot`, a narrow
+    * zero-shuffle reshape of the already-aggregated wide frame; rows
+    * for absent (date, type) cells carry the filled 0, exactly like
+    * the wide form they unfold from. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    qPivot(spark, dir).unpivot(
+      Array(col("event_date")), types.map(col).toArray, "event_type", "n")
+  }
+
+  /** One-pass column profiling (ANALYZE-style QA surface): per column,
+    * null count and exact distinct count over the customer table. All
+    * columns reduce in a SINGLE aggregate — Spark plans the
+    * multi-count-distinct via one Expand (one shuffle), not one scan
+    * per column. */
+  def qProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment")
+    val cust = t(spark, dir, "customer")
+    val aggCols = count(lit(1)).as("_n") +:
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nulls_$c"),
+        countDistinct(col(c)).as(s"_dist_$c")))
+    val one = cust.agg(aggCols.head, aggCols.tail: _*)
+    one.select(explode(array(cols.map(c => struct(
+      lit(c).as("column"),
+      col("_n").as("n_rows"),
+      col(s"_nulls_$c").as("n_nulls"),
+      col(s"_dist_$c").as("n_distinct"))): _*)).as("p"))
+      .select("p.column", "p.n_rows", "p.n_nulls", "p.n_distinct")
+  }
+
   // ===========================================================================
   // LLM-data-pipeline extensions (builder mandate): dedup, similarity,
   // text analysis, multimodal — over documents/embeddings
@@ -1425,6 +1459,8 @@ object SparkEntry {
     "q_funnel"           -> qFunnel,
     "q_semi_anti"        -> qSemiAnti,
     "q_pivot"            -> qPivot,
+    "q_unpivot"          -> qUnpivot,
+    "q_profile"          -> qProfile,
     "q_dedup_exact"      -> qDedupExact,
     "q_dedup_minhash"    -> qDedupMinhash,
     "q_dedup_simhash"    -> qDedupSimhash,
@@ -1775,6 +1811,37 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the wide pivot matrix melted back to long form: every (date, type)
+    // cell emits a row, absent cells as the filled 0 — mirrored by the
+    // date × type cross join the unpivot-of-filled-pivot implies
+    "q_unpivot" ->
+      """WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS event_date FROM events),
+        |t AS (SELECT unnest(['click', 'view', 'purchase', 'signup', 'error']) AS event_type),
+        |c AS (SELECT CAST(ts AS DATE) AS event_date, event_type,
+        |             count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT d.event_date, t.event_type,
+        |       CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM d CROSS JOIN t
+        |LEFT JOIN c ON c.event_date = d.event_date AND c.event_type = t.event_type
+        |ORDER BY d.event_date, t.event_type""".stripMargin,
+    "q_profile" ->
+      """WITH n AS (SELECT count(*) AS n_rows FROM customer)
+        |SELECT 'c_custkey' AS "column", n_rows,
+        |  (SELECT CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM customer) AS n_nulls,
+        |  (SELECT count(DISTINCT c_custkey) FROM customer) AS n_distinct FROM n
+        |UNION ALL SELECT 'c_name', n_rows,
+        |  (SELECT CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM customer),
+        |  (SELECT count(DISTINCT c_name) FROM customer) FROM n
+        |UNION ALL SELECT 'c_nationkey', n_rows,
+        |  (SELECT CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM customer),
+        |  (SELECT count(DISTINCT c_nationkey) FROM customer) FROM n
+        |UNION ALL SELECT 'c_acctbal', n_rows,
+        |  (SELECT CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM customer),
+        |  (SELECT count(DISTINCT c_acctbal) FROM customer) FROM n
+        |UNION ALL SELECT 'c_mktsegment', n_rows,
+        |  (SELECT CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM customer),
+        |  (SELECT count(DISTINCT c_mktsegment) FROM customer) FROM n
+        |ORDER BY "column"""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,

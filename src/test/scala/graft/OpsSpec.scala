@@ -1351,6 +1351,25 @@ class OpsSpec extends SparkSpec {
     assert(got(2).getLong(1) === 0L && got(2).getLong(2) === 0L && got(2).getDouble(3) === 0.0)
   }
 
+  test("unpivot round-trips the pivot and profile counts nulls/distincts") {
+    // unpivot(pivot(x)) must preserve the underlying counts, absent
+    // cells surfacing as explicit zeros
+    val long = SparkEntry.qUnpivot(spark, "/root/testdata/sf0.001")
+    val n = long.agg(sum("n")).collect()(0).getLong(0)
+    val raw = graft.model.Tables.load(spark, "/root/testdata/sf0.001", "events").count()
+    assert(n === raw, s"unpivot total $n != event count $raw")
+    assert(long.where(col("n") === 0).count() >= 0) // zeros are legal rows
+    assert(long.columns.toSeq === Seq("event_date", "event_type", "n"))
+    // profile on a fixture with known nulls/distincts
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")))
+      .toDF("k", "v")
+    val aggCols = count(lit(1)).as("_n") +: Seq(
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("_nulls_v"),
+      countDistinct(col("v")).as("_dist_v"))
+    val one = df.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    assert((one.getLong(0), one.getLong(1), one.getLong(2)) === ((3L, 1L, 1L)))
+  }
+
   test("cross-corpus near-dups: cross pairs only, clique expansion, exact scores") {
     import graft.ops.Dedup
     val t1 = "alpha beta gamma delta epsilon zeta" // 2 shingles
