@@ -418,6 +418,26 @@ object SparkEntry {
       .agg(count(lit(1)))
       .na.fill(0L)
 
+  /** GROUPING SETS beyond rollup/cube: two independent single-dimension
+    * subtotal slices in ONE pass — `((status), (priority))` is neither a
+    * rollup prefix chain nor a full cube, the general form BigQuery /
+    * ANSI GROUPING SETS exists for. One Expand + one hash aggregate
+    * instead of two scans unioned. `gid` = grouping(status)·2 +
+    * grouping(priority), computed per-column in both engines
+    * (grouping_id() bit order is engine-specific; the per-column form
+    * is portable). */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_gs_t")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        |       count(*) AS num_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders_gs_t
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |""".stripMargin)
+  }
+
   /** UNPIVOT (wide → long): the per-type daily count matrix of `q_pivot`
     * melted back to (event_date, event_type, n) rows — BigQuery's
     * UNPIVOT / dbt's melt. Spark-native `Dataset.unpivot`, a narrow
@@ -1461,6 +1481,7 @@ object SparkEntry {
     "q_pivot"            -> qPivot,
     "q_unpivot"          -> qUnpivot,
     "q_profile"          -> qProfile,
+    "q_grouping_sets"    -> qGroupingSets,
     "q_dedup_exact"      -> qDedupExact,
     "q_dedup_minhash"    -> qDedupMinhash,
     "q_dedup_simhash"    -> qDedupSimhash,
@@ -1811,6 +1832,14 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        |       count(*) AS num_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
     // the wide pivot matrix melted back to long form: every (date, type)
     // cell emits a row, absent cells as the filled 0 — mirrored by the
     // date × type cross join the unpivot-of-filled-pivot implies

@@ -290,6 +290,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ascii_class_counts"),
       new ExpressionInfo(classOf[AsciiClassCounts].getName, "ascii_class_counts"),
       (exprs: Seq[Expression]) => AsciiClassCounts(exprs.head)))
+    // Bloom sketch surface (see graft.functions.BloomFunctions): build
+    // an aggregate sketch in SQL, probe it join-free. Registered under
+    // graft-prefixed names so Spark's own internal might_contain /
+    // bloom_filter_agg registrations (version-dependent) are never
+    // shadowed. The analyzer wraps a returned AggregateFunction in its
+    // AggregateExpression automatically, like any SQL aggregate.
+    extensions.injectFunction((
+      FunctionIdentifier("bloom_filter_build"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_build"),
+      (exprs: Seq[Expression]) => {
+        // the aggregate requires BIGINT sizing literals; SQL integer
+        // literals arrive as INT — coerce (a cast of a literal stays
+        // foldable, which its type check also demands)
+        def asLong(e: Expression): Expression = e.dataType match {
+          case LongType => e
+          case _ => org.apache.spark.sql.catalyst.expressions.Cast(e, LongType)
+        }
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs.head, asLong(exprs(1)), asLong(exprs(2)))
+      }))
+    extensions.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs.head, exprs(1))))
   }
 }
 

@@ -905,6 +905,29 @@ class OpsSpec extends SparkSpec {
     assert(sqlB === colB && sqlB.length === 2)
   }
 
+  test("bloom functions: SQL-registered build + probe round-trip") {
+    // scalar-subquery sketch build, then a join-free probe over it —
+    // the whole screen expressible from SQL alone
+    (1L to 100L).toDF("v").createOrReplaceTempView("bloom_vals_t")
+    val hits = spark.sql(
+      """WITH b AS (SELECT bloom_filter_build(v, 100, 1000) AS bf
+        |           FROM bloom_vals_t)
+        |SELECT sum(CASE WHEN bloom_might_contain((SELECT bf FROM b), probe)
+        |                THEN 1 ELSE 0 END) AS n_hits
+        |FROM (SELECT id * 1 AS probe FROM range(1, 101))""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(hits === 100L, s"false negatives in SQL bloom round-trip: $hits/100")
+    // disjoint probes mostly miss (FP rate ~1% at 10 bits/item)
+    val misses = spark.sql(
+      """WITH b AS (SELECT bloom_filter_build(v, 100, 1000) AS bf
+        |           FROM bloom_vals_t)
+        |SELECT sum(CASE WHEN bloom_might_contain((SELECT bf FROM b), probe)
+        |                THEN 1 ELSE 0 END) AS n_hits
+        |FROM (SELECT id + 1000000 AS probe FROM range(0, 1000))""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(misses <= 50L, s"false-positive rate way above design: $misses/1000")
+  }
+
   test("text-stat kernels: SQL-registered via GraftExtensions") {
     Seq((0L, "The quick brown fox, 42 times! über the lazy dog")).toDF("id", "text")
       .createOrReplaceTempView("stat_texts_t")
