@@ -635,6 +635,24 @@ object SparkEntry {
       .where(col("n_docs") >= 20)
   }
 
+  /** Exact token heavy hitters — every token holding ≥ 1/1000 of the
+    * corpus token mass, with its EXACT count — via count-min-sketch
+    * screen + exact verify ([[graft.ops.Sketch.heavyHitters]]). The
+    * sketch's one-sided error makes the screen provably complete, so
+    * the result is bit-exact (the DuckDB oracle is the plain
+    * GROUP BY/HAVING) while the shuffle carries candidate rows instead
+    * of one record per distinct token — the shape that survives a
+    * billion-type vocabulary at 100 TB. The support threshold is
+    * integer arithmetic (`n·1000 ≥ N`), shared exactly by both
+    * engines. */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("tk"))
+      .where(length(col("tk")) > 0)
+    graft.ops.Sketch.heavyHitters(toks, lower(col("tk")), supportDenom = 1000)
+      .withColumnRenamed("k", "token")
+  }
+
   /** Per-language document-length quantiles (exact discrete p50/p90/p99)
     * — the distribution summary a tokenizer-budget plan starts from. */
   def qLengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
@@ -1117,6 +1135,42 @@ object SparkEntry {
       dim = 64, threshold = 0.9, numTables = 12)
   }
 
+  /** SemDeDup-style semantic dedup over the planted corpus, gated as a
+    * pair-recall contract: the cluster-restricted pair set
+    * ([[Similarity.semanticNearDups]]) must recover ≥ 0.9 of the
+    * reference pair set — [[Similarity.cosineNearDups]], which on this
+    * corpus provably equals the exact all-pairs scan the DuckDB oracle
+    * runs (planted-pair LSH miss probability ~1e-11, see
+    * qCosineNearDups). The hashed columns are the reference set's
+    * deterministic aggregates (pair count, decimal-summed score mass)
+    * plus the recall bit; the semantic pair count itself is NOT emitted
+    * — k-means means are double sums whose last ulp can shift with
+    * partitioning, so boundary cell assignments (and with them the
+    * cross-cell miss set) are not bitwise-pinned, while planted pairs
+    * co-cluster at any jitter (measured recall 1.0; floor 0.9). */
+  def qSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val planted = emb.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      zip_with(col("v"), concat(slice(col("v"), 2, 63), slice(col("v"), 1, 1)),
+        (x, y) => x + lit(0.05) * y).as("v"))
+    val corpus = emb.unionByName(planted)
+    val sem = Similarity.semanticNearDups(corpus, "vec_id", "v",
+      threshold = 0.9, nlist = 16)
+    val ref = graft.ops.OpCaches.registered(
+      Similarity.cosineNearDups(corpus, "vec_id", "v",
+        dim = 64, threshold = 0.9, numTables = 12))
+    val hits = ref.select("id_a", "id_b")
+      .join(sem.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi")
+    ref.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("score").cast("decimal(12,6)")).cast("double").as("sum_score"))
+      .crossJoin(hits.agg(count(lit(1)).as("_nh")))
+      .select(col("n_pairs"), col("sum_score"),
+        (col("_nh").cast("double") / col("n_pairs") >= lit(0.9)).as("recall_ok"))
+  }
+
   /** Embedding analytics rollup: per-label vector counts and norm
     * statistics. Norms go through the bit-stable dot kernel, then
     * DECIMAL(12,6) partials make the per-group sums order-independent
@@ -1521,6 +1575,8 @@ object SparkEntry {
     "q_embedding_stats"  -> qEmbeddingStats,
     "q_dim_stats"        -> qDimStats,
     "q_cosine_near_dups" -> qCosineNearDups,
+    "q_semantic_dedup"   -> qSemanticDedup,
+    "q_heavy_hitters"    -> qHeavyHitters,
     "q_multimodal_meta"  -> qMultimodalMeta,
     "q_image_meta"       -> qImageMeta,
     "q_audio_meta"       -> qAudioMeta,
@@ -2443,6 +2499,37 @@ object SparkEntry {
          |SELECT id_a, id_b, score FROM pairs
          |WHERE score >= 0.9 ORDER BY id_a, id_b""".stripMargin
     },
+    "q_semantic_dedup" -> {
+      // the same exact all-pairs reference as q_cosine_near_dups,
+      // aggregated: the recall bit is the contract, emitted as TRUE
+      val dotAB = sqlDot("a.v", "b.v")
+      val dotAA = sqlDot("a.v", "a.v")
+      val dotBB = sqlDot("b.v", "b.v")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT vec_id + 1000000 AS vec_id,
+         |             list_transform(list_zip(v, v[2:64] || v[1:1]),
+         |                            x -> x[1] + 0.05 * x[2]) AS v
+         |      FROM e),
+         |u AS (SELECT * FROM e UNION ALL SELECT * FROM p),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         $dotAB / (sqrt($dotAA) * sqrt($dotBB)) AS score
+         |  FROM u a CROSS JOIN u b WHERE a.vec_id < b.vec_id)
+         |SELECT count(*) AS n_pairs,
+         |       CAST(SUM(CAST(score AS DECIMAL(12,6))) AS DOUBLE) AS sum_score,
+         |       TRUE AS recall_ok
+         |FROM pairs WHERE score >= 0.9""".stripMargin
+    },
+    "q_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
+        |              FROM documents),
+        |t2 AS (SELECT lower(tk) AS token FROM toks WHERE length(tk) > 0),
+        |tot AS (SELECT count(*) AS total FROM t2)
+        |SELECT token, count(*) AS n
+        |FROM t2 CROSS JOIN tot
+        |GROUP BY token
+        |HAVING count(*) * 1000 >= max(total)
+        |ORDER BY token""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id AS asset_id, 'image/fake' AS media_type,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -277,18 +277,44 @@ object Similarity {
     val c = OpCaches.registered(
       corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
         .withColumn("cn", norm(col("cv"))))
-    // deterministic seeds: the nlist corpus vectors with smallest id hash
-    var centroids: Seq[(Long, Seq[Double])] = c
-      .select(col("cv"), xxhash64(col("corpus_id")).as("_h"))
-      .orderBy("_h").limit(nlist)
-      .collect().zipWithIndex
-      .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }.toSeq
+    val centroids = kmeansCentroids(c, nlist, lloydIters)
     // an empty corpus seeds no centroids: return the empty result the
     // brute-force and LSH paths produce, instead of crashing the Lloyd
     // loop on centroids.head
     if (centroids.isEmpty)
       return queries.select(col(idCol).as("query_id"), col(idCol).as("corpus_id"),
         lit(1).as("rank"), lit(0.0d).as("score")).where(lit(false))
+    val corpusCells = c.withColumn("cell", nearestCell(col("cv"), centroids))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("cell", explode(nearestCells(col("qv"), centroids, nprobe)))
+    val scored = corpusCells.join(broadcast(q), Seq("cell"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "rank", "score")
+  }
+
+  /** Deterministic DataFrame-native k-means over a `(corpus_id, cv)`
+    * frame: seeds = the `nlist` vectors with the smallest id hashes (a
+    * reproducible choice with no driver data loop), then `lloydIters`
+    * rounds of assign (argmin over broadcast centroid literals — one
+    * narrow pass) + update (one hash aggregate of element-wise slice
+    * sums per cell). Only the nlist-row centroid table reaches the
+    * driver — legitimate model state, same class as the PQ codebooks.
+    * Shared by [[ivfTopK]] (cell probing) and [[semanticNearDups]]
+    * (cluster-bounded dedup); an empty input seeds nothing and returns
+    * empty — callers produce their empty-result shapes. */
+  private[graft] def kmeansCentroids(c: DataFrame, nlist: Int,
+                                     lloydIters: Int): Seq[(Long, Seq[Double])] = {
+    var centroids: Seq[(Long, Seq[Double])] = c
+      .select(col("cv"), xxhash64(col("corpus_id")).as("_h"))
+      .orderBy("_h").limit(nlist)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }.toSeq
+    if (centroids.isEmpty) return Seq.empty
     // Lloyd rounds: assign to argmin centroid, recompute means with one
     // aggregate of element-wise sums per cell
     for (_ <- 0 until lloydIters) {
@@ -301,17 +327,7 @@ object Similarity {
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
       if (updated.nonEmpty) centroids = updated.sortBy(_._1)
     }
-    val corpusCells = c.withColumn("cell", nearestCell(col("cv"), centroids))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", norm(col("qv")))
-      .withColumn("cell", explode(nearestCells(col("qv"), centroids, nprobe)))
-    val scored = corpusCells.join(broadcast(q), Seq("cell"))
-      .where(col("corpus_id") =!= col("query_id"))
-      .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "corpus_id", "rank", "score")
+    centroids
   }
 
   /** Cell id of the nearest centroid (min squared distance, ties to the
@@ -442,6 +458,94 @@ object Similarity {
       .where(col("id_a") =!= col("id_b"))
     withinGroup.select(col("id_a"), col("id_b"), col("score"))
       .unionByName(crossGroup)
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs (cf. Abbas et al.
+    * 2023, "SemDeDup", arXiv:2303.09540): k-means partition the
+    * embedding space with the same deterministic trainer as [[ivfTopK]],
+    * then exact-cosine all pairs WITHIN each cluster cell at
+    * `threshold`. Where [[cosineNearDups]] bounds the quadratic with
+    * random hyperplanes (recall governed by banding probability),
+    * clustering bounds it with the data's own geometry — near-identical
+    * embeddings share an argmin cell except in the measure-zero
+    * boundary band, and the pair join costs Σ cellᵢ² instead of n².
+    *
+    * Scale shape, mirroring cosineNearDups: (1) bit-identical vectors
+    * group FIRST (the dup-mass guard) — training, assignment, and the
+    * pair join all run over DISTINCT vector mass, so clique-replicated
+    * corpora cost distinct work; member pairs expand only after the
+    * threshold filter; (2) cell assignment is computed once and cached
+    * (both self-join sides read the same materialization; the argmin is
+    * nlist dot products per distinct vector); (3) the cell self-join
+    * shuffles on the cell id — at 100 TB that is a co-partitioned
+    * layout keyed by cell, and `nlist` grows ~√corpus to hold per-cell
+    * mass (and therefore per-task pair work) constant. A pathological
+    * single-cell corpus degrades to the all-pairs scan — if cell
+    * occupancy is skewed, raise nlist or fall back to cosineNearDups,
+    * whose plane count adapts to occupancy automatically.
+    *
+    * Precision is exact (every emitted pair carries its true cosine,
+    * filtered at `threshold`); recall loss is exactly the cross-cell
+    * pairs, measured against the LSH reference in the spec and gated as
+    * a recall contract in `q_semantic_dedup`. */
+  def semanticNearDups(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, nlist: Int = 16,
+                       lloydIters: Int = 2,
+                       maxGroupSize: Int = Dedup.DefaultMaxGroupSize): DataFrame = {
+    val groups = groupedVectors(df, idCol, vecCol, "vv", "vn",
+      maxGroupSize, "semanticNearDups: a single vector value")
+    val centroids = kmeansCentroids(
+      groups.select(col("gid").as("corpus_id"), col("vv").as("cv")),
+      nlist, lloydIters)
+    if (centroids.isEmpty)
+      return df.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id_a"), lit(0L).as("id_b"), lit(0.0d).as("score"))
+        .where(lit(false))
+    // within-group pairs: identical vectors trivially co-cluster — same
+    // expression shape as cosineNearDups (NaN-propagating for zero
+    // vectors, bit-equal to the pairwise form)
+    val withinGroup = Dedup.pairsOf(
+      groups.where(size(col("ids")) > 1)
+        .withColumn("score", dot(col("vv"), col("vv")) / (col("vn") * col("vn")))
+        .where(col("score") >= threshold),
+      "ids", "id_a", "id_b", carry = Seq("score"))
+    // cell assignment cached: both self-join sides read it, and the
+    // argmin costs nlist dot products per distinct vector
+    val cells = OpCaches.registered(
+      groups.withColumn("cell", nearestCell(col("vv"), centroids)))
+    // per-side renames BEFORE the self-join (two aliases of one plan can
+    // resolve both sides to the same attribute — trap #4, SCALE.md)
+    val cx = cells.select(col("cell"), col("gid").as("ga"), col("vv").as("a_v"),
+      col("vn").as("a_n"), col("ids").as("ids_a"))
+    val cy = cells.select(col("cell"), col("gid").as("gb"), col("vv").as("b_v"),
+      col("vn").as("b_n"), col("ids").as("ids_b"))
+    val crossGroup = cx.join(cy, Seq("cell"))
+      .where(col("ga") < col("gb"))
+      .withColumn("score", dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
+      .where(col("score") >= threshold)
+      .select(col("score"), explode(col("ids_a")).as("x"), col("ids_b"))
+      .select(col("score"), col("x"), explode(col("ids_b")).as("y"))
+      .select(least(col("x"), col("y")).as("id_a"),
+        greatest(col("x"), col("y")).as("id_b"), col("score"))
+      .where(col("id_a") =!= col("id_b")) // duplicate-id guard (see pairsOf)
+    withinGroup.select(col("id_a"), col("id_b"), col("score"))
+      .unionByName(crossGroup)
+  }
+
+  /** Semantic dedup survivors: [[semanticNearDups]] pairs resolved to
+    * transitive groups ([[Dedup.connectedComponents]], O(log diameter)
+    * rounds), keeping the minimum id of each group — the SemDeDup
+    * curation step as a frame-in/frame-out operator. Non-representative
+    * members leave via a bare-id left-anti join (ids shuffle, vectors
+    * never do). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nlist: Int = 16,
+                    lloydIters: Int = 2): DataFrame = {
+    val pairs = semanticNearDups(df, idCol, vecCol, threshold, nlist, lloydIters)
+    val dropped = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .where(col("id") =!= col("label")) // group minimum survives
+      .select(col("id").as("_drop_id"))
+    df.join(dropped, col(idCol) === col("_drop_id"), "left_anti")
   }
 
   /** Per-dimension scalar quantization of an embedding column to int8

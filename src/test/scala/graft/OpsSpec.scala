@@ -1093,6 +1093,118 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall (${got.size}/${exact.size})")
   }
 
+  test("semantic near-dups: exact precision, planted recall, dedup keeps group minima") {
+    val base = (0 until 300).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    // identical cliques (within-group path) + jittered near dups (cross-
+    // group path, cosine ≥ ~0.999 — far inside any cell)
+    val cliques = for (i <- 0 until 4; c <- 1 to 2)
+      yield (1000L + 10 * i + c, base(i)._2.clone())
+    val nears = (5 until 10).map { i =>
+      val v = base(i)._2.clone(); v(0) = v(0) + 0.01f
+      (2000L + i, v)
+    }
+    val df = (base ++ cliques ++ nears).toDF("vec_id", "embedding")
+    val sem = Similarity.semanticNearDups(df, "vec_id", "embedding",
+      threshold = 0.9, nlist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exact all-pairs reference
+    val vecs = df.select(col("vec_id").as("vid"),
+      transform(col("embedding"), _.cast("double")).as("vv")).cache()
+    val a = vecs.select(col("vid").as("id_a"), col("vv").as("va"))
+    val b = vecs.select(col("vid").as("id_b"), col("vv").as("vb"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .where(Similarity.cosine(col("va"), col("vb")) >= 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is exact: every emitted pair is in the exact set with a
+    // true threshold-passing cosine
+    assert(sem.map(p => (p._1, p._2)).toSet.subsetOf(exact))
+    assert(sem.forall(_._3 >= 0.9))
+    // both pair families present: within-group (identical clique, score 1)
+    // and cross-group (jittered)
+    assert(sem.exists { case (a2, b2, s) => a2 < 1000L && b2 >= 1000L && b2 < 2000L && s > 0.999 },
+      "no clique pair recovered")
+    assert(sem.exists { case (a2, b2, _) => a2 < 200L && b2 >= 2000L },
+      "no jittered near pair recovered")
+    // recall: near-identical pairs co-cluster (boundary losses only)
+    val recall = sem.map(p => (p._1, p._2)).toSet.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${sem.length}/${exact.size})")
+    // dedup survivors: group minima stay, their transitive partners go
+    val survivors = Similarity.semanticDedup(df, "vec_id", "embedding",
+      threshold = 0.9, nlist = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val semPairs = sem.map(p => (p._1, p._2)).toSet
+    val droppedExpected = {
+      // transitive closure over the operator's own pair set
+      var label = (base ++ cliques ++ nears).map(v => v._1 -> v._1).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        semPairs.foreach { case (x, y) =>
+          val m = math.min(label(x), label(y))
+          if (label(x) != m) { label += x -> m; changed = true }
+          if (label(y) != m) { label += y -> m; changed = true }
+        }
+      }
+      label.collect { case (id, l) if id != l => id }.toSet
+    }
+    assert(survivors === (base ++ cliques ++ nears).map(_._1).toSet -- droppedExpected)
+    // empty corpus: empty frame with the pair schema, not a crash
+    val none = Similarity.semanticNearDups(df.where(lit(false)), "vec_id", "embedding",
+      threshold = 0.9, nlist = 8)
+    assert(none.count() === 0L)
+    assert(none.columns.toSeq === Seq("id_a", "id_b", "score"))
+    vecs.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("sketch heavy hitters: exact counts at any sketch size, nulls excluded") {
+    import graft.ops.Sketch
+    // skewed fixture: two heavy keys over a 400-key tail; N = 1020
+    val rows = Seq.fill(500)("alpha") ++ Seq.fill(120)("beta") ++
+      (0 until 400).map(i => s"tail_$i")
+    val df = rows.toDF("k0")
+    val exact = df.groupBy("k0").count()
+      .where(col("count") * 10 >= lit(rows.size.toLong))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact === Map("alpha" -> 500L, "beta" -> 120L)) // fixture sanity
+    val got = Sketch.heavyHitters(df, col("k0"), supportDenom = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === exact)
+    // a deliberately colliding sketch (1 row × 2 buckets) only widens the
+    // candidate band — the exact verify keeps the result identical
+    val tiny = Sketch.heavyHitters(df, col("k0"), supportDenom = 10,
+      depth = 1, width = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tiny === exact)
+    // nulls are excluded from N and from the result
+    val withNulls = df.select(when(col("k0") === "beta", lit(null)).otherwise(col("k0")).as("k0"))
+    val noBeta = Sketch.heavyHitters(withNulls, col("k0"), supportDenom = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(noBeta === Map("alpha" -> 500L)) // N drops to 900, alpha still ≥ 1/10
+    // empty input → empty output, no crash on a zero total
+    assert(Sketch.heavyHitters(df.where(lit(false)), col("k0"), 10).count() === 0L)
+    // CmsProbe kernel ≡ composed literal probe (same xxhash64 chain,
+    // same pmod, same min), bit-for-bit in both codegen modes — the
+    // kernel exists so the cell array doesn't print into plan text
+    val cells = Array.tabulate(3 * 64)(i => (i * 2654435761L) % 1000)
+    val keys = (rows ++ Seq("", "  ", "Ünïcode-key")).toDF("k0")
+    for (mode <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", mode)
+      try {
+        val kernel = keys.select(col("k0"),
+          graft.functions.CmsProbe.probe(col("k0"), cells, 3, 64).as("est"))
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+        val composed = keys.select(col("k0"),
+          Sketch.probeComposed(col("k0"), cells, 3, 64).as("est"))
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+        assert(kernel.toSeq === composed.toSeq, s"probe parity (codegen=$mode)")
+      } finally spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
+  }
+
   test("asof join: backward match, exact-tie visible, null when no prior") {
     import graft.ops.TimeOps
     import java.sql.Timestamp
