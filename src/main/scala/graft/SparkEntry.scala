@@ -1157,7 +1157,7 @@ object SparkEntry {
         (x, y) => x + lit(0.05) * y).as("v"))
     val corpus = emb.unionByName(planted)
     val sem = Similarity.semanticNearDups(corpus, "vec_id", "v",
-      threshold = 0.9, nlist = 16)
+      threshold = 0.9) // nlist derived from distinct mass (512-vector cells)
     val ref = graft.ops.OpCaches.registered(
       Similarity.cosineNearDups(corpus, "vec_id", "v",
         dim = 64, threshold = 0.9, numTables = 12))

@@ -229,10 +229,156 @@ case class LshBandBuckets(child: Expression, dim: Int, numPlanes: Int,
     copy(child = newChild)
 }
 
+/** The `p` nearest centroid cell ids of one vector (squared-distance
+  * argmin, closest first) in a single native pass — the kernel form of
+  * the composed `slice(transform(array_sort(transform(lits, …)), …))`
+  * expression in [[graft.ops.Similarity]]. The composed form is an
+  * interpreted HOF stack (transform/array_sort are CodegenFallback)
+  * that allocates and sorts an nlist-row struct array per input row —
+  * fine at nlist = 16, but k-means assignment is nlist dot products
+  * per row, and cluster counts must GROW with the corpus (fixed-size
+  * cells are what keep SemDeDup's within-cell pair join linear), so
+  * the per-row interpreted tax multiplies twice at scale. Here the
+  * centroid matrix rides flat as model state (one reference, not a
+  * printed plan literal), the distance loop is tight, and top-p is an
+  * insertion pass over a p-length buffer instead of a full sort.
+  *
+  * Parity contract with the composed form, spec-pinned bit-for-bit in
+  * both codegen modes:
+  *  - distances use the same left-fold arithmetic:
+  *    `(Σ v[i]·c[i]) · -2.0 + (Σ c[i]·c[i])`, with the centroid
+  *    self-dot pre-folded driver-side in the same order (IEEE ops are
+  *    deterministic, so the bits match the per-row fold);
+  *  - ordering is (distance, cell id) ascending under Spark's double
+  *    ordering (`a == b` first, so -0.0 ties 0.0; NaN sorts greatest,
+  *    NaN ties NaN);
+  *  - an invalid input (null vector, length ≠ dim, or — when the
+  *    schema admits them — a null element) nulls every distance in the
+  *    composed form, which then orders by cell id alone: the kernel
+  *    returns the p smallest cell ids (`ids` arrives sorted). The
+  *    expression is therefore never null itself, like the composed
+  *    slice. */
+case class NearestCells(child: Expression, flat: Array[Double],
+                        ids: Array[Long], dim: Int, p: Int)
+    extends UnaryExpression {
+  require(dim >= 1, s"dim must be >= 1, got $dim")
+  require(p >= 1, s"p must be >= 1, got $p")
+  require(ids.nonEmpty && flat.length == ids.length * dim,
+    s"centroid matrix ${flat.length} != ${ids.length} cells x $dim")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells requires an array<double> input, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "nearest_cells"
+
+  @transient private lazy val mayHaveNullElements: Boolean =
+    child.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    }
+
+  // centroid self-dots, same left-fold order as dot(c, c)
+  @transient private lazy val selfDots: Array[Double] = {
+    val out = new Array[Double](ids.length)
+    var n = 0
+    while (n < ids.length) {
+      var s = 0.0
+      var i = 0
+      while (i < dim) { val x = flat(n * dim + i); s += x * x; i += 1 }
+      out(n) = s
+      n += 1
+    }
+    out
+  }
+
+  // Spark's double ordering: primitive == first (-0.0 ties 0.0), then
+  // java compare (NaN greatest, total)
+  private def lessThan(d1: Double, c1: Long, d2: Double, c2: Long): Boolean = {
+    val cd = if (d1 == d2) 0 else java.lang.Double.compare(d1, d2)
+    if (cd != 0) cd < 0 else c1 < c2
+  }
+
+  def compute(input: Any): ArrayData = {
+    val arr = input.asInstanceOf[ArrayData]
+    val take = math.min(p, ids.length)
+    val valid = arr != null && arr.numElements() == dim && {
+      var ok = true
+      if (mayHaveNullElements) {
+        var i = 0
+        while (ok && i < dim) { if (arr.isNullAt(i)) ok = false; i += 1 }
+      }
+      ok
+    }
+    val out = new Array[Long](take)
+    if (!valid) {
+      // composed form: every distance null → ordered by cell id alone
+      var i = 0
+      while (i < take) { out(i) = ids(i); i += 1 }
+    } else {
+      // top-p insertion over (distance, cell) pairs, ascending
+      val bd = new Array[Double](take)
+      val bc = new Array[Long](take)
+      var filled = 0
+      var n = 0
+      while (n < ids.length) {
+        var s = 0.0
+        var i = 0
+        var idx = n * dim
+        while (i < dim) { s += arr.getDouble(i) * flat(idx); idx += 1; i += 1 }
+        val d = s * -2.0 + selfDots(n)
+        val c = ids(n)
+        if (filled < take || lessThan(d, c, bd(filled - 1), bc(filled - 1))) {
+          var j = if (filled < take) filled else take - 1
+          while (j > 0 && lessThan(d, c, bd(j - 1), bc(j - 1))) {
+            bd(j) = bd(j - 1); bc(j) = bc(j - 1); j -= 1
+          }
+          bd(j) = d; bc(j) = c
+          if (filled < take) filled += 1
+        }
+        n += 1
+      }
+      System.arraycopy(bc, 0, out, 0, take)
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def eval(input: InternalRow): Any = compute(child.eval(input))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("nc", this, classOf[NearestCells].getName)
+    ev.copy(
+      code = childGen.code +
+        code"""ArrayData ${ev.value} = $ref.compute(${childGen.isNull} ? null : ${childGen.value});""",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column-API entry point (requires array<double> inputs; cast first). */
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  /** Column-API entry for the centroid-assignment kernel: centroids as
+    * `(cell id, vector)` pairs, any id spacing, ids must be sorted. */
+  def nearest_cells(vec: Column, centroids: Seq[(Long, Seq[Double])], p: Int): Column = {
+    require(centroids.nonEmpty, "nearest_cells requires at least one centroid")
+    val dim = centroids.head._2.length
+    require(centroids.forall(_._2.length == dim), "ragged centroid matrix")
+    val ids = centroids.map(_._1).toArray
+    require(ids.sorted.sameElements(ids), "centroid ids must be sorted")
+    val flat = new Array[Double](centroids.length * dim)
+    centroids.zipWithIndex.foreach { case ((_, v), n) =>
+      var i = 0
+      while (i < dim) { flat(n * dim + i) = v(i); i += 1 }
+    }
+    Bridge.column(NearestCells(Bridge.expression(vec), flat, ids, dim, p))
+  }
   /** Column-API entry point (array<double> input; widths are
     * planning-time constants). */
   def lsh_band_buckets(vec: Column, dim: Int, numPlanes: Int,

@@ -331,13 +331,27 @@ object Similarity {
   }
 
   /** Cell id of the nearest centroid (min squared distance, ties to the
-    * lower cell id). Centroids ship as one typedlit struct array. */
+    * lower cell id). */
   private def nearestCell(vec: Column, centroids: Seq[(Long, Seq[Double])]): Column =
     element_at(nearestCells(vec, centroids, 1), 1)
 
-  /** The `p` nearest centroid cell ids, closest first. */
+  /** The `p` nearest centroid cell ids, closest first — the native
+    * [[graft.functions.NearestCells]] kernel (centroids ride flat as
+    * model state; the composed HOF form below is the parity
+    * reference). Assignment is the per-row hot loop of every k-means
+    * consumer (IVF probing, PQ training, SemDeDup cells), and cluster
+    * counts grow with the corpus, so the kernel's tight loop is what
+    * keeps nlist scaling affordable. */
   private def nearestCells(vec: Column, centroids: Seq[(Long, Seq[Double])],
-                           p: Int): Column = {
+                           p: Int): Column =
+    graft.functions.VectorFunctions.nearest_cells(vec, centroids, p)
+
+  /** Composed-builtin assignment (typedlit struct array + transform /
+    * array_sort / slice HOF stack) — kept as the parity reference for
+    * the kernel spec; interpreted per-row and allocates an nlist-row
+    * struct sort per input. */
+  private[graft] def nearestCellsComposed(vec: Column, centroids: Seq[(Long, Seq[Double])],
+                                          p: Int): Column = {
     val lits = typedlit(centroids)
     val scoredCells = transform(lits, c => struct(
       // squared distance = |v|² - 2v·c + |c|²; |v|² is constant per row,
@@ -487,16 +501,28 @@ object Similarity {
     * Precision is exact (every emitted pair carries its true cosine,
     * filtered at `threshold`); recall loss is exactly the cross-cell
     * pairs, measured against the LSH reference in the spec and gated as
-    * a recall contract in `q_semantic_dedup`. */
+    * a recall contract in `q_semantic_dedup`.
+    *
+    * `nlist = 0` (the default) DERIVES the cluster count from the
+    * distinct-vector mass — ⌈distinct / [[SemCellTarget]]⌉, floored at
+    * 16 — via one eager count that primes the cache the operator needs
+    * anyway (the cosineNearDups plane-count precedent). Fixed cells are
+    * what keep the pair join linear: per-cell mass ≈ SemCellTarget, so
+    * pair volume ≈ n · SemCellTarget/2 instead of n²/nlist, and the
+    * assignment cost n · nlist rides the native argmin kernel. Pass
+    * nlist > 0 to pin the count (e.g. for plan inspection). */
   def semanticNearDups(df: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double, nlist: Int = 16,
+                       threshold: Double, nlist: Int = 0,
                        lloydIters: Int = 2,
                        maxGroupSize: Int = Dedup.DefaultMaxGroupSize): DataFrame = {
     val groups = groupedVectors(df, idCol, vecCol, "vv", "vn",
       maxGroupSize, "semanticNearDups: a single vector value")
+    val k =
+      if (nlist > 0) nlist
+      else math.max(16, math.ceil(groups.count().toDouble / SemCellTarget).toInt)
     val centroids = kmeansCentroids(
       groups.select(col("gid").as("corpus_id"), col("vv").as("cv")),
-      nlist, lloydIters)
+      k, lloydIters)
     if (centroids.isEmpty)
       return df.sparkSession.emptyDataFrame
         .select(lit(0L).as("id_a"), lit(0L).as("id_b"), lit(0.0d).as("score"))
@@ -539,7 +565,7 @@ object Similarity {
     * members leave via a bare-id left-anti join (ids shuffle, vectors
     * never do). */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, nlist: Int = 16,
+                    threshold: Double, nlist: Int = 0,
                     lloydIters: Int = 2): DataFrame = {
     val pairs = semanticNearDups(df, idCol, vecCol, threshold, nlist, lloydIters)
     val dropped = Dedup.connectedComponents(pairs, "id_a", "id_b")
@@ -647,6 +673,13 @@ object Similarity {
     * before 10⁵ points). Only the ENCODE pass touches the full
     * corpus. */
   private[graft] val TrainSampleMax = 100000L
+
+  /** Target distinct-vector mass per SemDeDup cluster cell — the knob
+    * that trades per-cell pair work (≈ SemCellTarget²/2 dot products)
+    * against cluster count (assignment is nlist argmin rows). 512 keeps
+    * both sides comfortable: pair volume ≈ 256·n dots, and nlist stays
+    * ≤ ~2k per million distinct vectors. */
+  private[graft] val SemCellTarget = 512.0
 
   private[graft] def pqCodebooks(c: DataFrame, dim: Int, numSubspaces: Int,
                                  codebookSize: Int, lloydIters: Int,

@@ -1205,6 +1205,40 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("nearest-cells kernel ≡ composed HOF assignment, both codegen modes") {
+    // sparse sorted ids, duplicate centroids (tie → lower cell id),
+    // valid vectors + the three invalid shapes (null vector, wrong
+    // length, null element) + a NaN vector — the full ordering contract
+    val centroids: Seq[(Long, Seq[Double])] = Seq(
+      0L -> Seq(1.0, 0.0, 0.0, 0.0),
+      2L -> Seq(0.0, 1.0, 0.0, 0.0),
+      3L -> Seq(0.0, 1.0, 0.0, 0.0), // duplicate of cell 2: tie
+      7L -> Seq(-1.0, -1.0, -1.0, -1.0))
+    val base: Seq[(Long, Seq[java.lang.Double])] = (0 until 50).map { i =>
+      val rnd = new scala.util.Random(i)
+      i.toLong -> Seq.fill(4)(java.lang.Double.valueOf(rnd.nextDouble() * 2 - 1))
+    }
+    val special: Seq[(Long, Seq[java.lang.Double])] = Seq(
+      100L -> null,
+      101L -> Seq[java.lang.Double](1.0, 2.0), // wrong length
+      102L -> Seq[java.lang.Double](1.0, null, 0.0, 0.0), // null element
+      103L -> Seq[java.lang.Double](Double.NaN, 0.0, 0.0, 0.0))
+    val df = (base ++ special).toDF("id", "v")
+      .select(col("id"), col("v").cast("array<double>").as("v"))
+    for (p <- Seq(1, 3, 9); mode <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", mode)
+      try {
+        val kernel = df.select(col("id"),
+          graft.functions.VectorFunctions.nearest_cells(col("v"), centroids, p).as("c"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        val composed = df.select(col("id"),
+          Similarity.nearestCellsComposed(col("v"), centroids, p).as("c"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        assert(kernel === composed, s"assignment parity (codegen=$mode, p=$p)")
+      } finally spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
+  }
+
   test("asof join: backward match, exact-tie visible, null when no prior") {
     import graft.ops.TimeOps
     import java.sql.Timestamp
