@@ -777,6 +777,43 @@ object SparkEntry {
   def qBpePairs(spark: SparkSession, dir: String): DataFrame =
     TextOps.bpePairCounts(t(spark, dir, "documents"), "text")
 
+  /** Full BPE tokenization round-trip: learn 50 rank-ordered merges
+    * from the corpus ([[TextOps.bpeLearnMerges]] — one corpus pass,
+    * then vocabulary-sized rounds), then ENCODE every document with the
+    * native [[graft.functions.BpeEncode]] kernel. Gated as a contract
+    * row: `n_docs` and the whitespace token total are exact
+    * DuckDB-computable anchors; the invariant bits — emitted TRUE in
+    * the oracle — pin LOSSLESSNESS (per doc, concatenated BPE tokens ==
+    * the doc with whitespace removed; byte-equality, every doc) and
+    * COMPRESSION direction (per doc, whitespace ≤ BPE tokens ≤
+    * non-space chars; 50 merges strictly shrink the corpus total vs
+    * character tokenization). The BPE totals themselves are
+    * deterministic but have no SQL mirror (the merge list is learned
+    * state), so they gate through the invariants, like the simhash
+    * sketch contract. */
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val merges = TextOps.bpeLearnMerges(docs, "text", numMerges = 50)
+    val lt = lower(trim(col("text")))
+    val perDoc = docs
+      .select(col("doc_id"), lt.as("lt"),
+        graft.functions.BpeFunctions.bpe_encode(lt, merges).as("toks"))
+      .select(
+        col("doc_id"),
+        size(filter(split(col("lt"), "\\s+"), t => t =!= "")).as("n_ws"),
+        size(col("toks")).as("n_bpe"),
+        length(regexp_replace(col("lt"), "\\s+", "")).as("n_sp_chars"),
+        (array_join(col("toks"), "")
+          === regexp_replace(col("lt"), "\\s+", "")).as("lossless"))
+    perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_ws")).as("total_ws_tokens"),
+      min(col("lossless")).as("lossless_ok"),
+      min(col("n_ws") <= col("n_bpe") && col("n_bpe") <= col("n_sp_chars"))
+        .as("bounds_ok"),
+      (sum(col("n_bpe")) < sum(col("n_sp_chars"))).as("compresses_ok"))
+  }
+
   /** Transitive dedup-group resolution: connected components over the
     * n-gram Jaccard near-dup pairs (same parameters as
     * `q_ngram_jaccard`, whose pair set is oracle-verified) — every
@@ -1577,6 +1614,7 @@ object SparkEntry {
     "q_cosine_near_dups" -> qCosineNearDups,
     "q_semantic_dedup"   -> qSemanticDedup,
     "q_heavy_hitters"    -> qHeavyHitters,
+    "q_bpe_encode"       -> qBpeEncode,
     "q_multimodal_meta"  -> qMultimodalMeta,
     "q_image_meta"       -> qImageMeta,
     "q_audio_meta"       -> qAudioMeta,
@@ -2520,6 +2558,19 @@ object SparkEntry {
          |       TRUE AS recall_ok
          |FROM pairs WHERE score >= 0.9""".stripMargin
     },
+    "q_bpe_encode" ->
+      // the exact anchors (doc count, whitespace token total) plus the
+      // three invariant bits the Spark side must prove — the learned
+      // merge list has no SQL mirror, so the BPE totals gate through
+      // losslessness/bounds/compression instead (simhash precedent)
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                x -> x <> '') AS t
+        |  FROM documents)
+        |SELECT count(*) AS n_docs,
+        |       CAST(sum(len(t)) AS BIGINT) AS total_ws_tokens,
+        |       TRUE AS lossless_ok, TRUE AS bounds_ok, TRUE AS compresses_ok
+        |FROM toks""".stripMargin,
     "q_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
         |              FROM documents),

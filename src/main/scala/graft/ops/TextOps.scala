@@ -456,4 +456,150 @@ object TextOps {
         coalesce(col("n_contaminated").cast("double") / col("n_shingles"), lit(0.0))
           .as("contamination_frac"))
   }
+
+  /** BPE vocabulary induction (Sennrich et al. 2016): learn `numMerges`
+    * rank-ordered merges from the corpus — the iterated form of
+    * [[bpePairCounts]] (which is round 1 of this loop). Apply with
+    * [[graft.functions.BpeFunctions.bpe_encode]].
+    *
+    * Scale shape: ONE corpus-sized pass builds the word-frequency
+    * table; every round after that is vocabulary-sized — a pair-count
+    * aggregate over the current segmentations (weighted by word
+    * frequency, so corpus mass never re-enters) and one argmax row to
+    * the driver. The driver holds only the merge list (model state).
+    * Each round's re-segmentation is a greedy left-to-right fold of
+    * the winning pair, applied via `aggregate` over the symbol arrays;
+    * `localCheckpoint` truncates the per-round lineage exactly as in
+    * [[Dedup.connectedComponents]] (an iterative algorithm needs
+    * driver-controlled looping; without truncation the plan doubles
+    * every round).
+    *
+    * Determinism: pair counts are exact longs; the winner ties break
+    * to the binary-lexicographically smallest (a, b); word
+    * segmentation is a pure function of the merge list. The learned
+    * list is therefore identical across partitionings and runs. Rounds
+    * stop early when no adjacent pair remains (every word fully
+    * merged). */
+  def bpeLearnMerges(docs: DataFrame, textCol: String, numMerges: Int,
+                     driverVocabMax: Long = 1000000L): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges must be >= 0: $numMerges")
+    def chars(c: Column): Column =
+      filter(split(c, ""), s => s =!= "") // code-point symbols
+    var vocab = docs.select(explode(
+      filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= "")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(col("f"), chars(col("w")).as("syms"))
+      .localCheckpoint(true)
+    // Fast path: a vocabulary under the cap collects to the driver and
+    // the merge loop runs in memory — one distributed job instead of
+    // 2·numMerges, and the collected word-frequency table is bounded
+    // model state (Heaps' law keeps vocabularies in the millions at any
+    // corpus size — the same reason production BPE trainers are
+    // in-memory after the word-count pass). The distributed loop below
+    // stays as the unbounded-vocabulary fallback; both paths apply the
+    // same fuse rule and tiebreak (parity spec-pinned).
+    if (vocab.count() <= driverVocabMax)
+      return bpeLearnMergesDriver(
+        vocab.collect().map(r => (r.getLong(0), r.getSeq[String](1).toArray)),
+        numMerges)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val top = vocab
+        .where(size(col("syms")) > 1)
+        .select(col("f"), col("syms"),
+          posexplode(slice(col("syms"), lit(1), size(col("syms")) - 1)).as(Seq("i", "a")))
+        .withColumn("b", element_at(col("syms"), col("i") + 2))
+        .groupBy("a", "b").agg(sum(col("f")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        val ab = a + b
+        // greedy left-to-right fold of (a, b) — the same fuse rule the
+        // encode kernel applies, so training and application agree
+        vocab = vocab.select(col("f"),
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(ab))))
+              .otherwise(concat(acc, array(x)))).as("syms"))
+          .localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
+
+  /** In-memory merge loop over the collected word-frequency table.
+    * Semantics mirror the distributed loop exactly: max pair count,
+    * ties to the smallest (a, b) under UTF-8 BYTE order — Spark's
+    * string ordering, NOT Java's `String.compareTo` (UTF-16 code-unit
+    * order), which disagrees for supplementary characters vs high BMP
+    * code points — then the greedy left-to-right fuse. */
+  private def bpeLearnMergesDriver(words: Array[(Long, Array[String])],
+                                   numMerges: Int): Seq[(String, String)] = {
+    def byteLess(x: String, y: String): Boolean = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      a.length < b.length
+    }
+    val syms = words.map(_._2)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var w = 0
+      while (w < syms.length) {
+        val s = syms(w)
+        val f = words(w)._1
+        var j = 0
+        while (j < s.length - 1) {
+          val k = (s(j), s(j + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          j += 1
+        }
+        w += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: (String, String) = null
+        var bestC = Long.MinValue
+        counts.foreach { case (p, c) =>
+          if (c > bestC || (c == bestC &&
+              (byteLess(p._1, best._1) ||
+                (p._1 == best._1 && byteLess(p._2, best._2)))))
+            { best = p; bestC = c }
+        }
+        val (a, b) = best
+        merges += ((a, b))
+        val ab = a + b
+        var w2 = 0
+        while (w2 < syms.length) {
+          val s = syms(w2)
+          if (s.length > 1) {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var k = 0
+            while (k < s.length) {
+              if (k < s.length - 1 && s(k) == a && s(k + 1) == b) {
+                out += ab; k += 2
+              } else { out += s(k); k += 1 }
+            }
+            if (out.length != s.length) syms(w2) = out.toArray
+          }
+          w2 += 1
+        }
+      }
+    }
+    merges.toSeq
+  }
+
 }

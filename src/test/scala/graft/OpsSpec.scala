@@ -1205,6 +1205,55 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bpe: trainer semantics, driver ≡ distributed paths, encode kernel") {
+    // hand-checkable induction: "abab" chars a,b,a,b → round 1 best
+    // pair (a,b) count 2 → [ab,ab]; round 2 (ab,ab) → [abab]; exhausted
+    val tiny = Seq("abab").toDF("text")
+    val m1 = TextOps.bpeLearnMerges(tiny, "text", numMerges = 5)
+    assert(m1 === Seq(("a", "b"), ("ab", "ab")))
+    // tiebreak: equal counts go to the byte-smallest (a, b)
+    val tie = Seq("ab cd").toDF("text")
+    assert(TextOps.bpeLearnMerges(tie, "text", 2) === Seq(("a", "b"), ("c", "d")))
+    // driver fast path ≡ distributed loop on a corpus with real reuse
+    val docs = Seq(
+      "low low low low low", "lower lower widest widest widest",
+      "newest newest newest newest newest newest",
+      "the quick brown fox the quick", "ab abab ba").toDF("text")
+    val driver = TextOps.bpeLearnMerges(docs, "text", 12)
+    val dist = TextOps.bpeLearnMerges(docs, "text", 12, driverVocabMax = 0L)
+    assert(driver === dist)
+    assert(driver.size === 12)
+    assert(TextOps.bpeLearnMerges(docs, "text", 12) === driver) // deterministic
+    // encode kernel: greedy lowest-rank application, whitespace split,
+    // unknown symbols pass through, lossless, null/empty behavior
+    import graft.functions.BpeFunctions.bpe_encode
+    val enc = Seq(
+      ("abab", 1L), ("aba", 2L), ("ba", 3L), ("xabay", 4L),
+      ("  ab\tab\n", 5L), ("", 6L), ("   ", 7L), (null, 8L))
+      .toDF("text", "id")
+    for (mode <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", mode)
+      try {
+        val got = enc.select(col("id"), bpe_encode(col("text"), m1).as("t"))
+          .collect().map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+        assert(got(1L) === Seq("abab"))
+        assert(got(2L) === Seq("ab", "a")) // greedy left-to-right
+        assert(got(3L) === Seq("b", "a")) // (b,a) never learned
+        assert(got(4L) === Seq("x", "ab", "a", "y")) // unknown chars single
+        assert(got(5L) === Seq("ab", "ab")) // words encode independently
+        assert(got(6L) === Seq.empty && got(7L) === Seq.empty)
+        assert(got(8L) === null)
+      } finally spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
+    // astral-plane symbols stay whole code points
+    val emoji = Seq("😀😀").toDF("text")
+    val me = TextOps.bpeLearnMerges(emoji, "text", 1)
+    assert(me === Seq(("😀", "😀")))
+    assert(emoji.select(bpe_encode(col("text"), me).as("t"))
+      .collect()(0).getSeq[String](0) === Seq("😀😀"))
+  }
+
   test("nearest-cells kernel ≡ composed HOF assignment, both codegen modes") {
     // sparse sorted ids, duplicate centroids (tie → lower cell id),
     // valid vectors + the three invalid shapes (null vector, wrong
