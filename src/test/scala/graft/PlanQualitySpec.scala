@@ -381,6 +381,48 @@ class PlanQualitySpec extends SparkSpec {
       s"row_number window lost its _pid partition spec:\n$plan")
   }
 
+  test("heavy-hitters screen rides the scan below the exact-count exchange") {
+    val plan = SparkEntry.qHeavyHitters(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // the CmsProbe filter must sit on the scan side of the ONLY
+    // exchange — candidate rows shuffle, a full per-key shuffle is the
+    // naive shape this operator exists to avoid. The probe prints as a
+    // compact reference (cms_probe(...)), never a cell-array literal.
+    assert(plan.contains("cms_probe"), s"probe kernel missing from plan:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected at most one exchange (probe+count), got $exchanges:\n$plan")
+    val probeIdx = plan.indexOf("cms_probe")
+    val exIdx = plan.indexOf("Exchange")
+    // physical plans print top-down: the scan-side filter appears AFTER
+    // the exchange line in the tree text
+    assert(exIdx < 0 || probeIdx > exIdx,
+      s"cms_probe screen sits above the exchange — it must filter before the shuffle:\n$plan")
+    assert(!plan.contains("element_at"),
+      s"composed literal probe leaked into the plan:\n$plan")
+  }
+
+  test("semantic dedup scores within cells via one cell-keyed self-join, no cartesian") {
+    val emb = t3("embeddings")
+    val plan = graft.ops.Similarity.semanticNearDups(
+      emb, "vec_id", "embedding", threshold = 0.9, nlist = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"semantic pair join fell back to a quadratic join:\n$plan")
+    // assignment must run through the native kernel, not the HOF stack
+    assert(plan.contains("nearest_cells"), s"assignment kernel missing:\n$plan")
+    spark.catalog.clearCache()
+  }
+
+  test("bpe encode is a narrow kernel pass — no shuffle before the contract aggregate") {
+    val plan = SparkEntry.qBpeEncode(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bpe_encode"), s"encode kernel missing from plan:\n$plan")
+    // the per-doc stage is projection-only: the lone exchange is the
+    // final single-row aggregate's
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"bpe encode pass gained a shuffle:\n$plan")
+  }
+
   private def t3(name: String) =
     spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
 }
