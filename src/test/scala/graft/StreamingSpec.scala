@@ -387,6 +387,39 @@ class StreamingSpec extends SparkSpec {
       assert(rows === Map(1L -> true, 2L -> false, 3L -> true))
     } finally query.stop()
   }
+
+  test("cms heavy-key screen runs on a stream (online hot-key flagging)") {
+    // same composition argument as the bloom probe: CmsProbe is a pure
+    // narrow expression over driver-built model state, so a sketch
+    // built once from the historical corpus screens an incoming stream
+    // per micro-batch with no state and no join — the online shape of
+    // Sketch.heavyHitters' first pass (flag hot keys as they arrive;
+    // the exact verify stays a batch reconciliation)
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val hist = (Seq.fill(40)("hot") ++ (0 until 20).map(i => s"cold_$i")).toDF("k0")
+    val keyed = hist.select(col("k0").as("k"))
+    val (cells, total) = graft.ops.Sketch.cmsCells(keyed, depth = 3, width = 64)
+    val input = MemoryStream[StreamDoc]
+    val flagged = input.toDF()
+      .withColumn("hot",
+        graft.functions.CmsProbe.probe(col("text"), cells, 3, 64) * lit(10L)
+          >= lit(total)) // est >= N/10: only the hot key qualifies
+      .select(col("doc_id").as("id"), col("hot"))
+    val query = EventStream.startToMemory(flagged, "cms_stream")
+    try {
+      input.addData(StreamDoc(1L, "hot"), StreamDoc(2L, "cold_3"),
+        StreamDoc(3L, "never_seen"))
+      query.processAllAvailable()
+      val rows = spark.table("cms_stream").orderBy("id")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(rows(1L) === true)
+      assert(rows(2L) === false) // 1/60 of historical mass: not hot
+      // unseen keys can only be flagged by collision (CMS one-sided
+      // error); at 3x64 over 21 keys the fixture has none
+      assert(rows(3L) === false)
+    } finally query.stop()
+  }
 }
 
 /** Streaming-document fixture (top-level for the TypeTag-stable
