@@ -223,6 +223,23 @@ object SparkEntry {
         count(lit(1)).as("num_events"),
         dsum(col("value")).as("total_value"))
 
+  /** Retention cohort matrix (long form): users bucketed by
+    * first-event DAY, then distinct active users per (cohort,
+    * day-offset) — the product-analytics staple (daily grain because
+    * the driver's events tables span one calendar month at every SF).
+    * Shape for scale: the first-event table is ONE hash aggregate on
+    * user_id; the join back is user-keyed, and the matrix aggregate is
+    * cohort × offset — output-sized. */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select(col("user_id"),
+      date_trunc("day", col("ts")).cast("date").as("d"))
+    val firsts = ev.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+    ev.join(firsts, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   // ===========================================================================
   // Analytics-surface breadth: window analytics, set ops, rollup,
   // semi/anti joins, pivot — the rest of the surface an analytics-engine
@@ -652,6 +669,21 @@ object SparkEntry {
     graft.ops.Sketch.heavyHitters(toks, lower(col("tk")), supportDenom = 1000)
       .withColumnRenamed("k", "token")
   }
+
+  /** Z-order (Morton) clustering key over the events fact — the
+    * OPTIMIZE ZORDER layout primitive ([[graft.ops.Layout]]), gated on
+    * its deterministic core: exact min/max bucketization (the int8
+    * quantization recipe — no sampled range boundaries) + pure-integer
+    * bit interleaving, both mirrored operation-for-operation in the
+    * oracle. The layout itself (range repartition + in-partition sort,
+    * whose per-partition z-ranges are disjoint ⇒ file-level min/max
+    * skipping prunes on EITHER column) is partitioning, which a row
+    * hash cannot see — it is spec-pinned instead. */
+  def qZorder(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Layout.zValue(
+      t(spark, dir, "events").select("event_id", "user_id", "value"),
+      Seq("user_id", "value"), bits = 16)
+      .select("event_id", "bk_user_id", "bk_value", "zvalue")
 
   /** Per-language document-length quantiles (exact discrete p50/p90/p99)
     * — the distribution summary a tokenizer-budget plan starts from. */
@@ -1615,6 +1647,8 @@ object SparkEntry {
     "q_semantic_dedup"   -> qSemanticDedup,
     "q_heavy_hitters"    -> qHeavyHitters,
     "q_bpe_encode"       -> qBpeEncode,
+    "q_zorder"           -> qZorder,
+    "q_retention"        -> qRetention,
     "q_multimodal_meta"  -> qMultimodalMeta,
     "q_image_meta"       -> qImageMeta,
     "q_audio_meta"       -> qAudioMeta,
@@ -1831,6 +1865,15 @@ object SparkEntry {
         |FROM lineitem l LEFT JOIN dd ON CAST(l.l_shipdate AS DATE) = dd.calendar_date
         |WHERE l.l_returnflag = 'R'
         |ORDER BY order_id, line_no""".stripMargin,
+    "q_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        |            FROM events),
+        |firsts AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT f.cohort_day,
+        |       CAST(datediff('day', f.cohort_day, e.d) AS INTEGER) AS day_offset,
+        |       COUNT(DISTINCT e.user_id) AS n_users
+        |FROM ev e JOIN firsts f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_events_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS event_date, event_type,
         |       COUNT(*) AS num_events,
@@ -2571,6 +2614,27 @@ object SparkEntry {
         |       CAST(sum(len(t)) AS BIGINT) AS total_ws_tokens,
         |       TRUE AS lossless_ok, TRUE AS bounds_ok, TRUE AS compresses_ok
         |FROM toks""".stripMargin,
+    "q_zorder" -> {
+      // identical arithmetic, generated from the same constants: exact
+      // min/max double scaling then bit interleave (bit i of column k →
+      // position i*2 + k; user_id is column 0, the fine dimension)
+      def bk(x: String, mn: String, mx: String) =
+        s"CASE WHEN $mx = $mn THEN 0 ELSE CAST(floor((CAST($x AS DOUBLE) - $mn) / ($mx - $mn) * 65535) AS BIGINT) END"
+      val inter = (0 until 16).flatMap { i =>
+        Seq(s"(((bk_user_id >> $i) & 1) << ${i * 2})",
+          s"(((bk_value >> $i) & 1) << ${i * 2 + 1})")
+      }.mkString(" + ")
+      s"""WITH s AS (SELECT min(CAST(user_id AS DOUBLE)) AS mnu,
+         |                  max(CAST(user_id AS DOUBLE)) AS mxu,
+         |                  min(value) AS mnv, max(value) AS mxv FROM events),
+         |b AS (SELECT event_id,
+         |        ${bk("user_id", "mnu", "mxu")} AS bk_user_id,
+         |        ${bk("value", "mnv", "mxv")} AS bk_value
+         |      FROM events CROSS JOIN s)
+         |SELECT event_id, bk_user_id, bk_value,
+         |       $inter AS zvalue
+         |FROM b ORDER BY event_id""".stripMargin
+    },
     "q_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
         |              FROM documents),
