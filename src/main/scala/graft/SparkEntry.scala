@@ -223,6 +223,18 @@ object SparkEntry {
         count(lit(1)).as("num_events"),
         dsum(col("value")).as("total_value"))
 
+  /** Robust outlier QA over the events metric: exact per-type median,
+    * MAD, and beyond-3-MAD counts ([[graft.ops.Stats.robustOutliers]])
+    * — the corrupt-value screen that heavy tails can't fool. All
+    * medians are data elements and every comparison is one IEEE op, so
+    * the scan hash-matches the oracle exactly. */
+  def qOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Stats
+    Stats.robustOutliers(t(spark, dir, "events")
+      .select(col("event_type"), col("value")),
+      Seq("event_type"), "value", k = 3.0)
+  }
+
   /** Retention cohort matrix (long form): users bucketed by
     * first-event DAY, then distinct active users per (cohort,
     * day-offset) — the product-analytics staple (daily grain because
@@ -1649,6 +1661,7 @@ object SparkEntry {
     "q_bpe_encode"       -> qBpeEncode,
     "q_zorder"           -> qZorder,
     "q_retention"        -> qRetention,
+    "q_outliers"         -> qOutliers,
     "q_multimodal_meta"  -> qMultimodalMeta,
     "q_image_meta"       -> qImageMeta,
     "q_audio_meta"       -> qAudioMeta,
@@ -1865,6 +1878,32 @@ object SparkEntry {
         |FROM lineitem l LEFT JOIN dd ON CAST(l.l_shipdate AS DATE) = dd.calendar_date
         |WHERE l.l_returnflag = 'R'
         |ORDER BY order_id, line_no""".stripMargin,
+    "q_outliers" ->
+      // the same type-1 quantile maneuver as q_length_quantiles, run
+      // twice: once for the median, once over |x − med| for the MAD
+      """WITH counts AS (SELECT event_type, value AS v, count(*) AS c
+        |                FROM events GROUP BY 1, 2),
+        |cum AS (SELECT event_type, v,
+        |          sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+        |          sum(c) OVER (PARTITION BY event_type) AS n FROM counts),
+        |med AS (SELECT event_type,
+        |          min(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS med
+        |        FROM cum GROUP BY 1),
+        |dev AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS a
+        |        FROM events e JOIN med m USING (event_type)),
+        |dcounts AS (SELECT event_type, a, count(*) AS c FROM dev GROUP BY 1, 2),
+        |dcum AS (SELECT event_type, a,
+        |           sum(c) OVER (PARTITION BY event_type ORDER BY a) AS cum,
+        |           sum(c) OVER (PARTITION BY event_type) AS n FROM dcounts),
+        |mad AS (SELECT event_type,
+        |          min(CASE WHEN cum >= ceil(0.5 * n) THEN a END) AS mad
+        |        FROM dcum GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n, max(d.med) AS med,
+        |       max(m.mad) AS mad,
+        |       CAST(sum(CASE WHEN d.a > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_retention" ->
       """WITH ev AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
         |            FROM events),

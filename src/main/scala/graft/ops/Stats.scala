@@ -41,4 +41,40 @@ object Stats {
     cum.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Robust outlier QA scan: per group, the exact (type-1) median, the
+    * exact MAD (median absolute deviation), and the count of values
+    * beyond `k` MADs — the outlier detector that survives the heavy
+    * tails and corrupt spikes that wreck mean/stddev z-scores (one
+    * corrupt 1e308 row drags a mean arbitrarily; the median ignores
+    * it).
+    *
+    * Everything is exact and engine-portable: medians are DATA
+    * ELEMENTS (type-1 quantiles via [[quantilesDisc]] — no
+    * interpolation arithmetic), `|x − med|` is one IEEE subtraction,
+    * and the k·MAD threshold is one IEEE multiply — all bit-identical
+    * across engines, so the whole scan hash-matches a SQL oracle.
+    *
+    * Scale shape: two passes over the input (median pass, deviation
+    * pass) — each a (group, value)-count aggregate + in-group window,
+    * so state is bounded by per-group distinct-VALUE cardinality, not
+    * row count; the group-sized median/MAD tables broadcast back. The
+    * deliberate second scan is the heavyHitters trade: a scan is
+    * bandwidth, a corpus-wide sort or cache is memory. */
+  def robustOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     k: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val med = quantilesDisc(df, groupCols, valueCol, Seq("med" -> 0.5))
+    val dev = df.join(broadcast(med), groupCols)
+      .withColumn("_absdev", abs(col(valueCol) - col("med")))
+    val mad = quantilesDisc(dev, groupCols, "_absdev", Seq("mad" -> 0.5))
+    dev.join(broadcast(mad), groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("med")).as("med"), // constant within the group
+        max(col("mad")).as("mad"),
+        sum(when(col("_absdev") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
 }

@@ -1205,6 +1205,23 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("robust outliers: exact median/MAD, corrupt spike caught, constant group clean") {
+    import graft.ops.Stats
+    // group a: a 100x corrupt spike one mean/stddev z-score would
+    // swallow (it inflates stddev to ~39, putting z(100) at ~2.4 —
+    // under a 3-sigma gate) but 3-MAD flags; group b: constant values,
+    // MAD 0, nothing flagged
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 5.0, 100.0).map(("a", _)) ++
+      Seq(5.0, 5.0, 5.0).map(("b", _))).toDF("g", "v")
+    val got = Stats.robustOutliers(df, Seq("g"), "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    // type-1 lower median of [1,2,3,4,5,100] = 3; absdevs [2,1,0,1,2,97]
+    // → MAD = 1; only 97 > 3·1
+    assert(got("a") === ((6L, 3.0, 1.0, 1L)))
+    assert(got("b") === ((3L, 5.0, 0.0, 0L)))
+  }
+
   test("bpe: trainer semantics, driver ≡ distributed paths, encode kernel") {
     // hand-checkable induction: "abab" chars a,b,a,b → round 1 best
     // pair (a,b) count 2 → [ab,ab]; round 2 (ab,ab) → [abab]; exhausted
