@@ -32,9 +32,10 @@ import org.apache.spark.sql.functions._
   * billion-group shuffle is not). The sketch build's map-side combine
   * caps the shuffle at `partitions × depth × width` rows, and the
   * driver holds exactly depth × width longs — the same legitimate
-  * model-state class as IVF's centroid table. The probe is a pure
-  * column expression over broadcast literals (codegen'd `least` of
-  * `element_at`s), so the screen rides the scan.
+  * model-state class as IVF's centroid table. The probe is the native
+  * [[graft.functions.CmsProbe]] kernel (cells as model state, one
+  * tight loop), so the screen rides the scan as a narrow codegen'd
+  * filter.
   */
 object Sketch {
 
