@@ -223,6 +223,16 @@ object SparkEntry {
         count(lit(1)).as("num_events"),
         dsum(col("value")).as("total_value"))
 
+  /** Exact duplicated-substring spans ([[Dedup.dupSpans]], the Lee et
+    * al. 2022 span-level dedup): maximal token ranges covered by
+    * 5-gram windows occurring ≥ 2 times corpus-wide — the boilerplate
+    * mass whole-document dedup cannot see. Hash-gram vs string-gram
+    * equivalence with the oracle rides the standard no-collision
+    * precedent. */
+  def qDupSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpans(t(spark, dir, "documents"), "doc_id", "text", L = 5)
+      .withColumnRenamed("id", "doc_id")
+
   /** Robust outlier QA over the events metric: exact per-type median,
     * MAD, and beyond-3-MAD counts ([[graft.ops.Stats.robustOutliers]])
     * — the corrupt-value screen that heavy tails can't fool. All
@@ -1662,6 +1672,7 @@ object SparkEntry {
     "q_zorder"           -> qZorder,
     "q_retention"        -> qRetention,
     "q_outliers"         -> qOutliers,
+    "q_dup_spans"        -> qDupSpans,
     "q_multimodal_meta"  -> qMultimodalMeta,
     "q_image_meta"       -> qImageMeta,
     "q_audio_meta"       -> qAudioMeta,
@@ -1878,6 +1889,26 @@ object SparkEntry {
         |FROM lineitem l LEFT JOIN dd ON CAST(l.l_shipdate AS DATE) = dd.calendar_date
         |WHERE l.l_returnflag = 'R'
         |ORDER BY order_id, line_no""".stripMargin,
+    "q_dup_spans" ->
+      // gram STRINGS where Spark groups window hashes (no-collision
+      // precedent); ' '-join is injective over whitespace-free tokens
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |pos AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+4], ' ') AS gram
+        |        FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)),
+        |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) > 1),
+        |hits AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup d USING (gram)),
+        |flag AS (SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+        |         THEN 0 ELSE 1 END AS ns
+        |  FROM hits),
+        |isl AS (SELECT doc_id, pos,
+        |    sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM flag)
+        |SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+        |       CAST(max(pos) + 4 AS INTEGER) AS span_end,
+        |       count(*) AS n_windows
+        |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
     "q_outliers" ->
       // the same type-1 quantile maneuver as q_length_quantiles, run
       // twice: once for the median, once over |x − med| for the MAD

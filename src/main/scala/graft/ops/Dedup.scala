@@ -892,4 +892,52 @@ object Dedup {
       .select(col("jaccard"), explode(col("ids_a")).as("left_id"), col("ids_b"))
       .select(col("left_id"), explode(col("ids_b")).as("right_id"), col("jaccard"))
   }
+
+  /** Exact duplicated-substring spans (the suffix-array dedup of Lee
+    * et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", re-expressed shuffle-natively): every MAXIMAL token span
+    * covered by `L`-token windows that occur at least twice in the
+    * corpus — across documents or repeated within one. Document-level
+    * dedup (exact/minhash/simhash families above) misses these: a
+    * boilerplate paragraph pasted into a thousand otherwise-distinct
+    * documents survives every whole-document gate, and Lee et al.
+    * measure that cutting the spans, not the documents, is what
+    * removes the memorization mass. Output: `(id, span_start,
+    * span_end, n_windows)` in token indices (0-based, inclusive),
+    * ready for [[graft.ops.Curation]]-style span cutting.
+    *
+    * Instead of a suffix array (pointer-chasing, hostile to
+    * distribution), duplicated spans fall out of three relational
+    * steps: per-position window hashes (native
+    * [[graft.functions.TokenWindowHashes]] kernel, one pass), a
+    * corpus-wide hash-count to find windows with multiplicity ≥ 2 (an
+    * 8-byte-key aggregate — the exact-dedup shuffle shape), and a
+    * per-document gap-and-island merge (positions ≤ L apart fuse) via
+    * one doc-partitioned window. Hashes stand in for gram identity
+    * under the standard no-collision assumption (the
+    * repetition/jaccard oracle precedent — the DuckDB oracle groups
+    * the gram STRINGS). */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+               L: Int = 5): DataFrame = {
+    require(L >= 1, s"window length must be >= 1: $L")
+    import graft.functions.TextHashFunctions.token_window_hashes
+    // cached: feeds the multiplicity count AND the position semi-join —
+    // uncached, the tokenize+hash pass runs twice
+    val grams = OpCaches.registered(
+      df.select(col(idCol).as("id"),
+        posexplode(token_window_hashes(col(textCol), L)).as(Seq("pos", "h"))))
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select("h")
+    val hits = grams.join(dup, Seq("h"), "left_semi")
+    val w = Window.partitionBy("id").orderBy("pos")
+    hits
+      .withColumn("_ns",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= L, 0).otherwise(1))
+      .withColumn("_island", sum(col("_ns")).over(w))
+      .groupBy(col("id"), col("_island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + L - 1).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("id", "span_start", "span_end", "n_windows")
+  }
 }

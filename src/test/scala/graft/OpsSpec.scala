@@ -1205,6 +1205,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("dup spans: cross-doc and within-doc repeats, maximal merge, clean doc empty") {
+    val docs = Seq(
+      // "a b c d e" at pos 0 AND pos 8 (within-doc repeat, gap 8 > 5 →
+      // two separate spans)
+      (1L, "a b c d e X Y Z a b c d e"),
+      // the same 5-gram at pos 2 (cross-doc repeat)
+      (2L, "p q a b c d e r s"),
+      // nothing repeated anywhere
+      (3L, "unique tokens only here never repeated anywhere"),
+      // period-6 repetition: every window duplicated, gaps ≤ 5 → ONE
+      // maximal span covering the whole doc
+      (4L, "m n o p q r m n o p q r m n o p q r"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupSpans(docs, "doc_id", "text", L = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, 0, 4, 1L), (1L, 8, 12, 1L),
+      (2L, 2, 6, 1L),
+      (4L, 0, 17, 14L)))
+    spark.catalog.clearCache()
+  }
+
   test("robust outliers: exact median/MAD, corrupt spike caught, constant group clean") {
     import graft.ops.Stats
     // group a: a 100x corrupt spike one mean/stddev z-score would
