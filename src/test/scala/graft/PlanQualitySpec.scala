@@ -15,7 +15,15 @@ import org.apache.spark.sql.functions._
 class PlanQualitySpec extends SparkSpec {
 
   test("decimal-partial aggregates are bit-identical at 7 vs 32 shuffle partitions") {
-    val probes = Seq("q_dealer_perf", "q_embedding_stats", "q_events_daily")
+    // the second-session additions ride along: exact sketch-screened
+    // counts, integer z-values, median/MAD (data elements), span
+    // merges, cohort counts, and the BPE contract row are all claimed
+    // partition-invariant — prove it (q_semantic_dedup is deliberately
+    // absent: its k-means means are double sums, the one documented
+    // partitioning-sensitive intermediate, gated by recall contract)
+    val probes = Seq("q_dealer_perf", "q_embedding_stats", "q_events_daily",
+      "q_heavy_hitters", "q_zorder", "q_outliers", "q_dup_spans",
+      "q_retention", "q_bpe_encode")
     // restore the FIXTURE's value, not a constant — the session is
     // shared across suites and a leaked setting changes later plans
     val fixtureParts = spark.conf.get("spark.sql.shuffle.partitions")
