@@ -223,6 +223,16 @@ object SparkEntry {
         count(lit(1)).as("num_events"),
         dsum(col("value")).as("total_value"))
 
+  /** Corpus-trained bigram-LM quality scores ([[TextOps.bigramLmScores]]
+    * — the CCNet/KenLM perplexity-filter mechanism): per doc, the
+    * add-k-smoothed mean token log-probability under the corpus's own
+    * bigram statistics. Counts are exact; each ln is
+    * decimal-quantized before summing (the dim-stats recipe), so the
+    * scores hash-match the oracle. */
+  def qLmScores(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bigramLmScores(t(spark, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+
   /** Exact duplicated-substring spans ([[Dedup.dupSpans]], the Lee et
     * al. 2022 span-level dedup): maximal token ranges covered by
     * 5-gram windows occurring ≥ 2 times corpus-wide — the boilerplate
@@ -1673,6 +1683,7 @@ object SparkEntry {
     "q_retention"        -> qRetention,
     "q_outliers"         -> qOutliers,
     "q_dup_spans"        -> qDupSpans,
+    "q_lm_scores"        -> qLmScores,
     "q_multimodal_meta"  -> qMultimodalMeta,
     "q_image_meta"       -> qImageMeta,
     "q_audio_meta"       -> qAudioMeta,
@@ -1889,6 +1900,28 @@ object SparkEntry {
         |FROM lineitem l LEFT JOIN dd ON CAST(l.l_shipdate AS DATE) = dd.calendar_date
         |WHERE l.l_returnflag = 'R'
         |ORDER BY order_id, line_no""".stripMargin,
+    "q_lm_scores" ->
+      // same formula, ln quantized to DECIMAL(18,6) before the sum on
+      // both sides; V and k*V are computed from the data in-engine
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                x -> x <> '') AS t
+        |  FROM documents),
+        |pairs AS (SELECT doc_id, t[i] AS a, t[i+1] AS b
+        |          FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+        |v AS (SELECT count(DISTINCT w) AS vc
+        |      FROM (SELECT unnest(t) AS w FROM toks)),
+        |cab AS (SELECT a, b, count(*) AS cab FROM pairs GROUP BY 1, 2),
+        |ca AS (SELECT a, count(*) AS ca FROM pairs GROUP BY 1),
+        |sc AS (SELECT p.doc_id,
+        |         CAST(ln((cab + 0.5) / (ca + 0.5 * vc)) AS DECIMAL(18,6)) AS lp
+        |       FROM pairs p JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v),
+        |agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS slp
+        |        FROM sc GROUP BY 1)
+        |SELECT d.doc_id, a.n_bigrams,
+        |       CAST(a.slp AS DOUBLE) / a.n_bigrams AS mean_logprob
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_dup_spans" ->
       // gram STRINGS where Spark groups window hashes (no-collision
       // precedent); ' '-join is injective over whitespace-free tokens

@@ -457,6 +457,67 @@ object TextOps {
           .as("contamination_frac"))
   }
 
+  /** Corpus-trained bigram language-model quality scores — the
+    * CCNet/KenLM-style perplexity filter (Wenzek et al. 2020): docs
+    * whose token stream the corpus's own n-gram statistics find
+    * improbable are boilerplate, gibberish, or wrong-language, and the
+    * per-doc mean log-probability is the standard ranking signal. A
+    * production pipeline loads a pretrained KenLM; the MECHANISM —
+    * count tables joined per token position, smoothed conditional
+    * probabilities, a length-normalized log sum — is identical and is
+    * the part that must scale.
+    *
+    * Model: add-k smoothed bigram LM over lowercased whitespace
+    * tokens, P(b|a) = (c(a,b) + k) / (c(a,·) + k·V), with c(a,·) the
+    * count of bigrams starting at `a` and V the distinct-unigram
+    * vocabulary. Documents with < 2 tokens score NULL (no bigram
+    * evidence — a 0.0 would fake "perfectly probable").
+    *
+    * Cross-engine determinism: counts are exact longs; each bigram's
+    * `ln P` is quantized to DECIMAL(18,6) BEFORE the per-doc sum (libm
+    * `log` differs across engines in the last ulp — quantization at
+    * 1e-6 collapses both readings to the same decimal except within a
+    * half-ulp of a rounding boundary, probability ~1e-11 per value:
+    * the q_dim_stats recipe), so the sum is order- and
+    * engine-invariant; the final mean is one IEEE divide.
+    *
+    * Scale shape: the model IS a DataFrame (bigram/context counts —
+    * vocabulary²-bounded, in practice Heaps-small), never driver
+    * state: token positions explode once, join the count tables on the
+    * bigram key (8-byte-ish keys, the exact-dedup shuffle class), one
+    * per-doc aggregate. Three corpus passes total (unigram V, bigram
+    * counts, scoring join) — scan-for-shuffle economics throughout. */
+  def bigramLmScores(docs: DataFrame, idCol: String, textCol: String,
+                     k: Double = 0.5): DataFrame = {
+    require(k > 0, s"smoothing k must be > 0: $k")
+    val toks = docs.select(col(idCol).as("id"),
+      filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= "").as("t"))
+    // bigram positions: (id, a, b) per adjacent pair — cached, it feeds
+    // the count aggregate AND the scoring join
+    val pairs = OpCaches.registered(toks
+      .where(size(col("t")) > 1)
+      .select(col("id"), col("t"),
+        posexplode(slice(col("t"), lit(1), size(col("t")) - 1)).as(Seq("i", "a")))
+      .select(col("id"), col("a"), element_at(col("t"), col("i") + 2).as("b")))
+    val vocab = toks.select(explode(col("t")).as("w")).agg(countDistinct(col("w")))
+      .collect()(0).getLong(0)
+    val bigramC = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val contextC = pairs.groupBy("a").agg(count(lit(1)).as("ca"))
+    val scored = pairs
+      .join(bigramC, Seq("a", "b"))
+      .join(contextC, Seq("a"))
+      .withColumn("_lp",
+        log((col("cab") + lit(k)) / (col("ca") + lit(k * vocab)))
+          .cast("decimal(18,6)"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_lp")).as("_slp"))
+      .withColumn("mean_logprob",
+        col("_slp").cast("double") / col("n_bigrams"))
+    docs.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"), col("n_bigrams"), col("mean_logprob"))
+  }
+
   /** BPE vocabulary induction (Sennrich et al. 2016): learn `numMerges`
     * rank-ordered merges from the corpus — the iterated form of
     * [[bpePairCounts]] (which is round 1 of this loop). Apply with

@@ -1205,6 +1205,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bigram LM scores: hand-computed smoothed probabilities, short docs null") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z"), (5L, ""))
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramLmScores(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some((r.getLong(1), r.getDouble(2))))).toMap
+    // corpus: pairs (a,b)×2, (a,c)×1; V = 4 (a, b, c, and doc 4's z —
+    // the vocabulary counts unigrams corpus-wide); c(a,·) = 3; k = 0.5
+    def lp(cab: Long, ca: Long): Double =
+      BigDecimal(math.log((cab + 0.5) / (ca + 0.5 * 4)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) === Some((1L, lp(2, 3))))
+    assert(got(2L) === Some((1L, lp(2, 3))))
+    assert(got(3L) === Some((1L, lp(1, 3))))
+    // higher-probability sequences score higher (the filter's ranking)
+    assert(got(1L).get._2 > got(3L).get._2)
+    // < 2 tokens: no bigram evidence → NULL, not a fake 0.0
+    assert(got(4L) === None && got(5L) === None)
+    spark.catalog.clearCache()
+  }
+
   test("dup spans: cross-doc and within-doc repeats, maximal merge, clean doc empty") {
     val docs = Seq(
       // "a b c d e" at pos 0 AND pos 8 (within-doc repeat, gap 8 > 5 →
