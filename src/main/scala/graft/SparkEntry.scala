@@ -223,6 +223,25 @@ object SparkEntry {
         count(lit(1)).as("num_events"),
         dsum(col("value")).as("total_value"))
 
+  /** Table reconciliation ([[graft.pipeline.Diff]]): the orders table
+    * diffed against a deterministically mutated version of itself
+    * (drop every 97th key, double the price on every 101st, re-insert
+    * every 103rd under a shifted key) — one full-outer key join, no
+    * collects, per-status and per-column change counts. The mutation
+    * rules are integer arithmetic and one exact double×2, so the
+    * oracle rebuilds the same right side and the summary hash-matches. */
+  def qTableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "orders")
+    val mutated = base
+      .where(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 101 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+      .unionByName(base.where(col("o_orderkey") % 103 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+    graft.pipeline.Diff.diffSummary(base, mutated, Seq("o_orderkey"))
+  }
+
   /** Corpus-trained bigram-LM quality scores ([[TextOps.bigramLmScores]]
     * — the CCNet/KenLM perplexity-filter mechanism): per doc, the
     * add-k-smoothed mean token log-probability under the corpus's own
@@ -1684,6 +1703,7 @@ object SparkEntry {
     "q_outliers"         -> qOutliers,
     "q_dup_spans"        -> qDupSpans,
     "q_lm_scores"        -> qLmScores,
+    "q_table_diff"       -> qTableDiff,
     "q_multimodal_meta"  -> qMultimodalMeta,
     "q_image_meta"       -> qImageMeta,
     "q_audio_meta"       -> qAudioMeta,
@@ -1900,6 +1920,35 @@ object SparkEntry {
         |FROM lineitem l LEFT JOIN dd ON CAST(l.l_shipdate AS DATE) = dd.calendar_date
         |WHERE l.l_returnflag = 'R'
         |ORDER BY order_id, line_no""".stripMargin,
+    "q_table_diff" -> {
+      val payload = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      val diffs = payload.map(c =>
+        s"(l.$c IS DISTINCT FROM r.$c) AS d_$c").mkString(",\n        ")
+      val changedCols = payload.map(c =>
+        s"CAST(sum(CASE WHEN NOT lnull AND NOT rnull AND d_$c THEN 1 ELSE 0 END) AS BIGINT) AS changed_$c")
+        .mkString(",\n       ")
+      val anyD = payload.map(c => s"d_$c").mkString(" OR ")
+      s"""WITH mut AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice * 2
+         |              ELSE o_totalprice END AS o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 97 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+         |         o_totalprice, o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 103 = 0),
+         |j AS (SELECT l.o_orderkey IS NULL AS lnull, r.o_orderkey IS NULL AS rnull,
+         |        $diffs
+         |      FROM orders l FULL OUTER JOIN mut r ON l.o_orderkey = r.o_orderkey)
+         |SELECT CAST(sum(CASE WHEN lnull THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+         |       CAST(sum(CASE WHEN rnull THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |       CAST(sum(CASE WHEN NOT lnull AND NOT rnull AND ($anyD) THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         |       CAST(sum(CASE WHEN NOT lnull AND NOT rnull AND NOT ($anyD) THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+         |       $changedCols
+         |FROM j""".stripMargin
+    },
     "q_lm_scores" ->
       // same formula, ln quantized to DECIMAL(18,6) before the sum on
       // both sides; V and k*V are computed from the data in-engine

@@ -1205,6 +1205,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("table diff: four statuses, per-column counts, null-safe compares") {
+    import graft.pipeline.Diff
+    val left = Seq(
+      (1L, Some("a"), Some(10.0)), // unchanged
+      (2L, Some("b"), Some(20.0)), // value change
+      (3L, None: Option[String], Some(30.0)), // NULL→value flip
+      (4L, Some("d"), None: Option[Double]), // NULL on both sides: same
+      (5L, Some("e"), Some(50.0))) // removed
+      .toDF("k", "s", "v")
+    val right = Seq(
+      (1L, Some("a"), Some(10.0)),
+      (2L, Some("b"), Some(21.0)),
+      (3L, Some("c"), Some(30.0)),
+      (4L, Some("d"), None: Option[Double]),
+      (6L, Some("f"), Some(60.0))) // added
+      .toDF("k", "s", "v")
+    val statuses = Diff.diff(left, right, Seq("k"))
+      .select("k", "status").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(statuses === Map(1L -> "same", 2L -> "changed", 3L -> "changed",
+      4L -> "same", 5L -> "removed", 6L -> "added"))
+    val sum = Diff.diffSummary(left, right, Seq("k")).collect()(0)
+    assert(sum.getLong(0) === 1L) // n_added
+    assert(sum.getLong(1) === 1L) // n_removed
+    assert(sum.getLong(2) === 2L) // n_changed
+    assert(sum.getLong(3) === 2L) // n_same
+    assert(sum.getLong(4) === 1L) // changed_s: the NULL→"c" flip counts
+    assert(sum.getLong(5) === 1L) // changed_v: 20→21 only (NULL<=>NULL is same)
+  }
+
   test("bigram LM scores: hand-computed smoothed probabilities, short docs null") {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z"), (5L, ""))
       .toDF("doc_id", "text")
