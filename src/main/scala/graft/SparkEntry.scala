@@ -223,6 +223,15 @@ object SparkEntry {
         count(lit(1)).as("num_events"),
         dsum(col("value")).as("total_value"))
 
+  /** k-anonymity audit ([[graft.quality.Checks.kAnonymity]]) over
+    * customer quasi-identifiers (nation x market segment): cohort sizes
+    * and at-risk flags for every combination — one hash aggregate, the
+    * governance gate before attribute-bearing data leaves a trust
+    * boundary. */
+  def qKAnonymity(spark: SparkSession, dir: String): DataFrame =
+    graft.quality.Checks.kAnonymity(t(spark, dir, "customer"),
+      Seq("c_nationkey", "c_mktsegment"), k = 5)
+
   /** Table reconciliation ([[graft.pipeline.Diff]]): the orders table
     * diffed against a deterministically mutated version of itself
     * (drop every 97th key, double the price on every 101st, re-insert
@@ -1704,6 +1713,7 @@ object SparkEntry {
     "q_dup_spans"        -> qDupSpans,
     "q_lm_scores"        -> qLmScores,
     "q_table_diff"       -> qTableDiff,
+    "q_k_anonymity"      -> qKAnonymity,
     "q_multimodal_meta"  -> qMultimodalMeta,
     "q_image_meta"       -> qImageMeta,
     "q_audio_meta"       -> qAudioMeta,
@@ -1920,6 +1930,10 @@ object SparkEntry {
         |FROM lineitem l LEFT JOIN dd ON CAST(l.l_shipdate AS DATE) = dd.calendar_date
         |WHERE l.l_returnflag = 'R'
         |ORDER BY order_id, line_no""".stripMargin,
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |       count(*) < 5 AS at_risk
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_table_diff" -> {
       val payload = Seq("o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

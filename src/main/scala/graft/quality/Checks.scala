@@ -101,4 +101,24 @@ object Checks {
         col("violations"), (col("violations") === 0L).as("passed"))
     rows.reduce(_.unionByName(_))
   }
+
+  /** k-anonymity audit (Sweeney 2002): every quasi-identifier
+    * combination held by fewer than `k` rows re-identifies those rows —
+    * the governance gate run before a table with demographic-ish
+    * columns leaves a trust boundary (and before training data carrying
+    * user attributes ships). Output: one row per quasi-identifier
+    * combination with its cohort size and an `at_risk` flag — the full
+    * audit table, so remediation (generalize a column, suppress the
+    * cohort) can target exactly the risky combinations.
+    *
+    * One hash aggregate on the quasi-identifier columns — the same
+    * single-shuffle class as `unique`; NULL attribute values form their
+    * own cohorts (a NULL is still a linkable value). */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[String], k: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "kAnonymity needs at least one quasi-identifier")
+    require(k >= 1, s"k must be >= 1: $k")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", col("n") < k)
+  }
 }
