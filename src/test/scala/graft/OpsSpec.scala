@@ -1205,6 +1205,20 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("k-anonymity: small cohorts flagged, null attributes are their own cohort") {
+    import graft.quality.Checks
+    val df = (Seq.fill(6)(("US", Some("A"))) ++ Seq.fill(2)(("US", Some("B"))) ++
+      Seq.fill(3)(("DE", None: Option[String])))
+      .toDF("country", "segment")
+    val got = Checks.kAnonymity(df, Seq("country", "segment"), k = 5)
+      .collect().map(r => (r.getString(0), Option(r.getString(1))) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got(("US", Some("A"))) === ((6L, false)))
+    assert(got(("US", Some("B"))) === ((2L, true)))
+    // NULL is still a linkable value: the 3-row NULL cohort is at risk
+    assert(got(("DE", None)) === ((3L, true)))
+  }
+
   test("table diff: four statuses, per-column counts, null-safe compares") {
     import graft.pipeline.Diff
     val left = Seq(
