@@ -223,6 +223,24 @@ object SparkEntry {
         count(lit(1)).as("num_events"),
         dsum(col("value")).as("total_value"))
 
+  /** Incremental aggregate maintenance
+    * ([[graft.pipeline.Incremental]]): per-type event rollup computed
+    * as TWO disjoint batch states (first half of the month, rest)
+    * merged and finalized — and the oracle is the PLAIN full-table
+    * aggregate: algebraic decimal state makes the incremental path
+    * bit-identical to full recompute, which is the whole point. */
+  def qIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Incremental
+    val ev = t(spark, dir, "events")
+    val metric = Seq("value" -> col("value").cast("decimal(18,2)"))
+    val a = Incremental.aggState(
+      ev.where(dayofmonth(col("ts")) <= 15), Seq("event_type"), metric)
+    val b = Incremental.aggState(
+      ev.where(dayofmonth(col("ts")) > 15), Seq("event_type"), metric)
+    Incremental.finalizeState(
+      Incremental.merge(Seq(a, b), Seq("event_type")), Seq("event_type"))
+  }
+
   /** k-anonymity audit ([[graft.quality.Checks.kAnonymity]]) over
     * customer quasi-identifiers (nation x market segment): cohort sizes
     * and at-risk flags for every combination — one hash aggregate, the
@@ -1714,6 +1732,7 @@ object SparkEntry {
     "q_lm_scores"        -> qLmScores,
     "q_table_diff"       -> qTableDiff,
     "q_k_anonymity"      -> qKAnonymity,
+    "q_incremental_agg"  -> qIncrementalAgg,
     "q_multimodal_meta"  -> qMultimodalMeta,
     "q_image_meta"       -> qImageMeta,
     "q_audio_meta"       -> qAudioMeta,
@@ -1930,6 +1949,13 @@ object SparkEntry {
         |FROM lineitem l LEFT JOIN dd ON CAST(l.l_shipdate AS DATE) = dd.calendar_date
         |WHERE l.l_returnflag = 'R'
         |ORDER BY order_id, line_no""".stripMargin,
+    "q_incremental_agg" ->
+      // the FULL single-pass aggregate: the incremental split must be
+      // invisible (algebraic decimal state), so no split appears here
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS n,
         |       count(*) < 5 AS at_risk

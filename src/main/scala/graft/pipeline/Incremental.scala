@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance: ALGEBRAIC aggregate state that
+  * merges batch-by-batch to exactly the full-recompute answer — the
+  * pattern that replaces the nightly full rollup at 100 TB (re-reading
+  * a year of facts to refresh a daily mart is the single most
+  * expensive habit a warehouse carries; merging yesterday's state with
+  * today's partition reads one day).
+  *
+  * Exactness is the design point, not an aspiration: state is
+  * `(count, DECIMAL sums)` per group — count merge is integer
+  * addition, decimal addition is associative and commutative, so ANY
+  * batch split (and any partitioning within a batch) merges to
+  * bit-identical state, and the finalized metrics (sums as double,
+  * averages as one IEEE divide) are bit-identical to the
+  * single-pass aggregate. A double-sum state would NOT give this —
+  * fp addition is order-sensitive — which is exactly why the engine's
+  * money aggregates run through decimal partials everywhere
+  * (`SCALE.md`). The gating query proves the property: state over two
+  * disjoint event slices, merged and finalized, hash-matches the
+  * oracle's plain full-table aggregate.
+  *
+  * Scale shape: each batch's state is one hash aggregate over that
+  * batch alone; merge is a group-keyed aggregate over state rows
+  * (mart-sized, not fact-sized). State tables persist like any other
+  * table (`Runner` materialization), keyed and partitioned by the
+  * group columns. */
+object Incremental {
+
+  /** Aggregate state for one batch: per group, `_n` (row count) and
+    * `_sum_<name>` for each metric. Metric columns must already carry
+    * an exact type (DECIMAL-cast by the caller — the sums must be
+    * order-invariant or the merge guarantee is void). */
+  def aggState(df: DataFrame, groupCols: Seq[String],
+               metrics: Seq[(String, Column)]): DataFrame = {
+    require(groupCols.nonEmpty && metrics.nonEmpty,
+      "aggState needs group columns and at least one metric")
+    val aggs = count(lit(1)).as("_n") +:
+      metrics.map { case (n, c) => sum(c).as(s"_sum_$n") }
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge any number of state tables (associative, commutative —
+    * batch order and batch boundaries cannot change the result). */
+  def merge(states: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "merge needs at least one state table")
+    val u = states.reduce(_.unionByName(_))
+    val sumCols = u.columns.filter(_.startsWith("_sum_"))
+    val aggs = sum(col("_n")).as("_n") +:
+      sumCols.map(c => sum(col(c)).as(c)).toSeq
+    u.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Finalize state into the served metrics: per metric, the total (as
+    * double) and the mean (one IEEE divide); plus the group row count. */
+  def finalizeState(state: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val sumCols = state.columns.filter(_.startsWith("_sum_"))
+    val outputs = col("_n").as("n") +: sumCols.flatMap { c =>
+      val name = c.stripPrefix("_sum_")
+      Seq(col(c).cast("double").as(s"sum_$name"),
+        (col(c).cast("double") / col("_n")).as(s"avg_$name"))
+    }.toSeq
+    state.select(groupCols.map(col) ++ outputs: _*)
+  }
+}

@@ -1205,6 +1205,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental agg: any batch split merges to the full-recompute bits") {
+    import graft.pipeline.Incremental
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map(i =>
+      (s"g${i % 3}", BigDecimal(rnd.nextDouble() * 1000).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)))
+    val df = rows.toDF("g", "v")
+    val metric = Seq("v" -> col("v").cast("decimal(18,2)"))
+    def finalized(nSplits: Int): Seq[String] = {
+      val states = (0 until nSplits).map(s =>
+        Incremental.aggState(df.where(hash(col("v")) % nSplits === s ||
+          (hash(col("v")) % nSplits) === s - nSplits), Seq("g"), metric))
+      Incremental.finalizeState(Incremental.merge(states, Seq("g")), Seq("g"))
+        .collect().map(_.toString).toSeq.sorted
+    }
+    val full = finalized(1)
+    // bitwise equality — including the IEEE avg division — for every
+    // batch decomposition: the algebraic-state guarantee
+    assert(finalized(2) === full)
+    assert(finalized(5) === full)
+  }
+
   test("k-anonymity: small cohorts flagged, null attributes are their own cohort") {
     import graft.quality.Checks
     val df = (Seq.fill(6)(("US", Some("A"))) ++ Seq.fill(2)(("US", Some("B"))) ++
