@@ -731,6 +731,44 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(best.getDouble(3) - 1.0) < 1e-12)
   }
 
+  test("ivf index lifecycle: written to parquet, reloaded, probes bit-identically") {
+    val base = (0 until 200).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = base.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 20)
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    try {
+      // build ONCE, persist both index tables (cells partitioned by
+      // cell — the production layout that makes a probe's cell join a
+      // partition-pruned read)
+      val (centroids, cells) = Similarity.ivfBuild(df, "vec_id", "embedding",
+        nlist = 8, lloydIters = 2)
+      Similarity.ivfCentroidsDf(spark, centroids)
+        .write.mode("overwrite").parquet(s"$dir/centroids")
+      cells.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+      spark.catalog.clearCache() // the reloaded probe must not lean on build caches
+      // reload in a "new session" and probe — doubles round-trip
+      // parquet bit-exactly, so results match the direct path exactly
+      val rc = Similarity.ivfCentroidsFromDf(
+        spark.read.parquet(s"$dir/centroids"))
+      assert(rc === centroids)
+      val reloaded = Similarity.ivfProbe(rc,
+        spark.read.parquet(s"$dir/cells"), queries, "vec_id", "embedding",
+        k = 5, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      val direct = Similarity.ivfTopK(df, queries, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      assert(reloaded === direct) // including score BITS
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("pq ann: planted duplicate recovered, empty corpus, codes stay in range") {
     val base = (0 until 200).map { i =>
       val rnd = new scala.util.Random(i)

@@ -388,6 +388,51 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("incremental agg state maintained by a foreachBatch stream equals full recompute") {
+    // the nightly→streaming continuum: the SAME algebraic state
+    // pipeline.Incremental uses for batch merges maintains a live
+    // rollup under foreachBatch — each micro-batch contributes its
+    // aggState, merge folds it into the running state, and at any
+    // point finalize equals the full recompute over everything seen
+    // (bitwise: decimal state is order- and batch-invariant)
+    import graft.pipeline.Incremental
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val metric = Seq("value" -> col("value").cast("decimal(18,2)"))
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val input = MemoryStream[Event]
+    val query = input.toDF().writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = Incremental.aggState(batch, Seq("event_type"), metric)
+        // localCheckpoint: state must survive the batch frame's retire
+        val merged = state match {
+          case None => s
+          case Some(prev) => Incremental.merge(Seq(prev, s), Seq("event_type"))
+        }
+        state = Some(merged.localCheckpoint(true))
+        ()
+      }
+      .start()
+    try {
+      val all = scala.collection.mutable.ArrayBuffer.empty[Event]
+      def feed(evts: Event*): Unit = {
+        all ++= evts; input.addData(evts); query.processAllAvailable()
+      }
+      feed(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 10.25),
+        Event(2, ts("2024-01-01 10:01:00"), 2, "view", 1.50))
+      feed(Event(3, ts("2024-01-01 10:02:00"), 1, "click", 2.75))
+      feed(Event(4, ts("2024-01-01 10:03:00"), 3, "view", 0.10),
+        Event(5, ts("2024-01-01 10:04:00"), 1, "click", 7.00))
+      val streamed = Incremental.finalizeState(state.get, Seq("event_type"))
+        .collect().map(_.toString).toSeq.sorted
+      val full = Incremental.finalizeState(
+        Incremental.aggState(all.toSeq.toDF(), Seq("event_type"), metric),
+        Seq("event_type")).collect().map(_.toString).toSeq.sorted
+      assert(streamed === full)
+    } finally query.stop()
+  }
+
   test("cms heavy-key screen runs on a stream (online hot-key flagging)") {
     // same composition argument as the bloom probe: CmsProbe is a pure
     // narrow expression over driver-built model state, so a sketch
