@@ -2013,9 +2013,13 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
     "q_dup_spans" ->
       // gram STRINGS where Spark groups window hashes (no-collision
-      // precedent); ' '-join is injective over whitespace-free tokens
+      // precedent); ' '-join is injective over whitespace-free tokens.
+      // NO empty-token filter: TextHash.tokenize keeps the '' tokens a
+      // leading/trailing non-space whitespace produces (split(trim,
+      // '\s+', -1)), so the oracle must too — the fingerprint/minhash
+      // oracle precedent
       """WITH toks AS (SELECT doc_id,
-        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS t
+        |    regexp_split_to_array(trim(text), '\s+') AS t
         |  FROM documents),
         |pos AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+4], ' ') AS gram
         |        FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)),

@@ -209,6 +209,25 @@ object Dedup {
     * filter preserves the raw formulations' `id_a < id_b` semantics
     * when the input carries duplicate ids (a sorted list with equal
     * adjacent values would otherwise pair an id with itself). */
+  /** Expand verified GROUP pairs into member pairs: explode both
+    * sides' id lists, normalize to `id_a < id_b` via least/greatest,
+    * and suppress the self-pairs a duplicate id spanning two groups
+    * would fabricate (the duplicate-id guard — see [[pairsOf]]; unique
+    * ids remain the input contract, the guard is defense-in-depth).
+    * Shared by every grouped near-dup family (minhash, jaccard,
+    * simhash, cosine, semantic): `carry` columns (score / hamming /
+    * jaccard) ride through, output is `(id_a, id_b, carry…)`. Member
+    * expansion happens AFTER the per-group-pair verification filter by
+    * construction — the caller applies its threshold first. */
+  private[ops] def expandGroupPairs(df: DataFrame, carry: Seq[String]): DataFrame = {
+    val cs = carry.map(col)
+    df.select(cs ++ Seq(explode(col("ids_a")).as("x"), col("ids_b")): _*)
+      .select(cs ++ Seq(col("x"), explode(col("ids_b")).as("y")): _*)
+      .select(Seq(least(col("x"), col("y")).as("id_a"),
+        greatest(col("x"), col("y")).as("id_b")) ++ cs: _*)
+      .where(col("id_a") =!= col("id_b"))
+  }
+
   private[ops] def pairsOf(sets: DataFrame, setCol: String,
                            aCol: String, bCol: String,
                            carry: Seq[String] = Nil): DataFrame =
@@ -327,15 +346,7 @@ object Dedup {
     val crossGroup = groupPairs
       .join(groups.select(col("gid").as("ga"), col("ids").as("ids_a")), Seq("ga"))
       .join(groups.select(col("gid").as("gb"), col("ids").as("ids_b")), Seq("gb"))
-      .select(explode(col("ids_a")).as("x"), col("ids_b"))
-      .select(col("x"), explode(col("ids_b")).as("y"))
-      .select(least(col("x"), col("y")).as("id_a"),
-        greatest(col("x"), col("y")).as("id_b"))
-      // duplicate-id guard, same rationale as in pairsOf: an id present
-      // in two groups (duplicate id, different content) must not
-      // self-pair — the raw form's id_a < id_b excluded it
-      .where(col("id_a") =!= col("id_b"))
-    withinGroup.unionByName(crossGroup)
+    withinGroup.unionByName(expandGroupPairs(crossGroup, Nil))
   }
 
   /** MinHash + LSH near-duplicate pairs.
@@ -555,13 +566,8 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .where(col("jaccard") >= threshold)
-      .select(col("jaccard"), explode(col("ids_a")).as("x"), col("ids_b"))
-      .select(col("jaccard"), col("x"), explode(col("ids_b")).as("y"))
-      .select(least(col("x"), col("y")).as("id_a"),
-        greatest(col("x"), col("y")).as("id_b"), col("jaccard"))
-      .where(col("id_a") =!= col("id_b")) // duplicate-id guard (see pairsOf)
     within.select(col("id_a"), col("id_b"), col("jaccard"))
-      .unionByName(crossVerified.select(col("id_a"), col("id_b"), col("jaccard")))
+      .unionByName(expandGroupPairs(crossVerified, Seq("jaccard")))
   }
 
   /** SimHash (64-bit) of a token stream: sign-sum of per-token hash bits.
@@ -671,12 +677,8 @@ object Dedup {
     val crossGroup = groupPairs
       .join(groups.select(col("gid").as("ga"), col("ids").as("ids_a")), Seq("ga"))
       .join(groups.select(col("gid").as("gb"), col("ids").as("ids_b")), Seq("gb"))
-      .select(col("hamming"), explode(col("ids_a")).as("x"), col("ids_b"))
-      .select(col("hamming"), col("x"), explode(col("ids_b")).as("y"))
-      .select(least(col("x"), col("y")).as("id_a"),
-        greatest(col("x"), col("y")).as("id_b"), col("hamming"))
-      .where(col("id_a") =!= col("id_b")) // duplicate-id guard (see pairsOf)
-    withinGroup.select("id_a", "id_b", "hamming").unionByName(crossGroup)
+    withinGroup.select("id_a", "id_b", "hamming")
+      .unionByName(expandGroupPairs(crossGroup, Seq("hamming")))
   }
 
   /** Connected components of a near-dup pair graph: every document gets
@@ -831,13 +833,8 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .join(groups.select(col("gid").as("ga"), col("ids").as("ids_a")), Seq("ga"))
       .join(groups.select(col("gid").as("gb"), col("ids").as("ids_b")), Seq("gb"))
-      .select(col("jaccard"), explode(col("ids_a")).as("x"), col("ids_b"))
-      .select(col("jaccard"), col("x"), explode(col("ids_b")).as("y"))
-      .select(least(col("x"), col("y")).as("id_a"),
-        greatest(col("x"), col("y")).as("id_b"), col("jaccard"))
-      .where(col("id_a") =!= col("id_b")) // duplicate-id guard (see pairsOf)
     withinGroup.select(col("id_a"), col("id_b"), col("jaccard"))
-      .unionByName(crossGroup)
+      .unionByName(expandGroupPairs(crossGroup, Seq("jaccard")))
   }
 
   /** Cross-corpus near-duplicate pairs: exact k-gram Jaccard between

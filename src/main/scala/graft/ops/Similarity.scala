@@ -502,15 +502,8 @@ object Similarity {
         col("vn").as("b_n"), col("ids").as("ids_b")), Seq("gb"))
       .withColumn("score", dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
       .where(col("score") >= threshold)
-      .select(col("score"), explode(col("ids_a")).as("x"), col("ids_b"))
-      .select(col("score"), col("x"), explode(col("ids_b")).as("y"))
-      .select(least(col("x"), col("y")).as("id_a"),
-        greatest(col("x"), col("y")).as("id_b"), col("score"))
-      // duplicate-id guard (see Dedup.pairsOf): an id present in two
-      // groups must not self-pair — the raw form's id_a < id_b excluded it
-      .where(col("id_a") =!= col("id_b"))
     withinGroup.select(col("id_a"), col("id_b"), col("score"))
-      .unionByName(crossGroup)
+      .unionByName(Dedup.expandGroupPairs(crossGroup, Seq("score")))
   }
 
   /** SemDeDup-style semantic near-duplicate pairs (cf. Abbas et al.
@@ -562,10 +555,13 @@ object Similarity {
     val centroids = kmeansCentroids(
       groups.select(col("gid").as("corpus_id"), col("vv").as("cv")),
       k, lloydIters)
+    // empty corpus: the empty frame with the REAL pair schema — id
+    // columns derive from idCol (the ivfTopK precedent), so a
+    // string-id caller unioning across runs doesn't hit a bigint
+    // mismatch in exactly and only the empty case
     if (centroids.isEmpty)
-      return df.sparkSession.emptyDataFrame
-        .select(lit(0L).as("id_a"), lit(0L).as("id_b"), lit(0.0d).as("score"))
-        .where(lit(false))
+      return df.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0.0d).as("score")).where(lit(false))
     // within-group pairs: identical vectors trivially co-cluster — same
     // expression shape as cosineNearDups (NaN-propagating for zero
     // vectors, bit-equal to the pairwise form)
@@ -588,13 +584,8 @@ object Similarity {
       .where(col("ga") < col("gb"))
       .withColumn("score", dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
       .where(col("score") >= threshold)
-      .select(col("score"), explode(col("ids_a")).as("x"), col("ids_b"))
-      .select(col("score"), col("x"), explode(col("ids_b")).as("y"))
-      .select(least(col("x"), col("y")).as("id_a"),
-        greatest(col("x"), col("y")).as("id_b"), col("score"))
-      .where(col("id_a") =!= col("id_b")) // duplicate-id guard (see pairsOf)
     withinGroup.select(col("id_a"), col("id_b"), col("score"))
-      .unionByName(crossGroup)
+      .unionByName(Dedup.expandGroupPairs(crossGroup, Seq("score")))
   }
 
   /** Semantic dedup survivors: [[semanticNearDups]] pairs resolved to
@@ -694,16 +685,6 @@ object Similarity {
       .select("query_id", "corpus_id", "rank", "score")
   }
 
-  /** Product-quantization codebooks: per subspace `m`, `codebookSize`
-    * centroids over the corpus's m-th vector slice — learned with the
-    * same DataFrame-native Lloyd iterations as [[ivfTopK]], but jointly
-    * for ALL subspaces in one aggregate per round (assign = per-subspace
-    * argmin over broadcast codebook literals; update = one (m, cell)
-    * hash aggregate of element-wise slice sums), so training cost does
-    * not grow with the subspace count. Only the M × codebookSize
-    * centroid table ever reaches the driver — the same legitimate
-    * model-state class as IVF's centroids. Returned as
-    * `books(m)(cell) = centroid`, cells densely indexed. */
   /** Bound on the Lloyd TRAINING set: past this corpus size, codebooks
     * train on a deterministic ~`TrainSampleMax`-row uniform hash sample
     * so training cost is CONSTANT in corpus size (the production PQ
@@ -720,6 +701,16 @@ object Similarity {
     * ≤ ~2k per million distinct vectors. */
   private[graft] val SemCellTarget = 512.0
 
+  /** Product-quantization codebooks: per subspace `m`, `codebookSize`
+    * centroids over the corpus's m-th vector slice — learned with the
+    * same DataFrame-native Lloyd iterations as [[ivfTopK]], but jointly
+    * for ALL subspaces in one aggregate per round (assign = per-subspace
+    * argmin over broadcast codebook literals; update = one (m, cell)
+    * hash aggregate of element-wise slice sums), so training cost does
+    * not grow with the subspace count. Only the M × codebookSize
+    * centroid table ever reaches the driver — the same legitimate
+    * model-state class as IVF's centroids. Returned as
+    * `books(m)(cell) = centroid`, cells densely indexed. */
   private[graft] def pqCodebooks(c: DataFrame, dim: Int, numSubspaces: Int,
                                  codebookSize: Int, lloydIters: Int,
                                  trainCap: Long = TrainSampleMax): IndexedSeq[IndexedSeq[Seq[Double]]] = {

@@ -64,9 +64,16 @@ object Stats {
   def robustOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
                      k: Double = 3.0): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val med = quantilesDisc(df, groupCols, valueCol, Seq("med" -> 0.5))
-    val dev = df.join(broadcast(med), groupCols)
-      .withColumn("_absdev", abs(col(valueCol) - col("med")))
+    // NULL metric rows are EXCLUDED up front: quantilesDisc's
+    // cumulative rank would otherwise count them (NULLs sort first in
+    // the value window), silently shifting the median toward the low
+    // end — a group [NULL, NULL, 1, 2, 3] would read med=1 instead of 2
+    val nn = df.where(col(valueCol).isNotNull)
+    val med = quantilesDisc(nn, groupCols, valueCol, Seq("med" -> 0.5))
+    // cached: the deviation frame feeds the MAD quantile AND the final
+    // aggregate — uncached, the input would scan a third time
+    val dev = OpCaches.registered(nn.join(broadcast(med), groupCols)
+      .withColumn("_absdev", abs(col(valueCol) - col("med"))))
     val mad = quantilesDisc(dev, groupCols, "_absdev", Seq("mad" -> 0.5))
     dev.join(broadcast(mad), groupCols)
       .groupBy(groupCols.map(col): _*)
