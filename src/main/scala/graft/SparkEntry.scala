@@ -269,6 +269,15 @@ object SparkEntry {
     graft.pipeline.Diff.diffSummary(base, mutated, Seq("o_orderkey"))
   }
 
+  /** The [[Dedup.cutSpans]] transformation: documents rebuilt WITHOUT
+    * their duplicated spans (every occurrence removed — boilerplate-
+    * strip semantics), with kept/cut token counts. Token-level cut, so
+    * whitespace is canonicalized to single spaces; the oracle rebuilds
+    * the same spans and reassembly. */
+  def qSpanCut(spark: SparkSession, dir: String): DataFrame =
+    Dedup.cutSpans(t(spark, dir, "documents"), "doc_id", "text", L = 5)
+      .withColumnRenamed("id", "doc_id")
+
   /** Corpus-trained bigram-LM quality scores ([[TextOps.bigramLmScores]]
     * — the CCNet/KenLM perplexity-filter mechanism): per doc, the
     * add-k-smoothed mean token log-probability under the corpus's own
@@ -1729,6 +1738,7 @@ object SparkEntry {
     "q_retention"        -> qRetention,
     "q_outliers"         -> qOutliers,
     "q_dup_spans"        -> qDupSpans,
+    "q_span_cut"         -> qSpanCut,
     "q_lm_scores"        -> qLmScores,
     "q_table_diff"       -> qTableDiff,
     "q_k_anonymity"      -> qKAnonymity,
@@ -2011,6 +2021,40 @@ object SparkEntry {
         |       CAST(a.slp AS DOUBLE) / a.n_bigrams AS mean_logprob
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "q_span_cut" ->
+      // the q_dup_spans span derivation verbatim, then the cut: flag
+      // every position inside any of its doc's spans, reassemble the
+      // kept tokens single-space-separated in position order
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |pos AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+4], ' ') AS gram
+        |        FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)),
+        |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) > 1),
+        |hits AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup d USING (gram)),
+        |flag AS (SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+        |         THEN 0 ELSE 1 END AS ns
+        |  FROM hits),
+        |isl AS (SELECT doc_id, pos,
+        |    sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM flag),
+        |spans AS (SELECT doc_id, min(pos) AS s0, max(pos) + 4 AS s1
+        |          FROM isl GROUP BY doc_id, island),
+        |tokpos AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+        |           FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+        |cutf AS (SELECT tp.doc_id, tp.pos, tp.tok,
+        |           max(CASE WHEN s.s0 IS NOT NULL
+        |                     AND tp.pos BETWEEN s.s0 AND s.s1
+        |                    THEN 1 ELSE 0 END) AS cut
+        |         FROM tokpos tp LEFT JOIN spans s ON tp.doc_id = s.doc_id
+        |         GROUP BY 1, 2, 3)
+        |SELECT doc_id,
+        |       coalesce(string_agg(CASE WHEN cut = 0 THEN tok END, ' '
+        |                           ORDER BY pos), '') AS text_clean,
+        |       CAST(sum(CASE WHEN cut = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_tokens_kept,
+        |       CAST(sum(cut) AS BIGINT) AS n_tokens_cut
+        |FROM cutf GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dup_spans" ->
       // gram STRINGS where Spark groups window hashes (no-collision
       // precedent); ' '-join is injective over whitespace-free tokens.

@@ -681,6 +681,50 @@ object Dedup {
       .unionByName(expandGroupPairs(crossGroup, Seq("hamming")))
   }
 
+  /** Apply [[dupSpans]]: rebuild every document WITHOUT its duplicated
+    * spans — the actual Lee et al. 2022 transformation (the spans table
+    * is the diagnostic; the cut corpus is the product). Every
+    * occurrence of a duplicated span is removed (the boilerplate-strip
+    * semantics: navigation chrome pasted everywhere should vanish
+    * everywhere; keeping one canonical occurrence would need a global
+    * occurrence order — a deliberate non-goal here, documented).
+    * Output: `(id, text_clean, n_tokens_kept, n_tokens_cut)` with
+    * tokens reassembled single-space-separated (canonical whitespace —
+    * the cut is token-level, so original spacing inside kept runs is
+    * normalized; a span-free document still passes through the
+    * tokenize→reassemble round trip).
+    *
+    * Scale shape: one posexplode over the corpus tokens, a doc-keyed
+    * join against that doc's spans (span rows per doc are few; the
+    * range predicate rides the equi-join), and one per-doc
+    * sort-and-join aggregate. The spans subplan is [[dupSpans]]
+    * verbatim — its corpus-wide multiplicity aggregate is the only
+    * corpus-keyed shuffle. */
+  def cutSpans(df: DataFrame, idCol: String, textCol: String,
+               L: Int = 5): DataFrame = {
+    val spans = dupSpans(df, idCol, textCol, L)
+      .select(col("id"), col("span_start"), col("span_end"))
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(split(trim(col(textCol)), "\\s+", -1)).as(Seq("pos", "tok")))
+    val kept = toks.join(spans, Seq("id"), "left")
+      .withColumn("_cut",
+        col("span_start").isNotNull &&
+          col("pos").between(col("span_start"), col("span_end")))
+      // a position may match several spans of its doc (fan-out) — any
+      // match cuts it; the max-aggregate collapses the fan-out back to
+      // one row per position
+      .groupBy("id", "pos", "tok")
+      .agg(max(col("_cut")).as("cut"))
+    kept.groupBy("id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(!col("cut"),
+            struct(col("pos"), col("tok"))))),
+          s => s.getField("tok")), " ").as("text_clean"),
+        sum(when(!col("cut"), 1L).otherwise(0L)).as("n_tokens_kept"),
+        sum(when(col("cut"), 1L).otherwise(0L)).as("n_tokens_cut"))
+  }
+
   /** Connected components of a near-dup pair graph: every document gets
     * the minimum doc id of its transitive duplicate group — the full
     * group resolution that the greedy pair-drop in

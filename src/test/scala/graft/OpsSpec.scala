@@ -1348,6 +1348,15 @@ class OpsSpec extends SparkSpec {
       (1L, 0, 4, 1L), (1L, 8, 12, 1L),
       (2L, 2, 6, 1L),
       (4L, 0, 17, 14L)))
+    // the cut: every duplicated span removed, kept tokens reassembled
+    // in order, clean docs round-trip, a fully-covered doc empties
+    val cut = Dedup.cutSpans(docs, "doc_id", "text", L = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(cut(1L) === (("X Y Z", 3L, 10L)))
+    assert(cut(2L) === (("p q r s", 4L, 5L)))
+    assert(cut(3L) === (("unique tokens only here never repeated anywhere", 7L, 0L)))
+    assert(cut(4L) === (("", 0L, 18L)))
     spark.catalog.clearCache()
   }
 
