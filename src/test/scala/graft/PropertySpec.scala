@@ -346,4 +346,79 @@ class PropertySpec extends SparkSpec {
       assert(Bench.median(scala.util.Random.shuffle(ts)) === m)
     }
   }
+
+  test("property: sketch heavy hitters equal the exact answer for any skew and any sketch shape") {
+    // soundness must not depend on the data distribution or on the
+    // sketch being well-sized: CMS one-sided error ⇒ screen complete,
+    // exact verify ⇒ result exact — even a 1×2 sketch only inflates
+    // the candidate band
+    import graft.ops.Sketch
+    val keyGen = Gen.frequency(
+      6 -> Gen.const("whale"), 2 -> Gen.const("midsize"),
+      4 -> Gen.oneOf((0 until 50).map(i => s"tail_$i")))
+    samples(Gen.listOfN(300, keyGen), 4).zipWithIndex.foreach { case (keys, i) =>
+      val df = keys.toDF("k0")
+      val exact = df.groupBy("k0").count()
+        .where(col("count") * 20 >= lit(keys.size.toLong))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      for ((d, w) <- Seq((1, 2), (2, 16), (5, 512))) {
+        val got = Sketch.heavyHitters(df, col("k0"), supportDenom = 20,
+          depth = d, width = w)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(got === exact, s"sample $i, sketch ${d}x$w")
+      }
+    }
+  }
+
+  test("property: bpe encode is lossless and length-bounded for random corpora") {
+    // for any corpus and any merge budget: concat(tokens) == the
+    // whitespace-stripped doc, and words <= tokens <= non-space chars
+    import graft.functions.BpeFunctions.bpe_encode
+    samples(Gen.listOfN(12, textGen), 4).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val merges = TextOps.bpeLearnMerges(docs, "text", numMerges = 15)
+      val rows = docs.select(
+        lower(trim(col("text"))).as("lt"),
+        bpe_encode(lower(trim(col("text"))), merges).as("toks"))
+        .select(
+          (array_join(col("toks"), "") === regexp_replace(col("lt"), "\\s+", ""))
+            .as("lossless"),
+          size(filter(split(col("lt"), "\\s+"), t => t =!= "")).as("nw"),
+          size(col("toks")).as("nt"),
+          length(regexp_replace(col("lt"), "\\s+", "")).as("nc"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getBoolean(0), "lossless violated")
+        assert(r.getInt(1) <= r.getInt(2) && r.getInt(2) <= r.getInt(3),
+          s"token bounds violated: ${r.toSeq}")
+      }
+    }
+  }
+
+  test("property: span cut conserves tokens and cuts only duplicated mass") {
+    // kept + cut == total tokens per doc, and a corpus with no repeated
+    // L-gram anywhere cuts nothing
+    samples(Gen.listOfN(6, textGen), 4).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val cut = Dedup.cutSpans(docs, "doc_id", "text", L = 5)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+      val totals = docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+", -1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+      totals.foreach { case (id, n) =>
+        val (kept, cutN) = cut(id)
+        assert(kept + cutN === n, s"doc $id: $kept + $cutN != $n")
+      }
+      spark.catalog.clearCache()
+    }
+    // all-unique corpus: nothing to cut
+    val uniq = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val c = Dedup.cutSpans(uniq, "doc_id", "text", L = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(c === Map(1L -> 0L, 2L -> 0L))
+    spark.catalog.clearCache()
+  }
 }
