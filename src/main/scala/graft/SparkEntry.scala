@@ -1480,6 +1480,25 @@ object SparkEntry {
     Multimodal.decodeAudioMeta(assets)
   }
 
+  /** Full pixel decode over the multimodal surface — the tensor tier:
+    * per-document GENUINE PNG payloads (encoded through the real
+    * `ImageIO` PNG writer — zlib, CRCs and all — with a deterministic
+    * gray formula `g(x,y) = (id+x+y) mod 256`) are decoded back to
+    * band-interleaved pixel tensors by [[Multimodal.decodePixels]],
+    * then reduced declaratively to per-image channel stats. The oracle
+    * recomputes width/height/mean/min/max arithmetically from the
+    * formula, so a decoder that drops a row, transposes the raster, or
+    * misreads any sample shifts the sums and fails the hash. */
+  def qPixelStats(spark: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.syntheticPngAssets(t(spark, dir, "documents"), "doc_id")
+    Multimodal.decodePixels(assets)
+      .select(col("asset_id"), col("width"), col("height"), col("n_channels"),
+        (aggregate(col("pixels"), lit(0L), (a, p) => a + p).cast("double") /
+          size(col("pixels"))).as("px_mean"),
+        array_min(col("pixels")).as("px_min"),
+        array_max(col("pixels")).as("px_max"))
+  }
+
   /** CDC apply-changes over a deterministic synthetic changeset:
     * deletes (key%10=0), a two-step update where the later seq must win
     * (key%10=1: ×2 then ×3), an update superseded by a delete
@@ -1745,6 +1764,7 @@ object SparkEntry {
     "q_incremental_agg"  -> qIncrementalAgg,
     "q_multimodal_meta"  -> qMultimodalMeta,
     "q_image_meta"       -> qImageMeta,
+    "q_pixel_stats"      -> qPixelStats,
     "q_audio_meta"       -> qAudioMeta,
     "q_quantize_emb"     -> qQuantizeEmbeddings,
     "q_adc_topk"         -> qAdcTopK,
@@ -2024,7 +2044,10 @@ object SparkEntry {
     "q_span_cut" ->
       // the q_dup_spans span derivation verbatim, then the cut: flag
       // every position inside any of its doc's spans, reassemble the
-      // kept tokens single-space-separated in position order
+      // kept tokens single-space-separated in position order; the final
+      // left join from documents mirrors the operator's row-preserving
+      // contract (null-text docs survive with NULL text_clean + zero
+      // counts)
       """WITH toks AS (SELECT doc_id,
         |    regexp_split_to_array(trim(text), '\s+') AS t
         |  FROM documents),
@@ -2047,14 +2070,19 @@ object SparkEntry {
         |                     AND tp.pos BETWEEN s.s0 AND s.s1
         |                    THEN 1 ELSE 0 END) AS cut
         |         FROM tokpos tp LEFT JOIN spans s ON tp.doc_id = s.doc_id
-        |         GROUP BY 1, 2, 3)
-        |SELECT doc_id,
+        |         GROUP BY 1, 2, 3),
+        |agg AS (SELECT doc_id,
         |       coalesce(string_agg(CASE WHEN cut = 0 THEN tok END, ' '
         |                           ORDER BY pos), '') AS text_clean,
         |       CAST(sum(CASE WHEN cut = 0 THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_tokens_kept,
         |       CAST(sum(cut) AS BIGINT) AS n_tokens_cut
-        |FROM cutf GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM cutf GROUP BY 1)
+        |SELECT d.doc_id, a.text_clean,
+        |       coalesce(a.n_tokens_kept, 0) AS n_tokens_kept,
+        |       coalesce(a.n_tokens_cut, 0) AS n_tokens_cut
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_dup_spans" ->
       // gram STRINGS where Spark groups window hashes (no-collision
       // precedent); ' '-join is injective over whitespace-free tokens.
@@ -2897,6 +2925,25 @@ object SparkEntry {
         |       CAST(16 + doc_id % 31 AS INTEGER) AS width,
         |       CAST(16 + (doc_id * 7) % 31 AS INTEGER) AS height
         |FROM documents ORDER BY asset_id""".stripMargin,
+    "q_pixel_stats" ->
+      // the fixture formula recomputed arithmetically: per doc an
+      // (8 + id%9) × (8 + 3id%9) grayscale raster with
+      // g(x,y) = (id+x+y) mod 256; mean as exact integer sum over
+      // exact count, divided in double — the same IEEE op Spark runs
+      """WITH d AS (SELECT doc_id, CAST(8 + doc_id % 9 AS INTEGER) AS w,
+        |                  CAST(8 + (doc_id * 3) % 9 AS INTEGER) AS h
+        |           FROM documents),
+        |px AS (SELECT d.doc_id, d.w, d.h, (d.doc_id + x.i + y.i) % 256 AS g
+        |       FROM d, range(16) x(i), range(16) y(i)
+        |       WHERE x.i < d.w AND y.i < d.h)
+        |SELECT doc_id AS asset_id,
+        |       CAST(any_value(w) AS INTEGER) AS width,
+        |       CAST(any_value(h) AS INTEGER) AS height,
+        |       CAST(1 AS INTEGER) AS n_channels,
+        |       CAST(sum(g) AS DOUBLE) / count(*) AS px_mean,
+        |       CAST(min(g) AS INTEGER) AS px_min,
+        |       CAST(max(g) AS INTEGER) AS px_max
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_quantize_emb" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |d AS (SELECT t.i AS i, min(e.v[t.i+1]) AS mn, max(e.v[t.i+1]) AS mx

@@ -157,6 +157,12 @@ object Curation {
   def proportionalSample(df: DataFrame, idCol: String, stratumCol: String,
                        total: Long, saltBuckets: Int = 16): DataFrame = {
     require(total > 0, s"sample budget must be positive: $total")
+    // row_number() is IntegerType, so ranks — and therefore the budget —
+    // cap at 2^31-1; refusing loudly beats silently truncating the
+    // quota and breaking bit-parity with proportionalSampleDirect
+    require(total <= Int.MaxValue,
+      s"sample budget exceeds the 2^31-1 rank ceiling (row_number is " +
+        s"IntegerType): $total")
     require(saltBuckets > 0, s"saltBuckets must be positive: $saltBuckets")
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_ns"))
     val stats = counts.crossJoin(counts.agg(sum(col("_ns")).as("_nn")))
@@ -178,7 +184,7 @@ object Curation {
     // each exchange — every map task pre-prunes to its local top-`total`
     // before shuffling, so the shuffled mass is bounded by
     // partitions × total instead of the corpus (plan-spec-pinned)
-    val cap = lit(total.min(Int.MaxValue.toLong).toInt)
+    val cap = lit(total.toInt)
     salted
       .withColumn("_r1", row_number().over(w1))
       .where(col("_r1") <= cap && inQuota(col("_r1")))

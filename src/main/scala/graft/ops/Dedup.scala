@@ -715,7 +715,7 @@ object Dedup {
       // one row per position
       .groupBy("id", "pos", "tok")
       .agg(max(col("_cut")).as("cut"))
-    kept.groupBy("id")
+    val rebuilt = kept.groupBy("id")
       .agg(
         array_join(transform(
           array_sort(collect_list(when(!col("cut"),
@@ -723,6 +723,14 @@ object Dedup {
           s => s.getField("tok")), " ").as("text_clean"),
         sum(when(!col("cut"), 1L).otherwise(0L)).as("n_tokens_kept"),
         sum(when(col("cut"), 1L).otherwise(0L)).as("n_tokens_cut"))
+    // NULL-text documents vanish in the posexplode (split(NULL) yields
+    // no row) — left-join the rebuild back onto the full id set so the
+    // transformation preserves every input row, like the sibling
+    // per-doc operators; such docs carry NULL text_clean + zero counts
+    df.select(col(idCol).as("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("text_clean"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        coalesce(col("n_tokens_cut"), lit(0L)).as("n_tokens_cut"))
   }
 
   /** Connected components of a near-dup pair graph: every document gets

@@ -57,7 +57,11 @@ object Layout {
         val mn = col(s"_mn_$c")
         val mx = col(s"_mx_$c")
         val scaled = floor((x - mn) / (mx - mn) * maxBucket).cast("long")
-        when(mx === mn, lit(0L)).otherwise(scaled).as(s"bk_$c")
+        // null guard FIRST: a constant-but-nullable column must still
+        // yield NULL z-values for its null rows (documented contract);
+        // the mx===mn branch alone would bucket them to 0
+        when(x.isNull, lit(null).cast("long"))
+          .when(mx === mn, lit(0L)).otherwise(scaled).as(s"bk_$c")
       }: _*)
     // interleave: bit i of column k lands at position i*ncols + k —
     // column 0 owns the LOW bit of each group, so it is the

@@ -7,16 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata, processed in partition-sized batches.
   *
-  * Two decode tiers: [[decodeImageMeta]] (PNG/JPEG/GIF header parse →
-  * pixel dimensions) and [[decodeAudioMeta]] (WAV/RIFF chunk walk →
-  * PCM geometry) are REAL pure-JVM codecs, spec'd against genuine
-  * `ImageIO`/`AudioSystem`-encoded files. The full pixel/tensor decode
-  * (JPEG/WAV/MP4 → tensors) needs native codec libraries that are NOT
-  * in this container — that tier is STUBBED with a deterministic fake
-  * ([[fakeDecodeFeatures]]). Everything around it — the asset schema,
+  * Three decode tiers, all REAL pure-JVM codecs: [[decodeImageMeta]]
+  * (PNG/JPEG/GIF header parse → pixel dimensions), [[decodeAudioMeta]]
+  * (WAV/RIFF chunk walk → PCM geometry), and [[decodePixels]] (full
+  * image decode → band-interleaved pixel tensor via `javax.imageio`,
+  * which reads PNG/GIF/JPEG/BMP without native libraries) — each spec'd
+  * against genuine `ImageIO`/`AudioSystem`-encoded files. Only codecs
+  * the JVM lacks (video containers, compressed audio) remain behind the
+  * deterministic fake ([[fakeDecodeFeatures]]); the asset schema,
   * binary column handling, batched `mapPartitions` execution shape,
-  * frame sampling, feature schema — is real Spark plumbing and is what
-  * carries over to a production codec.
+  * frame sampling, and feature schema are the same real plumbing a
+  * production libavcodec call would slot into.
   *
   * Scale notes: payloads stay opaque bytes end-to-end (no driver
   * collect); per-row work is a narrow map (no shuffle); batch shape =
@@ -247,6 +248,110 @@ object Multimodal {
         Some((ch, rate, bits, dataBytes / block))
       case _ => None
     }
+  }
+
+  /** Output schema of [[decodePixels]]: the tensor tier. `pixels` is the
+    * decoded raster, band-interleaved row-major — sample index
+    * `(y * width + x) * n_channels + band` — the layout ML feature
+    * pipelines consume directly. Parse failures carry null dims and a
+    * null tensor (kept, not dropped — the [[imageMetaSchema]]
+    * convention). */
+  val pixelSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_channels", IntegerType, nullable = true),
+    StructField("pixels", ArrayType(IntegerType), nullable = true)))
+
+  /** Pixel cap for [[decodePixels]]: a decoded tensor larger than this
+    * (samples = w·h·bands) is reported as a parse failure instead of
+    * materializing a row that dwarfs every other row in its partition —
+    * the task-OOM guard a 100 TB media scan needs against one
+    * pathological 30k×30k input. 64M samples ≈ 256 MB of ints. */
+  val MaxPixelSamples: Long = 64L * 1024 * 1024
+
+  /** REAL full image decode (no stub): payload bytes → pixel tensor via
+    * `javax.imageio.ImageIO`, pure JVM — PNG, GIF, BMP and baseline
+    * JPEG decode without any native library. Batched per partition like
+    * the metadata tiers; per-row cost is the actual pixel decode, so
+    * unlike [[decodeImageMeta]] this IS a decode job, not a metadata
+    * scan — at scale, repartition first so large images spread across
+    * tasks, and project the tensor away as soon as features are
+    * derived. Raster samples are read band-by-band (`Raster.getPixels`),
+    * NOT through `getRGB`'s sRGB conversion — lossless formats round
+    * their encoded samples through bit-exactly, which is what makes an
+    * arithmetic oracle over the tensor possible. */
+  def decodePixels(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val rdd = assets.select("asset_id", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+        decodeRaster(bytes) match {
+          case Some((w, h, c, px)) => Row(r.getLong(0), w, h, c, px.toSeq)
+          case None => Row(r.getLong(0), null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, pixelSchema)
+  }
+
+  /** Decode (width, height, bands, band-interleaved samples) from image
+    * bytes. Corrupt/unknown/oversized input → None, never a throw: one
+    * bad payload must not kill a whole scan task (the [[imageDims]]
+    * contract). */
+  private[graft] def decodeRaster(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Int])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None // no registered reader recognized the bytes
+      else {
+        val raster = img.getRaster
+        val w = img.getWidth; val h = img.getHeight; val c = raster.getNumBands
+        if (w <= 0 || h <= 0 || c <= 0 || w.toLong * h * c > MaxPixelSamples) None
+        else {
+          val px = new Array[Int](w * h * c)
+          raster.getPixels(0, 0, w, h, px)
+          Some((w, h, c, px))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic REAL-PNG asset generator: for each id, an 8-bit
+    * grayscale image of `(8 + id % 9) × (8 + 3·id % 9)` pixels with
+    * sample `g(x, y) = (id + x + y) mod 256`, encoded through the
+    * actual `ImageIO` PNG writer (zlib, CRCs and all) on the executors —
+    * payloads are genuine decodable PNGs, not hand-assembled headers,
+    * yet every pixel is reproducible arithmetically, so a SQL oracle
+    * can recompute the tensor the decoder must produce. PNG is
+    * lossless and grayscale rasters carry no color-management step, so
+    * the encode→decode round trip is bit-exact. */
+  def syntheticPngAssets(src: DataFrame, idCol: String): DataFrame = {
+    val spark = src.sparkSession
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val rdd = src.select(col(idCol).cast("long")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (8 + math.floorMod(id, 9)).toInt
+        val h = (8 + math.floorMod(id * 3, 9)).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, math.floorMod(id + x + y, 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** Frame sampling: split a payload into fixed-size "frames" (stand-in

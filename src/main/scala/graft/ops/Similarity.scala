@@ -855,7 +855,17 @@ object Similarity {
       .withColumn("rv", rv).withColumn("cn", norm(col("rv")))
       .join(broadcast(q.select("query_id", "qv", "qn")),
         col("corpus_id") =!= col("query_id"))
-      .withColumn("code_score", dot(col("qv"), col("rv")) / (col("qn") * col("cn")))
+      // a zero-norm reconstruction (all-zero codebook cell — possible
+      // even for nonzero data on a zero-dominated corpus) or zero-norm
+      // query makes the cosine 0/0: under ANSI that ABORTS the query
+      // with DIVIDE_BY_ZERO, and with ANSI off the NaN sorts GREATEST
+      // under the descending window, crowding scoreable candidates out
+      // of the shortlist — guard the division and pin degenerates to
+      // -Inf so they rank last either way
+      .withColumn("code_score",
+        when(col("qn") * col("cn") > 0,
+          dot(col("qv"), col("rv")) / (col("qn") * col("cn")))
+          .otherwise(lit(Double.NegativeInfinity)))
       .withColumn("_cr", row_number().over(wCode))
       .where(col("_cr") <= k * rerankFactor)
       .select("query_id", "corpus_id")

@@ -29,6 +29,13 @@ object Diff {
     val payload = left.columns.filterNot(keys.contains)
     require(payload.sameElements(right.columns.filterNot(keys.contains)),
       s"schemas disagree: ${left.columns.toSeq} vs ${right.columns.toSeq}")
+    // the diff manufactures status/_l/_r and a _r-suffixed twin of every
+    // payload column — an input already carrying one of those names
+    // would silently corrupt statuses or fail ambiguously downstream
+    val generated = Set("status", "_l", "_r") ++ payload.map(c => s"${c}_r")
+    val clash = left.columns.toSet.intersect(generated)
+    require(clash.isEmpty,
+      s"input columns collide with diff-generated names: $clash")
     val l = left.withColumn("_l", lit(1))
     val r = payload.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"${c}_r"))
       .withColumn("_r", lit(1))

@@ -769,6 +769,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("pq ann: zero-norm reconstructions cannot crowd the shortlist") {
+    // a zero-vector-dominated corpus plants all-zero codebook cells;
+    // their reconstructions score NaN in the screen, and NaN sorts
+    // GREATEST under the descending rank — unguarded, the degenerate
+    // rows evict every real candidate before the exact re-rank. The
+    // nanvl(-Inf) pin must keep the shortlist on scoreable candidates.
+    val dim = 8
+    val good = (1 to 6).map(i => (i.toLong, Array.fill(dim)((1.0f + 0.1f * i))))
+    val zeros = (100 to 111).map(i => (i.toLong, Array.fill(dim)(0.0f)))
+    val df = (good ++ zeros).toDF("vec_id", "embedding")
+    val q = Seq((999L, Array.fill(dim)(2.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.pqTopK(df, q, "vec_id", "embedding",
+      k = 2, dim = dim, numSubspaces = 2, codebookSize = 4, rerankFactor = 2)
+      .orderBy("rank").collect()
+    assert(top.length === 2)
+    top.foreach { r =>
+      assert(r.getLong(1) <= 6L,
+        s"zero vector ${r.getLong(1)} crowded out the real candidates")
+      assert(!r.getDouble(3).isNaN && math.abs(r.getDouble(3) - 1.0) < 1e-9)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("pq ann: planted duplicate recovered, empty corpus, codes stay in range") {
     val base = (0 until 200).map { i =>
       val rnd = new scala.util.Random(i)
@@ -1308,6 +1331,37 @@ class OpsSpec extends SparkSpec {
     assert(sum.getLong(5) === 1L) // changed_v: 20→21 only (NULL<=>NULL is same)
   }
 
+  test("zvalue: NULL input yields NULL z even when the column is constant") {
+    import graft.ops.Layout
+    // column a is constant (7) across its non-null rows but nullable —
+    // the mx===mn collapsed-column branch must not swallow the null
+    // contract and bucket null rows to 0
+    val df = Seq((1L, Some(7L), 10L), (2L, Some(7L), 20L),
+      (3L, None: Option[Long], 30L)).toDF("id", "a", "b")
+    val z = Layout.zValue(df, Seq("a", "b"), bits = 8)
+      .select("id", "zvalue").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(z(3L) === None, "null input must yield NULL z-value")
+    assert(z(1L).isDefined && z(2L).isDefined)
+    // collapsed column drops out of the curve: ordering follows b alone
+    assert(z(1L).get < z(2L).get)
+  }
+
+  test("table diff: refuses inputs colliding with generated column names") {
+    import graft.pipeline.Diff
+    // a payload column literally named 'status' would be silently
+    // shadowed by the diff verdict; a pre-existing 'v_r' beside 'v'
+    // would collide with the right-side rename — both must refuse
+    val base = Seq((1L, "a")).toDF("k", "v")
+    for (bad <- Seq("status", "_l", "_r", "v_r")) {
+      val df = base.withColumn(bad, lit("x"))
+      val e = intercept[IllegalArgumentException](Diff.diff(df, df, Seq("k")))
+      assert(e.getMessage.contains(bad))
+    }
+    // and the clean frame still diffs fine
+    assert(Diff.diff(base, base, Seq("k")).collect().head.getAs[String]("status") === "same")
+  }
+
   test("bigram LM scores: hand-computed smoothed probabilities, short docs null") {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z"), (5L, ""))
       .toDF("doc_id", "text")
@@ -1340,7 +1394,10 @@ class OpsSpec extends SparkSpec {
       (3L, "unique tokens only here never repeated anywhere"),
       // period-6 repetition: every window duplicated, gaps ≤ 5 → ONE
       // maximal span covering the whole doc
-      (4L, "m n o p q r m n o p q r m n o p q r"))
+      (4L, "m n o p q r m n o p q r m n o p q r"),
+      // NULL text: invisible to the span diagnosis, but the cut is a
+      // whole-corpus transformation and must keep the row
+      (5L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
     val got = Dedup.dupSpans(docs, "doc_id", "text", L = 5)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
@@ -1357,6 +1414,9 @@ class OpsSpec extends SparkSpec {
     assert(cut(2L) === (("p q r s", 4L, 5L)))
     assert(cut(3L) === (("unique tokens only here never repeated anywhere", 7L, 0L)))
     assert(cut(4L) === (("", 0L, 18L)))
+    // row-preserving: the null-text doc survives with NULL text + zero counts
+    assert(cut(5L) === ((null, 0L, 0L)))
+    assert(cut.size === 5)
     spark.catalog.clearCache()
   }
 
@@ -2061,6 +2121,11 @@ class OpsSpec extends SparkSpec {
     val b = Curation.proportionalSample(df.repartition(7), "id", "s", total = 100)
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(a === b)
+    // budgets past the row_number IntegerType ceiling refuse loudly
+    // instead of silently truncating the quota
+    val e = intercept[IllegalArgumentException](
+      Curation.proportionalSample(df, "id", "s", total = Int.MaxValue.toLong + 1))
+    assert(e.getMessage.contains("2^31"))
   }
 
   test("text: bm25 formula, tf/df/dl edges, corpus-side plan stays narrow") {
@@ -2280,6 +2345,54 @@ class OpsSpec extends SparkSpec {
       if (r.isNullAt(2)) -1 else r.getInt(2),
       if (r.isNullAt(3)) -1 else r.getInt(3))).toSeq === Seq(
       (1L, "png", 8, 4), (2L, "jpeg", 6, 9), (3L, null, -1, -1), (4L, null, -1, -1)))
+  }
+
+  test("multimodal: full pixel decode round-trips genuine PNG/GIF rasters") {
+    import java.awt.image.BufferedImage
+    // grayscale: every sample position gets a distinct value — a
+    // transposed raster, wrong stride, or off-by-one scan fails exactly
+    val gray = new BufferedImage(3, 2, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 2; x <- 0 until 3)
+      gray.getRaster.setSample(x, y, 0, y * 3 + x + 10)
+    def bytes(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt encoder")
+      bos.toByteArray
+    }
+    def raster(b: Array[Byte]): Option[(Int, Int, Int, Seq[Int])] =
+      Multimodal.decodeRaster(b).map { case (w, h, c, px) => (w, h, c, px.toSeq) }
+    assert(raster(bytes(gray, "png")) ===
+      Some((3, 2, 1, Seq(10, 11, 12, 13, 14, 15))))
+    // RGB: band-interleaved order within a pixel (R,G,B), row-major
+    val rgb = new BufferedImage(2, 1, BufferedImage.TYPE_INT_RGB)
+    rgb.setRGB(0, 0, 0x102030); rgb.setRGB(1, 0, 0x405060)
+    assert(raster(bytes(rgb, "png")) ===
+      Some((2, 1, 3, Seq(0x10, 0x20, 0x30, 0x40, 0x50, 0x60))))
+    // corrupt/unknown/empty input → None, never a throw
+    assert(Multimodal.decodeRaster(Array.emptyByteArray) === None)
+    assert(Multimodal.decodeRaster("not an image".getBytes) === None)
+    assert(Multimodal.decodeRaster(bytes(gray, "png").take(30)) === None)
+    // distributed path: failures held as null rows beside good tensors
+    val assets = Seq((1L, bytes(gray, "png")), (2L, "junk".getBytes),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("asset_id", "payload")
+    val got = Multimodal.decodePixels(assets).orderBy("asset_id").collect()
+    assert(got(0).getInt(1) === 3 && got(0).getInt(2) === 2 && got(0).getInt(3) === 1)
+    assert(got(0).getAs[scala.collection.Seq[Int]](4) === Seq(10, 11, 12, 13, 14, 15))
+    assert(got(1).isNullAt(1) && got(1).isNullAt(4))
+    assert(got(2).isNullAt(1) && got(2).isNullAt(4))
+    // the synthetic-PNG fixture generator round-trips its own formula:
+    // real zlib-compressed PNGs whose every decoded sample is (id+x+y)%256
+    val ids = Seq(0L, 7L, 254L).toDF("doc_id")
+    val decoded = Multimodal.decodePixels(
+      Multimodal.syntheticPngAssets(ids, "doc_id")).orderBy("asset_id").collect()
+    decoded.foreach { r =>
+      val id = r.getLong(0); val w = (8 + id % 9).toInt; val h = (8 + id * 3 % 9).toInt
+      assert(r.getInt(1) === w && r.getInt(2) === h && r.getInt(3) === 1)
+      val px = r.getAs[scala.collection.Seq[Int]](4)
+      assert(px.size === w * h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(px(y * w + x) === ((id + x + y) % 256).toInt)
+    }
   }
 
   test("multimodal: real WAV-header codec parses genuine AudioSystem files") {
