@@ -596,6 +596,28 @@ object SparkEntry {
     Dedup.minhashVerifiedDups(t(spark, dir, "documents"), "doc_id", "text",
       shingleK = 5, numBands = 24, rowsPerBand = 2, threshold = 0.5)
 
+  /** Incremental MinHash/LSH dedup — the index lifecycle the
+    * always-ingesting pipeline runs daily: the standing corpus
+    * (doc_id % 5 ≠ 0) is built into a persistable signature index ONCE
+    * ([[Dedup.minhashIndexBuild]]), then the arriving batch
+    * (doc_id % 5 = 0) is deduped against it
+    * ([[Dedup.minhashIndexDedupBatch]]) without re-shingling the
+    * corpus. Output = every verified near-dup pair touching the batch.
+    * The oracle is the exact all-pairs Jaccard scan over the WHOLE
+    * corpus filtered to batch-touching pairs — the same
+    * recall-is-exactly-1 regime q_dedup_minhash pins, now proving the
+    * incremental path emits precisely the full recompute's new pairs:
+    * no old×old re-emission, no missed batch pair. */
+  def qMinhashIncr(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val index = Dedup.minhashIndexBuild(corpus, "doc_id", "text",
+      shingleK = 5, numBands = 24, rowsPerBand = 2)
+    Dedup.minhashIndexDedupBatch(index, batch, "doc_id", "text",
+      shingleK = 5, numBands = 24, rowsPerBand = 2, threshold = 0.5)
+  }
+
   /** Exact all-pairs hamming reference for the simhash contract gate:
     * every (id_a < id_b, hamming ≤ maxDistance) pair, computed the
     * brute-force way — C(distinct sketches, 2) bit_count comparisons
@@ -1713,6 +1735,7 @@ object SparkEntry {
     "q_grouping_sets"    -> qGroupingSets,
     "q_dedup_exact"      -> qDedupExact,
     "q_dedup_minhash"    -> qDedupMinhash,
+    "q_minhash_incr"     -> qMinhashIncr,
     "q_dedup_simhash"    -> qDedupSimhash,
     "q_ngram_jaccard"    -> qNgramJaccard,
     "q_text_stats"       -> qTextStats,
@@ -2317,6 +2340,23 @@ object SparkEntry {
         |SELECT id_a, id_b, i::DOUBLE / (a.sz + b.sz - i) AS jaccard
         |FROM inter JOIN sizes a ON inter.id_a = a.id JOIN sizes b ON inter.id_b = b.id
         |WHERE i::DOUBLE / (a.sz + b.sz - i) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_minhash_incr" ->
+      // the q_dedup_minhash exact all-pairs oracle filtered to pairs
+      // touching the batch (doc_id % 5 = 0) — the incremental probe
+      // must emit exactly the full recompute's NEW pairs
+      """WITH toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t
+        |              FROM documents),
+        |sh AS (SELECT id, unnest(CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+        |          ELSE list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |               i -> array_to_string(t[i:i+4], ' '))) END) AS s FROM toks),
+        |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        |inter AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS i
+        |          FROM sh x JOIN sh y USING (s) WHERE x.id < y.id GROUP BY 1, 2)
+        |SELECT id_a, id_b, i::DOUBLE / (a.sz + b.sz - i) AS jaccard
+        |FROM inter JOIN sizes a ON inter.id_a = a.id JOIN sizes b ON inter.id_b = b.id
+        |WHERE i::DOUBLE / (a.sz + b.sz - i) >= 0.5
+        |  AND (id_a % 5 = 0 OR id_b % 5 = 0)
         |ORDER BY id_a, id_b""".stripMargin,
     // q_dedup_simhash is a CONTRACT GATE (the q_ann_lsh house pattern),
     // not a SQL mirror: the xxhash64 sketch values cannot be reproduced

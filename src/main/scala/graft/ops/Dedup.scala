@@ -289,6 +289,17 @@ object Dedup {
     * 10×), so the default is 1 (strongest recall bound); the count
     * costs nothing either way because the pair dedup is this same
     * aggregation. */
+  /** The LSH band-key scheme: bucket hash of band `b` = xxhash64 of the
+    * comma-joined signature slice `[b·rowsPerBand, (b+1)·rowsPerBand)`.
+    * ONE definition shared by [[bandedCandidates]] and the incremental
+    * index probe ([[minhashIndexDedupBatch]]) so a persisted index and a
+    * fresh recompute can never band apart. */
+  private[graft] def bandBuckets(sig: Column, numBands: Int,
+                                 rowsPerBand: Int): Column =
+    array((0 until numBands).map { b =>
+      xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand)))
+    }: _*)
+
   private[graft] def bandedCandidates(sig: DataFrame, numBands: Int,
                                       rowsPerBand: Int,
                                       minPairBands: Int = 1,
@@ -322,9 +333,7 @@ object Dedup {
     val withinGroup = pairsOf(groups.where(size(col("ids")) > 1), "ids", "id_a", "id_b")
     val banded = groups.select(
       col("gid"),
-      posexplode(array((0 until numBands).map { b =>
-        xxhash64(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))) }: _*))
+      posexplode(bandBuckets(col("sig"), numBands, rowsPerBand))
         .as(Seq("band", "bucket")))
     // the same valve covers the bucket rows: a low-entropy corpus where
     // millions of DISTINCT signatures agree on one band's values would
@@ -519,14 +528,8 @@ object Dedup {
     // size(shh) pushes below the projection and re-evaluates the staged
     // tokenize→shingle pipeline inside the predicate (measured 5×
     // on this stage) — filtering materialized arrays is free
-    val hashed = OpCaches.registered(shingleHashed(df, idCol, textCol, shingleK)
-      .select(col("id"), array_distinct(col("shh")).as("shh")))
-    val setGroups = OpCaches.registered(hashed
-      .where(size(col("shh")) > 0) // degenerate-bucket guard (see Scaladoc)
-      .groupBy("shh").agg(groupIdsAgg(col("id"), maxGroupSize,
-        "minhashVerifiedDups: a single shingle-set value").as("ids"))
-      .select(element_at(col("ids"), 1).as("gid"), col("shh"), col("ids"),
-        minhashSignatureFromHashes(col("shh"), numHashes).as("sig")))
+    val setGroups = setGroupsWithSig(df, idCol, textCol, shingleK, numHashes,
+      maxGroupSize, "minhashVerifiedDups: a single shingle-set value")
     val szW = size(col("shh"))
     val within = pairsOf(
       setGroups.where(size(col("ids")) > 1)
@@ -568,6 +571,199 @@ object Dedup {
       .where(col("jaccard") >= threshold)
     within.select(col("id_a"), col("id_b"), col("jaccard"))
       .unionByName(expandGroupPairs(crossVerified, Seq("jaccard")))
+  }
+
+  /** The distinct-shingle-set group table `(gid, shh, ids, sig)` —
+    * shared by [[minhashVerifiedDups]] and the incremental index
+    * lifecycle so the set/signature scheme cannot drift between a fresh
+    * recompute and a persisted index. Encodes the two measured
+    * array-keyed-groupBy rules (cache the per-doc arrays BEFORE the
+    * sort-agg groupBy; degenerate-set guard AFTER that cache — see
+    * [[weightedSetGroups]]). */
+  private[graft] def setGroupsWithSig(df: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, numHashes: Int, maxGroupSize: Int,
+      what: String): DataFrame = {
+    val hashed = OpCaches.registered(shingleHashed(df, idCol, textCol, shingleK)
+      .select(col("id"), array_distinct(col("shh")).as("shh")))
+    OpCaches.registered(hashed
+      .where(size(col("shh")) > 0) // degenerate-bucket guard (see Scaladoc)
+      .groupBy("shh").agg(groupIdsAgg(col("id"), maxGroupSize, what).as("ids"))
+      .select(element_at(col("ids"), 1).as("gid"), col("shh"), col("ids"),
+        minhashSignatureFromHashes(col("shh"), numHashes).as("sig")))
+  }
+
+  /** MinHash/LSH index BUILD — the expensive pass of the near-dup
+    * family as persistable state: one row per DISTINCT shingle set with
+    * its member ids and minhash signature, `(shh, ids, sig)` — all
+    * longs and long arrays, so the frame round-trips parquet
+    * bit-exactly (the [[graft.ops.Similarity.ivfBuild]] precedent). An
+    * always-ingesting corpus pipeline runs this ONCE over the standing
+    * corpus, writes the frame, and then every arriving batch pays only
+    * [[minhashIndexDedupBatch]] (probe) + [[minhashIndexAppend]]
+    * (maintain) instead of re-shingling and re-signing 100 TB a day.
+    * Parameters must match across build/probe/append for one index —
+    * the signature length is `numBands · rowsPerBand`. */
+  def minhashIndexBuild(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = DefaultShingleK,
+                        numBands: Int = DefaultNumBands,
+                        rowsPerBand: Int = DefaultRowsPerBand,
+                        maxGroupSize: Int = DefaultMaxGroupSize): DataFrame =
+    setGroupsWithSig(df, idCol, textCol, shingleK, numBands * rowsPerBand,
+      maxGroupSize, "minhashIndexBuild: a single shingle-set value")
+      .select("shh", "ids", "sig")
+
+  /** MinHash/LSH index MAINTAIN: fold a new batch's index rows into the
+    * standing index. Identical shingle sets merge (sorted, deduped,
+    * valve-bounded member lists); the signature is a pure function of
+    * the set, so either side's copy is THE value. Bit-equal to
+    * rebuilding from scratch over the union corpus (spec-pinned):
+    * `build(a ∪ b) ≡ append(build(a), build(b))` — which is what lets
+    * a daily pipeline keep one standing index instead of one standing
+    * recompute. Ids must be unique across the merged corpora (the
+    * reconciliation contract every keyed merge here shares). */
+  def minhashIndexAppend(index: DataFrame, delta: DataFrame,
+                         maxGroupSize: Int = DefaultMaxGroupSize): DataFrame =
+    index.select("shh", "ids", "sig")
+      .unionByName(delta.select("shh", "ids", "sig"))
+      .groupBy("shh").agg(
+        array_distinct(sort_array(boundedIds(flatten(collect_list(col("ids"))),
+          maxGroupSize,
+          "minhashIndexAppend: a merged shingle-set group"))).as("ids"),
+        first(col("sig")).as("sig"))
+      .select("shh", "ids", "sig")
+
+  /** MinHash/LSH index PROBE — incremental near-dup detection: all
+    * verified near-dup pairs `(id_a, id_b, jaccard)` that involve at
+    * least one NEW document, i.e. exactly the pairs a full
+    * [[minhashVerifiedDups]] over `index corpus ∪ batch` would emit
+    * minus the index-internal pairs an earlier run already reported
+    * (the exact contract, oracle-gated). The batch pays its own
+    * shingling and signatures; the index side pays ONE narrow band-key
+    * projection and a semi-join against the batch's band keys — no
+    * index re-shingle, no index re-sign, and after the semi-join prune
+    * only COLLIDING index rows reach any shuffle, so per-batch cost
+    * tracks batch size + true candidate mass, not corpus size. (At
+    * production scale, persist the exploded `(band, bucket, gid)` frame
+    * bucketed by its key and the probe join becomes exchange-free.)
+    *
+    * Mechanics mirror [[minhashVerifiedDups]] stage for stage — merged
+    * distinct sets (a batch doc identical to an indexed doc joins its
+    * set row), banded candidates via the shared [[bandBuckets]] scheme,
+    * signature-estimate screen, exact `array_intersect` verify — with
+    * one addition: member expansion is SIDED (`all × new ∪ new × old`),
+    * so already-reported old×old pairs never re-emit. */
+  def minhashIndexDedupBatch(index: DataFrame, batch: DataFrame,
+                             idCol: String, textCol: String,
+                             shingleK: Int = DefaultShingleK,
+                             numBands: Int = DefaultNumBands,
+                             rowsPerBand: Int = DefaultRowsPerBand,
+                             threshold: Double = 0.5,
+                             prefilterMargin: Double = 0.25,
+                             minPairBands: Int = 1,
+                             maxGroupSize: Int = DefaultMaxGroupSize): DataFrame = {
+    require(minPairBands >= 1 && minPairBands <= numBands,
+      s"minPairBands must be in [1, numBands=$numBands], got $minPairBands")
+    require(prefilterMargin > 0,
+      s"prefilterMargin must be > 0 (got $prefilterMargin) — see minhashVerifiedDups")
+    val numHashes = numBands * rowsPerBand
+    val batchSets = minhashIndexBuild(batch, idCol, textCol, shingleK,
+      numBands, rowsPerBand, maxGroupSize)
+    // merge identical shingle sets across index and batch, keeping the
+    // member lists SPLIT by origin — newness decides which pairs emit.
+    // first(sig) is deterministic: sig is a pure function of shh
+    val combined = OpCaches.registered(
+      index.select(col("shh"), col("ids"), col("sig"), lit(false).as("is_new"))
+        .unionByName(batchSets.select(col("shh"), col("ids"), col("sig"),
+          lit(true).as("is_new")))
+        .groupBy("shh").agg(
+          sort_array(flatten(collect_list(when(!col("is_new"), col("ids")))))
+            .as("old_ids"),
+          sort_array(flatten(collect_list(when(col("is_new"), col("ids")))))
+            .as("new_ids"),
+          first(col("sig")).as("sig"))
+        .withColumn("ids", boundedIds(
+          sort_array(concat(col("old_ids"), col("new_ids"))), maxGroupSize,
+          "minhashIndexDedupBatch: a merged shingle-set group"))
+        .select(element_at(col("ids"), 1).as("gid"), col("shh"),
+          col("old_ids"), col("new_ids"), col("sig")))
+    // within-merged-set pairs: identical sets have jaccard exactly 1.0
+    // (the bit-equal constant minhashVerifiedDups' within path computes);
+    // new×new plus old×new, never old×old
+    val withinNew = pairsOf(combined.where(size(col("new_ids")) > 1),
+      "new_ids", "id_a", "id_b")
+      .withColumn("jaccard", lit(1.0d))
+      .where(col("jaccard") >= threshold)
+    val withinOldNew = combined
+      .where(size(col("new_ids")) > 0 && size(col("old_ids")) > 0)
+      .select(explode(col("old_ids")).as("x"), col("new_ids"))
+      .select(col("x"), explode(col("new_ids")).as("y"))
+      .select(least(col("x"), col("y")).as("id_a"),
+        greatest(col("x"), col("y")).as("id_b"))
+      .withColumn("jaccard", lit(1.0d))
+      .where(col("jaccard") >= threshold)
+    // banded candidates restricted to pairs touching a new-side set:
+    // the batch's band keys prune the index side BEFORE any wide work
+    val allBands = combined.select(col("gid"),
+      posexplode(bandBuckets(col("sig"), numBands, rowsPerBand))
+        .as(Seq("band", "bucket")))
+    val activeBands = combined.where(size(col("new_ids")) > 0)
+      .select(col("gid").as("ga"),
+        posexplode(bandBuckets(col("sig"), numBands, rowsPerBand))
+          .as(Seq("band", "bucket")))
+    val buckets = allBands
+      .join(activeBands.select("band", "bucket").distinct(),
+        Seq("band", "bucket"), "left_semi")
+      .groupBy("band", "bucket")
+      .agg(groupIdsAgg(col("gid"), maxGroupSize,
+        "minhashIndexDedupBatch: one band bucket (distinct signatures)",
+        remedy = "use more rowsPerBand (more selective buckets)").as("gids"))
+    // countDistinct collapses the double orientation a new-new pair
+    // produces (both sides are active) to the colliding-band count nb,
+    // identical to bandedCandidates' per-band pair dedup
+    val candPairs = activeBands.join(buckets, Seq("band", "bucket"))
+      .select(col("band"), col("ga"), explode(col("gids")).as("gb"))
+      .where(col("ga") =!= col("gb"))
+      .select(col("band"), least(col("ga"), col("gb")).as("pa"),
+        greatest(col("ga"), col("gb")).as("pb"))
+      .groupBy("pa", "pb").agg(countDistinct(col("band")).as("nb"))
+      .where(col("nb") >= minPairBands)
+      .select(col("pa").as("ga"), col("pb").as("gb"))
+    // estimate screen, then exact verify — minhashVerifiedDups verbatim
+    val minMatches = math.ceil((threshold - prefilterMargin) * numHashes).toInt
+    val screened = candPairs
+      .join(combined.select(col("gid").as("ga"), col("sig").as("sig_a")), Seq("ga"))
+      .join(combined.select(col("gid").as("gb"), col("sig").as("sig_b")), Seq("gb"))
+      .where(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+        x => x)) >= lit(minMatches))
+      .select("ga", "gb")
+    // cached: the sided expansion reads this frame twice, and the
+    // plan-branch recompute trap would re-run the candidate joins
+    val verified = OpCaches.registered(screened
+      .join(combined.select(col("gid").as("ga"), col("shh").as("sh_a"),
+        col("old_ids").as("old_a"), col("new_ids").as("new_a")), Seq("ga"))
+      .join(combined.select(col("gid").as("gb"), col("shh").as("sh_b"),
+        col("old_ids").as("old_b"), col("new_ids").as("new_b")), Seq("gb"))
+      .select(col("old_a"), col("new_a"), col("old_b"), col("new_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        size(col("sh_a")).as("sz_a"), size(col("sh_b")).as("sz_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= threshold))
+    // sided member expansion: all_a × new_b covers old×new and new×new;
+    // new_a × old_b covers the rest — disjoint, complete, no old×old
+    def sidedExpand(df: DataFrame, fromCol: String, toCol: String): DataFrame =
+      df.select(col("jaccard"), explode(col(fromCol)).as("x"), col(toCol))
+        .select(col("jaccard"), col("x"), explode(col(toCol)).as("y"))
+        .select(least(col("x"), col("y")).as("id_a"),
+          greatest(col("x"), col("y")).as("id_b"), col("jaccard"))
+        .where(col("id_a") =!= col("id_b"))
+    val cross = sidedExpand(
+      verified.withColumn("all_a", concat(col("old_a"), col("new_a"))),
+      "all_a", "new_b")
+      .unionByName(sidedExpand(verified, "new_a", "old_b"))
+    withinNew.select(col("id_a"), col("id_b"), col("jaccard"))
+      .unionByName(withinOldNew.select(col("id_a"), col("id_b"), col("jaccard")))
+      .unionByName(cross)
   }
 
   /** SimHash (64-bit) of a token stream: sign-sum of per-token hash bits.

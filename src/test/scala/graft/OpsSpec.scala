@@ -117,6 +117,99 @@ class OpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("incremental minhash index: batch probe equals the full recompute's new pairs") {
+    // the daily-ingest contract: dedup a NEW batch against a standing
+    // index and get EXACTLY the pairs a full recompute over old∪new
+    // emits, minus the old×old pairs an earlier run already reported.
+    // Fixture: random docs + planted near-dups arranged so every pair
+    // class exists — old×old (must NOT emit), old×new, new×new,
+    // identical-text sets spanning the index/batch boundary
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron")
+    val base = (1L to 30L).map { i =>
+      (i, Seq.fill(12 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // near-dups of docs 1..8 at ids 101..108; identical copies of doc 1
+    // (odd → old) at 301 (old) and 202 (new): the identical set spans
+    // the boundary with TWO old members, so it carries an old×old pair
+    // that must be suppressed next to old×new pairs that must emit
+    val planted = (1L to 8L).map { i => (100L + i, base(i.toInt - 1)._2 + " tail") }
+    val copies = Seq((301L, base(0)._2), (202L, base(0)._2))
+    val all = (base ++ planted ++ copies).toDF("doc_id", "text")
+    val isNew = col("doc_id") % 2 === 0 // evens arrive as the batch
+    val corpus = all.where(!isNew)
+    val batch = all.where(isNew)
+    val index = Dedup.minhashIndexBuild(corpus, "doc_id", "text", shingleK = 5)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val incr = pairSet(Dedup.minhashIndexDedupBatch(index, batch,
+      "doc_id", "text", shingleK = 5, threshold = 0.3))
+    val full = pairSet(Dedup.minhashVerifiedDups(all, "doc_id", "text",
+      threshold = 0.3))
+    val expected = full.filter(p => p._1 % 2 == 0 || p._2 % 2 == 0)
+    assert(full.nonEmpty && expected.nonEmpty && expected != full,
+      "fixture must exercise old×old suppression and new-pair emission")
+    // the identical-copy set spans the boundary: 202 (new) pairs with
+    // 1 and 301 (old) at jaccard 1.0, and 1–301 (old×old) is suppressed
+    assert(incr.contains((1L, 202L, 1.0)) && incr.contains((202L, 301L, 1.0)))
+    assert(!incr.exists(p => p._1 == 1L && p._2 == 301L))
+    assert(incr === expected)
+    // edges: an empty batch probes to nothing; an empty index makes the
+    // probe a plain self-dedup of the batch
+    assert(Dedup.minhashIndexDedupBatch(index, batch.where(lit(false)),
+      "doc_id", "text", shingleK = 5, threshold = 0.3).count() === 0L)
+    val emptyIdx = Dedup.minhashIndexBuild(all.where(lit(false)),
+      "doc_id", "text", shingleK = 5)
+    assert(pairSet(Dedup.minhashIndexDedupBatch(emptyIdx, batch,
+      "doc_id", "text", shingleK = 5, threshold = 0.3)) ===
+      pairSet(Dedup.minhashVerifiedDups(batch, "doc_id", "text", threshold = 0.3)))
+    spark.catalog.clearCache()
+  }
+
+  test("incremental minhash index: append equals rebuild; parquet round-trip probes identically") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), // identical pair
+      (3L, "a b c d e f g x"),                          // near-dup of 1/2
+      (4L, "p q r s t u v w"),                          // unrelated
+      (10L, "a b c d e f g h"),                         // batch copy of 1/2
+      (11L, "p q r s t u v y")).toDF("doc_id", "text")  // batch near-dup of 4
+    val corpus = docs.where(col("doc_id") < 10)
+    val batch = docs.where(col("doc_id") >= 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getSeq[Long](0), r.getSeq[Long](1), r.getSeq[Long](2)))
+      .toSet
+    // maintain ≡ rebuild, bit-equal rows: merged member lists sorted and
+    // deduped, signatures carried (pure function of the set)
+    val appended = Dedup.minhashIndexAppend(
+      Dedup.minhashIndexBuild(corpus, "doc_id", "text", shingleK = 5),
+      Dedup.minhashIndexBuild(batch, "doc_id", "text", shingleK = 5))
+    val rebuilt = Dedup.minhashIndexBuild(docs, "doc_id", "text", shingleK = 5)
+    assert(rows(appended) === rows(rebuilt))
+    // longs and long arrays round-trip parquet exactly: a RELOADED index
+    // probes bit-identically to the in-memory one (the IVF precedent)
+    val dir = java.nio.file.Files.createTempDirectory("minhash-idx").toString
+    try {
+      Dedup.minhashIndexBuild(corpus, "doc_id", "text", shingleK = 5)
+        .write.mode("overwrite").parquet(dir)
+      val reloaded = spark.read.parquet(dir)
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val fresh = pairSet(Dedup.minhashIndexDedupBatch(
+        Dedup.minhashIndexBuild(corpus, "doc_id", "text", shingleK = 5),
+        batch, "doc_id", "text", shingleK = 5, threshold = 0.5))
+      val fromDisk = pairSet(Dedup.minhashIndexDedupBatch(reloaded, batch,
+        "doc_id", "text", shingleK = 5, threshold = 0.5))
+      assert(fresh === fromDisk && fresh.nonEmpty)
+      assert(fresh.contains((1L, 10L, 1.0)) && fresh.contains((2L, 10L, 1.0)))
+      assert(!fresh.exists(p => p._1 == 1L && p._2 == 2L)) // old×old suppressed
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("minhash oracle validity: corpus pair-jaccard distribution has the assumed gap") {
     // The q_dedup_minhash / q_corpus_clean oracle equivalence rests on a
     // CORPUS property, not just the operator: with no pair mass in

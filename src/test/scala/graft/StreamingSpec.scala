@@ -388,6 +388,55 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("minhash index maintained by a foreachBatch stream dedups like one full recompute") {
+    // the always-ingesting dedup pipeline as a stream: each micro-batch
+    // is probed against the standing signature index (pairs touching
+    // the batch emit exactly once, when the later member arrives), then
+    // folded in with minhashIndexAppend. After any prefix of batches,
+    // the accumulated pair set equals the full recompute over
+    // everything seen — the q_incremental_agg contract shape, on the
+    // operator a 100 TB corpus re-runs daily
+    import graft.ops.Dedup
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val emptyCorpus = Seq.empty[StreamDoc].toDF()
+    var index = Dedup.minhashIndexBuild(emptyCorpus, "doc_id", "text", shingleK = 5)
+      .localCheckpoint(true)
+    val pairs = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    val input = MemoryStream[StreamDoc]
+    val query = input.toDF().writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        pairs ++= Dedup.minhashIndexDedupBatch(index, batch, "doc_id", "text",
+            shingleK = 5, threshold = 0.5)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        // localCheckpoint: the index must survive the batch frame's retire
+        index = Dedup.minhashIndexAppend(index,
+          Dedup.minhashIndexBuild(batch, "doc_id", "text", shingleK = 5))
+          .localCheckpoint(true)
+        ()
+      }
+      .start()
+    try {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[StreamDoc]
+      def feed(docs: StreamDoc*): Unit = {
+        seen ++= docs; input.addData(docs); query.processAllAvailable()
+      }
+      feed(StreamDoc(1L, "a b c d e f g h"), StreamDoc(2L, "p q r s t u v w"))
+      feed(StreamDoc(3L, "a b c d e f g h"),  // exact dup of 1, earlier batch
+        StreamDoc(4L, "a b c d e f g x"))     // near-dup of 1/3, same batch
+      feed(StreamDoc(5L, "p q r s t u v y"),  // near-dup of 2, two batches back
+        StreamDoc(6L, "a b c d e f g h"))     // third copy of the 1/3 set
+      val full = Dedup.minhashVerifiedDups(seen.toSeq.toDF(), "doc_id", "text",
+        threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pairs.toSet === full)
+      assert(pairs.contains((1L, 3L, 1.0)), "cross-batch exact dup must pair")
+      assert(pairs.exists(p => p._1 == 2L && p._2 == 5L),
+        "near-dup two batches apart must pair")
+    } finally { query.stop(); spark.catalog.clearCache() }
+  }
+
   test("incremental agg state maintained by a foreachBatch stream equals full recompute") {
     // the nightly→streaming continuum: the SAME algebraic state
     // pipeline.Incremental uses for batch merges maintains a live
