@@ -866,8 +866,10 @@ class OpsSpec extends SparkSpec {
     // a zero-vector-dominated corpus plants all-zero codebook cells;
     // their reconstructions score NaN in the screen, and NaN sorts
     // GREATEST under the descending rank — unguarded, the degenerate
-    // rows evict every real candidate before the exact re-rank. The
-    // nanvl(-Inf) pin must keep the shortlist on scoreable candidates.
+    // rows evict every real candidate before the exact re-rank (and
+    // under ANSI the 0/0 aborts the query outright). The guarded
+    // division's -Inf pin must keep the shortlist on scoreable
+    // candidates.
     val dim = 8
     val good = (1 to 6).map(i => (i.toLong, Array.fill(dim)((1.0f + 0.1f * i))))
     val zeros = (100 to 111).map(i => (i.toLong, Array.fill(dim)(0.0f)))
