@@ -295,12 +295,23 @@ object Multimodal {
     spark.createDataFrame(rdd, pixelSchema)
   }
 
+  /** `ImageIO.read(InputStream)` / `write(OutputStream)` default to a
+    * DISK-cached image stream — one temp-file create/delete per image,
+    * which at 500k assets per task is filesystem churn dwarfing the
+    * decode itself (measured: the 100× q_pixel_stats sweep). The
+    * payloads here are in-memory byte arrays; force the memory cache
+    * once per JVM. (Thread-safe: a plain static flag read at stream
+    * creation.) */
+  private lazy val imageIoMemoryCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Decode (width, height, bands, band-interleaved samples) from image
     * bytes. Corrupt/unknown/oversized input → None, never a throw: one
     * bad payload must not kill a whole scan task (the [[imageDims]]
     * contract). */
   private[graft] def decodeRaster(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Int])] =
     try {
+      imageIoMemoryCache
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null) None // no registered reader recognized the bytes
       else {
@@ -347,6 +358,7 @@ object Multimodal {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
+        imageIoMemoryCache // write-side too: no temp file per encoded PNG
         javax.imageio.ImageIO.write(img, "png", bos)
         Row(id, bos.toByteArray)
       }
