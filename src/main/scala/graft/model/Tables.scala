@@ -30,16 +30,23 @@ object Tables {
     * (q_cosine_topk 0.7s → 3.2s, q_ann_lsh 3.8s → 10.7s measured), so
     * the floors sit between the two measured scales, margin both ways.
     *
-    * Tuning recipe for a new corpus-scale table: the floor is the row
-    * count where single-task scan-stage CPU (rows × per-row cost of the
-    * heaviest scan expression — measure one partition with a timed
-    * `mapPartitions` or take it from SCALE.md's per-kernel numbers)
-    * clearly exceeds the spread's fixed cost (one full-table exchange +
-    * `defaultParallelism` task launches, ~1-2 s at local[32]). Measure
-    * one sweep at a scale below and one above the candidate floor (as
-    * done here at sf0.1 vs 10×) and keep margin both ways; err high —
-    * an under-fired spread costs linear single-core time, an over-fired
-    * one costs a constant exchange. */
+    * The floors are DERIVED, not guessed — `runMain
+    * graft.model.SpreadCalibrate <dir>` measures both model inputs
+    * (single-core per-row cost of the table's heaviest scan kernel;
+    * the spread shape's fixed exchange + stage-launch cost) and prints
+    * the break-even row count `fixed / (perRow · (1 − 1/P))`. On the
+    * 10× corpus at local[32]: documents 14.3 µs/row, fixed 0.24 s →
+    * break-even ≈ 17.1k; embeddings 76.1 µs/row, fixed 0.27 s →
+    * break-even ≈ 3.6k. The pins sit ABOVE their break-evens
+    * deliberately: the calibration times one kernel stage, but in a
+    * real multi-stage plan the spread's constant cost is paid per
+    * downstream shuffle stage and its barrier blocks pushdown, so the
+    * in-situ break-even is higher (measured: ann_lsh 3.8 → 10.7 s at
+    * 2k vectors — far beyond one 0.27 s exchange). The pins are the
+    * bracketing sweeps' verdict (regress at sf0.1, win at 10×) kept at
+    * 1.2×/2.7× the single-stage break-even as multi-stage margin.
+    * Recalibrate (and re-bracket) when a new corpus table or a very
+    * different executor shape joins. */
   private val cpuHeavySpread = Map(
     "documents" -> ("doc_id", 20000L),
     "embeddings" -> ("vec_id", 10000L))
