@@ -119,10 +119,16 @@ object Bench {
     val sentinelEvery = 15
     val sentinelTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     def runSentinel(): Unit = {
+      // guarded like every timed query: a transient failure during one
+      // of the ~8 sentinel probes must not abort a multi-hour sweep and
+      // discard the per-query times already collected — record the
+      // failure sentinel (-1.0, excluded from min/max) and move on
       val t0 = System.nanoTime()
-      graft.gold.Dims.dateSpine(spark, "2015-01-01", "2030-12-31")
-        .write.format("noop").mode("overwrite").save()
-      sentinelTimes += (System.nanoTime() - t0) / 1e9
+      try {
+        graft.gold.Dims.dateSpine(spark, "2015-01-01", "2030-12-31")
+          .write.format("noop").mode("overwrite").save()
+        sentinelTimes += (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => sentinelTimes += -1.0 }
     }
     // sorted iteration: deterministic order round-over-round (a HashMap
     // order reshuffle moves JIT/codegen warm-up costs between queries)
@@ -164,7 +170,11 @@ object Bench {
       else s""","reps":$reps,"queries_min":${fmt(perRun.map { case (n, ts) => n -> ts.filter(_ >= 0).minOption.getOrElse(-1.0) })}"""
     val sentinel = {
       val ts = sentinelTimes.toSeq
-      s""""sentinel":{"every":$sentinelEvery,"min":${ts.min},"max":${ts.max},"times":[${ts.mkString(",")}]}"""
+      // min/max over successful probes only; all-failed → -1.0 markers
+      val ok = ts.filter(_ >= 0)
+      val mn = if (ok.nonEmpty) ok.min else -1.0
+      val mx = if (ok.nonEmpty) ok.max else -1.0
+      s""""sentinel":{"every":$sentinelEvery,"min":$mn,"max":$mx,"times":[${ts.mkString(",")}]}"""
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errors,"load_before":$loadBefore,"load_after":$loadAfter,$sentinel$repFields}""")
     spark.stop()

@@ -66,19 +66,22 @@ object SpreadCalibrate {
     spark.sparkContext.setLogLevel("WARN")
     val p = spark.sparkContext.defaultParallelism
 
-    // (table, key, current floor, scan kernel)
-    val cases: Seq[(String, String, Long, DataFrame => DataFrame)] = Seq(
-      ("documents", "doc_id", 20000L, df =>
+    // scan kernel per table; key and pinned floor come from
+    // Tables.cpuHeavySpread — the source of truth this tool validates,
+    // so a retuned pin can't silently drift from the printed comparison
+    val kernels: Seq[(String, DataFrame => DataFrame)] = Seq(
+      ("documents", df =>
         graft.ops.Dedup.shingleHashed(df, "doc_id", "text", 5)
           .select(col("id"), array_distinct(col("shh")).as("shh"))),
-      ("embeddings", "vec_id", 10000L, df =>
+      ("embeddings", df =>
         graft.ops.Similarity.lshBandedComposed(
           df.select(col("vec_id"),
             transform(col("embedding"), _.cast("double")).as("v")),
           "vec_id", "v", dim = 64, numPlanes = 4, numTables = 12,
           seedBase = 42)))
 
-    cases.foreach { case (name, key, pinned, kernel) =>
+    kernels.foreach { case (name, kernel) =>
+      val (key, pinned) = Tables.cpuHeavySpread(name)
       val raw = Tables.loadRaw(spark, dir, name)
       val rows = raw.count()
       val single = measure(kernel(raw.coalesce(1)))

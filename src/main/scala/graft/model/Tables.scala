@@ -47,7 +47,7 @@ object Tables {
     * 1.2×/2.7× the single-stage break-even as multi-stage margin.
     * Recalibrate (and re-bracket) when a new corpus table or a very
     * different executor shape joins. */
-  private val cpuHeavySpread = Map(
+  private[model] val cpuHeavySpread = Map(
     "documents" -> ("doc_id", 20000L),
     "embeddings" -> ("vec_id", 10000L))
 

@@ -638,17 +638,31 @@ object Dedup {
     * [[minhashVerifiedDups]] over `index corpus ∪ batch` would emit
     * minus the index-internal pairs an earlier run already reported
     * (the exact contract, oracle-gated). The batch pays its own
-    * shingling and signatures; the index side pays ONE narrow band-key
-    * projection and a semi-join against the batch's band keys — no
-    * index re-shingle, no index re-sign, and after the semi-join prune
-    * only COLLIDING index rows reach any shuffle, so per-batch cost
-    * tracks batch size + true candidate mass, not corpus size. (At
-    * production scale, persist the exploded `(band, bucket, gid)` frame
-    * bucketed by its key and the probe join becomes exchange-free.)
+    * shingling and signatures; the index side is NEVER shuffled or
+    * cached corpus-wide — it is read by exactly two narrow scans (the
+    * band-key projection and the colliding-row fetch), each pruned by a
+    * BROADCAST of batch-derived keys before any exchange, so per-batch
+    * shuffle/cache mass tracks batch size + true candidate mass, not
+    * corpus size. A persisted parquet index makes those scans cheap
+    * columnar reads. (At production scale, additionally persist the
+    * exploded `(band, bucket, gid)` frame bucketed by its key and the
+    * band probe becomes exchange-free.) [[minhashIndexAppend]] does
+    * shuffle the index on its key — run it as the amortized maintenance
+    * job (daily/compaction), never per probe.
     *
-    * Mechanics mirror [[minhashVerifiedDups]] stage for stage — merged
-    * distinct sets (a batch doc identical to an indexed doc joins its
-    * set row), banded candidates via the shared [[bandBuckets]] scheme,
+    * There is deliberately NO identical-set merge join against the
+    * index (the groupBy-shh stage [[minhashVerifiedDups]] runs): a
+    * batch set identical to an indexed set has the IDENTICAL signature,
+    * so the pair collides in every band, sails through the estimate
+    * screen, and the exact verify computes jaccard = sz/(2sz−sz) = 1.0
+    * exactly — the same value the merge path would emit as a constant.
+    * The merge join bought the full recompute duplicate-mass collapse;
+    * here both inputs are already one-row-per-distinct-set, so it
+    * bought only stage count (measured: dropping it + its caches took
+    * the probe from 16 s to the full-recompute class at 10×).
+    *
+    * Mechanics otherwise mirror [[minhashVerifiedDups]] stage for
+    * stage — banded candidates via the shared [[bandBuckets]] scheme,
     * signature-estimate screen, exact `array_intersect` verify — with
     * one addition: member expansion is SIDED (`all × new ∪ new × old`),
     * so already-reported old×old pairs never re-emit. */
@@ -666,53 +680,46 @@ object Dedup {
     require(prefilterMargin > 0,
       s"prefilterMargin must be > 0 (got $prefilterMargin) — see minhashVerifiedDups")
     val numHashes = numBands * rowsPerBand
-    val batchSets = minhashIndexBuild(batch, idCol, textCol, shingleK,
-      numBands, rowsPerBand, maxGroupSize)
-    // merge identical shingle sets across index and batch, keeping the
-    // member lists SPLIT by origin — newness decides which pairs emit.
-    // first(sig) is deterministic: sig is a pure function of shh
-    val combined = OpCaches.registered(
-      index.select(col("shh"), col("ids"), col("sig"), lit(false).as("is_new"))
-        .unionByName(batchSets.select(col("shh"), col("ids"), col("sig"),
-          lit(true).as("is_new")))
-        .groupBy("shh").agg(
-          sort_array(flatten(collect_list(when(!col("is_new"), col("ids")))))
-            .as("old_ids"),
-          sort_array(flatten(collect_list(when(col("is_new"), col("ids")))))
-            .as("new_ids"),
-          first(col("sig")).as("sig"))
-        .withColumn("ids", boundedIds(
-          sort_array(concat(col("old_ids"), col("new_ids"))), maxGroupSize,
-          "minhashIndexDedupBatch: a merged shingle-set group"))
+    val emptyIds = typedlit(Seq.empty[Long])
+    // the batch's distinct-set frame, sided: all members are NEW. gid =
+    // min member id (build ids are sorted). Cached — feeds the within
+    // pairs, the active band keys, and the colliding-row assembly.
+    val newSide = OpCaches.registered(
+      minhashIndexBuild(batch, idCol, textCol, shingleK,
+        numBands, rowsPerBand, maxGroupSize)
         .select(element_at(col("ids"), 1).as("gid"), col("shh"),
-          col("old_ids"), col("new_ids"), col("sig")))
-    // within-merged-set pairs: identical sets have jaccard exactly 1.0
-    // (the bit-equal constant minhashVerifiedDups' within path computes);
-    // new×new plus old×new, never old×old
-    val withinNew = pairsOf(combined.where(size(col("new_ids")) > 1),
+          emptyIds.as("old_ids"), col("ids").as("new_ids"), col("sig")))
+    // the standing index, sided: all members are OLD. A pure narrow
+    // projection — no join, no filter, no cache; index sets identical
+    // to a batch set stay in and meet their twin through the banding
+    // path (see Scaladoc).
+    val indexSide = index
+      .select(element_at(col("ids"), 1).as("gid"), col("shh"),
+        col("ids").as("old_ids"), emptyIds.as("new_ids"), col("sig"))
+    // within-set pairs among the batch's own members: a set's members
+    // are mutually identical documents, jaccard exactly 1.0 (the
+    // bit-equal constant minhashVerifiedDups' within path computes)
+    val withinNew = pairsOf(newSide.where(size(col("new_ids")) > 1),
       "new_ids", "id_a", "id_b")
       .withColumn("jaccard", lit(1.0d))
       .where(col("jaccard") >= threshold)
-    val withinOldNew = combined
-      .where(size(col("new_ids")) > 0 && size(col("old_ids")) > 0)
-      .select(explode(col("old_ids")).as("x"), col("new_ids"))
-      .select(col("x"), explode(col("new_ids")).as("y"))
-      .select(least(col("x"), col("y")).as("id_a"),
-        greatest(col("x"), col("y")).as("id_b"))
-      .withColumn("jaccard", lit(1.0d))
-      .where(col("jaccard") >= threshold)
-    // banded candidates restricted to pairs touching a new-side set:
-    // the batch's band keys prune the index side BEFORE any wide work
-    val allBands = combined.select(col("gid"),
-      posexplode(bandBuckets(col("sig"), numBands, rowsPerBand))
-        .as(Seq("band", "bucket")))
-    val activeBands = combined.where(size(col("new_ids")) > 0)
+    // banded candidates restricted to pairs touching a new-side set.
+    // The batch's bands ARE the active keys; the index contributes only
+    // bands surviving a BROADCAST semi-join against them — the prune
+    // runs on the narrow scan, before the bucket aggregation's exchange
+    // ever sees an index row
+    val activeBands = newSide
       .select(col("gid").as("ga"),
         posexplode(bandBuckets(col("sig"), numBands, rowsPerBand))
           .as(Seq("band", "bucket")))
-    val buckets = allBands
-      .join(activeBands.select("band", "bucket").distinct(),
+    val indexBands = indexSide.select(col("gid"),
+      posexplode(bandBuckets(col("sig"), numBands, rowsPerBand))
+        .as(Seq("band", "bucket")))
+      .join(broadcast(activeBands.select("band", "bucket").distinct()),
         Seq("band", "bucket"), "left_semi")
+    val buckets = indexBands
+      .unionByName(activeBands.select(col("ga").as("gid"), col("band"),
+        col("bucket")))
       .groupBy("band", "bucket")
       .agg(groupIdsAgg(col("gid"), maxGroupSize,
         "minhashIndexDedupBatch: one band bucket (distinct signatures)",
@@ -720,28 +727,42 @@ object Dedup {
     // countDistinct collapses the double orientation a new-new pair
     // produces (both sides are active) to the colliding-band count nb,
     // identical to bandedCandidates' per-band pair dedup
-    val candPairs = activeBands.join(buckets, Seq("band", "bucket"))
-      .select(col("band"), col("ga"), explode(col("gids")).as("gb"))
-      .where(col("ga") =!= col("gb"))
-      .select(col("band"), least(col("ga"), col("gb")).as("pa"),
-        greatest(col("ga"), col("gb")).as("pb"))
-      .groupBy("pa", "pb").agg(countDistinct(col("band")).as("nb"))
-      .where(col("nb") >= minPairBands)
-      .select(col("pa").as("ga"), col("pb").as("gb"))
+    // cached (small: true candidate mass) — read twice below, for the
+    // colliding-gid broadcast and the screen, and recomputing it would
+    // re-run the band scan + both aggregations
+    val candPairs = OpCaches.registered(
+      activeBands.join(buckets, Seq("band", "bucket"))
+        .select(col("band"), col("ga"), explode(col("gids")).as("gb"))
+        .where(col("ga") =!= col("gb"))
+        .select(col("band"), least(col("ga"), col("gb")).as("pa"),
+          greatest(col("ga"), col("gb")).as("pb"))
+        .groupBy("pa", "pb").agg(countDistinct(col("band")).as("nb"))
+        .where(col("nb") >= minPairBands)
+        .select(col("pa").as("ga"), col("pb").as("gb")))
+    // colliding-set assembly: the ONLY index rows that reach the wide
+    // screen/verify joins — fetched by one more narrow index scan,
+    // pruned by a broadcast of the candidate gids (small: true
+    // candidate mass), then cached alongside the new-side rows
+    val candGids = candPairs
+      .select(explode(array(col("ga"), col("gb"))).as("gid")).distinct()
+    val candSets = OpCaches.registered(
+      indexSide.join(broadcast(candGids), Seq("gid"), "left_semi")
+        .unionByName(newSide.join(broadcast(candGids), Seq("gid"),
+          "left_semi")))
     // estimate screen, then exact verify — minhashVerifiedDups verbatim
     val minMatches = math.ceil((threshold - prefilterMargin) * numHashes).toInt
     val screened = candPairs
-      .join(combined.select(col("gid").as("ga"), col("sig").as("sig_a")), Seq("ga"))
-      .join(combined.select(col("gid").as("gb"), col("sig").as("sig_b")), Seq("gb"))
+      .join(candSets.select(col("gid").as("ga"), col("sig").as("sig_a")), Seq("ga"))
+      .join(candSets.select(col("gid").as("gb"), col("sig").as("sig_b")), Seq("gb"))
       .where(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
         x => x)) >= lit(minMatches))
       .select("ga", "gb")
     // cached: the sided expansion reads this frame twice, and the
     // plan-branch recompute trap would re-run the candidate joins
     val verified = OpCaches.registered(screened
-      .join(combined.select(col("gid").as("ga"), col("shh").as("sh_a"),
+      .join(candSets.select(col("gid").as("ga"), col("shh").as("sh_a"),
         col("old_ids").as("old_a"), col("new_ids").as("new_a")), Seq("ga"))
-      .join(combined.select(col("gid").as("gb"), col("shh").as("sh_b"),
+      .join(candSets.select(col("gid").as("gb"), col("shh").as("sh_b"),
         col("old_ids").as("old_b"), col("new_ids").as("new_b")), Seq("gb"))
       .select(col("old_a"), col("new_a"), col("old_b"), col("new_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
@@ -762,7 +783,6 @@ object Dedup {
       "all_a", "new_b")
       .unionByName(sidedExpand(verified, "new_a", "old_b"))
     withinNew.select(col("id_a"), col("id_b"), col("jaccard"))
-      .unionByName(withinOldNew.select(col("id_a"), col("id_b"), col("jaccard")))
       .unionByName(cross)
   }
 

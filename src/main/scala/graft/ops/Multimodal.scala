@@ -312,17 +312,41 @@ object Multimodal {
   private[graft] def decodeRaster(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Int])] =
     try {
       imageIoMemoryCache
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) None // no registered reader recognized the bytes
+      // The MaxPixelSamples cap must run BEFORE any pixel decode: a
+      // 30k×30k decompression-bomb PNG materializes a multi-GB raster
+      // inside ImageIO.read, and the resulting OutOfMemoryError is
+      // fatal — not NonFatal — so a post-decode check would never even
+      // catch it. Read dimensions (and the planned band count) from the
+      // HEADER via the reader, gate, and only then decode.
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None // no registered reader recognized the bytes
       else {
-        val raster = img.getRaster
-        val w = img.getWidth; val h = img.getHeight; val c = raster.getNumBands
-        if (w <= 0 || h <= 0 || c <= 0 || w.toLong * h * c > MaxPixelSamples) None
-        else {
-          val px = new Array[Int](w * h * c)
-          raster.getPixels(0, 0, w, h, px)
-          Some((w, h, c, px))
-        }
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0); val h = reader.getHeight(0)
+          // band count the decode WILL produce, from the reader's image
+          // type (header metadata, no pixel decode); a reader that
+          // can't say defaults to the most conservative common case
+          val c = {
+            val types = reader.getImageTypes(0)
+            if (types.hasNext) types.next().getNumBands else 4
+          }
+          if (w <= 0 || h <= 0 || c <= 0 || w.toLong * h * c > MaxPixelSamples) None
+          else {
+            val img = reader.read(0)
+            val raster = img.getRaster
+            val rc = raster.getNumBands // trust the decoded raster over the header
+            if (w.toLong * h * rc > MaxPixelSamples) None
+            else {
+              val px = new Array[Int](w * h * rc)
+              raster.getPixels(0, 0, w, h, px)
+              Some((w, h, rc, px))
+            }
+          }
+        } finally reader.dispose()
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 

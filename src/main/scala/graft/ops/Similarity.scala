@@ -869,12 +869,20 @@ object Similarity {
       .withColumn("_cr", row_number().over(wCode))
       .where(col("_cr") <= k * rerankFactor)
       .select("query_id", "corpus_id")
-    // re-rank: fetch true vectors for shortlist rows only, score exact
+    // re-rank: fetch true vectors for shortlist rows only, score exact.
+    // Same zero-norm guard as the screen: with few scoreable candidates
+    // the k·rerankFactor shortlist can still admit a -Inf-pinned
+    // degenerate, and an unguarded 0/0 here would hand it rank 1 (NaN
+    // sorts greatest) — the exact failure the screen guard exists to
+    // prevent, one stage later
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
     c.join(broadcast(shortlist), Seq("corpus_id"))
       .join(broadcast(q), Seq("query_id"))
+      .withColumn("_tn", norm(col("cv")))
       .withColumn("score",
-        dot(col("qv"), col("cv")) / (col("qn") * norm(col("cv"))))
+        when(col("qn") * col("_tn") > 0,
+          dot(col("qv"), col("cv")) / (col("qn") * col("_tn")))
+          .otherwise(lit(Double.NegativeInfinity)))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "corpus_id", "rank", "score")

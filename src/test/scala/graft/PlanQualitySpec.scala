@@ -519,6 +519,63 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("minhash index probe never shuffles the standing index") {
+    // The incremental probe's scale contract: the index side is read by
+    // narrow scans pruned by broadcasts — per-batch shuffle mass tracks
+    // batch + candidate mass, not corpus size. Discriminating pin: with
+    // a parquet-backed index, the ONLY set-keyed exchange in the probe
+    // plan is the batch's own build groupBy; the pre-rework
+    // implementation carried a SECOND `hashpartitioning(shh…)` exchange
+    // (the union-with-index merge groupBy) that shuffled the whole
+    // index per probe.
+    import graft.ops.Dedup
+    val docs = t3("documents")
+    val dir = java.nio.file.Files.createTempDirectory("minhash-plan").toString
+    try {
+      Dedup.minhashIndexBuild(docs.where(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", shingleK = 5)
+        .write.mode("overwrite").parquet(dir)
+      spark.catalog.clearCache() // the build's internal caches must not
+      // mask the probe's own plan shape
+      val probe = Dedup.minhashIndexDedupBatch(
+        spark.read.parquet(dir), docs.where(col("doc_id") % 5 === 0),
+        "doc_id", "text", shingleK = 5, threshold = 0.5)
+      // walk the physical tree INCLUDING cached-relation subplans
+      // (collect alone treats InMemoryTableScan as a leaf, which would
+      // hide a violation buried inside a cached frame — exactly where
+      // the pre-rework corpus-wide merge lived)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def allNodes(p: SparkPlan): Seq[SparkPlan] =
+        p.collect { case n => n }.flatMap {
+          case im: InMemoryTableScanExec =>
+            im +: allNodes(im.relation.cachedPlan)
+          case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+          case n => Seq(n)
+        }
+      val nodes = allNodes(probe.queryExecution.sparkPlan)
+      val shhShuffles = nodes.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("shh") => e
+      }
+      // the batch's own build groupBy legitimately shuffles the BATCH
+      // on shh; a set-keyed shuffle whose subtree reads the index files
+      // is the corpus-wide merge the rework removed
+      shhShuffles.foreach { e =>
+        val reads = allNodes(e.child).map(_.toString)
+        assert(!reads.exists(_.contains(dir)),
+          s"the standing index is shuffled on its set key:\n$e")
+      }
+      assert(probe.count() > 0) // the pinned plan must also still answer
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+      spark.catalog.clearCache()
+    }
+  }
+
   private def t3(name: String) =
     spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
 }
