@@ -235,6 +235,84 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Count of positionwise-equal signature slots — the minhash estimate
+  * screen's kernel. Bit-identical to the composed
+  * `size(filter(zip_with(a, b, (x, y) => x === y), x => x))`
+  * (equivalence property spec): counts positions inside BOTH arrays
+  * (zip_with pads past the shorter array with nulls, whose comparisons
+  * filter drops — so only the overlapping prefix counts) where both
+  * elements are non-null and equal (a null element's comparison is
+  * null, dropped the same way; the branch is plan-gated on
+  * containsNull like [[DotProduct]], since a parquet-reloaded index
+  * declares nullable elements the data never has). NULL array → NULL
+  * count → the `>= minMatches` screen drops the pair, exactly as
+  * `size(null) = null` did.
+  *
+  * Why native: the composed form is two nested higher-order functions
+  * — `CodegenFallback`, interpreted per candidate pair per slot — and
+  * it sits ON the screen every banded candidate pair must pass
+  * (minhashVerifiedDups, the cross-corpus variant, and the index
+  * probe). At real candidate mass that is the screen's hot loop; this
+  * is a tight primitive comparison loop inside whole-stage codegen. */
+case class SigMatchCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sig_match_count requires array<bigint> inputs, got ($l, $r)")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sig_match_count"
+
+  @transient private lazy val mayHaveNullElements: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    if (mayHaveNullElements) {
+      while (i < n) {
+        if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i))
+          c += 1
+        i += 1
+      }
+    } else {
+      while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val nullCheck =
+        if (!mayHaveNullElements) ""
+        else s"if ($a.isNullAt($i) || $b.isNullAt($i)) continue;"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextHashFunctions {
   /** Column-API entry points (string / array<bigint> inputs). */
   def token_window_hashes(text: Column, k: Int): Column =
@@ -243,4 +321,6 @@ object TextHashFunctions {
     Bridge.column(ShingleFingerprint(Bridge.expression(text), k, n))
   def minhash_signature(hashes: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(hashes), numHashes))
+  def sig_match_count(a: Column, b: Column): Column =
+    Bridge.column(SigMatchCount(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -400,8 +400,9 @@ object Dedup {
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          x => x)).cast("double") / lit(numHashes.toDouble))
+        graft.functions.TextHashFunctions
+          .sig_match_count(col("sig_a"), col("sig_b"))
+          .cast("double") / lit(numHashes.toDouble))
       .where(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
   }
@@ -553,8 +554,8 @@ object Dedup {
       .select(col("id_a").as("ga"), col("id_b").as("gb"))
       .join(setGroups.select(col("gid").as("ga"), col("sig").as("sig_a")), Seq("ga"))
       .join(setGroups.select(col("gid").as("gb"), col("sig").as("sig_b")), Seq("gb"))
-      .where(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-        x => x)) >= lit(minMatches))
+      .where(graft.functions.TextHashFunctions
+        .sig_match_count(col("sig_a"), col("sig_b")) >= lit(minMatches))
       .select("ga", "gb")
     val crossVerified = screened
       .join(setGroups.select(col("gid").as("ga"),
@@ -754,8 +755,8 @@ object Dedup {
     val screened = candPairs
       .join(candSets.select(col("gid").as("ga"), col("sig").as("sig_a")), Seq("ga"))
       .join(candSets.select(col("gid").as("gb"), col("sig").as("sig_b")), Seq("gb"))
-      .where(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-        x => x)) >= lit(minMatches))
+      .where(graft.functions.TextHashFunctions
+        .sig_match_count(col("sig_a"), col("sig_b")) >= lit(minMatches))
       .select("ga", "gb")
     // cached: the sided expansion reads this frame twice, and the
     // plan-branch recompute trap would re-run the candidate joins

@@ -144,8 +144,9 @@ class PlanQualitySpec extends SparkSpec {
             s"kernel $k evaluates outside whole-stage codegen:\n$plan")
       }
       // the per-document stages must carry no interpreted HOF fold; the
-      // full queries are exempt (minhash's per-candidate-pair signature
-      // agreement legitimately zips two numHashes-length arrays)
+      // full queries are exempt from the codegen-span assert (join
+      // stages legitimately sit outside codegen) — the screen's former
+      // per-candidate-pair zip_with is native since sig_match_count
       if (codegen)
         assert(!plan.contains("aggregate(") && !plan.contains("zip_with("),
           s"an interpreted HOF fold crept back into a kernel pipeline:\n$plan")

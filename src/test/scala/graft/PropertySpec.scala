@@ -194,6 +194,50 @@ class PropertySpec extends SparkSpec {
     assert(df.where(!(col("a") <=> col("b"))).count() === 0)
   }
 
+  test("property: native SigMatchCount is bit-identical to the composed screen form") {
+    // the minhash estimate screen it replaces:
+    // size(filter(zip_with(a, b, _ === _), identity))
+    def composed(a: Column, b: Column): Column =
+      size(filter(zip_with(a, b, (x, y) => x === y), x => x))
+    // signature-shaped pairs from the real pipeline (equal-length,
+    // non-null elements) plus every parity edge: null arrays, empty
+    // arrays, UNEQUAL lengths (zip_with pads with nulls — only the
+    // overlapping prefix can count), and null ELEMENTS (comparison is
+    // null, dropped by the filter)
+    val pairs: Seq[(Option[Seq[java.lang.Long]], Option[Seq[java.lang.Long]])] = {
+      def L(xs: Long*): Option[Seq[java.lang.Long]] = Some(xs.map(Long.box))
+      Seq(
+        (L(1L, 2L, 3L), L(1L, 9L, 3L)),
+        (L(1L, 2L, 3L), L(1L, 2L, 3L)),
+        (L(), L()),
+        (L(1L, 2L, 3L), L(1L, 2L)), // unequal: only overlap counts
+        (L(7L), L(7L, 7L, 7L)),
+        (None, L(1L, 2L)), (L(1L, 2L), None), (None, None),
+        (Some(Seq[java.lang.Long](1L, null, 3L)),
+          Some(Seq[java.lang.Long](1L, null, 3L))), // null elems drop
+        (Some(Seq[java.lang.Long](null)), L(0L)),
+        (L(Long.MinValue, Long.MaxValue, 0L),
+          L(Long.MinValue, Long.MaxValue, 1L))) ++
+        samples(for {
+          n <- Gen.choose(0, 12)
+          a <- Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+          b <- Gen.listOfN(n, Gen.oneOf(a :+ 0L)) // force some matches
+        } yield (L(a: _*), L(b: _*)), 40)
+    }
+    val df = pairs.toDF("a", "b").select(
+      graft.functions.TextHashFunctions
+        .sig_match_count(col("a"), col("b")).as("x"),
+      composed(col("a"), col("b")).as("y"))
+    for (wholeStage <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", wholeStage)
+      try {
+        val diff = df.where(!(col("x") <=> col("y").cast("int")))
+        assert(diff.count() === 0,
+          s"wholeStage=$wholeStage: ${diff.take(3).mkString("; ")}")
+      } finally spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
+  }
+
   test("property: native LshBandBuckets is bit-identical to the composed banding form") {
     import graft.ops.Similarity
     // random vectors plus the parity edge shapes: a NULL vector and a
