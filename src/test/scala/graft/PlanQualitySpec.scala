@@ -23,7 +23,11 @@ class PlanQualitySpec extends SparkSpec {
     // partitioning-sensitive intermediate, gated by recall contract)
     val probes = Seq("q_dealer_perf", "q_embedding_stats", "q_events_daily",
       "q_heavy_hitters", "q_zorder", "q_outliers", "q_dup_spans",
-      "q_span_cut", "q_retention", "q_bpe_encode")
+      "q_span_cut", "q_retention", "q_bpe_encode",
+      // r12 additions: the probe's jaccards are integer ratios and the
+      // pixel stats are per-row decodes + integer-sum means — both
+      // claimed partitioning-independent
+      "q_minhash_incr", "q_pixel_stats")
     // restore the FIXTURE's value, not a constant — the session is
     // shared across suites and a leaked setting changes later plans
     val fixtureParts = spark.conf.get("spark.sql.shuffle.partitions")
