@@ -39,10 +39,39 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Raw cosine — unguarded division, for callers that KNOW both sides
+    * are nonzero (spec reference predicates). Operator scoring goes
+    * through [[scoreCosine]]: under ANSI mode (the Spark 4 default) a
+    * zero-norm side makes this 0/0 and ABORTS the whole query with
+    * DIVIDE_BY_ZERO. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Cosine score from precomputed norms, guarded for zero-norm sides:
+    * a zero vector has no direction, so it scores -Inf and ranks LAST
+    * under the shared descending window — under every config. Unguarded,
+    * the 0/0 ABORTS the query under ANSI (the Spark 4 default) and
+    * yields NULL with ANSI off; one degenerate corpus row must not kill
+    * a scoring job. ONE definition for every ANN scorer so the
+    * degenerate-row semantics cannot drift between the exact baseline
+    * and the approximate paths it gates. */
+  private def scoreCosine(qv: Column, cv: Column, qn: Column, cn: Column): Column =
+    when(qn * cn > 0, dot(qv, cv) / (qn * cn))
+      .otherwise(lit(Double.NegativeInfinity))
+
+  /** The shared per-query top-k tail: rank candidates score-desc with
+    * the corpus-id tie-break, keep `rank <= k`, emit the family's
+    * output contract `(query_id, corpus_id, rank, score)`. ONE
+    * definition — the tie-break and output schema are contract surface
+    * checked by every recall spec and oracle. */
+  private def topKByScore(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "rank", "score")
+  }
 
   /** Exact top-k cosine neighbors for each query vector.
     *
@@ -57,12 +86,9 @@ object Similarity {
       .withColumn("cn", norm(col("cv")))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
-    val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
-      .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "corpus_id", "rank", "score")
+    topKByScore(c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .withColumn("score",
+        scoreCosine(col("qv"), col("cv"), col("qn"), col("cn"))), k)
   }
 
   /** Random-hyperplane LSH bucket key: sign bits of dot products with
@@ -171,7 +197,7 @@ object Similarity {
     val scored = pairs
       .join(groups, Seq("gid"))
       .join(q.withColumn("qn", norm(col("qv"))), Seq("query_id"))
-      .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("score", scoreCosine(col("qv"), col("cv"), col("qn"), col("cn")))
       // the query's own row is excluded from its neighbors (it may sit
       // inside a group — the group stays, minus that one member)
       .withColumn("eff", size(col("ids")) -
@@ -183,10 +209,11 @@ object Similarity {
     // strictly before the group), plus all groups TIED with the
     // boundary group's score s* so member-id tie-breaks stay exact.
     // The tie match is the null/NaN-safe <=>, NOT score >= s*: zero
-    // vectors score NULL (non-ANSI divide-by-zero) and NaN components
-    // propagate NaN — both rank deterministically in the window order
-    // (NULL last, NaN first) yet compare false under >=, which would
-    // silently drop groups the ungrouped form ranks. <=> matches both;
+    // vectors score -Inf (the scoreCosine guard; unguarded they would
+    // ABORT under ANSI) and NaN components propagate NaN — NaN ranks
+    // FIRST in the window order yet compares false under >=, which
+    // would silently drop groups the ungrouped form ranks. <=> matches
+    // -Inf, NaN, and NULL ties alike;
     // a NULL s* over-keeping every null-score group is harmless — the
     // final member rank re-sorts whatever the boundary keeps, so extra
     // kept groups cost expansion rows, never correctness. Two window
@@ -201,13 +228,9 @@ object Similarity {
       .withColumn("s_star",
         max(when(col("cum") >= k, col("score"))).over(Window.partitionBy("query_id")))
       .where(col("cum") - col("eff") < k || col("score") <=> col("s_star"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
-    boundary
+    topKByScore(boundary
       .select(col("query_id"), col("score"), explode(col("ids")).as("corpus_id"))
-      .where(col("corpus_id") =!= col("query_id"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "corpus_id", "rank", "score")
+      .where(col("corpus_id") =!= col("query_id")), k)
   }
 
   /** Distinct-vector group frame — the dup-mass guard (SCALE.md
@@ -243,14 +266,11 @@ object Similarity {
       .where(col("corpus_id") =!= col("query_id"))
       .select("query_id", "corpus_id")
       .dropDuplicates()
-    val scored = pairs
+    topKByScore(pairs
       .join(c.withColumn("cn", norm(col("cv"))), Seq("corpus_id"))
       .join(q.withColumn("qn", norm(col("qv"))), Seq("query_id"))
-      .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "corpus_id", "rank", "score")
+      .withColumn("score",
+        scoreCosine(col("qv"), col("cv"), col("qn"), col("cn"))), k)
   }
 
   /** IVF (inverted-file) approximate top-k: corpus vectors are assigned
@@ -327,13 +347,10 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
       .withColumn("cell", explode(nearestCells(col("qv"), centroids, nprobe)))
-    val scored = corpusCells.join(broadcast(q), Seq("cell"))
+    topKByScore(corpusCells.join(broadcast(q), Seq("cell"))
       .where(col("corpus_id") =!= col("query_id"))
-      .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "corpus_id", "rank", "score")
+      .withColumn("score",
+        scoreCosine(col("qv"), col("cv"), col("qn"), col("cn"))), k)
   }
 
   /** Deterministic DataFrame-native k-means over a `(corpus_id, cv)`
@@ -348,23 +365,40 @@ object Similarity {
     * empty — callers produce their empty-result shapes. */
   private[graft] def kmeansCentroids(c: DataFrame, nlist: Int,
                                      lloydIters: Int): Seq[(Long, Seq[Double])] = {
-    var centroids: Seq[(Long, Seq[Double])] = c
+    // NULL vectors are excluded from training up front: a null row whose
+    // id hash ranked among the seeds would NPE the driver at collect,
+    // and at update time it would contribute a null cell whose "mean"
+    // poisons the centroid table. (Consumers keep such rows — their
+    // assignment is a null cell that no probe matches, and scoring
+    // guards the division — only the MODEL must never train on them.)
+    val cc = c.where(col("cv").isNotNull)
+    // Seeds: the nlist smallest-id-hash DISTINCT vectors. The distinct
+    // runs driver-side over a bounded 4·nlist overscan (no vector-keyed
+    // corpus shuffle): duplicate vectors seed duplicate centroids whose
+    // higher cell ties empty and sits stale forever — wasted cells a
+    // dup-heavy corpus (the replication stress shape) would multiply.
+    var centroids: Seq[(Long, Seq[Double])] = cc
       .select(col("cv"), xxhash64(col("corpus_id")).as("_h"))
-      .orderBy("_h").limit(nlist)
-      .collect().zipWithIndex
-      .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }.toSeq
+      .orderBy("_h").limit(4 * nlist)
+      .collect().map(_.getSeq[Double](0))
+      .distinct.take(nlist)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
     if (centroids.isEmpty) return Seq.empty
     // Lloyd rounds: assign to argmin centroid, recompute means with one
-    // aggregate of element-wise sums per cell
+    // aggregate of element-wise sums per cell. A cell with NO members
+    // keeps its previous centroid (the pqCodebooks policy): dropping it
+    // would shrink the table round over round until fewer than nprobe
+    // cells remain and every probe scans ~the whole corpus — the
+    // nlist/nprobe scan-fraction contract silently gone.
     for (_ <- 0 until lloydIters) {
       val dim = centroids.head._2.length
-      val updated = c.withColumn("cell", nearestCell(col("cv"), centroids))
+      val updated = cc.withColumn("cell", nearestCell(col("cv"), centroids))
         .groupBy("cell")
         .agg(count(lit(1)).as("n"),
           array((0 until dim).map(i => sum(element_at(col("cv"), i + 1))): _*).as("sums"))
         .select(col("cell"), transform(col("sums"), s => s / col("n")).as("centroid"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-      if (updated.nonEmpty) centroids = updated.sortBy(_._1)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+      centroids = centroids.map { case (id, v) => (id, updated.getOrElse(id, v)) }
     }
     centroids
   }
@@ -471,7 +505,7 @@ object Similarity {
     // expression; NaN-propagating for zero vectors exactly like it)
     val withinGroup = Dedup.pairsOf(
       groups.where(size(col("ids")) > 1)
-        .withColumn("score", dot(col("vv"), col("vv")) / (col("vn") * col("vn")))
+        .withColumn("score", scoreCosine(col("vv"), col("vv"), col("vn"), col("vn")))
         .where(col("score") >= threshold),
       "ids", "id_a", "id_b", carry = Seq("score"))
     // cached: the self-join below consumes this frame TWICE, and without
@@ -500,7 +534,7 @@ object Similarity {
         col("vn").as("a_n"), col("ids").as("ids_a")), Seq("ga"))
       .join(groups.select(col("gid").as("gb"), col("vv").as("b_v"),
         col("vn").as("b_n"), col("ids").as("ids_b")), Seq("gb"))
-      .withColumn("score", dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
+      .withColumn("score", scoreCosine(col("a_v"), col("b_v"), col("a_n"), col("b_n")))
       .where(col("score") >= threshold)
     withinGroup.select(col("id_a"), col("id_b"), col("score"))
       .unionByName(Dedup.expandGroupPairs(crossGroup, Seq("score")))
@@ -567,7 +601,7 @@ object Similarity {
     // vectors, bit-equal to the pairwise form)
     val withinGroup = Dedup.pairsOf(
       groups.where(size(col("ids")) > 1)
-        .withColumn("score", dot(col("vv"), col("vv")) / (col("vn") * col("vn")))
+        .withColumn("score", scoreCosine(col("vv"), col("vv"), col("vn"), col("vn")))
         .where(col("score") >= threshold),
       "ids", "id_a", "id_b", carry = Seq("score"))
     // cell assignment cached: both self-join sides read it, and the
@@ -582,7 +616,7 @@ object Similarity {
       col("vn").as("b_n"), col("ids").as("ids_b"))
     val crossGroup = cx.join(cy, Seq("cell"))
       .where(col("ga") < col("gb"))
-      .withColumn("score", dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
+      .withColumn("score", scoreCosine(col("a_v"), col("b_v"), col("a_n"), col("b_n")))
       .where(col("score") >= threshold)
     withinGroup.select(col("id_a"), col("id_b"), col("score"))
       .unionByName(Dedup.expandGroupPairs(crossGroup, Seq("score")))
@@ -677,12 +711,9 @@ object Similarity {
       .withColumn("cn", norm(col("cv")))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
-    c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
-      .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "corpus_id", "rank", "score")
+    topKByScore(c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .withColumn("score",
+        scoreCosine(col("qv"), col("cv"), col("qn"), col("cn"))), k)
   }
 
   /** Bound on the Lloyd TRAINING set: past this corpus size, codebooks
@@ -715,6 +746,11 @@ object Similarity {
                                  codebookSize: Int, lloydIters: Int,
                                  trainCap: Long = TrainSampleMax): IndexedSeq[IndexedSeq[Seq[Double]]] = {
     val sub = dim / numSubspaces
+    // NULL vectors never train (the kmeansCentroids rule): a null seed
+    // NPEs the driver at collect; a null training row poisons subspace
+    // means. Encoding keeps such rows — pq_encode yields null codes and
+    // the guarded scoring ranks them last.
+    val cin = c.where(col("cv").isNotNull)
     // count() primes the cached corpus frame the trainer, encoder, and
     // screen all read — an eager DataFrame-construction action, the
     // documented cosineNearDups precedent. Below the cap the corpus IS
@@ -728,12 +764,12 @@ object Similarity {
     // deterministic for a given corpus.
     val n = c.count()
     val train =
-      if (n <= trainCap) c
+      if (n <= trainCap) cin
       else {
         val frac = BigDecimal(trainCap) / BigDecimal(n)
         val cut = (BigDecimal(Long.MinValue) +
           (BigDecimal(2).pow(64) * frac)).toLong
-        c.where(xxhash64(col("corpus_id")) < lit(cut))
+        cin.where(xxhash64(col("corpus_id")) < lit(cut))
       }
     // deterministic seeds: slices of the codebookSize vectors with the
     // smallest id hashes (the IVF seeding rule; smallest hashes always
@@ -857,34 +893,24 @@ object Similarity {
         col("corpus_id") =!= col("query_id"))
       // a zero-norm reconstruction (all-zero codebook cell — possible
       // even for nonzero data on a zero-dominated corpus) or zero-norm
-      // query makes the cosine 0/0: under ANSI that ABORTS the query
-      // with DIVIDE_BY_ZERO, and with ANSI off the NaN sorts GREATEST
-      // under the descending window, crowding scoreable candidates out
-      // of the shortlist — guard the division and pin degenerates to
-      // -Inf so they rank last either way
+      // query would make the cosine 0/0 — the shared scoreCosine guard
+      // pins degenerates to -Inf so the shortlist ranks them last
+      // under every config instead of aborting under ANSI (the default)
       .withColumn("code_score",
-        when(col("qn") * col("cn") > 0,
-          dot(col("qv"), col("rv")) / (col("qn") * col("cn")))
-          .otherwise(lit(Double.NegativeInfinity)))
+        scoreCosine(col("qv"), col("rv"), col("qn"), col("cn")))
       .withColumn("_cr", row_number().over(wCode))
       .where(col("_cr") <= k * rerankFactor)
       .select("query_id", "corpus_id")
     // re-rank: fetch true vectors for shortlist rows only, score exact.
     // Same zero-norm guard as the screen: with few scoreable candidates
     // the k·rerankFactor shortlist can still admit a -Inf-pinned
-    // degenerate, and an unguarded 0/0 here would hand it rank 1 (NaN
-    // sorts greatest) — the exact failure the screen guard exists to
+    // degenerate, and an unguarded 0/0 here would ABORT under ANSI
+    // (the default) — the exact failure the screen guard exists to
     // prevent, one stage later
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
-    c.join(broadcast(shortlist), Seq("corpus_id"))
+    topKByScore(c.join(broadcast(shortlist), Seq("corpus_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("_tn", norm(col("cv")))
       .withColumn("score",
-        when(col("qn") * col("_tn") > 0,
-          dot(col("qv"), col("cv")) / (col("qn") * col("_tn")))
-          .otherwise(lit(Double.NegativeInfinity)))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "corpus_id", "rank", "score")
+        scoreCosine(col("qv"), col("cv"), col("qn"), col("_tn"))), k)
   }
 }

@@ -226,9 +226,13 @@ object TextOps {
     * vocabulary is dimension-sized — AQE decides); one hash aggregate
     * per document closes it. Nothing quadratic, no driver loops. */
   def unigramRarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
+    // cached: feeds the freq aggregate AND the probe side of the scored
+    // join (freq itself re-derives for `total`) — without the cache one
+    // action runs the corpus tokenize+explode three times, the
+    // plan-branch recompute trap bm25/bigramLmScores cache against
+    val toks = OpCaches.registered(df.select(col(idCol).as("id"),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
-      .where(col("tok") =!= "")
+      .where(col("tok") =!= ""))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
     val total = freq.agg(sum(col("freq")).as("corpus_total"))
     val scored = toks.join(freq, Seq("tok")).crossJoin(total)
@@ -439,8 +443,12 @@ object TextOps {
 
   def contamination(docs: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String, k: Int = 5): DataFrame = {
-    val docSh = Dedup.shingleHashed(docs, idCol, textCol, k)
-      .select(col("id"), explode(array_distinct(col("shh"))).as("h"))
+    // cached: consumed by both the totals aggregate and the semi-join
+    // hits — uncached, the per-row shingle hashing pass over the full
+    // corpus runs twice per action (the recompute trap benchSh's
+    // sibling contaminationBloom documents)
+    val docSh = OpCaches.registered(Dedup.shingleHashed(docs, idCol, textCol, k)
+      .select(col("id"), explode(array_distinct(col("shh"))).as("h")))
     val benchSh = Dedup.shingleHashed(benchmark, idCol, textCol, k)
       .select(explode(col("shh")).as("h")).distinct()
     val totals = docSh.groupBy("id").agg(count(lit(1)).as("n_shingles"))

@@ -824,6 +824,51 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(best.getDouble(3) - 1.0) < 1e-12)
   }
 
+  test("ANN family tolerates NULL and zero vectors (ANSI-abort / NaN-rank guard)") {
+    // one corrupt NULL row and one zero-norm row in the corpus: every
+    // scorer must neither abort (ANSI 0/0 is DIVIDE_BY_ZERO under the
+    // Spark 4 default) nor hand the degenerates top ranks; the model
+    // trainers must not NPE on a null seed. Zero/NULL vectors score
+    // -Inf via the shared guard, so real neighbors always outrank them.
+    val base = (0 until 40).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    val corpus = (base :+ ((100L, Array.fill(16)(0f))))
+      .toDF("vec_id", "embedding")
+      .unionByName(Seq(101L).toDF("vec_id")
+        .withColumn("embedding", lit(null).cast("array<float>")))
+    val queries = corpus.where(col("vec_id") < 3)
+    def check(df: org.apache.spark.sql.DataFrame,
+              exactScores: Boolean = true): Unit = {
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val cid = r.getLong(1)
+        // the NULL row scores -Inf everywhere; the ZERO row scores
+        // -Inf under every TRUE-vector scorer, but a quantized scorer
+        // (ADC) sees its dequantized reconstruction — ≈0 with rounding
+        // noise, so a small finite score is correct there
+        if (cid == 101L || (cid == 100L && exactScores))
+          assert(r.getDouble(3).isNegInfinity || r.isNullAt(3),
+            s"degenerate vector ranked with a real score: $r")
+      }
+    }
+    check(Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 5))
+    check(Similarity.lshTopK(corpus, queries, "vec_id", "embedding", dim = 16, k = 5))
+    check(Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+      k = 5, nlist = 4, nprobe = 4))
+    check(Similarity.adcTopK(corpus, queries, "vec_id", "embedding", k = 5),
+      exactScores = false)
+    check(Similarity.pqTopK(corpus, queries, "vec_id", "embedding",
+      k = 5, dim = 16, numSubspaces = 4, codebookSize = 8))
+    // the near-dup pair scans: degenerates never reach the threshold
+    val nd = Similarity.cosineNearDups(corpus, "vec_id", "embedding",
+      dim = 16, threshold = 0.9)
+    assert(!nd.collect().exists(r => r.getLong(0) >= 100L || r.getLong(1) >= 100L))
+    spark.catalog.clearCache()
+  }
+
   test("ivf index lifecycle: written to parquet, reloaded, probes bit-identically") {
     val base = (0 until 200).map { i =>
       val rnd = new scala.util.Random(i)
