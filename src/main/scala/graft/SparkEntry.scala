@@ -1825,8 +1825,8 @@ object SparkEntry {
          |       + ${d(b)} * (CAST(dl AS DOUBLE) / $avgdl)))""".stripMargin
     }.mkString("\n  + ")
     s"""WITH p AS (SELECT doc_id,
-       |       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-       |            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS dl,
+       |       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |            x -> x <> '')) AS BIGINT) AS dl,
        |       $tfCols
        |  FROM documents),
        |s AS (SELECT count(*) AS nn, CAST(sum(dl) AS BIGINT) AS sumdl,
@@ -2370,22 +2370,24 @@ object SparkEntry {
     "q_text_stats" -> {
       val sw = stopwordsSqlList
       s"""SELECT doc_id,
-         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-         |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
+         |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |       x -> x <> '')) AS INTEGER) AS n_tokens,
          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpeish,
          |  (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
          |        / greatest(length(text), 1) AS punct_ratio,
          |  (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
          |        / greatest(length(text), 1) AS digit_ratio,
-         |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |  len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
          |            x -> list_contains($sw, x)))::DOUBLE
-         |        / greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1) AS stopword_ratio,
+         |        / greatest(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |            x -> x <> '')), 1) AS stopword_ratio,
          |  least(length(text)::DOUBLE / 500.0, 1.0) * 0.4
          |      + (1.0 - least((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
          |                     / greatest(length(text), 1) * 4.0, 1.0)) * 0.3
-         |      + least(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |      + least(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
          |                  x -> list_contains($sw, x)))::DOUBLE
-         |              / greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1) * 5.0, 1.0) * 0.3
+         |              / greatest(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                  x -> x <> '')), 1) * 5.0, 1.0) * 0.3
          |      AS quality
          |FROM documents ORDER BY doc_id""".stripMargin
     },
@@ -2423,7 +2425,7 @@ object SparkEntry {
         |f AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM l GROUP BY line),
         |tot AS (SELECT count(*) AS n_docs FROM d),
         |kept AS (SELECT l.* FROM l JOIN f USING (line) CROSS JOIN tot
-        |         WHERE line_df <= n_docs * 0.5),
+        |         WHERE line = '' OR line_df <= n_docs * 0.5),
         |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS clean_text,
         |        count(*) AS n_lines_kept FROM kept GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(clean_text, '') AS clean_text,
@@ -2574,8 +2576,8 @@ object SparkEntry {
         |FROM b ORDER BY doc_id""".stripMargin,
     "q_domain_cap" ->
       """WITH t AS (SELECT doc_id, source,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |         x -> x <> '')) AS n_tokens
         |  FROM documents),
         |r AS (SELECT *, row_number() OVER
         |        (PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS rnk
@@ -2590,8 +2592,8 @@ object SparkEntry {
     "q_chunk_spans" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS n
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |         x -> x <> '')) AS INTEGER) AS n
         |  FROM documents),
         |s AS (
         |  SELECT doc_id, n, unnest(generate_series(0, n - 1, 30)) AS s
@@ -2605,8 +2607,8 @@ object SparkEntry {
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_seq_pack" ->
       """WITH t AS (SELECT doc_id, lang,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |         x -> x <> '')) AS n_tokens
         |  FROM documents),
         |s AS (SELECT *, SUM(n_tokens) OVER
         |        (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
@@ -2697,10 +2699,10 @@ object SparkEntry {
          |                     / greatest(length(text), 1) * 4.0, 1.0)) * 0.3
          |      + least(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
          |                  x -> list_contains($sw, x)))::DOUBLE
-         |              / greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1) * 5.0, 1.0) * 0.3
+         |              / greatest(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')), 1) * 5.0, 1.0) * 0.3
          |        >= 0.3
-         |    AND (CASE WHEN length(trim(text)) = 0 THEN 0
-         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) >= 10),
+         |    AND (len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |         x -> x <> ''))) >= 10),
          |toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS t FROM cand),
          |bg AS (SELECT id, unnest(CASE WHEN len(t) < 2 THEN []::VARCHAR[]
          |         ELSE list_transform(generate_series(1, len(t) - 1),
@@ -2745,8 +2747,8 @@ object SparkEntry {
          |                   THEN 1 ELSE 0 END AS n_e
          |          FROM deduped)
          |SELECT doc_id, lang, CAST(e.epoch AS BIGINT) AS epoch,
-         |       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-         |            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INTEGER) AS n_tokens
+         |       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |            x -> x <> '')) AS INTEGER) AS n_tokens
          |FROM mixed, unnest(range(1, n_e + 1)) AS e(epoch)
          |ORDER BY doc_id, epoch""".stripMargin
     },
@@ -2754,14 +2756,14 @@ object SparkEntry {
       val sw = stopwordsSqlList
       s"""WITH f AS (
          |  SELECT doc_id, lang, source,
-         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |         x -> x <> '')) AS INTEGER) AS n_tokens,
          |    least(length(text)::DOUBLE / 500.0, 1.0) * 0.4
          |      + (1.0 - least((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
          |                     / greatest(length(text), 1) * 4.0, 1.0)) * 0.3
          |      + least(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
          |                  x -> list_contains($sw, x)))::DOUBLE
-         |              / greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1) * 5.0, 1.0) * 0.3
+         |              / greatest(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')), 1) * 5.0, 1.0) * 0.3
          |      AS quality
          |  FROM documents)
          |SELECT doc_id, lang, source, n_tokens, quality
@@ -2776,14 +2778,14 @@ object SparkEntry {
       val sw = stopwordsSqlList
       s"""WITH f AS (
          |  SELECT doc_id, lang, source, n_chars, text,
-         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |         x -> x <> '')) AS INTEGER) AS n_tokens,
          |    least(length(text)::DOUBLE / 500.0, 1.0) * 0.4
          |      + (1.0 - least((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
          |                     / greatest(length(text), 1) * 4.0, 1.0)) * 0.3
          |      + least(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
          |                  x -> list_contains($sw, x)))::DOUBLE
-         |              / greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1) * 5.0, 1.0) * 0.3
+         |              / greatest(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')), 1) * 5.0, 1.0) * 0.3
          |      AS quality
          |  FROM documents),
          |q AS (SELECT doc_id, lang, source, n_chars, text FROM f
@@ -2808,8 +2810,8 @@ object SparkEntry {
     },
     "q_lang_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
-        |       CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-        |                ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                x -> x <> ''))) AS BIGINT) AS total_tokens,
         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |       COUNT(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

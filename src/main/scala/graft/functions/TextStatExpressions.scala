@@ -81,7 +81,13 @@ case class TokenStopCounts(child: Expression, stopwords: Seq[String])
     val base = text.getBaseObject
     val off = text.getBaseOffset
     val n = text.numBytes
-    if (n == 0) return new GenericInternalRow(Array[Any](1, 0))
+    // tokens = maximal non-whitespace runs — REAL tokens only. (The
+    // pre-r12 form replicated Java split(-1)'s phantom empty tokens: a
+    // leading/trailing separator counted an empty token, so every
+    // newline-terminated document read one token high and "\t" read 2 —
+    // off-by-one quality gates on essentially all real web text. The
+    // composed reference and the oracle SQL count non-empty splits to
+    // match.)
     val byLen = stopByLen
     var tokens = 0
     var hits = 0
@@ -109,11 +115,6 @@ case class TokenStopCounts(child: Expression, stopwords: Seq[String])
       }
       i += 1
     }
-    // Pattern.split(-1): a leading separator match emits a leading "",
-    // a trailing one emits a trailing "" (an all-whitespace input gets
-    // both — Java: "\t ".split("\\s+", -1) == Array("", ""))
-    if (TextStat.isAsciiWs(Platform.getByte(base, off))) tokens += 1
-    if (TextStat.isAsciiWs(Platform.getByte(base, off + n - 1))) tokens += 1
     new GenericInternalRow(Array[Any](tokens, hits))
   }
 

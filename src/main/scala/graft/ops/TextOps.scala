@@ -22,14 +22,16 @@ import org.apache.spark.sql.functions._
 object TextOps {
   import graft.functions.TextStatFunctions.{ascii_class_counts, token_stop_counts}
 
-  /** Whitespace token count. */
+  /** Whitespace token count — maximal non-whitespace runs, i.e. REAL
+    * tokens: "" and "\t" count 0, "foo\n" counts 1. (The pre-r12 form
+    * mirrored Java split(-1)'s phantom empty tokens, which read every
+    * newline-terminated document one token high — an off-by-one on the
+    * quality gates for essentially all real web text.) */
   def tokenCount(textCol: Column): Column =
-    when(length(trim(textCol)) === 0, 0)
-      .otherwise(token_stop_counts(trim(textCol), Nil).getField("tokens"))
+    token_stop_counts(textCol, Nil).getField("tokens")
 
   private[graft] def tokenCountComposed(textCol: Column): Column =
-    when(length(trim(textCol)) === 0, 0)
-      .otherwise(size(split(trim(textCol), "\\s+")))
+    size(filter(split(textCol, "\\s+"), t => length(t) > 0))
 
   /** BPE-ish subword token estimate: word-pieces + digits + punctuation
     * as separate tokens (regex analogous to common BPE pre-tokenizers). */
@@ -58,17 +60,19 @@ object TextOps {
     (length(textCol) - length(regexp_replace(textCol, "[0-9]", "")))
       .cast("double") / greatest(length(textCol), lit(1)).cast("double")
 
-  /** Ratio of tokens that are in a stopword list (English-ish default). */
+  /** Ratio of tokens that are in a stopword list (English-ish default).
+    * The denominator is the REAL token count ([[tokenCount]] semantics),
+    * so ratios are not diluted by the old phantom empties. */
   def stopwordRatio(textCol: Column,
                     stopwords: Seq[String] = defaultStopwords): Column = {
-    val st = token_stop_counts(lower(trim(textCol)), stopwords)
+    val st = token_stop_counts(lower(textCol), stopwords)
     st.getField("stop_hits").cast("double") /
       greatest(st.getField("tokens"), lit(1)).cast("double")
   }
 
   private[graft] def stopwordRatioComposed(textCol: Column,
                     stopwords: Seq[String] = defaultStopwords): Column = {
-    val toks = split(lower(trim(textCol)), "\\s+")
+    val toks = filter(split(lower(textCol), "\\s+"), t => length(t) > 0)
     size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
       .cast("double") / greatest(size(toks), lit(1)).cast("double")
   }
@@ -272,8 +276,14 @@ object TextOps {
       posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
     val docFreq = lines.groupBy("line").agg(countDistinct(col("id")).as("line_df"))
     val total = df.agg(count(lit(1)).as("n_docs"))
+    // EMPTY lines are exempt: a blank line is paragraph structure, not
+    // boilerplate, and nearly every multi-paragraph document contains
+    // one — frequency-dropping it would strip the separators from the
+    // whole corpus the moment blank lines cross maxDocFrac (CCNet-style
+    // passes likewise exclude empty lines from the frequency count)
     val kept = lines.join(docFreq, Seq("line")).crossJoin(total)
-      .where(col("line_df") <= col("n_docs") * maxDocFrac)
+      .where(col("line") === "" ||
+        col("line_df") <= col("n_docs") * maxDocFrac)
     val rebuilt = kept.groupBy("id").agg(
       concat_ws("\n",
         transform(array_sort(collect_list(struct(col("line_no"), col("line")))),

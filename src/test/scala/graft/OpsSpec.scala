@@ -2111,6 +2111,24 @@ class OpsSpec extends SparkSpec {
       (3L, "", 0L)))
   }
 
+  test("line dedup: blank separator lines are structure, never boilerplate") {
+    // every doc contains a blank line (df = 3/3 > 50%) — the empty-line
+    // exemption must keep the paragraph separators while still dropping
+    // the real boilerplate header at the same frequency
+    val df = Seq(
+      (1L, "header\nalpha\n\nbravo"),
+      (2L, "header\ncharlie\n\ndelta"),
+      (3L, "header\necho\n\nfox")
+    ).toDF("doc_id", "text")
+    val got = TextOps.lineDedup(df, "doc_id", "text", maxDocFrac = 0.5)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (1L, "alpha\n\nbravo", 3L),
+      (2L, "charlie\n\ndelta", 3L),
+      (3L, "echo\n\nfox", 3L)))
+  }
+
   test("pii count: a span consumed by an earlier pattern is not recounted") {
     // the email regex consumes the whole span; the embedded SSN shape
     // must not ALSO count — n_pii equals the number of redacted spans
