@@ -2007,7 +2007,7 @@ object SparkEntry {
       // invisible (algebraic decimal state), so no split appears here
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS n,

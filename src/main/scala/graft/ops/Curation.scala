@@ -83,8 +83,16 @@ object Curation {
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val start = sum(col(tokensCol)).over(w) - col(tokensCol)
-    df.withColumn("shard", floor(start / budgetTokens))
-      .withColumn("shard_pos", start % budgetTokens)
+    // integral `div`, NOT floor(double /): past 2^53 cumulative tokens
+    // the double quotient loses ulps and the shard index can land one
+    // off while the long modulo stays exact — shard and shard_pos would
+    // disagree. SQL div keeps the whole operator in 64-bit integers.
+    require(!df.columns.contains("_pack_start"),
+      "input carries a column named _pack_start — rename it first")
+    df.withColumn("_pack_start", start.cast("long"))
+      .withColumn("shard", expr(s"_pack_start div ${budgetTokens}L"))
+      .withColumn("shard_pos", col("_pack_start") % budgetTokens)
+      .drop("_pack_start")
   }
 
   /** Context-window chunking: split each document into token spans of

@@ -39,21 +39,32 @@ object Layout {
   /** Morton z-value of `cols` (2–3 numeric columns), each normalized to
     * `bits` bits by exact min/max scaling. A collapsed column
     * (max == min) buckets to 0 everywhere and drops out of the curve;
-    * NULL in any column yields NULL (sorts first, clustering all
-    * incomplete rows together — the layout analogue of a null
-    * partition). */
+    * NULL — and any non-finite double (NaN / ±Infinity) — in any
+    * column yields NULL (sorts first, clustering all incomplete rows
+    * together — the layout analogue of a null partition). The
+    * non-finite rule is load-bearing, not cosmetic: `max` ranks NaN
+    * above every double, so ONE NaN row left in would make `mx` NaN,
+    * every scaled value NaN, and the non-ANSI NaN→long cast 0 — the
+    * whole dimension silently collapsing to bucket 0 and the z-order
+    * degenerating to single-column order with no error anywhere. */
   def zValue(df: DataFrame, cols: Seq[String], bits: Int = 16): DataFrame = {
     require(cols.size >= 2 && cols.size <= 3, s"z-order wants 2-3 columns: $cols")
     require(bits >= 1 && cols.size * bits <= 62,
       s"bad bit budget: ${cols.size} x $bits")
+    def finite(c: Column): Column = {
+      val x = c.cast("double")
+      when(isnan(x) || x === Double.PositiveInfinity ||
+        x === Double.NegativeInfinity, lit(null).cast("double"))
+        .otherwise(x)
+    }
     val statAggs = cols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"_mn_$c"),
-      max(col(c).cast("double")).as(s"_mx_$c")))
+      min(finite(col(c))).as(s"_mn_$c"),
+      max(finite(col(c))).as(s"_mx_$c")))
     val stats = df.agg(statAggs.head, statAggs.tail: _*)
     val maxBucket = (1L << bits) - 1
     val bucketed = df.crossJoin(broadcast(stats))
       .select(df.columns.map(col) ++ cols.map { c =>
-        val x = col(c).cast("double")
+        val x = finite(col(c))
         val mn = col(s"_mn_$c")
         val mx = col(s"_mx_$c")
         val scaled = floor((x - mn) / (mx - mn) * maxBucket).cast("long")

@@ -23,7 +23,12 @@ object Stats {
                     probs: Seq[(String, Double)]): DataFrame = {
     require(probs.nonEmpty && probs.forall { case (_, p) => p > 0 && p <= 1 },
       s"probabilities must be in (0,1]: $probs")
-    val counts = df.groupBy((groupCols :+ valueCol).map(col): _*)
+    // NULL values are excluded HERE, not at call sites: NULLs sort first
+    // under the value window, so left in they inflate _n and every _cum,
+    // silently shifting all quantiles low — the SQL QUANTILE_DISC /
+    // percentile family likewise ignores NULLs
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy((groupCols :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("_c"))
     val wOrd = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col(valueCol))

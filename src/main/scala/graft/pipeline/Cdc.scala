@@ -39,8 +39,19 @@ object Cdc {
     require(!changes.columns.contains("_rn"),
       "changes frame carries a column named _rn — it would be overwritten " +
         "by the latest-wins window rank; rename it first")
+    // null seq gets the same loud treatment as null op: under the desc
+    // order a NULL sequence sorts LAST, so a dirty null-seq change
+    // quietly loses (and when ALL of a key's changes are null-seq, the
+    // op column alone picks the winner) — dirty control columns must
+    // surface, not silently pick one. The guard rides the window's own
+    // order expression, so pruning cannot eliminate it.
+    val seqChecked = when(col(seqCol).isNull, raise_error(format_string(
+      s"applyChanges: null %s on a change for key (%s) — ordering is " +
+        "undefined; clean the sequence column",
+      lit(seqCol), concat_ws(",", keys.map(k => col(k).cast("string")): _*))))
+      .otherwise(col(seqCol))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(seqCol).desc, col(opCol).desc)
+      .orderBy(seqChecked.desc, col(opCol).desc)
     val latest = changes.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
     val untouched = base.join(latest.select(keys.map(col): _*), keys, "left_anti")

@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * today's partition reads one day).
   *
   * Exactness is the design point, not an aspiration: state is
-  * `(count, DECIMAL sums)` per group — count merge is integer
+  * `(count, DECIMAL sums, per-metric non-null counts)` per group —
+  * count merge is integer
   * addition, decimal addition is associative and commutative, so ANY
   * batch split (and any partitioning within a batch) merges to
   * bit-identical state, and the finalized metrics (sums as double,
@@ -30,16 +31,20 @@ import org.apache.spark.sql.functions._
   * group columns. */
 object Incremental {
 
-  /** Aggregate state for one batch: per group, `_n` (row count) and
-    * `_sum_<name>` for each metric. Metric columns must already carry
-    * an exact type (DECIMAL-cast by the caller — the sums must be
+  /** Aggregate state for one batch: per group, `_n` (row count) and,
+    * for each metric, `_sum_<name>` plus `_cnt_<name>` (the NON-NULL
+    * count — `sum` skips NULLs, so the average's denominator must skip
+    * them identically or a NULL-carrying metric diverges from the
+    * single-pass AVG the contract pins). Metric columns must already
+    * carry an exact type (DECIMAL-cast by the caller — the sums must be
     * order-invariant or the merge guarantee is void). */
   def aggState(df: DataFrame, groupCols: Seq[String],
                metrics: Seq[(String, Column)]): DataFrame = {
     require(groupCols.nonEmpty && metrics.nonEmpty,
       "aggState needs group columns and at least one metric")
     val aggs = count(lit(1)).as("_n") +:
-      metrics.map { case (n, c) => sum(c).as(s"_sum_$n") }
+      metrics.flatMap { case (n, c) =>
+        Seq(sum(c).as(s"_sum_$n"), count(c).as(s"_cnt_$n")) }
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -48,20 +53,26 @@ object Incremental {
   def merge(states: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
     require(states.nonEmpty, "merge needs at least one state table")
     val u = states.reduce(_.unionByName(_))
-    val sumCols = u.columns.filter(_.startsWith("_sum_"))
+    val stateCols = u.columns.filter(c =>
+      c.startsWith("_sum_") || c.startsWith("_cnt_"))
     val aggs = sum(col("_n")).as("_n") +:
-      sumCols.map(c => sum(col(c)).as(c)).toSeq
+      stateCols.map(c => sum(col(c)).as(c)).toSeq
     u.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Finalize state into the served metrics: per metric, the total (as
-    * double) and the mean (one IEEE divide); plus the group row count. */
+    * double) and the mean (one IEEE divide over the metric's NON-NULL
+    * count — SQL AVG semantics; an all-NULL group averages NULL rather
+    * than dividing by zero, which under ANSI would abort); plus the
+    * group row count. */
   def finalizeState(state: DataFrame, groupCols: Seq[String]): DataFrame = {
     val sumCols = state.columns.filter(_.startsWith("_sum_"))
     val outputs = col("_n").as("n") +: sumCols.flatMap { c =>
       val name = c.stripPrefix("_sum_")
+      val cnt = col(s"_cnt_$name")
       Seq(col(c).cast("double").as(s"sum_$name"),
-        (col(c).cast("double") / col("_n")).as(s"avg_$name"))
+        when(cnt > 0, col(c).cast("double") / cnt)
+          .as(s"avg_$name"))
     }.toSeq
     state.select(groupCols.map(col) ++ outputs: _*)
   }

@@ -66,6 +66,14 @@ object Runner {
     // validate the SECOND model's output
     val dup = models.groupBy(_.name).collect { case (n, ms) if ms.size > 1 => n }
     require(dup.isEmpty, s"duplicate model name(s): ${dup.mkString(", ")}")
+    // a model sharing a name with an external source is the same bug in
+    // a different coat: the source name counts as already-satisfied, so
+    // a dependent listed earlier in the Seq would build from the RAW
+    // source frame while a dependent listed later gets the model's
+    // output — silent, input-order-dependent results
+    val shadow = models.map(_.name).filter(external.contains)
+    require(shadow.isEmpty,
+      s"model name(s) shadow external source(s): ${shadow.mkString(", ")}")
     val byName = models.map(m => m.name -> m).toMap
     models.foreach { m =>
       val missing = m.deps.filterNot(d => byName.contains(d) || external.contains(d))

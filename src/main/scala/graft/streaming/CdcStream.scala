@@ -160,21 +160,28 @@ object CdcStream {
           }
         }
         // legal states for batch b: every existing version ≤ b (== b
-        // only from this batch's own crashed write), and for b > 0 a
-        // base < b must exist. A version ABOVE b means a fresh
-        // checkpoint was pointed at an existing snapshot dir; no base
-        // below b means it was pruned. Either way, merging onto an
-        // empty base would silently drop every previously merged key —
-        // fail instead.
-        require(existing.forall(_ <= batchId) && (batchId == 0 || existing.exists(_ < batchId)),
+        // only from this batch's own crashed write), and for b > 0 the
+        // base must be EXACTLY v=b-1 — batch ids are consecutive and
+        // every batch writes its own version, so the predecessor is the
+        // only base this batch can ever have legally merged onto. A
+        // version ABOVE b means a fresh checkpoint was pointed at an
+        // existing snapshot dir. A missing predecessor means a pruner
+        // violated retention rule (2) — and accepting any OLDER
+        // surviving version instead would silently drop the pruned
+        // batches' merges from every later snapshot, which is exactly
+        // the absorption the contract promises to detect.
+        require(existing.forall(_ <= batchId) &&
+            (batchId == 0 || existing.contains(batchId - 1)),
           s"snapshot versions in $snapshotDir (${existing.sorted.mkString(",")}) " +
-            s"are inconsistent with batch $batchId: pruned base or stale checkpoint?")
-        val base = existing.filter(_ < batchId)
-          .sorted.lastOption match {
-          case Some(v) => spark.read.schema(baseSchema).parquet(s"$snapshotDir/v=$v")
-          case None    => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
-        }
+            s"are inconsistent with batch $batchId (required base: " +
+            s"v=${math.max(batchId - 1, 0)}): pruned base or stale checkpoint?")
+        val base =
+          if (batchId == 0)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
+          else
+            spark.read.schema(baseSchema)
+              .parquet(s"$snapshotDir/v=${batchId - 1}")
         Cdc.applyChanges(base, batch, keys, seqCol, opCol)
           .write.mode("overwrite").parquet(s"$snapshotDir/v=$batchId")
         (): Unit

@@ -2902,4 +2902,76 @@ class OpsSpec extends SparkSpec {
       s"reference valve did not fire: $e")
     spark.catalog.clearCache()
   }
+
+  test("quantilesDisc ignores NULL values (SQL percentile semantics)") {
+    // NULLs sort first under the value window — counted, they inflate
+    // the total and shift every quantile low: [NULL,NULL,1,2,3] read
+    // p50=1 before the in-operator filter
+    val df = Seq[(Int, Option[Int])](
+      (1, None), (1, None), (1, Some(1)), (1, Some(2)), (1, Some(3)))
+      .toDF("g", "v")
+    val got = graft.ops.Stats.quantilesDisc(df, Seq("g"), "v",
+      Seq("p50" -> 0.5)).collect()(0)
+    assert(got.getInt(1) === 2, s"median shifted by NULLs: $got")
+  }
+
+  test("zValue: one NaN row must not collapse a dimension to bucket 0") {
+    // max() ranks NaN above every double → mx = NaN → every scaled
+    // value NaN → non-ANSI NaN→long cast 0: the whole dimension
+    // silently degenerates. Non-finite values are treated as NULL.
+    val df = Seq(
+      (1L, 1.0, 10.0), (2L, 2.0, 20.0), (3L, 3.0, Double.NaN),
+      (4L, 4.0, Double.PositiveInfinity)
+    ).toDF("id", "a", "b")
+    val frame = graft.ops.Layout.zValue(df, Seq("a", "b"), bits = 4)
+    val zi = frame.columns.indexOf("zvalue")
+    val bi = frame.columns.indexOf("bk_b")
+    val z = frame.orderBy("id").collect()
+    assert(!z(0).isNullAt(zi) && !z(1).isNullAt(zi))
+    // finite rows still spread dimension b (no collapse to one bucket)
+    assert(z(0).getLong(bi) !== z(1).getLong(bi))
+    // NaN/Infinity rows carry NULL z-values, the documented NULL rule
+    assert(z(2).isNullAt(zi) && z(3).isNullAt(zi))
+  }
+
+  test("incremental avg matches SQL AVG when a metric carries NULLs") {
+    import graft.pipeline.Incremental
+    val a = Seq((1, Some(java.math.BigDecimal.valueOf(100, 2))), (1, None))
+      .toDF("g", "m").select(col("g"), col("m").cast("decimal(18,2)").as("m"))
+    val b = Seq((1, Some(java.math.BigDecimal.valueOf(300, 2))))
+      .toDF("g", "m").select(col("g"), col("m").cast("decimal(18,2)").as("m"))
+    val merged = Incremental.merge(Seq(
+      Incremental.aggState(a, Seq("g"), Seq("m" -> col("m"))),
+      Incremental.aggState(b, Seq("g"), Seq("m" -> col("m")))), Seq("g"))
+    val got = Incremental.finalizeState(merged, Seq("g")).collect()(0)
+    // AVG skips the NULL: (1.00 + 3.00) / 2, not / 3
+    assert(got.getLong(1) === 3L && got.getDouble(3) === 2.0, s"got $got")
+    // an all-NULL group averages NULL (never divides by zero)
+    val allNull = Seq((2, Option.empty[java.math.BigDecimal]))
+      .toDF("g", "m").select(col("g"), col("m").cast("decimal(18,2)").as("m"))
+    val fin = Incremental.finalizeState(
+      Incremental.aggState(allNull, Seq("g"), Seq("m" -> col("m"))), Seq("g"))
+      .collect()(0)
+    assert(fin.isNullAt(3), s"all-NULL group must average NULL: $fin")
+  }
+
+  test("cdc applyChanges fails loudly on a NULL sequence value") {
+    val base = Seq((1L, "x")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "y", Option.empty[Long], "U"),
+      (1L, "z", Some(1L), "D")).toDF("k", "v", "seq", "op")
+    val e = intercept[Exception](
+      graft.pipeline.Cdc.applyChanges(base, changes, Seq("k"), "seq", "op")
+        .count())
+    assert(messageChain(e).exists(_.contains("null seq")),
+      s"null-seq guard did not fire: $e")
+  }
+
+  test("runner refuses a model that shadows an external source name") {
+    import graft.pipeline.Runner
+    val m = Runner.Model("raw", Nil, _ => Seq(1).toDF("x"))
+    val e = intercept[IllegalArgumentException](
+      Runner.topoOrder(Seq(m), external = Set("raw")))
+    assert(e.getMessage.contains("shadow"), e.getMessage)
+  }
 }

@@ -279,6 +279,51 @@ class StreamingSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("cdc stream replay refuses to absorb onto an OLDER base when the predecessor is pruned") {
+    // the absorption hole: batch 2 replays after a crash, v=1 was
+    // pruned (retention rule 2 violated) but v=0 SURVIVES — a
+    // some-base-exists check would quietly merge batch 2 onto v=0,
+    // dropping batch 1's changes from every later snapshot. The base
+    // must be EXACTLY the predecessor; anything else fails loudly.
+    import graft.streaming.CdcStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CdcChange]
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-absorb").toString
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      CdcStream.applyChangesSink(input.toDF(), s"$dir/snap",
+        Seq("k"), "seq", "op", s"$dir/ckpt")
+    val q1 = run()
+    try {
+      input.addData(CdcChange(1, "a", 10.0, "I", 1))
+      q1.processAllAvailable()
+      input.addData(CdcChange(2, "b", 20.0, "I", 2))
+      q1.processAllAvailable()
+      input.addData(CdcChange(1, "a2", 12.0, "U", 3))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(CdcStream.latestVersion(spark, s"$dir/snap") === Some(2L))
+    // crash before batch 2's checkpoint commit, then prune v=1 ONLY
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/ckpt/commits/2"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.2.crc"))
+    val v1 = java.nio.file.Paths.get(s"$dir/snap/v=1")
+    scala.util.Using.resource(java.nio.file.Files.walk(v1)) { walk =>
+      walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val q2 = run()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+      assert(chain(e).exists(c => Option(c.getMessage).exists(
+        _.contains("pruned base or stale checkpoint"))),
+        s"expected the exact-predecessor guard to fire, got: $e")
+    } finally q2.stop()
+  }
+
   test("cdc stream refuses a fresh checkpoint over an existing snapshot") {
     import graft.streaming.CdcStream
     implicit val sqlCtx = spark.sqlContext
