@@ -39,7 +39,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Null in → null out; a whitespace-only or empty document encodes to
   * the empty token array. */
-case class BpeEncode(child: Expression, merges: Array[(String, String)])
+// merges is an immutable Seq, NOT an Array (the CmsProbe rule): an
+// Array field compares by reference, breaking Catalyst structural
+// equality and with it CSE and cached-plan dedup.
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -55,10 +58,11 @@ case class BpeEncode(child: Expression, merges: Array[(String, String)])
   // \s+-split word, so no symbol ever contains whitespace. First rank
   // wins for a duplicated pair (the trainer never emits duplicates).
   @transient private lazy val rank: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    val ms = merges.toArray
+    val m = new java.util.HashMap[String, Integer](ms.length * 2)
     var i = 0
-    while (i < merges.length) {
-      val (a, b) = merges(i)
+    while (i < ms.length) {
+      val (a, b) = ms(i)
       m.putIfAbsent(a + " " + b, Integer.valueOf(i))
       i += 1
     }
@@ -142,5 +146,5 @@ object BpeFunctions {
   /** Column-API entry: tokens of `text` under the rank-ordered merge
     * list (caller normalizes case first). */
   def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
-    Bridge.column(BpeEncode(Bridge.expression(text), merges.toArray))
+    Bridge.column(BpeEncode(Bridge.expression(text), merges.toVector))
 }

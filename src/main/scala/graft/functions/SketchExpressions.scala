@@ -27,7 +27,14 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
   * (`lit(i)` is IntegerType) — via the same public
   * [[XxHash64Function]] the builtin evaluates through. Bit parity with
   * the composed form is spec-pinned in both codegen modes. */
-case class CmsProbe(child: Expression, cells: Array[Long], depth: Int, width: Int)
+// model-state fields are immutable Seqs, NOT Arrays: a case class with
+// an Array field compares by REFERENCE (Scala equals on Array is eq),
+// which breaks Catalyst's structural expression equality — two probes
+// built from equal-but-distinct arrays would never semanticEquals, so
+// common-subexpression elimination and cached-plan dedup
+// (Dataset.cache dedups by canonicalized plan) silently stop working.
+// The hot loop reads a @transient lazy Array copy.
+case class CmsProbe(child: Expression, cells: IndexedSeq[Long], depth: Int, width: Int)
     extends UnaryExpression {
   require(depth >= 1 && width >= 2, s"bad sketch shape: $depth x $width")
   require(cells.length == depth * width,
@@ -39,8 +46,10 @@ case class CmsProbe(child: Expression, cells: Array[Long], depth: Int, width: In
   override def prettyName: String = "cms_probe"
 
   @transient private lazy val childType: DataType = child.dataType
+  @transient private lazy val cellsArr: Array[Long] = cells.toArray
 
   def compute(input: Any): Long = {
+    val cs = cellsArr
     var est = Long.MaxValue
     var i = 0
     while (i < depth) {
@@ -48,7 +57,7 @@ case class CmsProbe(child: Expression, cells: Array[Long], depth: Int, width: In
       h = XxHash64Function.hash(input, childType, h)
       h = XxHash64Function.hash(i, IntegerType, h) // lit(i) is IntegerType in the build
       val b = (((h % width) + width) % width).toInt // pmod
-      val c = cells(i * width + b)
+      val c = cs(i * width + b)
       if (c < est) est = c
       i += 1
     }
@@ -72,5 +81,5 @@ object CmsProbe {
 
   /** Column-API entry for the probe kernel. */
   def probe(key: Column, cells: Array[Long], depth: Int, width: Int): Column =
-    Bridge.column(CmsProbe(Bridge.expression(key), cells, depth, width))
+    Bridge.column(CmsProbe(Bridge.expression(key), cells.toIndexedSeq, depth, width))
 }

@@ -49,9 +49,13 @@ object TextStat {
 }
 
 /** struct<tokens int, stop_hits int> over the whitespace token frame of
-  * the input AS GIVEN (callers pre-apply trim/lower exactly as their
-  * composed forms did): `tokens` = `size(split(s, "\\s+"))`, `stop_hits`
-  * = number of tokens equal to a stopword. Null text ⇒ null. */
+  * the input AS GIVEN (callers pre-apply lower exactly as their
+  * composed forms do): `tokens` = number of maximal non-whitespace
+  * runs — REAL tokens, `size(filter(split(s, "\\s+"), _ != ""))`, NOT
+  * the raw split size (see the r12 note in compute: the phantom empty
+  * tokens of split(-1) read every newline-terminated document one
+  * token high); `stop_hits` = number of tokens equal to a stopword.
+  * Null text ⇒ null. */
 case class TokenStopCounts(child: Expression, stopwords: Seq[String])
     extends UnaryExpression {
   // the composed filter(toks, isin(...)) would count the empty TOKENS a

@@ -258,13 +258,21 @@ case class LshBandBuckets(child: Expression, dim: Int, numPlanes: Int,
   *    returns the p smallest cell ids (`ids` arrives sorted). The
   *    expression is therefore never null itself, like the composed
   *    slice. */
-case class NearestCells(child: Expression, flat: Array[Double],
-                        ids: Array[Long], dim: Int, p: Int)
+// model-state fields are immutable IndexedSeqs, NOT Arrays (the
+// CmsProbe rule): Array fields give the case class reference equality,
+// which breaks Catalyst structural equality — CSE and cached-plan
+// dedup would treat two probes over equal centroid tables as different
+// expressions. The hot loop reads @transient lazy Array copies.
+case class NearestCells(child: Expression, flatSeq: IndexedSeq[Double],
+                        idsSeq: IndexedSeq[Long], dim: Int, p: Int)
     extends UnaryExpression {
   require(dim >= 1, s"dim must be >= 1, got $dim")
   require(p >= 1, s"p must be >= 1, got $p")
-  require(ids.nonEmpty && flat.length == ids.length * dim,
-    s"centroid matrix ${flat.length} != ${ids.length} cells x $dim")
+  require(idsSeq.nonEmpty && flatSeq.length == idsSeq.length * dim,
+    s"centroid matrix ${flatSeq.length} != ${idsSeq.length} cells x $dim")
+
+  @transient private lazy val flat: Array[Double] = flatSeq.toArray
+  @transient private lazy val ids: Array[Long] = idsSeq.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -377,7 +385,8 @@ object VectorFunctions {
       var i = 0
       while (i < dim) { flat(n * dim + i) = v(i); i += 1 }
     }
-    Bridge.column(NearestCells(Bridge.expression(vec), flat, ids, dim, p))
+    Bridge.column(NearestCells(Bridge.expression(vec),
+      flat.toIndexedSeq, ids.toIndexedSeq, dim, p))
   }
   /** Column-API entry point (array<double> input; widths are
     * planning-time constants). */

@@ -53,7 +53,15 @@ object Dims {
     * Scale note: the unpartitioned `row_number` forces all distinct keys
     * through one task — correct for dimension-sized outputs (≤ millions).
     * For dimensions that would not fit one task, use
-    * [[surrogateDimScalable]] instead. */
+    * [[surrogateDimScalable]] instead.
+    *
+    * `extras` expressions may reference ONLY the natural key (plus
+    * literals/functions over it): they evaluate on the distinct-key
+    * frame, which carries no other source column — an extra reading a
+    * second `src` column fails with UNRESOLVED_COLUMN at plan time.
+    * Attributes that genuinely come from other columns belong in a join
+    * against the keyed output, where the one-value-per-key question is
+    * explicit. */
   def surrogateDim(src: DataFrame, naturalKey: String, keyName: String,
                    extras: Seq[(String, Column)] = Nil,
                    keepNull: Boolean = false): DataFrame = {
@@ -81,10 +89,16 @@ object Dims {
     val clash = df.columns.filter(reserved.contains)
     require(clash.isEmpty,
       s"input must not carry reserved column(s) ${clash.mkString(", ")}")
-    val withPart = df
+    // cached: the offset build and the probe join BOTH read this frame,
+    // and spark_partition_id makes the branches layout-sensitive — an
+    // uncached double evaluation over a nondeterministic upstream
+    // (sample/limit/shuffle re-plan) could observe two different
+    // partitionings, and offsets computed on one layout joined onto the
+    // other silently collide keys. One materialization = one layout.
+    val withPart = graft.ops.OpCaches.registered(df
       .withColumn("_pid", spark_partition_id())
       .withColumn("_local", row_number().over(
-        Window.partitionBy(col("_pid")).orderBy(localOrder: _*)))
+        Window.partitionBy(col("_pid")).orderBy(localOrder: _*))))
     val offsets = withPart.groupBy("_pid")
       .agg(count(lit(1)).as("_cnt"))
       .withColumn("_offset",

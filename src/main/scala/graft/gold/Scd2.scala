@@ -74,9 +74,13 @@ object Scd2 {
       s"state schema ${state.columns.mkString(",")} != key+tracked+scd columns")
     val hist = state.where(!col("is_current"))
     val cur = state.where(col("is_current"))
+    // friendly validation BEFORE the select — after it, the select
+    // itself would already have thrown a generic UNRESOLVED_COLUMN,
+    // making a post-select require dead code
+    (naturalKey +: tracked).foreach(t =>
+      require(updates.columns.contains(t), s"updates missing $t"))
     val upd = updates.select(col(naturalKey) +: tracked.map(col): _*)
       .withColumnRenamed(naturalKey, "_uk")
-    tracked.foreach(t => require(upd.columns.contains(t), s"updates missing $t"))
     val renamedUpd = tracked.foldLeft(upd)((d, t) => d.withColumnRenamed(t, s"_u_$t"))
     val joined = cur.join(renamedUpd, col(naturalKey) === col("_uk"), "left")
     val changed = tracked.map(t => !(col(t) <=> col(s"_u_$t"))).reduce(_ || _)

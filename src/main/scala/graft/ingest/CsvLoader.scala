@@ -39,8 +39,14 @@ object CsvLoader {
       case -1 => file
       case i  => file.substring(0, i)
     }
-    val name = stem.toLowerCase.replace("-", "_").replace(" ", "_").replace(".", "_")
-    require(name.nonEmpty, s"cannot derive a table name from '$path' (empty file stem)")
+    // every non-identifier character maps to '_', not just the three
+    // common ones: a stem like "report (1)" must not survive into a
+    // temp-view name that throws ParseException at registration time,
+    // far from here
+    val name = stem.toLowerCase.map(c =>
+      if (c.isLetterOrDigit && c <= 'z' || c == '_') c else '_')
+    require(name.exists(_ != '_'),
+      s"cannot derive a table name from '$path' (no identifier characters in stem)")
     name
   }
 

@@ -91,7 +91,11 @@ object Sketch {
 
   /** Composed-builtin probe (plan-literal cell array), kept as the
     * parity reference for the CmsProbe kernel spec — semantically
-    * identical, but prints depth × width longs into the plan text. */
+    * identical, but prints depth × width longs into the plan text.
+    * NULL key ⇒ NULL estimate, the kernel's contract: bare `xxhash64`
+    * SKIPS null children (it would hash only the row-seed literal and
+    * return a real but meaningless bucket count), so the null must be
+    * caught before the hash — a null key has no count to estimate. */
   private[graft] def probeComposed(key: Column, cells: Array[Long],
                                    depth: Int, width: Int): Column = {
     val lut = typedlit(cells.toSeq)
@@ -99,6 +103,7 @@ object Sketch {
       element_at(lut,
         (pmod(xxhash64(key, lit(i)), lit(width.toLong)) + lit(i.toLong * width + 1))
           .cast("int")))
-    if (depth == 1) rowEsts.head else least(rowEsts: _*)
+    when(key.isNull, lit(null).cast("long"))
+      .otherwise(if (depth == 1) rowEsts.head else least(rowEsts: _*))
   }
 }

@@ -24,6 +24,14 @@ sealed trait QualityCheck {
     * always non-null — empty inputs count as 0). */
   def violationsFrame(df: DataFrame): DataFrame
 
+  /** Per-ROW violation predicate, for checks that are a plain
+    * conditional count over the model (no shuffle of their own):
+    * [[Checks.reportDf]] fuses every such check on one model into ONE
+    * aggregate pass — at 100 TB, a suite of three row-level checks must
+    * cost one scan, not three. None ⇒ the check needs its own plan
+    * (unique's aggregate, relationship's anti-join). */
+  private[quality] def rowViolation(df: DataFrame): Option[org.apache.spark.sql.Column] = None
+
   /** Number of violating rows (0 = pass). */
   def violations(df: DataFrame): Long =
     violationsFrame(df).collect()(0).getLong(0)
@@ -34,6 +42,8 @@ final case class NotNull(column: String) extends QualityCheck {
   def violationsFrame(df: DataFrame): DataFrame =
     df.agg(coalesce(sum(when(col(column).isNull, 1L).otherwise(0L)), lit(0L))
       .as("violations"))
+  override private[quality] def rowViolation(df: DataFrame) =
+    Some(col(column).isNull)
 }
 
 /** dbt semantics: violations = number of KEY VALUES appearing more than
@@ -52,6 +62,8 @@ final case class AcceptedValues(column: String, values: Seq[String]) extends Qua
   def violationsFrame(df: DataFrame): DataFrame =
     df.agg(coalesce(sum(when(col(column).isNotNull && !col(column).isin(values: _*),
       1L).otherwise(0L)), lit(0L)).as("violations"))
+  override private[quality] def rowViolation(df: DataFrame) =
+    Some(col(column).isNotNull && !col(column).isin(values: _*))
 }
 
 /** Referential integrity: every non-null FK value exists in the parent
@@ -86,19 +98,38 @@ object Checks {
 
   /** The whole suite as ONE DataFrame — (model, check_name, violations,
     * passed), one row per check — so `dbt test` output is itself a
-    * queryable, oracle-checkable result set. Each check contributes a
-    * one-row aggregate branch to a union: counts stay distributed (no
-    * driver-side `.count()` loop), and at cluster scale the branches
-    * schedule concurrently within one action. */
+    * queryable, oracle-checkable result set. Counts stay distributed
+    * (no driver-side `.count()` loop). Row-level checks (NotNull,
+    * AcceptedValues) on one model FUSE into a single aggregate pass —
+    * one conditional-sum column per check, one scan of the model,
+    * exploded back to report rows — because at the design scale a
+    * three-check suite must read the table once, not three times;
+    * checks that need their own plan (unique's aggregate,
+    * relationship's anti-join) keep their own union branch. */
   def reportDf(suite: Seq[(String, DataFrame, Seq[QualityCheck])]): DataFrame = {
     require(suite.exists(_._3.nonEmpty),
       "reportDf needs at least one check (the union has no empty form)")
-    val rows = for {
-      (model, df, checks) <- suite
-      check <- checks
-    } yield check.violationsFrame(df)
-      .select(lit(model).as("model"), lit(check.name).as("check_name"),
-        col("violations"), (col("violations") === 0L).as("passed"))
+    val rows = suite.flatMap { case (model, df, checks) =>
+      val withPred = checks.map(c => c -> c.rowViolation(df))
+      val fusable = withPred.collect { case (c, Some(p)) => c -> p }
+      val own = withPred.collect { case (c, None) => c }
+      val fused =
+        if (fusable.isEmpty) Nil
+        else {
+          val aggs = fusable.zipWithIndex.map { case ((_, p), i) =>
+            coalesce(sum(when(p, 1L).otherwise(0L)), lit(0L)).as(s"_v$i") }
+          val reportRows = fusable.zipWithIndex.map { case ((c, _), i) =>
+            struct(lit(c.name).as("check_name"), col(s"_v$i").as("violations")) }
+          Seq(df.agg(aggs.head, aggs.tail: _*)
+            .select(explode(array(reportRows: _*)).as("_r"))
+            .select(lit(model).as("model"), col("_r.check_name"),
+              col("_r.violations"),
+              (col("_r.violations") === 0L).as("passed")))
+        }
+      fused ++ own.map(check => check.violationsFrame(df)
+        .select(lit(model).as("model"), lit(check.name).as("check_name"),
+          col("violations"), (col("violations") === 0L).as("passed")))
+    }
     rows.reduce(_.unionByName(_))
   }
 

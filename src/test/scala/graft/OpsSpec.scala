@@ -1391,17 +1391,23 @@ class OpsSpec extends SparkSpec {
     // same pmod, same min), bit-for-bit in both codegen modes — the
     // kernel exists so the cell array doesn't print into plan text
     val cells = Array.tabulate(3 * 64)(i => (i * 2654435761L) % 1000)
-    val keys = (rows ++ Seq("", "  ", "Ünïcode-key")).toDF("k0")
+    // null key included: the contract is NULL estimate on both forms —
+    // the bare composed xxhash64 would SKIP the null child and return a
+    // real bucket count, the exact divergence probeComposed's null wrap
+    // exists to prevent
+    val keys = (rows.map(Option(_)) ++
+      Seq(Some(""), Some("  "), Some("Ünïcode-key"), None)).toDF("k0")
     for (mode <- Seq("true", "false")) {
       spark.conf.set("spark.sql.codegen.wholeStage", mode)
       try {
-        val kernel = keys.select(col("k0"),
-          graft.functions.CmsProbe.probe(col("k0"), cells, 3, 64).as("est"))
-          .collect().map(r => r.getString(0) -> r.getLong(1))
-        val composed = keys.select(col("k0"),
-          Sketch.probeComposed(col("k0"), cells, 3, 64).as("est"))
-          .collect().map(r => r.getString(0) -> r.getLong(1))
+        def vals(c: org.apache.spark.sql.Column) = keys.select(col("k0"), c.as("est"))
+          .collect().map(r => (Option(r.getString(0)),
+            if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        val kernel = vals(graft.functions.CmsProbe.probe(col("k0"), cells, 3, 64))
+        val composed = vals(Sketch.probeComposed(col("k0"), cells, 3, 64))
         assert(kernel.toSeq === composed.toSeq, s"probe parity (codegen=$mode)")
+        assert(kernel.exists(k => k._1.isEmpty && k._2.isEmpty),
+          "null key must probe to NULL")
       } finally spark.conf.unset("spark.sql.codegen.wholeStage")
     }
   }

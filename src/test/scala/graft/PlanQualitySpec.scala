@@ -524,6 +524,24 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("row-level quality checks on one model fuse into a single scan") {
+    import graft.quality.{AcceptedValues, NotNull, Unique, Checks}
+    val orders = t3("orders")
+    val report = Checks.reportDf(Seq(("orders", orders, Seq(
+      NotNull("o_custkey"),
+      AcceptedValues("o_orderstatus", Seq("O", "F", "P")),
+      AcceptedValues("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+      Unique("o_orderkey")))))
+    val plan = report.queryExecution.executedPlan.toString
+    // three row-level checks share ONE scan; unique adds its own — two
+    // scans total, where the unfused union paid four
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 2, s"expected 2 parquet scans (fused + unique), got $scans:\n$plan")
+    // and the fused pass still reports per-check rows
+    assert(report.count() === 4)
+  }
+
   test("minhash index probe never shuffles the standing index") {
     // The incremental probe's scale contract: the index side is read by
     // narrow scans pruned by broadcasts — per-batch shuffle mass tracks
