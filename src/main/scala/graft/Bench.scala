@@ -167,7 +167,20 @@ object Bench {
     val loadAfter = loadAvg1m()
     val repFields =
       if (reps == 1) ""
-      else s""","reps":$reps,"queries_min":${fmt(perRun.map { case (n, ts) => n -> ts.filter(_ >= 0).minOption.getOrElse(-1.0) })}"""
+      else {
+        // a query that fails on SOME reps but not all would otherwise
+        // vanish: the -1.0 sentinels drop out of median and min, and
+        // `errors` counts all-reps-failed only — a flaky query must not
+        // produce a record indistinguishable from a clean sweep
+        val flaky = perRun.collect {
+          case (n, ts) if ts.exists(_ < 0) && ts.exists(_ >= 0) =>
+            s"\"$n\":${ts.count(_ < 0)}"
+        }
+        val flakyField =
+          if (flaky.isEmpty) ""
+          else s""","flaky_reps":${flaky.mkString("{", ",", "}")}"""
+        s""","reps":$reps,"queries_min":${fmt(perRun.map { case (n, ts) => n -> ts.filter(_ >= 0).minOption.getOrElse(-1.0) })}$flakyField"""
+      }
     val sentinel = {
       val ts = sentinelTimes.toSeq
       // min/max over successful probes only; all-failed → -1.0 markers

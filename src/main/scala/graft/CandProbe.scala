@@ -46,21 +46,17 @@ object CandProbe {
     import graft.ops.Dedup
 
     val docs = graft.model.Tables.load(spark, sfDir, "documents")
-    // mirrors the shipped construction: the DISTINCT SHINGLE SET is the
-    // unit of every stage (signature, banding, screen, verify); member
-    // expansion happens only at the end
+    // THE shipped construction, not a copy: setGroupsWithSig is the
+    // single source of truth for the distinct-shingle-set group table
+    // (minhashVerifiedDups and the index lifecycle run it verbatim), so
+    // the probe cannot drift from the engine. Its internal caches own
+    // both stage frames; the `hashed` re-declaration below carries the
+    // identical canonicalized plan and resolves to the same cache entry,
+    // existing purely to time the first stage separately.
+    val setGroups = Dedup.setGroupsWithSig(docs, "doc_id", "text", ShingleK,
+      NumHashes, Dedup.DefaultMaxGroupSize, "CandProbe setGroups")
     val hashed = Dedup.shingleHashed(docs, "doc_id", "text", ShingleK)
       .select(col("id"), array_distinct(col("shh")).as("shh"))
-      .cache()
-    val setGroups = hashed
-      .where(size(col("shh")) > 0)
-      // the shipped grouping aggregate (valve included) — reused, not
-      // copied, so the probe's stage cost cannot drift from the engine
-      .groupBy("shh").agg(Dedup.groupIdsAgg(col("id"),
-        Dedup.DefaultMaxGroupSize, "CandProbe setGroups").as("ids"))
-      .select(element_at(col("ids"), 1).as("gid"), col("shh"), col("ids"),
-        Dedup.minhashSignatureFromHashes(col("shh"), NumHashes).as("sig"))
-      .cache()
     val sig = setGroups.select(col("gid").as("id"), col("sig"))
 
     def tm(label: String)(f: => Long): Long = {
@@ -84,12 +80,14 @@ object CandProbe {
       Dedup.bandedCandidates(sig, NumBands, RowsPerBand, minPairBands = 2).count())
     // signature-estimate screen at set level, cut derived as shipped
     val minMatches = math.ceil((threshold - margin) * NumHashes).toInt
+    // the shipped native screen kernel, not the composed HOF it
+    // replaced — the stage must time what the operator actually runs
     val est = tm(s"est-screen(>=$minMatches/$NumHashes)")(
       cand1
         .join(sig.select(col("id").as("ga"), col("sig").as("sig_a")), Seq("ga"))
         .join(sig.select(col("id").as("gb"), col("sig").as("sig_b")), Seq("gb"))
-        .where(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          x => x)) >= lit(minMatches))
+        .where(graft.functions.TextHashFunctions
+          .sig_match_count(col("sig_a"), col("sig_b")) >= lit(minMatches))
         .count())
     // exact-verify surviving SET pairs over the unscreened candidates
     // (stage cost upper bound; the shipped operator verifies only est

@@ -638,7 +638,10 @@ object SparkEntry {
     // Grouping goes through the shared valved aggregation: qDedupSimhash
     // runs operator and reference in ONE job, so an unvalved collect_list
     // here could OOM an executor before the operator's own valve fires
-    val g = graft.ops.OpCaches.registered(sim.groupBy("simhash")
+    // NULL sketches excluded exactly as the operator excludes them —
+    // the contract compares the two pair sets, so the domains must match
+    val g = graft.ops.OpCaches.registered(sim.where(col("simhash").isNotNull)
+      .groupBy("simhash")
       .agg(Dedup.groupIdsAgg(col("id"), maxGroupSize,
         "simhashExactPairs: a single sketch value").as("ids")))
     val within = g.where(size(col("ids")) > 1)
@@ -2095,11 +2098,12 @@ object SparkEntry {
         |         FROM tokpos tp LEFT JOIN spans s ON tp.doc_id = s.doc_id
         |         GROUP BY 1, 2, 3),
         |agg AS (SELECT doc_id,
-        |       coalesce(string_agg(CASE WHEN cut = 0 THEN tok END, ' '
+        |       coalesce(string_agg(CASE WHEN cut = 0 AND tok <> '' THEN tok END, ' '
         |                           ORDER BY pos), '') AS text_clean,
-        |       CAST(sum(CASE WHEN cut = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |       CAST(sum(CASE WHEN cut = 0 AND tok <> '' THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_tokens_kept,
-        |       CAST(sum(cut) AS BIGINT) AS n_tokens_cut
+        |       CAST(sum(CASE WHEN cut = 1 AND tok <> '' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_tokens_cut
         |FROM cutf GROUP BY 1)
         |SELECT d.doc_id, a.text_clean,
         |       coalesce(a.n_tokens_kept, 0) AS n_tokens_kept,

@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   * [[Dedup.connectedComponents]] is the full-resolution alternative).
   *
   * Cost model: the pipeline itself triggers NO Spark actions unless the
-  * caller opts in. The exact-dedup survivor frame is consumed by three
-  * downstream branches (both sides of the LSH candidate self-join plus
-  * the anti-join), and Spark re-runs a subplan's lineage once per
+  * caller opts in. The exact-dedup survivor frame is consumed by two
+  * downstream branches (minhashVerifiedDups' shingle stage — grouped
+  * banding since the self-join formulation was replaced — plus the
+  * anti-join), and Spark re-runs a subplan's lineage once per
   * consuming branch — so the survivors are materialized exactly once:
   * to parquet when `materializeDir` is given (the 100 TB shape — a
   * checkpoint, not an executor-memory cache), else via an

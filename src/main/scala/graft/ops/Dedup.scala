@@ -121,6 +121,9 @@ object Dedup {
     * sha2-256 collisions are negligible; grouping on the 64-hex-char hash
     * instead of the full text keeps shuffle rows small at 100 TB. */
   def exactByHash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    require(!df.columns.contains("_h"),
+      "input must not carry a _h column (it would be clobbered by the " +
+        "synthesized content hash and dropped from the result)")
     df.withColumn("_h", sha2(col(textCol), 256))
       .groupBy("_h")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
@@ -130,9 +133,13 @@ object Dedup {
   /** Exact content dedup keeping the full surviving row (min id per
     * distinct content) — one shuffle keyed by the content hash; the
     * window never carries document text twice. */
-  def exactKeepFirst(df: DataFrame, textCol: String, idCol: String): DataFrame =
+  def exactKeepFirst(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    require(!df.columns.contains("_h"),
+      "input must not carry a _h column (it would be clobbered by the " +
+        "synthesized content hash and dropped from the result)")
     firstPerKey(df.withColumn("_h", sha2(col(textCol), 256)),
       Seq("_h"), Seq(col(idCol))).drop("_h")
+  }
 
   /** Word k-shingles from a pre-split token array column, distinct.
     * Documents shorter than k tokens yield an empty array (guard needed:
@@ -822,8 +829,18 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val LanesPerWord = 3
     val LaneBits = SimhashLaneBits
+    // REAL tokens only (the engine-wide r12 rule): split(-1)'s phantom
+    // empty token from a leading/trailing separator would cast a vote —
+    // two documents identical up to a trailing newline could sketch
+    // maxDistance+ bits apart on short texts, and every whitespace-only
+    // document would share the hash-of-"" signature, all mutually
+    // "identical". Token-less documents instead carry a NULL sketch
+    // (kept, not dropped — the row-preserving convention): no content,
+    // no evidence, excluded from near-dup scanning by both the operator
+    // and the exact reference.
     val tokens = df.select(col(idCol).as("id"),
       explode(slice(split(lower(col(textCol)), "\\s+"), 1, SimhashMaxTokens)).as("tok"))
+      .where(col("tok") =!= "")
       .withColumn("h", xxhash64(col("tok")))
     val packCols = (0 until 64).grouped(LanesPerWord).toSeq.zipWithIndex.map {
       case (bits, g) =>
@@ -841,7 +858,12 @@ object Dedup {
         .bitwiseAND((1L << LaneBits) - 1)
       when(ones * 2 > col("_n"), shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
-    votes.select(col("id"), sh.as("simhash"))
+    // left join back onto the DISTINCT id set: token-less documents
+    // (empty, whitespace-only, null text) survive with a NULL sketch,
+    // and duplicate input ids still vote-merge to ONE sketch row (the
+    // unique-ids-by-construction invariant the gate relies on)
+    df.select(col(idCol).as("id")).distinct()
+      .join(votes.select(col("id"), sh.as("simhash")), Seq("id"), "left")
   }
 
   /** Hamming-distance near-dup pairs over simhash values using the
@@ -869,7 +891,11 @@ object Dedup {
     // NB: Scala's 1L << 64 wraps to 1 (shift mod 64), so the full-width
     // mask for maxDistance=0 must be spelled -1L explicitly
     val mask = if (bitsPerBlock >= 64) -1L else (1L << bitsPerBlock) - 1
-    val groups = OpCaches.registered(sim.groupBy("simhash")
+    // NULL sketches (token-less documents) carry no content evidence
+    // and never pair — without the filter they'd all group together as
+    // mutual hamming-0 "duplicates" of nothing
+    val groups = OpCaches.registered(sim.where(col("simhash").isNotNull)
+      .groupBy("simhash")
       .agg(groupIdsAgg(col("id"), maxGroupSize,
         "simhashNearDups: a single sketch value").as("ids"))
       .select(element_at(col("ids"), 1).as("gid"), col("simhash"), col("ids")))
@@ -932,14 +958,22 @@ object Dedup {
       // one row per position
       .groupBy("id", "pos", "tok")
       .agg(max(col("_cut")).as("cut"))
+    // phantom empty tokens (split(-1)'s leading/trailing "" on padded
+    // or empty text) stay in the POSITION frame above — span indices
+    // come from the window kernel's raw token frame and must align —
+    // but they are NOT tokens: they don't count as kept or cut (an
+    // empty document has 0 tokens, the engine-wide r12 rule) and they
+    // don't reassemble (an empty token in array_join would print a
+    // double space)
+    val real = col("tok") =!= ""
     val rebuilt = kept.groupBy("id")
       .agg(
         array_join(transform(
-          array_sort(collect_list(when(!col("cut"),
+          array_sort(collect_list(when(!col("cut") && real,
             struct(col("pos"), col("tok"))))),
           s => s.getField("tok")), " ").as("text_clean"),
-        sum(when(!col("cut"), 1L).otherwise(0L)).as("n_tokens_kept"),
-        sum(when(col("cut"), 1L).otherwise(0L)).as("n_tokens_cut"))
+        sum(when(!col("cut") && real, 1L).otherwise(0L)).as("n_tokens_kept"),
+        sum(when(col("cut") && real, 1L).otherwise(0L)).as("n_tokens_cut"))
     // NULL-text documents vanish in the posexplode (split(NULL) yields
     // no row) — left-join the rebuild back onto the full id set so the
     // transformation preserves every input row, like the sibling
@@ -1138,9 +1172,15 @@ object Dedup {
       "crossCorpusNearDups: a single right shingle-set value")
     val lsh = lg.select(col("gid"), col("w"), explode(col("shh")).as("s"))
     val rsh = rg.select(col("gid"), col("w"), explode(col("shh")).as("s"))
-    val rare = lsh.select("s", "w").unionAll(rsh.select("s", "w"))
-      .groupBy("s").agg(sum(col("w")).as("df"))
-      .where(col("df") <= dfCap).select("s")
+    // cached: the df aggregate over BOTH corpora feeds both sides'
+    // filtered-shingle cache builds — two separate InMemoryRelations
+    // share no exchanges, so uncached the most expensive corpus-wide
+    // shuffle in the operator would run twice (the multi-consumer rule
+    // ngramJaccardPairs' shf cache follows)
+    val rare = OpCaches.registered(
+      lsh.select("s", "w").unionAll(rsh.select("s", "w"))
+        .groupBy("s").agg(sum(col("w")).as("df"))
+        .where(col("df") <= dfCap).select("s"))
     val lf = OpCaches.registered(lsh.select("gid", "s").join(rare, Seq("s")))
     val rf = OpCaches.registered(rsh.select("gid", "s").join(rare, Seq("s")))
     val lsz = lf.groupBy("gid").agg(count(lit(1)).as("sz_l"))

@@ -23,6 +23,10 @@ object Skew {
     * `saltBuckets` copies of the small side. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  saltBuckets: Int, saltBy: Column): DataFrame = {
+    // saltBuckets = 0 would explode an EMPTY array on the small side —
+    // every small row silently dropped, the join silently empty, the
+    // documented equals-the-unsalted-join guarantee broken with no error
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1: $saltBuckets")
     require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
       "inputs must not carry a _salt column (it would be clobbered by the " +
         "synthesized salt and dropped from the result)")
@@ -45,6 +49,9 @@ object Skew {
   def saltedAggregate(df: DataFrame, keys: Seq[String], saltBy: Column,
                       saltBuckets: Int,
                       partials: Seq[(String, Column, Column => Column)]): DataFrame = {
+    // pmod(x, 0) is NULL — phase 1 would collapse to one NULL salt per
+    // key, silently unspread; fail loudly like saltedJoin
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1: $saltBuckets")
     require(!df.columns.contains("_salt"),
       "input must not carry a _salt column (it would be clobbered by the " +
         "synthesized salt)")

@@ -712,8 +712,10 @@ class OpsSpec extends SparkSpec {
     // reference implementation: one ±1 vote sum column per bit — the
     // semantics the packed 20-bit-lane form must reproduce exactly
     def simhashReference(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      // REAL tokens only + row-preserving left join, the r12 contract
       val tokens = df.select(col("doc_id").as("id"),
         explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .where(col("tok") =!= "")
         .withColumn("h", xxhash64(col("tok")))
       val voteCols = (0 until 64).map { i =>
         sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"_v$i")
@@ -722,7 +724,8 @@ class OpsSpec extends SparkSpec {
       val sh = (0 until 64).map { i =>
         when(col(s"_v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
       }.reduce(_.bitwiseOR(_))
-      votes.select(col("id"), sh.as("simhash"))
+      df.select(col("doc_id").as("id")).distinct()
+        .join(votes.select(col("id"), sh.as("simhash")), Seq("id"), "left")
     }
     val rnd = new scala.util.Random(7)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
@@ -735,8 +738,9 @@ class OpsSpec extends SparkSpec {
     assert(fast.length === 40)
     fast.zip(ref).foreach { case (f, r) =>
       assert(f.getLong(0) === r.getLong(0))
-      assert(f.getLong(1) === r.getLong(1),
-        s"simhash mismatch for id ${f.getLong(0)}")
+      def v(row: org.apache.spark.sql.Row) =
+        if (row.isNullAt(1)) None else Some(row.getLong(1))
+      assert(v(f) === v(r), s"simhash mismatch for id ${f.getLong(0)}")
     }
   }
 
