@@ -130,10 +130,9 @@ object SparkEntry {
   def qSafeDateParse(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
     val txt = date_format(col("o_orderdate"), "dd-MM-yy")
-    val parsed = {
-      val d = try_to_date(txt, "dd-MM-yy")
-      when(year(d) > 2068, add_months(d, -1200)).otherwise(d)
-    }
+    // the shared helper, not a copy — a pivot-rule change must reach
+    // this gate and the staging path together
+    val parsed = Projections.safeParseDate2(txt)
     o.select(
       col("o_orderkey").as("order_id"),
       txt.as("date_text"),
@@ -383,7 +382,6 @@ object SparkEntry {
     * sequence packing. Spans only, never substrings (narrow map,
     * no payload duplication). */
   def qChunkSpans(spark: SparkSession, dir: String): DataFrame = {
-    import graft.ops.Curation
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
     Curation.chunkSpans(docs, "doc_id", "n_tokens", maxTokens = 40, overlap = 10)

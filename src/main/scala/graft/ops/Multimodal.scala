@@ -64,16 +64,25 @@ object Multimodal {
     * (libjpeg/ffmpeg) here — same signature, same batching. The fake
     * computes deterministic byte statistics and a 4-bucket byte
     * histogram as the "embedding", so tests can assert exact values. */
-  def decodeFeatures(assets: DataFrame): DataFrame = {
+  def decodeFeatures(assets: DataFrame): DataFrame =
+    mapAssets(assets, featureSchema)((id, bytes) =>
+      Row.fromSeq(Seq(id) ++ fakeDecodeFeatures(bytes)))
+
+  /** The shared per-partition decode plumbing every tier runs through —
+    * ONE place for the batch mechanism, the null-payload guard, and the
+    * schema application, so a change to the execution shape (or a
+    * production codec's JNI batching) lands once, not once per
+    * decoder. */
+  private def mapAssets(assets: DataFrame, schema: StructType)
+                       (decodeRow: (Long, Array[Byte]) => Row): DataFrame = {
     val spark = assets.sparkSession
     val rdd = assets.select("asset_id", "payload").rdd.mapPartitions { rows =>
       rows.map { r =>
-        val id = r.getLong(0)
         val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-        Row.fromSeq(Seq(id) ++ fakeDecodeFeatures(bytes))
+        decodeRow(r.getLong(0), bytes)
       }
     }
-    spark.createDataFrame(rdd, featureSchema)
+    spark.createDataFrame(rdd, schema)
   }
 
   /** The deterministic fake standing in for the native decoder. */
@@ -102,19 +111,12 @@ object Multimodal {
     * libjpeg/ffmpeg call. Header-only: no pixel decode, so cost is O(1)
     * per asset regardless of payload size (at 100 TB of media that is
     * the difference between a metadata scan and a decode job). */
-  def decodeImageMeta(assets: DataFrame): DataFrame = {
-    val spark = assets.sparkSession
-    val rdd = assets.select("asset_id", "payload").rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-        imageDims(bytes) match {
-          case Some((fmt, w, h)) => Row(r.getLong(0), fmt, w, h)
-          case None => Row(r.getLong(0), null, null, null)
-        }
-      }
-    }
-    spark.createDataFrame(rdd, imageMetaSchema)
-  }
+  def decodeImageMeta(assets: DataFrame): DataFrame =
+    mapAssets(assets, imageMetaSchema)((id, bytes) =>
+      imageDims(bytes) match {
+        case Some((fmt, w, h)) => Row(id, fmt, w, h)
+        case None => Row(id, null, null, null)
+      })
 
   /** Parse (format, width, height) from image header bytes.
     *
@@ -195,19 +197,12 @@ object Multimodal {
     * bytes, batched per partition like [[decodeImageMeta]]. Header-only
     * (fmt + declared data size), so O(1) per asset — a 100 TB audio
     * corpus scans as metadata, not as samples. */
-  def decodeAudioMeta(assets: DataFrame): DataFrame = {
-    val spark = assets.sparkSession
-    val rdd = assets.select("asset_id", "payload").rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-        wavMeta(bytes) match {
-          case Some((ch, rate, bits, frames)) => Row(r.getLong(0), ch, rate, bits, frames)
-          case None => Row(r.getLong(0), null, null, null, null)
-        }
-      }
-    }
-    spark.createDataFrame(rdd, audioMetaSchema)
-  }
+  def decodeAudioMeta(assets: DataFrame): DataFrame =
+    mapAssets(assets, audioMetaSchema)((id, bytes) =>
+      wavMeta(bytes) match {
+        case Some((ch, rate, bits, frames)) => Row(id, ch, rate, bits, frames)
+        case None => Row(id, null, null, null, null)
+      })
 
   /** Parse (channels, sampleRate, bitsPerSample, frameCount) from a WAV
     * header: "RIFF"/"WAVE" magic, then a chunk walk ("fmt " for the PCM
@@ -281,19 +276,12 @@ object Multimodal {
     * NOT through `getRGB`'s sRGB conversion — lossless formats round
     * their encoded samples through bit-exactly, which is what makes an
     * arithmetic oracle over the tensor possible. */
-  def decodePixels(assets: DataFrame): DataFrame = {
-    val spark = assets.sparkSession
-    val rdd = assets.select("asset_id", "payload").rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-        decodeRaster(bytes) match {
-          case Some((w, h, c, px)) => Row(r.getLong(0), w, h, c, px.toSeq)
-          case None => Row(r.getLong(0), null, null, null, null)
-        }
-      }
-    }
-    spark.createDataFrame(rdd, pixelSchema)
-  }
+  def decodePixels(assets: DataFrame): DataFrame =
+    mapAssets(assets, pixelSchema)((id, bytes) =>
+      decodeRaster(bytes) match {
+        case Some((w, h, c, px)) => Row(id, w, h, c, px.toSeq)
+        case None => Row(id, null, null, null, null)
+      })
 
   /** `ImageIO.read(InputStream)` / `write(OutputStream)` default to a
     * DISK-cached image stream — one temp-file create/delete per image,
@@ -320,34 +308,39 @@ object Multimodal {
       // HEADER via the reader, gate, and only then decode.
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) None // no registered reader recognized the bytes
-      else {
-        val reader = readers.next()
-        try {
-          reader.setInput(iis, true, true)
-          val w = reader.getWidth(0); val h = reader.getHeight(0)
-          // band count the decode WILL produce, from the reader's image
-          // type (header metadata, no pixel decode); a reader that
-          // can't say defaults to the most conservative common case
-          val c = {
-            val types = reader.getImageTypes(0)
-            if (types.hasNext) types.next().getNumBands else 4
-          }
-          if (w <= 0 || h <= 0 || c <= 0 || w.toLong * h * c > MaxPixelSamples) None
-          else {
-            val img = reader.read(0)
-            val raster = img.getRaster
-            val rc = raster.getNumBands // trust the decoded raster over the header
-            if (w.toLong * h * rc > MaxPixelSamples) None
-            else {
-              val px = new Array[Int](w * h * rc)
-              raster.getPixels(0, 0, w, h, px)
-              Some((w, h, rc, px))
+      // the stream is closed on EVERY path (no-reader return included):
+      // per-row MemoryCacheImageInputStream buffers otherwise wait for
+      // GC, avoidable pressure in the hottest loop of a 500k-asset task
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None // no registered reader recognized the bytes
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val w = reader.getWidth(0); val h = reader.getHeight(0)
+            // band count the decode WILL produce, from the reader's image
+            // type (header metadata, no pixel decode); a reader that
+            // can't say defaults to the most conservative common case
+            val c = {
+              val types = reader.getImageTypes(0)
+              if (types.hasNext) types.next().getNumBands else 4
             }
-          }
-        } finally reader.dispose()
-      }
+            if (w <= 0 || h <= 0 || c <= 0 || w.toLong * h * c > MaxPixelSamples) None
+            else {
+              val img = reader.read(0)
+              val raster = img.getRaster
+              val rc = raster.getNumBands // trust the decoded raster over the header
+              if (w.toLong * h * rc > MaxPixelSamples) None
+              else {
+                val px = new Array[Int](w * h * rc)
+                raster.getPixels(0, 0, w, h, px)
+                Some((w, h, rc, px))
+              }
+            }
+          } finally reader.dispose()
+        }
+      } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Deterministic REAL-PNG asset generator: for each id, an 8-bit

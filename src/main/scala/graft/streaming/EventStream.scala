@@ -136,6 +136,22 @@ object EventStream {
                         gapMinutes: Int = 30,
                         lateness: String = "10 minutes")
                        (implicit enc: org.apache.spark.sql.Encoder[Session]): Dataset[Session] = {
+    // fail FAST on the documented precondition instead of letting a
+    // misconfigured query run for hours and then die data-dependently:
+    // with gap <= lateness, a key whose newest event trails the global
+    // max by more than the gap gets a timeout timestamp at or below
+    // the watermark, and setTimeoutTimestamp throws mid-stream.
+    // Months are bounded at 31 days — OVER-estimating the lateness
+    // horizon only tightens the check, never admits a bad config.
+    val latenessMicros = {
+      val i = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(lateness))
+      i.months * 31L * 86400000000L + i.days * 86400000000L + i.microseconds
+    }
+    require(gapMinutes * 60000000L > latenessMicros,
+      s"gapMinutes ($gapMinutes min) must exceed the lateness horizon " +
+        s"('$lateness'): the session-close timeout would otherwise land " +
+        "at or below the watermark and crash the query mid-run")
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", lateness)
