@@ -657,6 +657,34 @@ class OpsSpec extends SparkSpec {
       && got(0).getInt(2) === 0)
   }
 
+  test("simhash: token-less docs keep NULL sketches and never pair; trailing whitespace is invisible") {
+    // pre-r12, the phantom empty token voted: every whitespace-only doc
+    // shared the hash-of-"" signature (all mutual "duplicates"), and a
+    // trailing newline could shift a short doc's sketch. Now: token-less
+    // docs carry NULL sketches (row-preserving) and are excluded from
+    // scanning; padding never changes a sketch.
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta\n"), // identical content, trailing \n
+      (3L, "   "), (4L, ""), (5L, "\t\t")
+    ).toDF("doc_id", "text")
+      .unionByName(Seq(6L).toDF("doc_id")
+        .withColumn("text", lit(null).cast("string")))
+    val sim = Dedup.simhash(df, "doc_id", "text")
+    assert(sim.count() === 6) // every input id survives
+    val byId = sim.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(byId(1L).isDefined && byId(1L) === byId(2L),
+      "trailing whitespace must not change the sketch")
+    Seq(3L, 4L, 5L, 6L).foreach(id =>
+      assert(byId(id).isEmpty, s"token-less doc $id must sketch NULL"))
+    val pairs = Dedup.simhashNearDups(sim, maxDistance = 3).collect()
+    assert(pairs.length === 1 &&
+      pairs(0).getLong(0) === 1L && pairs(0).getLong(1) === 2L,
+      s"only the real twins may pair, got ${pairs.mkString("; ")}")
+    spark.catalog.clearCache()
+  }
+
   test("simhash grouped block join equals raw-id block join pair-for-pair") {
     // simhashNearDups groups identical sketch values before the
     // pigeonhole block join (dup-mass guard). Pin equivalence with the
