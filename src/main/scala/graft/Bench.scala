@@ -122,13 +122,17 @@ object Bench {
       // guarded like every timed query: a transient failure during one
       // of the ~8 sentinel probes must not abort a multi-hour sweep and
       // discard the per-query times already collected — record the
-      // failure sentinel (-1.0, excluded from min/max) and move on
+      // failure sentinel (-1.0, excluded from min/max) and move on.
+      // NonFatal ONLY: an OutOfMemoryError or other fatal VM error means
+      // every timing collected after it runs in a corrupted JVM — the
+      // sweep must abort, not keep recording readings indistinguishable
+      // from clean ones
       val t0 = System.nanoTime()
       try {
         graft.gold.Dims.dateSpine(spark, "2015-01-01", "2030-12-31")
           .write.format("noop").mode("overwrite").save()
         sentinelTimes += (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => sentinelTimes += -1.0 }
+      } catch { case scala.util.control.NonFatal(_) => sentinelTimes += -1.0 }
     }
     // sorted iteration: deterministic order round-over-round (a HashMap
     // order reshuffle moves JIT/codegen warm-up costs between queries)
@@ -146,8 +150,10 @@ object Bench {
           // plan, and still writes nothing.
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
                 (System.nanoTime() - t0) / 1e9 }
-          catch { case e: Throwable =>
-            // a broken query must not masquerade as a fast one
+          catch { case scala.util.control.NonFatal(e) =>
+            // a broken query must not masquerade as a fast one; fatal VM
+            // errors (OOM and kin) propagate and abort the sweep — every
+            // reading taken after one runs in a corrupted JVM
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
           }

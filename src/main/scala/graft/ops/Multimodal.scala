@@ -319,12 +319,20 @@ object Multimodal {
           try {
             reader.setInput(iis, true, true)
             val w = reader.getWidth(0); val h = reader.getHeight(0)
-            // band count the decode WILL produce, from the reader's image
-            // type (header metadata, no pixel decode); a reader that
-            // can't say defaults to the most conservative common case
+            // band count bound for the gate: the MAX across every image
+            // type the reader may legally decode to (header metadata, no
+            // pixel decode). The first type alone under-bounds: a palette
+            // image can declare a 1-band indexed type yet decode to a
+            // 3-4-band raster, which would let reader.read materialize
+            // ~4× MaxPixelSamples before the post-decode recheck — and
+            // an OutOfMemoryError inside read() is fatal, not caught. A
+            // reader that names no types gets the conservative 4.
             val c = {
               val types = reader.getImageTypes(0)
-              if (types.hasNext) types.next().getNumBands else 4
+              var maxBands = 0
+              while (types.hasNext)
+                maxBands = math.max(maxBands, types.next().getNumBands)
+              if (maxBands > 0) maxBands else 4
             }
             if (w <= 0 || h <= 0 || c <= 0 || w.toLong * h * c > MaxPixelSamples) None
             else {

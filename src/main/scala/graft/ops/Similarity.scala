@@ -373,16 +373,34 @@ object Similarity {
     // guards the division — only the MODEL must never train on them.)
     val cc = c.where(col("cv").isNotNull)
     // Seeds: the nlist smallest-id-hash DISTINCT vectors. The distinct
-    // runs driver-side over a bounded 4·nlist overscan (no vector-keyed
-    // corpus shuffle): duplicate vectors seed duplicate centroids whose
-    // higher cell ties empty and sits stale forever — wasted cells a
-    // dup-heavy corpus (the replication stress shape) would multiply.
-    var centroids: Seq[(Long, Seq[Double])] = cc
-      .select(col("cv"), xxhash64(col("corpus_id")).as("_h"))
-      .orderBy("_h").limit(4 * nlist)
-      .collect().map(_.getSeq[Double](0))
-      .distinct.take(nlist)
-      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+    // runs driver-side over a bounded overscan (no vector-keyed corpus
+    // shuffle): duplicate vectors seed duplicate centroids whose higher
+    // cell ties empty and sits stale forever — wasted cells a dup-heavy
+    // corpus (the replication stress shape) would multiply. The overscan
+    // starts at 4·nlist and WIDENS geometrically while it keeps finding
+    // fewer than nlist distinct vectors AND the corpus has more rows to
+    // offer (the scan returned its full limit): a dup-heavy corpus whose
+    // first 4·nlist rows by id-hash hold few distinct values must not
+    // silently train fewer cells than requested — that quietly voids the
+    // nlist/nprobe scan-fraction contract. Only a corpus with genuinely
+    // fewer distinct vectors than nlist seeds short (and that shortfall
+    // is inherent, not a sampling artifact).
+    var seeds = Array.empty[Seq[Double]]
+    var overscan = 4L * nlist
+    var exhausted = false
+    while (seeds.length < nlist && !exhausted) {
+      val limit = overscan.min(Int.MaxValue.toLong).toInt
+      val fetched = cc
+        .select(col("cv"), xxhash64(col("corpus_id")).as("_h"))
+        .orderBy("_h").limit(limit)
+        .collect().map(_.getSeq[Double](0))
+      seeds = fetched.distinct.take(nlist)
+      // fewer rows than asked ⇒ the whole training set was scanned
+      exhausted = fetched.length < limit || limit == Int.MaxValue
+      overscan *= 8
+    }
+    var centroids: Seq[(Long, Seq[Double])] =
+      seeds.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
     if (centroids.isEmpty) return Seq.empty
     // Lloyd rounds: assign to argmin centroid, recompute means with one
     // aggregate of element-wise sums per cell. A cell with NO members

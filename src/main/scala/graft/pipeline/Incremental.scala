@@ -48,10 +48,34 @@ object Incremental {
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** State-format guard: every `_sum_<name>` must carry its
+    * `_cnt_<name>` twin. The per-metric non-null counts were ADDED to
+    * the format (earlier state tables persisted sums only), and a
+    * legacy table would otherwise fail deep inside `unionByName` /
+    * `finalizeState` with a generic unresolved-column error — this
+    * module exists to persist state across versions, so the format
+    * break must name itself and the rebuild step. Backfilling
+    * `_cnt_ = _n` is NOT offered: it silently diverges from SQL AVG
+    * for any metric that ever carried a NULL, which is exactly the
+    * case the counts were added for. */
+  private def requireCurrentFormat(df: DataFrame, where: String): Unit = {
+    val cols = df.columns.toSet
+    val missing = df.columns.filter(_.startsWith("_sum_"))
+      .map(_.stripPrefix("_sum_"))
+      .filterNot(n => cols.contains(s"_cnt_$n"))
+    require(missing.isEmpty,
+      s"$where: state table is in the legacy sums-only format (missing " +
+        s"${missing.map(n => s"_cnt_$n").mkString(", ")}). The state format " +
+        "gained per-metric non-null counts (SQL AVG semantics for " +
+        "NULL-carrying metrics); legacy state cannot be migrated in place — " +
+        "rebuild it by re-running aggState over the source batches")
+  }
+
   /** Merge any number of state tables (associative, commutative —
     * batch order and batch boundaries cannot change the result). */
   def merge(states: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
     require(states.nonEmpty, "merge needs at least one state table")
+    states.foreach(requireCurrentFormat(_, "Incremental.merge"))
     val u = states.reduce(_.unionByName(_))
     val stateCols = u.columns.filter(c =>
       c.startsWith("_sum_") || c.startsWith("_cnt_"))
@@ -66,6 +90,7 @@ object Incremental {
     * than dividing by zero, which under ANSI would abort); plus the
     * group row count. */
   def finalizeState(state: DataFrame, groupCols: Seq[String]): DataFrame = {
+    requireCurrentFormat(state, "Incremental.finalizeState")
     val sumCols = state.columns.filter(_.startsWith("_sum_"))
     val outputs = col("_n").as("n") +: sumCols.flatMap { c =>
       val name = c.stripPrefix("_sum_")

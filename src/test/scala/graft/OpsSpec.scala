@@ -3012,4 +3012,78 @@ class OpsSpec extends SparkSpec {
       Runner.topoOrder(Seq(m), external = Set("raw")))
     assert(e.getMessage.contains("shadow"), e.getMessage)
   }
+
+  test("incremental merge/finalize refuse legacy sums-only state by name") {
+    import graft.pipeline.Incremental
+    // a state table persisted by the pre-_cnt_ format: _n and _sum_m
+    // only. The refusal must NAME the format change and the rebuild
+    // step — not surface as a generic unresolved-column error deep in
+    // unionByName/finalizeState.
+    val legacy = Seq((1, 2L, java.math.BigDecimal.valueOf(400, 2)))
+      .toDF("g", "_n", "_sum_m")
+    val current = Incremental.aggState(
+      Seq((1, Some(java.math.BigDecimal.valueOf(100, 2)))).toDF("g", "m")
+        .select(col("g"), col("m").cast("decimal(18,2)").as("m")),
+      Seq("g"), Seq("m" -> col("m")))
+    val e1 = intercept[IllegalArgumentException](
+      Incremental.merge(Seq(current, legacy), Seq("g")))
+    assert(e1.getMessage.contains("legacy") && e1.getMessage.contains("_cnt_m")
+      && e1.getMessage.contains("rebuild"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Incremental.finalizeState(legacy, Seq("g")))
+    assert(e2.getMessage.contains("legacy"), e2.getMessage)
+  }
+
+  test("pixel decode: bomb gate fires from the header; palette images still decode") {
+    import java.awt.image.BufferedImage
+    // a declared-dims decompression bomb: genuine PNG signature + IHDR
+    // claiming 10000×10000 RGBA (4e8 samples ≫ the 64M cap). The gate
+    // must reject from HEADER metadata — reaching the pixel decode on a
+    // real bomb would materialize a multi-GB raster whose OOM is fatal,
+    // not catchable.
+    def be32(v: Int): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val bomb = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(10000) ++ be32(10000) ++
+      Array[Byte](8, 6, 0, 0, 0) ++ be32(0)
+    assert(Multimodal.decodeRaster(bomb) === None)
+    // palette (indexed) images: the gate bounds by the MAX band count
+    // across the reader's image types (a palette header can declare 1
+    // band yet legally decode to 3-4), but a normal-sized palette image
+    // must NOT be falsely rejected by that conservative bound — and its
+    // decoded raster round-trips whatever band layout the reader chose
+    val pal = new BufferedImage(4, 3, BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 3; x <- 0 until 4) pal.setRGB(x, y, if ((x + y) % 2 == 0) 0xffffff else 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(pal, "gif", bos), "no gif encoder")
+    val got = Multimodal.decodeRaster(bos.toByteArray)
+    assert(got.isDefined, "palette GIF was falsely rejected")
+    val (w, h, c, px) = got.get
+    assert(w === 4 && h === 3 && c >= 1 && px.length === w * h * c)
+  }
+
+  test("kmeans seeding widens the overscan on dup-heavy corpora") {
+    // 4 distinct vectors replicated 1000× dominate every id-hash prefix;
+    // 16 unique vectors hide in the tail. A fixed 4·nlist overscan would
+    // (with overwhelming probability) find < nlist distinct seeds and
+    // silently train a smaller centroid table — voiding the nlist/nprobe
+    // scan-fraction contract. The widening loop must keep scanning until
+    // it has nlist distinct seeds (the corpus has 20 ≥ 16).
+    val common = (0 until 4000).map { i =>
+      (i.toLong, Seq.fill(4)((i % 4).toDouble))
+    }
+    val rare = (0 until 16).map { j =>
+      ((4000 + j).toLong, Seq(100.0 + j, j.toDouble, 0.0, 1.0))
+    }
+    val df = (common ++ rare).toDF("corpus_id", "cv")
+      .select(col("corpus_id"), col("cv").cast("array<double>").as("cv"))
+    val centroids = Similarity.kmeansCentroids(df, nlist = 16, lloydIters = 0)
+    assert(centroids.length === 16,
+      s"expected 16 seeded cells, got ${centroids.length}")
+    // and a corpus with genuinely fewer distinct vectors than nlist
+    // seeds short WITHOUT looping forever (inherent shortfall)
+    val tiny = Similarity.kmeansCentroids(
+      df.where(col("corpus_id") < 4000), nlist = 16, lloydIters = 0)
+    assert(tiny.length === 4, s"expected the 4 inherent seeds, got ${tiny.length}")
+  }
 }
