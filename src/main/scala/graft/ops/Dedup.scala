@@ -653,8 +653,10 @@ object Dedup {
     * shuffle/cache mass tracks batch size + true candidate mass, not
     * corpus size. A persisted parquet index makes those scans cheap
     * columnar reads. (At production scale, additionally persist the
-    * exploded `(band, bucket, gid)` frame bucketed by its key and the
-    * band probe becomes exchange-free.) [[minhashIndexAppend]] does
+    * pre-aggregated bucket table — [[minhashIndexBands]] — and probe
+    * through [[minhashIndexDedupBatchBanded]]: the band join becomes
+    * exchange-free, output pair-for-pair identical.)
+    * [[minhashIndexAppend]] does
     * shuffle the index on its key — run it as the amortized maintenance
     * job (daily/compaction), never per probe.
     *
@@ -687,39 +689,9 @@ object Dedup {
       s"minPairBands must be in [1, numBands=$numBands], got $minPairBands")
     require(prefilterMargin > 0,
       s"prefilterMargin must be > 0 (got $prefilterMargin) — see minhashVerifiedDups")
-    val numHashes = numBands * rowsPerBand
-    val emptyIds = typedlit(Seq.empty[Long])
-    // the batch's distinct-set frame, sided: all members are NEW. gid =
-    // min member id (build ids are sorted). Cached — feeds the within
-    // pairs, the active band keys, and the colliding-row assembly.
-    val newSide = OpCaches.registered(
-      minhashIndexBuild(batch, idCol, textCol, shingleK,
-        numBands, rowsPerBand, maxGroupSize)
-        .select(element_at(col("ids"), 1).as("gid"), col("shh"),
-          emptyIds.as("old_ids"), col("ids").as("new_ids"), col("sig")))
-    // the standing index, sided: all members are OLD. A pure narrow
-    // projection — no join, no filter, no cache; index sets identical
-    // to a batch set stay in and meet their twin through the banding
-    // path (see Scaladoc).
-    val indexSide = index
-      .select(element_at(col("ids"), 1).as("gid"), col("shh"),
-        col("ids").as("old_ids"), emptyIds.as("new_ids"), col("sig"))
-    // within-set pairs among the batch's own members: a set's members
-    // are mutually identical documents, jaccard exactly 1.0 (the
-    // bit-equal constant minhashVerifiedDups' within path computes)
-    val withinNew = pairsOf(newSide.where(size(col("new_ids")) > 1),
-      "new_ids", "id_a", "id_b")
-      .withColumn("jaccard", lit(1.0d))
-      .where(col("jaccard") >= threshold)
-    // banded candidates restricted to pairs touching a new-side set.
-    // The batch's bands ARE the active keys; the index contributes only
-    // bands surviving a BROADCAST semi-join against them — the prune
-    // runs on the narrow scan, before the bucket aggregation's exchange
-    // ever sees an index row
-    val activeBands = newSide
-      .select(col("gid").as("ga"),
-        posexplode(bandBuckets(col("sig"), numBands, rowsPerBand))
-          .as(Seq("band", "bucket")))
+    val (newSide, indexSide, activeBands) =
+      probeSides(index, batch, idCol, textCol, shingleK, numBands,
+        rowsPerBand, maxGroupSize)
     val indexBands = indexSide.select(col("gid"),
       posexplode(bandBuckets(col("sig"), numBands, rowsPerBand))
         .as(Seq("band", "bucket")))
@@ -735,18 +707,62 @@ object Dedup {
     // countDistinct collapses the double orientation a new-new pair
     // produces (both sides are active) to the colliding-band count nb,
     // identical to bandedCandidates' per-band pair dedup
-    // cached (small: true candidate mass) — read twice below, for the
-    // colliding-gid broadcast and the screen, and recomputing it would
-    // re-run the band scan + both aggregations
-    val candPairs = OpCaches.registered(
-      activeBands.join(buckets, Seq("band", "bucket"))
-        .select(col("band"), col("ga"), explode(col("gids")).as("gb"))
-        .where(col("ga") =!= col("gb"))
-        .select(col("band"), least(col("ga"), col("gb")).as("pa"),
-          greatest(col("ga"), col("gb")).as("pb"))
-        .groupBy("pa", "pb").agg(countDistinct(col("band")).as("nb"))
-        .where(col("nb") >= minPairBands)
-        .select(col("pa").as("ga"), col("pb").as("gb")))
+    val candPairs = activeBands.join(buckets, Seq("band", "bucket"))
+      .select(col("band"), col("ga"), explode(col("gids")).as("gb"))
+      .where(col("ga") =!= col("gb"))
+      .select(col("band"), least(col("ga"), col("gb")).as("pa"),
+        greatest(col("ga"), col("gb")).as("pb"))
+      .groupBy("pa", "pb").agg(countDistinct(col("band")).as("nb"))
+      .where(col("nb") >= minPairBands)
+      .select(col("pa").as("ga"), col("pb").as("gb"))
+    probeScreenVerifyExpand(candPairs, newSide, indexSide,
+      numBands * rowsPerBand, threshold, prefilterMargin)
+  }
+
+  /** The shared probe inputs: the batch's distinct-set frame (sided —
+    * all members NEW, cached: it feeds the within pairs, the active
+    * band keys, and the colliding-row assembly), the standing index as
+    * a pure narrow sided projection (all members OLD — no join, no
+    * filter, no cache; index sets identical to a batch set stay in and
+    * meet their twin through the banding path), and the batch's
+    * exploded band keys. */
+  private def probeSides(index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, shingleK: Int, numBands: Int,
+      rowsPerBand: Int, maxGroupSize: Int): (DataFrame, DataFrame, DataFrame) = {
+    val emptyIds = typedlit(Seq.empty[Long])
+    val newSide = OpCaches.registered(
+      minhashIndexBuild(batch, idCol, textCol, shingleK,
+        numBands, rowsPerBand, maxGroupSize)
+        .select(element_at(col("ids"), 1).as("gid"), col("shh"),
+          emptyIds.as("old_ids"), col("ids").as("new_ids"), col("sig")))
+    val indexSide = index
+      .select(element_at(col("ids"), 1).as("gid"), col("shh"),
+        col("ids").as("old_ids"), emptyIds.as("new_ids"), col("sig"))
+    val activeBands = newSide
+      .select(col("gid").as("ga"),
+        posexplode(bandBuckets(col("sig"), numBands, rowsPerBand))
+          .as(Seq("band", "bucket")))
+    (newSide, indexSide, activeBands)
+  }
+
+  /** The shared probe tail from candidate gid pairs to verified sided
+    * member pairs: batch within-set pairs, colliding-set assembly,
+    * signature-estimate screen, exact verify, sided expansion.
+    * `candPairs` is registered here (read twice: the colliding-gid
+    * broadcast and the screen — recomputing it would re-run the band
+    * scan and both aggregations). */
+  private def probeScreenVerifyExpand(candPairsIn: DataFrame,
+      newSide: DataFrame, indexSide: DataFrame, numHashes: Int,
+      threshold: Double, prefilterMargin: Double): DataFrame = {
+    // within-set pairs among the batch's own members: a set's members
+    // are mutually identical documents, jaccard exactly 1.0 (the
+    // bit-equal constant minhashVerifiedDups' within path computes)
+    val withinNew = pairsOf(newSide.where(size(col("new_ids")) > 1),
+      "new_ids", "id_a", "id_b")
+      .withColumn("jaccard", lit(1.0d))
+      .where(col("jaccard") >= threshold)
+    // cached (small: true candidate mass) — read twice below
+    val candPairs = OpCaches.registered(candPairsIn)
     // colliding-set assembly: the ONLY index rows that reach the wide
     // screen/verify joins — fetched by one more narrow index scan,
     // pruned by a broadcast of the candidate gids (small: true
@@ -792,6 +808,105 @@ object Dedup {
       .unionByName(sidedExpand(verified, "new_a", "old_b"))
     withinNew.select(col("id_a"), col("id_b"), col("jaccard"))
       .unionByName(cross)
+  }
+
+  /** The index's exploded band table, pre-aggregated per bucket —
+    * `(band, bucket, gids)` — the production-scale companion state of
+    * [[minhashIndexBuild]]: persist it next to the index (ordinary
+    * parquet; longs and long arrays round-trip bit-exactly) and the
+    * probe's band join becomes EXCHANGE-FREE
+    * ([[minhashIndexDedupBatchBanded]]). The one (band, bucket)-keyed
+    * exchange the per-probe path pays ([[minhashIndexDedupBatch]]'s
+    * bucket aggregation over broadcast-pruned survivors) moves HERE, to
+    * build/maintenance time, where it amortizes over every probe —
+    * exactly the [[minhashIndexBuild]] economics, one stage further.
+    * The per-bucket member valve (`maxGroupSize`) fires at build time;
+    * a bucket that degenerate means the banding parameters are wrong
+    * for the corpus (the remedy names the knob), and failing the BUILD
+    * is strictly better than failing every probe. Parameters must
+    * match the index's (`numBands · rowsPerBand` = signature length). */
+  def minhashIndexBands(index: DataFrame,
+                        numBands: Int = DefaultNumBands,
+                        rowsPerBand: Int = DefaultRowsPerBand,
+                        maxGroupSize: Int = DefaultMaxGroupSize): DataFrame =
+    index.select(element_at(col("ids"), 1).as("gid"),
+      posexplode(bandBuckets(col("sig"), numBands, rowsPerBand))
+        .as(Seq("band", "bucket")))
+      .groupBy("band", "bucket")
+      .agg(groupIdsAgg(col("gid"), maxGroupSize,
+        "minhashIndexBands: one band bucket (distinct signatures)",
+        remedy = "use more rowsPerBand (more selective buckets)").as("gids"))
+
+  /** [[minhashIndexDedupBatch]] over a PRE-BANDED index — the
+    * production probe: candidates against the standing corpus come from
+    * ONE broadcast hash join of the batch's band keys against the
+    * persisted [[minhashIndexBands]] bucket table, so NO index-derived
+    * row ever crosses an exchange — not the band scan (pre-exploded,
+    * pre-aggregated at build time), not the bucket aggregation (gone),
+    * not the candidate join (broadcast, batch side ships). The only
+    * exchanges left in the whole probe are batch-sized (the batch's own
+    * build groupBy, its self-collision aggregation) or candidate-sized
+    * (the pair dedup on bare gid pairs) — per-batch shuffle mass tracks
+    * batch size + true candidate mass with a ZERO corpus-size term,
+    * which is the invariant that makes a daily probe against a 100 TB
+    * standing corpus affordable (plan-spec-pinned, the
+    * `q_minhash_incr` walk).
+    *
+    * Output is pair-for-pair identical to [[minhashIndexDedupBatch]]
+    * over the same index (parity spec-pinned): the split candidate
+    * generation (batch×index via the bucket table, batch×batch via the
+    * batch's own buckets) admits exactly the pairs the unified bucket
+    * aggregation admits — a pair collides in band `b` iff both sides
+    * share `b`'s bucket, whichever side of the split it rides — and
+    * `countDistinct(band)` collapses orientations identically. The one
+    * semantic shift is WHERE the bucket valve fires: per side (index
+    * buckets at build, batch buckets here) rather than on the combined
+    * membership — a combined bucket can reach 2× `maxGroupSize` before
+    * refusing, and a valve that fires at probe time on the banded path
+    * names the batch, not the index. `index` (the full `(shh, ids,
+    * sig)` frame) is still required: the screen/verify stages fetch
+    * signatures and shingle arrays for colliding sets — by
+    * broadcast-pruned narrow scans, as ever. */
+  def minhashIndexDedupBatchBanded(index: DataFrame, bands: DataFrame,
+                                   batch: DataFrame,
+                                   idCol: String, textCol: String,
+                                   shingleK: Int = DefaultShingleK,
+                                   numBands: Int = DefaultNumBands,
+                                   rowsPerBand: Int = DefaultRowsPerBand,
+                                   threshold: Double = 0.5,
+                                   prefilterMargin: Double = 0.25,
+                                   minPairBands: Int = 1,
+                                   maxGroupSize: Int = DefaultMaxGroupSize): DataFrame = {
+    require(minPairBands >= 1 && minPairBands <= numBands,
+      s"minPairBands must be in [1, numBands=$numBands], got $minPairBands")
+    require(prefilterMargin > 0,
+      s"prefilterMargin must be > 0 (got $prefilterMargin) — see minhashVerifiedDups")
+    val (newSide, indexSide, activeBands) =
+      probeSides(index, batch, idCol, textCol, shingleK, numBands,
+        rowsPerBand, maxGroupSize)
+    // batch×index candidates: broadcast the batch's band keys against
+    // the persisted bucket table — a broadcast hash join on the narrow
+    // bands scan; the index side never shuffles
+    val candOld = bands.join(broadcast(activeBands), Seq("band", "bucket"))
+      .select(col("band"), col("ga"), explode(col("gids")).as("gb"))
+      .where(col("ga") =!= col("gb"))
+    // batch×batch candidates: the batch's own bucket aggregation
+    // (batch-sized exchange), same shape as the unified probe's
+    val newBuckets = activeBands.groupBy("band", "bucket")
+      .agg(groupIdsAgg(col("ga"), maxGroupSize,
+        "minhashIndexDedupBatchBanded: one batch band bucket (distinct signatures)",
+        remedy = "use more rowsPerBand (more selective buckets)").as("gids"))
+    val candNew = activeBands.join(newBuckets, Seq("band", "bucket"))
+      .select(col("band"), col("ga"), explode(col("gids")).as("gb"))
+      .where(col("ga") =!= col("gb"))
+    val candPairs = candOld.unionByName(candNew)
+      .select(col("band"), least(col("ga"), col("gb")).as("pa"),
+        greatest(col("ga"), col("gb")).as("pb"))
+      .groupBy("pa", "pb").agg(countDistinct(col("band")).as("nb"))
+      .where(col("nb") >= minPairBands)
+      .select(col("pa").as("ga"), col("pb").as("gb"))
+    probeScreenVerifyExpand(candPairs, newSide, indexSide,
+      numBands * rowsPerBand, threshold, prefilterMargin)
   }
 
   /** SimHash (64-bit) of a token stream: sign-sum of per-token hash bits.
