@@ -616,6 +616,29 @@ object SparkEntry {
       shingleK = 5, numBands = 24, rowsPerBand = 2, threshold = 0.5)
   }
 
+  /** The PRODUCTION incremental probe — [[qMinhashIncr]]'s lifecycle
+    * through the exchange-free banded path: the standing corpus is
+    * built into the signature index PLUS its pre-aggregated
+    * [[Dedup.minhashIndexBands]] bucket table (both persistable —
+    * [[graft.ops.MinhashIndexStore]] writes them together), and the
+    * batch probes via [[Dedup.minhashIndexDedupBatchBanded]], whose
+    * candidate join against the corpus is one broadcast hash join on
+    * the bucket table — no corpus-mass row crosses an exchange
+    * (plan-pinned, `PlanQualitySpec`). Same exact oracle as
+    * q_minhash_incr: every verified near-dup pair touching the batch,
+    * per the all-pairs Jaccard scan — proving the banded split emits
+    * pair-for-pair what the unified probe and the full recompute emit. */
+  def qMinhashBanded(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val index = Dedup.minhashIndexBuild(corpus, "doc_id", "text",
+      shingleK = 5, numBands = 24, rowsPerBand = 2)
+    val bands = Dedup.minhashIndexBands(index, numBands = 24, rowsPerBand = 2)
+    Dedup.minhashIndexDedupBatchBanded(index, bands, batch, "doc_id", "text",
+      shingleK = 5, numBands = 24, rowsPerBand = 2, threshold = 0.5)
+  }
+
   /** Exact all-pairs hamming reference for the simhash contract gate:
     * every (id_a < id_b, hamming ≤ maxDistance) pair, computed the
     * brute-force way — C(distinct sketches, 2) bit_count comparisons
@@ -1737,6 +1760,7 @@ object SparkEntry {
     "q_dedup_exact"      -> qDedupExact,
     "q_dedup_minhash"    -> qDedupMinhash,
     "q_minhash_incr"     -> qMinhashIncr,
+    "q_minhash_banded"   -> qMinhashBanded,
     "q_dedup_simhash"    -> qDedupSimhash,
     "q_ngram_jaccard"    -> qNgramJaccard,
     "q_text_stats"       -> qTextStats,
@@ -2347,6 +2371,23 @@ object SparkEntry {
       // the q_dedup_minhash exact all-pairs oracle filtered to pairs
       // touching the batch (doc_id % 5 = 0) — the incremental probe
       // must emit exactly the full recompute's NEW pairs
+      """WITH toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t
+        |              FROM documents),
+        |sh AS (SELECT id, unnest(CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+        |          ELSE list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |               i -> array_to_string(t[i:i+4], ' '))) END) AS s FROM toks),
+        |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        |inter AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS i
+        |          FROM sh x JOIN sh y USING (s) WHERE x.id < y.id GROUP BY 1, 2)
+        |SELECT id_a, id_b, i::DOUBLE / (a.sz + b.sz - i) AS jaccard
+        |FROM inter JOIN sizes a ON inter.id_a = a.id JOIN sizes b ON inter.id_b = b.id
+        |WHERE i::DOUBLE / (a.sz + b.sz - i) >= 0.5
+        |  AND (id_a % 5 = 0 OR id_b % 5 = 0)
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_minhash_banded" ->
+      // identical oracle to q_minhash_incr: the banded probe must emit
+      // pair-for-pair what the unified probe (and the full recompute's
+      // batch-touching subset) emits
       """WITH toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t
         |              FROM documents),
         |sh AS (SELECT id, unnest(CASE WHEN len(t) < 5 THEN []::VARCHAR[]

@@ -840,20 +840,26 @@ object Dedup {
   /** [[minhashIndexDedupBatch]] over a PRE-BANDED index — the
     * production probe: candidates against the standing corpus come from
     * ONE broadcast hash join of the batch's band keys against the
-    * persisted [[minhashIndexBands]] bucket table, so NO index-derived
-    * row ever crosses an exchange — not the band scan (pre-exploded,
-    * pre-aggregated at build time), not the bucket aggregation (gone),
-    * not the candidate join (broadcast, batch side ships). The only
-    * exchanges left in the whole probe are batch-sized (the batch's own
-    * build groupBy, its self-collision aggregation) or candidate-sized
-    * (the pair dedup on bare gid pairs) — per-batch shuffle mass tracks
-    * batch size + true candidate mass with a ZERO corpus-size term,
-    * which is the invariant that makes a daily probe against a 100 TB
-    * standing corpus affordable (plan-spec-pinned, the
-    * `q_minhash_incr` walk).
+    * persisted [[minhashIndexBands]] bucket table, so no CORPUS-mass
+    * index row ever crosses an exchange — not the band scan
+    * (pre-exploded, pre-aggregated at build time), not the bucket
+    * aggregation (gone), not the candidate join (broadcast, batch side
+    * ships). The only exchanges left in the whole probe are batch-sized
+    * (the batch's own build groupBy, its self-collision aggregation) or
+    * candidate-sized (the pair dedup on bare gid pairs, whose
+    * index-derived rows were broadcast-join-pruned first) — per-batch
+    * shuffle mass tracks batch size + true candidate mass with a ZERO
+    * corpus-size term, which is the invariant that makes a daily probe
+    * against a 100 TB standing corpus affordable (plan-spec-pinned:
+    * `PlanQualitySpec` "banded probe" — no bucket-keyed or set-keyed
+    * exchange reads the index, and every index scan beneath any
+    * exchange passes a broadcast hash join first).
     *
     * Output is pair-for-pair identical to [[minhashIndexDedupBatch]]
-    * over the same index (parity spec-pinned): the split candidate
+    * over the same index (parity spec-pinned: `MinhashBandedSpec`,
+    * every pair class + minPairBands + empty edges; gated end-to-end by
+    * `q_minhash_banded` against the exact batch-touching all-pairs
+    * oracle): the split candidate
     * generation (batch×index via the bucket table, batch×batch via the
     * batch's own buckets) admits exactly the pairs the unified bucket
     * aggregation admits — a pair collides in band `b` iff both sides
@@ -863,7 +869,8 @@ object Dedup {
     * buckets at build, batch buckets here) rather than on the combined
     * membership — a combined bucket can reach 2× `maxGroupSize` before
     * refusing, and a valve that fires at probe time on the banded path
-    * names the batch, not the index. `index` (the full `(shh, ids,
+    * names the batch, not the index (divergence spec-pinned:
+    * `MinhashBandedSpec` "valve placement"). `index` (the full `(shh, ids,
     * sig)` frame) is still required: the screen/verify stages fetch
     * signatures and shingle arrays for colliding sets — by
     * broadcast-pruned narrow scans, as ever. */

@@ -372,33 +372,7 @@ object Similarity {
     // assignment is a null cell that no probe matches, and scoring
     // guards the division — only the MODEL must never train on them.)
     val cc = c.where(col("cv").isNotNull)
-    // Seeds: the nlist smallest-id-hash DISTINCT vectors. The distinct
-    // runs driver-side over a bounded overscan (no vector-keyed corpus
-    // shuffle): duplicate vectors seed duplicate centroids whose higher
-    // cell ties empty and sits stale forever — wasted cells a dup-heavy
-    // corpus (the replication stress shape) would multiply. The overscan
-    // starts at 4·nlist and WIDENS geometrically while it keeps finding
-    // fewer than nlist distinct vectors AND the corpus has more rows to
-    // offer (the scan returned its full limit): a dup-heavy corpus whose
-    // first 4·nlist rows by id-hash hold few distinct values must not
-    // silently train fewer cells than requested — that quietly voids the
-    // nlist/nprobe scan-fraction contract. Only a corpus with genuinely
-    // fewer distinct vectors than nlist seeds short (and that shortfall
-    // is inherent, not a sampling artifact).
-    var seeds = Array.empty[Seq[Double]]
-    var overscan = 4L * nlist
-    var exhausted = false
-    while (seeds.length < nlist && !exhausted) {
-      val limit = overscan.min(Int.MaxValue.toLong).toInt
-      val fetched = cc
-        .select(col("cv"), xxhash64(col("corpus_id")).as("_h"))
-        .orderBy("_h").limit(limit)
-        .collect().map(_.getSeq[Double](0))
-      seeds = fetched.distinct.take(nlist)
-      // fewer rows than asked ⇒ the whole training set was scanned
-      exhausted = fetched.length < limit || limit == Int.MaxValue
-      overscan *= 8
-    }
+    val (seeds, _) = seedVectors(cc, nlist)
     var centroids: Seq[(Long, Seq[Double])] =
       seeds.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
     if (centroids.isEmpty) return Seq.empty
@@ -420,6 +394,81 @@ object Similarity {
     }
     centroids
   }
+
+  /** Driver-row cap for the seed overscan, as a multiple of nlist:
+    * widening stops at `SeedOverscanCapFactor · nlist` rows and falls
+    * back to the distributed distinct below — the degenerate
+    * many-rows/few-distinct-vectors corpus must never escalate toward
+    * a corpus-sized `collect()`. */
+  private[graft] val SeedOverscanCapFactor = 256L
+
+  /** Seed selection: the `nlist` DISTINCT vectors with the smallest id
+    * hashes — a reproducible choice with no model object. Returns
+    * `(seeds, driverRowsFetched)`; the row count is spec state (the
+    * bounded-fetch contract), not model state.
+    *
+    * The distinct runs driver-side over a bounded overscan (no
+    * vector-keyed corpus shuffle on the common path): duplicate vectors
+    * seed duplicate centroids whose higher cell ties empty and sits
+    * stale forever — wasted cells a dup-heavy corpus (the replication
+    * stress shape) would multiply. The overscan starts at 4·nlist and
+    * widens geometrically while (a) it keeps finding fewer than nlist
+    * distinct vectors, (b) the corpus has more rows to offer (the scan
+    * returned its full limit), AND (c) widening is still paying — the
+    * distinct count grew last round and the cap
+    * ([[SeedOverscanCapFactor]]·nlist) isn't reached. A corpus whose
+    * distinct count has stopped growing, or that exhausts the cap,
+    * switches to the DISTRIBUTED form of the same selection:
+    * `groupBy(cv).agg(min(hash))` ordered by that min — semantically
+    * identical to the overscan's first-appearance distinct (a distinct
+    * vector's rank IS its minimum member hash, parity spec-pinned), it
+    * just pays one vector-keyed shuffle instead of an unbounded driver
+    * fetch. Only a corpus with genuinely fewer distinct vectors than
+    * nlist seeds short (and that shortfall is inherent, not a sampling
+    * artifact). */
+  private[graft] def seedVectors(cc: DataFrame,
+                                 nlist: Int): (Array[Seq[Double]], Long) = {
+    var seeds = Array.empty[Seq[Double]]
+    var overscan = 4L * nlist
+    val cap = SeedOverscanCapFactor * nlist
+    var fetchedRows = 0L
+    var lastDistinct = -1
+    var exhausted = false
+    var widening = true
+    while (seeds.length < nlist && !exhausted && widening) {
+      val limit = overscan.min(cap).min(Int.MaxValue.toLong).toInt
+      val fetched = cc
+        .select(col("cv"), xxhash64(col("corpus_id")).as("_h"))
+        .orderBy("_h").limit(limit)
+        .collect().map(_.getSeq[Double](0))
+      fetchedRows += fetched.length
+      val distinct = fetched.distinct
+      seeds = distinct.take(nlist)
+      // fewer rows than asked ⇒ the whole training set was scanned
+      exhausted = fetched.length < limit
+      // widening stopped paying: distinct count flat across an 8×
+      // widening, or the cap is spent — go distributed instead of
+      // escalating the driver fetch
+      widening = limit < cap && distinct.length > lastDistinct
+      lastDistinct = distinct.length
+      overscan *= 8
+    }
+    if (seeds.length < nlist && !exhausted) {
+      seeds = seedVectorsDistributed(cc, nlist)
+    }
+    (seeds, fetchedRows)
+  }
+
+  /** The distributed fallback of [[seedVectors]] — the same selection
+    * (distinct vectors ranked by their minimum member id hash, first
+    * nlist) as one vector-keyed aggregate; only the nlist seed rows
+    * reach the driver. */
+  private[graft] def seedVectorsDistributed(cc: DataFrame,
+                                            nlist: Int): Array[Seq[Double]] =
+    cc.select(col("cv"), xxhash64(col("corpus_id")).as("_h"))
+      .groupBy("cv").agg(min(col("_h")).as("_h"))
+      .orderBy("_h").limit(nlist)
+      .collect().map(_.getSeq[Double](0))
 
   /** Cell id of the nearest centroid (min squared distance, ties to the
     * lower cell id). */
@@ -654,6 +703,106 @@ object Similarity {
       .where(col("id") =!= col("label")) // group minimum survives
       .select(col("id").as("_drop_id"))
     df.join(dropped, col(idCol) === col("_drop_id"), "left_anti")
+  }
+
+  /** SemDeDup index BUILD — [[semanticNearDups]]'s expensive pass as
+    * persistable state, the [[ivfBuild]] economics applied to semantic
+    * dedup: train the k-means cells ONCE over the standing corpus and
+    * return the centroid table (persist via [[ivfCentroidsDf]]) plus
+    * the grouped-and-assigned cell frame `(cell, gid, vv, vn, ids)` —
+    * one row per DISTINCT embedding with its member ids and standing
+    * cell. Both frames write as ordinary parquet (doubles and long
+    * arrays round-trip bit-exactly — a reloaded index probes
+    * identically, spec-pinned), so an always-ingesting pipeline pays
+    * the training and corpus assignment once and every arriving batch
+    * runs only [[semanticDedupBatch]]. `nlist = 0` derives the cell
+    * count from distinct-vector mass exactly as [[semanticNearDups]]
+    * does. */
+  def semanticIndexBuild(df: DataFrame, idCol: String, vecCol: String,
+                         nlist: Int = 0, lloydIters: Int = 2,
+                         maxGroupSize: Int = Dedup.DefaultMaxGroupSize):
+      (Seq[(Long, Seq[Double])], DataFrame) = {
+    val groups = groupedVectors(df, idCol, vecCol, "vv", "vn",
+      maxGroupSize, "semanticIndexBuild: a single vector value")
+    val k =
+      if (nlist > 0) nlist
+      else math.max(16, math.ceil(groups.count().toDouble / SemCellTarget).toInt)
+    val centroids = kmeansCentroids(
+      groups.select(col("gid").as("corpus_id"), col("vv").as("cv")),
+      k, lloydIters)
+    if (centroids.isEmpty)
+      return (centroids, groups.select(lit(0L).as("cell"), col("gid"),
+        col("vv"), col("vn"), col("ids")).where(lit(false)))
+    (centroids, groups.select(nearestCell(col("vv"), centroids).as("cell"),
+      col("gid"), col("vv"), col("vn"), col("ids")))
+  }
+
+  /** SemDeDup index PROBE — incremental semantic near-dup detection,
+    * the [[Dedup.minhashIndexDedupBatch]] contract shape over standing
+    * k-means cells: every exact-cosine pair `(id_a, id_b, score ≥
+    * threshold)` that involves at least one NEW document and co-sits in
+    * one standing cell (or shares a bit-identical vector), i.e. what
+    * [[semanticNearDups]] over `corpus ∪ batch` WITH THE STANDING
+    * CENTROIDS would emit minus the index-internal pairs an earlier run
+    * already reported. Old×old pairs never re-emit (sided by
+    * construction: the index side only ever joins the batch side).
+    *
+    * Scale shape: the batch pays its own grouping and `nlist` argmin
+    * dot products per distinct vector; the standing cell table is
+    * joined through a BROADCAST of the batch's cells — the index side
+    * is a narrow scan that never shuffles, so per-batch exchange mass
+    * tracks batch + candidate size with a zero corpus-size term (the
+    * banded-probe economics; at 100 TB the cell frame is additionally
+    * partitioned by `cell`, making the probe a partition-pruned read).
+    * Batch×batch pairs ride a batch-sized cell self-join. Precision is
+    * exact (every pair carries its true cosine); recall relative to a
+    * full retrain differs only by cells the retrain would redraw —
+    * the standing-centroid regime a production SemDeDup index runs
+    * anyway (probe a NEW batch against standing cells; retrain on the
+    * maintenance cadence, not per batch). */
+  def semanticDedupBatch(centroids: Seq[(Long, Seq[Double])],
+                         indexCells: DataFrame, batch: DataFrame,
+                         idCol: String, vecCol: String, threshold: Double,
+                         maxGroupSize: Int = Dedup.DefaultMaxGroupSize): DataFrame = {
+    require(centroids.nonEmpty,
+      "semanticDedupBatch needs a non-empty centroid table")
+    val newSide = groupedVectors(batch, idCol, vecCol, "vv", "vn",
+      maxGroupSize, "semanticDedupBatch: a single vector value")
+    // within-batch identical-vector pairs (the score is cosine(v, v) —
+    // NaN-propagating for zero vectors, the semanticNearDups shape)
+    val withinNew = Dedup.pairsOf(
+      newSide.where(size(col("ids")) > 1)
+        .withColumn("score", scoreCosine(col("vv"), col("vv"), col("vn"), col("vn")))
+        .where(col("score") >= threshold),
+      "ids", "id_a", "id_b", carry = Seq("score"))
+    // batch cells cached: the old×new join, the new×new self-join and
+    // its alias all read the assignment, and the argmin costs nlist dot
+    // products per distinct vector
+    val newCells = OpCaches.registered(
+      newSide.withColumn("cell", nearestCell(col("vv"), centroids)))
+    val bx = newCells.select(col("cell"), col("gid").as("gb"),
+      col("vv").as("b_v"), col("vn").as("b_n"), col("ids").as("ids_b"))
+    // old×new: standing cells never shuffle — the batch side broadcasts
+    val crossOldNew = indexCells
+      .select(col("cell"), col("gid").as("ga"), col("vv").as("a_v"),
+        col("vn").as("a_n"), col("ids").as("ids_a"))
+      .join(broadcast(bx), Seq("cell"))
+      .withColumn("score",
+        scoreCosine(col("a_v"), col("b_v"), col("a_n"), col("b_n")))
+      .where(col("score") >= threshold)
+    // new×new: batch-sized cell self-join, per-side renames BEFORE the
+    // join (two aliases of one plan can resolve both sides to the same
+    // attribute — trap #4, SCALE.md)
+    val ax = newCells.select(col("cell"), col("gid").as("ga"),
+      col("vv").as("a_v"), col("vn").as("a_n"), col("ids").as("ids_a"))
+    val crossNewNew = ax.join(bx, Seq("cell"))
+      .where(col("ga") < col("gb"))
+      .withColumn("score",
+        scoreCosine(col("a_v"), col("b_v"), col("a_n"), col("b_n")))
+      .where(col("score") >= threshold)
+    withinNew.select(col("id_a"), col("id_b"), col("score"))
+      .unionByName(Dedup.expandGroupPairs(crossOldNew, Seq("score")))
+      .unionByName(Dedup.expandGroupPairs(crossNewNew, Seq("score")))
   }
 
   /** Per-dimension scalar quantization of an embedding column to int8

@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, MinhashIndexStore}
+
+/** Protocol specs for [[graft.ops.MinhashIndexStore]] — the versioned
+  * snapshot rules (init refusal, stale/pruned append refusal, crash
+  * replay, commit-race loss, pin-missing read refusal) plus the
+  * reload → probe bit-parity the Scaladoc claims. */
+class MinhashIndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 5 // shingleK for every probe in this suite
+
+  private def docs(ids: Seq[Long]): DataFrame = {
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron")
+    ids.map { i =>
+      (i, Seq.fill(12 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  private def build(df: DataFrame): DataFrame =
+    Dedup.minhashIndexBuild(df, "doc_id", "text", shingleK = K)
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private def withDir(body: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("minhash-store").toString
+    try body(dir)
+    finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("init/append/read lifecycle: versions advance, reload probes bit-identically") {
+    withDir { dir =>
+      val corpus = docs(1L to 20L)
+      val batch = docs(21L to 30L)
+        .unionByName(corpus.where(col("doc_id") === 3L)
+          .select(lit(103L).as("doc_id"), col("text"))) // cross-boundary copy
+      assert(MinhashIndexStore.init(build(corpus), dir) === 0L)
+      assert(MinhashIndexStore.latestVersion(spark, dir) === Some(0L))
+      // reload → probe ≡ in-memory probe, pair for pair (the Scaladoc's
+      // bit-parity claim): longs and long arrays round-trip parquet
+      val loaded = MinhashIndexStore.read(spark, dir)
+      assert(loaded.version === 0L)
+      assert(loaded.meta === MinhashIndexStore.IndexMeta(
+        Dedup.DefaultNumBands, Dedup.DefaultRowsPerBand, Dedup.DefaultMaxGroupSize))
+      val inMemory = pairSet(Dedup.minhashIndexDedupBatch(build(corpus), batch,
+        "doc_id", "text", shingleK = K, threshold = 0.5))
+      val fromStore = pairSet(MinhashIndexStore.probeLatest(spark, dir, batch,
+        "doc_id", "text", shingleK = K, threshold = 0.5))
+      assert(inMemory.contains((3L, 103L, 1.0)))
+      assert(fromStore === inMemory)
+      // append advances the head; the appended store probes like an
+      // index rebuilt over the union corpus
+      assert(MinhashIndexStore.append(spark, dir, build(batch), 0L) === 1L)
+      assert(MinhashIndexStore.latestVersion(spark, dir) === Some(1L))
+      val batch2 = docs(41L to 45L)
+      val unionInMemory = pairSet(Dedup.minhashIndexDedupBatch(
+        build(corpus.unionByName(batch)), batch2,
+        "doc_id", "text", shingleK = K, threshold = 0.5))
+      val unionFromStore = pairSet(MinhashIndexStore.probeLatest(spark, dir,
+        batch2, "doc_id", "text", shingleK = K, threshold = 0.5))
+      assert(unionFromStore === unionInMemory)
+      // a pinned older version still reads (pruner keeps it)
+      assert(MinhashIndexStore.read(spark, dir, Some(0L)).version === 0L)
+    }
+  }
+
+  test("init refuses a directory with a committed version; crash debris does not block replay") {
+    withDir { dir =>
+      val corpus = docs(1L to 10L)
+      MinhashIndexStore.init(build(corpus), dir)
+      val e = intercept[IllegalArgumentException] {
+        MinhashIndexStore.init(build(docs(11L to 15L)), dir)
+      }
+      assert(e.getMessage.contains("already holds committed versions"))
+      assert(e.getMessage.contains("v=0"))
+    }
+    withDir { dir =>
+      // a crashed init leaves only scratch debris (the rename protocol
+      // admits no partial v=0) — replaying init must succeed
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/.tmp-v=0-deadjvm-1/index"))
+      assert(MinhashIndexStore.init(build(docs(1L to 10L)), dir) === 0L)
+      assert(MinhashIndexStore.latestVersion(spark, dir) === Some(0L))
+    }
+  }
+
+  test("append refuses a stale base, a pruned base, and mismatched banding parameters — each by name") {
+    withDir { dir =>
+      val corpus = docs(1L to 10L)
+      MinhashIndexStore.init(build(corpus), dir)
+      MinhashIndexStore.append(spark, dir, build(docs(11L to 14L)), 0L)
+      // stale: another maintainer already advanced the head
+      val stale = intercept[IllegalArgumentException] {
+        MinhashIndexStore.append(spark, dir, build(docs(15L to 18L)), 0L)
+      }
+      assert(stale.getMessage.contains("another maintainer already advanced"))
+      // pruned/never-initialized base
+      val none = intercept[IllegalArgumentException] {
+        MinhashIndexStore.append(spark, s"$dir-empty", build(docs(15L to 18L)), 0L)
+      }
+      assert(none.getMessage.contains("pruned or the index was never initialized"))
+      // re-parameterized delta: numBands mismatch fails by name instead
+      // of silently dropping candidate pairs
+      val mism = intercept[IllegalArgumentException] {
+        MinhashIndexStore.append(spark, dir,
+          Dedup.minhashIndexBuild(docs(15L to 18L), "doc_id", "text",
+            shingleK = K, numBands = 12, rowsPerBand = 4),
+          1L, numBands = 12, rowsPerBand = 4)
+      }
+      assert(mism.getMessage.contains("do not match"))
+      assert(MinhashIndexStore.latestVersion(spark, dir) === Some(1L))
+    }
+  }
+
+  test("crash replay: an interrupted append leaves latest unchanged and the same append then succeeds") {
+    withDir { dir =>
+      val corpus = docs(1L to 10L)
+      MinhashIndexStore.init(build(corpus), dir)
+      // simulate the crash: old-protocol partial v=1 (index written, no
+      // bands/meta — what a kill mid-write left before the rename
+      // protocol; rename-era crashes leave only scratch dirs, covered
+      // by the init test). Both shapes must be invisible to latest and
+      // harmless to the replay.
+      build(docs(11L to 14L)).write.parquet(s"$dir/v=1/index")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/.tmp-v=1-deadjvm-7/bands"))
+      assert(MinhashIndexStore.latestVersion(spark, dir) === Some(0L))
+      // replaying the SAME append must commit v=1 over the debris
+      assert(MinhashIndexStore.append(spark, dir, build(docs(11L to 14L)), 0L) === 1L)
+      assert(MinhashIndexStore.latestVersion(spark, dir) === Some(1L))
+      val loaded = MinhashIndexStore.read(spark, dir)
+      assert(loaded.version === 1L)
+      // the committed v=1 is the real merge, not the debris: it must
+      // probe identically to a rebuild over the union corpus
+      val expected = pairSet(Dedup.minhashIndexDedupBatch(
+        build(corpus.unionByName(docs(11L to 14L))), docs(21L to 24L),
+        "doc_id", "text", shingleK = K, threshold = 0.5))
+      assert(pairSet(MinhashIndexStore.probeLatest(spark, dir, docs(21L to 24L),
+        "doc_id", "text", shingleK = K, threshold = 0.5)) === expected)
+    }
+  }
+
+  test("commit race: the losing maintainer fails loudly and leaves no interleaved part-files") {
+    withDir { dir =>
+      // the true race window is BETWEEN append's expectedBase check and
+      // its commit: both maintainers read latest=N and both pass the
+      // require. Drive that interleaving at the commit layer directly —
+      // two commits of the same version, the second arriving after the
+      // first already renamed (what the loser's world looks like at its
+      // rename instant).
+      val meta = MinhashIndexStore.IndexMeta(
+        Dedup.DefaultNumBands, Dedup.DefaultRowsPerBand, Dedup.DefaultMaxGroupSize)
+      val winner = build(docs(1L to 10L))
+      val loser = build(docs(11L to 20L))
+      MinhashIndexStore.commitVersion(winner, dir, 0L, meta)
+      val e = intercept[IllegalStateException] {
+        MinhashIndexStore.commitVersion(loser, dir, 0L, meta)
+      }
+      assert(e.getMessage.contains("lost the commit race for v=0"))
+      // the committed version is EXACTLY the winner's write: the three
+      // subframes, no nested scratch, no interleaved loser part-files —
+      // and it still reads as the winner's index
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val children = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/v=0"))
+        .map(_.getPath.getName).toSet
+      assert(children === Set("index", "bands", "meta"),
+        s"v=0 must hold exactly the three subframes, got $children")
+      val scratch = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.getName).filter(_.startsWith(".tmp"))
+      assert(scratch.isEmpty,
+        s"the loser must clean its scratch directory, found $scratch")
+      val loaded = MinhashIndexStore.read(spark, dir)
+      val winnerIds = winner.select(explode(col("ids"))).collect()
+        .map(_.getLong(0)).toSet
+      val storedIds = loaded.index.select(explode(col("ids"))).collect()
+        .map(_.getLong(0)).toSet
+      assert(storedIds === winnerIds)
+    }
+  }
+
+  test("read refuses a missing or uncommitted pinned version by name") {
+    withDir { dir =>
+      MinhashIndexStore.init(build(docs(1L to 10L)), dir)
+      val missing = intercept[IllegalArgumentException] {
+        MinhashIndexStore.read(spark, dir, Some(7L))
+      }
+      assert(missing.getMessage.contains("no committed version v=7"))
+      assert(missing.getMessage.contains("latest committed: v=0"))
+      // an uncommitted (partial) version is refused the same way
+      build(docs(11L to 12L)).write.parquet(s"$dir/v=3/index")
+      val partial = intercept[IllegalArgumentException] {
+        MinhashIndexStore.read(spark, dir, Some(3L))
+      }
+      assert(partial.getMessage.contains("no committed version v=3"))
+      // and an empty store has nothing to read unpinned
+      val empty = intercept[IllegalArgumentException] {
+        MinhashIndexStore.read(spark, s"$dir-none")
+      }
+      assert(empty.getMessage.contains("no committed version"))
+    }
+  }
+}

@@ -842,6 +842,38 @@ class OpsSpec extends SparkSpec {
     assert(none.columns.toSeq === Seq("query_id", "corpus_id", "rank", "score"))
   }
 
+  test("k-means seeding: dup-heavy corpus bounds the driver fetch; distributed fallback matches the overscan selection") {
+    // the degenerate shape: many rows, few distinct vectors. The
+    // overscan must stop widening when the distinct count stops growing
+    // (NOT escalate toward a corpus-sized collect) and switch to the
+    // distributed distinct, which seeds the same vectors the overscan
+    // selection defines
+    val nlist = 8
+    val rows = (1L to 5000L).map(i => (i, Seq((i % 3).toDouble, 1.0, 2.0)))
+    val cc = rows.toDF("corpus_id", "cv")
+    val (seeds, fetchedRows) = Similarity.seedVectors(cc, nlist)
+    // shortfall is inherent (3 distinct < nlist), and the driver fetch
+    // is bounded by the two overscan rounds that ran before the
+    // distinct count went flat: 4·nlist + 32·nlist rows — nowhere near
+    // the 5000-row corpus
+    assert(seeds.length === 3)
+    assert(seeds.map(_.head).toSet === Set(0.0, 1.0, 2.0))
+    assert(fetchedRows <= 4L * nlist + 32L * nlist,
+      s"driver fetch must stop widening on a flat distinct count, fetched $fetchedRows rows")
+    // the full trainer survives the degenerate corpus with the inherent
+    // cell count
+    assert(Similarity.kmeansCentroids(cc, nlist, lloydIters = 1).length === 3)
+    // parity: on a corpus where the overscan finds its seeds, the
+    // distributed form selects the SAME vectors in the SAME order (a
+    // distinct vector's rank is its minimum member id hash)
+    val varied = (1L to 100L).map(i => (i, Seq((i % 50).toDouble, (i % 7).toDouble)))
+      .toDF("corpus_id", "cv")
+    val (viaOverscan, _) = Similarity.seedVectors(varied, 16)
+    val viaDistributed = Similarity.seedVectorsDistributed(varied, 16)
+    assert(viaOverscan.length === 16)
+    assert(viaOverscan.toSeq === viaDistributed.toSeq)
+  }
+
   test("lsh ann recall on planted duplicate") {
     val base = (0 until 200).map { i =>
       val rnd = new scala.util.Random(i)
@@ -1390,6 +1422,81 @@ class OpsSpec extends SparkSpec {
     assert(none.count() === 0L)
     assert(none.columns.toSeq === Seq("id_a", "id_b", "score"))
     vecs.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("semantic index lifecycle: persisted cells probe a new batch sided and bit-identically after reload") {
+    // the SemDeDup lifecycle contract (the minhashIndexDedupBatch shape
+    // over standing k-means cells): train/assign ONCE over the standing
+    // corpus, persist centroids + cells, then probe a NEW batch — every
+    // pair class planted: old×old (must NOT emit), old×new, new×new,
+    // identical vectors spanning the boundary, a within-batch clique
+    val base = (0 until 300).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    def jitter(v: Array[Float]): Array[Float] = {
+      val w = v.clone(); w(0) = w(0) + 0.01f; w
+    }
+    val oldRows = base ++ Seq(
+      (500L, jitter(base(0)._2)), (501L, jitter(jitter(base(0)._2)))) // old×old near pair
+    val newRows = Seq(
+      (601L, jitter(base(10)._2)),            // old×new
+      (700L, jitter(base(20)._2)),            // new×new (with 701)
+      (701L, jitter(jitter(base(20)._2))),
+      (801L, base(30)._2.clone()),            // identical across the boundary
+      (900L, base(40)._2.map(_ * 2.0f)),      // within-batch identical clique
+      (901L, base(40)._2.map(_ * 2.0f)))
+    val oldDf = oldRows.toDF("vec_id", "embedding")
+    val newDf = newRows.toDF("vec_id", "embedding")
+    val (centroids, cells) = Similarity.semanticIndexBuild(
+      oldDf, "vec_id", "embedding", nlist = 8)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val probe = pairSet(Similarity.semanticDedupBatch(centroids, cells,
+      newDf, "vec_id", "embedding", threshold = 0.9))
+    val newIds = newRows.map(_._1).toSet
+    // sided: every emitted pair touches the batch; the old×old planted
+    // pair in particular never re-emits
+    assert(probe.forall(p => newIds(p._1) || newIds(p._2)))
+    assert(!probe.exists(p => p._1 == 500L && p._2 == 501L))
+    // every planted batch-touching pair class lands, at its exact score
+    assert(probe.exists(p => p._1 == 10L && p._2 == 601L && p._3 > 0.999))
+    assert(probe.exists(p => p._1 == 700L && p._2 == 701L && p._3 > 0.999))
+    assert(probe.exists(p => p._1 == 30L && p._2 == 801L && p._3 > 0.999))
+    assert(probe.exists(p => p._1 == 900L && p._2 == 901L && p._3 > 0.999))
+    // precision is exact: emitted ⊆ brute-force all-pairs at threshold
+    val all = (oldRows ++ newRows).toDF("vec_id", "embedding")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("vv"))
+    val exact = all.select(col("vec_id").as("id_a"), col("vv").as("va"))
+      .join(all.select(col("vec_id").as("id_b"), col("vv").as("vb")),
+        col("id_a") < col("id_b"))
+      .where(Similarity.cosine(col("va"), col("vb")) >= 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe.map(p => (p._1, p._2)).subsetOf(exact))
+    // reload bit-parity (the IVF precedent): centroid table and cell
+    // frame round-trip parquet, and the reloaded index probes the SAME
+    // pair set
+    val dir = java.nio.file.Files.createTempDirectory("sem-index").toString
+    try {
+      Similarity.ivfCentroidsDf(spark, centroids)
+        .write.mode("overwrite").parquet(s"$dir/centroids")
+      cells.write.mode("overwrite").parquet(s"$dir/cells")
+      val reCentroids = Similarity.ivfCentroidsFromDf(
+        spark.read.parquet(s"$dir/centroids"))
+      val reCells = spark.read.parquet(s"$dir/cells")
+      val reProbe = pairSet(Similarity.semanticDedupBatch(reCentroids,
+        reCells, newDf, "vec_id", "embedding", threshold = 0.9))
+      assert(reProbe === probe && probe.nonEmpty)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+    // an empty batch probes to nothing
+    assert(Similarity.semanticDedupBatch(centroids, cells,
+      newDf.where(lit(false)), "vec_id", "embedding",
+      threshold = 0.9).count() === 0L)
     spark.catalog.clearCache()
   }
 

@@ -599,6 +599,94 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("banded probe: corpus mass never crosses an exchange — bands join included") {
+    // minhashIndexDedupBatchBanded's scale invariant, one notch
+    // stronger than the unified probe's, pinned as two rules over the
+    // physical plan:
+    //  (1) NO exchange keyed on the bucket key (the unified probe's
+    //      bucket aggregation, broadcast-pruned or not) and no
+    //      set-keyed exchange reads the index — that aggregation moved
+    //      to build time, which is the whole point of the bands table;
+    //  (2) every index/bands scan that sits beneath ANY exchange
+    //      (shuffle or broadcast) is first pruned by a broadcast hash
+    //      join — so the only index-derived rows that ever cross an
+    //      exchange are candidate-mass, never corpus-mass. Per-batch
+    //      shuffle mass has a ZERO corpus-size term.
+    import graft.ops.{Dedup, MinhashIndexStore}
+    val docs = t3("documents")
+    val dir = java.nio.file.Files.createTempDirectory("minhash-banded-plan").toString
+    try {
+      MinhashIndexStore.init(
+        Dedup.minhashIndexBuild(docs.where(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", shingleK = 5), dir)
+      spark.catalog.clearCache() // build-time caches must not mask the
+      // probe's own plan shape
+      val probe = MinhashIndexStore.probeLatest(spark, dir,
+        docs.where(col("doc_id") % 5 === 0), "doc_id", "text",
+        shingleK = 5, threshold = 0.5)
+      // walk the physical tree INCLUDING cached-relation subplans (the
+      // unified-probe pin's rationale: collect treats InMemoryTableScan
+      // as a leaf, which would hide a violation inside a cached frame)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def allNodes(p: SparkPlan): Seq[SparkPlan] =
+        p.collect { case n => n }.flatMap {
+          case im: InMemoryTableScanExec =>
+            im +: allNodes(im.relation.cachedPlan)
+          case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+          case n => Seq(n)
+        }
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+      def readsIndex(p: SparkPlan): Boolean =
+        allNodes(p).exists(_.toString.contains(dir))
+      // a dir-scan is "uncovered" under a node if it can be reached
+      // without passing through a broadcast hash join (the pruning
+      // point that turns corpus mass into candidate mass)
+      def uncovered(p: SparkPlan): Boolean = p match {
+        case _: BroadcastHashJoinExec => false
+        case im: InMemoryTableScanExec => uncovered(im.relation.cachedPlan)
+        case a: AdaptiveSparkPlanExec => uncovered(a.executedPlan)
+        case leaf if leaf.children.isEmpty => leaf.toString.contains(dir)
+        case n => n.children.exists(uncovered)
+      }
+      val nodes = allNodes(probe.queryExecution.sparkPlan)
+      val shuffles = nodes.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty, "the probe's batch-side work does shuffle")
+      // rule 1: the bucket aggregation over index rows is GONE — no
+      // bucket-keyed and no set-keyed exchange reads the index
+      shuffles.foreach { e =>
+        val keys = e.outputPartitioning.toString
+        assert(!((keys.contains("bucket") || keys.contains("shh")) && readsIndex(e.child)),
+          s"a corpus-keyed aggregation shuffles index rows in the banded probe:\n$e")
+      }
+      // rule 2: every index/bands scan beneath any exchange is
+      // broadcast-join-pruned first — corpus mass never ships
+      val exchanges: Seq[SparkPlan] = shuffles ++
+        nodes.collect { case b: BroadcastExchangeExec => b }
+      exchanges.foreach { e =>
+        assert(!uncovered(e.children.head),
+          s"an unpruned index scan ships through an exchange in the banded probe:\n$e")
+      }
+      // and the pinned plan still answers: same pairs as the unified
+      // probe over the same store version
+      val loaded = MinhashIndexStore.read(spark, dir)
+      val unified = Dedup.minhashIndexDedupBatch(loaded.index,
+        docs.where(col("doc_id") % 5 === 0), "doc_id", "text",
+        shingleK = 5, threshold = 0.5)
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val got = pairs(probe)
+      assert(got.nonEmpty && got === pairs(unified))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+      spark.catalog.clearCache()
+    }
+  }
+
   private def t3(name: String) =
     spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
 }
