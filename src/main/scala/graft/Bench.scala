@@ -166,8 +166,16 @@ object Bench {
     }
     runSentinel() // closing boundary: the last segment gets a reading too
     val results = perRun.map { case (name, ts) => name -> median(ts) }
+    // millisecond precision in the emitted JSON: the harness captures a
+    // bounded TAIL of stdout, and ~100 full-precision doubles pushed the
+    // one-line record past that window (the r14 sweep's record survived
+    // only as an unparseable fragment). 3 decimals halves the line; no
+    // reading here is meaningful below a millisecond anyway (-1.0 error
+    // sentinels round to themselves)
+    def r3(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def fmt(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      rs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val qs = fmt(results)
     val (total, errors) = summarize(results)
     val loadAfter = loadAvg1m()
@@ -193,9 +201,9 @@ object Bench {
       val ok = ts.filter(_ >= 0)
       val mn = if (ok.nonEmpty) ok.min else -1.0
       val mx = if (ok.nonEmpty) ok.max else -1.0
-      s""""sentinel":{"every":$sentinelEvery,"min":$mn,"max":$mx,"times":[${ts.mkString(",")}]}"""
+      s""""sentinel":{"every":$sentinelEvery,"min":${r3(mn)},"max":${r3(mx)},"times":[${ts.map(r3).mkString(",")}]}"""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errors,"load_before":$loadBefore,"load_after":$loadAfter,$sentinel$repFields}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errors,"load_before":$loadBefore,"load_after":$loadAfter,$sentinel$repFields}""")
     spark.stop()
   }
 }

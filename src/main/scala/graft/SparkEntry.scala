@@ -1373,6 +1373,52 @@ object SparkEntry {
         (col("_nh").cast("double") / col("n_pairs") >= lit(0.9)).as("recall_ok"))
   }
 
+  /** Incremental SemDeDup — the semantic index lifecycle the
+    * always-ingesting pipeline runs daily, gated with the
+    * q_semantic_dedup contract shape: the standing corpus (vec_id %
+    * 5 ≠ 0) trains the k-means cells ONCE
+    * ([[Similarity.semanticIndexBuild]]), then the arriving batch
+    * (vec_id % 5 = 0) probes against the STANDING cells
+    * ([[Similarity.semanticDedupBatch]]) without re-training — emitting
+    * exact-cosine near-dup pairs touching the batch, old×old never
+    * re-emitted. Planted near-dups ride a +1000001 id shift so the
+    * planted pairs span every class (old×new, new×old, old×old —
+    * suppressed, new×new). The reference is [[Similarity.cosineNearDups]]
+    * (≡ the exact all-pairs scan on this corpus, see qCosineNearDups)
+    * filtered to batch-touching pairs; hashed columns are its
+    * deterministic aggregates plus the recall bit (floor 0.9 — standing
+    * cells, not a retrain, set the boundary-miss geometry) and the
+    * sidedness bit (zero emitted pairs that touch no batch id). */
+  def qSemanticIncr(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val planted = emb.select(
+      (col("vec_id") + lit(1000001L)).as("vec_id"),
+      zip_with(col("v"), concat(slice(col("v"), 2, 63), slice(col("v"), 1, 1)),
+        (x, y) => x + lit(0.05) * y).as("v"))
+    val corpus = emb.unionByName(planted)
+    val isNew = col("vec_id") % 5 === 0
+    val (centroids, cells) = Similarity.semanticIndexBuild(
+      corpus.where(!isNew), "vec_id", "v")
+    val sem = graft.ops.OpCaches.registered(Similarity.semanticDedupBatch(
+      centroids, cells, corpus.where(isNew), "vec_id", "v", threshold = 0.9))
+    val ref = graft.ops.OpCaches.registered(
+      Similarity.cosineNearDups(corpus, "vec_id", "v",
+        dim = 64, threshold = 0.9, numTables = 12)
+        .where(col("id_a") % 5 === 0 || col("id_b") % 5 === 0))
+    val hits = ref.select("id_a", "id_b")
+      .join(sem.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi")
+    val unsided = sem.where(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0)
+    ref.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("score").cast("decimal(12,6)")).cast("double").as("sum_score"))
+      .crossJoin(hits.agg(count(lit(1)).as("_nh")))
+      .crossJoin(unsided.agg(count(lit(1)).as("_nu")))
+      .select(col("n_pairs"), col("sum_score"),
+        (col("_nh").cast("double") / col("n_pairs") >= lit(0.9)).as("recall_ok"),
+        (col("_nu") === lit(0)).as("sided_ok"))
+  }
+
   /** Embedding analytics rollup: per-label vector counts and norm
     * statistics. Norms go through the bit-stable dot kernel, then
     * DECIMAL(12,6) partials make the per-group sums order-independent
@@ -1543,6 +1589,36 @@ object SparkEntry {
           size(col("pixels"))).as("px_mean"),
         array_min(col("pixels")).as("px_min"),
         array_max(col("pixels")).as("px_max"))
+  }
+
+  /** Audio SAMPLE tier over the multimodal surface — the
+    * [[qPixelStats]] pattern for waveforms: per-document GENUINE WAV
+    * payloads (16-bit PCM through the real
+    * `javax.sound.sampled.AudioSystem` WAVE writer, samples from the
+    * deterministic formula `s(f,c) = (7·id + 9973·f + 12345·c) mod 65536 −
+    * 32768`) are decoded back to frame-interleaved waveforms by
+    * [[Multimodal.decodeAudioSamples]], then reduced declaratively to
+    * per-channel mean/RMS/peak (the de-interleave is an index-lambda
+    * `filter`, the sums exact long folds — all narrow HOFs, no
+    * shuffle). The oracle recomputes every sample arithmetically, so a
+    * decoder that misreads the chunk walk, the sign, the endianness,
+    * or the interleave shifts the sums and fails the hash. */
+  def qAudioStats(spark: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.syntheticWavAssets(t(spark, dir, "documents"), "doc_id")
+    Multimodal.decodeAudioSamples(assets)
+      .select(col("asset_id"), col("channels"), col("sample_rate"), col("samples"),
+        explode(sequence(lit(0), col("channels") - 1)).as("channel"))
+      .select(col("asset_id"), col("channel"), col("sample_rate"),
+        (size(col("samples")) / col("channels")).cast("int").as("n_frames"),
+        filter(col("samples"),
+          (_, i) => i % col("channels") === col("channel")).as("cs"))
+      .select(col("asset_id"), col("channel"), col("sample_rate"), col("n_frames"),
+        (aggregate(col("cs"), lit(0L), (a, x) => a + x).cast("double") /
+          size(col("cs"))).as("ch_mean"),
+        sqrt(aggregate(col("cs"), lit(0L),
+          (a, x) => a + x.cast("long") * x).cast("double") /
+          size(col("cs"))).as("ch_rms"),
+        array_max(transform(col("cs"), x => abs(x))).as("ch_peak"))
   }
 
   /** CDC apply-changes over a deterministic synthetic changeset:
@@ -1799,6 +1875,7 @@ object SparkEntry {
     "q_dim_stats"        -> qDimStats,
     "q_cosine_near_dups" -> qCosineNearDups,
     "q_semantic_dedup"   -> qSemanticDedup,
+    "q_semantic_incr"    -> qSemanticIncr,
     "q_heavy_hitters"    -> qHeavyHitters,
     "q_bpe_encode"       -> qBpeEncode,
     "q_zorder"           -> qZorder,
@@ -1814,6 +1891,7 @@ object SparkEntry {
     "q_image_meta"       -> qImageMeta,
     "q_pixel_stats"      -> qPixelStats,
     "q_audio_meta"       -> qAudioMeta,
+    "q_audio_stats"      -> qAudioStats,
     "q_quantize_emb"     -> qQuantizeEmbeddings,
     "q_adc_topk"         -> qAdcTopK,
     "q_pq_topk"          -> qPqTopK,
@@ -2954,6 +3032,30 @@ object SparkEntry {
          |       TRUE AS recall_ok
          |FROM pairs WHERE score >= 0.9""".stripMargin
     },
+    "q_semantic_incr" -> {
+      // the q_semantic_dedup exact all-pairs reference with the
+      // +1000001 planted shift, filtered to pairs touching the batch
+      // (vec_id % 5 = 0); recall and sidedness bits are the contract,
+      // emitted as TRUE
+      val dotAB = sqlDot("a.v", "b.v")
+      val dotAA = sqlDot("a.v", "a.v")
+      val dotBB = sqlDot("b.v", "b.v")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT vec_id + 1000001 AS vec_id,
+         |             list_transform(list_zip(v, v[2:64] || v[1:1]),
+         |                            x -> x[1] + 0.05 * x[2]) AS v
+         |      FROM e),
+         |u AS (SELECT * FROM e UNION ALL SELECT * FROM p),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         $dotAB / (sqrt($dotAA) * sqrt($dotBB)) AS score
+         |  FROM u a CROSS JOIN u b WHERE a.vec_id < b.vec_id)
+         |SELECT count(*) AS n_pairs,
+         |       CAST(SUM(CAST(score AS DECIMAL(12,6))) AS DOUBLE) AS sum_score,
+         |       TRUE AS recall_ok, TRUE AS sided_ok
+         |FROM pairs WHERE score >= 0.9
+         |  AND (id_a % 5 = 0 OR id_b % 5 = 0)""".stripMargin
+    },
     "q_bpe_encode" ->
       // the exact anchors (doc count, whitespace token total) plus the
       // three invariant bits the Spark side must prove — the learned
@@ -3049,6 +3151,26 @@ object SparkEntry {
         |       CAST(16 AS INTEGER) AS bits_per_sample,
         |       CAST(((doc_id % 100 + 1) * 64) // (2 * (1 + doc_id % 2)) AS BIGINT) AS n_frames
         |FROM documents ORDER BY asset_id""".stripMargin,
+    "q_audio_stats" ->
+      // the WAV fixture formula recomputed arithmetically per (doc,
+      // channel): exact integer sums (|v| ≤ 32768, ≤ 64 frames — sum
+      // and sum-of-squares exact in BIGINT), one double division, one
+      // IEEE sqrt — the same ops Spark runs, bit-equal
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+        |                  CAST(8000 * (1 + doc_id % 5) AS INTEGER) AS rate,
+        |                  CAST(16 + doc_id % 49 AS INTEGER) AS nf
+        |           FROM documents),
+        |s AS (SELECT d.doc_id, d.rate, d.nf, c.i AS c,
+        |             (7 * d.doc_id + 9973 * f.i + 12345 * c.i) % 65536 - 32768 AS v
+        |      FROM d, range(65) f(i), range(2) c(i)
+        |      WHERE f.i < d.nf AND c.i < d.ch)
+        |SELECT doc_id AS asset_id, CAST(c AS INTEGER) AS channel,
+        |       any_value(rate) AS sample_rate,
+        |       any_value(nf) AS n_frames,
+        |       CAST(sum(v) AS DOUBLE) / count(*) AS ch_mean,
+        |       sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)) AS ch_rms,
+        |       CAST(max(abs(v)) AS INTEGER) AS ch_peak
+        |FROM s GROUP BY doc_id, c ORDER BY doc_id, c""".stripMargin,
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
         |FROM events ORDER BY event_id""".stripMargin,

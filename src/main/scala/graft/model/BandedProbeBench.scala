@@ -1,0 +1,87 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measures the banded probe against the unified probe over a
+  * PERSISTED index — the runnable form of the
+  * [[graft.ops.Dedup.minhashIndexDedupBatchBanded]] economics claim:
+  * with the bucket table pre-aggregated at build time, the per-probe
+  * (band, bucket) exchange over broadcast-pruned index rows disappears,
+  * so probe wall-time (and shuffle mass) should track batch +
+  * candidate size with no corpus-size term.
+  *
+  * Usage: `runMain graft.model.BandedProbeBench [dir]` (default
+  * `SPARK_GRAFT_SF_DIR`, else the 10× corpus). Builds the standing
+  * index over `documents` (doc_id % 5 ≠ 0) through
+  * [[graft.ops.MinhashIndexStore]], then times (median of 3, one
+  * warm-up each) the unified probe over the reloaded index frame and
+  * the banded probe over the reloaded (index, bands) pair, asserting
+  * pair-count equality between the two. Prints one JSON line. */
+object BandedProbeBench {
+
+  private def time(body: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val n = body
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  private def median(body: => Long, reps: Int = 3): (Double, Long) = {
+    time(body) // warm-up (JIT, codegen, page cache)
+    val runs = (1 to reps).map(_ => time(body))
+    (runs.map(_._1).sorted.apply(reps / 2), runs.head._2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    import graft.ops.{Dedup, MinhashIndexStore}
+    val dir = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("/tmp/graft-10x")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.optimizer.excludedRules", graft.EngineConf.ExcludedOptimizerRules)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val store = java.nio.file.Files.createTempDirectory("banded-bench").toString
+    try {
+      val (buildSec, _) = time {
+        MinhashIndexStore.init(
+          Dedup.minhashIndexBuild(corpus, "doc_id", "text", shingleK = 5), store)
+        0L
+      }
+      def clearAll(): Unit = spark.catalog.clearCache()
+      val loaded = MinhashIndexStore.read(spark, store)
+      val (unifiedSec, unifiedPairs) = median {
+        clearAll()
+        Dedup.minhashIndexDedupBatch(loaded.index, batch,
+          "doc_id", "text", shingleK = 5, threshold = 0.5).count()
+      }
+      val (bandedSec, bandedPairs) = median {
+        clearAll()
+        MinhashIndexStore.probeLatest(spark, store, batch,
+          "doc_id", "text", shingleK = 5, threshold = 0.5).count()
+      }
+      require(unifiedPairs == bandedPairs,
+        s"probe disagreement: unified=$unifiedPairs banded=$bandedPairs")
+      println(
+        s"""{"dir":"$dir","corpus_rows":${corpus.count()},""" +
+        s""""batch_rows":${batch.count()},"pairs":$unifiedPairs,""" +
+        s""""build_init_sec":$buildSec,"unified_probe_sec":$unifiedSec,""" +
+        s""""banded_probe_sec":$bandedSec}""")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(store)).deleteRecursively()
+      spark.stop()
+    }
+  }
+}

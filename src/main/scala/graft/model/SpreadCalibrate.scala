@@ -80,6 +80,19 @@ object SpreadCalibrate {
           "vec_id", "v", dim = 64, numPlanes = 4, numTables = 12,
           seedBase = 42)))
 
+    // The CALIBRATION PIN: each Tables floor must sit within this band
+    // of its freshly measured single-stage break-even. The lower edge
+    // (1×) is the model's own verdict — a floor under break-even turns
+    // the spread on where it measurably regresses; the upper edge (8×)
+    // bounds the multi-stage margin the Tables docstring claims (pins
+    // recorded at 1.2×/2.7×) plus run-to-run fixed-cost scatter
+    // (machine load moves the measured fixed cost, not perRow, so the
+    // band is wide on purpose — a drifted pin or a re-shaped kernel
+    // lands OUTSIDE it, ordinary scatter inside). Out-of-band fails the
+    // run by name: recalibrate or re-pin, never both silently.
+    val BandLo = 1.0
+    val BandHi = 8.0
+    var outOfBand = List.empty[String]
     kernels.foreach { case (name, kernel) =>
       val (key, pinned) = Tables.cpuHeavySpread(name)
       val raw = Tables.loadRaw(spark, dir, name)
@@ -94,12 +107,21 @@ object SpreadCalibrate {
       val fixed = math.max(0.0, spread - single / p)
       val breakEven =
         if (perRow > 0) (fixed / (perRow * (1.0 - 1.0 / p))).toLong else -1L
+      val ratio = if (breakEven > 0) pinned.toDouble / breakEven else -1.0
+      val ok = ratio >= BandLo && ratio <= BandHi
+      if (!ok) outOfBand ::= name
       println(
         s"""{"table":"$name","dir":"$dir","rows":$rows,"parallelism":$p,""" +
         s""""single_task_sec":$single,"spread_sec":$spread,""" +
         s""""per_row_usec":${perRow * 1e6},"fixed_cost_sec":$fixed,""" +
-        s""""break_even_rows":$breakEven,"pinned_floor":$pinned}""")
+        s""""break_even_rows":$breakEven,"pinned_floor":$pinned,""" +
+        s""""pin_over_break_even":$ratio,"pin_in_band":$ok}""")
     }
     spark.stop()
+    require(outOfBand.isEmpty,
+      s"calibration pin failed: floor(s) for ${outOfBand.mkString(", ")} sit " +
+        s"outside [$BandLo, $BandHi]× their measured break-even — the pinned " +
+        "Tables.cpuHeavySpread constants no longer match this machine/corpus; " +
+        "re-derive the floors (and re-bracket) per the Tables docstring")
   }
 }

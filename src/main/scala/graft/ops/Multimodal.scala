@@ -351,6 +351,142 @@ object Multimodal {
       } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Output schema of [[decodeAudioSamples]]: the audio SAMPLE tier —
+    * the [[pixelSchema]] convention over PCM. `samples` is the decoded
+    * waveform, frame-interleaved — sample index `frame · channels +
+    * channel` — 16-bit PCM as signed values in [-32768, 32767], 8-bit
+    * PCM as its native unsigned [0, 255]. Parse failures carry null
+    * geometry and a null waveform (kept, not dropped). */
+  val audioSamplesSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("bits_per_sample", IntegerType, nullable = true),
+    StructField("samples", ArrayType(IntegerType), nullable = true)))
+
+  /** Sample cap for [[decodeAudioSamples]] — the [[MaxPixelSamples]]
+    * task-OOM guard applied to waveforms: a payload declaring more PCM
+    * samples than this is reported as a parse failure instead of
+    * materializing one row that dwarfs its partition. 64M samples ≈
+    * 256 MB of ints ≈ 25 minutes of 16-bit stereo at 44.1 kHz. */
+  val MaxAudioSamples: Long = 64L * 1024 * 1024
+
+  /** REAL audio-sample decode (no stub): WAV PCM payload bytes → the
+    * waveform, batched per partition like every tier. Where
+    * [[decodeAudioMeta]] stops at the declared geometry (the metadata
+    * scan), this reads the data chunk — 8-bit and 16-bit integer PCM,
+    * the formats inside `audio/wav` that need no codec — so per-row
+    * cost IS the payload scan: at 100 TB run it AFTER metadata-tier
+    * filtering, repartitioned so large files spread across tasks (the
+    * [[decodePixels]] guidance). Truncated payloads decode their
+    * complete frames (a tail fragment of a frame is dropped, never a
+    * partial frame); unsupported formats (compressed, float,
+    * 24/32-bit) and oversized declarations are parse failures. */
+  def decodeAudioSamples(assets: DataFrame): DataFrame =
+    mapAssets(assets, audioSamplesSchema)((id, bytes) =>
+      wavSamples(bytes) match {
+        case Some((ch, rate, bits, px)) => Row(id, ch, rate, bits, px.toSeq)
+        case None => Row(id, null, null, null, null)
+      })
+
+  /** Decode (channels, sampleRate, bitsPerSample, samples) from WAV
+    * bytes: the [[wavMeta]] chunk walk, plus the data-chunk payload
+    * decoded as integer PCM. Returns None — never a throw — for
+    * non-PCM formats (only format code 1 with 8 or 16 bits is integer
+    * PCM the JVM can decode without a codec), declared sample counts
+    * over [[MaxAudioSamples]], or unparseable containers. */
+  private[graft] def wavSamples(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Array[Int])] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def ascii(i: Int, s: String): Boolean =
+      i + s.length <= bytes.length && s.indices.forall(j => u8(i + j) == s.charAt(j))
+    if (!(bytes.length >= 12 && ascii(0, "RIFF") && ascii(8, "WAVE"))) return None
+    var i = 12
+    // channels, rate, bits, blockAlign, format code
+    var fmt: Option[(Int, Int, Int, Int, Int)] = None
+    var dataOffset = -1
+    var dataBytes = -1L
+    while (i + 8 <= bytes.length && (fmt.isEmpty || dataOffset < 0)) {
+      val size = le32(i + 4)
+      if (ascii(i, "fmt ") && size >= 16 && i + 8 + 16 <= bytes.length) {
+        fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 22),
+          le16(i + 20), le16(i + 8)))
+      } else if (ascii(i, "data")) {
+        dataOffset = i + 8
+        dataBytes = size
+      }
+      val next = i.toLong + 8 + size + (size & 1) // word-aligned chunks
+      i = if (next > bytes.length) bytes.length else next.toInt
+    }
+    fmt match {
+      case Some((ch, rate, bits, block, code))
+          if code == 1 && (bits == 8 || bits == 16) && ch > 0 && rate > 0 &&
+            block == ch * (bits / 8) && dataOffset >= 0 && dataBytes >= 0 &&
+            (dataBytes / (bits / 8)) <= MaxAudioSamples =>
+        // complete frames only, within both the declared size and the
+        // buffer (a truncated tail fragment never yields a partial frame)
+        val avail = math.min(dataBytes, (bytes.length - dataOffset).toLong)
+        val nFrames = (avail / block).toInt
+        val out = new Array[Int](nFrames * ch)
+        var s = 0
+        while (s < out.length) {
+          if (bits == 8) out(s) = u8(dataOffset + s)
+          else out(s) = le16(dataOffset + 2 * s).toShort.toInt // sign-extend
+          s += 1
+        }
+        Some((ch, rate, bits, out))
+      case _ => None
+    }
+  }
+
+  /** Deterministic REAL-WAV asset generator — the
+    * [[syntheticPngAssets]] idea for audio: for each id, 16-bit PCM
+    * with `1 + id mod 2` channels at `8000 · (1 + id mod 5)` Hz,
+    * `16 + id mod 49` frames, sample
+    * `s(f, c) = ((7·id + 9973·f + 12345·c) mod 65536) − 32768`, encoded
+    * through the actual `javax.sound.sampled.AudioSystem` WAVE writer
+    * on the executors — genuine playable WAV files whose every sample
+    * a SQL oracle can recompute arithmetically. Integer PCM is
+    * lossless, so the encode→decode round trip is bit-exact. */
+  def syntheticWavAssets(src: DataFrame, idCol: String): DataFrame = {
+    val spark = src.sparkSession
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val rdd = src.select(col(idCol).cast("long")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val ch = (1 + math.floorMod(id, 2)).toInt
+        val rate = (8000 * (1 + math.floorMod(id, 5))).toInt
+        val nFrames = (16 + math.floorMod(id, 49)).toInt
+        val pcm = java.nio.ByteBuffer.allocate(nFrames * ch * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var f = 0
+        while (f < nFrames) {
+          var c = 0
+          while (c < ch) {
+            pcm.putShort(
+              (math.floorMod(7 * id + 9973 * f + 12345 * c, 65536) - 32768).toShort)
+            c += 1
+          }
+          f += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, ch, true, false) // signed, little-endian
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm.array()), fmt, nFrames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id, bos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Deterministic REAL-PNG asset generator: for each id, an 8-bit
     * grayscale image of `(8 + id % 9) × (8 + 3·id % 9)` pixels with
     * sample `g(x, y) = (id + x + y) mod 256`, encoded through the

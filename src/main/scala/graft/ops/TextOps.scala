@@ -681,4 +681,35 @@ object TextOps {
     merges.toSeq
   }
 
+  /** The learned merge list as a writable frame `(rank, a, b)` — BPE's
+    * model state in the house persistence idiom ([[graft.ops.Similarity.ivfCentroidsDf]]
+    * precedent): train ONCE with [[bpeLearnMerges]] (the corpus-sized
+    * pass), persist as ordinary parquet, and every later encode session
+    * reloads the list instead of re-training. Rank is the merge's
+    * learning order — BPE application is order-sensitive (each round's
+    * fuse changes the next round's pair counts), so the rank column IS
+    * the model, not bookkeeping. Strings round-trip parquet exactly
+    * (UTF-8 byte-preserving), so a reloaded list encodes bit-identically
+    * to the trained one (parity spec-pinned). */
+  def bpeMergesDf(spark: org.apache.spark.sql.SparkSession,
+                  merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "a", "b")
+  }
+
+  /** Reload the merge list written from [[bpeMergesDf]], rank order
+    * restored. The rank column must be a dense 0..n-1 sequence — a
+    * filtered or corrupted model frame fails by name instead of
+    * silently training-drifting every later encode. */
+  def bpeMergesFromDf(df: DataFrame): Seq[(String, String)] = {
+    val rows = df.select(col("rank").cast("int"), col("a"), col("b"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    require(rows.map(_._1).toSeq == rows.indices.toSeq,
+      s"bpe merge frame ranks are not the dense sequence 0..${rows.length - 1} " +
+        "— the model was filtered or corrupted; re-persist from bpeMergesDf")
+    rows.map(r => (r._2, r._3)).toSeq
+  }
+
 }

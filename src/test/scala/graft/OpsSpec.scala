@@ -2163,6 +2163,40 @@ class OpsSpec extends SparkSpec {
     assert(capped.toSeq === Seq((3L, 101L)))
   }
 
+  test("bpe merge model: parquet round-trip encodes bit-identically; corrupted ranks refuse") {
+    // the persist/reload lifecycle: the rank-ordered merge list IS the
+    // model (BPE application is order-sensitive), so the reloaded list
+    // must be element-equal and encode every document identically to
+    // the trained one
+    import graft.functions.BpeFunctions.bpe_encode
+    val docs = Seq(
+      "low low low low low", "lower lower widest widest widest",
+      "newest newest newest newest newest newest",
+      "the quick brown fox the quick", "ab abab ba").toDF("text")
+    val trained = TextOps.bpeLearnMerges(docs, "text", 12)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-model").toString
+    try {
+      TextOps.bpeMergesDf(spark, trained).write.mode("overwrite").parquet(dir)
+      val reloaded = TextOps.bpeMergesFromDf(spark.read.parquet(dir))
+      assert(reloaded === trained)
+      val probe = Seq("lowest newest widest", "the quick fox", "abab ba x")
+        .toDF("text")
+      val a = probe.select(bpe_encode(lower(col("text")), trained).as("t"))
+        .collect().map(_.getSeq[String](0))
+      val b = probe.select(bpe_encode(lower(col("text")), reloaded).as("t"))
+        .collect().map(_.getSeq[String](0))
+      assert(a.toSeq === b.toSeq)
+      // a filtered model frame (missing rank) fails by name instead of
+      // silently encoding with a drifted merge order
+      val e = intercept[IllegalArgumentException](TextOps.bpeMergesFromDf(
+        spark.read.parquet(dir).where(col("rank") =!= 3)))
+      assert(e.getMessage.contains("not the dense sequence"))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("bpe pairs: weighted adjacent pairs, single-char words excluded, CJK chars") {
     val docs = Seq(
       (1L, "ab ab cd x"),   // ab twice, cd once, x contributes no pair
@@ -3139,6 +3173,63 @@ class OpsSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       Incremental.finalizeState(legacy, Seq("g")))
     assert(e2.getMessage.contains("legacy"), e2.getMessage)
+  }
+
+  test("multimodal: audio sample decode round-trips genuine AudioSystem WAVs; guards fire") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wav(rate: Int, bits: Int, ch: Int, pcm: Array[Byte], frames: Long): Array[Byte] = {
+      val fmt = new AudioFormat(rate.toFloat, bits, ch, bits == 16, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // 16-bit stereo: known signed samples, frame-interleaved, LE on disk
+    val s16 = Array[Short](0, -1, 32767, -32768, 1000, -1000)
+    val b16 = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    s16.foreach(b16.putShort)
+    val d16 = Multimodal.wavSamples(wav(16000, 16, 2, b16.array(), 3))
+    assert(d16.isDefined)
+    assert((d16.get._1, d16.get._2, d16.get._3) === ((2, 16000, 16)))
+    assert(d16.get._4.toSeq === s16.map(_.toInt).toSeq)
+    // 8-bit mono decodes its native unsigned range
+    val d8 = Multimodal.wavSamples(wav(8000, 8, 1, Array[Byte](0, 127, -1, -128), 4))
+    assert(d8.get._1 === 1 && d8.get._3 === 8)
+    assert(d8.get._4.toSeq === Seq(0, 127, 255, 128))
+    // truncated payload: complete frames only, never a partial frame
+    val full = wav(16000, 16, 2, b16.array(), 3)
+    val cut = full.dropRight(3) // kills frame 3's second channel
+    val dCut = Multimodal.wavSamples(cut)
+    assert(dCut.get._4.toSeq === s16.take(4).map(_.toInt).toSeq)
+    // corrupt container and a declared sample count over the cap refuse
+    assert(Multimodal.wavSamples("nonsense".getBytes) === None)
+    val bomb = full.clone()
+    // patch the data chunk's declared size to > MaxAudioSamples samples
+    val di = (0 until bomb.length - 8).find(i =>
+      bomb(i) == 'd' && bomb(i + 1) == 'a' && bomb(i + 2) == 't' && bomb(i + 3) == 'a').get
+    val huge = (Multimodal.MaxAudioSamples + 1) * 2
+    bomb(di + 4) = (huge & 0xff).toByte
+    bomb(di + 5) = ((huge >> 8) & 0xff).toByte
+    bomb(di + 6) = ((huge >> 16) & 0xff).toByte
+    bomb(di + 7) = ((huge >> 24) & 0xff).toByte
+    assert(Multimodal.wavSamples(bomb) === None)
+    // the frame surface: decode failures keep their row with null
+    // geometry (the metadata-tier convention)
+    val assets = Seq((1L, full), (2L, "junk".getBytes)).toDF("asset_id", "payload")
+    val rows = Multimodal.decodeAudioSamples(assets).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getSeq[Int](4).length === 6)
+    assert(rows(2L).isNullAt(1) && rows(2L).isNullAt(4))
+    // generator → decoder round trip matches the arithmetic formula
+    val gen = Multimodal.syntheticWavAssets(Seq(5L).toDF("doc_id"), "doc_id")
+    val g = Multimodal.decodeAudioSamples(gen).collect()(0)
+    val ch = 1 + 5 % 2; val nf = 16 + 5 % 49
+    assert(g.getInt(1) === ch && g.getInt(2) === 8000 * (1 + 5 % 5))
+    val expected = for (f <- 0 until nf; c <- 0 until ch)
+      yield math.floorMod(7 * 5 + 9973 * f + 12345 * c, 65536) - 32768
+    assert(g.getSeq[Int](4) === expected)
   }
 
   test("pixel decode: bomb gate fires from the header; palette images still decode") {
