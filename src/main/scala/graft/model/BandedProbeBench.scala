@@ -11,13 +11,17 @@ import org.apache.spark.sql.functions._
   * so probe wall-time (and shuffle mass) should track batch +
   * candidate size with no corpus-size term.
   *
-  * Usage: `runMain graft.model.BandedProbeBench [dir]` (default
-  * `SPARK_GRAFT_SF_DIR`, else the 10× corpus). Builds the standing
-  * index over `documents` (doc_id % 5 ≠ 0) through
+  * Usage: `runMain graft.model.BandedProbeBench [dir [maxBatchId]]`
+  * (default `SPARK_GRAFT_SF_DIR`, else the 10× corpus). Builds the
+  * standing index over `documents` (doc_id % 5 ≠ 0) through
   * [[graft.ops.MinhashIndexStore]], then times (median of 3, one
   * warm-up each) the unified probe over the reloaded index frame and
   * the banded probe over the reloaded (index, bands) pair, asserting
-  * pair-count equality between the two. Prints one JSON line. */
+  * pair-count equality between the two. Prints one JSON line.
+  * `maxBatchId` caps the batch at `doc_id < maxBatchId` — run the SAME
+  * capped batch against corpora of different scales to read the
+  * per-probe corpus-size term directly (the claim under test: the
+  * banded probe's is zero up to the narrow pre-banded scan). */
 object BandedProbeBench {
 
   private def time(body: => Long): (Double, Long) = {
@@ -51,7 +55,11 @@ object BandedProbeBench {
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val corpus = docs.where(col("doc_id") % 5 =!= 0)
-    val batch = docs.where(col("doc_id") % 5 === 0)
+    val batch = args.drop(1).headOption match {
+      case Some(cap) =>
+        docs.where(col("doc_id") % 5 === 0 && col("doc_id") < cap.toLong)
+      case None => docs.where(col("doc_id") % 5 === 0)
+    }
     val store = java.nio.file.Files.createTempDirectory("banded-bench").toString
     try {
       val (buildSec, _) = time {

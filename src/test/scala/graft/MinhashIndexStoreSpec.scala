@@ -191,6 +191,35 @@ class MinhashIndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("probeLatest probes with the PERSISTED banding parameters, not the caller's defaults") {
+    withDir { dir =>
+      // build with non-default banding (12 bands × 4 rows — same
+      // 48-hash signature, different bucket geometry); a probe that
+      // fell back to the 24×2 defaults would band the batch
+      // differently than the stored bucket table and silently drop
+      // candidates. probeLatest must read the persisted meta.
+      val corpus = docs(1L to 20L)
+      val batch = docs(21L to 25L)
+        .unionByName(corpus.where(col("doc_id") === 7L)
+          .select(lit(107L).as("doc_id"), col("text")))
+      MinhashIndexStore.init(
+        Dedup.minhashIndexBuild(corpus, "doc_id", "text", shingleK = K,
+          numBands = 12, rowsPerBand = 4),
+        dir, numBands = 12, rowsPerBand = 4)
+      assert(MinhashIndexStore.read(spark, dir).meta ===
+        MinhashIndexStore.IndexMeta(12, 4, Dedup.DefaultMaxGroupSize))
+      val expected = pairSet(Dedup.minhashIndexDedupBatch(
+        Dedup.minhashIndexBuild(corpus, "doc_id", "text", shingleK = K,
+          numBands = 12, rowsPerBand = 4),
+        batch, "doc_id", "text", shingleK = K, numBands = 12,
+        rowsPerBand = 4, threshold = 0.5))
+      val got = pairSet(MinhashIndexStore.probeLatest(spark, dir, batch,
+        "doc_id", "text", shingleK = K, threshold = 0.5))
+      assert(expected.contains((7L, 107L, 1.0)))
+      assert(got === expected)
+    }
+  }
+
   test("read refuses a missing or uncommitted pinned version by name") {
     withDir { dir =>
       MinhashIndexStore.init(build(docs(1L to 10L)), dir)

@@ -687,6 +687,56 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("semantic index probe never shuffles the standing cell table") {
+    // semanticDedupBatch's scale contract, the banded-probe economics
+    // for embeddings: the batch's cells broadcast; the persisted cell
+    // frame is read by a narrow scan that never crosses a shuffle
+    // exchange — per-batch exchange mass tracks batch + candidate
+    // size, not corpus size. (At 100 TB the cell frame is additionally
+    // partitioned by `cell`; the join is then partition-pruned too.)
+    import graft.ops.Similarity
+    val emb = t3("embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val corpus = emb.where(col("vec_id") % 5 =!= 0)
+    val batch = emb.where(col("vec_id") % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("sem-plan").toString
+    try {
+      val (centroids, cells) = Similarity.semanticIndexBuild(
+        corpus, "vec_id", "v", nlist = 8)
+      Similarity.ivfCentroidsDf(spark, centroids)
+        .write.mode("overwrite").parquet(s"$dir/centroids")
+      cells.write.mode("overwrite").parquet(s"$dir/cells")
+      spark.catalog.clearCache() // build-time caches must not mask the
+      // probe's own plan shape
+      val probe = Similarity.semanticDedupBatch(
+        Similarity.ivfCentroidsFromDf(spark.read.parquet(s"$dir/centroids")),
+        spark.read.parquet(s"$dir/cells"), batch, "vec_id", "v",
+        threshold = 0.9)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def allNodes(p: SparkPlan): Seq[SparkPlan] =
+        p.collect { case n => n }.flatMap {
+          case im: InMemoryTableScanExec =>
+            im +: allNodes(im.relation.cachedPlan)
+          case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+          case n => Seq(n)
+        }
+      val nodes = allNodes(probe.queryExecution.sparkPlan)
+      nodes.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+        val reads = allNodes(e.child).map(_.toString)
+        assert(!reads.exists(_.contains(s"$dir/cells")),
+          s"the standing cell table is shuffled in the semantic probe:\n$e")
+      }
+      assert(probe.queryExecution.sparkPlan != null)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+      spark.catalog.clearCache()
+    }
+  }
+
   private def t3(name: String) =
     spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
 }

@@ -482,6 +482,61 @@ class StreamingSpec extends SparkSpec {
     } finally { query.stop(); spark.catalog.clearCache() }
   }
 
+  test("persisted minhash store maintained by a foreachBatch stream: banded probes + versioned appends") {
+    // the production form of the previous test: the stream's standing
+    // state lives in MinhashIndexStore (parquet, versioned) instead of
+    // a driver variable — each micro-batch probes the latest committed
+    // version through the exchange-free banded path (probeLatest, which
+    // reads the persisted banding parameters), then advances the store
+    // with a protocol-checked append. After all batches the
+    // accumulated pair set equals the full recompute, and the store's
+    // head names exactly one version per maintenance step.
+    import graft.ops.{Dedup, MinhashIndexStore}
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("minhash-stream-store").toString
+    val emptyCorpus = Seq.empty[StreamDoc].toDF()
+    MinhashIndexStore.init(
+      Dedup.minhashIndexBuild(emptyCorpus, "doc_id", "text", shingleK = 5), dir)
+    val pairs = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    val input = MemoryStream[StreamDoc]
+    val query = input.toDF().writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        pairs ++= MinhashIndexStore.probeLatest(spark, dir, batch,
+            "doc_id", "text", shingleK = 5, threshold = 0.5)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        val base = MinhashIndexStore.latestVersion(spark, dir).get
+        MinhashIndexStore.append(spark, dir,
+          Dedup.minhashIndexBuild(batch, "doc_id", "text", shingleK = 5), base)
+        ()
+      }
+      .start()
+    try {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[StreamDoc]
+      def feed(docs: StreamDoc*): Unit = {
+        seen ++= docs; input.addData(docs); query.processAllAvailable()
+      }
+      feed(StreamDoc(1L, "a b c d e f g h"), StreamDoc(2L, "p q r s t u v w"))
+      feed(StreamDoc(3L, "a b c d e f g h"),
+        StreamDoc(4L, "a b c d e f g x"))
+      feed(StreamDoc(5L, "p q r s t u v y"),
+        StreamDoc(6L, "a b c d e f g h"))
+      val full = Dedup.minhashVerifiedDups(seen.toSeq.toDF(), "doc_id", "text",
+        threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pairs.toSet === full)
+      assert(pairs.contains((1L, 3L, 1.0)), "cross-batch exact dup must pair")
+      // init + one append per micro-batch
+      assert(MinhashIndexStore.latestVersion(spark, dir) === Some(3L))
+    } finally {
+      query.stop()
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("incremental agg state maintained by a foreachBatch stream equals full recompute") {
     // the nightly→streaming continuum: the SAME algebraic state
     // pipeline.Incremental uses for batch merges maintains a live
