@@ -1,17 +1,18 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Versioned persistence for the MinHash/LSH index — the
-  * [[graft.streaming.CdcStream]] snapshot protocol applied to
+  * [[VersionedState]] snapshot protocol applied to
   * [[Dedup.minhashIndexBuild]]'s state: every maintenance step writes a
   * NEW version directory (`dir/v=N`) instead of overwriting the one
   * being read, readers pin a version (or take the latest committed),
   * and an append must name the EXACT predecessor version it merged
   * onto — so a lost update, a pruned base, or two concurrent
   * maintainers racing each other all fail loudly instead of silently
-  * dropping merged batches from every later snapshot.
+  * dropping merged batches from every later snapshot. Commit atomicity,
+  * crash replay, race detection, and pruning live in
+  * [[VersionedState]], shared with [[SemanticIndexStore]].
   *
   * Layout: `dir/v=N/index` (the `(shh, ids, sig)` frame), `dir/v=N/
   * bands` (the pre-aggregated [[Dedup.minhashIndexBands]] bucket table
@@ -28,22 +29,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * in-memory frame it persisted (spec-pinned,
   * `MinhashIndexStoreSpec`).
   *
-  * ==Commit protocol==
-  * A version is assembled in a hidden scratch directory
-  * (`dir/.tmp-v=N-<nonce>`) and COMMITTED by one atomic rename to
-  * `dir/v=N`: the version directory either does not exist or is
-  * complete — a crash mid-write leaves only scratch garbage (invisible
-  * to [[latestVersion]]'s `v=(\d+)` filter), never a partial version.
-  * Two maintainers racing the same append both pass the
-  * `expectedBase` check, but only one rename can win: the loser either
-  * sees the destination exist (and fails naming the race) or — on a
-  * filesystem whose rename moves the source INTO an existing
-  * destination directory, the HDFS semantics — detects its scratch
-  * directory nested inside the winner's version, removes it, and
-  * fails. Interleaved part-files in one committed directory cannot
-  * happen (spec-pinned).
-  *
-  * ==Maintenance protocol (the CdcStream rules)==
+  * ==Maintenance protocol==
   *  - [[init]] writes v=0 and REFUSES a directory that already holds a
   *    COMMITTED version: pointing a fresh builder at a standing index
   *    would rebuild v=0 from the new corpus alone, silently dropping
@@ -56,12 +42,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    index (this caller is stale — re-read and retry on the new
   *    head); a missing v=N means the base was pruned. A crash anywhere
   *    before the rename leaves latest = N, so re-running the SAME
-  *    append just succeeds — the CdcStream replay rule.
-  *  - A pruner may delete any version except the latest committed one
-  *    and, while a reader/appender is running against version V, V
-  *    itself (plain parquet has no snapshot pin — retain ≥ the max
-  *    expected job runtime). Scratch directories older than the max
-  *    job runtime are crash debris and may be pruned with it.
+  *    append just succeeds — the replay rule.
+  *  - [[prune]] deletes versions below a kept floor, never the head
+  *    (retention policy — retain ≥ max job runtime — is the caller's).
   *
   * Scale shape: append's merge cost is the [[Dedup.minhashIndexAppend]]
   * set-keyed shuffle plus one [[Dedup.minhashIndexBands]] aggregation —
@@ -69,7 +52,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * a pinned version's parquet frames by narrow broadcast-pruned scans
   * and join the batch against the PRE-BANDED bucket table
   * ([[Dedup.minhashIndexDedupBatchBanded]] via [[probeLatest]]), so no
-  * index-derived row ever crosses an exchange at probe time. */
+  * corpus-mass row ever crosses an exchange at probe time. */
 object MinhashIndexStore {
 
   /** The banding parameters a version was built with — persisted as
@@ -85,32 +68,12 @@ object MinhashIndexStore {
   final case class LoadedIndex(version: Long, index: DataFrame,
                                bands: DataFrame, meta: IndexMeta)
 
-  private val VersionRe = "v=(\\d+)".r
+  private val Subframes = Seq("index", "bands", "meta")
 
-  private def fsPath(spark: SparkSession, dir: String): (FileSystem, Path) = {
-    val path = new Path(dir)
-    (path.getFileSystem(spark.sessionState.newHadoopConf()), path)
-  }
-
-  private def versions(fs: FileSystem, path: Path): Seq[Long] =
-    if (!fs.exists(path)) Seq.empty
-    else fs.listStatus(path).toSeq
-      .map(_.getPath.getName)
-      .collect { case VersionRe(v) => v.toLong }
-
-  private def committed(fs: FileSystem, dir: String, v: Long): Boolean =
-    Seq("index", "bands", "meta").forall(sub =>
-      fs.exists(new Path(s"$dir/v=$v/$sub/_SUCCESS")))
-
-  /** Latest committed version, or None before the first [[init]].
-    * Scratch directories (a crashed write) don't match the version
-    * pattern and are invisible; an old-protocol partial version (no
-    * meta, or missing markers) is skipped: readers fall back to the
-    * newest COMPLETE version — stale-but-consistent, never partial. */
-  def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
-    val (fs, path) = fsPath(spark, dir)
-    versions(fs, path).sorted.reverse.find(committed(fs, dir, _))
-  }
+  /** Latest committed version (all three subframes carry `_SUCCESS`),
+    * or None before the first [[init]]. */
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] =
+    VersionedState.latestVersion(spark, dir, Subframes)
 
   private def writeMeta(spark: SparkSession, dest: String,
                         meta: IndexMeta): Unit = {
@@ -126,55 +89,17 @@ object MinhashIndexStore {
     IndexMeta(r.getInt(0), r.getInt(1), r.getInt(2))
   }
 
-  /** Assemble version `v` in a scratch directory, then commit it with
-    * one atomic rename — see the commit protocol above. The scratch
-    * nonce derives from the JVM + a per-call counter, not wall clock
-    * (two racing maintainers in one JVM still get distinct names). */
-  private val scratchCounter = new java.util.concurrent.atomic.AtomicLong(0L)
-
   private[graft] def commitVersion(index: DataFrame, dir: String, v: Long,
                                    meta: IndexMeta): Unit = {
     val spark = index.sparkSession
-    val (fs, _) = fsPath(spark, dir)
-    val nonce = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
-      .replaceAll("[^A-Za-z0-9]", "") + "-" + scratchCounter.incrementAndGet()
-    val scratchName = s".tmp-v=$v-$nonce"
-    val scratch = s"$dir/$scratchName"
-    val dest = new Path(s"$dir/v=$v")
-    try {
+    VersionedState.commitVersion(spark, dir, v, "minhash index",
+      Subframes) { scratch =>
       index.write.mode("overwrite").parquet(s"$scratch/index")
       Dedup.minhashIndexBands(
         spark.read.parquet(s"$scratch/index"),
         meta.numBands, meta.rowsPerBand, meta.maxGroupSize)
         .write.mode("overwrite").parquet(s"$scratch/bands")
       writeMeta(spark, s"$scratch/meta", meta)
-      // the atomic commit: rename scratch → v=N, failing — and cleaning
-      // up — if another maintainer committed v=N first
-      def loseRace(): Nothing =
-        throw new IllegalStateException(
-          s"minhash index at $dir: lost the commit race for v=$v — another " +
-            "maintainer committed it first; re-read the head and retry")
-      // an existing COMMITTED destination is a lost race; an existing
-      // UNCOMMITTED one is crash debris (an old-protocol partial write —
-      // the rename protocol itself never leaves one) and is replaced,
-      // which is the crash-replay rule: re-running the same append
-      // overwrites the failed attempt
-      if (fs.exists(dest)) {
-        if (committed(fs, dir, v)) loseRace()
-        fs.delete(dest, true)
-      }
-      if (!fs.rename(new Path(scratch), dest)) loseRace()
-      // HDFS-semantics rename moves the source INTO an existing
-      // destination directory instead of failing: detect the nested
-      // scratch, remove it, and report the race
-      val nested = new Path(dest, scratchName)
-      if (fs.exists(nested)) {
-        fs.delete(nested, true)
-        loseRace()
-      }
-    } finally {
-      val leftover = new Path(scratch)
-      if (fs.exists(leftover)) fs.delete(leftover, true)
     }
   }
 
@@ -190,8 +115,9 @@ object MinhashIndexStore {
            rowsPerBand: Int = Dedup.DefaultRowsPerBand,
            maxGroupSize: Int = Dedup.DefaultMaxGroupSize): Long = {
     val spark = index.sparkSession
-    val (fs, path) = fsPath(spark, dir)
-    val existing = versions(fs, path).filter(committed(fs, dir, _))
+    val (fs, path) = VersionedState.fsPath(spark, dir)
+    val existing = VersionedState.versions(fs, path)
+      .filter(VersionedState.committed(fs, dir, _, Subframes))
     require(existing.isEmpty,
       s"minhash index at $dir already holds committed versions " +
         s"(${existing.sorted.map("v=" + _).mkString(",")}) — init would " +
@@ -246,6 +172,13 @@ object MinhashIndexStore {
     expectedBase + 1
   }
 
+  /** Delete versions strictly below `keepFrom` (plus crash debris below
+    * it). Never prunes the latest committed version; the retention
+    * window — retain ≥ the max expected reader/appender runtime — is
+    * the caller's policy. Returns the pruned version numbers. */
+  def prune(spark: SparkSession, dir: String, keepFrom: Long): Seq[Long] =
+    VersionedState.prune(spark, dir, keepFrom, Subframes, "minhash index")
+
   /** Load a pinned version — or the latest committed version when
     * `version` is None — as its `(index, bands, meta)` triple. A pinned
     * version that is missing or uncommitted fails by name (reading it
@@ -254,10 +187,10 @@ object MinhashIndexStore {
     * duplicates). */
   def read(spark: SparkSession, dir: String,
            version: Option[Long] = None): LoadedIndex = {
-    val (fs, _) = fsPath(spark, dir)
+    val (fs, _) = VersionedState.fsPath(spark, dir)
     val v = version match {
       case Some(p) =>
-        require(committed(fs, dir, p),
+        require(VersionedState.committed(fs, dir, p, Subframes),
           s"minhash index at $dir has no committed version v=$p " +
             s"(latest committed: ${latestVersion(spark, dir).map("v=" + _)
               .getOrElse("<none>")})")

@@ -737,6 +737,43 @@ object Similarity {
       col("gid"), col("vv"), col("vn"), col("ids")))
   }
 
+  /** SemDeDup index MAINTAIN: fold a new batch into the standing cell
+    * frame WITHOUT retraining — the [[Dedup.minhashIndexAppend]] rule
+    * applied to embeddings. The batch's distinct vectors assign
+    * against the SAME standing centroids (a narrow argmin map);
+    * bit-identical vectors merge (sorted, deduped, valve-bounded
+    * member lists) — the cell, the norm, and the vector are pure
+    * functions of the vector value, so either side's copy is THE
+    * value. Batch-split invariant (spec-pinned):
+    * `append(append(cells, b1), b2) ≡ append(cells, b1 ∪ b2)`
+    * row-for-row, which is what lets a daily pipeline keep ONE
+    * standing cell frame under any micro-batch arrival order. Ids must
+    * be unique across the merged corpora. Retraining (new centroids
+    * for a drifted corpus) is an explicit rebuild —
+    * [[semanticIndexBuild]] — never an implicit side effect of
+    * maintenance. */
+  def semanticIndexAppend(centroids: Seq[(Long, Seq[Double])],
+                          indexCells: DataFrame, batch: DataFrame,
+                          idCol: String, vecCol: String,
+                          maxGroupSize: Int = Dedup.DefaultMaxGroupSize): DataFrame = {
+    require(centroids.nonEmpty,
+      "semanticIndexAppend needs a non-empty centroid table")
+    val batchCells = groupedVectors(batch, idCol, vecCol, "vv", "vn",
+      maxGroupSize, "semanticIndexAppend: a single vector value")
+      .select(nearestCell(col("vv"), centroids).as("cell"),
+        col("gid"), col("vv"), col("vn"), col("ids"))
+    indexCells.select("cell", "gid", "vv", "vn", "ids")
+      .unionByName(batchCells)
+      .groupBy("vv").agg(
+        first(col("cell")).as("cell"),
+        first(col("vn")).as("vn"),
+        array_distinct(sort_array(Dedup.boundedIds(
+          flatten(collect_list(col("ids"))), maxGroupSize,
+          "semanticIndexAppend: a merged identical-vector group"))).as("ids"))
+      .select(col("cell"), element_at(col("ids"), 1).as("gid"),
+        col("vv"), col("vn"), col("ids"))
+  }
+
   /** SemDeDup index PROBE — incremental semantic near-dup detection,
     * the [[Dedup.minhashIndexDedupBatch]] contract shape over standing
     * k-means cells: every exact-cosine pair `(id_a, id_b, score ≥

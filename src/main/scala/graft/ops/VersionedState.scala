@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The shared versioned-snapshot commit protocol behind
+  * [[MinhashIndexStore]] and [[SemanticIndexStore]] — one
+  * implementation of the rules every persisted incremental index here
+  * follows (the [[graft.streaming.CdcStream]] rules):
+  *
+  *  - state lives under `dir/v=N`, one immutable directory per
+  *    version, each holding a fixed set of named parquet subframes;
+  *  - a version is COMMITTED iff every subframe carries its `_SUCCESS`
+  *    marker AND the version directory itself was produced by the
+  *    atomic rename below — readers take the latest committed version
+  *    and never see a partial one;
+  *  - a version is assembled in a hidden scratch directory
+  *    (`dir/.tmp-v=N-<nonce>`) and committed by ONE rename to
+  *    `dir/v=N`: a crash mid-write leaves only scratch debris
+  *    (invisible to the version listing), and two maintainers racing
+  *    the same version cannot interleave part-files — the loser either
+  *    sees the destination exist, or (on a filesystem whose rename
+  *    moves the source INTO an existing destination, the HDFS
+  *    semantics) detects its scratch nested inside the winner's
+  *    version, removes it, and fails by name;
+  *  - an existing UNCOMMITTED destination at commit time is crash
+  *    debris from a pre-rename protocol and is replaced — the
+  *    crash-replay rule: re-running the same maintenance step
+  *    overwrites the failed attempt;
+  *  - a pruner may delete any version except the latest committed one
+  *    and, while a job runs against version V, V itself (plain parquet
+  *    has no snapshot pin — retain ≥ the max expected job runtime).
+  *    Scratch directories older than that runtime are crash debris and
+  *    prune with it. */
+private[ops] object VersionedState {
+
+  private val VersionRe = "v=(\\d+)".r
+
+  def fsPath(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val path = new Path(dir)
+    (path.getFileSystem(spark.sessionState.newHadoopConf()), path)
+  }
+
+  def versions(fs: FileSystem, path: Path): Seq[Long] =
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .map(_.getPath.getName)
+      .collect { case VersionRe(v) => v.toLong }
+
+  def committed(fs: FileSystem, dir: String, v: Long,
+                subframes: Seq[String]): Boolean =
+    subframes.forall(sub =>
+      fs.exists(new Path(s"$dir/v=$v/$sub/_SUCCESS")))
+
+  /** Latest committed version, or None before the first init. Scratch
+    * directories don't match the version pattern and are invisible; a
+    * partial version (missing markers) is skipped — readers fall back
+    * to the newest COMPLETE version, stale-but-consistent. */
+  def latestVersion(spark: SparkSession, dir: String,
+                    subframes: Seq[String]): Option[Long] = {
+    val (fs, path) = fsPath(spark, dir)
+    versions(fs, path).sorted.reverse.find(committed(fs, dir, _, subframes))
+  }
+
+  private val scratchCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Assemble version `v` in a scratch directory via `write(scratch)`,
+    * then commit it with one atomic rename — see the protocol above.
+    * `write` must leave every subframe (with its `_SUCCESS`) under the
+    * scratch path it is given. The scratch nonce derives from the JVM
+    * name + a per-process counter, not wall clock. */
+  def commitVersion(spark: SparkSession, dir: String, v: Long,
+                    what: String, subframes: Seq[String])
+                   (write: String => Unit): Unit = {
+    val (fs, _) = fsPath(spark, dir)
+    val nonce = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      .replaceAll("[^A-Za-z0-9]", "") + "-" + scratchCounter.incrementAndGet()
+    val scratchName = s".tmp-v=$v-$nonce"
+    val scratch = s"$dir/$scratchName"
+    val dest = new Path(s"$dir/v=$v")
+    try {
+      write(scratch)
+      def loseRace(): Nothing =
+        throw new IllegalStateException(
+          s"$what at $dir: lost the commit race for v=$v — another " +
+            "maintainer committed it first; re-read the head and retry")
+      // a committed destination is a lost race; an uncommitted one is
+      // crash debris and is replaced (the crash-replay rule)
+      if (fs.exists(dest)) {
+        if (committed(fs, dir, v, subframes)) loseRace()
+        fs.delete(dest, true)
+      }
+      if (!fs.rename(new Path(scratch), dest)) loseRace()
+      // HDFS-semantics rename moves the source INTO an existing
+      // destination instead of failing: detect the nested scratch,
+      // remove it, and report the race
+      val nested = new Path(dest, scratchName)
+      if (fs.exists(nested)) {
+        fs.delete(nested, true)
+        loseRace()
+      }
+    } finally {
+      val leftover = new Path(scratch)
+      if (fs.exists(leftover)) fs.delete(leftover, true)
+    }
+  }
+
+  /** Delete all committed versions strictly below `keepFrom`, plus any
+    * uncommitted version directories below it (crash debris of
+    * long-dead maintainers). REFUSES to prune the latest committed
+    * version or anything above `keepFrom` — the protocol's retention
+    * rule is the caller's job (retain ≥ max job runtime); this method
+    * only enforces that the head always survives. Returns the pruned
+    * version numbers. */
+  def prune(spark: SparkSession, dir: String, keepFrom: Long,
+            subframes: Seq[String], what: String): Seq[Long] = {
+    val (fs, path) = fsPath(spark, dir)
+    val latest = latestVersion(spark, dir, subframes).getOrElse(
+      throw new IllegalArgumentException(
+        s"$what at $dir has no committed version — nothing to prune from"))
+    require(keepFrom <= latest,
+      s"$what at $dir: prune keepFrom=v=$keepFrom is above the latest " +
+        s"committed version v=$latest — refusing to prune the head")
+    val doomed = versions(fs, path).filter(_ < keepFrom).sorted
+    doomed.foreach(v => fs.delete(new Path(s"$dir/v=$v"), true))
+    doomed
+  }
+}

@@ -220,6 +220,33 @@ class MinhashIndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("prune drops old versions and crash debris below the floor, never the head") {
+    withDir { dir =>
+      MinhashIndexStore.init(build(docs(1L to 10L)), dir)
+      MinhashIndexStore.append(spark, dir, build(docs(11L to 14L)), 0L)
+      MinhashIndexStore.append(spark, dir, build(docs(15L to 18L)), 1L)
+      // plant old-protocol crash debris below the floor: pruned with it
+      build(docs(90L to 92L)).write.parquet(s"$dir/v=1/stray")
+      assert(MinhashIndexStore.prune(spark, dir, keepFrom = 2L) === Seq(0L, 1L))
+      assert(MinhashIndexStore.latestVersion(spark, dir) === Some(2L))
+      // the kept head still probes
+      assert(MinhashIndexStore.probeLatest(spark, dir, docs(21L to 23L),
+        "doc_id", "text", shingleK = K, threshold = 0.5).count() >= 0L)
+      // an append naming the pruned base refuses — as a stale base (the
+      // base sits below the head whether pruned or merely superseded,
+      // and re-reading the head is the right remedy either way)
+      val e = intercept[IllegalArgumentException] {
+        MinhashIndexStore.append(spark, dir, build(docs(19L to 20L)), 1L)
+      }
+      assert(e.getMessage.contains("another maintainer already advanced"))
+      // pruning the head refuses
+      val h = intercept[IllegalArgumentException] {
+        MinhashIndexStore.prune(spark, dir, keepFrom = 7L)
+      }
+      assert(h.getMessage.contains("refusing to prune the head"))
+    }
+  }
+
   test("read refuses a missing or uncommitted pinned version by name") {
     withDir { dir =>
       MinhashIndexStore.init(build(docs(1L to 10L)), dir)
