@@ -325,6 +325,22 @@ object Similarity {
     (centroids, c.withColumn("cell", nearestCell(col("cv"), centroids)))
   }
 
+  /** IVF index MAINTAIN: assign a NEW vector batch against the
+    * STANDING centroids — the incremental path the [[ivfBuild]]
+    * Scaladoc promises, as a frame-in/frame-out operator. One narrow
+    * map (nlist dot products per row, the native argmin kernel), no
+    * shuffle, no retrain; output rows match the cell frame's schema
+    * `(corpus_id, cv, cn, cell)` exactly, so the caller appends them
+    * to the standing frame (or its `cell`-partitioned layout)
+    * directly. Retraining for a drifted corpus is an explicit rebuild. */
+  def ivfAssign(batch: DataFrame, idCol: String, vecCol: String,
+                centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "ivfAssign needs a non-empty centroid table")
+    batch.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("cell", nearestCell(col("cv"), centroids))
+  }
+
   /** Centroids as a writable two-column frame (`cell`, `centroid`). */
   def ivfCentroidsDf(spark: org.apache.spark.sql.SparkSession,
                      centroids: Seq[(Long, Seq[Double])]): DataFrame = {
@@ -1018,11 +1034,65 @@ object Similarity {
   /** PQ-encode a vector column: `codes(m)` = index of the nearest
     * subspace-m centroid — M small integers per vector in place of dim
     * floats. A narrow per-row projection on the native
-    * [[graft.functions.PqEncodeCodes]] kernel; no shuffle. */
-  private[graft] def pqEncode(df: DataFrame, vecCol: String,
-                              books: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame =
+    * [[graft.functions.PqEncodeCodes]] kernel; no shuffle. Public as
+    * the apply step of the train/persist/encode lifecycle
+    * ([[pqTrain]] / [[pqCodebooksDf]]). */
+  def pqEncode(df: DataFrame, vecCol: String,
+               books: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame =
     df.withColumn("codes",
       graft.functions.PqFunctions.pq_encode(col(vecCol), books))
+
+  /** PQ codebook TRAINING as a public lifecycle step — the
+    * [[pqTopK]] internals' expensive pass exposed so a pipeline can
+    * train once, persist ([[pqCodebooksDf]]), and encode every later
+    * batch against the standing codebooks ([[pqEncode]]). Same
+    * trainer, same determinism (hash-seeded, bounded Lloyd set). */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+              numSubspaces: Int = 8, codebookSize: Int = 256,
+              lloydIters: Int = 2): IndexedSeq[IndexedSeq[Seq[Double]]] = {
+    require(dim > 0 && numSubspaces > 0 && dim % numSubspaces == 0,
+      s"numSubspaces must divide dim: dim=$dim M=$numSubspaces")
+    require(codebookSize > 1, s"codebookSize must be > 1: $codebookSize")
+    pqCodebooks(
+      corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv")),
+      dim, numSubspaces, codebookSize, lloydIters)
+  }
+
+  /** The trained PQ codebooks as a writable frame `(m, cell,
+    * centroid)` — the model-state persistence idiom ([[ivfCentroidsDf]]
+    * / `TextOps.bpeMergesDf` precedent). Doubles round-trip parquet
+    * bit-exactly, so encoding with a reloaded codebook is
+    * bit-identical to encoding with the trained one (parity
+    * spec-pinned). */
+  def pqCodebooksDf(spark: org.apache.spark.sql.SparkSession,
+                    books: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (b, m) =>
+      b.zipWithIndex.map { case (v, cell) => (m, cell, v) }
+    }.toDF("m", "cell", "centroid")
+  }
+
+  /** Reload codebooks written from [[pqCodebooksDf]]. The (m, cell)
+    * grid must be dense and complete — a filtered or corrupted model
+    * frame fails by name instead of silently renumbering cells (which
+    * would scramble every standing code). */
+  def pqCodebooksFromDf(df: DataFrame): IndexedSeq[IndexedSeq[Seq[Double]]] = {
+    val rows = df.select(col("m").cast("int"), col("cell").cast("int"),
+        col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val byM = rows.groupBy(_._1)
+    val ms = byM.keys.toSeq.sorted
+    require(ms == ms.indices.map(identity),
+      s"pq codebook frame subspaces are not the dense sequence 0..${ms.size - 1}" +
+        " — the model was filtered or corrupted; re-persist from pqCodebooksDf")
+    ms.toIndexedSeq.map { m =>
+      val cells = byM(m).sortBy(_._2)
+      require(cells.map(_._2).toSeq == cells.indices.toSeq,
+        s"pq codebook frame subspace $m cells are not dense 0..${cells.length - 1}" +
+          " — a missing cell would renumber every code; re-persist")
+      cells.map(_._3).toIndexedSeq
+    }
+  }
 
   /** Composed-builtin reference encoder (per-subspace `nearestCell`
     * argmin over codebook literals) — kept for the kernel parity spec;

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{IvfIndexStore, Similarity}
+
+/** Protocol + lifecycle specs for [[graft.ops.IvfIndexStore]]: the
+  * versioned IVF ANN index — standing centroids survive appends, new
+  * batches become retrievable, reload probes bit-identically, and the
+  * shared VersionedState refusal rules hold. */
+class IvfIndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base(i: Int): Array[Float] = {
+    val rnd = new scala.util.Random(i)
+    Array.fill(16)(rnd.nextFloat() * 2 - 1)
+  }
+  private def vecs(rows: (Long, Array[Float])*): DataFrame =
+    rows.toDF("vec_id", "embedding")
+
+  private def withDir(body: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-store").toString
+    try body(dir)
+    finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("lifecycle: appended vectors become retrievable; centroids stand; reload probes bit-identically") {
+    withDir { dir =>
+      val corpus = vecs((0L until 200L).map(i => (i, base(i.toInt))): _*)
+      assert(IvfIndexStore.init(corpus, dir, "vec_id", "embedding",
+        nlist = 8) === 0L)
+      val v0 = IvfIndexStore.read(spark, dir)
+      assert(v0.meta === IvfIndexStore.IvfMeta(16, 8))
+      // a probe for an exact copy of corpus member 5 finds it (the
+      // identical vector shares the argmin cell — the ivfTopK contract)
+      val q5 = vecs((999L, base(5)))
+      def top1(df: DataFrame): Long =
+        df.orderBy("rank").limit(1).collect()(0).getLong(1)
+      assert(top1(IvfIndexStore.probeLatest(spark, dir, q5,
+        "vec_id", "embedding", k = 3, nprobe = 2)) === 5L)
+      // append a batch holding a NEW vector; a probe for its copy must
+      // now retrieve it — only possible if append folded the batch in
+      // under the standing centroids
+      val b1 = vecs((501L, base(900)), (502L, base(901)))
+      assert(IvfIndexStore.append(spark, dir, b1, "vec_id", "embedding", 0L) === 1L)
+      val q900 = vecs((998L, base(900)))
+      assert(top1(IvfIndexStore.probeLatest(spark, dir, q900,
+        "vec_id", "embedding", k = 3, nprobe = 8)) === 501L)
+      // centroids never changed across the append
+      assert(IvfIndexStore.read(spark, dir).centroids === v0.centroids)
+      // reload parity: the store probe equals ivfProbe over the loaded
+      // frames (same rows, same scores), and a pinned v=0 still serves
+      val loaded = IvfIndexStore.read(spark, dir)
+      def rows(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      assert(rows(IvfIndexStore.probeLatest(spark, dir, q900,
+        "vec_id", "embedding", k = 3, nprobe = 8)) ===
+        rows(Similarity.ivfProbe(loaded.centroids, loaded.cells, q900,
+          "vec_id", "embedding", k = 3, nprobe = 8)))
+      assert(IvfIndexStore.read(spark, dir, Some(0L)).version === 0L)
+      // append assignment matches build assignment for the same rows:
+      // batch rows assigned by ivfAssign carry the same cells the
+      // standing frame holds for identical vectors
+      val copyOf5 = Similarity.ivfAssign(vecs((777L, base(5))),
+        "vec_id", "embedding", v0.centroids)
+        .select("cell").head().getLong(0)
+      val cell5 = v0.cells.where(col("corpus_id") === 5L)
+        .select("cell").head().getLong(0)
+      assert(copyOf5 === cell5)
+    }
+  }
+
+  test("protocol refusals: standing init, empty corpus, stale append, missing pin, prune keeps head") {
+    withDir { dir =>
+      val corpus = vecs((0L until 60L).map(i => (i, base(i.toInt))): _*)
+      IvfIndexStore.init(corpus, dir, "vec_id", "embedding", nlist = 8)
+      val re = intercept[IllegalArgumentException] {
+        IvfIndexStore.init(corpus, dir, "vec_id", "embedding", nlist = 8)
+      }
+      assert(re.getMessage.contains("already holds committed versions"))
+      val ee = intercept[IllegalArgumentException] {
+        IvfIndexStore.init(corpus.where(lit(false)), s"$dir-empty",
+          "vec_id", "embedding", nlist = 8)
+      }
+      assert(ee.getMessage.contains("trained no centroids"))
+      IvfIndexStore.append(spark, dir, vecs((501L, base(900))),
+        "vec_id", "embedding", 0L)
+      val stale = intercept[IllegalArgumentException] {
+        IvfIndexStore.append(spark, dir, vecs((502L, base(901))),
+          "vec_id", "embedding", 0L)
+      }
+      assert(stale.getMessage.contains("another maintainer already advanced"))
+      val missing = intercept[IllegalArgumentException] {
+        IvfIndexStore.read(spark, dir, Some(9L))
+      }
+      assert(missing.getMessage.contains("no committed version v=9"))
+      IvfIndexStore.append(spark, dir, vecs((503L, base(902))),
+        "vec_id", "embedding", 1L)
+      assert(IvfIndexStore.prune(spark, dir, keepFrom = 2L) === Seq(0L, 1L))
+      assert(IvfIndexStore.latestVersion(spark, dir) === Some(2L))
+      val head = intercept[IllegalArgumentException] {
+        IvfIndexStore.prune(spark, dir, keepFrom = 5L)
+      }
+      assert(head.getMessage.contains("refusing to prune the head"))
+    }
+  }
+}

@@ -2197,6 +2197,43 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("pq codebooks: parquet round-trip encodes bit-identically; corrupted grids refuse") {
+    // the train/persist/encode lifecycle for PQ — the codebook is the
+    // model; a reloaded one must produce byte-equal codes (cell
+    // renumbering would scramble every standing code silently)
+    val corpus = (0 until 300).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val books = Similarity.pqTrain(corpus, "vec_id", "embedding",
+      dim = 16, numSubspaces = 4, codebookSize = 8)
+    val dir = java.nio.file.Files.createTempDirectory("pq-model").toString
+    try {
+      Similarity.pqCodebooksDf(spark, books).write.mode("overwrite").parquet(dir)
+      val reloaded = Similarity.pqCodebooksFromDf(spark.read.parquet(dir))
+      assert(reloaded === books)
+      val vecs = corpus.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("cv"))
+      def codes(bs: IndexedSeq[IndexedSeq[Seq[Double]]]) =
+        Similarity.pqEncode(vecs, "cv", bs)
+          .select("vec_id", "codes").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(codes(books) === codes(reloaded))
+      // a filtered model frame (missing cell) refuses by name
+      val e = intercept[IllegalArgumentException](Similarity.pqCodebooksFromDf(
+        spark.read.parquet(dir).where(col("m") =!= 1 || col("cell") =!= 3)))
+      assert(e.getMessage.contains("re-persist"))
+      // a dropped subspace refuses too
+      val e2 = intercept[IllegalArgumentException](Similarity.pqCodebooksFromDf(
+        spark.read.parquet(dir).where(col("m") =!= 0)))
+      assert(e2.getMessage.contains("not the dense sequence"))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("bpe pairs: weighted adjacent pairs, single-char words excluded, CJK chars") {
     val docs = Seq(
       (1L, "ab ab cd x"),   // ab twice, cd once, x contributes no pair
