@@ -203,7 +203,28 @@ object Bench {
       val mx = if (ok.nonEmpty) ok.max else -1.0
       s""""sentinel":{"every":$sentinelEvery,"min":${r3(mn)},"max":${r3(mx)},"times":[${ts.map(r3).mkString(",")}]}"""
     }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errors,"load_before":$loadBefore,"load_after":$loadAfter,$sentinel$repFields}""")
+    val fullLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errors,"load_before":$loadBefore,"load_after":$loadAfter,$sentinel$repFields}"""
+    println(fullLine)
+    // the harness records only a bounded TAIL of stdout and parses the
+    // record out of THAT — with ~95 query names (1.2k chars of keys
+    // alone) the full line can never fit the window, so rounding alone
+    // cannot make the record machine-readable again (r14's survived
+    // only as a fragment). Two-part repair: (1) persist the full
+    // record to a file next to the build so any reader gets the
+    // complete per-query map; (2) when the full line would overflow
+    // the window, follow it with a compact trailer — itself complete,
+    // valid JSON with the headline figures and a pointer to the file —
+    // small enough to sit entirely inside the tail, so a last-line (or
+    // any-parseable-line) extraction succeeds instead of returning the
+    // front-truncated fragment.
+    val benchFile = java.nio.file.Paths.get("bench_full.json")
+    java.nio.file.Files.write(benchFile, (fullLine + "\n").getBytes("UTF-8"))
+    val TailWindow = 2000 // observed harness capture size (BENCH_r14.json)
+    if (fullLine.length >= TailWindow - 100) {
+      val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
+      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","errors":$errors,"queries_file":"${benchFile.toAbsolutePath}","queries_count":${results.size},"queries_slowest":${fmt(slowest)},"load_before":$loadBefore,"load_after":$loadAfter,$sentinel}""")
+    }
     spark.stop()
   }
 }

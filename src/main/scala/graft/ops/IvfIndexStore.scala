@@ -17,13 +17,17 @@ import org.apache.spark.sql.functions._
   * shuffle beyond the write) and unions it into the cell frame.
   * Retraining for a drifted corpus is an explicit delete-and-rebuild.
   * [[probeLatest]] scores queries against a pinned version through
-  * [[Similarity.ivfProbe]] — each query touches only its `nprobe`
-  * nearest cells; at 100 TB the cell frame is partitioned by `cell`
-  * and the probe is a partition-pruned read.
+  * [[Similarity.ivfProbe]], and the I/O matches the algorithm: the
+  * cell frame is WRITTEN partitioned by `cell`, the batch's touched
+  * cells ([[Similarity.ivfProbeCells]], ≤ nlist ids) become a static
+  * partition filter, and the scan reads only those cell directories —
+  * nprobe/nlist of the corpus bytes at any scale (plan-spec-pinned),
+  * instead of a full scan a join then discards.
   *
-  * Layout: `dir/v=N/centroids`, `dir/v=N/cells`, `dir/v=N/meta`
-  * (`dim`, `nlist`). Doubles round-trip parquet bit-exactly, so a
-  * reloaded version probes identically (spec-pinned). */
+  * Layout: `dir/v=N/centroids`, `dir/v=N/cells/cell=<id>/`,
+  * `dir/v=N/meta` (`dim`, `nlist`). Doubles round-trip parquet
+  * bit-exactly, so a reloaded version probes identically
+  * (spec-pinned). */
 object IvfIndexStore {
 
   /** Persisted provenance: embedding dimension and trained cell count. */
@@ -57,7 +61,12 @@ object IvfIndexStore {
       Subframes) { scratch =>
       Similarity.ivfCentroidsDf(spark, centroids)
         .coalesce(1).write.mode("overwrite").parquet(s"$scratch/centroids")
-      cells.write.mode("overwrite").parquet(s"$scratch/cells")
+      // the cell frame's on-disk layout IS the probe's scale story:
+      // partitioned by cell, a probe batch reads only its touched
+      // cell directories (nprobe/nlist of the corpus), pruned by the
+      // static IN filter probeLatest derives — not a full scan that a
+      // join then discards
+      cells.write.partitionBy("cell").mode("overwrite").parquet(s"$scratch/cells")
       writeMeta(spark, s"$scratch/meta",
         IvfMeta(centroids.head._2.length, centroids.length))
     }
@@ -140,7 +149,24 @@ object IvfIndexStore {
     require(centroids.nonEmpty && centroids.head._2.length == meta.dim,
       s"ivf index at $dir v=$v: centroid table does not match its " +
         s"persisted meta ($meta) — the version directory was tampered with")
-    LoadedIvfIndex(v, centroids, spark.read.parquet(s"$dir/v=$v/cells"), meta)
+    LoadedIvfIndex(v, centroids, readCells(spark, dir, v, None), meta)
+  }
+
+  /** The cell frame of a committed version, optionally pruned to a
+    * probe's touched cells. The prune filter goes on the RAW inferred
+    * partition column (int — cell ids are 0..nlist-1, always
+    * int-safe) BEFORE the long cast that restores in-memory schema
+    * parity, so `PruneFileSourcePartitions` sees a plain
+    * partition-attribute IN list and the scan reads only the touched
+    * cell directories (plan-spec-pinned). */
+  private def readCells(spark: SparkSession, dir: String, v: Long,
+                        onlyCells: Option[Seq[Long]]): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/v=$v/cells")
+    val pruned = onlyCells match {
+      case Some(cs) => raw.where(col("cell").isin(cs.map(_.toInt): _*))
+      case None => raw
+    }
+    pruned.withColumn("cell", col("cell").cast("long"))
   }
 
   /** Score queries against the latest committed version (or a pinned
@@ -150,7 +176,13 @@ object IvfIndexStore {
                   idCol: String, vecCol: String, k: Int, nprobe: Int = 8,
                   version: Option[Long] = None): DataFrame = {
     val loaded = read(spark, dir, version)
-    Similarity.ivfProbe(loaded.centroids, loaded.cells, queries,
+    // the probe's touched-cell set (≤ nlist ids, model-sized driver
+    // state) becomes a static partition filter: the scan reads
+    // nprobe/nlist of the corpus bytes, not all of them
+    val touched = Similarity.ivfProbeCells(queries, vecCol,
+      loaded.centroids, nprobe)
+    Similarity.ivfProbe(loaded.centroids,
+      readCells(spark, dir, loaded.version, Some(touched)), queries,
       idCol, vecCol, k, nprobe)
   }
 }

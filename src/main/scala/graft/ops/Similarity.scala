@@ -341,6 +341,18 @@ object Similarity {
       .withColumn("cell", nearestCell(col("cv"), centroids))
   }
 
+  /** The distinct standing cells a query batch will probe — the
+    * driver-side set is bounded by `nlist` regardless of batch or
+    * corpus size (cell ids are 0..nlist-1), i.e. model-sized state,
+    * not corpus-sized. Lets a cell-partitioned corpus layout
+    * ([[IvfIndexStore]]) pre-filter the scan to only the touched
+    * partitions before [[ivfProbe]]'s join. */
+  def ivfProbeCells(queries: DataFrame, vecCol: String,
+                    centroids: Seq[(Long, Seq[Double])], nprobe: Int): Seq[Long] =
+    queries.select(
+        explode(nearestCells(asDouble(col(vecCol)), centroids, nprobe)).as("cell"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+
   /** Centroids as a writable two-column frame (`cell`, `centroid`). */
   def ivfCentroidsDf(spark: org.apache.spark.sql.SparkSession,
                      centroids: Seq[(Long, Seq[Double])]): DataFrame = {

@@ -74,6 +74,49 @@ class IvfIndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("probe I/O: cell-partitioned layout; the scan partition-prunes to the touched cells") {
+    withDir { dir =>
+      val corpus = vecs((0L until 200L).map(i => (i, base(i.toInt))): _*)
+      IvfIndexStore.init(corpus, dir, "vec_id", "embedding", nlist = 8)
+      // the on-disk layout is cell directories, not a flat frame
+      val cellDirs = new java.io.File(s"$dir/v=0/cells").listFiles()
+        .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+      assert(cellDirs.nonEmpty && cellDirs.subsetOf(
+        (0 until 8).map(i => s"cell=$i").toSet), s"unexpected layout: $cellDirs")
+      // the touched-cell set is the probe's static filter, bounded by
+      // nlist and derived from the SAME assignment kernel the probe uses
+      val q = vecs((999L, base(5)))
+      val touched = Similarity.ivfProbeCells(q, "embedding",
+        IvfIndexStore.read(spark, dir).centroids, nprobe = 2)
+      assert(touched.size === 2 && touched.forall(c => c >= 0 && c < 8))
+      val probe = IvfIndexStore.probeLatest(spark, dir, q,
+        "vec_id", "embedding", k = 3, nprobe = 2)
+      // plan pin: every file scan under the probe that reads the cells
+      // path carries a non-empty partition filter — the corpus read is
+      // nprobe/nlist of the bytes, never a full scan a join discards
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def allNodes(p: SparkPlan): Seq[SparkPlan] =
+        p.collect { case n => n }.flatMap {
+          case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+          case n => Seq(n)
+        }
+      val cellScans = allNodes(probe.queryExecution.executedPlan).collect {
+        case s: FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("cells")) => s
+      }
+      assert(cellScans.nonEmpty, "no file scan over the cells path found")
+      cellScans.foreach { s =>
+        assert(s.partitionFilters.nonEmpty,
+          s"cells scan is not partition-pruned:\n$s")
+        assert(s.partitionFilters.mkString.contains("cell"),
+          s"partition filter is not on the cell column:\n${s.partitionFilters}")
+      }
+      // and the pruned probe still answers: member 5's copy is found
+      assert(probe.orderBy("rank").limit(1).collect()(0).getLong(1) === 5L)
+    }
+  }
+
   test("protocol refusals: standing init, empty corpus, stale append, missing pin, prune keeps head") {
     withDir { dir =>
       val corpus = vecs((0L until 60L).map(i => (i, base(i.toInt))): _*)
