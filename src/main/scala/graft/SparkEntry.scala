@@ -1259,6 +1259,46 @@ object SparkEntry {
       floor = 0.75)
   }
 
+  /** The PERSISTED IVF lifecycle end-to-end, gated: init a versioned
+    * [[graft.ops.IvfIndexStore]] from 90 % of the corpus in a scratch
+    * dir, append the held-out slice against the STANDING centroids
+    * (the maintenance path — one narrow assign, no retrain), then
+    * answer through the cell-pruned store probe. Same recall contract
+    * and DuckDB oracle as the ANN family: the whole lifecycle
+    * (train → commit → append → partition-pruned probe) must answer
+    * like an ANN operator over the full merged corpus. The contract
+    * row is materialized before the scratch store is deleted, so the
+    * returned frame is self-contained. */
+  def qIvfStore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.IvfIndexStore
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") < 100)
+    val store = java.nio.file.Files.createTempDirectory("q-ivf-store").toString
+    try {
+      IvfIndexStore.init(emb.where(pmod(col("vec_id"), lit(10)) =!= 3),
+        store, "vec_id", "embedding", nlist = 16)
+      IvfIndexStore.append(spark, store,
+        emb.where(pmod(col("vec_id"), lit(10)) === 3),
+        "vec_id", "embedding", expectedBase = 0L)
+      val contract = annRecallContract(
+        IvfIndexStore.probeLatest(spark, store, q, "vec_id", "embedding",
+          k = 5, nprobe = 8),
+        Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5),
+        floor = 0.75)
+      val rows = contract.collect().toIndexedSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows), contract.schema)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(store)).deleteRecursively()
+      // NO global clearCache here: Verify runs queries CONCURRENTLY,
+      // and a global clear mid-sweep evicts frames other in-flight
+      // queries registered. The contract caches this query creates are
+      // scope-released by Verify (OpCaches.scoped) and swept by Bench's
+      // own between-query clear.
+    }
+  }
+
   /** Asymmetric-distance quantized top-k ([[Similarity.adcTopK]]:
     * corpus scored through dequantized int8 codes, queries exact) —
     * gated as a recall contract vs brute force. With no candidate
@@ -1869,6 +1909,7 @@ object SparkEntry {
     "q_cosine_topk"      -> qCosineTopK,
     "q_ann_lsh"          -> qAnnLsh,
     "q_ivf_topk"         -> qIvfTopK,
+    "q_ivf_store"        -> qIvfStore,
     "q_salted_agg"       -> qSaltedAgg,
     "q_salted_join"      -> qSaltedJoin,
     "q_embedding_stats"  -> qEmbeddingStats,
@@ -2957,6 +2998,7 @@ object SparkEntry {
     // oracle emits as literal TRUE
     "q_ann_lsh" -> annOracleSql,
     "q_ivf_topk" -> annOracleSql,
+    "q_ivf_store" -> annOracleSql,
     "q_adc_topk" -> annOracleSql,
     "q_pq_topk" -> annOracleSql,
     "q_fingerprint" ->

@@ -65,8 +65,14 @@ object IvfIndexStore {
       // partitioned by cell, a probe batch reads only its touched
       // cell directories (nprobe/nlist of the corpus), pruned by the
       // static IN filter probeLatest derives — not a full scan that a
-      // join then discards
-      cells.write.partitionBy("cell").mode("overwrite").parquet(s"$scratch/cells")
+      // join then discards. The repartition co-locates each cell in
+      // one writer task BEFORE partitionBy: without it every task
+      // writes a sliver of every cell it holds — task_count × nlist
+      // small files at cluster scale — where co-located cells write
+      // one file each. One shuffle per COMMIT (build/append, the
+      // amortized side), zero per probe.
+      cells.repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$scratch/cells")
       writeMeta(spark, s"$scratch/meta",
         IvfMeta(centroids.head._2.length, centroids.length))
     }

@@ -63,7 +63,14 @@ object SemanticIndexStore {
       Subframes) { scratch =>
       Similarity.ivfCentroidsDf(spark, centroids)
         .coalesce(1).write.mode("overwrite").parquet(s"$scratch/centroids")
-      cells.write.mode("overwrite").parquet(s"$scratch/cells")
+      // cell-partitioned layout, each cell co-located into one writer
+      // task (the IvfIndexStore rationale: probe scans prune to the
+      // batch's touched cells; the repartition keeps file counts at
+      // one per cell instead of task_count × nlist). One shuffle per
+      // COMMIT, zero per probe. Null cells (null/absent vectors) land
+      // in the hive default partition and are read back as null.
+      cells.repartition(org.apache.spark.sql.functions.col("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$scratch/cells")
       writeMeta(spark, s"$scratch/meta",
         SemMeta(centroids.head._2.length, centroids.length))
     }
@@ -151,7 +158,25 @@ object SemanticIndexStore {
     require(centroids.nonEmpty && centroids.head._2.length == meta.dim,
       s"semantic index at $dir v=$v: centroid table does not match its " +
         s"persisted meta ($meta) — the version directory was tampered with")
-    LoadedSemIndex(v, centroids, spark.read.parquet(s"$dir/v=$v/cells"), meta)
+    LoadedSemIndex(v, centroids, readCells(spark, dir, v, None), meta)
+  }
+
+  /** The cell frame of a committed version, optionally pruned to a
+    * batch's touched cells — the [[IvfIndexStore]] read shape: the
+    * prune filter goes on the RAW inferred partition column (int —
+    * cell ids are 0..nlist-1) before the long cast that restores
+    * in-memory schema parity, so the scan reads only the touched cell
+    * directories. Null-cell rows (null vectors) are excluded by the
+    * prune, which loses nothing: a null cell can never equi-join. */
+  private def readCells(spark: SparkSession, dir: String, v: Long,
+                        onlyCells: Option[Seq[Long]]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val raw = spark.read.parquet(s"$dir/v=$v/cells")
+    val pruned = onlyCells match {
+      case Some(cs) => raw.where(col("cell").isin(cs.map(_.toInt): _*))
+      case None => raw
+    }
+    pruned.withColumn("cell", col("cell").cast("long"))
   }
 
   /** The production probe entry point: semantic near-dup pairs of
@@ -163,7 +188,14 @@ object SemanticIndexStore {
                   maxGroupSize: Int = Dedup.DefaultMaxGroupSize,
                   version: Option[Long] = None): DataFrame = {
     val loaded = read(spark, dir, version)
-    Similarity.semanticDedupBatch(loaded.centroids, loaded.cells, batch,
+    // the batch only pairs within its own argmin cells (one per
+    // distinct vector, ≤ nlist ids — model-sized driver state), so
+    // they become a static partition filter: the standing scan reads
+    // the touched cell directories, not the whole frame
+    val touched = Similarity.ivfProbeCells(batch, vecCol,
+      loaded.centroids, nprobe = 1)
+    Similarity.semanticDedupBatch(loaded.centroids,
+      readCells(spark, dir, loaded.version, Some(touched)), batch,
       idCol, vecCol, threshold, maxGroupSize)
   }
 }

@@ -158,4 +158,36 @@ class SemanticIndexStoreSpec extends SparkSpec {
       assert(inMemory.nonEmpty && fromStore === inMemory)
     }
   }
+
+  test("probe I/O: cell-partitioned layout; the standing scan partition-prunes to the batch's cells") {
+    withDir { dir =>
+      val corpus = vecs((0L until 80L).map(i => (i, base(i.toInt))): _*)
+      SemanticIndexStore.init(corpus, dir, "vec_id", "embedding", nlist = 8)
+      val cellDirs = new java.io.File(s"$dir/v=0/cells").listFiles()
+        .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+      assert(cellDirs.nonEmpty, "cells frame is not cell-partitioned on disk")
+      val batch = vecs((201L, jitter(base(3))), (202L, base(11)))
+      val probe = SemanticIndexStore.probeLatest(spark, dir, batch,
+        "vec_id", "embedding", threshold = 0.9)
+      probe.count() // materialize through AQE so final scans are planned
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      def allNodes(p: SparkPlan): Seq[SparkPlan] =
+        p.collect { case n => n }.flatMap {
+          case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+          case im: InMemoryTableScanExec => im +: allNodes(im.relation.cachedPlan)
+          case n => Seq(n)
+        }
+      val cellScans = allNodes(probe.queryExecution.executedPlan).collect {
+        case s: FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("cells")) => s
+      }
+      assert(cellScans.nonEmpty, "no file scan over the cells path found")
+      cellScans.foreach { s =>
+        assert(s.partitionFilters.nonEmpty && s.partitionFilters.mkString.contains("cell"),
+          s"standing cells scan is not partition-pruned:\n$s")
+      }
+    }
+  }
 }
