@@ -1446,6 +1446,16 @@ object SparkEntry {
       Similarity.cosineNearDups(corpus, "vec_id", "v",
         dim = 64, threshold = 0.9, numTables = 12)
         .where(col("id_a") % 5 === 0 || col("id_b") % 5 === 0))
+    semanticBatchContract(sem, ref)
+  }
+
+  /** The incremental-SemDeDup contract aggregate shared by
+    * [[qSemanticIncr]] and [[qSemanticStore]]: exact-reference pair
+    * count and score sum, a ≥0.9 recall bit of the reference pairs the
+    * semantic batch path found, and a sidedness bit (every emitted
+    * pair touches the batch — standing×standing pairs are the full
+    * recompute's job, not the probe's). */
+  private def semanticBatchContract(sem: DataFrame, ref: DataFrame): DataFrame = {
     val hits = ref.select("id_a", "id_b")
       .join(sem.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi")
     val unsided = sem.where(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0)
@@ -1457,6 +1467,51 @@ object SparkEntry {
       .select(col("n_pairs"), col("sum_score"),
         (col("_nh").cast("double") / col("n_pairs") >= lit(0.9)).as("recall_ok"),
         (col("_nu") === lit(0)).as("sided_ok"))
+  }
+
+  /** The PERSISTED SemDeDup lifecycle end-to-end, gated: init a
+    * versioned [[graft.ops.SemanticIndexStore]] from ~6/7 of the
+    * standing corpus in a scratch dir, append the rest against the
+    * STANDING centroids (the maintenance path — assignment, never a
+    * retrain), then probe the batch through the cell-pruned store
+    * read. Same exact reference and contract bits as
+    * [[qSemanticIncr]]: the whole lifecycle must recover ≥0.9 of the
+    * reference pairs touching the batch, one-sided. The contract row
+    * is materialized before the scratch store is deleted. */
+  def qSemanticStore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.SemanticIndexStore
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val planted = emb.select(
+      (col("vec_id") + lit(1000001L)).as("vec_id"),
+      zip_with(col("v"), concat(slice(col("v"), 2, 63), slice(col("v"), 1, 1)),
+        (x, y) => x + lit(0.05) * y).as("v"))
+    val corpus = emb.unionByName(planted)
+    val isNew = col("vec_id") % 5 === 0
+    val standing = corpus.where(!isNew)
+    val store = java.nio.file.Files.createTempDirectory("q-sem-store").toString
+    try {
+      SemanticIndexStore.init(standing.where(pmod(col("vec_id"), lit(7)) =!= 1),
+        store, "vec_id", "v")
+      SemanticIndexStore.append(spark, store,
+        standing.where(pmod(col("vec_id"), lit(7)) === 1),
+        "vec_id", "v", expectedBase = 0L)
+      val sem = graft.ops.OpCaches.registered(
+        SemanticIndexStore.probeLatest(spark, store,
+          corpus.where(isNew), "vec_id", "v", threshold = 0.9))
+      val ref = graft.ops.OpCaches.registered(
+        Similarity.cosineNearDups(corpus, "vec_id", "v",
+          dim = 64, threshold = 0.9, numTables = 12)
+          .where(col("id_a") % 5 === 0 || col("id_b") % 5 === 0))
+      val contract = semanticBatchContract(sem, ref)
+      val rows = contract.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), contract.schema)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(store)).deleteRecursively()
+      // no global clearCache — Verify sweeps run queries concurrently
+      // (the qIvfStore lesson); scope release owns the cache lifecycle
+    }
   }
 
   /** Embedding analytics rollup: per-label vector counts and norm
@@ -1917,6 +1972,7 @@ object SparkEntry {
     "q_cosine_near_dups" -> qCosineNearDups,
     "q_semantic_dedup"   -> qSemanticDedup,
     "q_semantic_incr"    -> qSemanticIncr,
+    "q_semantic_store"   -> qSemanticStore,
     "q_heavy_hitters"    -> qHeavyHitters,
     "q_bpe_encode"       -> qBpeEncode,
     "q_zorder"           -> qZorder,
@@ -1984,6 +2040,32 @@ object SparkEntry {
   /** Shared ANN-contract oracle: the exact brute-force top-5 aggregate
     * (query count, result count, decimal-summed score mass) + literal
     * TRUE for the recall contract bit. */
+  /** The q_semantic_dedup exact all-pairs reference with the +1000001
+    * planted shift, filtered to pairs touching the batch (vec_id % 5 =
+    * 0); recall and sidedness bits are the contract, emitted as TRUE.
+    * Shared by `q_semantic_incr` (in-memory incremental path) and
+    * `q_semantic_store` (the persisted lifecycle). */
+  private def semanticIncrOracleSql: String = {
+    val dotAB = sqlDot("a.v", "b.v")
+    val dotAA = sqlDot("a.v", "a.v")
+    val dotBB = sqlDot("b.v", "b.v")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT vec_id + 1000001 AS vec_id,
+       |             list_transform(list_zip(v, v[2:64] || v[1:1]),
+       |                            x -> x[1] + 0.05 * x[2]) AS v
+       |      FROM e),
+       |u AS (SELECT * FROM e UNION ALL SELECT * FROM p),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         $dotAB / (sqrt($dotAA) * sqrt($dotBB)) AS score
+       |  FROM u a CROSS JOIN u b WHERE a.vec_id < b.vec_id)
+       |SELECT count(*) AS n_pairs,
+       |       CAST(SUM(CAST(score AS DECIMAL(12,6))) AS DOUBLE) AS sum_score,
+       |       TRUE AS recall_ok, TRUE AS sided_ok
+       |FROM pairs WHERE score >= 0.9
+       |  AND (id_a % 5 = 0 OR id_b % 5 = 0)""".stripMargin
+  }
+
   private def annOracleSql: String = {
     val dotQC = sqlDot("q.v", "c.v")
     val dotQQ = sqlDot("q.v", "q.v")
@@ -3074,30 +3156,10 @@ object SparkEntry {
          |       TRUE AS recall_ok
          |FROM pairs WHERE score >= 0.9""".stripMargin
     },
-    "q_semantic_incr" -> {
-      // the q_semantic_dedup exact all-pairs reference with the
-      // +1000001 planted shift, filtered to pairs touching the batch
-      // (vec_id % 5 = 0); recall and sidedness bits are the contract,
-      // emitted as TRUE
-      val dotAB = sqlDot("a.v", "b.v")
-      val dotAA = sqlDot("a.v", "a.v")
-      val dotBB = sqlDot("b.v", "b.v")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |p AS (SELECT vec_id + 1000001 AS vec_id,
-         |             list_transform(list_zip(v, v[2:64] || v[1:1]),
-         |                            x -> x[1] + 0.05 * x[2]) AS v
-         |      FROM e),
-         |u AS (SELECT * FROM e UNION ALL SELECT * FROM p),
-         |pairs AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |         $dotAB / (sqrt($dotAA) * sqrt($dotBB)) AS score
-         |  FROM u a CROSS JOIN u b WHERE a.vec_id < b.vec_id)
-         |SELECT count(*) AS n_pairs,
-         |       CAST(SUM(CAST(score AS DECIMAL(12,6))) AS DOUBLE) AS sum_score,
-         |       TRUE AS recall_ok, TRUE AS sided_ok
-         |FROM pairs WHERE score >= 0.9
-         |  AND (id_a % 5 = 0 OR id_b % 5 = 0)""".stripMargin
-    },
+    "q_semantic_incr" -> semanticIncrOracleSql,
+    // the store lifecycle answers the SAME contract over the same
+    // fixture — init/append/pruned-probe must be invisible to the bits
+    "q_semantic_store" -> semanticIncrOracleSql,
     "q_bpe_encode" ->
       // the exact anchors (doc count, whitespace token total) plus the
       // three invariant bits the Spark side must prove — the learned
