@@ -639,6 +639,41 @@ object SparkEntry {
       shingleK = 5, numBands = 24, rowsPerBand = 2, threshold = 0.5)
   }
 
+  /** The PERSISTED MinHash/LSH lifecycle end-to-end, gated: init a
+    * versioned [[graft.ops.MinhashIndexStore]] from ~6/7 of the
+    * standing corpus in a scratch dir, append the rest as an index
+    * delta (parameter-validated against the persisted banding meta),
+    * then probe the batch through the store's banded path with the
+    * PERSISTED parameters. Same exact oracle as [[qMinhashBanded]]:
+    * minhash signatures are content-only, so the split build must
+    * emit pair-for-pair what the single build emits — persistence and
+    * append order invisible to the answer. Materialized before the
+    * scratch store is deleted. */
+  def qMinhashStore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.MinhashIndexStore
+    val docs = t(spark, dir, "documents")
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    def build(df: DataFrame) = Dedup.minhashIndexBuild(df, "doc_id", "text",
+      shingleK = 5, numBands = 24, rowsPerBand = 2)
+    val store = java.nio.file.Files.createTempDirectory("q-minhash-store").toString
+    try {
+      MinhashIndexStore.init(build(corpus.where(pmod(col("doc_id"), lit(7)) =!= 1)),
+        store, numBands = 24, rowsPerBand = 2)
+      MinhashIndexStore.append(spark, store,
+        build(corpus.where(pmod(col("doc_id"), lit(7)) === 1)),
+        expectedBase = 0L, numBands = 24, rowsPerBand = 2)
+      val pairs = MinhashIndexStore.probeLatest(spark, store, batch,
+        "doc_id", "text", shingleK = 5, threshold = 0.5)
+      val rows = pairs.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), pairs.schema)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(store)).deleteRecursively()
+      // no global clearCache — Verify runs queries concurrently
+    }
+  }
+
   /** Exact all-pairs hamming reference for the simhash contract gate:
     * every (id_a < id_b, hamming ≤ maxDistance) pair, computed the
     * brute-force way — C(distinct sketches, 2) bit_count comparisons
@@ -1932,6 +1967,7 @@ object SparkEntry {
     "q_dedup_minhash"    -> qDedupMinhash,
     "q_minhash_incr"     -> qMinhashIncr,
     "q_minhash_banded"   -> qMinhashBanded,
+    "q_minhash_store"    -> qMinhashStore,
     "q_dedup_simhash"    -> qDedupSimhash,
     "q_ngram_jaccard"    -> qNgramJaccard,
     "q_text_stats"       -> qTextStats,
@@ -2040,6 +2076,24 @@ object SparkEntry {
   /** Shared ANN-contract oracle: the exact brute-force top-5 aggregate
     * (query count, result count, decimal-summed score mass) + literal
     * TRUE for the recall contract bit. */
+  /** The q_dedup_minhash exact all-pairs Jaccard oracle filtered to
+    * pairs touching the batch (doc_id % 5 = 0) — shared by
+    * `q_minhash_incr`, `q_minhash_banded`, and `q_minhash_store`. */
+  private def minhashIncrOracleSql: String =
+    """WITH toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t
+      |              FROM documents),
+      |sh AS (SELECT id, unnest(CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+      |          ELSE list_distinct(list_transform(generate_series(1, len(t) - 4),
+      |               i -> array_to_string(t[i:i+4], ' '))) END) AS s FROM toks),
+      |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+      |inter AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS i
+      |          FROM sh x JOIN sh y USING (s) WHERE x.id < y.id GROUP BY 1, 2)
+      |SELECT id_a, id_b, i::DOUBLE / (a.sz + b.sz - i) AS jaccard
+      |FROM inter JOIN sizes a ON inter.id_a = a.id JOIN sizes b ON inter.id_b = b.id
+      |WHERE i::DOUBLE / (a.sz + b.sz - i) >= 0.5
+      |  AND (id_a % 5 = 0 OR id_b % 5 = 0)
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** The q_semantic_dedup exact all-pairs reference with the +1000001
     * planted shift, filtered to pairs touching the batch (vec_id % 5 =
     * 0); recall and sidedness bits are the contract, emitted as TRUE.
@@ -2568,40 +2622,14 @@ object SparkEntry {
         |FROM inter JOIN sizes a ON inter.id_a = a.id JOIN sizes b ON inter.id_b = b.id
         |WHERE i::DOUBLE / (a.sz + b.sz - i) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
-    "q_minhash_incr" ->
-      // the q_dedup_minhash exact all-pairs oracle filtered to pairs
-      // touching the batch (doc_id % 5 = 0) — the incremental probe
-      // must emit exactly the full recompute's NEW pairs
-      """WITH toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t
-        |              FROM documents),
-        |sh AS (SELECT id, unnest(CASE WHEN len(t) < 5 THEN []::VARCHAR[]
-        |          ELSE list_distinct(list_transform(generate_series(1, len(t) - 4),
-        |               i -> array_to_string(t[i:i+4], ' '))) END) AS s FROM toks),
-        |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
-        |inter AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS i
-        |          FROM sh x JOIN sh y USING (s) WHERE x.id < y.id GROUP BY 1, 2)
-        |SELECT id_a, id_b, i::DOUBLE / (a.sz + b.sz - i) AS jaccard
-        |FROM inter JOIN sizes a ON inter.id_a = a.id JOIN sizes b ON inter.id_b = b.id
-        |WHERE i::DOUBLE / (a.sz + b.sz - i) >= 0.5
-        |  AND (id_a % 5 = 0 OR id_b % 5 = 0)
-        |ORDER BY id_a, id_b""".stripMargin,
-    "q_minhash_banded" ->
-      // identical oracle to q_minhash_incr: the banded probe must emit
-      // pair-for-pair what the unified probe (and the full recompute's
-      // batch-touching subset) emits
-      """WITH toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t
-        |              FROM documents),
-        |sh AS (SELECT id, unnest(CASE WHEN len(t) < 5 THEN []::VARCHAR[]
-        |          ELSE list_distinct(list_transform(generate_series(1, len(t) - 4),
-        |               i -> array_to_string(t[i:i+4], ' '))) END) AS s FROM toks),
-        |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
-        |inter AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS i
-        |          FROM sh x JOIN sh y USING (s) WHERE x.id < y.id GROUP BY 1, 2)
-        |SELECT id_a, id_b, i::DOUBLE / (a.sz + b.sz - i) AS jaccard
-        |FROM inter JOIN sizes a ON inter.id_a = a.id JOIN sizes b ON inter.id_b = b.id
-        |WHERE i::DOUBLE / (a.sz + b.sz - i) >= 0.5
-        |  AND (id_a % 5 = 0 OR id_b % 5 = 0)
-        |ORDER BY id_a, id_b""".stripMargin,
+    // the q_dedup_minhash exact all-pairs oracle filtered to pairs
+    // touching the batch (doc_id % 5 = 0): the incremental probe must
+    // emit exactly the full recompute's NEW pairs, the banded probe
+    // pair-for-pair the same, and the persisted-store lifecycle
+    // (split init + append + persisted-parameter probe) the same again
+    "q_minhash_incr" -> minhashIncrOracleSql,
+    "q_minhash_banded" -> minhashIncrOracleSql,
+    "q_minhash_store" -> minhashIncrOracleSql,
     // q_dedup_simhash is a CONTRACT GATE (the q_ann_lsh house pattern),
     // not a SQL mirror: the xxhash64 sketch values cannot be reproduced
     // in DuckDB (round-4 analysis — do not retry that conversion). The
