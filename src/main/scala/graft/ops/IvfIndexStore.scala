@@ -11,29 +11,42 @@ import org.apache.spark.sql.functions._
   * together per version so a probe always scores against exactly the
   * centroids its cells were assigned with.
   *
-  * Maintenance is the incremental path the [[Similarity.ivfBuild]]
-  * Scaladoc promises: [[append]] assigns a NEW vector batch against
-  * the STANDING centroid literal (one narrow map — no retrain, no
-  * shuffle beyond the write) and unions it into the cell frame.
-  * Retraining for a drifted corpus is an explicit delete-and-rebuild.
+  * Versions are DELTAS, not snapshots — the O(batch) maintenance
+  * rule: [[init]] writes v=0 as a full frame; [[append]] assigns the
+  * NEW batch against the STANDING centroid literal (one narrow map,
+  * the path the [[Similarity.ivfBuild]] Scaladoc promises) and writes
+  * ONLY those rows, so a daily append writes batch-mass bytes, never
+  * corpus-mass. Readers union the chain from the newest FULL version
+  * (the `full` meta bit): probe I/O stays cell-pruned per chain link.
+  * [[compact]] folds the chain into a new full version; [[prune]]
+  * clamps its floor to the retention target's chain base, so pruning
+  * can never orphan a delta — space reclamation advances as scheduled
+  * compactions introduce newer full versions. Retraining for a
+  * drifted corpus is an explicit delete-and-rebuild.
+  *
   * [[probeLatest]] scores queries against a pinned version through
-  * [[Similarity.ivfProbe]], and the I/O matches the algorithm: the
+  * [[Similarity.ivfProbe]], and the I/O matches the algorithm: every
   * cell frame is WRITTEN partitioned by `cell`, the batch's touched
   * cells ([[Similarity.ivfProbeCells]], ≤ nlist ids) become a static
-  * partition filter, and the scan reads only those cell directories —
-  * nprobe/nlist of the corpus bytes at any scale (plan-spec-pinned),
-  * instead of a full scan a join then discards.
+  * partition filter on every chain link, and the scan reads only
+  * those cell directories — nprobe/nlist of the corpus bytes at any
+  * scale (plan-spec-pinned), instead of a full scan a join then
+  * discards.
   *
   * Layout: `dir/v=N/centroids`, `dir/v=N/cells/cell=<id>/`,
-  * `dir/v=N/meta` (`dim`, `nlist`). Doubles round-trip parquet
-  * bit-exactly, so a reloaded version probes identically
+  * `dir/v=N/meta` (`dim`, `nlist`, `full`). Doubles round-trip
+  * parquet bit-exactly, so a reloaded version probes identically
   * (spec-pinned). */
 object IvfIndexStore {
 
-  /** Persisted provenance: embedding dimension and trained cell count. */
-  final case class IvfMeta(dim: Int, nlist: Int)
+  /** Persisted provenance: embedding dimension, trained cell count,
+    * and whether this version's cell frame is a FULL snapshot (init /
+    * compaction) or a delta over the previous version (append). */
+  final case class IvfMeta(dim: Int, nlist: Int, full: Boolean)
 
-  /** A committed version loaded for probing. */
+  /** A committed version loaded for probing: `cells` is the UNION of
+    * the version's chain (its deltas down to the nearest full
+    * snapshot). */
   final case class LoadedIvfIndex(version: Long,
                                   centroids: Seq[(Long, Seq[Double])],
                                   cells: DataFrame, meta: IvfMeta)
@@ -45,18 +58,19 @@ object IvfIndexStore {
 
   private def writeMeta(spark: SparkSession, dest: String, meta: IvfMeta): Unit = {
     import spark.implicits._
-    Seq((meta.dim, meta.nlist)).toDF("dim", "nlist")
+    Seq((meta.dim, meta.nlist, meta.full)).toDF("dim", "nlist", "full")
       .coalesce(1).write.mode("overwrite").parquet(dest)
   }
 
   private def readMeta(spark: SparkSession, dir: String, v: Long): IvfMeta = {
-    val r = spark.read.parquet(s"$dir/v=$v/meta").select("dim", "nlist").head()
-    IvfMeta(r.getInt(0), r.getInt(1))
+    val r = spark.read.parquet(s"$dir/v=$v/meta")
+      .select("dim", "nlist", "full").head()
+    IvfMeta(r.getInt(0), r.getInt(1), r.getBoolean(2))
   }
 
   private def commitVersion(spark: SparkSession, dir: String, v: Long,
                             centroids: Seq[(Long, Seq[Double])],
-                            cells: DataFrame): Unit =
+                            cells: DataFrame, full: Boolean): Unit =
     VersionedState.commitVersion(spark, dir, v, "ivf index",
       Subframes) { scratch =>
       Similarity.ivfCentroidsDf(spark, centroids)
@@ -69,17 +83,42 @@ object IvfIndexStore {
       // one writer task BEFORE partitionBy: without it every task
       // writes a sliver of every cell it holds — task_count × nlist
       // small files at cluster scale — where co-located cells write
-      // one file each. One shuffle per COMMIT (build/append, the
-      // amortized side), zero per probe.
+      // one file each. One shuffle per COMMIT (over delta mass for
+      // appends, corpus mass only at init/compaction), zero per probe.
       cells.repartition(col("cell"))
         .write.partitionBy("cell").mode("overwrite").parquet(s"$scratch/cells")
       writeMeta(spark, s"$scratch/meta",
-        IvfMeta(centroids.head._2.length, centroids.length))
+        IvfMeta(centroids.head._2.length, centroids.length, full))
     }
 
-  /** Train on the standing corpus and write v=0. Refuses a directory
-    * already holding a committed version, and an empty/all-null corpus
-    * (no centroids to stand on). Returns 0. */
+  /** The version chain serving `v`, newest first: `v` and the deltas
+    * below it down to (and including) the nearest FULL version. Every
+    * link must be committed — a cut chain (a pruner deleted a link the
+    * protocol protects) fails by name rather than answering from a
+    * partial corpus. */
+  private def chain(spark: SparkSession, dir: String, v: Long): Seq[Long] = {
+    val (fs, _) = VersionedState.fsPath(spark, dir)
+    val links = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var w = v
+    var foundFull = false
+    while (!foundFull && w >= 0) {
+      require(VersionedState.committed(fs, dir, w, Subframes),
+        s"ivf index at $dir: version v=$v's chain needs v=$w, which is " +
+          "missing or uncommitted — the chain was pruned or a commit " +
+          "crashed; recover from a full version or rebuild")
+      links += w
+      foundFull = readMeta(spark, dir, w).full
+      w -= 1
+    }
+    if (!foundFull) throw new IllegalStateException(
+      s"ivf index at $dir: no full version at or below v=$v — v=0 is " +
+        "always full, so the chain base was deleted outside the protocol")
+    links.toSeq
+  }
+
+  /** Train on the standing corpus and write v=0 as a FULL frame.
+    * Refuses a directory already holding a committed version, and an
+    * empty/all-null corpus (no centroids to stand on). Returns 0. */
   def init(corpus: DataFrame, dir: String, idCol: String, vecCol: String,
            nlist: Int = 16, lloydIters: Int = 2): Long = {
     val spark = corpus.sparkSession
@@ -97,14 +136,15 @@ object IvfIndexStore {
     require(centroids.nonEmpty,
       s"ivf index at $dir: the corpus trained no centroids (empty or " +
         "all-null vectors) — an empty standing index has nothing to probe")
-    commitVersion(spark, dir, 0L, centroids, cells)
+    commitVersion(spark, dir, 0L, centroids, cells, full = true)
     0L
   }
 
   /** Assign a new vector batch against the STANDING centroids (one
-    * narrow map) and write `expectedBase + 1` with the rows appended.
-    * The base must be the latest committed version. Ids must be unique
-    * across the merged corpora. Returns the version written. */
+    * narrow map) and write `expectedBase + 1` holding ONLY those rows
+    * — O(batch) write I/O; readers union the delta chain. The base
+    * must be the latest committed version. Ids must be unique across
+    * the merged corpora. Returns the version written. */
   def append(spark: SparkSession, dir: String, batch: DataFrame,
              idCol: String, vecCol: String, expectedBase: Long): Long = {
     val latest = latestVersion(spark, dir)
@@ -121,18 +161,56 @@ object IvfIndexStore {
           case None =>
             "the base was pruned or the index was never initialized"
         }))
-    val loaded = read(spark, dir, Some(expectedBase))
-    val assigned = Similarity.ivfAssign(batch, idCol, vecCol, loaded.centroids)
-    commitVersion(spark, dir, expectedBase + 1, loaded.centroids,
-      loaded.cells.unionByName(assigned))
+    val meta = readMeta(spark, dir, expectedBase)
+    val centroids = Similarity.ivfCentroidsFromDf(
+      spark.read.parquet(s"$dir/v=$expectedBase/centroids"))
+    require(centroids.nonEmpty && centroids.head._2.length == meta.dim,
+      s"ivf index at $dir v=$expectedBase: centroid table does not match " +
+        s"its persisted meta ($meta) — the version directory was tampered with")
+    val assigned = Similarity.ivfAssign(batch, idCol, vecCol, centroids)
+    commitVersion(spark, dir, expectedBase + 1, centroids, assigned,
+      full = false)
     expectedBase + 1
   }
 
-  /** Delete versions strictly below `keepFrom`; never the head. */
-  def prune(spark: SparkSession, dir: String, keepFrom: Long): Seq[Long] =
-    VersionedState.prune(spark, dir, keepFrom, Subframes, "ivf index")
+  /** Fold the head's delta chain into a new FULL version at head+1 —
+    * the O(corpus) job that makes pruning (and chain-length hygiene) a
+    * scheduled policy instead of a per-append tax. No-op (returns the
+    * head) when the head is already full. */
+  def compact(spark: SparkSession, dir: String): Long = {
+    val head = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"ivf index at $dir has no committed version to compact"))
+    val loaded = read(spark, dir, Some(head))
+    if (loaded.meta.full) head
+    else {
+      commitVersion(spark, dir, head + 1, loaded.centroids, loaded.cells,
+        full = true)
+      head + 1
+    }
+  }
 
-  /** Load a pinned version (or the latest committed). A missing or
+  /** Delete versions no longer needed to read any version ≥
+    * `keepFrom`: everything strictly below `keepFrom`'s chain BASE
+    * (the newest full version at or below it). Deltas make the naive
+    * "delete < keepFrom" unsafe — a surviving version's chain may dip
+    * below the floor — so the floor clamps to the chain base and can
+    * never orphan a link; space reclamation advances as scheduled
+    * [[compact]] runs introduce newer full versions. Never the head.
+    * Returns the pruned version numbers. */
+  def prune(spark: SparkSession, dir: String, keepFrom: Long): Seq[Long] = {
+    val head = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"ivf index at $dir has no committed version — nothing to prune from"))
+    require(keepFrom <= head,
+      s"ivf index at $dir: prune keepFrom=v=$keepFrom is above the latest " +
+        s"committed version v=$head — refusing to prune the head")
+    VersionedState.prune(spark, dir, chain(spark, dir, keepFrom).min,
+      Subframes, "ivf index")
+  }
+
+  /** Load a pinned version (or the latest committed): centroids, meta,
+    * and the UNION of its delta chain's cell frames. A missing or
     * uncommitted pin fails by name. */
   def read(spark: SparkSession, dir: String,
            version: Option[Long] = None): LoadedIvfIndex = {
@@ -158,26 +236,28 @@ object IvfIndexStore {
     LoadedIvfIndex(v, centroids, readCells(spark, dir, v, None), meta)
   }
 
-  /** The cell frame of a committed version, optionally pruned to a
-    * probe's touched cells. The prune filter goes on the RAW inferred
-    * partition column (int — cell ids are 0..nlist-1, always
-    * int-safe) BEFORE the long cast that restores in-memory schema
-    * parity, so `PruneFileSourcePartitions` sees a plain
-    * partition-attribute IN list and the scan reads only the touched
+  /** The cell frame serving a committed version — the union of its
+    * delta chain — optionally pruned to a probe's touched cells. The
+    * prune filter goes on the RAW inferred partition column (int —
+    * cell ids are 0..nlist-1, always int-safe) BEFORE the long cast
+    * that restores in-memory schema parity, so
+    * `PruneFileSourcePartitions` sees a plain partition-attribute IN
+    * list on EVERY chain link and each scan reads only the touched
     * cell directories (plan-spec-pinned). */
   private def readCells(spark: SparkSession, dir: String, v: Long,
-                        onlyCells: Option[Seq[Long]]): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/v=$v/cells")
-    val pruned = onlyCells match {
-      case Some(cs) => raw.where(col("cell").isin(cs.map(_.toInt): _*))
-      case None => raw
-    }
-    pruned.withColumn("cell", col("cell").cast("long"))
-  }
+                        onlyCells: Option[Seq[Long]]): DataFrame =
+    chain(spark, dir, v).map { w =>
+      val raw = spark.read.parquet(s"$dir/v=$w/cells")
+      val pruned = onlyCells match {
+        case Some(cs) => raw.where(col("cell").isin(cs.map(_.toInt): _*))
+        case None => raw
+      }
+      pruned.withColumn("cell", col("cell").cast("long"))
+    }.reduce(_ unionByName _)
 
   /** Score queries against the latest committed version (or a pinned
     * one): cosine top-k, each query touching only its `nprobe` nearest
-    * standing cells. */
+    * standing cells — in every chain link. */
   def probeLatest(spark: SparkSession, dir: String, queries: DataFrame,
                   idCol: String, vecCol: String, k: Int, nprobe: Int = 8,
                   version: Option[Long] = None): DataFrame = {

@@ -34,7 +34,7 @@ class IvfIndexStoreSpec extends SparkSpec {
       assert(IvfIndexStore.init(corpus, dir, "vec_id", "embedding",
         nlist = 8) === 0L)
       val v0 = IvfIndexStore.read(spark, dir)
-      assert(v0.meta === IvfIndexStore.IvfMeta(16, 8))
+      assert(v0.meta === IvfIndexStore.IvfMeta(16, 8, full = true))
       // a probe for an exact copy of corpus member 5 finds it (the
       // identical vector shares the argmin cell — the ivfTopK contract)
       val q5 = vecs((999L, base(5)))
@@ -143,12 +143,71 @@ class IvfIndexStoreSpec extends SparkSpec {
       assert(missing.getMessage.contains("no committed version v=9"))
       IvfIndexStore.append(spark, dir, vecs((503L, base(902))),
         "vec_id", "embedding", 1L)
-      assert(IvfIndexStore.prune(spark, dir, keepFrom = 2L) === Seq(0L, 1L))
+      // deltas clamp the prune floor: v=2's chain bottoms out at the
+      // v=0 full base, so a keepFrom mid-chain reclaims nothing — a
+      // naive delete-below would orphan the head's own chain
+      assert(IvfIndexStore.prune(spark, dir, keepFrom = 2L) === Seq.empty)
       assert(IvfIndexStore.latestVersion(spark, dir) === Some(2L))
+      // compaction folds the chain into a full v=3; pruning below it
+      // then reclaims the whole old chain
+      assert(IvfIndexStore.compact(spark, dir) === 3L)
+      assert(IvfIndexStore.compact(spark, dir) === 3L) // full head: no-op
+      assert(IvfIndexStore.prune(spark, dir, keepFrom = 3L) === Seq(0L, 1L, 2L))
+      assert(IvfIndexStore.latestVersion(spark, dir) === Some(3L))
+      assert(IvfIndexStore.read(spark, dir).cells.count() === 62L)
       val head = intercept[IllegalArgumentException] {
         IvfIndexStore.prune(spark, dir, keepFrom = 5L)
       }
       assert(head.getMessage.contains("refusing to prune the head"))
+    }
+  }
+
+  test("delta appends: O(batch) writes, chain reads, compaction equivalence") {
+    withDir { dir =>
+      val corpus = vecs((0L until 100L).map(i => (i, base(i.toInt))): _*)
+      IvfIndexStore.init(corpus, dir, "vec_id", "embedding", nlist = 8)
+      IvfIndexStore.append(spark, dir, vecs((501L, base(900))),
+        "vec_id", "embedding", 0L)
+      IvfIndexStore.append(spark, dir,
+        vecs((502L, base(901)), (503L, base(902))), "vec_id", "embedding", 1L)
+      // the append versions hold ONLY their batch rows on disk — the
+      // O(batch) maintenance claim, read straight off the layout
+      def diskRows(v: Long) =
+        spark.read.parquet(s"$dir/v=$v/cells").count()
+      assert(diskRows(0) === 100L)
+      assert(diskRows(1) === 1L)
+      assert(diskRows(2) === 2L)
+      // a read unions the chain
+      val v2 = IvfIndexStore.read(spark, dir)
+      assert(!v2.meta.full && v2.cells.count() === 103L)
+      // probes see the whole merged corpus through the chain
+      def top1(df: org.apache.spark.sql.DataFrame): Long =
+        df.orderBy("rank").limit(1).collect()(0).getLong(1)
+      val probeBefore = IvfIndexStore.probeLatest(spark, dir,
+        vecs((998L, base(901))), "vec_id", "embedding", k = 3, nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      assert(top1(IvfIndexStore.probeLatest(spark, dir,
+        vecs((998L, base(901))), "vec_id", "embedding", k = 3, nprobe = 8)) === 502L)
+      // compaction changes the layout, never the answer
+      val full = IvfIndexStore.compact(spark, dir)
+      assert(IvfIndexStore.read(spark, dir, Some(full)).meta.full)
+      assert(diskRows(full) === 103L)
+      val probeAfter = IvfIndexStore.probeLatest(spark, dir,
+        vecs((998L, base(901))), "vec_id", "embedding", k = 3, nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      assert(probeAfter === probeBefore)
+      // a cut chain fails by name instead of answering from a partial
+      // corpus: delete the v=0 base behind the protocol's back and pin
+      // the delta version (the compacted head no longer needs it)
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(s"$dir/v=0")).deleteRecursively()
+      val cut = intercept[IllegalArgumentException] {
+        IvfIndexStore.read(spark, dir, Some(2L))
+      }
+      assert(cut.getMessage.contains("chain"))
+      // the compacted head still serves
+      assert(top1(IvfIndexStore.probeLatest(spark, dir,
+        vecs((998L, base(901))), "vec_id", "embedding", k = 3, nprobe = 8)) === 502L)
     }
   }
 }
