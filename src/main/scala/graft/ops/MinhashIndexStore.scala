@@ -12,59 +12,91 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * maintainers racing each other all fail loudly instead of silently
   * dropping merged batches from every later snapshot. Commit atomicity,
   * crash replay, race detection, and pruning live in
-  * [[VersionedState]], shared with [[SemanticIndexStore]].
+  * [[VersionedState]], shared with [[SemanticIndexStore]] and
+  * [[IvfIndexStore]].
   *
-  * Layout: `dir/v=N/index` (the `(shh, ids, sig)` frame), `dir/v=N/
-  * bands` (the pre-aggregated [[Dedup.minhashIndexBands]] bucket table
-  * — written together so every committed version can serve the
-  * exchange-free probe, [[Dedup.minhashIndexDedupBatchBanded]]), and
-  * `dir/v=N/meta` (one row: the banding parameters this version was
-  * built with — numBands, rowsPerBand, maxGroupSize). [[append]]
-  * validates its parameters against the base's persisted meta and
-  * [[probeLatest]] probes WITH the persisted meta, so a
-  * re-parameterized maintainer or a probe against a mismatched bands
-  * frame fails loudly (or cannot happen) instead of silently dropping
-  * candidate pairs. Longs and long arrays round-trip parquet
-  * bit-exactly — a reloaded version probes identically to the
-  * in-memory frame it persisted (spec-pinned,
-  * `MinhashIndexStoreSpec`).
+  * Versions are DELTAS, not snapshots — the O(batch) maintenance rule
+  * ([[IvfIndexStore]]'s): [[init]] writes v=0 as a full frame;
+  * [[append]] writes ONLY the batch's own index rows and their bucket
+  * table, so a daily append's write I/O and its one set-keyed shuffle
+  * are batch-mass, never corpus-mass. Readers union the chain from the
+  * newest FULL version (the `full` meta bit). A shingle set present in
+  * several chain links carries the IDENTICAL signature in each (the
+  * signature is a pure function of the set), so every link's row
+  * collides in exactly the same bands, survives the same screen,
+  * verifies at the same jaccard, and the links' disjoint member lists
+  * expand to exactly the pairs the merged group would — probe output
+  * is pair-for-pair the single-frame index's (spec-pinned,
+  * `MinhashIndexStoreSpec` "delta appends"; oracle-gated end-to-end by
+  * `q_minhash_store`). [[compact]] folds the chain into a new full
+  * version ([[Dedup.minhashIndexAppend]], the O(corpus) set-keyed
+  * merge — now a scheduled job, not a per-append tax); [[prune]]
+  * clamps its floor to the retention target's chain base so it can
+  * never orphan a delta. The one semantic shift deltas introduce is
+  * VALVE PLACEMENT: the `maxGroupSize` member-list and bucket valves
+  * fire per LINK at append time (a group or bucket split across links
+  * can sum past the valve before any single link trips it) and on the
+  * MERGED mass at compaction — a chain that outgrows the valve fails
+  * the scheduled compact, never a probe.
+  *
+  * Layout: `dir/v=N/index` (the `(shh, ids, sig)` frame — full
+  * snapshot at init/compaction, the batch delta at append), `dir/v=N/
+  * bands` (that frame's pre-aggregated [[Dedup.minhashIndexBands]]
+  * bucket table — written together so every committed version can
+  * serve the exchange-free probe, [[Dedup.minhashIndexDedupBatchBanded]]),
+  * and `dir/v=N/meta` (one row: the banding parameters this version
+  * was built with — numBands, rowsPerBand, maxGroupSize — plus the
+  * `full` chain bit). [[append]] validates its parameters against the
+  * base's persisted meta and [[probeLatest]] probes WITH the persisted
+  * meta, so a re-parameterized maintainer or a probe against a
+  * mismatched bands frame fails loudly (or cannot happen) instead of
+  * silently dropping candidate pairs. Longs and long arrays round-trip
+  * parquet bit-exactly — a reloaded version probes identically to the
+  * in-memory frame it persisted (spec-pinned, `MinhashIndexStoreSpec`).
   *
   * ==Maintenance protocol==
-  *  - [[init]] writes v=0 and REFUSES a directory that already holds a
-  *    COMMITTED version: pointing a fresh builder at a standing index
-  *    would rebuild v=0 from the new corpus alone, silently dropping
-  *    it. Scratch debris from a crashed init (there is no uncommitted
-  *    `v=0` under the rename protocol) does not block the retry —
-  *    crash replay of init is just running init again.
-  *  - [[append]]`(dir, delta, expectedBase = N)` merges onto v=N and
-  *    writes v=N+1, requiring v=N to BE the latest committed version:
-  *    a version above N means another maintainer already advanced the
+  *  - [[init]] writes v=0 (always full) and REFUSES a directory that
+  *    already holds a COMMITTED version: pointing a fresh builder at a
+  *    standing index would rebuild v=0 from the new corpus alone,
+  *    silently dropping it. Scratch debris from a crashed init (there
+  *    is no uncommitted `v=0` under the rename protocol) does not
+  *    block the retry — crash replay of init is just running init
+  *    again.
+  *  - [[append]]`(dir, delta, expectedBase = N)` writes the delta as
+  *    v=N+1, requiring v=N to BE the latest committed version: a
+  *    version above N means another maintainer already advanced the
   *    index (this caller is stale — re-read and retry on the new
   *    head); a missing v=N means the base was pruned. A crash anywhere
   *    before the rename leaves latest = N, so re-running the SAME
   *    append just succeeds — the replay rule.
-  *  - [[prune]] deletes versions below a kept floor, never the head
-  *    (retention policy — retain ≥ max job runtime — is the caller's).
+  *  - [[compact]] folds the head's chain into a full version at
+  *    head+1; [[prune]] deletes versions below a kept floor clamped to
+  *    that floor's chain base, never the head (retention policy —
+  *    retain ≥ max job runtime — is the caller's).
   *
-  * Scale shape: append's merge cost is the [[Dedup.minhashIndexAppend]]
-  * set-keyed shuffle plus one [[Dedup.minhashIndexBands]] aggregation —
-  * the amortized daily maintenance job; probes never pay it, they read
-  * a pinned version's parquet frames by narrow broadcast-pruned scans
-  * and join the batch against the PRE-BANDED bucket table
-  * ([[Dedup.minhashIndexDedupBatchBanded]] via [[probeLatest]]), so no
-  * corpus-mass row ever crosses an exchange at probe time. */
+  * Scale shape: append pays the delta build's batch-mass shuffles plus
+  * one batch-mass [[Dedup.minhashIndexBands]] aggregation; probes
+  * never pay maintenance, they read a pinned version's chain by narrow
+  * broadcast-pruned scans and join the batch against the PRE-BANDED
+  * bucket tables ([[Dedup.minhashIndexDedupBatchBanded]] via
+  * [[probeLatest]]), so no corpus-mass row ever crosses an exchange at
+  * probe time; the O(corpus) set-keyed merge runs only at scheduled
+  * compaction. */
 object MinhashIndexStore {
 
   /** The banding parameters a version was built with — persisted as
     * the version's `meta` frame and required to match across every
     * build/append/probe of one index (`numBands · rowsPerBand` is the
-    * signature length). */
+    * signature length). The `full` chain bit (whether the version is a
+    * full snapshot or an append delta) is persisted alongside but is
+    * protocol state, not a parameter — it never enters the match. */
   final case class IndexMeta(numBands: Int, rowsPerBand: Int,
                              maxGroupSize: Int)
 
   /** A committed version loaded for probing: the `(shh, ids, sig)`
-    * index frame, its pre-aggregated bucket table, and the banding
-    * parameters both were built with. */
+    * index frame and its pre-aggregated bucket table — each the UNION
+    * of the version's chain (its deltas down to the nearest full
+    * snapshot) — and the banding parameters the chain was built with. */
   final case class LoadedIndex(version: Long, index: DataFrame,
                                bands: DataFrame, meta: IndexMeta)
 
@@ -76,31 +108,64 @@ object MinhashIndexStore {
     VersionedState.latestVersion(spark, dir, Subframes)
 
   private def writeMeta(spark: SparkSession, dest: String,
-                        meta: IndexMeta): Unit = {
+                        meta: IndexMeta, full: Boolean): Unit = {
     import spark.implicits._
-    Seq((meta.numBands, meta.rowsPerBand, meta.maxGroupSize))
-      .toDF("num_bands", "rows_per_band", "max_group_size")
+    Seq((meta.numBands, meta.rowsPerBand, meta.maxGroupSize, full))
+      .toDF("num_bands", "rows_per_band", "max_group_size", "full")
       .coalesce(1).write.mode("overwrite").parquet(dest)
   }
 
-  private def readMeta(spark: SparkSession, dir: String, v: Long): IndexMeta = {
+  private def readMetaRow(spark: SparkSession, dir: String,
+                          v: Long): (IndexMeta, Boolean) = {
     val r = spark.read.parquet(s"$dir/v=$v/meta")
-      .select("num_bands", "rows_per_band", "max_group_size").head()
-    IndexMeta(r.getInt(0), r.getInt(1), r.getInt(2))
+      .select("num_bands", "rows_per_band", "max_group_size", "full").head()
+    (IndexMeta(r.getInt(0), r.getInt(1), r.getInt(2)), r.getBoolean(3))
   }
 
+  private def readMeta(spark: SparkSession, dir: String, v: Long): IndexMeta =
+    readMetaRow(spark, dir, v)._1
+
   private[graft] def commitVersion(index: DataFrame, dir: String, v: Long,
-                                   meta: IndexMeta): Unit = {
+                                   meta: IndexMeta,
+                                   full: Boolean): Unit = {
     val spark = index.sparkSession
     VersionedState.commitVersion(spark, dir, v, "minhash index",
       Subframes) { scratch =>
       index.write.mode("overwrite").parquet(s"$scratch/index")
+      // the bucket table derives from EXACTLY the bytes just written
+      // (re-read, not the in-memory frame), so a version's bands can
+      // never drift from its index frame
       Dedup.minhashIndexBands(
         spark.read.parquet(s"$scratch/index"),
         meta.numBands, meta.rowsPerBand, meta.maxGroupSize)
         .write.mode("overwrite").parquet(s"$scratch/bands")
-      writeMeta(spark, s"$scratch/meta", meta)
+      writeMeta(spark, s"$scratch/meta", meta, full)
     }
+  }
+
+  /** The version chain serving `v`, newest first: `v` and the deltas
+    * below it down to (and including) the nearest FULL version. Every
+    * link must be committed — a cut chain (a pruner deleted a link the
+    * protocol protects) fails by name rather than probing a partial
+    * corpus, which would silently miss near-dup pairs. */
+  private def chain(spark: SparkSession, dir: String, v: Long): Seq[Long] = {
+    val (fs, _) = VersionedState.fsPath(spark, dir)
+    val links = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var w = v
+    var foundFull = false
+    while (!foundFull && w >= 0) {
+      require(VersionedState.committed(fs, dir, w, Subframes),
+        s"minhash index at $dir: version v=$v's chain needs v=$w, which is " +
+          "missing or uncommitted — the chain was pruned or a commit " +
+          "crashed; recover from a full version or rebuild")
+      links += w
+      foundFull = readMetaRow(spark, dir, w)._2
+      w -= 1
+    }
+    if (!foundFull) throw new IllegalStateException(
+      s"minhash index at $dir: no full version at or below v=$v — v=0 is " +
+        "always full, so the chain base was deleted outside the protocol")
+    links.toSeq
   }
 
   /** Write the initial version (v=0) of a new index. Refuses a
@@ -125,18 +190,22 @@ object MinhashIndexStore {
         "standing index; append onto the latest version, or explicitly " +
         "delete the directory to start over")
     commitVersion(index, dir, 0L,
-      IndexMeta(numBands, rowsPerBand, maxGroupSize))
+      IndexMeta(numBands, rowsPerBand, maxGroupSize), full = true)
     0L
   }
 
-  /** Merge a delta index ([[Dedup.minhashIndexBuild]] over the new
-    * batch, built with the SAME banding parameters) onto version
-    * `expectedBase` and write version `expectedBase + 1`. The base must
-    * be the LATEST COMMITTED version — see the protocol above — and the
+  /** Write a delta index ([[Dedup.minhashIndexBuild]] over the new
+    * batch, built with the SAME banding parameters) as version
+    * `expectedBase + 1` — O(batch) write I/O and batch-mass shuffles
+    * only; readers union the delta chain ([[read]]), and the O(corpus)
+    * set-keyed merge is [[compact]]'s scheduled job. The base must be
+    * the LATEST COMMITTED version — see the protocol above — and the
     * caller's parameters must equal the base's persisted meta: a
     * re-parameterized delta would band differently than the standing
     * index and silently drop candidate pairs, so the mismatch fails by
-    * name instead. Returns the version written. */
+    * name instead. Ids must be unique across the merged corpora (the
+    * reconciliation contract every keyed merge here shares). Returns
+    * the version written. */
   def append(spark: SparkSession, dir: String, delta: DataFrame,
              expectedBase: Long,
              numBands: Int = Dedup.DefaultNumBands,
@@ -166,25 +235,62 @@ object MinhashIndexStore {
         s"v=$expectedBase's persisted $baseMeta — a delta banded with " +
         "different parameters would silently drop candidate pairs; rebuild " +
         "the index to re-parameterize")
-    val merged = Dedup.minhashIndexAppend(
-      spark.read.parquet(s"$dir/v=$expectedBase/index"), delta, maxGroupSize)
-    commitVersion(merged, dir, expectedBase + 1, baseMeta)
+    commitVersion(delta.select("shh", "ids", "sig"), dir, expectedBase + 1,
+      baseMeta, full = false)
     expectedBase + 1
   }
 
-  /** Delete versions strictly below `keepFrom` (plus crash debris below
-    * it). Never prunes the latest committed version; the retention
-    * window — retain ≥ the max expected reader/appender runtime — is
-    * the caller's policy. Returns the pruned version numbers. */
-  def prune(spark: SparkSession, dir: String, keepFrom: Long): Seq[Long] =
-    VersionedState.prune(spark, dir, keepFrom, Subframes, "minhash index")
+  /** Fold the head's delta chain into a new FULL version at head+1 —
+    * the O(corpus) [[Dedup.minhashIndexAppend]] set-keyed merge as a
+    * scheduled job instead of a per-append tax. This is also where the
+    * `maxGroupSize` valves fire on the MERGED mass: a group or bucket
+    * that outgrew the valve across links fails the compact by name,
+    * never a probe. No-op (returns the head) when the head is already
+    * full. */
+  def compact(spark: SparkSession, dir: String): Long = {
+    val head = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"minhash index at $dir has no committed version to compact"))
+    val (meta, full) = readMetaRow(spark, dir, head)
+    if (full) head
+    else {
+      val frames = chain(spark, dir, head)
+        .map(w => spark.read.parquet(s"$dir/v=$w/index"))
+      val merged = Dedup.minhashIndexAppend(frames.head,
+        frames.tail.reduce(_ unionByName _), meta.maxGroupSize)
+      commitVersion(merged, dir, head + 1, meta, full = true)
+      head + 1
+    }
+  }
+
+  /** Delete versions no longer needed to read any version ≥
+    * `keepFrom`: everything strictly below `keepFrom`'s chain BASE
+    * (the newest full version at or below it), plus crash debris below
+    * that floor. Deltas make the naive "delete < keepFrom" unsafe — a
+    * surviving version's chain may dip below the floor — so the floor
+    * clamps to the chain base and can never orphan a link; space
+    * reclamation advances as scheduled [[compact]] runs introduce newer
+    * full versions. Never prunes the latest committed version; the
+    * retention window — retain ≥ the max expected reader/appender
+    * runtime — is the caller's policy. Returns the pruned versions. */
+  def prune(spark: SparkSession, dir: String, keepFrom: Long): Seq[Long] = {
+    val head = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"minhash index at $dir has no committed version — nothing to prune from"))
+    require(keepFrom <= head,
+      s"minhash index at $dir: prune keepFrom=v=$keepFrom is above the latest " +
+        s"committed version v=$head — refusing to prune the head")
+    VersionedState.prune(spark, dir, chain(spark, dir, keepFrom).min,
+      Subframes, "minhash index")
+  }
 
   /** Load a pinned version — or the latest committed version when
-    * `version` is None — as its `(index, bands, meta)` triple. A pinned
-    * version that is missing or uncommitted fails by name (reading it
-    * as parquet would either error opaquely or, with an explicit
-    * schema, silently return 0 rows — an empty index "finds" no
-    * duplicates). */
+    * `version` is None — as its `(index, bands, meta)` triple, where
+    * the index and bands frames are the UNION of the version's delta
+    * chain. A pinned version that is missing or uncommitted fails by
+    * name (reading it as parquet would either error opaquely or, with
+    * an explicit schema, silently return 0 rows — an empty index
+    * "finds" no duplicates). */
   def read(spark: SparkSession, dir: String,
            version: Option[Long] = None): LoadedIndex = {
     val (fs, _) = VersionedState.fsPath(spark, dir)
@@ -200,8 +306,13 @@ object MinhashIndexStore {
           throw new IllegalArgumentException(
             s"minhash index at $dir has no committed version"))
     }
-    LoadedIndex(v, spark.read.parquet(s"$dir/v=$v/index"),
-      spark.read.parquet(s"$dir/v=$v/bands"), readMeta(spark, dir, v))
+    val links = chain(spark, dir, v)
+    LoadedIndex(v,
+      links.map(w => spark.read.parquet(s"$dir/v=$w/index"))
+        .reduce(_ unionByName _),
+      links.map(w => spark.read.parquet(s"$dir/v=$w/bands"))
+        .reduce(_ unionByName _),
+      readMeta(spark, dir, v))
   }
 
   /** The production probe entry point: dedup `batch` against the

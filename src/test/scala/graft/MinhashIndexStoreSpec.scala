@@ -164,9 +164,9 @@ class MinhashIndexStoreSpec extends SparkSpec {
         Dedup.DefaultNumBands, Dedup.DefaultRowsPerBand, Dedup.DefaultMaxGroupSize)
       val winner = build(docs(1L to 10L))
       val loser = build(docs(11L to 20L))
-      MinhashIndexStore.commitVersion(winner, dir, 0L, meta)
+      MinhashIndexStore.commitVersion(winner, dir, 0L, meta, full = true)
       val e = intercept[IllegalStateException] {
-        MinhashIndexStore.commitVersion(loser, dir, 0L, meta)
+        MinhashIndexStore.commitVersion(loser, dir, 0L, meta, full = true)
       }
       assert(e.getMessage.contains("lost the commit race for v=0"))
       // the committed version is EXACTLY the winner's write: the three
@@ -220,18 +220,33 @@ class MinhashIndexStoreSpec extends SparkSpec {
     }
   }
 
-  test("prune drops old versions and crash debris below the floor, never the head") {
+  test("prune clamps to the chain base, drops folded versions and debris, never the head") {
     withDir { dir =>
       MinhashIndexStore.init(build(docs(1L to 10L)), dir)
       MinhashIndexStore.append(spark, dir, build(docs(11L to 14L)), 0L)
       MinhashIndexStore.append(spark, dir, build(docs(15L to 18L)), 1L)
-      // plant old-protocol crash debris below the floor: pruned with it
-      build(docs(90L to 92L)).write.parquet(s"$dir/v=1/stray")
-      assert(MinhashIndexStore.prune(spark, dir, keepFrom = 2L) === Seq(0L, 1L))
+      // v=1 and v=2 are DELTAS: v=2's chain is [2,1,0], so a naive
+      // prune below keepFrom=2 would orphan the head's own chain. The
+      // floor clamps to the chain base — nothing is deletable yet.
+      assert(MinhashIndexStore.prune(spark, dir, keepFrom = 2L) === Seq.empty)
       assert(MinhashIndexStore.latestVersion(spark, dir) === Some(2L))
-      // the kept head still probes
-      assert(MinhashIndexStore.probeLatest(spark, dir, docs(21L to 23L),
-        "doc_id", "text", shingleK = K, threshold = 0.5).count() >= 0L)
+      // compaction introduces a full v=3; the folded chain becomes
+      // reclaimable. Plant old-protocol crash debris below the floor:
+      // pruned with it.
+      assert(MinhashIndexStore.compact(spark, dir) === 3L)
+      build(docs(90L to 92L)).write.parquet(s"$dir/v=1/stray")
+      assert(MinhashIndexStore.prune(spark, dir, keepFrom = 3L) ===
+        Seq(0L, 1L, 2L))
+      assert(MinhashIndexStore.latestVersion(spark, dir) === Some(3L))
+      // the kept head still probes — like a rebuild over the full
+      // corpus (the SAME three pieces: docs() reseeds per call, so
+      // docs(1 to 18) would be a different corpus)
+      val expected = pairSet(Dedup.minhashIndexDedupBatch(
+        build(docs(1L to 10L).unionByName(docs(11L to 14L))
+          .unionByName(docs(15L to 18L))), docs(21L to 23L),
+        "doc_id", "text", shingleK = K, threshold = 0.5))
+      assert(pairSet(MinhashIndexStore.probeLatest(spark, dir, docs(21L to 23L),
+        "doc_id", "text", shingleK = K, threshold = 0.5)) === expected)
       // an append naming the pruned base refuses — as a stale base (the
       // base sits below the head whether pruned or merely superseded,
       // and re-reading the head is the right remedy either way)
@@ -244,6 +259,81 @@ class MinhashIndexStoreSpec extends SparkSpec {
         MinhashIndexStore.prune(spark, dir, keepFrom = 7L)
       }
       assert(h.getMessage.contains("refusing to prune the head"))
+    }
+  }
+
+  test("delta appends: O(batch) writes, chain-union probe parity, compact folds and no-ops") {
+    withDir { dir =>
+      val corpus = docs(1L to 20L)
+      val b1 = docs(21L to 28L)
+      val b2 = docs(31L to 36L)
+        .unionByName(corpus.where(col("doc_id") === 5L)
+          .select(lit(105L).as("doc_id"), col("text"))) // cross-link copy
+      MinhashIndexStore.init(build(corpus), dir)
+      MinhashIndexStore.append(spark, dir, build(b1), 0L)
+      MinhashIndexStore.append(spark, dir, build(b2), 1L)
+      // the delta version's frame holds ONLY the batch's own ids — the
+      // O(batch) write-mass claim, checked against the bytes on disk
+      val v1Ids = spark.read.parquet(s"$dir/v=1/index")
+        .select(explode(col("ids"))).collect().map(_.getLong(0)).toSet
+      assert(v1Ids === (21L to 28L).toSet)
+      // chain-union probe ≡ probe against a from-scratch rebuild over
+      // the union corpus — including a batch doc whose near-dup twin
+      // lives in a DIFFERENT chain link than the probe's head
+      val batch = docs(41L to 46L)
+        .unionByName(b1.where(col("doc_id") === 22L)
+          .select(lit(122L).as("doc_id"), col("text")))
+      val expected = pairSet(Dedup.minhashIndexDedupBatch(
+        build(corpus.unionByName(b1).unionByName(b2)), batch,
+        "doc_id", "text", shingleK = K, threshold = 0.5))
+      assert(expected.contains((22L, 122L, 1.0)))
+      assert(pairSet(MinhashIndexStore.probeLatest(spark, dir, batch,
+        "doc_id", "text", shingleK = K, threshold = 0.5)) === expected)
+      // compact folds the chain into a full head that probes
+      // pair-for-pair identically; compacting a full head is a no-op
+      assert(MinhashIndexStore.compact(spark, dir) === 3L)
+      assert(pairSet(MinhashIndexStore.probeLatest(spark, dir, batch,
+        "doc_id", "text", shingleK = K, threshold = 0.5)) === expected)
+      assert(MinhashIndexStore.compact(spark, dir) === 3L)
+      // the folded frame is ONE row per distinct set again: the
+      // cross-link copy's set carries a merged member list
+      val merged = spark.read.parquet(s"$dir/v=3/index")
+      assert(merged.select("shh").distinct().count() === merged.count())
+    }
+  }
+
+  test("valve placement: a group split across links appends fine and fails the compact by name") {
+    withDir { dir =>
+      // identical texts → one shingle set; maxGroupSize=3 admits each
+      // link's sub-group but not the merged mass
+      def clones(ids: Seq[Long]): DataFrame =
+        ids.map((_, "alpha beta gamma delta epsilon zeta eta theta"))
+          .toDF("doc_id", "text")
+      def buildSmall(df: DataFrame): DataFrame =
+        Dedup.minhashIndexBuild(df, "doc_id", "text", shingleK = K,
+          maxGroupSize = 3)
+      MinhashIndexStore.init(buildSmall(clones(Seq(1L, 2L))), dir,
+        maxGroupSize = 3)
+      MinhashIndexStore.append(spark, dir, buildSmall(clones(Seq(11L, 12L))),
+        0L, maxGroupSize = 3)
+      // per-link the valve never fires (2 ≤ 3 each side); the merged
+      // group (4 > 3) fails the scheduled compact, never a probe
+      def msgs(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).toSeq
+      val e = intercept[Exception] {
+        MinhashIndexStore.compact(spark, dir)
+      }
+      assert(msgs(e).exists(m => m.contains("over maxGroupSize=3") &&
+        m.contains("minhashIndexAppend")), s"wrong error: $e")
+      // the failed compact commits nothing: the head is still the delta
+      assert(MinhashIndexStore.latestVersion(spark, dir) === Some(1L))
+      // ...and the chain still probes (both split sub-groups pair with
+      // an arriving clone)
+      val got = pairSet(MinhashIndexStore.probeLatest(spark, dir,
+        clones(Seq(21L)), "doc_id", "text", shingleK = K, threshold = 0.5))
+      assert(got === Set((1L, 21L, 1.0), (2L, 21L, 1.0),
+        (11L, 21L, 1.0), (12L, 21L, 1.0)))
     }
   }
 
