@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Versioned persistence for the SemDeDup semantic index — the
   * [[VersionedState]] snapshot protocol (shared with
-  * [[MinhashIndexStore]]) applied to
+  * [[MinhashIndexStore]] and [[IvfIndexStore]]) applied to
   * [[Similarity.semanticIndexBuild]]'s state: the k-means centroid
   * table and the grouped-and-assigned cell frame, written together per
   * version so every committed version can serve
@@ -12,30 +12,62 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * cells were assigned with — a probe or append can never pair a cell
   * frame with drifted centroids.
   *
+  * Versions are DELTAS, not snapshots — the O(batch) maintenance rule
+  * ([[IvfIndexStore]]'s): [[init]] writes v=0 as a full frame;
+  * [[append]] groups and assigns the NEW batch against the STANDING
+  * centroids ([[Similarity.semanticAssign]] — batch-mass shuffles and
+  * one argmin map) and writes ONLY those rows, so a daily append
+  * writes batch-mass bytes, never corpus-mass. Readers union the
+  * chain from the newest FULL version (the `full` meta bit). A vector
+  * value present in several chain links lands in the SAME cell with
+  * the same norm in each (cell and norm are pure functions of the
+  * value), so every link's row joins the same probe cells, scores the
+  * same cosine, and the links' disjoint member lists expand to
+  * exactly the pairs the merged group would — probe output is
+  * pair-for-pair the merged frame's (spec-pinned,
+  * `SemanticIndexStoreSpec` "delta appends"; oracle-gated end-to-end
+  * by `q_semantic_store`). [[compact]] folds the chain into a new
+  * full version ([[Similarity.semanticCellsMerge]], the O(corpus)
+  * vector-keyed merge — a scheduled job, not a per-append tax);
+  * [[prune]] clamps its floor to the retention target's chain base so
+  * it can never orphan a delta. The one semantic shift deltas
+  * introduce is VALVE PLACEMENT: the `maxGroupSize` member-list valve
+  * fires per LINK at append time (an identical-vector group split
+  * across links can sum past the valve before any single link trips
+  * it) and on the MERGED mass at compaction — a chain that outgrows
+  * the valve fails the scheduled compact, never a probe. Retraining
+  * for a drifted corpus is an explicit delete-and-rebuild, never a
+  * maintenance side effect.
+  *
   * Layout: `dir/v=N/centroids` ([[Similarity.ivfCentroidsDf]]'s
-  * `(cell, centroid)` frame), `dir/v=N/cells` (the `(cell, gid, vv,
-  * vn, ids)` frame), `dir/v=N/meta` (one row: embedding `dim` and
-  * trained `nlist` — provenance plus the cheap dimension sanity
-  * check). Doubles and long arrays round-trip parquet bit-exactly, so
-  * a reloaded version probes identically (spec-pinned).
+  * `(cell, centroid)` frame — every version carries the standing
+  * table, so any committed version probes alone), `dir/v=N/cells/
+  * cell=<id>/` (the `(cell, gid, vv, vn, ids)` frame — full snapshot
+  * at init/compaction, the batch delta at append), `dir/v=N/meta`
+  * (one row: embedding `dim`, trained `nlist`, and the `full` chain
+  * bit). Doubles and long arrays round-trip parquet bit-exactly, so a
+  * reloaded version probes identically (spec-pinned).
   *
   * Maintenance follows the [[MinhashIndexStore]] rules verbatim:
   * [[init]] refuses a directory holding a committed version; [[append]]
-  * names its exact base and assigns the delta against the STANDING
-  * centroids ([[Similarity.semanticIndexAppend]] — retraining is an
-  * explicit delete-and-rebuild, never a maintenance side effect);
-  * crash replay of either is just running it again; [[prune]] keeps
-  * the head. Scale shape: append pays one vector-keyed merge shuffle
-  * (the amortized maintenance job); probes broadcast the batch's cells
-  * against the standing frame, which never shuffles (plan-pinned in
-  * `PlanQualitySpec`). */
+  * names its exact base; crash replay of either is just running it
+  * again; [[prune]] keeps the head. Scale shape: append pays
+  * batch-mass work only; probes broadcast the batch's cells against
+  * the standing chain, whose cell-partitioned links are read
+  * partition-pruned to the batch's touched cells and never shuffle
+  * (plan-pinned in `PlanQualitySpec`); the O(corpus) merge runs only
+  * at scheduled compaction. */
 object SemanticIndexStore {
 
   /** Persisted provenance of a version: embedding dimension and the
-    * trained cell count. */
+    * trained cell count. The `full` chain bit (whether the version is
+    * a full snapshot or an append delta) is persisted alongside but is
+    * protocol state, not a parameter — it never enters any match. */
   final case class SemMeta(dim: Int, nlist: Int)
 
-  /** A committed version loaded for probing. */
+  /** A committed version loaded for probing: `cells` is the UNION of
+    * the version's chain (its deltas down to the nearest full
+    * snapshot). */
   final case class LoadedSemIndex(version: Long,
                                   centroids: Seq[(Long, Seq[Double])],
                                   cells: DataFrame, meta: SemMeta)
@@ -45,20 +77,23 @@ object SemanticIndexStore {
   def latestVersion(spark: SparkSession, dir: String): Option[Long] =
     VersionedState.latestVersion(spark, dir, Subframes)
 
-  private def writeMeta(spark: SparkSession, dest: String, meta: SemMeta): Unit = {
+  private def writeMeta(spark: SparkSession, dest: String, meta: SemMeta,
+                        full: Boolean): Unit = {
     import spark.implicits._
-    Seq((meta.dim, meta.nlist)).toDF("dim", "nlist")
+    Seq((meta.dim, meta.nlist, full)).toDF("dim", "nlist", "full")
       .coalesce(1).write.mode("overwrite").parquet(dest)
   }
 
-  private def readMeta(spark: SparkSession, dir: String, v: Long): SemMeta = {
-    val r = spark.read.parquet(s"$dir/v=$v/meta").select("dim", "nlist").head()
-    SemMeta(r.getInt(0), r.getInt(1))
+  private def readMetaRow(spark: SparkSession, dir: String,
+                          v: Long): (SemMeta, Boolean) = {
+    val r = spark.read.parquet(s"$dir/v=$v/meta")
+      .select("dim", "nlist", "full").head()
+    (SemMeta(r.getInt(0), r.getInt(1)), r.getBoolean(2))
   }
 
   private def commitVersion(spark: SparkSession, dir: String, v: Long,
                             centroids: Seq[(Long, Seq[Double])],
-                            cells: DataFrame): Unit =
+                            cells: DataFrame, full: Boolean): Unit =
     VersionedState.commitVersion(spark, dir, v, "semantic index",
       Subframes) { scratch =>
       Similarity.ivfCentroidsDf(spark, centroids)
@@ -67,15 +102,42 @@ object SemanticIndexStore {
       // task (the IvfIndexStore rationale: probe scans prune to the
       // batch's touched cells; the repartition keeps file counts at
       // one per cell instead of task_count × nlist). One shuffle per
-      // COMMIT, zero per probe. Null cells (null/absent vectors) land
-      // in the hive default partition and are read back as null.
+      // COMMIT (over delta mass for appends, corpus mass only at
+      // init/compaction), zero per probe. Null cells (null/absent
+      // vectors) land in the hive default partition and read back as
+      // null.
       cells.repartition(org.apache.spark.sql.functions.col("cell"))
         .write.partitionBy("cell").mode("overwrite").parquet(s"$scratch/cells")
       writeMeta(spark, s"$scratch/meta",
-        SemMeta(centroids.head._2.length, centroids.length))
+        SemMeta(centroids.head._2.length, centroids.length), full)
     }
 
-  /** Train on the standing corpus and write the initial version (v=0).
+  /** The version chain serving `v`, newest first: `v` and the deltas
+    * below it down to (and including) the nearest FULL version. Every
+    * link must be committed — a cut chain (a pruner deleted a link the
+    * protocol protects) fails by name rather than probing a partial
+    * corpus, which would silently miss near-dup pairs. */
+  private def chain(spark: SparkSession, dir: String, v: Long): Seq[Long] = {
+    val (fs, _) = VersionedState.fsPath(spark, dir)
+    val links = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var w = v
+    var foundFull = false
+    while (!foundFull && w >= 0) {
+      require(VersionedState.committed(fs, dir, w, Subframes),
+        s"semantic index at $dir: version v=$v's chain needs v=$w, which is " +
+          "missing or uncommitted — the chain was pruned or a commit " +
+          "crashed; recover from a full version or rebuild")
+      links += w
+      foundFull = readMetaRow(spark, dir, w)._2
+      w -= 1
+    }
+    if (!foundFull) throw new IllegalStateException(
+      s"semantic index at $dir: no full version at or below v=$v — v=0 is " +
+        "always full, so the chain base was deleted outside the protocol")
+    links.toSeq
+  }
+
+  /** Train on the standing corpus and write v=0 as a FULL frame.
     * Refuses a directory already holding a committed version (the
     * [[MinhashIndexStore.init]] rationale) and an empty corpus (no
     * centroids — an empty standing index has nothing to probe; start
@@ -98,15 +160,19 @@ object SemanticIndexStore {
     require(centroids.nonEmpty,
       s"semantic index at $dir: the corpus trained no centroids (empty or " +
         "all-null vectors) — an empty standing index has nothing to probe")
-    commitVersion(spark, dir, 0L, centroids, cells)
+    commitVersion(spark, dir, 0L, centroids, cells, full = true)
     0L
   }
 
-  /** Fold a new batch into version `expectedBase`'s cell frame — with
-    * the STANDING centroids, never a retrain — and write
-    * `expectedBase + 1`. The base must be the latest committed version
-    * (the [[MinhashIndexStore.append]] staleness/prune semantics).
-    * Returns the version written. */
+  /** Group and assign a new batch against the STANDING centroids
+    * ([[Similarity.semanticAssign]] — never a retrain) and write the
+    * result as version `expectedBase + 1` holding ONLY those rows —
+    * O(batch) write I/O and batch-mass shuffles only; readers union
+    * the delta chain ([[read]]), and the O(corpus) vector-keyed merge
+    * is [[compact]]'s scheduled job. The base must be the latest
+    * committed version (the [[MinhashIndexStore.append]]
+    * staleness/prune semantics). Ids must be unique across the merged
+    * corpora. Returns the version written. */
   def append(spark: SparkSession, dir: String, batch: DataFrame,
              idCol: String, vecCol: String, expectedBase: Long,
              maxGroupSize: Int = Dedup.DefaultMaxGroupSize): Long = {
@@ -124,18 +190,67 @@ object SemanticIndexStore {
           case None =>
             "the base was pruned or the index was never initialized"
         }))
-    val loaded = read(spark, dir, Some(expectedBase))
-    val merged = Similarity.semanticIndexAppend(loaded.centroids,
-      loaded.cells, batch, idCol, vecCol, maxGroupSize)
-    commitVersion(spark, dir, expectedBase + 1, loaded.centroids, merged)
+    val (meta, _) = readMetaRow(spark, dir, expectedBase)
+    val centroids = Similarity.ivfCentroidsFromDf(
+      spark.read.parquet(s"$dir/v=$expectedBase/centroids"))
+    require(centroids.nonEmpty && centroids.head._2.length == meta.dim,
+      s"semantic index at $dir v=$expectedBase: centroid table does not " +
+        s"match its persisted meta ($meta) — the version directory was " +
+        "tampered with")
+    val assigned = Similarity.semanticAssign(centroids, batch,
+      idCol, vecCol, maxGroupSize)
+    commitVersion(spark, dir, expectedBase + 1, centroids, assigned,
+      full = false)
     expectedBase + 1
   }
 
-  /** Delete versions strictly below `keepFrom`; never the head. */
-  def prune(spark: SparkSession, dir: String, keepFrom: Long): Seq[Long] =
-    VersionedState.prune(spark, dir, keepFrom, Subframes, "semantic index")
+  /** Fold the head's delta chain into a new FULL version at head+1 —
+    * the O(corpus) [[Similarity.semanticCellsMerge]] vector-keyed
+    * merge as a scheduled job instead of a per-append tax. This is
+    * also where the `maxGroupSize` valve fires on the MERGED mass: an
+    * identical-vector group that outgrew the valve across links fails
+    * the compact by name, never a probe. No-op (returns the head) when
+    * the head is already full. */
+  def compact(spark: SparkSession, dir: String,
+              maxGroupSize: Int = Dedup.DefaultMaxGroupSize): Long = {
+    val head = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"semantic index at $dir has no committed version to compact"))
+    val (_, full) = readMetaRow(spark, dir, head)
+    if (full) head
+    else {
+      val centroids = Similarity.ivfCentroidsFromDf(
+        spark.read.parquet(s"$dir/v=$head/centroids"))
+      val merged = Similarity.semanticCellsMerge(
+        chain(spark, dir, head)
+          .map(w => readCells(spark, dir, Seq(w), None)), maxGroupSize)
+      commitVersion(spark, dir, head + 1, centroids, merged, full = true)
+      head + 1
+    }
+  }
 
-  /** Load a pinned version (or the latest committed). A missing or
+  /** Delete versions no longer needed to read any version ≥
+    * `keepFrom`: everything strictly below `keepFrom`'s chain BASE
+    * (the newest full version at or below it), plus crash debris below
+    * that floor. Deltas make the naive "delete < keepFrom" unsafe — a
+    * surviving version's chain may dip below the floor — so the floor
+    * clamps to the chain base and can never orphan a link; space
+    * reclamation advances as scheduled [[compact]] runs introduce
+    * newer full versions. Never prunes the latest committed version.
+    * Returns the pruned version numbers. */
+  def prune(spark: SparkSession, dir: String, keepFrom: Long): Seq[Long] = {
+    val head = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"semantic index at $dir has no committed version — nothing to prune from"))
+    require(keepFrom <= head,
+      s"semantic index at $dir: prune keepFrom=v=$keepFrom is above the " +
+        s"latest committed version v=$head — refusing to prune the head")
+    VersionedState.prune(spark, dir, chain(spark, dir, keepFrom).min,
+      Subframes, "semantic index")
+  }
+
+  /** Load a pinned version (or the latest committed): centroids, meta,
+    * and the UNION of its delta chain's cell frames. A missing or
     * uncommitted pin fails by name. */
   def read(spark: SparkSession, dir: String,
            version: Option[Long] = None): LoadedSemIndex = {
@@ -152,31 +267,35 @@ object SemanticIndexStore {
           throw new IllegalArgumentException(
             s"semantic index at $dir has no committed version"))
     }
-    val meta = readMeta(spark, dir, v)
+    val (meta, _) = readMetaRow(spark, dir, v)
     val centroids = Similarity.ivfCentroidsFromDf(
       spark.read.parquet(s"$dir/v=$v/centroids"))
     require(centroids.nonEmpty && centroids.head._2.length == meta.dim,
       s"semantic index at $dir v=$v: centroid table does not match its " +
         s"persisted meta ($meta) — the version directory was tampered with")
-    LoadedSemIndex(v, centroids, readCells(spark, dir, v, None), meta)
+    LoadedSemIndex(v, centroids,
+      readCells(spark, dir, chain(spark, dir, v), None), meta)
   }
 
-  /** The cell frame of a committed version, optionally pruned to a
-    * batch's touched cells — the [[IvfIndexStore]] read shape: the
-    * prune filter goes on the RAW inferred partition column (int —
-    * cell ids are 0..nlist-1) before the long cast that restores
-    * in-memory schema parity, so the scan reads only the touched cell
-    * directories. Null-cell rows (null vectors) are excluded by the
-    * prune, which loses nothing: a null cell can never equi-join. */
-  private def readCells(spark: SparkSession, dir: String, v: Long,
+  /** The cell frame serving a version chain — the union of the given
+    * links — optionally pruned to a batch's touched cells: the
+    * [[IvfIndexStore]] read shape. The prune filter goes on the RAW
+    * inferred partition column (int — cell ids are 0..nlist-1) before
+    * the long cast that restores in-memory schema parity, so the scan
+    * reads only the touched cell directories of EVERY chain link.
+    * Null-cell rows (null vectors) are excluded by the prune, which
+    * loses nothing: a null cell can never equi-join. */
+  private def readCells(spark: SparkSession, dir: String, links: Seq[Long],
                         onlyCells: Option[Seq[Long]]): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val raw = spark.read.parquet(s"$dir/v=$v/cells")
-    val pruned = onlyCells match {
-      case Some(cs) => raw.where(col("cell").isin(cs.map(_.toInt): _*))
-      case None => raw
-    }
-    pruned.withColumn("cell", col("cell").cast("long"))
+    links.map { w =>
+      val raw = spark.read.parquet(s"$dir/v=$w/cells")
+      val pruned = onlyCells match {
+        case Some(cs) => raw.where(col("cell").isin(cs.map(_.toInt): _*))
+        case None => raw
+      }
+      pruned.withColumn("cell", col("cell").cast("long"))
+    }.reduce(_ unionByName _)
   }
 
   /** The production probe entry point: semantic near-dup pairs of
@@ -190,12 +309,12 @@ object SemanticIndexStore {
     val loaded = read(spark, dir, version)
     // the batch only pairs within its own argmin cells (one per
     // distinct vector, ≤ nlist ids — model-sized driver state), so
-    // they become a static partition filter: the standing scan reads
-    // the touched cell directories, not the whole frame
+    // they become a static partition filter: every chain link's scan
+    // reads the touched cell directories, not the whole frame
     val touched = Similarity.ivfProbeCells(batch, vecCol,
       loaded.centroids, nprobe = 1)
     Similarity.semanticDedupBatch(loaded.centroids,
-      readCells(spark, dir, loaded.version, Some(touched)), batch,
-      idCol, vecCol, threshold, maxGroupSize)
+      readCells(spark, dir, chain(spark, dir, loaded.version),
+        Some(touched)), batch, idCol, vecCol, threshold, maxGroupSize)
   }
 }

@@ -783,24 +783,48 @@ object Similarity {
   def semanticIndexAppend(centroids: Seq[(Long, Seq[Double])],
                           indexCells: DataFrame, batch: DataFrame,
                           idCol: String, vecCol: String,
-                          maxGroupSize: Int = Dedup.DefaultMaxGroupSize): DataFrame = {
+                          maxGroupSize: Int = Dedup.DefaultMaxGroupSize): DataFrame =
+    semanticCellsMerge(Seq(indexCells,
+      semanticAssign(centroids, batch, idCol, vecCol, maxGroupSize)),
+      maxGroupSize)
+
+  /** A batch grouped ([[groupedVectors]]) and assigned against the
+    * STANDING centroids — the cell-frame DELTA a versioned maintainer
+    * persists ([[SemanticIndexStore.append]]): batch-mass shuffles
+    * only, one argmin map, no contact with the standing frame.
+    * `maxGroupSize` bounds the batch's own identical-vector groups;
+    * the merged-mass valve fires in [[semanticCellsMerge]]. */
+  def semanticAssign(centroids: Seq[(Long, Seq[Double])], batch: DataFrame,
+                     idCol: String, vecCol: String,
+                     maxGroupSize: Int = Dedup.DefaultMaxGroupSize): DataFrame = {
     require(centroids.nonEmpty,
-      "semanticIndexAppend needs a non-empty centroid table")
-    val batchCells = groupedVectors(batch, idCol, vecCol, "vv", "vn",
-      maxGroupSize, "semanticIndexAppend: a single vector value")
+      "semanticAssign needs a non-empty centroid table")
+    groupedVectors(batch, idCol, vecCol, "vv", "vn",
+      maxGroupSize, "semanticAssign: a single vector value")
       .select(nearestCell(col("vv"), centroids).as("cell"),
         col("gid"), col("vv"), col("vn"), col("ids"))
-    indexCells.select("cell", "gid", "vv", "vn", "ids")
-      .unionByName(batchCells)
+  }
+
+  /** Merge cell frames keyed by VECTOR VALUE — one row per distinct
+    * embedding with sorted, deduped, valve-bounded member ids. The
+    * cell, the norm, and the vector are pure functions of the vector
+    * value, so either side's copy is THE value (`first` is exact, not
+    * arbitrary). This is both the append fold ([[semanticIndexAppend]])
+    * and the delta-chain compaction ([[SemanticIndexStore.compact]]) —
+    * one code path, so the two can never drift. One set-keyed shuffle
+    * over the union's mass. */
+  def semanticCellsMerge(frames: Seq[DataFrame],
+                         maxGroupSize: Int = Dedup.DefaultMaxGroupSize): DataFrame =
+    frames.map(_.select("cell", "gid", "vv", "vn", "ids"))
+      .reduce(_ unionByName _)
       .groupBy("vv").agg(
         first(col("cell")).as("cell"),
         first(col("vn")).as("vn"),
         array_distinct(sort_array(Dedup.boundedIds(
           flatten(collect_list(col("ids"))), maxGroupSize,
-          "semanticIndexAppend: a merged identical-vector group"))).as("ids"))
+          "semanticCellsMerge: a merged identical-vector group"))).as("ids"))
       .select(col("cell"), element_at(col("ids"), 1).as("gid"),
         col("vv"), col("vn"), col("ids"))
-  }
 
   /** SemDeDup index PROBE — incremental semantic near-dup detection,
     * the [[Dedup.minhashIndexDedupBatch]] contract shape over standing

@@ -67,7 +67,12 @@ class SemanticIndexStoreSpec extends SparkSpec {
       assert(SemanticIndexStore.append(spark, dir, b2,
         "vec_id", "embedding", 1L) === 2L)
       assert(SemanticIndexStore.read(spark, dir).centroids === v0.centroids)
-      // and the identical-vector merge collapsed 7/303 into one group
+      // appends are deltas: 7 (the v=0 snapshot) and its exact copy 303
+      // (the v=2 delta) sit in separate chain links until compaction
+      // folds the chain — THEN the identical-vector merge collapses
+      // them into one group (and the centroids still never changed)
+      assert(SemanticIndexStore.compact(spark, dir) === 3L)
+      assert(SemanticIndexStore.read(spark, dir).centroids === v0.centroids)
       val cells = SemanticIndexStore.read(spark, dir).cells
       val g7 = cells.where(array_contains(col("ids"), 7L))
         .select("ids").collect()
@@ -124,12 +129,18 @@ class SemanticIndexStoreSpec extends SparkSpec {
         SemanticIndexStore.read(spark, dir, Some(9L))
       }
       assert(missing.getMessage.contains("no committed version v=9"))
-      // prune: drop v=0, keep the head; a pruned pin then fails by name
-      // and pruning the head itself refuses
+      // prune: v=1 and v=2 are DELTAS whose chain reaches v=0, so the
+      // floor clamps to the chain base and nothing is deletable yet;
+      // compaction introduces a full v=3 and the folded chain becomes
+      // reclaimable. A pruned pin then fails by name and pruning the
+      // head itself refuses.
       SemanticIndexStore.append(spark, dir, vecs((203L, base(502))),
         "vec_id", "embedding", 1L)
-      assert(SemanticIndexStore.prune(spark, dir, keepFrom = 2L) === Seq(0L, 1L))
-      assert(SemanticIndexStore.latestVersion(spark, dir) === Some(2L))
+      assert(SemanticIndexStore.prune(spark, dir, keepFrom = 2L) === Seq.empty)
+      assert(SemanticIndexStore.compact(spark, dir) === 3L)
+      assert(SemanticIndexStore.prune(spark, dir, keepFrom = 3L) ===
+        Seq(0L, 1L, 2L))
+      assert(SemanticIndexStore.latestVersion(spark, dir) === Some(3L))
       val pruned = intercept[IllegalArgumentException] {
         SemanticIndexStore.read(spark, dir, Some(0L))
       }
@@ -138,6 +149,93 @@ class SemanticIndexStoreSpec extends SparkSpec {
         SemanticIndexStore.prune(spark, dir, keepFrom = 5L)
       }
       assert(head.getMessage.contains("refusing to prune the head"))
+      // the kept full head still probes alone
+      assert(pairSet(SemanticIndexStore.probeLatest(spark, dir,
+        vecs((401L, jitter(base(3)))), "vec_id", "embedding",
+        threshold = 0.9)).contains((3L, 401L)))
+    }
+  }
+
+  test("delta appends: O(batch) writes, chain-union probe parity, compact folds and no-ops") {
+    withDir { dir =>
+      val corpus = vecs((0L until 60L).map(i => (i, base(i.toInt))): _*)
+      SemanticIndexStore.init(corpus, dir, "vec_id", "embedding", nlist = 8)
+      val loaded0 = SemanticIndexStore.read(spark, dir)
+      val b1 = vecs((201L, jitter(base(3))), (202L, base(500)))
+      // b2 carries an exact copy of corpus member 7 — the same vector
+      // value in two different chain links
+      val b2 = vecs((301L, jitter(base(500))), (302L, base(7)))
+      SemanticIndexStore.append(spark, dir, b1, "vec_id", "embedding", 0L)
+      SemanticIndexStore.append(spark, dir, b2, "vec_id", "embedding", 1L)
+      // the delta version's frame holds ONLY the batch's own ids — the
+      // O(batch) write-mass claim, checked against the bytes on disk
+      val v1Ids = spark.read.parquet(s"$dir/v=1/cells")
+        .select(explode(col("ids"))).collect().map(_.getLong(0)).toSet
+      assert(v1Ids === Set(201L, 202L))
+      // chain-union probe ≡ probe against the in-memory MERGED frame —
+      // including a batch doc whose near-dup twin lives in a non-head
+      // chain link (202 in v=1) and one whose identical-vector twins
+      // span two links (7 in v=0, 302 in v=2)
+      val batch = vecs((401L, jitter(base(11))), (402L, base(500)),
+        (403L, base(7)))
+      val mergedCells = Similarity.semanticIndexAppend(loaded0.centroids,
+        Similarity.semanticIndexAppend(loaded0.centroids, loaded0.cells,
+          b1, "vec_id", "embedding"),
+        b2, "vec_id", "embedding")
+      def scored(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val expected = scored(Similarity.semanticDedupBatch(loaded0.centroids,
+        mergedCells, batch, "vec_id", "embedding", threshold = 0.9))
+      assert(expected.exists(p => p._1 == 202L && p._2 == 402L))
+      assert(expected.exists(p => p._1 == 302L && p._2 == 403L))
+      assert(scored(SemanticIndexStore.probeLatest(spark, dir, batch,
+        "vec_id", "embedding", threshold = 0.9)) === expected)
+      // compact folds the chain into a full head that probes
+      // identically; compacting a full head is a no-op
+      assert(SemanticIndexStore.compact(spark, dir) === 3L)
+      assert(scored(SemanticIndexStore.probeLatest(spark, dir, batch,
+        "vec_id", "embedding", threshold = 0.9)) === expected)
+      assert(SemanticIndexStore.compact(spark, dir) === 3L)
+      // the folded frame is ONE row per distinct vector again: the
+      // cross-link identical copy's value carries a merged member list
+      val folded = spark.read.parquet(s"$dir/v=3/cells")
+      assert(folded.select("vv").distinct().count() === folded.count())
+      val g7 = folded.where(array_contains(col("ids"), 7L))
+        .select("ids").collect()
+      assert(g7.length === 1 && g7(0).getSeq[Long](0) === Seq(7L, 302L))
+    }
+  }
+
+  test("valve placement: a group split across links appends fine and fails the compact by name") {
+    withDir { dir =>
+      // identical vectors → one group; maxGroupSize=3 admits each
+      // link's sub-group but not the merged mass. Two spare distinct
+      // vectors give k-means something to train on.
+      def clones(ids: Long*): DataFrame = vecs(ids.map((_, base(7))): _*)
+      val corpus = clones(1L, 2L)
+        .unionByName(vecs((50L, base(50)), (51L, base(51))))
+      SemanticIndexStore.init(corpus, dir, "vec_id", "embedding",
+        nlist = 4, maxGroupSize = 3)
+      SemanticIndexStore.append(spark, dir, clones(11L, 12L),
+        "vec_id", "embedding", 0L, maxGroupSize = 3)
+      // per-link the valve never fires (2 ≤ 3 each side); the merged
+      // group (4 > 3) fails the scheduled compact, never a probe
+      def msgs(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).toSeq
+      val e = intercept[Exception] {
+        SemanticIndexStore.compact(spark, dir, maxGroupSize = 3)
+      }
+      assert(msgs(e).exists(m => m.contains("over maxGroupSize=3") &&
+        m.contains("semanticCellsMerge")), s"wrong error: $e")
+      // the failed compact commits nothing: the head is still the delta
+      assert(SemanticIndexStore.latestVersion(spark, dir) === Some(1L))
+      // ...and the chain still probes (both split sub-groups pair with
+      // an arriving clone)
+      val got = pairSet(SemanticIndexStore.probeLatest(spark, dir,
+        clones(21L), "vec_id", "embedding", threshold = 0.9,
+        maxGroupSize = 3))
+      assert(got === Set((1L, 21L), (2L, 21L), (11L, 21L), (12L, 21L)))
     }
   }
 
