@@ -1,0 +1,108 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measures the delta-append maintenance economics of the three
+  * versioned index stores — the runnable form of the "O(batch)
+  * maintenance I/O" claim (SCALE.md): an append writes batch-mass
+  * bytes, a compact (or the old snapshot-append it replaced) writes
+  * corpus-mass bytes, so the append/init byte ratio should track the
+  * batch/corpus row ratio, not 1.
+  *
+  * Usage: `runMain graft.model.DeltaAppendBench [sfDir]` (default
+  * `SPARK_GRAFT_SF_DIR`, else sf0.1). For each store — MinHash/LSH
+  * over `documents`, SemDeDup and IVF over `embeddings` — init v=0
+  * from the 95% standing slice (id % 20 ≠ 0), append the 5% batch
+  * slice as the v=1 delta, then compact to a full v=2, timing each
+  * step and summing each version directory's parquet bytes off disk.
+  * Prints one JSON line with per-store
+  * `{init_sec, init_bytes, append_sec, append_bytes, compact_sec,
+  * compact_bytes}`; the claim under test is
+  * `append_bytes/init_bytes ≈ 0.05` (plus per-version fixed overhead:
+  * meta, centroids, bands headers) against the snapshot regime's
+  * ~1.05. */
+object DeltaAppendBench {
+
+  private def time[A](body: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val a = body
+    ((System.nanoTime() - t0) / 1e9, a)
+  }
+
+  private def dirBytes(f: java.io.File): Long =
+    if (f.isFile) f.length
+    else Option(f.listFiles).getOrElse(Array.empty).map(dirBytes).sum
+
+  def main(args: Array[String]): Unit = {
+    import graft.ops.{Dedup, IvfIndexStore, MinhashIndexStore, SemanticIndexStore}
+    val dir = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.optimizer.excludedRules", graft.EngineConf.ExcludedOptimizerRules)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // one lifecycle = init(standing) → append(batch delta) → compact;
+    // returns the JSON fragment for this store
+    def lifecycle(name: String, store: String,
+                  init: () => Long, append: () => Long,
+                  compact: () => Long): String = {
+      val (initSec, _) = time(init())
+      val initBytes = dirBytes(new java.io.File(s"$store/v=0"))
+      val (appendSec, _) = time(append())
+      val appendBytes = dirBytes(new java.io.File(s"$store/v=1"))
+      val (compactSec, _) = time(compact())
+      val compactBytes = dirBytes(new java.io.File(s"$store/v=2"))
+      s""""$name":{"init_sec":$initSec,"init_bytes":$initBytes,""" +
+        s""""append_sec":$appendSec,"append_bytes":$appendBytes,""" +
+        s""""compact_sec":$compactSec,"compact_bytes":$compactBytes}"""
+    }
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val standingDocs = docs.where(col("doc_id") % 20 =!= 0)
+    val batchDocs = docs.where(col("doc_id") % 20 === 0)
+    val standingEmb = emb.where(col("vec_id") % 20 =!= 0)
+    val batchEmb = emb.where(col("vec_id") % 20 === 0)
+    val root = java.nio.file.Files.createTempDirectory("delta-bench").toString
+    try {
+      def build(df: DataFrame) =
+        Dedup.minhashIndexBuild(df, "doc_id", "text", shingleK = 5)
+      val mh = lifecycle("minhash", s"$root/mh",
+        () => MinhashIndexStore.init(build(standingDocs), s"$root/mh"),
+        () => MinhashIndexStore.append(spark, s"$root/mh",
+          build(batchDocs), expectedBase = 0L),
+        () => MinhashIndexStore.compact(spark, s"$root/mh"))
+      val sem = lifecycle("semantic", s"$root/sem",
+        () => SemanticIndexStore.init(standingEmb, s"$root/sem",
+          "vec_id", "embedding"),
+        () => SemanticIndexStore.append(spark, s"$root/sem", batchEmb,
+          "vec_id", "embedding", expectedBase = 0L),
+        () => SemanticIndexStore.compact(spark, s"$root/sem"))
+      val ivf = lifecycle("ivf", s"$root/ivf",
+        () => IvfIndexStore.init(standingEmb, s"$root/ivf",
+          "vec_id", "embedding", nlist = 64),
+        () => IvfIndexStore.append(spark, s"$root/ivf", batchEmb,
+          "vec_id", "embedding", expectedBase = 0L),
+        () => IvfIndexStore.compact(spark, s"$root/ivf"))
+      println(
+        s"""{"dir":"$dir","standing_docs":${standingDocs.count()},""" +
+        s""""batch_docs":${batchDocs.count()},""" +
+        s""""standing_vecs":${standingEmb.count()},""" +
+        s""""batch_vecs":${batchEmb.count()},$mh,$sem,$ivf}""")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
+      spark.stop()
+    }
+  }
+}
