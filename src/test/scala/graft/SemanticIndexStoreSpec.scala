@@ -264,6 +264,10 @@ class SemanticIndexStoreSpec extends SparkSpec {
       val cellDirs = new java.io.File(s"$dir/v=0/cells").listFiles()
         .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
       assert(cellDirs.nonEmpty, "cells frame is not cell-partitioned on disk")
+      // a delta link on top: the probe below reads a two-link chain —
+      // the production shape — and EVERY link's scan must prune
+      SemanticIndexStore.append(spark, dir, vecs((101L, base(101))),
+        "vec_id", "embedding", 0L)
       val batch = vecs((201L, jitter(base(3))), (202L, base(11)))
       val probe = SemanticIndexStore.probeLatest(spark, dir, batch,
         "vec_id", "embedding", threshold = 0.9)
@@ -282,6 +286,10 @@ class SemanticIndexStoreSpec extends SparkSpec {
             if s.relation.location.rootPaths.exists(_.toString.contains("cells")) => s
       }
       assert(cellScans.nonEmpty, "no file scan over the cells path found")
+      Seq("v=0", "v=1").foreach { v =>
+        assert(cellScans.exists(_.relation.location.rootPaths.exists(
+          _.toString.contains(v))), s"no cells scan over chain link $v")
+      }
       cellScans.foreach { s =>
         assert(s.partitionFilters.nonEmpty && s.partitionFilters.mkString.contains("cell"),
           s"standing cells scan is not partition-pruned:\n$s")
