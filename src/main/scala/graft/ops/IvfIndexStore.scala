@@ -91,30 +91,13 @@ object IvfIndexStore {
         IvfMeta(centroids.head._2.length, centroids.length, full))
     }
 
-  /** The version chain serving `v`, newest first: `v` and the deltas
-    * below it down to (and including) the nearest FULL version. Every
-    * link must be committed — a cut chain (a pruner deleted a link the
-    * protocol protects) fails by name rather than answering from a
+  /** The version chain serving `v` ([[VersionedState.chain]]): `v` and
+    * the deltas below it down to the nearest FULL version, newest
+    * first. A cut chain fails by name rather than answering from a
     * partial corpus. */
-  private def chain(spark: SparkSession, dir: String, v: Long): Seq[Long] = {
-    val (fs, _) = VersionedState.fsPath(spark, dir)
-    val links = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var w = v
-    var foundFull = false
-    while (!foundFull && w >= 0) {
-      require(VersionedState.committed(fs, dir, w, Subframes),
-        s"ivf index at $dir: version v=$v's chain needs v=$w, which is " +
-          "missing or uncommitted — the chain was pruned or a commit " +
-          "crashed; recover from a full version or rebuild")
-      links += w
-      foundFull = readMeta(spark, dir, w).full
-      w -= 1
-    }
-    if (!foundFull) throw new IllegalStateException(
-      s"ivf index at $dir: no full version at or below v=$v — v=0 is " +
-        "always full, so the chain base was deleted outside the protocol")
-    links.toSeq
-  }
+  private def chain(spark: SparkSession, dir: String, v: Long): Seq[Long] =
+    VersionedState.chain(spark, dir, v, Subframes, "ivf index")(
+      readMeta(spark, dir, _).full)
 
   /** Train on the standing corpus and write v=0 as a FULL frame.
     * Refuses a directory already holding a committed version, and an
@@ -198,16 +181,9 @@ object IvfIndexStore {
     * never orphan a link; space reclamation advances as scheduled
     * [[compact]] runs introduce newer full versions. Never the head.
     * Returns the pruned version numbers. */
-  def prune(spark: SparkSession, dir: String, keepFrom: Long): Seq[Long] = {
-    val head = latestVersion(spark, dir).getOrElse(
-      throw new IllegalArgumentException(
-        s"ivf index at $dir has no committed version — nothing to prune from"))
-    require(keepFrom <= head,
-      s"ivf index at $dir: prune keepFrom=v=$keepFrom is above the latest " +
-        s"committed version v=$head — refusing to prune the head")
-    VersionedState.prune(spark, dir, chain(spark, dir, keepFrom).min,
-      Subframes, "ivf index")
-  }
+  def prune(spark: SparkSession, dir: String, keepFrom: Long): Seq[Long] =
+    VersionedState.pruneToChainBase(spark, dir, keepFrom, Subframes,
+      "ivf index")(readMeta(spark, dir, _).full)
 
   /** Load a pinned version (or the latest committed): centroids, meta,
     * and the UNION of its delta chain's cell frames. A missing or

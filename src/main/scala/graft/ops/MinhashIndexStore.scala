@@ -143,30 +143,13 @@ object MinhashIndexStore {
     }
   }
 
-  /** The version chain serving `v`, newest first: `v` and the deltas
-    * below it down to (and including) the nearest FULL version. Every
-    * link must be committed — a cut chain (a pruner deleted a link the
-    * protocol protects) fails by name rather than probing a partial
+  /** The version chain serving `v` ([[VersionedState.chain]]): `v` and
+    * the deltas below it down to the nearest FULL version, newest
+    * first. A cut chain fails by name rather than probing a partial
     * corpus, which would silently miss near-dup pairs. */
-  private def chain(spark: SparkSession, dir: String, v: Long): Seq[Long] = {
-    val (fs, _) = VersionedState.fsPath(spark, dir)
-    val links = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var w = v
-    var foundFull = false
-    while (!foundFull && w >= 0) {
-      require(VersionedState.committed(fs, dir, w, Subframes),
-        s"minhash index at $dir: version v=$v's chain needs v=$w, which is " +
-          "missing or uncommitted — the chain was pruned or a commit " +
-          "crashed; recover from a full version or rebuild")
-      links += w
-      foundFull = readMetaRow(spark, dir, w)._2
-      w -= 1
-    }
-    if (!foundFull) throw new IllegalStateException(
-      s"minhash index at $dir: no full version at or below v=$v — v=0 is " +
-        "always full, so the chain base was deleted outside the protocol")
-    links.toSeq
-  }
+  private def chain(spark: SparkSession, dir: String, v: Long): Seq[Long] =
+    VersionedState.chain(spark, dir, v, Subframes, "minhash index")(
+      readMetaRow(spark, dir, _)._2)
 
   /** Write the initial version (v=0) of a new index. Refuses a
     * directory that already holds a COMMITTED version — rebuilding a
@@ -273,16 +256,9 @@ object MinhashIndexStore {
     * full versions. Never prunes the latest committed version; the
     * retention window — retain ≥ the max expected reader/appender
     * runtime — is the caller's policy. Returns the pruned versions. */
-  def prune(spark: SparkSession, dir: String, keepFrom: Long): Seq[Long] = {
-    val head = latestVersion(spark, dir).getOrElse(
-      throw new IllegalArgumentException(
-        s"minhash index at $dir has no committed version — nothing to prune from"))
-    require(keepFrom <= head,
-      s"minhash index at $dir: prune keepFrom=v=$keepFrom is above the latest " +
-        s"committed version v=$head — refusing to prune the head")
-    VersionedState.prune(spark, dir, chain(spark, dir, keepFrom).min,
-      Subframes, "minhash index")
-  }
+  def prune(spark: SparkSession, dir: String, keepFrom: Long): Seq[Long] =
+    VersionedState.pruneToChainBase(spark, dir, keepFrom, Subframes,
+      "minhash index")(readMetaRow(spark, dir, _)._2)
 
   /** Load a pinned version — or the latest committed version when
     * `version` is None — as its `(index, bands, meta)` triple, where

@@ -112,30 +112,13 @@ object SemanticIndexStore {
         SemMeta(centroids.head._2.length, centroids.length), full)
     }
 
-  /** The version chain serving `v`, newest first: `v` and the deltas
-    * below it down to (and including) the nearest FULL version. Every
-    * link must be committed — a cut chain (a pruner deleted a link the
-    * protocol protects) fails by name rather than probing a partial
+  /** The version chain serving `v` ([[VersionedState.chain]]): `v` and
+    * the deltas below it down to the nearest FULL version, newest
+    * first. A cut chain fails by name rather than probing a partial
     * corpus, which would silently miss near-dup pairs. */
-  private def chain(spark: SparkSession, dir: String, v: Long): Seq[Long] = {
-    val (fs, _) = VersionedState.fsPath(spark, dir)
-    val links = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var w = v
-    var foundFull = false
-    while (!foundFull && w >= 0) {
-      require(VersionedState.committed(fs, dir, w, Subframes),
-        s"semantic index at $dir: version v=$v's chain needs v=$w, which is " +
-          "missing or uncommitted — the chain was pruned or a commit " +
-          "crashed; recover from a full version or rebuild")
-      links += w
-      foundFull = readMetaRow(spark, dir, w)._2
-      w -= 1
-    }
-    if (!foundFull) throw new IllegalStateException(
-      s"semantic index at $dir: no full version at or below v=$v — v=0 is " +
-        "always full, so the chain base was deleted outside the protocol")
-    links.toSeq
-  }
+  private def chain(spark: SparkSession, dir: String, v: Long): Seq[Long] =
+    VersionedState.chain(spark, dir, v, Subframes, "semantic index")(
+      readMetaRow(spark, dir, _)._2)
 
   /** Train on the standing corpus and write v=0 as a FULL frame.
     * Refuses a directory already holding a committed version (the
@@ -238,16 +221,9 @@ object SemanticIndexStore {
     * reclamation advances as scheduled [[compact]] runs introduce
     * newer full versions. Never prunes the latest committed version.
     * Returns the pruned version numbers. */
-  def prune(spark: SparkSession, dir: String, keepFrom: Long): Seq[Long] = {
-    val head = latestVersion(spark, dir).getOrElse(
-      throw new IllegalArgumentException(
-        s"semantic index at $dir has no committed version — nothing to prune from"))
-    require(keepFrom <= head,
-      s"semantic index at $dir: prune keepFrom=v=$keepFrom is above the " +
-        s"latest committed version v=$head — refusing to prune the head")
-    VersionedState.prune(spark, dir, chain(spark, dir, keepFrom).min,
-      Subframes, "semantic index")
-  }
+  def prune(spark: SparkSession, dir: String, keepFrom: Long): Seq[Long] =
+    VersionedState.pruneToChainBase(spark, dir, keepFrom, Subframes,
+      "semantic index")(readMetaRow(spark, dir, _)._2)
 
   /** Load a pinned version (or the latest committed): centroids, meta,
     * and the UNION of its delta chain's cell frames. A missing or

@@ -4,9 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** The shared versioned-snapshot commit protocol behind
-  * [[MinhashIndexStore]] and [[SemanticIndexStore]] — one
-  * implementation of the rules every persisted incremental index here
-  * follows (the [[graft.streaming.CdcStream]] rules):
+  * [[MinhashIndexStore]], [[SemanticIndexStore]], and
+  * [[IvfIndexStore]] — one implementation of the rules every persisted
+  * incremental index here follows (the [[graft.streaming.CdcStream]]
+  * rules):
   *
   *  - state lives under `dir/v=N`, one immutable directory per
   *    version, each holding a fixed set of named parquet subframes;
@@ -103,6 +104,58 @@ private[ops] object VersionedState {
       val leftover = new Path(scratch)
       if (fs.exists(leftover)) fs.delete(leftover, true)
     }
+  }
+
+  /** The version chain serving `v`, newest first: `v` and the delta
+    * versions below it down to (and including) the nearest FULL
+    * version, where `isFull(w)` reads the store's persisted full-bit
+    * (each store keeps it in its own meta schema). Every link must be
+    * committed — a cut chain (a pruner deleted a link the protocol
+    * protects) fails by name rather than answering from a partial
+    * corpus. Shared by all three stores so the chain rules cannot
+    * drift between them. */
+  def chain(spark: SparkSession, dir: String, v: Long,
+            subframes: Seq[String], what: String)
+           (isFull: Long => Boolean): Seq[Long] = {
+    val (fs, _) = fsPath(spark, dir)
+    val links = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var w = v
+    var foundFull = false
+    while (!foundFull && w >= 0) {
+      require(committed(fs, dir, w, subframes),
+        s"$what at $dir: version v=$v's chain needs v=$w, which is " +
+          "missing or uncommitted — the chain was pruned or a commit " +
+          "crashed; recover from a full version or rebuild")
+      links += w
+      foundFull = isFull(w)
+      w -= 1
+    }
+    if (!foundFull) throw new IllegalStateException(
+      s"$what at $dir: no full version at or below v=$v — v=0 is always " +
+        "full, so the chain base was deleted outside the protocol")
+    links.toSeq
+  }
+
+  /** [[prune]] with the delta-chain clamp: delete versions strictly
+    * below `keepFrom`'s chain BASE (the newest full version at or
+    * below it). Deltas make the naive "delete < keepFrom" unsafe — a
+    * surviving version's chain may dip below the floor — so the floor
+    * clamps to the chain base and can never orphan a link; space
+    * reclamation advances as scheduled compactions introduce newer
+    * full versions. Never prunes the latest committed version. Returns
+    * the pruned version numbers. */
+  def pruneToChainBase(spark: SparkSession, dir: String, keepFrom: Long,
+                       subframes: Seq[String], what: String)
+                      (isFull: Long => Boolean): Seq[Long] = {
+    val head = latestVersion(spark, dir, subframes).getOrElse(
+      throw new IllegalArgumentException(
+        s"$what at $dir has no committed version — nothing to prune from"))
+    require(keepFrom <= head,
+      s"$what at $dir: prune keepFrom=v=$keepFrom is above the latest " +
+        s"committed version v=$head — refusing to prune the head")
+    prune(spark, dir,
+      chain(spark, dir, keepFrom, subframes, what)(isFull).min,
+      subframes, what)
   }
 
   /** Delete all committed versions strictly below `keepFrom`, plus any
