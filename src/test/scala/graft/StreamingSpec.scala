@@ -527,8 +527,21 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(pairs.toSet === full)
       assert(pairs.contains((1L, 3L, 1.0)), "cross-batch exact dup must pair")
-      // init + one append per micro-batch
+      // init + one append per micro-batch (each a DELTA link)
       assert(MinhashIndexStore.latestVersion(spark, dir) === Some(3L))
+      // the maintenance-cadence compact folds the stream's delta chain
+      // into a full head, prune reclaims the folded links, and the
+      // compacted store answers a probe identically to the live chain
+      val probeDoc = Seq(StreamDoc(7L, "a b c d e f g h")).toDF()
+      def probe() = MinhashIndexStore.probeLatest(spark, dir, probeDoc,
+          "doc_id", "text", shingleK = 5, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val live = probe()
+      assert(live.contains((1L, 7L, 1.0)))
+      assert(MinhashIndexStore.compact(spark, dir) === 4L)
+      assert(MinhashIndexStore.prune(spark, dir, keepFrom = 4L) ===
+        Seq(0L, 1L, 2L, 3L))
+      assert(probe() === live)
     } finally {
       query.stop()
       import scala.reflect.io.Directory
