@@ -57,8 +57,12 @@ object IvfProbeBench {
     val corpus = emb.crossJoin(spark.range(replication).as("rep"))
       .select((col("vec_id") * replication + col("id")).as("vec_id"),
         col("embedding"))
+    // negative query ids can never collide with the replicated corpus
+    // ids (vec_id * replication + rep, all non-negative), so the
+    // self-pair exclusion and the pruned/full parity checks stay sound
+    // at any replication factor
     val queries = emb.orderBy("vec_id").limit(8)
-      .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
+      .select((-(col("vec_id") + 1L)).as("vec_id"), col("embedding"))
     val store = java.nio.file.Files.createTempDirectory("ivf-bench").toString
     try {
       val (buildSec, _) = time {

@@ -107,14 +107,23 @@ object SpreadCalibrate {
       val fixed = math.max(0.0, spread - single / p)
       val breakEven =
         if (perRow > 0) (fixed / (perRow * (1.0 - 1.0 / p))).toLong else -1L
-      val ratio = if (breakEven > 0) pinned.toDouble / breakEven else -1.0
-      val ok = ratio >= BandLo && ratio <= BandHi
+      // a non-positive break-even is UNMEASURABLE this run, not a
+      // drifted pin: an idle page-cached box can measure spread ≤
+      // single/p (fixed cost 0 → spreading pays at any size — the
+      // healthiest possible reading). Only a positive break-even
+      // constrains the pins; the unmeasurable case satisfies the band
+      // trivially and is reported distinctly instead of riding the -1
+      // sentinel into a false "recalibrate" failure.
+      val measurable = breakEven > 0
+      val ratio = if (measurable) pinned.toDouble / breakEven else -1.0
+      val ok = !measurable || (ratio >= BandLo && ratio <= BandHi)
       if (!ok) outOfBand ::= name
       println(
         s"""{"table":"$name","dir":"$dir","rows":$rows,"parallelism":$p,""" +
         s""""single_task_sec":$single,"spread_sec":$spread,""" +
         s""""per_row_usec":${perRow * 1e6},"fixed_cost_sec":$fixed,""" +
-        s""""break_even_rows":$breakEven,"pinned_floor":$pinned,""" +
+        s""""break_even_rows":$breakEven,"break_even_measurable":$measurable,""" +
+        s""""pinned_floor":$pinned,""" +
         s""""pin_over_break_even":$ratio,"pin_in_band":$ok}""")
     }
     spark.stop()

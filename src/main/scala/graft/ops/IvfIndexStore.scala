@@ -145,11 +145,12 @@ object IvfIndexStore {
             "the base was pruned or the index was never initialized"
         }))
     val meta = readMeta(spark, dir, expectedBase)
-    val centroids = Similarity.ivfCentroidsFromDf(
-      spark.read.parquet(s"$dir/v=$expectedBase/centroids"))
-    require(centroids.nonEmpty && centroids.head._2.length == meta.dim,
-      s"ivf index at $dir v=$expectedBase: centroid table does not match " +
-        s"its persisted meta ($meta) — the version directory was tampered with")
+    val centroids = readCentroids(spark, dir, expectedBase, meta)
+    // a re-dimensioned batch fails by name here: the assignment kernel
+    // would otherwise commit it with first-cell assignments whose
+    // cosines all score null — rows probes silently never return
+    Similarity.requireVecDim(batch, vecCol, meta.dim,
+      s"ivf index at $dir: append")
     val assigned = Similarity.ivfAssign(batch, idCol, vecCol, centroids)
     commitVersion(spark, dir, expectedBase + 1, centroids, assigned,
       full = false)
@@ -185,66 +186,55 @@ object IvfIndexStore {
     VersionedState.pruneToChainBase(spark, dir, keepFrom, Subframes,
       "ivf index")(readMeta(spark, dir, _).full)
 
-  /** Load a pinned version (or the latest committed): centroids, meta,
-    * and the UNION of its delta chain's cell frames. A missing or
-    * uncommitted pin fails by name. */
-  def read(spark: SparkSession, dir: String,
-           version: Option[Long] = None): LoadedIvfIndex = {
-    val (fs, _) = VersionedState.fsPath(spark, dir)
-    val v = version match {
-      case Some(p) =>
-        require(VersionedState.committed(fs, dir, p, Subframes),
-          s"ivf index at $dir has no committed version v=$p " +
-            s"(latest committed: ${latestVersion(spark, dir).map("v=" + _)
-              .getOrElse("<none>")})")
-        p
-      case None =>
-        latestVersion(spark, dir).getOrElse(
-          throw new IllegalArgumentException(
-            s"ivf index at $dir has no committed version"))
-    }
-    val meta = readMeta(spark, dir, v)
+  /** The version's centroid table, tamper-checked against its
+    * persisted meta. */
+  private def readCentroids(spark: SparkSession, dir: String, v: Long,
+                            meta: IvfMeta): Seq[(Long, Seq[Double])] = {
     val centroids = Similarity.ivfCentroidsFromDf(
       spark.read.parquet(s"$dir/v=$v/centroids"))
     require(centroids.nonEmpty && centroids.head._2.length == meta.dim,
       s"ivf index at $dir v=$v: centroid table does not match its " +
         s"persisted meta ($meta) — the version directory was tampered with")
-    LoadedIvfIndex(v, centroids, readCells(spark, dir, v, None), meta)
+    centroids
   }
 
-  /** The cell frame serving a committed version — the union of its
-    * delta chain — optionally pruned to a probe's touched cells. The
-    * prune filter goes on the RAW inferred partition column (int —
-    * cell ids are 0..nlist-1, always int-safe) BEFORE the long cast
-    * that restores in-memory schema parity, so
-    * `PruneFileSourcePartitions` sees a plain partition-attribute IN
-    * list on EVERY chain link and each scan reads only the touched
-    * cell directories (plan-spec-pinned). */
-  private def readCells(spark: SparkSession, dir: String, v: Long,
-                        onlyCells: Option[Seq[Long]]): DataFrame =
-    chain(spark, dir, v).map { w =>
-      val raw = spark.read.parquet(s"$dir/v=$w/cells")
-      val pruned = onlyCells match {
-        case Some(cs) => raw.where(col("cell").isin(cs.map(_.toInt): _*))
-        case None => raw
-      }
-      pruned.withColumn("cell", col("cell").cast("long"))
-    }.reduce(_ unionByName _)
+  /** Load a pinned version (or the latest committed): centroids, meta,
+    * and the UNION of its delta chain's cell frames
+    * ([[VersionedState.readCellChain]]). A missing or uncommitted pin
+    * fails by name. */
+  def read(spark: SparkSession, dir: String,
+           version: Option[Long] = None): LoadedIvfIndex = {
+    val v = VersionedState.resolveVersion(spark, dir, Subframes,
+      "ivf index", version)
+    val meta = readMeta(spark, dir, v)
+    LoadedIvfIndex(v, readCentroids(spark, dir, v, meta),
+      VersionedState.readCellChain(spark, dir, chain(spark, dir, v), None),
+      meta)
+  }
 
   /** Score queries against the latest committed version (or a pinned
     * one): cosine top-k, each query touching only its `nprobe` nearest
-    * standing cells — in every chain link. */
+    * standing cells — in every chain link. The version, meta, and
+    * chain resolve ONCE; the only cell frame built is the pruned one
+    * the probe actually scans. */
   def probeLatest(spark: SparkSession, dir: String, queries: DataFrame,
                   idCol: String, vecCol: String, k: Int, nprobe: Int = 8,
                   version: Option[Long] = None): DataFrame = {
-    val loaded = read(spark, dir, version)
+    val v = VersionedState.resolveVersion(spark, dir, Subframes,
+      "ivf index", version)
+    val meta = readMeta(spark, dir, v)
+    val centroids = readCentroids(spark, dir, v, meta)
+    // a re-dimensioned query batch would assign to the first cells and
+    // score null everywhere — zero results with zero errors — so it
+    // fails by name instead
+    Similarity.requireVecDim(queries, vecCol, meta.dim,
+      s"ivf index at $dir: probe")
     // the probe's touched-cell set (≤ nlist ids, model-sized driver
     // state) becomes a static partition filter: the scan reads
     // nprobe/nlist of the corpus bytes, not all of them
-    val touched = Similarity.ivfProbeCells(queries, vecCol,
-      loaded.centroids, nprobe)
-    Similarity.ivfProbe(loaded.centroids,
-      readCells(spark, dir, loaded.version, Some(touched)), queries,
-      idCol, vecCol, k, nprobe)
+    val touched = Similarity.ivfProbeCells(queries, vecCol, centroids, nprobe)
+    Similarity.ivfProbe(centroids,
+      VersionedState.readCellChain(spark, dir, chain(spark, dir, v),
+        Some(touched)), queries, idCol, vecCol, k, nprobe)
   }
 }

@@ -269,19 +269,8 @@ object MinhashIndexStore {
     * "finds" no duplicates). */
   def read(spark: SparkSession, dir: String,
            version: Option[Long] = None): LoadedIndex = {
-    val (fs, _) = VersionedState.fsPath(spark, dir)
-    val v = version match {
-      case Some(p) =>
-        require(VersionedState.committed(fs, dir, p, Subframes),
-          s"minhash index at $dir has no committed version v=$p " +
-            s"(latest committed: ${latestVersion(spark, dir).map("v=" + _)
-              .getOrElse("<none>")})")
-        p
-      case None =>
-        latestVersion(spark, dir).getOrElse(
-          throw new IllegalArgumentException(
-            s"minhash index at $dir has no committed version"))
-    }
+    val v = VersionedState.resolveVersion(spark, dir, Subframes,
+      "minhash index", version)
     val links = chain(spark, dir, v)
     LoadedIndex(v,
       links.map(w => spark.read.parquet(s"$dir/v=$w/index"))

@@ -103,9 +103,12 @@ object SemanticIndexStore {
       // batch's touched cells; the repartition keeps file counts at
       // one per cell instead of task_count × nlist). One shuffle per
       // COMMIT (over delta mass for appends, corpus mass only at
-      // init/compaction), zero per probe. Null cells (null/absent
-      // vectors) land in the hive default partition and read back as
-      // null.
+      // init/compaction), zero per probe. Null-vector groups carry the
+      // SMALLEST cell id, not a null cell (the NearestCells kernel's
+      // invalid-input branch) — harmless to answers because a null
+      // vector scores null cosine and is threshold-filtered, but it
+      // means no row ever lands in the hive default partition and
+      // cell-0 mass includes the corpus's null rows.
       cells.repartition(org.apache.spark.sql.functions.col("cell"))
         .write.partitionBy("cell").mode("overwrite").parquet(s"$scratch/cells")
       writeMeta(spark, s"$scratch/meta",
@@ -174,12 +177,12 @@ object SemanticIndexStore {
             "the base was pruned or the index was never initialized"
         }))
     val (meta, _) = readMetaRow(spark, dir, expectedBase)
-    val centroids = Similarity.ivfCentroidsFromDf(
-      spark.read.parquet(s"$dir/v=$expectedBase/centroids"))
-    require(centroids.nonEmpty && centroids.head._2.length == meta.dim,
-      s"semantic index at $dir v=$expectedBase: centroid table does not " +
-        s"match its persisted meta ($meta) — the version directory was " +
-        "tampered with")
+    val centroids = readCentroids(spark, dir, expectedBase, meta)
+    // a re-dimensioned batch fails by name here: the assignment kernel
+    // would otherwise commit it with first-cell assignments whose
+    // cosines all score null — rows probes silently never return
+    Similarity.requireVecDim(batch, vecCol, meta.dim,
+      s"semantic index at $dir: append")
     val assigned = Similarity.semanticAssign(centroids, batch,
       idCol, vecCol, maxGroupSize)
     commitVersion(spark, dir, expectedBase + 1, centroids, assigned,
@@ -199,15 +202,15 @@ object SemanticIndexStore {
     val head = latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(
         s"semantic index at $dir has no committed version to compact"))
-    val (_, full) = readMetaRow(spark, dir, head)
+    val (meta, full) = readMetaRow(spark, dir, head)
     if (full) head
     else {
-      val centroids = Similarity.ivfCentroidsFromDf(
-        spark.read.parquet(s"$dir/v=$head/centroids"))
       val merged = Similarity.semanticCellsMerge(
-        chain(spark, dir, head)
-          .map(w => readCells(spark, dir, Seq(w), None)), maxGroupSize)
-      commitVersion(spark, dir, head + 1, centroids, merged, full = true)
+        chain(spark, dir, head).map(w =>
+          VersionedState.readCellChain(spark, dir, Seq(w), None)),
+        maxGroupSize)
+      commitVersion(spark, dir, head + 1,
+        readCentroids(spark, dir, head, meta), merged, full = true)
       head + 1
     }
   }
@@ -225,72 +228,58 @@ object SemanticIndexStore {
     VersionedState.pruneToChainBase(spark, dir, keepFrom, Subframes,
       "semantic index")(readMetaRow(spark, dir, _)._2)
 
-  /** Load a pinned version (or the latest committed): centroids, meta,
-    * and the UNION of its delta chain's cell frames. A missing or
-    * uncommitted pin fails by name. */
-  def read(spark: SparkSession, dir: String,
-           version: Option[Long] = None): LoadedSemIndex = {
-    val (fs, _) = VersionedState.fsPath(spark, dir)
-    val v = version match {
-      case Some(p) =>
-        require(VersionedState.committed(fs, dir, p, Subframes),
-          s"semantic index at $dir has no committed version v=$p " +
-            s"(latest committed: ${latestVersion(spark, dir).map("v=" + _)
-              .getOrElse("<none>")})")
-        p
-      case None =>
-        latestVersion(spark, dir).getOrElse(
-          throw new IllegalArgumentException(
-            s"semantic index at $dir has no committed version"))
-    }
-    val (meta, _) = readMetaRow(spark, dir, v)
+  /** The version's centroid table, tamper-checked against its
+    * persisted meta. */
+  private def readCentroids(spark: SparkSession, dir: String, v: Long,
+                            meta: SemMeta): Seq[(Long, Seq[Double])] = {
     val centroids = Similarity.ivfCentroidsFromDf(
       spark.read.parquet(s"$dir/v=$v/centroids"))
     require(centroids.nonEmpty && centroids.head._2.length == meta.dim,
       s"semantic index at $dir v=$v: centroid table does not match its " +
         s"persisted meta ($meta) — the version directory was tampered with")
-    LoadedSemIndex(v, centroids,
-      readCells(spark, dir, chain(spark, dir, v), None), meta)
+    centroids
   }
 
-  /** The cell frame serving a version chain — the union of the given
-    * links — optionally pruned to a batch's touched cells: the
-    * [[IvfIndexStore]] read shape. The prune filter goes on the RAW
-    * inferred partition column (int — cell ids are 0..nlist-1) before
-    * the long cast that restores in-memory schema parity, so the scan
-    * reads only the touched cell directories of EVERY chain link.
-    * Null-cell rows (null vectors) are excluded by the prune, which
-    * loses nothing: a null cell can never equi-join. */
-  private def readCells(spark: SparkSession, dir: String, links: Seq[Long],
-                        onlyCells: Option[Seq[Long]]): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    links.map { w =>
-      val raw = spark.read.parquet(s"$dir/v=$w/cells")
-      val pruned = onlyCells match {
-        case Some(cs) => raw.where(col("cell").isin(cs.map(_.toInt): _*))
-        case None => raw
-      }
-      pruned.withColumn("cell", col("cell").cast("long"))
-    }.reduce(_ unionByName _)
+  /** Load a pinned version (or the latest committed): centroids, meta,
+    * and the UNION of its delta chain's cell frames
+    * ([[VersionedState.readCellChain]]). A missing or uncommitted pin
+    * fails by name. */
+  def read(spark: SparkSession, dir: String,
+           version: Option[Long] = None): LoadedSemIndex = {
+    val v = VersionedState.resolveVersion(spark, dir, Subframes,
+      "semantic index", version)
+    val (meta, _) = readMetaRow(spark, dir, v)
+    LoadedSemIndex(v, readCentroids(spark, dir, v, meta),
+      VersionedState.readCellChain(spark, dir, chain(spark, dir, v), None),
+      meta)
   }
 
   /** The production probe entry point: semantic near-dup pairs of
     * `batch` against the latest committed version (or a pinned one),
-    * always with the centroids the standing cells were assigned
-    * under. */
+    * always with the centroids the standing cells were assigned under.
+    * The version, meta, and chain resolve ONCE; the only cell frame
+    * built is the pruned one the probe actually scans. */
   def probeLatest(spark: SparkSession, dir: String, batch: DataFrame,
                   idCol: String, vecCol: String, threshold: Double,
                   maxGroupSize: Int = Dedup.DefaultMaxGroupSize,
                   version: Option[Long] = None): DataFrame = {
-    val loaded = read(spark, dir, version)
+    val v = VersionedState.resolveVersion(spark, dir, Subframes,
+      "semantic index", version)
+    val (meta, _) = readMetaRow(spark, dir, v)
+    val centroids = readCentroids(spark, dir, v, meta)
+    // a re-dimensioned probe batch would assign to the first cells and
+    // score null everywhere — zero pairs with zero errors — so it
+    // fails by name instead
+    Similarity.requireVecDim(batch, vecCol, meta.dim,
+      s"semantic index at $dir: probe")
     // the batch only pairs within its own argmin cells (one per
     // distinct vector, ≤ nlist ids — model-sized driver state), so
     // they become a static partition filter: every chain link's scan
     // reads the touched cell directories, not the whole frame
     val touched = Similarity.ivfProbeCells(batch, vecCol,
-      loaded.centroids, nprobe = 1)
-    Similarity.semanticDedupBatch(loaded.centroids,
-      readCells(spark, dir, chain(spark, dir, loaded.version),
+      centroids, nprobe = 1)
+    Similarity.semanticDedupBatch(centroids,
+      VersionedState.readCellChain(spark, dir, chain(spark, dir, v),
         Some(touched)), batch, idCol, vecCol, threshold, maxGroupSize)
   }
 }

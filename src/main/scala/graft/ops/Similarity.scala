@@ -500,6 +500,27 @@ object Similarity {
 
   /** Cell id of the nearest centroid (min squared distance, ties to the
     * lower cell id). */
+  /** Fail by name if any non-null vector in `df` has a dimension other
+    * than `dim` — the valve the versioned stores run before an append
+    * or probe against standing centroids. Without it a re-dimensioned
+    * batch is SILENT twice over: [[graft.functions.NearestCells]]
+    * assigns an invalid (wrong-length) vector to the smallest cell ids
+    * by design, and every cosine against it scores null and is
+    * threshold-filtered — the rows commit fine and are simply never
+    * returned by any probe. One batch-mass aggregate. */
+  private[ops] def requireVecDim(df: DataFrame, vecCol: String, dim: Int,
+                                 what: String): Unit = {
+    val r = df.where(col(vecCol).isNotNull)
+      .agg(min(size(col(vecCol))), max(size(col(vecCol)))).head()
+    if (!r.isNullAt(0))
+      require(r.getInt(0) == dim && r.getInt(1) == dim,
+        s"$what: the batch carries vectors of dimension " +
+          s"${r.getInt(0)}..${r.getInt(1)} but the standing index is " +
+          s"dim=$dim — mismatched vectors would assign to the first cell " +
+          "and score null against every centroid, so probes would silently " +
+          "never return them; rebuild the index at the new dimension")
+  }
+
   private def nearestCell(vec: Column, centroids: Seq[(Long, Seq[Double])]): Column =
     element_at(nearestCells(vec, centroids, 1), 1)
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** The shared versioned-snapshot commit protocol behind
@@ -106,6 +106,28 @@ private[ops] object VersionedState {
     }
   }
 
+  /** Resolve a read target: the pinned version when `version` is
+    * given — failing by name if it is missing or uncommitted (reading
+    * it as parquet would either error opaquely or, with an explicit
+    * schema, silently return 0 rows — an empty index "finds" nothing)
+    * — or the latest committed version otherwise. Shared by every
+    * store's read path. */
+  def resolveVersion(spark: SparkSession, dir: String,
+                     subframes: Seq[String], what: String,
+                     version: Option[Long]): Long = version match {
+    case Some(p) =>
+      val (fs, _) = fsPath(spark, dir)
+      require(committed(fs, dir, p, subframes),
+        s"$what at $dir has no committed version v=$p " +
+          s"(latest committed: ${latestVersion(spark, dir, subframes)
+            .map("v=" + _).getOrElse("<none>")})")
+      p
+    case None =>
+      latestVersion(spark, dir, subframes).getOrElse(
+        throw new IllegalArgumentException(
+          s"$what at $dir has no committed version"))
+  }
+
   /** The version chain serving `v`, newest first: `v` and the delta
     * versions below it down to (and including) the nearest FULL
     * version, where `isFull(w)` reads the store's persisted full-bit
@@ -158,13 +180,44 @@ private[ops] object VersionedState {
       subframes, what)
   }
 
+  /** The `cells` subframe serving a version chain — the union of the
+    * given links — optionally pruned to a probe's touched cells. One
+    * implementation for both cell-partitioned stores
+    * ([[IvfIndexStore]], [[SemanticIndexStore]]) so the plan-critical
+    * trick cannot drift: the prune filter goes on the RAW inferred
+    * partition column (int — cell ids are 0..nlist-1, always int-safe)
+    * BEFORE the long cast that restores in-memory schema parity, so
+    * `PruneFileSourcePartitions` sees a plain partition-attribute IN
+    * list on EVERY chain link and each scan reads only the touched
+    * cell directories (plan-spec-pinned in both stores' specs). */
+  def readCellChain(spark: SparkSession, dir: String, links: Seq[Long],
+                    onlyCells: Option[Seq[Long]]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    links.map { w =>
+      val raw = spark.read.parquet(s"$dir/v=$w/cells")
+      val pruned = onlyCells match {
+        case Some(cs) => raw.where(col("cell").isin(cs.map(_.toInt): _*))
+        case None => raw
+      }
+      pruned.withColumn("cell", col("cell").cast("long"))
+    }.reduce(_ unionByName _)
+  }
+
+  private val ScratchRe = "\\.tmp-v=(\\d+)-.*".r
+
   /** Delete all committed versions strictly below `keepFrom`, plus any
     * uncommitted version directories below it (crash debris of
-    * long-dead maintainers). REFUSES to prune the latest committed
-    * version or anything above `keepFrom` — the protocol's retention
-    * rule is the caller's job (retain ≥ max job runtime); this method
-    * only enforces that the head always survives. Returns the pruned
-    * version numbers. */
+    * long-dead maintainers) and any scratch directories
+    * (`.tmp-v=N-<nonce>`, a maintainer hard-killed mid-write) whose
+    * target version sits below it — a scratch for a below-floor
+    * version can never commit anything a reader is allowed to see, and
+    * without this sweep a crashed compact's corpus-mass scratch would
+    * leak forever. A scratch AT or ABOVE the floor is left alone: it
+    * may belong to a live maintainer. REFUSES to prune the latest
+    * committed version or anything above `keepFrom` — the protocol's
+    * retention rule is the caller's job (retain ≥ max job runtime);
+    * this method only enforces that the head always survives. Returns
+    * the pruned version numbers. */
   def prune(spark: SparkSession, dir: String, keepFrom: Long,
             subframes: Seq[String], what: String): Seq[Long] = {
     val (fs, path) = fsPath(spark, dir)
@@ -176,6 +229,11 @@ private[ops] object VersionedState {
         s"committed version v=$latest — refusing to prune the head")
     val doomed = versions(fs, path).filter(_ < keepFrom).sorted
     doomed.foreach(v => fs.delete(new Path(s"$dir/v=$v"), true))
+    fs.listStatus(path).toSeq.map(_.getPath.getName).foreach {
+      case s @ ScratchRe(v) if v.toLong < keepFrom =>
+        fs.delete(new Path(s"$dir/$s"), true)
+      case _ => ()
+    }
     doomed
   }
 }

@@ -162,6 +162,35 @@ class IvfIndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("a re-dimensioned batch fails append and probe by name instead of silently vanishing") {
+    withDir { dir =>
+      val corpus = vecs((0L until 60L).map(i => (i, base(i.toInt))): _*)
+      IvfIndexStore.init(corpus, dir, "vec_id", "embedding", nlist = 4)
+      // without the valve the assignment kernel would commit these
+      // rows into the FIRST cell with null cosines everywhere — rows
+      // no probe ever returns, with zero errors anywhere
+      val wrong = Seq((501L, Array.fill(8)(0.1f))).toDF("vec_id", "embedding")
+      val ea = intercept[IllegalArgumentException] {
+        IvfIndexStore.append(spark, dir, wrong, "vec_id", "embedding", 0L)
+      }
+      assert(ea.getMessage.contains("dimension 8..8") &&
+        ea.getMessage.contains("dim=16"), s"wrong error: ${ea.getMessage}")
+      assert(IvfIndexStore.latestVersion(spark, dir) === Some(0L),
+        "the refused append must commit nothing")
+      val ep = intercept[IllegalArgumentException] {
+        IvfIndexStore.probeLatest(spark, dir, wrong, "vec_id", "embedding",
+          k = 3)
+      }
+      assert(ep.getMessage.contains("dim=16"))
+      // null vectors are NOT a dim violation: they score null cosine
+      // and are threshold-filtered, so the valve must admit them
+      val withNull = Seq((502L, base(700)),
+        (503L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+      assert(IvfIndexStore.append(spark, dir, withNull,
+        "vec_id", "embedding", 0L) === 1L)
+    }
+  }
+
   test("delta appends: O(batch) writes, chain reads, compaction equivalence") {
     withDir { dir =>
       val corpus = vecs((0L until 100L).map(i => (i, base(i.toInt))): _*)

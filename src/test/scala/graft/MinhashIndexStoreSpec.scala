@@ -231,13 +231,22 @@ class MinhashIndexStoreSpec extends SparkSpec {
       assert(MinhashIndexStore.prune(spark, dir, keepFrom = 2L) === Seq.empty)
       assert(MinhashIndexStore.latestVersion(spark, dir) === Some(2L))
       // compaction introduces a full v=3; the folded chain becomes
-      // reclaimable. Plant old-protocol crash debris below the floor:
-      // pruned with it.
+      // reclaimable. Plant old-protocol crash debris below the floor
+      // AND hard-crash scratch directories (a maintainer killed before
+      // commitVersion's finally): below-floor scratch prunes with the
+      // versions, at/above-floor scratch may belong to a live
+      // maintainer and survives.
       assert(MinhashIndexStore.compact(spark, dir) === 3L)
       build(docs(90L to 92L)).write.parquet(s"$dir/v=1/stray")
+      build(docs(93L to 94L)).write.parquet(s"$dir/.tmp-v=1-deadbeef/index")
+      build(docs(95L to 96L)).write.parquet(s"$dir/.tmp-v=9-live/index")
       assert(MinhashIndexStore.prune(spark, dir, keepFrom = 3L) ===
         Seq(0L, 1L, 2L))
       assert(MinhashIndexStore.latestVersion(spark, dir) === Some(3L))
+      assert(!new java.io.File(s"$dir/.tmp-v=1-deadbeef").exists,
+        "below-floor crash scratch must prune")
+      assert(new java.io.File(s"$dir/.tmp-v=9-live").exists,
+        "at/above-floor scratch may belong to a live maintainer")
       // the kept head still probes — like a rebuild over the full
       // corpus (the SAME three pieces: docs() reseeds per call, so
       // docs(1 to 18) would be a different corpus)

@@ -239,6 +239,29 @@ class SemanticIndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("a re-dimensioned batch fails append and probe by name instead of silently vanishing") {
+    withDir { dir =>
+      val corpus = vecs((0L until 40L).map(i => (i, base(i.toInt))): _*)
+      SemanticIndexStore.init(corpus, dir, "vec_id", "embedding", nlist = 4)
+      // without the valve the assignment kernel would commit these
+      // rows into the FIRST cell with null cosines everywhere — rows
+      // no probe ever pairs, with zero errors anywhere
+      val wrong = Seq((501L, Array.fill(8)(0.1f))).toDF("vec_id", "embedding")
+      val ea = intercept[IllegalArgumentException] {
+        SemanticIndexStore.append(spark, dir, wrong, "vec_id", "embedding", 0L)
+      }
+      assert(ea.getMessage.contains("dimension 8..8") &&
+        ea.getMessage.contains("dim=16"), s"wrong error: ${ea.getMessage}")
+      assert(SemanticIndexStore.latestVersion(spark, dir) === Some(0L),
+        "the refused append must commit nothing")
+      val ep = intercept[IllegalArgumentException] {
+        SemanticIndexStore.probeLatest(spark, dir, wrong,
+          "vec_id", "embedding", threshold = 0.9)
+      }
+      assert(ep.getMessage.contains("dim=16"))
+    }
+  }
+
   test("reload bit-parity: a reloaded version probes identically to the in-memory build") {
     withDir { dir =>
       val corpus = vecs((0L until 80L).map(i => (i, base(i.toInt))): _*)
