@@ -346,6 +346,26 @@ class MinhashIndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("a chain cut outside the protocol fails reads by name instead of probing a partial corpus") {
+    withDir { dir =>
+      MinhashIndexStore.init(build(docs(1L to 10L)), dir)
+      MinhashIndexStore.append(spark, dir, build(docs(11L to 14L)), 0L)
+      MinhashIndexStore.append(spark, dir, build(docs(15L to 18L)), 1L)
+      // delete the MIDDLE delta behind the protocol's back (prune can
+      // never do this — its floor clamps to the chain base)
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(s"$dir/v=1")).deleteRecursively()
+      // the head's chain is cut: a silent read would union a partial
+      // corpus and quietly miss v=1's near-dup pairs — it must refuse
+      val e = intercept[IllegalArgumentException] {
+        MinhashIndexStore.read(spark, dir)
+      }
+      assert(e.getMessage.contains("chain needs v=1"), s"wrong error: ${e.getMessage}")
+      // a pinned read BELOW the cut still serves (its chain is intact)
+      assert(MinhashIndexStore.read(spark, dir, Some(0L)).index.count() > 0)
+    }
+  }
+
   test("read refuses a missing or uncommitted pinned version by name") {
     withDir { dir =>
       MinhashIndexStore.init(build(docs(1L to 10L)), dir)
