@@ -664,7 +664,7 @@ object SparkEntry {
         build(corpus.where(pmod(col("doc_id"), lit(7)) === 1)),
         expectedBase = 0L, numBands = 24, rowsPerBand = 2)
       val pairs = MinhashIndexStore.probeLatest(spark, store, batch,
-        "doc_id", "text", shingleK = 5, threshold = 0.5)
+        "doc_id", "text", threshold = 0.5)
       val rows = pairs.collect().toIndexedSeq
       spark.createDataFrame(spark.sparkContext.parallelize(rows), pairs.schema)
     } finally {

@@ -23,35 +23,11 @@ import org.apache.spark.sql.functions._
   * per-probe corpus-size term directly (the claim under test: the
   * banded probe's is zero up to the narrow pre-banded scan). */
 object BandedProbeBench {
-
-  private def time(body: => Long): (Double, Long) = {
-    val t0 = System.nanoTime()
-    val n = body
-    ((System.nanoTime() - t0) / 1e9, n)
-  }
-
-  private def median(body: => Long, reps: Int = 3): (Double, Long) = {
-    time(body) // warm-up (JIT, codegen, page cache)
-    val runs = (1 to reps).map(_ => time(body))
-    (runs.map(_._1).sorted.apply(reps / 2), runs.head._2)
-  }
+  import BenchHarness.{median, time}
 
   def main(args: Array[String]): Unit = {
     import graft.ops.{Dedup, MinhashIndexStore}
-    val dir = args.headOption
-      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
-      .getOrElse("/tmp/graft-10x")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .withExtensions(new graft.functions.GraftExtensions)
-      .config("spark.sql.optimizer.excludedRules", graft.EngineConf.ExcludedOptimizerRules)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val (spark, dir) = BenchHarness.session(args, "/tmp/graft-10x")
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val corpus = docs.where(col("doc_id") % 5 =!= 0)
@@ -77,7 +53,7 @@ object BandedProbeBench {
       val (bandedSec, bandedPairs) = median {
         clearAll()
         MinhashIndexStore.probeLatest(spark, store, batch,
-          "doc_id", "text", shingleK = 5, threshold = 0.5).count()
+          "doc_id", "text", threshold = 0.5).count()
       }
       require(unifiedPairs == bandedPairs,
         s"probe disagreement: unified=$unifiedPairs banded=$bandedPairs")

@@ -23,33 +23,14 @@ import org.apache.spark.sql.functions._
   * meta, centroids, bands headers) against the snapshot regime's
   * ~1.05. */
 object DeltaAppendBench {
-
-  private def time[A](body: => A): (Double, A) = {
-    val t0 = System.nanoTime()
-    val a = body
-    ((System.nanoTime() - t0) / 1e9, a)
-  }
+  import BenchHarness.time
 
   private def dirBytes(f: java.io.File): Long =
-    if (f.isFile) f.length
-    else Option(f.listFiles).getOrElse(Array.empty).map(dirBytes).sum
+    BenchHarness.dirFilesBytes(f)._2
 
   def main(args: Array[String]): Unit = {
     import graft.ops.{Dedup, IvfIndexStore, MinhashIndexStore, SemanticIndexStore}
-    val dir = args.headOption
-      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
-      .getOrElse("/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .withExtensions(new graft.functions.GraftExtensions)
-      .config("spark.sql.optimizer.excludedRules", graft.EngineConf.ExcludedOptimizerRules)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val (spark, dir) = BenchHarness.session(args, "/root/testdata/sf0.1")
 
     // one lifecycle = init(standing) → append(batch delta) → compact;
     // returns the JSON fragment for this store

@@ -22,36 +22,12 @@ import org.apache.spark.sql.functions._
   * invisible to the answer. Prints one JSON line; run at two
   * replications to read each probe's corpus-size term directly. */
 object IvfProbeBench {
-
-  private def time(body: => Long): (Double, Long) = {
-    val t0 = System.nanoTime()
-    val n = body
-    ((System.nanoTime() - t0) / 1e9, n)
-  }
-
-  private def median(body: => Long, reps: Int = 3): (Double, Long) = {
-    time(body) // warm-up (JIT, codegen, page cache)
-    val runs = (1 to reps).map(_ => time(body))
-    (runs.map(_._1).sorted.apply(reps / 2), runs.head._2)
-  }
+  import BenchHarness.{median, time}
 
   def main(args: Array[String]): Unit = {
     import graft.ops.{IvfIndexStore, Similarity}
-    val dir = args.headOption
-      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
-      .getOrElse("/root/testdata/sf0.1")
+    val (spark, dir) = BenchHarness.session(args, "/root/testdata/sf0.1")
     val replication = args.drop(1).headOption.map(_.toInt).getOrElse(100)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .withExtensions(new graft.functions.GraftExtensions)
-      .config("spark.sql.optimizer.excludedRules", graft.EngineConf.ExcludedOptimizerRules)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val corpus = emb.crossJoin(spark.range(replication).as("rep"))
@@ -78,10 +54,7 @@ object IvfProbeBench {
       // (partition filter, plan-spec-pinned in IvfIndexStoreSpec), so
       // the directory sizes are the scan's input bytes.
       def dirBytes(f: java.io.File): (Long, Long) =
-        if (f.isFile) (if (f.getName.endsWith(".parquet")) 1L else 0L, f.length)
-        else Option(f.listFiles).getOrElse(Array.empty)
-          .map(dirBytes).foldLeft((0L, 0L)) {
-            case ((nf, nb), (f2, b2)) => (nf + f2, nb + b2) }
+        BenchHarness.dirFilesBytes(f)
       val (prunedSec, prunedRows) = median {
         clearAll()
         IvfIndexStore.probeLatest(spark, store, queries,

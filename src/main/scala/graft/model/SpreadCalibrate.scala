@@ -51,19 +51,7 @@ object SpreadCalibrate {
   }
 
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption
-      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
-      .getOrElse("/tmp/graft-10x")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.optimizer.excludedRules", graft.EngineConf.ExcludedOptimizerRules)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val (spark, dir) = BenchHarness.session(args, "/tmp/graft-10x")
     val p = spark.sparkContext.defaultParallelism
 
     // scan kernel per table; key and pinned floor come from

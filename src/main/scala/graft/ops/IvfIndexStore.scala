@@ -105,15 +105,7 @@ object IvfIndexStore {
   def init(corpus: DataFrame, dir: String, idCol: String, vecCol: String,
            nlist: Int = 16, lloydIters: Int = 2): Long = {
     val spark = corpus.sparkSession
-    val (fs, path) = VersionedState.fsPath(spark, dir)
-    val existing = VersionedState.versions(fs, path)
-      .filter(VersionedState.committed(fs, dir, _, Subframes))
-    require(existing.isEmpty,
-      s"ivf index at $dir already holds committed versions " +
-        s"(${existing.sorted.map("v=" + _).mkString(",")}) — init would " +
-        "retrain from the new corpus alone, silently dropping the standing " +
-        "index; append onto the latest version, or explicitly delete the " +
-        "directory to start over")
+    VersionedState.requireUninitialized(spark, dir, Subframes, "ivf index")
     val (centroids, cells) = Similarity.ivfBuild(corpus, idCol, vecCol,
       nlist, lloydIters)
     require(centroids.nonEmpty,
@@ -130,20 +122,8 @@ object IvfIndexStore {
     * the merged corpora. Returns the version written. */
   def append(spark: SparkSession, dir: String, batch: DataFrame,
              idCol: String, vecCol: String, expectedBase: Long): Long = {
-    val latest = latestVersion(spark, dir)
-    require(latest.contains(expectedBase),
-      s"ivf index at $dir: append expected base v=$expectedBase but the " +
-        s"latest committed version is ${latest.map("v=" + _).getOrElse("<none>")} — " +
-        (latest match {
-          case Some(l) if l > expectedBase =>
-            "another maintainer already advanced the index; re-read the head " +
-              "and retry the append on it"
-          case Some(_) =>
-            "the expected base was never committed (crashed append?); retry " +
-              "from the committed head"
-          case None =>
-            "the base was pruned or the index was never initialized"
-        }))
+    VersionedState.requireBase(spark, dir, expectedBase, Subframes,
+      "ivf index")
     val meta = readMeta(spark, dir, expectedBase)
     val centroids = readCentroids(spark, dir, expectedBase, meta)
     // a re-dimensioned batch fails by name here: the assignment kernel
@@ -151,10 +131,15 @@ object IvfIndexStore {
     // cosines all score null — rows probes silently never return
     Similarity.requireVecDim(batch, vecCol, meta.dim,
       s"ivf index at $dir: append")
-    val assigned = Similarity.ivfAssign(batch, idCol, vecCol, centroids)
-    commitVersion(spark, dir, expectedBase + 1, centroids, assigned,
-      full = false)
-    expectedBase + 1
+    // an empty delta is a no-op, not a chain link: beyond chain
+    // hygiene, an empty cell-partitioned write would commit a
+    // FILE-LESS frame every later chain read fails to schema-infer
+    if (batch.isEmpty) expectedBase
+    else {
+      commitVersion(spark, dir, expectedBase + 1, centroids,
+        Similarity.ivfAssign(batch, idCol, vecCol, centroids), full = false)
+      expectedBase + 1
+    }
   }
 
   /** Fold the head's delta chain into a new FULL version at head+1 —

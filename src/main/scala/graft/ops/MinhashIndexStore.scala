@@ -44,13 +44,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * bands` (that frame's pre-aggregated [[Dedup.minhashIndexBands]]
   * bucket table — written together so every committed version can
   * serve the exchange-free probe, [[Dedup.minhashIndexDedupBatchBanded]]),
-  * and `dir/v=N/meta` (one row: the banding parameters this version
-  * was built with — numBands, rowsPerBand, maxGroupSize — plus the
-  * `full` chain bit). [[append]] validates its parameters against the
-  * base's persisted meta and [[probeLatest]] probes WITH the persisted
-  * meta, so a re-parameterized maintainer or a probe against a
-  * mismatched bands frame fails loudly (or cannot happen) instead of
-  * silently dropping candidate pairs. Longs and long arrays round-trip
+  * and `dir/v=N/meta` (one row: the content parameters this version
+  * was built with — shingleK, numBands, rowsPerBand, maxGroupSize —
+  * plus the `full` chain bit). [[append]] validates its parameters
+  * against the base's persisted meta and [[probeLatest]] shingles and
+  * bands WITH the persisted meta, so a re-parameterized maintainer, a
+  * differently shingled probe, or a probe against a mismatched bands
+  * frame fails loudly (or cannot happen) instead of silently dropping
+  * candidate pairs. Longs and long arrays round-trip
   * parquet bit-exactly — a reloaded version probes identically to the
   * in-memory frame it persisted (spec-pinned, `MinhashIndexStoreSpec`).
   *
@@ -84,13 +85,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * compaction. */
 object MinhashIndexStore {
 
-  /** The banding parameters a version was built with — persisted as
+  /** The content parameters a version was built with — persisted as
     * the version's `meta` frame and required to match across every
-    * build/append/probe of one index (`numBands · rowsPerBand` is the
-    * signature length). The `full` chain bit (whether the version is a
-    * full snapshot or an append delta) is persisted alongside but is
-    * protocol state, not a parameter — it never enters the match. */
-  final case class IndexMeta(numBands: Int, rowsPerBand: Int,
+    * build/append/probe of one index: `shingleK` decides the shingle
+    * sets themselves (a probe or delta shingled differently produces
+    * DISJOINT set hashes and finds nothing, silently), and
+    * `numBands · rowsPerBand` is the signature length. The `full`
+    * chain bit (whether the version is a full snapshot or an append
+    * delta) is persisted alongside but is protocol state, not a
+    * parameter — it never enters the match. */
+  final case class IndexMeta(shingleK: Int, numBands: Int, rowsPerBand: Int,
                              maxGroupSize: Int)
 
   /** A committed version loaded for probing: the `(shh, ids, sig)`
@@ -110,16 +114,18 @@ object MinhashIndexStore {
   private def writeMeta(spark: SparkSession, dest: String,
                         meta: IndexMeta, full: Boolean): Unit = {
     import spark.implicits._
-    Seq((meta.numBands, meta.rowsPerBand, meta.maxGroupSize, full))
-      .toDF("num_bands", "rows_per_band", "max_group_size", "full")
+    Seq((meta.shingleK, meta.numBands, meta.rowsPerBand, meta.maxGroupSize, full))
+      .toDF("shingle_k", "num_bands", "rows_per_band", "max_group_size", "full")
       .coalesce(1).write.mode("overwrite").parquet(dest)
   }
 
   private def readMetaRow(spark: SparkSession, dir: String,
                           v: Long): (IndexMeta, Boolean) = {
     val r = spark.read.parquet(s"$dir/v=$v/meta")
-      .select("num_bands", "rows_per_band", "max_group_size", "full").head()
-    (IndexMeta(r.getInt(0), r.getInt(1), r.getInt(2)), r.getBoolean(3))
+      .select("shingle_k", "num_bands", "rows_per_band", "max_group_size",
+        "full").head()
+    (IndexMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)),
+      r.getBoolean(4))
   }
 
   private def readMeta(spark: SparkSession, dir: String, v: Long): IndexMeta =
@@ -159,21 +165,14 @@ object MinhashIndexStore {
     * (never a partial `v=0` — the rename protocol), so replaying init
     * after a crash just succeeds. Returns the version written (0). */
   def init(index: DataFrame, dir: String,
+           shingleK: Int = Dedup.DefaultShingleK,
            numBands: Int = Dedup.DefaultNumBands,
            rowsPerBand: Int = Dedup.DefaultRowsPerBand,
            maxGroupSize: Int = Dedup.DefaultMaxGroupSize): Long = {
     val spark = index.sparkSession
-    val (fs, path) = VersionedState.fsPath(spark, dir)
-    val existing = VersionedState.versions(fs, path)
-      .filter(VersionedState.committed(fs, dir, _, Subframes))
-    require(existing.isEmpty,
-      s"minhash index at $dir already holds committed versions " +
-        s"(${existing.sorted.map("v=" + _).mkString(",")}) — init would " +
-        "rebuild it from the new corpus alone, silently dropping the " +
-        "standing index; append onto the latest version, or explicitly " +
-        "delete the directory to start over")
+    VersionedState.requireUninitialized(spark, dir, Subframes, "minhash index")
     commitVersion(index, dir, 0L,
-      IndexMeta(numBands, rowsPerBand, maxGroupSize), full = true)
+      IndexMeta(shingleK, numBands, rowsPerBand, maxGroupSize), full = true)
     0L
   }
 
@@ -191,36 +190,27 @@ object MinhashIndexStore {
     * the version written. */
   def append(spark: SparkSession, dir: String, delta: DataFrame,
              expectedBase: Long,
+             shingleK: Int = Dedup.DefaultShingleK,
              numBands: Int = Dedup.DefaultNumBands,
              rowsPerBand: Int = Dedup.DefaultRowsPerBand,
              maxGroupSize: Int = Dedup.DefaultMaxGroupSize): Long = {
-    val latest = latestVersion(spark, dir)
-    require(latest.contains(expectedBase),
-      s"minhash index at $dir: append expected base v=$expectedBase but the " +
-        s"latest committed version is ${latest.map("v=" + _).getOrElse("<none>")} — " +
-        (latest match {
-          case Some(l) if l > expectedBase =>
-            "another maintainer already advanced the index; re-read the head " +
-              "and retry the append on it (applying this delta here would " +
-              "silently drop the newer versions' merges)"
-          case Some(_) =>
-            "the expected base was never committed (crashed append?); retry " +
-              "from the committed head"
-          case None =>
-            "the base was pruned or the index was never initialized — a " +
-              "merge onto an empty base would silently drop every " +
-              "previously indexed document"
-        }))
+    VersionedState.requireBase(spark, dir, expectedBase, Subframes,
+      "minhash index")
     val baseMeta = readMeta(spark, dir, expectedBase)
-    val callerMeta = IndexMeta(numBands, rowsPerBand, maxGroupSize)
+    val callerMeta = IndexMeta(shingleK, numBands, rowsPerBand, maxGroupSize)
     require(baseMeta == callerMeta,
       s"minhash index at $dir: append parameters $callerMeta do not match " +
-        s"v=$expectedBase's persisted $baseMeta — a delta banded with " +
-        "different parameters would silently drop candidate pairs; rebuild " +
-        "the index to re-parameterize")
-    commitVersion(delta.select("shh", "ids", "sig"), dir, expectedBase + 1,
-      baseMeta, full = false)
-    expectedBase + 1
+        s"v=$expectedBase's persisted $baseMeta — a delta shingled or banded " +
+        "with different parameters would silently drop candidate pairs; " +
+        "rebuild the index to re-parameterize")
+    // an empty delta is a no-op, not a chain link: a scheduled run on a
+    // day with no new documents must not grow the chain
+    if (delta.isEmpty) expectedBase
+    else {
+      commitVersion(delta.select("shh", "ids", "sig"), dir, expectedBase + 1,
+        baseMeta, full = false)
+      expectedBase + 1
+    }
   }
 
   /** Fold the head's delta chain into a new FULL version at head+1 —
@@ -282,20 +272,23 @@ object MinhashIndexStore {
 
   /** The production probe entry point: dedup `batch` against the
     * latest committed version (or a pinned one) through the
-    * exchange-free banded path, USING THE PERSISTED banding parameters
-    * — the probe cannot be mis-parameterized against the bands frame
-    * it reads. `shingleK`, the threshold family, and the valve are
-    * per-probe choices and stay with the caller. */
+    * exchange-free banded path, USING THE PERSISTED shingling and
+    * banding parameters — the probe cannot be mis-parameterized
+    * against the index it reads. Only the threshold family is a
+    * per-probe choice. */
   def probeLatest(spark: SparkSession, dir: String, batch: DataFrame,
                   idCol: String, textCol: String,
-                  shingleK: Int = Dedup.DefaultShingleK,
                   threshold: Double = 0.5,
                   prefilterMargin: Double = 0.25,
                   minPairBands: Int = 1,
                   version: Option[Long] = None): DataFrame = {
     val loaded = read(spark, dir, version)
+    // the batch shingles with the PERSISTED shingleK — like the banding
+    // parameters, it is index state, not a per-probe choice: a probe
+    // shingled differently would produce disjoint set hashes and find
+    // nothing, silently
     Dedup.minhashIndexDedupBatchBanded(loaded.index, loaded.bands, batch,
-      idCol, textCol, shingleK, loaded.meta.numBands,
+      idCol, textCol, loaded.meta.shingleK, loaded.meta.numBands,
       loaded.meta.rowsPerBand, threshold, prefilterMargin, minPairBands,
       loaded.meta.maxGroupSize)
   }

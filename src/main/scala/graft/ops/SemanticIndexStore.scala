@@ -44,7 +44,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * table, so any committed version probes alone), `dir/v=N/cells/
   * cell=<id>/` (the `(cell, gid, vv, vn, ids)` frame — full snapshot
   * at init/compaction, the batch delta at append), `dir/v=N/meta`
-  * (one row: embedding `dim`, trained `nlist`, and the `full` chain
+  * (one row: embedding `dim`, trained `nlist`, the `maxGroupSize`
+  * valve — maintenance and probes all READ it, set once at init — and
+  * the `full` chain
   * bit). Doubles and long arrays round-trip parquet bit-exactly, so a
   * reloaded version probes identically (spec-pinned).
   *
@@ -59,11 +61,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * at scheduled compaction. */
 object SemanticIndexStore {
 
-  /** Persisted provenance of a version: embedding dimension and the
-    * trained cell count. The `full` chain bit (whether the version is
-    * a full snapshot or an append delta) is persisted alongside but is
-    * protocol state, not a parameter — it never enters any match. */
-  final case class SemMeta(dim: Int, nlist: Int)
+  /** Persisted provenance of a version: embedding dimension, trained
+    * cell count, and the identical-vector `maxGroupSize` valve the
+    * index was built with — maintenance and probes USE the persisted
+    * valve (the [[MinhashIndexStore.IndexMeta]] rule), so a
+    * re-parameterized maintainer cannot silently loosen it. The `full`
+    * chain bit (whether the version is a full snapshot or an append
+    * delta) is persisted alongside but is protocol state, not a
+    * parameter — it never enters any match. */
+  final case class SemMeta(dim: Int, nlist: Int, maxGroupSize: Int)
 
   /** A committed version loaded for probing: `cells` is the UNION of
     * the version's chain (its deltas down to the nearest full
@@ -80,20 +86,22 @@ object SemanticIndexStore {
   private def writeMeta(spark: SparkSession, dest: String, meta: SemMeta,
                         full: Boolean): Unit = {
     import spark.implicits._
-    Seq((meta.dim, meta.nlist, full)).toDF("dim", "nlist", "full")
+    Seq((meta.dim, meta.nlist, meta.maxGroupSize, full))
+      .toDF("dim", "nlist", "max_group_size", "full")
       .coalesce(1).write.mode("overwrite").parquet(dest)
   }
 
   private def readMetaRow(spark: SparkSession, dir: String,
                           v: Long): (SemMeta, Boolean) = {
     val r = spark.read.parquet(s"$dir/v=$v/meta")
-      .select("dim", "nlist", "full").head()
-    (SemMeta(r.getInt(0), r.getInt(1)), r.getBoolean(2))
+      .select("dim", "nlist", "max_group_size", "full").head()
+    (SemMeta(r.getInt(0), r.getInt(1), r.getInt(2)), r.getBoolean(3))
   }
 
   private def commitVersion(spark: SparkSession, dir: String, v: Long,
                             centroids: Seq[(Long, Seq[Double])],
-                            cells: DataFrame, full: Boolean): Unit =
+                            cells: DataFrame, maxGroupSize: Int,
+                            full: Boolean): Unit =
     VersionedState.commitVersion(spark, dir, v, "semantic index",
       Subframes) { scratch =>
       Similarity.ivfCentroidsDf(spark, centroids)
@@ -112,7 +120,8 @@ object SemanticIndexStore {
       cells.repartition(org.apache.spark.sql.functions.col("cell"))
         .write.partitionBy("cell").mode("overwrite").parquet(s"$scratch/cells")
       writeMeta(spark, s"$scratch/meta",
-        SemMeta(centroids.head._2.length, centroids.length), full)
+        SemMeta(centroids.head._2.length, centroids.length, maxGroupSize),
+        full)
     }
 
   /** The version chain serving `v` ([[VersionedState.chain]]): `v` and
@@ -132,21 +141,14 @@ object SemanticIndexStore {
            nlist: Int = 0, lloydIters: Int = 2,
            maxGroupSize: Int = Dedup.DefaultMaxGroupSize): Long = {
     val spark = df.sparkSession
-    val (fs, path) = VersionedState.fsPath(spark, dir)
-    val existing = VersionedState.versions(fs, path)
-      .filter(VersionedState.committed(fs, dir, _, Subframes))
-    require(existing.isEmpty,
-      s"semantic index at $dir already holds committed versions " +
-        s"(${existing.sorted.map("v=" + _).mkString(",")}) — init would " +
-        "retrain from the new corpus alone, silently dropping the standing " +
-        "index; append onto the latest version, or explicitly delete the " +
-        "directory to start over")
+    VersionedState.requireUninitialized(spark, dir, Subframes,
+      "semantic index")
     val (centroids, cells) = Similarity.semanticIndexBuild(
       df, idCol, vecCol, nlist, lloydIters, maxGroupSize)
     require(centroids.nonEmpty,
       s"semantic index at $dir: the corpus trained no centroids (empty or " +
         "all-null vectors) — an empty standing index has nothing to probe")
-    commitVersion(spark, dir, 0L, centroids, cells, full = true)
+    commitVersion(spark, dir, 0L, centroids, cells, maxGroupSize, full = true)
     0L
   }
 
@@ -160,22 +162,9 @@ object SemanticIndexStore {
     * staleness/prune semantics). Ids must be unique across the merged
     * corpora. Returns the version written. */
   def append(spark: SparkSession, dir: String, batch: DataFrame,
-             idCol: String, vecCol: String, expectedBase: Long,
-             maxGroupSize: Int = Dedup.DefaultMaxGroupSize): Long = {
-    val latest = latestVersion(spark, dir)
-    require(latest.contains(expectedBase),
-      s"semantic index at $dir: append expected base v=$expectedBase but the " +
-        s"latest committed version is ${latest.map("v=" + _).getOrElse("<none>")} — " +
-        (latest match {
-          case Some(l) if l > expectedBase =>
-            "another maintainer already advanced the index; re-read the head " +
-              "and retry the append on it"
-          case Some(_) =>
-            "the expected base was never committed (crashed append?); retry " +
-              "from the committed head"
-          case None =>
-            "the base was pruned or the index was never initialized"
-        }))
+             idCol: String, vecCol: String, expectedBase: Long): Long = {
+    VersionedState.requireBase(spark, dir, expectedBase, Subframes,
+      "semantic index")
     val (meta, _) = readMetaRow(spark, dir, expectedBase)
     val centroids = readCentroids(spark, dir, expectedBase, meta)
     // a re-dimensioned batch fails by name here: the assignment kernel
@@ -183,11 +172,16 @@ object SemanticIndexStore {
     // cosines all score null — rows probes silently never return
     Similarity.requireVecDim(batch, vecCol, meta.dim,
       s"semantic index at $dir: append")
-    val assigned = Similarity.semanticAssign(centroids, batch,
-      idCol, vecCol, maxGroupSize)
-    commitVersion(spark, dir, expectedBase + 1, centroids, assigned,
-      full = false)
-    expectedBase + 1
+    // an empty delta is a no-op, not a chain link: beyond chain
+    // hygiene, an empty cell-partitioned write would commit a
+    // FILE-LESS frame every later chain read fails to schema-infer
+    if (batch.isEmpty) expectedBase
+    else {
+      commitVersion(spark, dir, expectedBase + 1, centroids,
+        Similarity.semanticAssign(centroids, batch, idCol, vecCol,
+          meta.maxGroupSize), meta.maxGroupSize, full = false)
+      expectedBase + 1
+    }
   }
 
   /** Fold the head's delta chain into a new FULL version at head+1 —
@@ -197,8 +191,7 @@ object SemanticIndexStore {
     * identical-vector group that outgrew the valve across links fails
     * the compact by name, never a probe. No-op (returns the head) when
     * the head is already full. */
-  def compact(spark: SparkSession, dir: String,
-              maxGroupSize: Int = Dedup.DefaultMaxGroupSize): Long = {
+  def compact(spark: SparkSession, dir: String): Long = {
     val head = latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(
         s"semantic index at $dir has no committed version to compact"))
@@ -208,9 +201,10 @@ object SemanticIndexStore {
       val merged = Similarity.semanticCellsMerge(
         chain(spark, dir, head).map(w =>
           VersionedState.readCellChain(spark, dir, Seq(w), None)),
-        maxGroupSize)
+        meta.maxGroupSize)
       commitVersion(spark, dir, head + 1,
-        readCentroids(spark, dir, head, meta), merged, full = true)
+        readCentroids(spark, dir, head, meta), merged, meta.maxGroupSize,
+        full = true)
       head + 1
     }
   }
@@ -261,7 +255,6 @@ object SemanticIndexStore {
     * built is the pruned one the probe actually scans. */
   def probeLatest(spark: SparkSession, dir: String, batch: DataFrame,
                   idCol: String, vecCol: String, threshold: Double,
-                  maxGroupSize: Int = Dedup.DefaultMaxGroupSize,
                   version: Option[Long] = None): DataFrame = {
     val v = VersionedState.resolveVersion(spark, dir, Subframes,
       "semantic index", version)
@@ -280,6 +273,7 @@ object SemanticIndexStore {
       centroids, nprobe = 1)
     Similarity.semanticDedupBatch(centroids,
       VersionedState.readCellChain(spark, dir, chain(spark, dir, v),
-        Some(touched)), batch, idCol, vecCol, threshold, maxGroupSize)
+        Some(touched)), batch, idCol, vecCol, threshold,
+      meta.maxGroupSize)
   }
 }

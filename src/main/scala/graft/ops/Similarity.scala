@@ -498,8 +498,6 @@ object Similarity {
       .orderBy("_h").limit(nlist)
       .collect().map(_.getSeq[Double](0))
 
-  /** Cell id of the nearest centroid (min squared distance, ties to the
-    * lower cell id). */
   /** Fail by name if any non-null vector in `df` has a dimension other
     * than `dim` — the valve the versioned stores run before an append
     * or probe against standing centroids. Without it a re-dimensioned
@@ -521,6 +519,8 @@ object Similarity {
           "never return them; rebuild the index at the new dimension")
   }
 
+  /** Cell id of the nearest centroid (min squared distance, ties to the
+    * lower cell id). */
   private def nearestCell(vec: Column, centroids: Seq[(Long, Seq[Double])]): Column =
     element_at(nearestCells(vec, centroids, 1), 1)
 

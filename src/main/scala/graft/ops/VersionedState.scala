@@ -106,6 +106,44 @@ private[ops] object VersionedState {
     }
   }
 
+  /** Refuse to initialize a directory that already holds a COMMITTED
+    * version: pointing a fresh builder at a standing index would
+    * rebuild v=0 from the new corpus alone, silently dropping it.
+    * Scratch debris (no committed version) does not block — crash
+    * replay of init is just running init again. */
+  def requireUninitialized(spark: SparkSession, dir: String,
+                           subframes: Seq[String], what: String): Unit = {
+    val (fs, path) = fsPath(spark, dir)
+    val existing = versions(fs, path).filter(committed(fs, dir, _, subframes))
+    require(existing.isEmpty,
+      s"$what at $dir already holds committed versions " +
+        s"(${existing.sorted.map("v=" + _).mkString(",")}) — init would " +
+        "rebuild v=0 from the new corpus alone, silently dropping the " +
+        "standing index; append onto the latest version, or explicitly " +
+        "delete the directory to start over")
+  }
+
+  /** Require `expectedBase` to BE the latest committed version — the
+    * append staleness rule, with the three-way message triage (stale /
+    * never-committed / pruned-or-uninitialized) every store shares. */
+  def requireBase(spark: SparkSession, dir: String, expectedBase: Long,
+                  subframes: Seq[String], what: String): Unit = {
+    val latest = latestVersion(spark, dir, subframes)
+    require(latest.contains(expectedBase),
+      s"$what at $dir: append expected base v=$expectedBase but the " +
+        s"latest committed version is ${latest.map("v=" + _).getOrElse("<none>")} — " +
+        (latest match {
+          case Some(l) if l > expectedBase =>
+            "another maintainer already advanced the index; re-read the head " +
+              "and retry the append on it"
+          case Some(_) =>
+            "the expected base was never committed (crashed append?); retry " +
+              "from the committed head"
+          case None =>
+            "the base was pruned or the index was never initialized"
+        }))
+  }
+
   /** Resolve a read target: the pinned version when `version` is
     * given — failing by name if it is missing or uncommitted (reading
     * it as parquet would either error opaquely or, with an explicit

@@ -188,6 +188,13 @@ class IvfIndexStoreSpec extends SparkSpec {
         (503L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
       assert(IvfIndexStore.append(spark, dir, withNull,
         "vec_id", "embedding", 0L) === 1L)
+      // an EMPTY batch append is a no-op, not a chain link: an empty
+      // cell-partitioned write would commit a FILE-LESS frame that
+      // poisons every later chain read at schema inference
+      assert(IvfIndexStore.append(spark, dir, corpus.where(lit(false)),
+        "vec_id", "embedding", 1L) === 1L)
+      assert(IvfIndexStore.latestVersion(spark, dir) === Some(1L))
+      assert(IvfIndexStore.read(spark, dir).cells.count() > 0)
     }
   }
 

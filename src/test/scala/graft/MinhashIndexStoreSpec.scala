@@ -50,12 +50,12 @@ class MinhashIndexStoreSpec extends SparkSpec {
       // bit-parity claim): longs and long arrays round-trip parquet
       val loaded = MinhashIndexStore.read(spark, dir)
       assert(loaded.version === 0L)
-      assert(loaded.meta === MinhashIndexStore.IndexMeta(
+      assert(loaded.meta === MinhashIndexStore.IndexMeta(Dedup.DefaultShingleK,
         Dedup.DefaultNumBands, Dedup.DefaultRowsPerBand, Dedup.DefaultMaxGroupSize))
       val inMemory = pairSet(Dedup.minhashIndexDedupBatch(build(corpus), batch,
-        "doc_id", "text", shingleK = K, threshold = 0.5))
+        "doc_id", "text", threshold = 0.5))
       val fromStore = pairSet(MinhashIndexStore.probeLatest(spark, dir, batch,
-        "doc_id", "text", shingleK = K, threshold = 0.5))
+        "doc_id", "text", threshold = 0.5))
       assert(inMemory.contains((3L, 103L, 1.0)))
       assert(fromStore === inMemory)
       // append advances the head; the appended store probes like an
@@ -65,12 +65,16 @@ class MinhashIndexStoreSpec extends SparkSpec {
       val batch2 = docs(41L to 45L)
       val unionInMemory = pairSet(Dedup.minhashIndexDedupBatch(
         build(corpus.unionByName(batch)), batch2,
-        "doc_id", "text", shingleK = K, threshold = 0.5))
+        "doc_id", "text", threshold = 0.5))
       val unionFromStore = pairSet(MinhashIndexStore.probeLatest(spark, dir,
-        batch2, "doc_id", "text", shingleK = K, threshold = 0.5))
+        batch2, "doc_id", "text", threshold = 0.5))
       assert(unionFromStore === unionInMemory)
       // a pinned older version still reads (pruner keeps it)
       assert(MinhashIndexStore.read(spark, dir, Some(0L)).version === 0L)
+      // an EMPTY delta append is a no-op, not a chain link
+      assert(MinhashIndexStore.append(spark, dir,
+        build(corpus.where(lit(false))), 1L) === 1L)
+      assert(MinhashIndexStore.latestVersion(spark, dir) === Some(1L))
     }
   }
 
@@ -146,9 +150,9 @@ class MinhashIndexStoreSpec extends SparkSpec {
       // probe identically to a rebuild over the union corpus
       val expected = pairSet(Dedup.minhashIndexDedupBatch(
         build(corpus.unionByName(docs(11L to 14L))), docs(21L to 24L),
-        "doc_id", "text", shingleK = K, threshold = 0.5))
+        "doc_id", "text", threshold = 0.5))
       assert(pairSet(MinhashIndexStore.probeLatest(spark, dir, docs(21L to 24L),
-        "doc_id", "text", shingleK = K, threshold = 0.5)) === expected)
+        "doc_id", "text", threshold = 0.5)) === expected)
     }
   }
 
@@ -160,7 +164,7 @@ class MinhashIndexStoreSpec extends SparkSpec {
       // two commits of the same version, the second arriving after the
       // first already renamed (what the loser's world looks like at its
       // rename instant).
-      val meta = MinhashIndexStore.IndexMeta(
+      val meta = MinhashIndexStore.IndexMeta(K,
         Dedup.DefaultNumBands, Dedup.DefaultRowsPerBand, Dedup.DefaultMaxGroupSize)
       val winner = build(docs(1L to 10L))
       val loser = build(docs(11L to 20L))
@@ -191,30 +195,32 @@ class MinhashIndexStoreSpec extends SparkSpec {
     }
   }
 
-  test("probeLatest probes with the PERSISTED banding parameters, not the caller's defaults") {
+  test("probeLatest probes with the PERSISTED shingling and banding parameters, not the caller's defaults") {
     withDir { dir =>
-      // build with non-default banding (12 bands × 4 rows — same
-      // 48-hash signature, different bucket geometry); a probe that
-      // fell back to the 24×2 defaults would band the batch
-      // differently than the stored bucket table and silently drop
-      // candidates. probeLatest must read the persisted meta.
+      // build with non-default EVERYTHING: shingleK = 9 (a probe that
+      // fell back to the default 5 would shingle the batch into
+      // DISJOINT set hashes and find nothing) and 12 bands × 4 rows
+      // (same 48-hash signature, different bucket geometry — a probe
+      // banding at the 24×2 defaults would band the batch differently
+      // than the stored bucket table and silently drop candidates).
+      // probeLatest must read the persisted meta for both.
       val corpus = docs(1L to 20L)
       val batch = docs(21L to 25L)
         .unionByName(corpus.where(col("doc_id") === 7L)
           .select(lit(107L).as("doc_id"), col("text")))
       MinhashIndexStore.init(
-        Dedup.minhashIndexBuild(corpus, "doc_id", "text", shingleK = K,
+        Dedup.minhashIndexBuild(corpus, "doc_id", "text", shingleK = 9,
           numBands = 12, rowsPerBand = 4),
-        dir, numBands = 12, rowsPerBand = 4)
+        dir, shingleK = 9, numBands = 12, rowsPerBand = 4)
       assert(MinhashIndexStore.read(spark, dir).meta ===
-        MinhashIndexStore.IndexMeta(12, 4, Dedup.DefaultMaxGroupSize))
+        MinhashIndexStore.IndexMeta(9, 12, 4, Dedup.DefaultMaxGroupSize))
       val expected = pairSet(Dedup.minhashIndexDedupBatch(
-        Dedup.minhashIndexBuild(corpus, "doc_id", "text", shingleK = K,
+        Dedup.minhashIndexBuild(corpus, "doc_id", "text", shingleK = 9,
           numBands = 12, rowsPerBand = 4),
-        batch, "doc_id", "text", shingleK = K, numBands = 12,
+        batch, "doc_id", "text", shingleK = 9, numBands = 12,
         rowsPerBand = 4, threshold = 0.5))
       val got = pairSet(MinhashIndexStore.probeLatest(spark, dir, batch,
-        "doc_id", "text", shingleK = K, threshold = 0.5))
+        "doc_id", "text", threshold = 0.5))
       assert(expected.contains((7L, 107L, 1.0)))
       assert(got === expected)
     }
@@ -253,9 +259,9 @@ class MinhashIndexStoreSpec extends SparkSpec {
       val expected = pairSet(Dedup.minhashIndexDedupBatch(
         build(docs(1L to 10L).unionByName(docs(11L to 14L))
           .unionByName(docs(15L to 18L))), docs(21L to 23L),
-        "doc_id", "text", shingleK = K, threshold = 0.5))
+        "doc_id", "text", threshold = 0.5))
       assert(pairSet(MinhashIndexStore.probeLatest(spark, dir, docs(21L to 23L),
-        "doc_id", "text", shingleK = K, threshold = 0.5)) === expected)
+        "doc_id", "text", threshold = 0.5)) === expected)
       // an append naming the pruned base refuses — as a stale base (the
       // base sits below the head whether pruned or merely superseded,
       // and re-reading the head is the right remedy either way)
@@ -294,15 +300,15 @@ class MinhashIndexStoreSpec extends SparkSpec {
           .select(lit(122L).as("doc_id"), col("text")))
       val expected = pairSet(Dedup.minhashIndexDedupBatch(
         build(corpus.unionByName(b1).unionByName(b2)), batch,
-        "doc_id", "text", shingleK = K, threshold = 0.5))
+        "doc_id", "text", threshold = 0.5))
       assert(expected.contains((22L, 122L, 1.0)))
       assert(pairSet(MinhashIndexStore.probeLatest(spark, dir, batch,
-        "doc_id", "text", shingleK = K, threshold = 0.5)) === expected)
+        "doc_id", "text", threshold = 0.5)) === expected)
       // compact folds the chain into a full head that probes
       // pair-for-pair identically; compacting a full head is a no-op
       assert(MinhashIndexStore.compact(spark, dir) === 3L)
       assert(pairSet(MinhashIndexStore.probeLatest(spark, dir, batch,
-        "doc_id", "text", shingleK = K, threshold = 0.5)) === expected)
+        "doc_id", "text", threshold = 0.5)) === expected)
       assert(MinhashIndexStore.compact(spark, dir) === 3L)
       // the folded frame is ONE row per distinct set again: the
       // cross-link copy's set carries a merged member list
@@ -340,7 +346,7 @@ class MinhashIndexStoreSpec extends SparkSpec {
       // ...and the chain still probes (both split sub-groups pair with
       // an arriving clone)
       val got = pairSet(MinhashIndexStore.probeLatest(spark, dir,
-        clones(Seq(21L)), "doc_id", "text", shingleK = K, threshold = 0.5))
+        clones(Seq(21L)), "doc_id", "text", threshold = 0.5))
       assert(got === Set((1L, 21L, 1.0), (2L, 21L, 1.0),
         (11L, 21L, 1.0), (12L, 21L, 1.0)))
     }

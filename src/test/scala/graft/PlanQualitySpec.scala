@@ -631,7 +631,7 @@ class PlanQualitySpec extends SparkSpec {
       // probe's own plan shape
       val probe = MinhashIndexStore.probeLatest(spark, dir,
         docs.where(col("doc_id") % 5 === 0), "doc_id", "text",
-        shingleK = 5, threshold = 0.5)
+        threshold = 0.5)
       // walk the physical tree INCLUDING cached-relation subplans (the
       // unified-probe pin's rationale: collect treats InMemoryTableScan
       // as a leaf, which would hide a violation inside a cached frame)

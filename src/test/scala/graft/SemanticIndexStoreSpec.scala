@@ -41,7 +41,8 @@ class SemanticIndexStoreSpec extends SparkSpec {
       assert(SemanticIndexStore.init(corpus, dir, "vec_id", "embedding",
         nlist = 8) === 0L)
       val v0 = SemanticIndexStore.read(spark, dir)
-      assert(v0.meta === SemanticIndexStore.SemMeta(16, 8))
+      assert(v0.meta === SemanticIndexStore.SemMeta(16, 8,
+        graft.ops.Dedup.DefaultMaxGroupSize))
       // batch 1: a near-dup of corpus member 3 plus a fresh vector
       val b1 = vecs((201L, jitter(base(3))), (202L, base(500)))
       val p1 = pairSet(SemanticIndexStore.probeLatest(spark, dir, b1,
@@ -208,7 +209,9 @@ class SemanticIndexStoreSpec extends SparkSpec {
 
   test("valve placement: a group split across links appends fine and fails the compact by name") {
     withDir { dir =>
-      // identical vectors → one group; maxGroupSize=3 admits each
+      // identical vectors → one group; the PERSISTED maxGroupSize=3
+      // (set once at init — appends, compacts, and probes all read it
+      // from the meta, so a maintainer cannot loosen it) admits each
       // link's sub-group but not the merged mass. Two spare distinct
       // vectors give k-means something to train on.
       def clones(ids: Long*): DataFrame = vecs(ids.map((_, base(7))): _*)
@@ -217,14 +220,14 @@ class SemanticIndexStoreSpec extends SparkSpec {
       SemanticIndexStore.init(corpus, dir, "vec_id", "embedding",
         nlist = 4, maxGroupSize = 3)
       SemanticIndexStore.append(spark, dir, clones(11L, 12L),
-        "vec_id", "embedding", 0L, maxGroupSize = 3)
+        "vec_id", "embedding", 0L)
       // per-link the valve never fires (2 ≤ 3 each side); the merged
       // group (4 > 3) fails the scheduled compact, never a probe
       def msgs(t: Throwable): Seq[String] =
         Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
           .map(e => Option(e.getMessage).getOrElse("")).toSeq
       val e = intercept[Exception] {
-        SemanticIndexStore.compact(spark, dir, maxGroupSize = 3)
+        SemanticIndexStore.compact(spark, dir)
       }
       assert(msgs(e).exists(m => m.contains("over maxGroupSize=3") &&
         m.contains("semanticCellsMerge")), s"wrong error: $e")
@@ -233,8 +236,7 @@ class SemanticIndexStoreSpec extends SparkSpec {
       // ...and the chain still probes (both split sub-groups pair with
       // an arriving clone)
       val got = pairSet(SemanticIndexStore.probeLatest(spark, dir,
-        clones(21L), "vec_id", "embedding", threshold = 0.9,
-        maxGroupSize = 3))
+        clones(21L), "vec_id", "embedding", threshold = 0.9))
       assert(got === Set((1L, 21L), (2L, 21L), (11L, 21L), (12L, 21L)))
     }
   }
@@ -259,6 +261,13 @@ class SemanticIndexStoreSpec extends SparkSpec {
           "vec_id", "embedding", threshold = 0.9)
       }
       assert(ep.getMessage.contains("dim=16"))
+      // an EMPTY batch append is a no-op, not a chain link: an empty
+      // cell-partitioned write would commit a FILE-LESS frame that
+      // poisons every later chain read at schema inference
+      assert(SemanticIndexStore.append(spark, dir, corpus.where(lit(false)),
+        "vec_id", "embedding", 0L) === 0L)
+      assert(SemanticIndexStore.latestVersion(spark, dir) === Some(0L))
+      assert(SemanticIndexStore.read(spark, dir).cells.count() > 0)
     }
   }
 

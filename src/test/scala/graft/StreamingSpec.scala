@@ -504,7 +504,7 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         pairs ++= MinhashIndexStore.probeLatest(spark, dir, batch,
-            "doc_id", "text", shingleK = 5, threshold = 0.5)
+            "doc_id", "text", threshold = 0.5)
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         val base = MinhashIndexStore.latestVersion(spark, dir).get
         MinhashIndexStore.append(spark, dir,
@@ -534,7 +534,7 @@ class StreamingSpec extends SparkSpec {
       // compacted store answers a probe identically to the live chain
       val probeDoc = Seq(StreamDoc(7L, "a b c d e f g h")).toDF()
       def probe() = MinhashIndexStore.probeLatest(spark, dir, probeDoc,
-          "doc_id", "text", shingleK = 5, threshold = 0.5)
+          "doc_id", "text", threshold = 0.5)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       val live = probe()
       assert(live.contains((1L, 7L, 1.0)))
