@@ -170,12 +170,12 @@ object SemanticIndexStore {
     // a re-dimensioned batch fails by name here: the assignment kernel
     // would otherwise commit it with first-cell assignments whose
     // cosines all score null — rows probes silently never return
-    Similarity.requireVecDim(batch, vecCol, meta.dim,
+    val batchRows = Similarity.requireVecDim(batch, vecCol, meta.dim,
       s"semantic index at $dir: append")
     // an empty delta is a no-op, not a chain link: beyond chain
     // hygiene, an empty cell-partitioned write would commit a
     // FILE-LESS frame every later chain read fails to schema-infer
-    if (batch.isEmpty) expectedBase
+    if (batchRows == 0L) expectedBase
     else {
       commitVersion(spark, dir, expectedBase + 1, centroids,
         Similarity.semanticAssign(centroids, batch, idCol, vecCol,

@@ -505,18 +505,23 @@ object Similarity {
     * assigns an invalid (wrong-length) vector to the smallest cell ids
     * by design, and every cosine against it scores null and is
     * threshold-filtered — the rows commit fine and are simply never
-    * returned by any probe. One batch-mass aggregate. */
+    * returned by any probe. Returns the batch's row count (piggybacked
+    * on the same single batch-mass aggregate — appends use it for the
+    * empty-delta no-op without a second job). */
   private[ops] def requireVecDim(df: DataFrame, vecCol: String, dim: Int,
-                                 what: String): Unit = {
-    val r = df.where(col(vecCol).isNotNull)
-      .agg(min(size(col(vecCol))), max(size(col(vecCol)))).head()
-    if (!r.isNullAt(0))
-      require(r.getInt(0) == dim && r.getInt(1) == dim,
+                                 what: String): Long = {
+    // explicit null guard rather than size(null) semantics, which are
+    // config-dependent (spark.sql.legacy.sizeOfNull)
+    val sz = when(col(vecCol).isNotNull, size(col(vecCol)))
+    val r = df.agg(count(lit(1)), min(sz), max(sz)).head()
+    if (!r.isNullAt(1))
+      require(r.getInt(1) == dim && r.getInt(2) == dim,
         s"$what: the batch carries vectors of dimension " +
-          s"${r.getInt(0)}..${r.getInt(1)} but the standing index is " +
+          s"${r.getInt(1)}..${r.getInt(2)} but the standing index is " +
           s"dim=$dim — mismatched vectors would assign to the first cell " +
           "and score null against every centroid, so probes would silently " +
           "never return them; rebuild the index at the new dimension")
+    r.getLong(0)
   }
 
   /** Cell id of the nearest centroid (min squared distance, ties to the
