@@ -642,9 +642,9 @@ object SparkEntry {
   /** The PERSISTED MinHash/LSH lifecycle end-to-end, gated: init a
     * versioned [[graft.ops.MinhashIndexStore]] from ~6/7 of the
     * standing corpus in a scratch dir, append the rest as an index
-    * delta (parameter-validated against the persisted banding meta),
-    * then probe the batch through the store's banded path with the
-    * PERSISTED parameters. Same exact oracle as [[qMinhashBanded]]:
+    * delta (built BY the store with the persisted meta — a
+    * re-parameterized delta cannot exist), then probe the batch
+    * through the store's banded path with the PERSISTED parameters. Same exact oracle as [[qMinhashBanded]]:
     * minhash signatures are content-only, so the split build must
     * emit pair-for-pair what the single build emits — persistence and
     * append order invisible to the answer. Materialized before the
@@ -654,15 +654,15 @@ object SparkEntry {
     val docs = t(spark, dir, "documents")
     val corpus = docs.where(col("doc_id") % 5 =!= 0)
     val batch = docs.where(col("doc_id") % 5 === 0)
-    def build(df: DataFrame) = Dedup.minhashIndexBuild(df, "doc_id", "text",
-      shingleK = 5, numBands = 24, rowsPerBand = 2)
     val store = java.nio.file.Files.createTempDirectory("q-minhash-store").toString
     try {
-      MinhashIndexStore.init(build(corpus.where(pmod(col("doc_id"), lit(7)) =!= 1)),
-        store, numBands = 24, rowsPerBand = 2)
+      // the store OWNS the builds: init persists the parameters, the
+      // append delta is built with the persisted meta
+      MinhashIndexStore.init(corpus.where(pmod(col("doc_id"), lit(7)) =!= 1),
+        store, "doc_id", "text", shingleK = 5, numBands = 24, rowsPerBand = 2)
       MinhashIndexStore.append(spark, store,
-        build(corpus.where(pmod(col("doc_id"), lit(7)) === 1)),
-        expectedBase = 0L, numBands = 24, rowsPerBand = 2)
+        corpus.where(pmod(col("doc_id"), lit(7)) === 1),
+        "doc_id", "text", expectedBase = 0L)
       val pairs = MinhashIndexStore.probeLatest(spark, store, batch,
         "doc_id", "text", threshold = 0.5)
       val rows = pairs.collect().toIndexedSeq

@@ -39,8 +39,7 @@ object BandedProbeBench {
     val store = java.nio.file.Files.createTempDirectory("banded-bench").toString
     try {
       val (buildSec, _) = time {
-        MinhashIndexStore.init(
-          Dedup.minhashIndexBuild(corpus, "doc_id", "text", shingleK = 5), store)
+        MinhashIndexStore.init(corpus, store, "doc_id", "text", shingleK = 5)
         0L
       }
       def clearAll(): Unit = spark.catalog.clearCache()

@@ -56,12 +56,11 @@ object DeltaAppendBench {
     val batchEmb = emb.where(col("vec_id") % 20 === 0)
     val root = java.nio.file.Files.createTempDirectory("delta-bench").toString
     try {
-      def build(df: DataFrame) =
-        Dedup.minhashIndexBuild(df, "doc_id", "text", shingleK = 5)
       val mh = lifecycle("minhash", s"$root/mh",
-        () => MinhashIndexStore.init(build(standingDocs), s"$root/mh"),
-        () => MinhashIndexStore.append(spark, s"$root/mh",
-          build(batchDocs), expectedBase = 0L),
+        () => MinhashIndexStore.init(standingDocs, s"$root/mh",
+          "doc_id", "text"),
+        () => MinhashIndexStore.append(spark, s"$root/mh", batchDocs,
+          "doc_id", "text", expectedBase = 0L),
         () => MinhashIndexStore.compact(spark, s"$root/mh"))
       val sem = lifecycle("semantic", s"$root/sem",
         () => SemanticIndexStore.init(standingEmb, s"$root/sem",

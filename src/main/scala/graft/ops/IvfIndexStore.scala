@@ -62,9 +62,13 @@ object IvfIndexStore {
       .coalesce(1).write.mode("overwrite").parquet(dest)
   }
 
+  private val MetaCols = Seq("dim", "nlist", "full")
+
   private def readMeta(spark: SparkSession, dir: String, v: Long): IvfMeta = {
-    val r = spark.read.parquet(s"$dir/v=$v/meta")
-      .select("dim", "nlist", "full").head()
+    val mdf = spark.read.parquet(s"$dir/v=$v/meta")
+    VersionedState.requireMetaCols(mdf.columns, MetaCols,
+      s"ivf index at $dir v=$v")
+    val r = mdf.select(MetaCols.head, MetaCols.tail: _*).head()
     IvfMeta(r.getInt(0), r.getInt(1), r.getBoolean(2))
   }
 

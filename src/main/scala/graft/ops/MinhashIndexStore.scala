@@ -119,11 +119,15 @@ object MinhashIndexStore {
       .coalesce(1).write.mode("overwrite").parquet(dest)
   }
 
+  private val MetaCols =
+    Seq("shingle_k", "num_bands", "rows_per_band", "max_group_size", "full")
+
   private def readMetaRow(spark: SparkSession, dir: String,
                           v: Long): (IndexMeta, Boolean) = {
-    val r = spark.read.parquet(s"$dir/v=$v/meta")
-      .select("shingle_k", "num_bands", "rows_per_band", "max_group_size",
-        "full").head()
+    val mdf = spark.read.parquet(s"$dir/v=$v/meta")
+    VersionedState.requireMetaCols(mdf.columns, MetaCols,
+      s"minhash index at $dir v=$v")
+    val r = mdf.select(MetaCols.head, MetaCols.tail: _*).head()
     (IndexMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)),
       r.getBoolean(4))
   }
@@ -157,58 +161,58 @@ object MinhashIndexStore {
     VersionedState.chain(spark, dir, v, Subframes, "minhash index")(
       readMetaRow(spark, dir, _)._2)
 
-  /** Write the initial version (v=0) of a new index. Refuses a
-    * directory that already holds a COMMITTED version — rebuilding a
-    * standing index from a new corpus alone must be an explicit
-    * delete-and-recreate, never an accident of pointing a fresh job at
-    * the wrong path. A crashed earlier init leaves only scratch debris
-    * (never a partial `v=0` — the rename protocol), so replaying init
-    * after a crash just succeeds. Returns the version written (0). */
-  def init(index: DataFrame, dir: String,
+  /** Build the index over the standing corpus
+    * ([[Dedup.minhashIndexBuild]]) and write it as the initial version
+    * (v=0). The store OWNS the build: the persisted parameters and the
+    * frame they shaped cannot disagree (shingleK is baked into the
+    * frame's set hashes — a store that accepted a pre-built frame
+    * would be persisting the caller's unverifiable assertion, and a
+    * mis-asserted k makes every probe silently return nothing).
+    * Refuses a directory that already holds a COMMITTED version —
+    * rebuilding a standing index from a new corpus alone must be an
+    * explicit delete-and-recreate, never an accident of pointing a
+    * fresh job at the wrong path. A crashed earlier init leaves only
+    * scratch debris (never a partial `v=0` — the rename protocol), so
+    * replaying init after a crash just succeeds. Returns the version
+    * written (0). */
+  def init(docs: DataFrame, dir: String, idCol: String, textCol: String,
            shingleK: Int = Dedup.DefaultShingleK,
            numBands: Int = Dedup.DefaultNumBands,
            rowsPerBand: Int = Dedup.DefaultRowsPerBand,
            maxGroupSize: Int = Dedup.DefaultMaxGroupSize): Long = {
-    val spark = index.sparkSession
+    val spark = docs.sparkSession
     VersionedState.requireUninitialized(spark, dir, Subframes, "minhash index")
-    commitVersion(index, dir, 0L,
-      IndexMeta(shingleK, numBands, rowsPerBand, maxGroupSize), full = true)
+    commitVersion(
+      Dedup.minhashIndexBuild(docs, idCol, textCol, shingleK, numBands,
+        rowsPerBand, maxGroupSize),
+      dir, 0L, IndexMeta(shingleK, numBands, rowsPerBand, maxGroupSize),
+      full = true)
     0L
   }
 
-  /** Write a delta index ([[Dedup.minhashIndexBuild]] over the new
-    * batch, built with the SAME banding parameters) as version
-    * `expectedBase + 1` — O(batch) write I/O and batch-mass shuffles
-    * only; readers union the delta chain ([[read]]), and the O(corpus)
-    * set-keyed merge is [[compact]]'s scheduled job. The base must be
-    * the LATEST COMMITTED version — see the protocol above — and the
-    * caller's parameters must equal the base's persisted meta: a
-    * re-parameterized delta would band differently than the standing
-    * index and silently drop candidate pairs, so the mismatch fails by
-    * name instead. Ids must be unique across the merged corpora (the
-    * reconciliation contract every keyed merge here shares). Returns
-    * the version written. */
-  def append(spark: SparkSession, dir: String, delta: DataFrame,
-             expectedBase: Long,
-             shingleK: Int = Dedup.DefaultShingleK,
-             numBands: Int = Dedup.DefaultNumBands,
-             rowsPerBand: Int = Dedup.DefaultRowsPerBand,
-             maxGroupSize: Int = Dedup.DefaultMaxGroupSize): Long = {
+  /** Build the new batch into a delta index
+    * ([[Dedup.minhashIndexBuild]] with the base's PERSISTED parameters
+    * — the store owns the build, so a re-parameterized or re-shingled
+    * delta cannot exist) and write it as version `expectedBase + 1` —
+    * O(batch) write I/O and batch-mass shuffles only; readers union
+    * the delta chain ([[read]]), and the O(corpus) set-keyed merge is
+    * [[compact]]'s scheduled job. The base must be the LATEST
+    * COMMITTED version — see the protocol above. Ids must be unique
+    * across the merged corpora (the reconciliation contract every
+    * keyed merge here shares). An empty batch is a no-op returning the
+    * base: a scheduled run on a day with no new documents must not
+    * grow the chain. Returns the version written. */
+  def append(spark: SparkSession, dir: String, batch: DataFrame,
+             idCol: String, textCol: String, expectedBase: Long): Long = {
     VersionedState.requireBase(spark, dir, expectedBase, Subframes,
       "minhash index")
-    val baseMeta = readMeta(spark, dir, expectedBase)
-    val callerMeta = IndexMeta(shingleK, numBands, rowsPerBand, maxGroupSize)
-    require(baseMeta == callerMeta,
-      s"minhash index at $dir: append parameters $callerMeta do not match " +
-        s"v=$expectedBase's persisted $baseMeta — a delta shingled or banded " +
-        "with different parameters would silently drop candidate pairs; " +
-        "rebuild the index to re-parameterize")
-    // an empty delta is a no-op, not a chain link: a scheduled run on a
-    // day with no new documents must not grow the chain
-    if (delta.isEmpty) expectedBase
+    val meta = readMeta(spark, dir, expectedBase)
+    if (batch.isEmpty) expectedBase
     else {
-      commitVersion(delta.select("shh", "ids", "sig"), dir, expectedBase + 1,
-        baseMeta, full = false)
+      commitVersion(
+        Dedup.minhashIndexBuild(batch, idCol, textCol, meta.shingleK,
+          meta.numBands, meta.rowsPerBand, meta.maxGroupSize),
+        dir, expectedBase + 1, meta, full = false)
       expectedBase + 1
     }
   }

@@ -91,10 +91,14 @@ object SemanticIndexStore {
       .coalesce(1).write.mode("overwrite").parquet(dest)
   }
 
+  private val MetaCols = Seq("dim", "nlist", "max_group_size", "full")
+
   private def readMetaRow(spark: SparkSession, dir: String,
                           v: Long): (SemMeta, Boolean) = {
-    val r = spark.read.parquet(s"$dir/v=$v/meta")
-      .select("dim", "nlist", "max_group_size", "full").head()
+    val mdf = spark.read.parquet(s"$dir/v=$v/meta")
+    VersionedState.requireMetaCols(mdf.columns, MetaCols,
+      s"semantic index at $dir v=$v")
+    val r = mdf.select(MetaCols.head, MetaCols.tail: _*).head()
     (SemMeta(r.getInt(0), r.getInt(1), r.getInt(2)), r.getBoolean(3))
   }
 

@@ -106,6 +106,23 @@ private[ops] object VersionedState {
     }
   }
 
+  /** Fail BY NAME when a persisted meta frame predates the current
+    * engine's schema (a required column is missing) — selecting the
+    * column would otherwise throw an opaque unresolved-column planner
+    * error on every read/probe/append of a standing index written by
+    * an older version. The remedy is a rebuild: meta carries content
+    * parameters, and an old index cannot prove what it was built
+    * with. */
+  def requireMetaCols(have: Seq[String], need: Seq[String],
+                      what: String): Unit = {
+    val missing = need.filterNot(have.contains)
+    require(missing.isEmpty,
+      s"$what: the persisted meta lacks column(s) ${missing.mkString(", ")} " +
+        s"(has: ${have.mkString(", ")}) — the index was written by an older " +
+        "engine version and cannot prove its build parameters; delete the " +
+        "directory and rebuild")
+  }
+
   /** Refuse to initialize a directory that already holds a COMMITTED
     * version: pointing a fresh builder at a standing index would
     * rebuild v=0 from the new corpus alone, silently dropping it.

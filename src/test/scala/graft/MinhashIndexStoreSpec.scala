@@ -44,7 +44,7 @@ class MinhashIndexStoreSpec extends SparkSpec {
       val batch = docs(21L to 30L)
         .unionByName(corpus.where(col("doc_id") === 3L)
           .select(lit(103L).as("doc_id"), col("text"))) // cross-boundary copy
-      assert(MinhashIndexStore.init(build(corpus), dir) === 0L)
+      assert(MinhashIndexStore.init(corpus, dir, "doc_id", "text") === 0L)
       assert(MinhashIndexStore.latestVersion(spark, dir) === Some(0L))
       // reload → probe ≡ in-memory probe, pair for pair (the Scaladoc's
       // bit-parity claim): longs and long arrays round-trip parquet
@@ -60,7 +60,7 @@ class MinhashIndexStoreSpec extends SparkSpec {
       assert(fromStore === inMemory)
       // append advances the head; the appended store probes like an
       // index rebuilt over the union corpus
-      assert(MinhashIndexStore.append(spark, dir, build(batch), 0L) === 1L)
+      assert(MinhashIndexStore.append(spark, dir, batch, "doc_id", "text", 0L) === 1L)
       assert(MinhashIndexStore.latestVersion(spark, dir) === Some(1L))
       val batch2 = docs(41L to 45L)
       val unionInMemory = pairSet(Dedup.minhashIndexDedupBatch(
@@ -73,7 +73,7 @@ class MinhashIndexStoreSpec extends SparkSpec {
       assert(MinhashIndexStore.read(spark, dir, Some(0L)).version === 0L)
       // an EMPTY delta append is a no-op, not a chain link
       assert(MinhashIndexStore.append(spark, dir,
-        build(corpus.where(lit(false))), 1L) === 1L)
+        corpus.where(lit(false)), "doc_id", "text", 1L) === 1L)
       assert(MinhashIndexStore.latestVersion(spark, dir) === Some(1L))
     }
   }
@@ -81,9 +81,9 @@ class MinhashIndexStoreSpec extends SparkSpec {
   test("init refuses a directory with a committed version; crash debris does not block replay") {
     withDir { dir =>
       val corpus = docs(1L to 10L)
-      MinhashIndexStore.init(build(corpus), dir)
+      MinhashIndexStore.init(corpus, dir, "doc_id", "text")
       val e = intercept[IllegalArgumentException] {
-        MinhashIndexStore.init(build(docs(11L to 15L)), dir)
+        MinhashIndexStore.init(docs(11L to 15L), dir, "doc_id", "text")
       }
       assert(e.getMessage.contains("already holds committed versions"))
       assert(e.getMessage.contains("v=0"))
@@ -94,43 +94,38 @@ class MinhashIndexStoreSpec extends SparkSpec {
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sessionState.newHadoopConf())
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/.tmp-v=0-deadjvm-1/index"))
-      assert(MinhashIndexStore.init(build(docs(1L to 10L)), dir) === 0L)
+      assert(MinhashIndexStore.init(docs(1L to 10L), dir, "doc_id", "text") === 0L)
       assert(MinhashIndexStore.latestVersion(spark, dir) === Some(0L))
     }
   }
 
-  test("append refuses a stale base, a pruned base, and mismatched banding parameters — each by name") {
+  test("append refuses a stale base and a pruned base — each by name") {
     withDir { dir =>
       val corpus = docs(1L to 10L)
-      MinhashIndexStore.init(build(corpus), dir)
-      MinhashIndexStore.append(spark, dir, build(docs(11L to 14L)), 0L)
+      MinhashIndexStore.init(corpus, dir, "doc_id", "text")
+      MinhashIndexStore.append(spark, dir, docs(11L to 14L), "doc_id", "text", 0L)
       // stale: another maintainer already advanced the head
       val stale = intercept[IllegalArgumentException] {
-        MinhashIndexStore.append(spark, dir, build(docs(15L to 18L)), 0L)
+        MinhashIndexStore.append(spark, dir, docs(15L to 18L), "doc_id", "text", 0L)
       }
       assert(stale.getMessage.contains("another maintainer already advanced"))
       // pruned/never-initialized base
       val none = intercept[IllegalArgumentException] {
-        MinhashIndexStore.append(spark, s"$dir-empty", build(docs(15L to 18L)), 0L)
+        MinhashIndexStore.append(spark, s"$dir-empty", docs(15L to 18L), "doc_id", "text", 0L)
       }
       assert(none.getMessage.contains("pruned or the index was never initialized"))
-      // re-parameterized delta: numBands mismatch fails by name instead
-      // of silently dropping candidate pairs
-      val mism = intercept[IllegalArgumentException] {
-        MinhashIndexStore.append(spark, dir,
-          Dedup.minhashIndexBuild(docs(15L to 18L), "doc_id", "text",
-            shingleK = K, numBands = 12, rowsPerBand = 4),
-          1L, numBands = 12, rowsPerBand = 4)
-      }
-      assert(mism.getMessage.contains("do not match"))
       assert(MinhashIndexStore.latestVersion(spark, dir) === Some(1L))
+      // a re-parameterized delta CANNOT exist anymore: append takes raw
+      // documents and builds with the base's persisted meta (the
+      // "persisted parameters" test pins that the persisted values,
+      // not defaults, drive the build)
     }
   }
 
   test("crash replay: an interrupted append leaves latest unchanged and the same append then succeeds") {
     withDir { dir =>
       val corpus = docs(1L to 10L)
-      MinhashIndexStore.init(build(corpus), dir)
+      MinhashIndexStore.init(corpus, dir, "doc_id", "text")
       // simulate the crash: old-protocol partial v=1 (index written, no
       // bands/meta — what a kill mid-write left before the rename
       // protocol; rename-era crashes leave only scratch dirs, covered
@@ -142,7 +137,7 @@ class MinhashIndexStoreSpec extends SparkSpec {
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/.tmp-v=1-deadjvm-7/bands"))
       assert(MinhashIndexStore.latestVersion(spark, dir) === Some(0L))
       // replaying the SAME append must commit v=1 over the debris
-      assert(MinhashIndexStore.append(spark, dir, build(docs(11L to 14L)), 0L) === 1L)
+      assert(MinhashIndexStore.append(spark, dir, docs(11L to 14L), "doc_id", "text", 0L) === 1L)
       assert(MinhashIndexStore.latestVersion(spark, dir) === Some(1L))
       val loaded = MinhashIndexStore.read(spark, dir)
       assert(loaded.version === 1L)
@@ -195,23 +190,28 @@ class MinhashIndexStoreSpec extends SparkSpec {
     }
   }
 
-  test("probeLatest probes with the PERSISTED shingling and banding parameters, not the caller's defaults") {
+  test("appends and probes run with the PERSISTED shingling and banding parameters, not defaults") {
     withDir { dir =>
-      // build with non-default EVERYTHING: shingleK = 9 (a probe that
-      // fell back to the default 5 would shingle the batch into
+      // init with non-default EVERYTHING: shingleK = 9 (an append or
+      // probe that fell back to the default 5 would shingle into
       // DISJOINT set hashes and find nothing) and 12 bands × 4 rows
-      // (same 48-hash signature, different bucket geometry — a probe
-      // banding at the 24×2 defaults would band the batch differently
-      // than the stored bucket table and silently drop candidates).
-      // probeLatest must read the persisted meta for both.
+      // (same 48-hash signature, different bucket geometry — banding
+      // at the 24×2 defaults would band differently than the stored
+      // bucket table and silently drop candidates). The store builds
+      // the init frame AND the append delta itself with the persisted
+      // meta — the parameters and the frames they shaped cannot
+      // disagree — and probeLatest reads the same meta.
       val corpus = docs(1L to 20L)
+      val standing = corpus.where(col("doc_id") <= 15L)
+      val delta = corpus.where(col("doc_id") > 15L)
       val batch = docs(21L to 25L)
         .unionByName(corpus.where(col("doc_id") === 7L)
           .select(lit(107L).as("doc_id"), col("text")))
-      MinhashIndexStore.init(
-        Dedup.minhashIndexBuild(corpus, "doc_id", "text", shingleK = 9,
-          numBands = 12, rowsPerBand = 4),
-        dir, shingleK = 9, numBands = 12, rowsPerBand = 4)
+        .unionByName(corpus.where(col("doc_id") === 17L)
+          .select(lit(117L).as("doc_id"), col("text"))) // twin in the DELTA link
+      MinhashIndexStore.init(standing, dir, "doc_id", "text",
+        shingleK = 9, numBands = 12, rowsPerBand = 4)
+      MinhashIndexStore.append(spark, dir, delta, "doc_id", "text", 0L)
       assert(MinhashIndexStore.read(spark, dir).meta ===
         MinhashIndexStore.IndexMeta(9, 12, 4, Dedup.DefaultMaxGroupSize))
       val expected = pairSet(Dedup.minhashIndexDedupBatch(
@@ -222,15 +222,16 @@ class MinhashIndexStoreSpec extends SparkSpec {
       val got = pairSet(MinhashIndexStore.probeLatest(spark, dir, batch,
         "doc_id", "text", threshold = 0.5))
       assert(expected.contains((7L, 107L, 1.0)))
+      assert(expected.contains((17L, 117L, 1.0)))
       assert(got === expected)
     }
   }
 
   test("prune clamps to the chain base, drops folded versions and debris, never the head") {
     withDir { dir =>
-      MinhashIndexStore.init(build(docs(1L to 10L)), dir)
-      MinhashIndexStore.append(spark, dir, build(docs(11L to 14L)), 0L)
-      MinhashIndexStore.append(spark, dir, build(docs(15L to 18L)), 1L)
+      MinhashIndexStore.init(docs(1L to 10L), dir, "doc_id", "text")
+      MinhashIndexStore.append(spark, dir, docs(11L to 14L), "doc_id", "text", 0L)
+      MinhashIndexStore.append(spark, dir, docs(15L to 18L), "doc_id", "text", 1L)
       // v=1 and v=2 are DELTAS: v=2's chain is [2,1,0], so a naive
       // prune below keepFrom=2 would orphan the head's own chain. The
       // floor clamps to the chain base — nothing is deletable yet.
@@ -266,7 +267,7 @@ class MinhashIndexStoreSpec extends SparkSpec {
       // base sits below the head whether pruned or merely superseded,
       // and re-reading the head is the right remedy either way)
       val e = intercept[IllegalArgumentException] {
-        MinhashIndexStore.append(spark, dir, build(docs(19L to 20L)), 1L)
+        MinhashIndexStore.append(spark, dir, docs(19L to 20L), "doc_id", "text", 1L)
       }
       assert(e.getMessage.contains("another maintainer already advanced"))
       // pruning the head refuses
@@ -284,9 +285,9 @@ class MinhashIndexStoreSpec extends SparkSpec {
       val b2 = docs(31L to 36L)
         .unionByName(corpus.where(col("doc_id") === 5L)
           .select(lit(105L).as("doc_id"), col("text"))) // cross-link copy
-      MinhashIndexStore.init(build(corpus), dir)
-      MinhashIndexStore.append(spark, dir, build(b1), 0L)
-      MinhashIndexStore.append(spark, dir, build(b2), 1L)
+      MinhashIndexStore.init(corpus, dir, "doc_id", "text")
+      MinhashIndexStore.append(spark, dir, b1, "doc_id", "text", 0L)
+      MinhashIndexStore.append(spark, dir, b2, "doc_id", "text", 1L)
       // the delta version's frame holds ONLY the batch's own ids — the
       // O(batch) write-mass claim, checked against the bytes on disk
       val v1Ids = spark.read.parquet(s"$dir/v=1/index")
@@ -319,18 +320,16 @@ class MinhashIndexStoreSpec extends SparkSpec {
 
   test("valve placement: a group split across links appends fine and fails the compact by name") {
     withDir { dir =>
-      // identical texts → one shingle set; maxGroupSize=3 admits each
-      // link's sub-group but not the merged mass
+      // identical texts → one shingle set; the PERSISTED maxGroupSize=3
+      // (set once at init — the append delta builds with it) admits
+      // each link's sub-group but not the merged mass
       def clones(ids: Seq[Long]): DataFrame =
         ids.map((_, "alpha beta gamma delta epsilon zeta eta theta"))
           .toDF("doc_id", "text")
-      def buildSmall(df: DataFrame): DataFrame =
-        Dedup.minhashIndexBuild(df, "doc_id", "text", shingleK = K,
-          maxGroupSize = 3)
-      MinhashIndexStore.init(buildSmall(clones(Seq(1L, 2L))), dir,
+      MinhashIndexStore.init(clones(Seq(1L, 2L)), dir, "doc_id", "text",
         maxGroupSize = 3)
-      MinhashIndexStore.append(spark, dir, buildSmall(clones(Seq(11L, 12L))),
-        0L, maxGroupSize = 3)
+      MinhashIndexStore.append(spark, dir, clones(Seq(11L, 12L)),
+        "doc_id", "text", 0L)
       // per-link the valve never fires (2 ≤ 3 each side); the merged
       // group (4 > 3) fails the scheduled compact, never a probe
       def msgs(t: Throwable): Seq[String] =
@@ -354,9 +353,9 @@ class MinhashIndexStoreSpec extends SparkSpec {
 
   test("a chain cut outside the protocol fails reads by name instead of probing a partial corpus") {
     withDir { dir =>
-      MinhashIndexStore.init(build(docs(1L to 10L)), dir)
-      MinhashIndexStore.append(spark, dir, build(docs(11L to 14L)), 0L)
-      MinhashIndexStore.append(spark, dir, build(docs(15L to 18L)), 1L)
+      MinhashIndexStore.init(docs(1L to 10L), dir, "doc_id", "text")
+      MinhashIndexStore.append(spark, dir, docs(11L to 14L), "doc_id", "text", 0L)
+      MinhashIndexStore.append(spark, dir, docs(15L to 18L), "doc_id", "text", 1L)
       // delete the MIDDLE delta behind the protocol's back (prune can
       // never do this — its floor clamps to the chain base)
       import scala.reflect.io.Directory
@@ -374,7 +373,7 @@ class MinhashIndexStoreSpec extends SparkSpec {
 
   test("read refuses a missing or uncommitted pinned version by name") {
     withDir { dir =>
-      MinhashIndexStore.init(build(docs(1L to 10L)), dir)
+      MinhashIndexStore.init(docs(1L to 10L), dir, "doc_id", "text")
       val missing = intercept[IllegalArgumentException] {
         MinhashIndexStore.read(spark, dir, Some(7L))
       }

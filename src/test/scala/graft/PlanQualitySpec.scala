@@ -616,17 +616,16 @@ class PlanQualitySpec extends SparkSpec {
     val docs = t3("documents")
     val dir = java.nio.file.Files.createTempDirectory("minhash-banded-plan").toString
     try {
-      MinhashIndexStore.init(
-        Dedup.minhashIndexBuild(docs.where(col("doc_id") % 5 =!= 0
-            && pmod(col("doc_id"), lit(7)) =!= 1),
-          "doc_id", "text", shingleK = 5), dir)
+      MinhashIndexStore.init(docs.where(col("doc_id") % 5 =!= 0
+          && pmod(col("doc_id"), lit(7)) =!= 1),
+        dir, "doc_id", "text", shingleK = 5)
       // a DELTA link on top: the probed plan below walks a two-link
       // chain union — the production shape — and both exchange rules
       // must hold on EVERY link's scans
       MinhashIndexStore.append(spark, dir,
-        Dedup.minhashIndexBuild(docs.where(col("doc_id") % 5 =!= 0
-            && pmod(col("doc_id"), lit(7)) === 1),
-          "doc_id", "text", shingleK = 5), expectedBase = 0L)
+        docs.where(col("doc_id") % 5 =!= 0
+          && pmod(col("doc_id"), lit(7)) === 1),
+        "doc_id", "text", expectedBase = 0L)
       spark.catalog.clearCache() // build-time caches must not mask the
       // probe's own plan shape
       val probe = MinhashIndexStore.probeLatest(spark, dir,

@@ -496,8 +496,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("minhash-stream-store").toString
     val emptyCorpus = Seq.empty[StreamDoc].toDF()
-    MinhashIndexStore.init(
-      Dedup.minhashIndexBuild(emptyCorpus, "doc_id", "text", shingleK = 5), dir)
+    MinhashIndexStore.init(emptyCorpus, dir, "doc_id", "text")
     val pairs = scala.collection.mutable.Set.empty[(Long, Long, Double)]
     val input = MemoryStream[StreamDoc]
     val query = input.toDF().writeStream
@@ -507,8 +506,7 @@ class StreamingSpec extends SparkSpec {
             "doc_id", "text", threshold = 0.5)
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         val base = MinhashIndexStore.latestVersion(spark, dir).get
-        MinhashIndexStore.append(spark, dir,
-          Dedup.minhashIndexBuild(batch, "doc_id", "text", shingleK = 5), base)
+        MinhashIndexStore.append(spark, dir, batch, "doc_id", "text", base)
         ()
       }
       .start()
