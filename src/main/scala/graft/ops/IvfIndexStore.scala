@@ -58,7 +58,9 @@ object IvfIndexStore {
 
   private def writeMeta(spark: SparkSession, dest: String, meta: IvfMeta): Unit = {
     import spark.implicits._
-    Seq((meta.dim, meta.nlist, meta.full)).toDF("dim", "nlist", "full")
+    // written with the SAME column list the readers require, so the
+    // write and the requireMetaCols valve can never drift apart
+    Seq((meta.dim, meta.nlist, meta.full)).toDF(MetaCols: _*)
       .coalesce(1).write.mode("overwrite").parquet(dest)
   }
 

@@ -114,8 +114,10 @@ object MinhashIndexStore {
   private def writeMeta(spark: SparkSession, dest: String,
                         meta: IndexMeta, full: Boolean): Unit = {
     import spark.implicits._
+    // written with the SAME column list the readers require, so the
+    // write and the requireMetaCols valve can never drift apart
     Seq((meta.shingleK, meta.numBands, meta.rowsPerBand, meta.maxGroupSize, full))
-      .toDF("shingle_k", "num_bands", "rows_per_band", "max_group_size", "full")
+      .toDF(MetaCols: _*)
       .coalesce(1).write.mode("overwrite").parquet(dest)
   }
 
@@ -207,12 +209,14 @@ object MinhashIndexStore {
     VersionedState.requireBase(spark, dir, expectedBase, Subframes,
       "minhash index")
     val meta = readMeta(spark, dir, expectedBase)
-    if (batch.isEmpty) expectedBase
+    val delta = Dedup.minhashIndexBuild(batch, idCol, textCol, meta.shingleK,
+      meta.numBands, meta.rowsPerBand, meta.maxGroupSize)
+    // emptiness is judged on the BUILT frame (which the build caches),
+    // not the raw batch: a non-empty batch whose every text is shorter
+    // than shingleK shingles to nothing and must no-op too
+    if (delta.isEmpty) expectedBase
     else {
-      commitVersion(
-        Dedup.minhashIndexBuild(batch, idCol, textCol, meta.shingleK,
-          meta.numBands, meta.rowsPerBand, meta.maxGroupSize),
-        dir, expectedBase + 1, meta, full = false)
+      commitVersion(delta, dir, expectedBase + 1, meta, full = false)
       expectedBase + 1
     }
   }

@@ -86,8 +86,10 @@ object SemanticIndexStore {
   private def writeMeta(spark: SparkSession, dest: String, meta: SemMeta,
                         full: Boolean): Unit = {
     import spark.implicits._
+    // written with the SAME column list the readers require, so the
+    // write and the requireMetaCols valve can never drift apart
     Seq((meta.dim, meta.nlist, meta.maxGroupSize, full))
-      .toDF("dim", "nlist", "max_group_size", "full")
+      .toDF(MetaCols: _*)
       .coalesce(1).write.mode("overwrite").parquet(dest)
   }
 

@@ -71,9 +71,15 @@ class MinhashIndexStoreSpec extends SparkSpec {
       assert(unionFromStore === unionInMemory)
       // a pinned older version still reads (pruner keeps it)
       assert(MinhashIndexStore.read(spark, dir, Some(0L)).version === 0L)
-      // an EMPTY delta append is a no-op, not a chain link
+      // an EMPTY delta append is a no-op, not a chain link — including
+      // a NON-empty batch whose every text is shorter than shingleK,
+      // which shingles to nothing (emptiness is judged on the BUILT
+      // frame, not the raw batch)
       assert(MinhashIndexStore.append(spark, dir,
         corpus.where(lit(false)), "doc_id", "text", 1L) === 1L)
+      assert(MinhashIndexStore.append(spark, dir,
+        Seq((999L, "too short")).toDF("doc_id", "text"),
+        "doc_id", "text", 1L) === 1L)
       assert(MinhashIndexStore.latestVersion(spark, dir) === Some(1L))
     }
   }
