@@ -27,13 +27,21 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *  - an existing UNCOMMITTED destination at commit time is crash
   *    debris from a pre-rename protocol and is replaced — the
   *    crash-replay rule: re-running the same maintenance step
-  *    overwrites the failed attempt;
+  *    overwrites the failed attempt. Debris is moved ASIDE by rename
+  *    (to `dir/.debris-v=N-<nonce>`), never deleted in place: between
+  *    the committed-ness check and an in-place delete, a racing
+  *    maintainer's atomic rename can land a fresh commit at the
+  *    destination, and the delete would destroy it — a silent lost
+  *    update. The rename-aside is atomic, so whatever sat at the
+  *    destination survives intact; if the moved directory turns out to
+  *    carry every `_SUCCESS` marker it WAS a fresh commit, and it is
+  *    renamed straight back with the race reported by name;
   *  - a pruner may delete any version except the latest committed one
   *    and, while a job runs against version V, V itself (plain parquet
   *    has no snapshot pin — retain ≥ the max expected job runtime).
   *    Scratch directories older than that runtime are crash debris and
   *    prune with it. */
-private[ops] object VersionedState {
+private[graft] object VersionedState {
 
   private val VersionRe = "v=(\\d+)".r
 
@@ -86,10 +94,13 @@ private[ops] object VersionedState {
           s"$what at $dir: lost the commit race for v=$v — another " +
             "maintainer committed it first; re-read the head and retry")
       // a committed destination is a lost race; an uncommitted one is
-      // crash debris and is replaced (the crash-replay rule)
+      // crash debris and is replaced (the crash-replay rule) — moved
+      // aside by atomic rename, never deleted in place, so a fresh
+      // commit landing between this check and the clearing cannot be
+      // destroyed (see clearDebris)
       if (fs.exists(dest)) {
         if (committed(fs, dir, v, subframes)) loseRace()
-        fs.delete(dest, true)
+        clearDebris(fs, dir, v, what, subframes, nonce)
       }
       if (!fs.rename(new Path(scratch), dest)) loseRace()
       // HDFS-semantics rename moves the source INTO an existing
@@ -104,6 +115,50 @@ private[ops] object VersionedState {
       val leftover = new Path(scratch)
       if (fs.exists(leftover)) fs.delete(leftover, true)
     }
+  }
+
+  /** Clear crash debris found at `dir/v=$v` ahead of a commit's rename,
+    * without the delete-in-place TOCTOU: the caller just observed the
+    * destination existing UNCOMMITTED, but a racing maintainer's atomic
+    * rename may land a fresh commit there between that observation and
+    * any clearing action — an in-place `delete(dest)` would destroy it
+    * silently. So the destination is moved ASIDE by one atomic rename
+    * (whatever it was, it survives intact at `.debris-v=N-<nonce>`),
+    * then re-examined off to the side: a directory carrying every
+    * subframe `_SUCCESS` was a fresh commit, not debris — it is renamed
+    * straight back and the race reported by name. Genuine debris (the
+    * only thing a crashed pre-rename-protocol maintainer can leave,
+    * since directory contents never change after the crash) is deleted
+    * from its aside path. The one unwinnable interleaving — the slot
+    * was re-committed by a THIRD maintainer while the displaced commit
+    * sat aside — cannot be repaired automatically (two competing
+    * commits claimed one version) and fails naming the intact aside
+    * path instead of losing either silently. */
+  private[graft] def clearDebris(fs: FileSystem, dir: String, v: Long,
+                               what: String, subframes: Seq[String],
+                               nonce: String): Unit = {
+    val dest = new Path(s"$dir/v=$v")
+    val debris = new Path(s"$dir/.debris-v=$v-$nonce")
+    if (!fs.rename(dest, debris))
+      // the destination vanished or is contended mid-move: another
+      // maintainer is clearing (or committing) this slot right now
+      throw new IllegalStateException(
+        s"$what at $dir: lost the commit race for v=$v — another " +
+          "maintainer committed it first; re-read the head and retry")
+    if (subframes.forall(sub => fs.exists(new Path(debris, s"$sub/_SUCCESS")))) {
+      // the moved directory was a COMPLETE version: a fresh commit
+      // landed in the race window and we displaced it — put it back
+      if (!fs.rename(debris, dest))
+        throw new IllegalStateException(
+          s"$what at $dir: commit v=$v raced twice — a fresh commit " +
+            s"landed while clearing debris, was moved aside, and the slot " +
+            s"was re-committed before it could be restored; the displaced " +
+            s"version is intact at $debris — restore it manually")
+      throw new IllegalStateException(
+        s"$what at $dir: lost the commit race for v=$v — another " +
+          "maintainer committed it first; re-read the head and retry")
+    }
+    fs.delete(debris, true)
   }
 
   /** Fail BY NAME when a persisted meta frame predates the current
@@ -258,13 +313,14 @@ private[ops] object VersionedState {
     }.reduce(_ unionByName _)
   }
 
-  private val ScratchRe = "\\.tmp-v=(\\d+)-.*".r
+  private val ScratchRe = "\\.(?:tmp|debris)-v=(\\d+)-.*".r
 
   /** Delete all committed versions strictly below `keepFrom`, plus any
     * uncommitted version directories below it (crash debris of
-    * long-dead maintainers) and any scratch directories
-    * (`.tmp-v=N-<nonce>`, a maintainer hard-killed mid-write) whose
-    * target version sits below it — a scratch for a below-floor
+    * long-dead maintainers) and any scratch or aside directories
+    * (`.tmp-v=N-<nonce>`, a maintainer hard-killed mid-write;
+    * `.debris-v=N-<nonce>`, a maintainer hard-killed mid-[[clearDebris]])
+    * whose target version sits below it — a scratch for a below-floor
     * version can never commit anything a reader is allowed to see, and
     * without this sweep a crashed compact's corpus-mass scratch would
     * leak forever. A scratch AT or ABOVE the floor is left alone: it

@@ -196,6 +196,54 @@ class MinhashIndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("debris clearing cannot destroy a commit that lands in the race window") {
+    // the TOCTOU the delete-in-place protocol had: maintainer A sees
+    // uncommitted debris at v=0, and between that observation and A's
+    // clearing action, maintainer B's atomic rename commits a REAL
+    // v=0 there — an in-place delete would silently destroy B's fresh
+    // commit and let A's rename then claim the slot. clearDebris is
+    // the clearing action extracted so the interleaving is
+    // deterministic here: set the world to "B already committed" and
+    // invoke the clearing A would run on its stale observation.
+    withDir { dir =>
+      val meta = MinhashIndexStore.IndexMeta(K,
+        Dedup.DefaultNumBands, Dedup.DefaultRowsPerBand, Dedup.DefaultMaxGroupSize)
+      val winner = build(docs(1L to 10L))
+      MinhashIndexStore.commitVersion(winner, dir, 0L, meta, full = true)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def listing(): Set[String] = {
+        def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+          fs.listStatus(p).toSeq.flatMap { st =>
+            if (st.isDirectory) walk(st.getPath)
+            else Seq(st.getPath.toString.stripPrefix(dir) + ":" + st.getLen)
+          }
+        walk(new org.apache.hadoop.fs.Path(s"$dir/v=0")).toSet
+      }
+      val before = listing()
+      val e = intercept[IllegalStateException] {
+        graft.ops.VersionedState.clearDebris(fs, dir, 0L, "minhash index",
+          Seq("index", "bands", "meta"), "stalemaint-1")
+      }
+      // the race is reported by name, the displaced commit is restored
+      // byte-for-byte, and no aside directory leaks
+      assert(e.getMessage.contains("lost the commit race for v=0"))
+      assert(listing() === before)
+      assert(!fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.getName).exists(_.startsWith(".debris")),
+        "a restored commit must leave no .debris- aside directory")
+      // genuine debris (a partial old-protocol version — no bands/meta
+      // markers) still clears and commits normally through the same path
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=0/bands"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=0/meta"), true)
+      MinhashIndexStore.commitVersion(winner, dir, 0L, meta, full = true)
+      assert(MinhashIndexStore.latestVersion(spark, dir) === Some(0L))
+      assert(!fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.getName).exists(_.startsWith(".debris")),
+        "cleared debris must not leak an aside directory")
+    }
+  }
+
   test("appends and probes run with the PERSISTED shingling and banding parameters, not defaults") {
     withDir { dir =>
       // init with non-default EVERYTHING: shingleK = 9 (an append or
@@ -253,6 +301,10 @@ class MinhashIndexStoreSpec extends SparkSpec {
       build(docs(90L to 92L)).write.parquet(s"$dir/v=1/stray")
       build(docs(93L to 94L)).write.parquet(s"$dir/.tmp-v=1-deadbeef/index")
       build(docs(95L to 96L)).write.parquet(s"$dir/.tmp-v=9-live/index")
+      // .debris- aside dirs (a maintainer hard-killed mid-clearDebris)
+      // follow the same floor rule as scratch
+      build(docs(97L to 98L)).write.parquet(s"$dir/.debris-v=1-deadmaint/index")
+      build(docs(99L to 99L)).write.parquet(s"$dir/.debris-v=9-held/index")
       assert(MinhashIndexStore.prune(spark, dir, keepFrom = 3L) ===
         Seq(0L, 1L, 2L))
       assert(MinhashIndexStore.latestVersion(spark, dir) === Some(3L))
@@ -260,6 +312,10 @@ class MinhashIndexStoreSpec extends SparkSpec {
         "below-floor crash scratch must prune")
       assert(new java.io.File(s"$dir/.tmp-v=9-live").exists,
         "at/above-floor scratch may belong to a live maintainer")
+      assert(!new java.io.File(s"$dir/.debris-v=1-deadmaint").exists,
+        "below-floor debris aside dirs must prune")
+      assert(new java.io.File(s"$dir/.debris-v=9-held").exists,
+        "an above-floor aside dir may hold a displaced commit awaiting manual restore")
       // the kept head still probes — like a rebuild over the full
       // corpus (the SAME three pieces: docs() reseeds per call, so
       // docs(1 to 18) would be a different corpus)
