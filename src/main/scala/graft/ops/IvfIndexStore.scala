@@ -40,9 +40,17 @@ import org.apache.spark.sql.functions._
 object IvfIndexStore {
 
   /** Persisted provenance: embedding dimension, trained cell count,
-    * and whether this version's cell frame is a FULL snapshot (init /
-    * compaction) or a delta over the previous version (append). */
-  final case class IvfMeta(dim: Int, nlist: Int, full: Boolean)
+    * the TRAIN-TIME assign-distance quantiles (p50/p99 of
+    * `1 − cos(v, argmin centroid)` over the training corpus — the
+    * drift reference [[driftReport]] compares every candidate batch
+    * against; appends and compactions copy them forward unchanged
+    * because the centroids themselves stand until an explicit
+    * rebuild), and whether this version's cell frame is a FULL
+    * snapshot (init / compaction) or a delta over the previous
+    * version (append). */
+  final case class IvfMeta(dim: Int, nlist: Int,
+                           assignP50: Double, assignP99: Double,
+                           full: Boolean)
 
   /** A committed version loaded for probing: `cells` is the UNION of
     * the version's chain (its deltas down to the nearest full
@@ -60,23 +68,25 @@ object IvfIndexStore {
     import spark.implicits._
     // written with the SAME column list the readers require, so the
     // write and the requireMetaCols valve can never drift apart
-    Seq((meta.dim, meta.nlist, meta.full)).toDF(MetaCols: _*)
+    Seq((meta.dim, meta.nlist, meta.assignP50, meta.assignP99, meta.full))
+      .toDF(MetaCols: _*)
       .coalesce(1).write.mode("overwrite").parquet(dest)
   }
 
-  private val MetaCols = Seq("dim", "nlist", "full")
+  private val MetaCols = Seq("dim", "nlist", "assign_p50", "assign_p99", "full")
 
   private def readMeta(spark: SparkSession, dir: String, v: Long): IvfMeta = {
     val mdf = spark.read.parquet(s"$dir/v=$v/meta")
     VersionedState.requireMetaCols(mdf.columns, MetaCols,
       s"ivf index at $dir v=$v")
     val r = mdf.select(MetaCols.head, MetaCols.tail: _*).head()
-    IvfMeta(r.getInt(0), r.getInt(1), r.getBoolean(2))
+    IvfMeta(r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+      r.getBoolean(4))
   }
 
   private def commitVersion(spark: SparkSession, dir: String, v: Long,
                             centroids: Seq[(Long, Seq[Double])],
-                            cells: DataFrame, full: Boolean): Unit =
+                            cells: DataFrame, meta: IvfMeta): Unit =
     VersionedState.commitVersion(spark, dir, v, "ivf index",
       Subframes) { scratch =>
       Similarity.ivfCentroidsDf(spark, centroids)
@@ -93,8 +103,7 @@ object IvfIndexStore {
       // appends, corpus mass only at init/compaction), zero per probe.
       cells.repartition(col("cell"))
         .write.partitionBy("cell").mode("overwrite").parquet(s"$scratch/cells")
-      writeMeta(spark, s"$scratch/meta",
-        IvfMeta(centroids.head._2.length, centroids.length, full))
+      writeMeta(spark, s"$scratch/meta", meta)
     }
 
   /** The version chain serving `v` ([[VersionedState.chain]]): `v` and
@@ -117,7 +126,15 @@ object IvfIndexStore {
     require(centroids.nonEmpty,
       s"ivf index at $dir: the corpus trained no centroids (empty or " +
         "all-null vectors) — an empty standing index has nothing to probe")
-    commitVersion(spark, dir, 0L, centroids, cells, full = true)
+    // the train-time drift reference: assign-distance quantiles of the
+    // corpus the centroids were trained on, recomputed through the same
+    // kernel every later driftReport batch goes through
+    val (p50, p99) = Similarity.assignDistQuantiles(
+      Similarity.assignDistances(cells, "cv", centroids),
+      s"ivf index at $dir: init")
+    commitVersion(spark, dir, 0L, centroids, cells,
+      IvfMeta(centroids.head._2.length, centroids.length, p50, p99,
+        full = true))
     0L
   }
 
@@ -142,8 +159,11 @@ object IvfIndexStore {
     // FILE-LESS frame every later chain read fails to schema-infer
     if (batchRows == 0L) expectedBase
     else {
+      // the train-time quantiles copy forward unchanged: the centroids
+      // stand, so the drift reference must too
       commitVersion(spark, dir, expectedBase + 1, centroids,
-        Similarity.ivfAssign(batch, idCol, vecCol, centroids), full = false)
+        Similarity.ivfAssign(batch, idCol, vecCol, centroids),
+        meta.copy(full = false))
       expectedBase + 1
     }
   }
@@ -160,7 +180,7 @@ object IvfIndexStore {
     if (loaded.meta.full) head
     else {
       commitVersion(spark, dir, head + 1, loaded.centroids, loaded.cells,
-        full = true)
+        loaded.meta.copy(full = true))
       head + 1
     }
   }
@@ -201,6 +221,30 @@ object IvfIndexStore {
     LoadedIvfIndex(v, readCentroids(spark, dir, v, meta),
       VersionedState.readCellChain(spark, dir, chain(spark, dir, v), None),
       meta)
+  }
+
+  /** The centroid-staleness signal: profile a candidate batch's
+    * assign distances against the version's persisted TRAIN-TIME
+    * quantiles ([[Similarity.AssignDriftReport]]). Appends assign
+    * against standing centroids by design and retraining is an
+    * explicit rebuild — this report is the operator's TRIGGER for that
+    * rebuild: an in-distribution batch lands `fracBeyondTrainP99` near
+    * 0.01 (the p99's own mass); a drifted one several times that.
+    * O(batch) — one narrow argmin map, a broadcast join, one aggregate
+    * — cheap enough to run on every append batch. The rebuild-cadence
+    * rule is documented in SCALE.md ("Centroid drift"). Fails by name
+    * on a re-dimensioned or unscoreable batch. */
+  def driftReport(spark: SparkSession, dir: String, batch: DataFrame,
+                  vecCol: String,
+                  version: Option[Long] = None): Similarity.AssignDriftReport = {
+    val v = VersionedState.resolveVersion(spark, dir, Subframes,
+      "ivf index", version)
+    val meta = readMeta(spark, dir, v)
+    val centroids = readCentroids(spark, dir, v, meta)
+    Similarity.requireVecDim(batch, vecCol, meta.dim,
+      s"ivf index at $dir: drift report")
+    Similarity.assignDriftReport(batch, vecCol, centroids,
+      meta.assignP50, meta.assignP99, s"ivf index at $dir: drift report")
   }
 
   /** Score queries against the latest committed version (or a pinned

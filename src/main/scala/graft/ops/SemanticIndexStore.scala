@@ -68,8 +68,15 @@ object SemanticIndexStore {
     * re-parameterized maintainer cannot silently loosen it. The `full`
     * chain bit (whether the version is a full snapshot or an append
     * delta) is persisted alongside but is protocol state, not a
-    * parameter — it never enters any match. */
-  final case class SemMeta(dim: Int, nlist: Int, maxGroupSize: Int)
+    * parameter — it never enters any match. `assignP50`/`assignP99`
+    * are the TRAIN-TIME assign-distance quantiles (p50/p99 of
+    * `1 − cos(v, argmin centroid)` over the training corpus's distinct
+    * vectors) — the drift reference [[driftReport]] compares candidate
+    * batches against; appends and compactions copy them forward
+    * unchanged because the centroids stand until an explicit
+    * rebuild. */
+  final case class SemMeta(dim: Int, nlist: Int, maxGroupSize: Int,
+                           assignP50: Double, assignP99: Double)
 
   /** A committed version loaded for probing: `cells` is the UNION of
     * the version's chain (its deltas down to the nearest full
@@ -88,12 +95,14 @@ object SemanticIndexStore {
     import spark.implicits._
     // written with the SAME column list the readers require, so the
     // write and the requireMetaCols valve can never drift apart
-    Seq((meta.dim, meta.nlist, meta.maxGroupSize, full))
+    Seq((meta.dim, meta.nlist, meta.maxGroupSize,
+        meta.assignP50, meta.assignP99, full))
       .toDF(MetaCols: _*)
       .coalesce(1).write.mode("overwrite").parquet(dest)
   }
 
-  private val MetaCols = Seq("dim", "nlist", "max_group_size", "full")
+  private val MetaCols =
+    Seq("dim", "nlist", "max_group_size", "assign_p50", "assign_p99", "full")
 
   private def readMetaRow(spark: SparkSession, dir: String,
                           v: Long): (SemMeta, Boolean) = {
@@ -101,12 +110,13 @@ object SemanticIndexStore {
     VersionedState.requireMetaCols(mdf.columns, MetaCols,
       s"semantic index at $dir v=$v")
     val r = mdf.select(MetaCols.head, MetaCols.tail: _*).head()
-    (SemMeta(r.getInt(0), r.getInt(1), r.getInt(2)), r.getBoolean(3))
+    (SemMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3),
+      r.getDouble(4)), r.getBoolean(5))
   }
 
   private def commitVersion(spark: SparkSession, dir: String, v: Long,
                             centroids: Seq[(Long, Seq[Double])],
-                            cells: DataFrame, maxGroupSize: Int,
+                            cells: DataFrame, meta: SemMeta,
                             full: Boolean): Unit =
     VersionedState.commitVersion(spark, dir, v, "semantic index",
       Subframes) { scratch =>
@@ -125,9 +135,7 @@ object SemanticIndexStore {
       // cell-0 mass includes the corpus's null rows.
       cells.repartition(org.apache.spark.sql.functions.col("cell"))
         .write.partitionBy("cell").mode("overwrite").parquet(s"$scratch/cells")
-      writeMeta(spark, s"$scratch/meta",
-        SemMeta(centroids.head._2.length, centroids.length, maxGroupSize),
-        full)
+      writeMeta(spark, s"$scratch/meta", meta, full)
     }
 
   /** The version chain serving `v` ([[VersionedState.chain]]): `v` and
@@ -154,7 +162,16 @@ object SemanticIndexStore {
     require(centroids.nonEmpty,
       s"semantic index at $dir: the corpus trained no centroids (empty or " +
         "all-null vectors) — an empty standing index has nothing to probe")
-    commitVersion(spark, dir, 0L, centroids, cells, maxGroupSize, full = true)
+    // the train-time drift reference: assign-distance quantiles over
+    // the grouped cell frame's distinct vectors, recomputed through the
+    // same kernel every later driftReport batch goes through
+    val (p50, p99) = Similarity.assignDistQuantiles(
+      Similarity.assignDistances(cells, "vv", centroids),
+      s"semantic index at $dir: init")
+    commitVersion(spark, dir, 0L, centroids, cells,
+      SemMeta(centroids.head._2.length, centroids.length, maxGroupSize,
+        p50, p99),
+      full = true)
     0L
   }
 
@@ -183,9 +200,11 @@ object SemanticIndexStore {
     // FILE-LESS frame every later chain read fails to schema-infer
     if (batchRows == 0L) expectedBase
     else {
+      // the train-time quantiles copy forward unchanged: the centroids
+      // stand, so the drift reference must too
       commitVersion(spark, dir, expectedBase + 1, centroids,
         Similarity.semanticAssign(centroids, batch, idCol, vecCol,
-          meta.maxGroupSize), meta.maxGroupSize, full = false)
+          meta.maxGroupSize), meta, full = false)
       expectedBase + 1
     }
   }
@@ -209,7 +228,7 @@ object SemanticIndexStore {
           VersionedState.readCellChain(spark, dir, Seq(w), None)),
         meta.maxGroupSize)
       commitVersion(spark, dir, head + 1,
-        readCentroids(spark, dir, head, meta), merged, meta.maxGroupSize,
+        readCentroids(spark, dir, head, meta), merged, meta,
         full = true)
       head + 1
     }
@@ -252,6 +271,30 @@ object SemanticIndexStore {
     LoadedSemIndex(v, readCentroids(spark, dir, v, meta),
       VersionedState.readCellChain(spark, dir, chain(spark, dir, v), None),
       meta)
+  }
+
+  /** The centroid-staleness signal: profile a candidate batch's
+    * assign distances against the version's persisted TRAIN-TIME
+    * quantiles ([[Similarity.AssignDriftReport]]). Appends assign
+    * against standing centroids by design and retraining is an
+    * explicit rebuild — this report is the operator's TRIGGER for that
+    * rebuild: an in-distribution batch lands `fracBeyondTrainP99` near
+    * 0.01 (the p99's own mass); a drifted one several times that.
+    * O(batch) — one narrow argmin map, a broadcast join, one aggregate
+    * — cheap enough to run on every append batch. The rebuild-cadence
+    * rule is documented in SCALE.md ("Centroid drift"). Fails by name
+    * on a re-dimensioned or unscoreable batch. */
+  def driftReport(spark: SparkSession, dir: String, batch: DataFrame,
+                  vecCol: String,
+                  version: Option[Long] = None): Similarity.AssignDriftReport = {
+    val v = VersionedState.resolveVersion(spark, dir, Subframes,
+      "semantic index", version)
+    val (meta, _) = readMetaRow(spark, dir, v)
+    val centroids = readCentroids(spark, dir, v, meta)
+    Similarity.requireVecDim(batch, vecCol, meta.dim,
+      s"semantic index at $dir: drift report")
+    Similarity.assignDriftReport(batch, vecCol, centroids,
+      meta.assignP50, meta.assignP99, s"semantic index at $dir: drift report")
   }
 
   /** The production probe entry point: semantic near-dup pairs of

@@ -366,6 +366,86 @@ object Similarity {
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1).toSeq
 
+  /** Per-row assign distance of a vector frame against a standing
+    * centroid table: `1 − cos(v, argmin centroid)` — one narrow argmin
+    * map plus a broadcast join, O(frame), no shuffle. Rows with no
+    * direction (null or zero-norm vectors — cosine undefined) are
+    * excluded, matching the scoring paths where such rows can never
+    * pair anyway. Output: one `d` column in [0, 2]. This is the drift
+    * kernel behind the vector index stores: the same function profiles
+    * the TRAINING corpus at init (persisted in meta) and each candidate
+    * batch at [[assignDriftReport]], so the two distributions are
+    * always comparable. */
+  private[graft] def assignDistances(frame: DataFrame, vecCol: String,
+                                     centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "assignDistances needs a non-empty centroid table")
+    val cdf = broadcast(
+      ivfCentroidsDf(frame.sparkSession, centroids)
+        .select(col("cell"), col("centroid"),
+          norm(col("centroid")).as("centroid_norm")))
+    frame.select(asDouble(col(vecCol)).as("v"))
+      .withColumn("cell", nearestCell(col("v"), centroids))
+      .withColumn("vn", norm(col("v")))
+      .join(cdf, Seq("cell"))
+      // guarded like scoreCosine: an unguarded 0/0 ABORTS under ANSI
+      // (the Spark 4 default); here a directionless row is excluded
+      // rather than ranked, since a distance profile must not carry
+      // sentinel values into its quantiles
+      .select(when(col("vn") * col("centroid_norm") > 0,
+        lit(1.0) - dot(col("v"), col("centroid")) / (col("vn") * col("centroid_norm")))
+        .as("d"))
+      .where(col("d").isNotNull)
+  }
+
+  /** (p50, p99) of an [[assignDistances]] frame — the train-time
+    * profile the vector index stores persist in meta. Fails by name on
+    * a frame with zero scorable rows: a profile over nothing would
+    * persist nulls that every later drift comparison reads as "no
+    * drift". */
+  private[graft] def assignDistQuantiles(d: DataFrame, what: String): (Double, Double) = {
+    val r = d.agg(percentile_approx(col("d"),
+      array(lit(0.5), lit(0.99)), lit(10000)).as("q")).head()
+    require(!r.isNullAt(0),
+      s"$what: no scorable vectors (all null or zero-norm) — cannot " +
+        "profile assign distances")
+    val q = r.getSeq[Double](0)
+    (q.head, q(1))
+  }
+
+  /** The drift comparison a vector store's `driftReport` returns:
+    * the version's persisted TRAIN-TIME assign-distance quantiles
+    * against the candidate batch's, plus the fraction of the batch
+    * assigning beyond the train p99 — in-distribution batches sit near
+    * 0.01 by construction; a fraction several times that is the
+    * centroid-staleness signal, and the rebuild trigger is documented
+    * in SCALE.md ("Centroid drift"). `scoredRows` counts the rows the
+    * profile actually measured (null/zero-norm rows are excluded). */
+  final case class AssignDriftReport(trainP50: Double, trainP99: Double,
+                                     batchP50: Double, batchP99: Double,
+                                     fracBeyondTrainP99: Double,
+                                     scoredRows: Long)
+
+  /** Profile `batch` against standing `centroids` and compare with the
+    * persisted train-time quantiles — one O(batch) aggregate, no
+    * shuffle beyond the final single-row reduce. Fails by name when the
+    * batch has zero scorable vectors (a report of "no drift" from an
+    * unmeasurable batch would be a silent miss). */
+  private[graft] def assignDriftReport(batch: DataFrame, vecCol: String,
+                                       centroids: Seq[(Long, Seq[Double])],
+                                       trainP50: Double, trainP99: Double,
+                                       what: String): AssignDriftReport = {
+    val r = assignDistances(batch, vecCol, centroids).agg(
+      percentile_approx(col("d"), array(lit(0.5), lit(0.99)), lit(10000)).as("q"),
+      avg(when(col("d") > trainP99, 1.0d).otherwise(0.0d)).as("frac"),
+      count(lit(1)).as("n")).head()
+    require(!r.isNullAt(0),
+      s"$what: the batch has no scorable vectors (all null or zero-norm) — " +
+        "drift cannot be measured; an unmeasurable batch must not read as quiet")
+    val q = r.getSeq[Double](0)
+    AssignDriftReport(trainP50, trainP99, q.head, q(1),
+      r.getDouble(1), r.getLong(2))
+  }
+
   /** IVF index PROBE: score queries against a built (or reloaded)
     * index — each query touches only its `nprobe` nearest cells. */
   def ivfProbe(centroids: Seq[(Long, Seq[Double])], corpusCells: DataFrame,

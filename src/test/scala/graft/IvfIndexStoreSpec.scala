@@ -34,7 +34,11 @@ class IvfIndexStoreSpec extends SparkSpec {
       assert(IvfIndexStore.init(corpus, dir, "vec_id", "embedding",
         nlist = 8) === 0L)
       val v0 = IvfIndexStore.read(spark, dir)
-      assert(v0.meta === IvfIndexStore.IvfMeta(16, 8, full = true))
+      assert((v0.meta.dim, v0.meta.nlist, v0.meta.full) === ((16, 8, true)))
+      // the persisted train-time drift reference is a real profile:
+      // ordered quantiles inside the cosine-distance range
+      assert(v0.meta.assignP50 >= 0.0 && v0.meta.assignP50 <= v0.meta.assignP99
+        && v0.meta.assignP99 <= 2.0)
       // a probe for an exact copy of corpus member 5 finds it (the
       // identical vector shares the argmin cell — the ivfTopK contract)
       val q5 = vecs((999L, base(5)))
@@ -195,6 +199,43 @@ class IvfIndexStoreSpec extends SparkSpec {
         "vec_id", "embedding", 1L) === 1L)
       assert(IvfIndexStore.latestVersion(spark, dir) === Some(1L))
       assert(IvfIndexStore.read(spark, dir).cells.count() > 0)
+    }
+  }
+
+  test("drift report: in-distribution batch stays quiet, shifted batch fires") {
+    withDir { dir =>
+      // the SemanticIndexStoreSpec drift geometry: tight clusters train
+      // a small-distance profile, full-space directions blow past it
+      def member(cluster: Int, i: Int): Array[Float] = {
+        val c = base(cluster * 1000)
+        val rnd = new scala.util.Random(cluster * 1000 + i)
+        c.map(x => x + 0.02f * (rnd.nextFloat() - 0.5f))
+      }
+      val corpus = vecs((for { k <- 0 until 4; i <- 0 until 50 }
+        yield ((k * 50 + i).toLong, member(k, 500 + i))): _*)
+      IvfIndexStore.init(corpus, dir, "vec_id", "embedding", nlist = 8)
+      val inDist = IvfIndexStore.driftReport(spark, dir,
+        vecs((0 until 40).map(i => ((900 + i).toLong, member(i % 4, 9000 + i))): _*),
+        "embedding")
+      assert(inDist.scoredRows === 40L)
+      assert(inDist.fracBeyondTrainP99 <= 0.2,
+        s"in-distribution batch must stay quiet: $inDist")
+      def randomDir(i: Int): Array[Float] = {
+        val rnd = new scala.util.Random(777000 + i)
+        Array.fill(16)(rnd.nextFloat() * 2 - 1)
+      }
+      val drifted = IvfIndexStore.driftReport(spark, dir,
+        vecs((0 until 40).map(i => ((1900 + i).toLong, randomDir(i))): _*),
+        "embedding")
+      assert(drifted.fracBeyondTrainP99 >= 0.6,
+        s"shifted batch must fire: $drifted")
+      assert(drifted.batchP50 > drifted.trainP99)
+      // a mis-dimensioned batch fails by name, like append and probe
+      val e = intercept[IllegalArgumentException] {
+        IvfIndexStore.driftReport(spark, dir,
+          vecs((1L, Array.fill(8)(0.5f))), "embedding")
+      }
+      assert(e.getMessage.contains("drift report"))
     }
   }
 

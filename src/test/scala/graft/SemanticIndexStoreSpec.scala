@@ -41,8 +41,12 @@ class SemanticIndexStoreSpec extends SparkSpec {
       assert(SemanticIndexStore.init(corpus, dir, "vec_id", "embedding",
         nlist = 8) === 0L)
       val v0 = SemanticIndexStore.read(spark, dir)
-      assert(v0.meta === SemanticIndexStore.SemMeta(16, 8,
-        graft.ops.Dedup.DefaultMaxGroupSize))
+      assert((v0.meta.dim, v0.meta.nlist, v0.meta.maxGroupSize) ===
+        ((16, 8, graft.ops.Dedup.DefaultMaxGroupSize)))
+      // the persisted train-time drift reference is a real profile:
+      // ordered quantiles inside the cosine-distance range
+      assert(v0.meta.assignP50 >= 0.0 && v0.meta.assignP50 <= v0.meta.assignP99
+        && v0.meta.assignP99 <= 2.0)
       // batch 1: a near-dup of corpus member 3 plus a fresh vector
       val b1 = vecs((201L, jitter(base(3))), (202L, base(500)))
       val p1 = pairSet(SemanticIndexStore.probeLatest(spark, dir, b1,
@@ -286,6 +290,61 @@ class SemanticIndexStoreSpec extends SparkSpec {
       val fromStore = full(SemanticIndexStore.probeLatest(spark, dir, batch,
         "vec_id", "embedding", threshold = 0.9))
       assert(inMemory.nonEmpty && fromStore === inMemory)
+    }
+  }
+
+  test("drift report: in-distribution batch stays quiet, shifted batch fires, reference survives appends") {
+    withDir { dir =>
+      // training corpus: 4 TIGHT clusters around fixed directions, so
+      // the persisted train profile has small assign distances and the
+      // p99 is a meaningful in-distribution ceiling
+      def member(cluster: Int, i: Int): Array[Float] = {
+        val c = base(cluster * 1000)
+        val rnd = new scala.util.Random(cluster * 1000 + i)
+        c.map(x => x + 0.02f * (rnd.nextFloat() - 0.5f))
+      }
+      val corpus = vecs((for { k <- 0 until 4; i <- 0 until 50 }
+        yield ((k * 50 + i).toLong, member(k, 500 + i))): _*)
+      SemanticIndexStore.init(corpus, dir, "vec_id", "embedding", nlist = 8)
+      // more members of the SAME clusters: quiet — the beyond-p99
+      // fraction sits near the p99's own 1% mass
+      val inDist = SemanticIndexStore.driftReport(spark, dir,
+        vecs((0 until 40).map(i => ((900 + i).toLong, member(i % 4, 9000 + i))): _*),
+        "embedding")
+      assert(inDist.scoredRows === 40L)
+      assert(inDist.fracBeyondTrainP99 <= 0.2,
+        s"in-distribution batch must stay quiet: $inDist")
+      // full-space random directions the tight clusters never occupied:
+      // nearly every vector assigns far beyond the train p99 — the
+      // rebuild trigger (SCALE.md "Centroid drift") fires
+      def randomDir(i: Int): Array[Float] = {
+        val rnd = new scala.util.Random(777000 + i)
+        Array.fill(16)(rnd.nextFloat() * 2 - 1)
+      }
+      val drifted = SemanticIndexStore.driftReport(spark, dir,
+        vecs((0 until 40).map(i => ((1900 + i).toLong, randomDir(i))): _*),
+        "embedding")
+      assert(drifted.fracBeyondTrainP99 >= 0.6,
+        s"shifted batch must fire: $drifted")
+      assert(drifted.batchP50 > drifted.trainP99)
+      // the train-time reference copies forward through appends: the
+      // centroids stand, so the drift yardstick must not move
+      SemanticIndexStore.append(spark, dir,
+        vecs((0 until 10).map(i => ((2900 + i).toLong, member(i % 4, 20000 + i))): _*),
+        "vec_id", "embedding", 0L)
+      val after = SemanticIndexStore.driftReport(spark, dir,
+        vecs((0 until 5).map(i => ((3900 + i).toLong, member(i % 4, 30000 + i))): _*),
+        "embedding")
+      assert(after.trainP50 === inDist.trainP50 && after.trainP99 === inDist.trainP99)
+      // a batch with zero scorable vectors fails by name — an
+      // unmeasurable batch must not read as "no drift"
+      val e = intercept[IllegalArgumentException] {
+        SemanticIndexStore.driftReport(spark, dir,
+          Seq((1L, null.asInstanceOf[Array[Float]]),
+            (2L, Array.fill(16)(0f))).toDF("vec_id", "embedding"),
+          "embedding")
+      }
+      assert(e.getMessage.contains("no scorable vectors"))
     }
   }
 
