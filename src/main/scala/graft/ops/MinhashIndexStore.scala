@@ -258,6 +258,58 @@ object MinhashIndexStore {
     VersionedState.pruneToChainBase(spark, dir, keepFrom, Subframes,
       "minhash index")(readMetaRow(spark, dir, _)._2)
 
+  /** What [[chainHealth]] reports: the merged-mass view of a version's
+    * delta chain against the persisted `maxGroupSize` valve, BEFORE a
+    * compact discovers it the hard way. `maxMergedGroup` is EXACT (ids
+    * are unique across the merged corpora, so a shingle-set group's
+    * merged size is the sum of its per-link sizes);
+    * `maxMergedBucketBound` is an upper bound (identical sets in
+    * different links fold to ONE group at compaction, so the true
+    * merged bucket can only be smaller) — conservative in the safe
+    * direction: it warns early, never late. */
+  final case class ChainHealth(version: Long, chainLength: Int,
+                               maxGroupSize: Int, maxMergedGroup: Long,
+                               maxMergedBucketBound: Long) {
+    /** The merged member-list valve WILL fire at the next compact. */
+    def groupValveExceeded: Boolean = maxMergedGroup > maxGroupSize
+    /** The merged bucket valve MAY fire at the next compact (bound). */
+    def bucketValveAtRisk: Boolean = maxMergedBucketBound > maxGroupSize
+  }
+
+  /** Read-only chain health for the maintenance scheduler — the
+    * approaching-overflow view the compact-time valves lack: the
+    * per-link valves fire at append and the MERGED valves only inside
+    * [[compact]], so a chain that outgrew the valve across links used
+    * to make every scheduled compact fail by name with no forewarning
+    * and no way to see the pressure building. This check reads the
+    * chain's index and bands frames (narrow scans, two aggregates, one
+    * row each to the driver — no commit, no merge) and reports the
+    * merged group/bucket masses against the persisted valve; a
+    * scheduler alerting on [[ChainHealth.groupValveExceeded]] (or the
+    * conservative [[ChainHealth.bucketValveAtRisk]]) sees the overflow
+    * while the remedy is still cheap (split the offending near-dup
+    * group, or rebuild with a larger valve) instead of after the
+    * compact starts failing. */
+  def chainHealth(spark: SparkSession, dir: String,
+                  version: Option[Long] = None): ChainHealth = {
+    import org.apache.spark.sql.functions.{col, max, size, sum}
+    val v = VersionedState.resolveVersion(spark, dir, Subframes,
+      "minhash index", version)
+    val links = chain(spark, dir, v)
+    val meta = readMeta(spark, dir, v)
+    def maxMerged(sub: String, keys: Seq[String], listCol: String): Long = {
+      val merged = links.map(w => spark.read.parquet(s"$dir/v=$w/$sub"))
+        .reduce(_ unionByName _)
+        .groupBy(keys.head, keys.tail: _*)
+        .agg(sum(size(col(listCol))).as("m"))
+        .agg(max(col("m"))).head()
+      if (merged.isNullAt(0)) 0L else merged.getLong(0)
+    }
+    ChainHealth(v, links.length, meta.maxGroupSize,
+      maxMerged("index", Seq("shh"), "ids"),
+      maxMerged("bands", Seq("band", "bucket"), "gids"))
+  }
+
   /** Load a pinned version — or the latest committed version when
     * `version` is None — as its `(index, bands, meta)` triple, where
     * the index and bands frames are the UNION of the version's delta

@@ -281,6 +281,45 @@ class MinhashIndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("chainHealth surfaces merged valve pressure before the compact trips it") {
+    withDir { dir =>
+      // identical text split across links: each LINK's group stays at
+      // the valve (appends pass), the MERGED group exceeds it — the
+      // shape whose scheduled compact fails by name repeatedly with,
+      // until this check, no way to see the pressure building
+      val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      def copies(ids: Long*) = ids.map((_, text)).toDF("doc_id", "text")
+      MinhashIndexStore.init(
+        copies(1L, 2L).unionByName(docs(100L to 110L)), dir,
+        "doc_id", "text", maxGroupSize = 2)
+      val healthy = MinhashIndexStore.chainHealth(spark, dir)
+      assert(healthy.chainLength === 1 && healthy.maxGroupSize === 2)
+      assert(healthy.maxMergedGroup === 2L && !healthy.groupValveExceeded)
+      MinhashIndexStore.append(spark, dir,
+        copies(11L, 12L).unionByName(docs(120L to 125L)),
+        "doc_id", "text", 0L)
+      val pressured = MinhashIndexStore.chainHealth(spark, dir)
+      assert(pressured.chainLength === 2)
+      // EXACT merged group mass: 2 + 2 copies of the same shingle set
+      assert(pressured.maxMergedGroup === 4L)
+      assert(pressured.groupValveExceeded,
+        "the merged member valve must read as exceeded before the compact")
+      // identical sets fold to one group per link, so each band bucket
+      // holds one gid per link — the bound reads chainLength here
+      assert(pressured.maxMergedBucketBound === 2L)
+      // the health check PREDICTED this: the compact fails by name
+      val e = intercept[Exception] {
+        MinhashIndexStore.compact(spark, dir)
+      }
+      assert(e.getMessage.contains("maxGroupSize"),
+        s"compact must trip the merged valve: ${e.getMessage}")
+      // read-only: the failed compact + health checks left the chain
+      // intact and probing
+      assert(MinhashIndexStore.latestVersion(spark, dir) === Some(1L))
+      assert(MinhashIndexStore.read(spark, dir).version === 1L)
+    }
+  }
+
   test("prune clamps to the chain base, drops folded versions and debris, never the head") {
     withDir { dir =>
       MinhashIndexStore.init(docs(1L to 10L), dir, "doc_id", "text")
