@@ -34,7 +34,8 @@ import org.apache.spark.sql.functions._
   * discards.
   *
   * Layout: `dir/v=N/centroids`, `dir/v=N/cells/cell=<id>/`,
-  * `dir/v=N/meta` (`dim`, `nlist`, `full`). Doubles round-trip
+  * `dir/v=N/meta` (`dim`, `nlist`, `assign_p50`, `assign_p99`,
+  * `full`). Doubles round-trip
   * parquet bit-exactly, so a reloaded version probes identically
   * (spec-pinned). */
 object IvfIndexStore {
@@ -171,7 +172,11 @@ object IvfIndexStore {
   /** Fold the head's delta chain into a new FULL version at head+1 —
     * the O(corpus) job that makes pruning (and chain-length hygiene) a
     * scheduled policy instead of a per-append tax. No-op (returns the
-    * head) when the head is already full. */
+    * head) when the head is already full. Cadence: this store shares
+    * [[SemanticIndexStore]]'s cell-pruned read shape, whose measured
+    * chain-read tax is ~8% of the base probe cost per link (SCALE.md
+    * "Chain-read economics") — compact at least monthly on daily
+    * appends. */
   def compact(spark: SparkSession, dir: String): Long = {
     val head = latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(

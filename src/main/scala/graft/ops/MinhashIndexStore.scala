@@ -226,8 +226,11 @@ object MinhashIndexStore {
     * scheduled job instead of a per-append tax. This is also where the
     * `maxGroupSize` valves fire on the MERGED mass: a group or bucket
     * that outgrew the valve across links fails the compact by name,
-    * never a probe. No-op (returns the head) when the head is already
-    * full. */
+    * never a probe ([[chainHealth]] surfaces the pressure first). No-op
+    * (returns the head) when the head is already full. Cadence: the
+    * measured chain-read tax is ~24% of the base probe cost PER LINK
+    * for this store's full-narrow-scan shape (SCALE.md "Chain-read
+    * economics") — compact weekly on daily appends (≤ 8 links). */
   def compact(spark: SparkSession, dir: String): Long = {
     val head = latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(

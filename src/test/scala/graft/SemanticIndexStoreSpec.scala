@@ -355,10 +355,16 @@ class SemanticIndexStoreSpec extends SparkSpec {
       val cellDirs = new java.io.File(s"$dir/v=0/cells").listFiles()
         .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
       assert(cellDirs.nonEmpty, "cells frame is not cell-partitioned on disk")
-      // a delta link on top: the probe below reads a two-link chain —
-      // the production shape — and EVERY link's scan must prune
-      SemanticIndexStore.append(spark, dir, vecs((101L, base(101))),
-        "vec_id", "embedding", 0L)
+      // 31 delta links on top: the probe below reads a 32-link chain —
+      // a year of ~11-day appends between compactions, the longest
+      // shape ChainReadBench measures — and EVERY link's scan must
+      // still prune to the batch's touched cells (the per-link filter
+      // rides readCellChain, so it must not degrade with chain length)
+      (0 until 31).foreach { i =>
+        assert(SemanticIndexStore.append(spark, dir,
+          vecs(((101 + i).toLong, base(101 + i))),
+          "vec_id", "embedding", i.toLong) === (i + 1).toLong)
+      }
       val batch = vecs((201L, jitter(base(3))), (202L, base(11)))
       val probe = SemanticIndexStore.probeLatest(spark, dir, batch,
         "vec_id", "embedding", threshold = 0.9)
@@ -377,9 +383,9 @@ class SemanticIndexStoreSpec extends SparkSpec {
             if s.relation.location.rootPaths.exists(_.toString.contains("cells")) => s
       }
       assert(cellScans.nonEmpty, "no file scan over the cells path found")
-      Seq("v=0", "v=1").foreach { v =>
+      (0 until 32).foreach { v =>
         assert(cellScans.exists(_.relation.location.rootPaths.exists(
-          _.toString.contains(v))), s"no cells scan over chain link $v")
+          _.toString.contains(s"v=$v/"))), s"no cells scan over chain link v=$v")
       }
       cellScans.foreach { s =>
         assert(s.partitionFilters.nonEmpty && s.partitionFilters.mkString.contains("cell"),
