@@ -276,6 +276,41 @@ object SemanticIndexStore {
       meta)
   }
 
+  /** What [[chainHealth]] reports — [[MinhashIndexStore.ChainHealth]]'s
+    * analogue for the identical-vector groups: `maxMergedGroup` is the
+    * largest member count any distinct vector value reaches when the
+    * chain's links are summed (EXACT: ids are unique across the merged
+    * corpora, and a vector value's per-link member lists are disjoint).
+    * This store has no bucket table, so there is no bound term. */
+  final case class ChainHealth(version: Long, chainLength: Int,
+                               maxGroupSize: Int, maxMergedGroup: Long) {
+    /** The merged member-list valve WILL fire at the next compact. */
+    def groupValveExceeded: Boolean = maxMergedGroup > maxGroupSize
+  }
+
+  /** Read-only chain health for the maintenance scheduler — the
+    * [[MinhashIndexStore.chainHealth]] rationale applied to this
+    * store's one merged valve: the per-link `maxGroupSize` check fires
+    * at append and the MERGED check only inside [[compact]]'s
+    * vector-keyed merge, so an identical-vector group split across
+    * links can outgrow the valve with nothing surfacing it until the
+    * scheduled compact starts failing by name. One vector-keyed
+    * aggregate over the chain's cell frames (no commit, no merge
+    * frame built, one row to the driver). */
+  def chainHealth(spark: SparkSession, dir: String,
+                  version: Option[Long] = None): ChainHealth = {
+    import org.apache.spark.sql.functions.{col, max, size, sum}
+    val v = VersionedState.resolveVersion(spark, dir, Subframes,
+      "semantic index", version)
+    val links = chain(spark, dir, v)
+    val (meta, _) = readMetaRow(spark, dir, v)
+    val merged = VersionedState.readCellChain(spark, dir, links, None)
+      .groupBy("vv").agg(sum(size(col("ids"))).as("m"))
+      .agg(max(col("m"))).head()
+    ChainHealth(v, links.length, meta.maxGroupSize,
+      if (merged.isNullAt(0)) 0L else merged.getLong(0))
+  }
+
   /** The centroid-staleness signal: profile a candidate batch's
     * assign distances against the version's persisted TRAIN-TIME
     * quantiles ([[Similarity.AssignDriftReport]]). Appends assign

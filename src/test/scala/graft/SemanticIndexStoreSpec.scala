@@ -223,8 +223,18 @@ class SemanticIndexStoreSpec extends SparkSpec {
         .unionByName(vecs((50L, base(50)), (51L, base(51))))
       SemanticIndexStore.init(corpus, dir, "vec_id", "embedding",
         nlist = 4, maxGroupSize = 3)
+      // after init alone the chain is healthy: one link, group at 2 ≤ 3
+      val healthy = SemanticIndexStore.chainHealth(spark, dir)
+      assert(healthy.chainLength === 1 && healthy.maxMergedGroup === 2L
+        && !healthy.groupValveExceeded)
       SemanticIndexStore.append(spark, dir, clones(11L, 12L),
         "vec_id", "embedding", 0L)
+      // the read-only health check sees the merged pressure FIRST —
+      // exact mass 4 over valve 3 — before any compact trips on it
+      val pressured = SemanticIndexStore.chainHealth(spark, dir)
+      assert(pressured.chainLength === 2 && pressured.maxMergedGroup === 4L)
+      assert(pressured.groupValveExceeded,
+        "chainHealth must read the merged valve as exceeded before the compact")
       // per-link the valve never fires (2 ≤ 3 each side); the merged
       // group (4 > 3) fails the scheduled compact, never a probe
       def msgs(t: Throwable): Seq[String] =
