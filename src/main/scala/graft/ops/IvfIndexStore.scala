@@ -174,8 +174,8 @@ object IvfIndexStore {
     * scheduled policy instead of a per-append tax. No-op (returns the
     * head) when the head is already full. Cadence: this store shares
     * [[SemanticIndexStore]]'s cell-pruned read shape, whose measured
-    * chain-read tax is ~8% of the base probe cost per link (SCALE.md
-    * "Chain-read economics") — compact at least monthly on daily
+    * chain-read tax is ~11% of the base probe cost per link (SCALE.md
+    * "Chain-read economics") — compact at least fortnightly on daily
     * appends. */
   def compact(spark: SparkSession, dir: String): Long = {
     val head = latestVersion(spark, dir).getOrElse(

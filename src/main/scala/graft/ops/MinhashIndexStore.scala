@@ -214,9 +214,22 @@ object MinhashIndexStore {
     // emptiness is judged on the BUILT frame (which the build caches),
     // not the raw batch: a non-empty batch whose every text is shorter
     // than shingleK shingles to nothing and must no-op too
-    if (delta.isEmpty) expectedBase
+    val deltaRows = delta.count()
+    if (deltaRows == 0L) expectedBase
     else {
-      commitVersion(delta, dir, expectedBase + 1, meta, full = false)
+      // bound the delta's file count by its ROW mass: the built frame
+      // is cached with the session's shuffle partitioning, and a
+      // cached frame's write bypasses AQE coalescing — a small daily
+      // delta would otherwise commit shuffle-partition-many KB-sized
+      // index files per link, and the measured chain-read tax
+      // (SCALE.md "Chain-read economics") is per FILE, not per byte.
+      // ~250k rows/file targets ~100 MB parquet at this row shape
+      // (48-hash signature + member list per row); coalesce never
+      // raises the partition count, so a genuinely large delta keeps
+      // its parallel write, and init/compact (corpus-mass by
+      // construction) are untouched.
+      commitVersion(delta.coalesce(((deltaRows - 1) / 250000L + 1).toInt),
+        dir, expectedBase + 1, meta, full = false)
       expectedBase + 1
     }
   }
@@ -228,7 +241,7 @@ object MinhashIndexStore {
     * that outgrew the valve across links fails the compact by name,
     * never a probe ([[chainHealth]] surfaces the pressure first). No-op
     * (returns the head) when the head is already full. Cadence: the
-    * measured chain-read tax is ~24% of the base probe cost PER LINK
+    * measured chain-read tax is ~25% of the base probe cost PER LINK
     * for this store's full-narrow-scan shape (SCALE.md "Chain-read
     * economics") — compact weekly on daily appends (≤ 8 links). */
   def compact(spark: SparkSession, dir: String): Long = {

@@ -216,9 +216,9 @@ object SemanticIndexStore {
     * identical-vector group that outgrew the valve across links fails
     * the compact by name, never a probe. No-op (returns the head) when
     * the head is already full. Cadence: the measured chain-read tax is
-    * ~8% of the base probe cost per link (cell pruning holds at every
+    * ~11% of the base probe cost per link (cell pruning holds at every
     * length — the tax is per-scan overhead; SCALE.md "Chain-read
-    * economics") — compact at least monthly on daily appends. */
+    * economics") — compact at least fortnightly on daily appends. */
   def compact(spark: SparkSession, dir: String): Long = {
     val head = latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(
