@@ -274,6 +274,19 @@ object MinhashIndexStore {
     VersionedState.pruneToChainBase(spark, dir, keepFrom, Subframes,
       "minhash index")(readMetaRow(spark, dir, _)._2)
 
+  /** Chain length of `version` (the latest committed one when None) —
+    * the compaction-cadence term (SCALE.md "Chain-read economics":
+    * compact this store's chain at ≤ 8 links), by a META-ONLY walk:
+    * one tiny one-row parquet read per link, no index or bands data
+    * touched — cheap enough for a maintenance loop to poll on every
+    * append. [[chainHealth]] additionally aggregates the chain's data
+    * frames to report merged masses; poll THIS for the cadence and run
+    * the health check when the cadence trips. */
+  def chainLength(spark: SparkSession, dir: String,
+                  version: Option[Long] = None): Int =
+    chain(spark, dir, VersionedState.resolveVersion(spark, dir, Subframes,
+      "minhash index", version)).length
+
   /** What [[chainHealth]] reports: the merged-mass view of a version's
     * delta chain against the persisted `maxGroupSize` valve, BEFORE a
     * compact discovers it the hard way. `maxMergedGroup` is EXACT (ids

@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.ops.MinhashIndexStore
+import graft.streaming.DedupIngestStream
+
+/** Ingest-stream fixture row (top-level: MemoryStream needs a TypeTag-
+  * visible case class). */
+case class IngestDoc(doc_id: Long, text: String)
+
+/** Protocol + semantics specs for [[graft.streaming.DedupIngestStream]]:
+  * the end-to-end micro-batch loop (probe → survivor rule → delta
+  * append → cadence maintenance), the survivor rule's three branches,
+  * crash-replay idempotence through the ledger (both the
+  * append-committed and append-lost interleavings), the cadence
+  * compact + prune, the valve-exceeded fail-by-name, and the
+  * owner-stamp / uninitialized-store refusals. */
+class DedupIngestStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Texts with doc-unique tokens: two different `uniq` ids share ZERO
+    * shingles by construction, so the only near-dup pairs in any
+    * fixture are the ones planted as copies. */
+  private def uniq(i: Long): String =
+    (0 until 12).map(w => s"w${i}x$w").mkString(" ")
+
+  private def docsDf(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("doc_id", "text")
+
+  private def initStore(dir: String, corpus: DataFrame,
+                        maxGroupSize: Int = graft.ops.Dedup.DefaultMaxGroupSize): Unit =
+    MinhashIndexStore.init(corpus, dir, "doc_id", "text",
+      shingleK = 5, numBands = 24, rowsPerBand = 2,
+      maxGroupSize = maxGroupSize)
+
+  private def acceptedIds(acceptedDir: String): Set[Long] =
+    spark.read.parquet(acceptedDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+  private def process(batch: DataFrame, batchId: Long, dir: String,
+                      compactEvery: Int = 8,
+                      checkpoint: String = "cp-a"): DedupIngestStream.BatchOutcome =
+    DedupIngestStream.processBatch(batch, batchId, s"$dir/store",
+      s"$dir/accepted", "doc_id", "text", threshold = 0.5,
+      compactEvery = compactEvery, checkpointDir = checkpoint)
+
+  private def withDir(body: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("dedup-ingest").toString
+    try body(dir)
+    finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("streaming ingest dedups against corpus, batch, and earlier batches' survivors") {
+    implicit val sqlCtx = spark.sqlContext
+    withDir { dir =>
+      // corpus ids straddle the batch ids on BOTH sides: doc 500 > every
+      // batch id, so the corpus-partner branch must win over id order
+      val corpus = docsDf((1L to 6L).map(i => (i, uniq(i))) :+ (500L, uniq(500)): _*)
+      initStore(s"$dir/store", corpus)
+      val input = MemoryStream[IngestDoc]
+      val query = DedupIngestStream.dedupIngestSink(input.toDF(),
+        s"$dir/store", s"$dir/accepted", "doc_id", "text",
+        checkpointDir = s"$dir/ckpt")
+      try {
+        // batch 0: two fresh docs; a copy of corpus doc 3 (smaller
+        // corpus id); a copy of corpus doc 500 (LARGER corpus id — the
+        // standing copy still wins); an identical within-batch pair
+        // (keep-first: 107 survives, 108 loses)
+        input.addData(IngestDoc(101L, uniq(101)), IngestDoc(102L, uniq(102)),
+          IngestDoc(106L, uniq(3)), IngestDoc(99L, uniq(500)),
+          IngestDoc(107L, uniq(777)), IngestDoc(108L, uniq(777)))
+        query.processAllAvailable()
+        assert(acceptedIds(s"$dir/accepted") === Set(101L, 102L, 107L))
+        // batch 1: a copy of batch 0's SURVIVOR 107 rejects (the append
+        // took effect); a fresh doc is accepted
+        input.addData(IngestDoc(201L, uniq(777)), IngestDoc(203L, uniq(203)))
+        query.processAllAvailable()
+        assert(acceptedIds(s"$dir/accepted") === Set(101L, 102L, 107L, 203L))
+        // partition-style layout: the batch column says who came when
+        val byBatch = spark.read.parquet(s"$dir/accepted")
+          .select("doc_id", "batch").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        assert(byBatch === Map(101L -> 0, 102L -> 0, 107L -> 0, 203L -> 1))
+      } finally query.stop()
+      // the store advanced one delta per non-empty batch and probes the
+      // whole accepted corpus: a resend of batch 1's survivor pairs at 1.0
+      assert(MinhashIndexStore.latestVersion(spark, s"$dir/store") === Some(2L))
+      val pairs = MinhashIndexStore.probeLatest(spark, s"$dir/store",
+        docsDf((999L, uniq(203))), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(pairs.toSet === Set((203L, 999L, 1.0)))
+    }
+  }
+
+  test("crash replay: committed append is skipped, lost append is redone, output is stable") {
+    withDir { dir =>
+      initStore(s"$dir/store", docsDf((1L to 5L).map(i => (i, uniq(i))): _*))
+      // a corpus dup AND a within-batch pair in the replayed batch — the
+      // replay probe runs against an index that now CONTAINS survivor
+      // 103, and must still resolve both the same way
+      val b0 = docsDf((101L, uniq(101)), (102L, uniq(1)),
+        (103L, uniq(888)), (104L, uniq(888)))
+      val o1 = process(b0, 0L, dir)
+      assert(o1 === DedupIngestStream.BatchOutcome(0L, 0L, 1L, 2L,
+        replay = false, appendSkipped = false, compactedTo = None))
+      assert(acceptedIds(s"$dir/accepted") === Set(101L, 103L))
+      // replay after everything committed but the checkpoint: the ledger
+      // sees head > base, skips the append, rewrites the same output
+      val o2 = process(b0, 0L, dir)
+      assert(o2.replay && o2.appendSkipped && o2.version === 1L)
+      assert(MinhashIndexStore.latestVersion(spark, s"$dir/store") === Some(1L))
+      assert(acceptedIds(s"$dir/accepted") === Set(101L, 103L))
+      // replay where the crash hit BEFORE the append committed: the
+      // ledger entry exists, head == base, so the append must redo
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/store/_ingest_ledger/b=1"),
+        "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val o3 = process(docsDf((201L, uniq(201))), 1L, dir)
+      assert(o3.replay && !o3.appendSkipped && o3.version === 2L)
+      assert(acceptedIds(s"$dir/accepted") === Set(101L, 103L, 201L))
+      // replay-dead ledger entries below the current batch are swept
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/store/_ingest_ledger/b=0")))
+      // an empty batch is a full no-op on the index
+      val o4 = process(docsDf(), 2L, dir)
+      assert(o4.accepted === 0L && o4.version === 2L)
+    }
+  }
+
+  test("cadence: chain length past compactEvery triggers compact + prune") {
+    withDir { dir =>
+      initStore(s"$dir/store", docsDf((1L, uniq(1))))
+      val o0 = process(docsDf((101L, uniq(101))), 0L, dir, compactEvery = 2)
+      assert(o0.version === 1L && o0.compactedTo === None)
+      assert(MinhashIndexStore.chainLength(spark, s"$dir/store") === 2)
+      // third link trips the cadence: compact folds to a full v=3 and
+      // prune reclaims everything below it
+      val o1 = process(docsDf((102L, uniq(102))), 1L, dir, compactEvery = 2)
+      assert(o1.version === 2L && o1.compactedTo === Some(3L))
+      assert(MinhashIndexStore.latestVersion(spark, s"$dir/store") === Some(3L))
+      assert(MinhashIndexStore.chainLength(spark, s"$dir/store") === 1)
+      intercept[IllegalArgumentException] {
+        MinhashIndexStore.read(spark, s"$dir/store", Some(0L))
+      }
+      // the compacted store still dedups the whole history
+      val o2 = process(docsDf((301L, uniq(101)), (302L, uniq(302))), 2L, dir,
+        compactEvery = 2)
+      assert(o2.version === 4L)
+      assert(acceptedIds(s"$dir/accepted") === Set(101L, 102L, 302L))
+    }
+  }
+
+  test("merged-group valve pressure fails the batch by name before the compact") {
+    withDir { dir =>
+      // the loop's own appends cannot grow a group (an exact copy is
+      // rejected before it reaches the index) — the pressure must come
+      // from out of band, and the health check still catches it
+      initStore(s"$dir/store", docsDf((1L, uniq(9))), maxGroupSize = 2)
+      MinhashIndexStore.append(spark, s"$dir/store",
+        docsDf((2L, uniq(9)), (3L, uniq(9))), "doc_id", "text",
+        expectedBase = 0L) // per-link group size 2: passes the link valve
+      val ex = intercept[IllegalStateException] {
+        process(docsDf((101L, uniq(101))), 0L, dir, compactEvery = 1)
+      }
+      assert(ex.getMessage.contains("merged group mass 3"))
+      assert(ex.getMessage.contains("maxGroupSize=2"))
+      // the chain is intact: the batch's own append committed, no compact ran
+      assert(MinhashIndexStore.latestVersion(spark, s"$dir/store") === Some(2L))
+    }
+  }
+
+  test("a fresh checkpoint against an ingested store is refused by the owner stamp") {
+    withDir { dir =>
+      initStore(s"$dir/store", docsDf((1L, uniq(1))))
+      process(docsDf((101L, uniq(101))), 0L, dir, checkpoint = "cp-a")
+      val ex = intercept[IllegalArgumentException] {
+        process(docsDf((102L, uniq(102))), 0L, dir, checkpoint = "cp-b")
+      }
+      assert(ex.getMessage.contains("ingested by checkpoint 'cp-a'"))
+    }
+  }
+
+  test("an uninitialized store is refused by name (init is the caller's explicit step)") {
+    withDir { dir =>
+      val ex = intercept[IllegalStateException] {
+        process(docsDf((101L, uniq(101))), 0L, dir)
+      }
+      assert(ex.getMessage.contains("no committed index version"))
+    }
+  }
+}
