@@ -276,6 +276,20 @@ object SemanticIndexStore {
       meta)
   }
 
+  /** Chain length of `version` (the latest committed one when None) —
+    * the compaction-cadence term (SCALE.md "Chain-read economics":
+    * cell pruning holds at every length, so this store's chain tax is
+    * per-scan overhead; compact at ~9 links), by a META-ONLY walk: one
+    * tiny one-row parquet read per link, no cell data touched — cheap
+    * enough for a maintenance loop to poll on every append.
+    * [[chainHealth]] additionally aggregates the chain's cell frames;
+    * poll THIS for the cadence and run the health check when the
+    * cadence trips. */
+  def chainLength(spark: SparkSession, dir: String,
+                  version: Option[Long] = None): Int =
+    chain(spark, dir, VersionedState.resolveVersion(spark, dir, Subframes,
+      "semantic index", version)).length
+
   /** What [[chainHealth]] reports — [[MinhashIndexStore.ChainHealth]]'s
     * analogue for the identical-vector groups: `maxMergedGroup` is the
     * largest member count any distinct vector value reaches when the

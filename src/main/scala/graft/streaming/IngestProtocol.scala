@@ -1,0 +1,159 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, lit, when}
+
+/** The machinery every store-maintaining ingest stream shares —
+  * factored so [[DedupIngestStream]] and [[SemanticIngestStream]]
+  * cannot drift on the replay rules they both promise:
+  *
+  *  - the OWNER STAMP (`_ingest_owner`): binds a store to the one
+  *    checkpoint that maintains it, refusing a fresh checkpoint whose
+  *    restarted batch 0 would mis-read the standing ledger as its own
+  *    replay (the [[CdcStream]] rationale);
+  *  - the per-batch LEDGER (`_ingest_ledger/b=<batchId>`, committed by
+  *    scratch-write + one atomic rename BEFORE any other effect of the
+  *    batch): records the index version the batch saw as its base, so
+  *    a replay can tell "my append committed" (latest > recorded base —
+  *    skip it) from "it didn't" (latest == base — redo it, the stores'
+  *    own crash-replay rule);
+  *  - the LEDGER SWEEP: entries below the current batch are
+  *    replay-dead (foreachBatch delivers batch N only after N−1's
+  *    checkpoint commit), so the ledger never holds more than two
+  *    live entries;
+  *  - the KEEP-FIRST SURVIVOR RULE over a near-dup pair frame.
+  *
+  * Everything here is driver-side tiny-file I/O plus one batch-mass
+  * frame transform; nothing reads corpus-mass data. */
+private[streaming] object IngestProtocol {
+
+  private val OwnerMarker = "_ingest_owner"
+  private val LedgerDir = "_ingest_ledger"
+
+  private def fs(spark: SparkSession,
+                 dir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def readSmall(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+
+  /** Write `dir/name` by scratch-write + one atomic rename — a partial
+    * file can never appear under the final name, so a crash mid-write
+    * leaves only reclaimable `.tmp` debris, never a corrupt marker. */
+  private def writeAtomic(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                          name: String, content: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = new org.apache.hadoop.fs.Path(s"$dir/$name")
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(
+        s"ingest marker at $dest: could not commit (rename from scratch failed)")
+  }
+
+  /** Batch-0 owner check: verify (or, on first contact, stamp) the
+    * checkpoint that owns this store's ingest ledger. */
+  def ownerCheck(spark: SparkSession, indexDir: String, batchId: Long,
+                 checkpointDir: String): Unit =
+    if (batchId == 0L) {
+      val f = fs(spark, indexDir)
+      val marker = new org.apache.hadoop.fs.Path(s"$indexDir/$OwnerMarker")
+      readSmall(f, marker) match {
+        case Some(owner) =>
+          require(owner == checkpointDir,
+            s"index store $indexDir is ingested by checkpoint '$owner' but " +
+              s"batch 0 arrived from checkpoint '$checkpointDir' — a fresh " +
+              "checkpoint would mis-read the standing ingest ledger as its " +
+              "own replays; resume the original checkpoint or point the new " +
+              "stream at its own store")
+        case None =>
+          writeAtomic(f, indexDir, OwnerMarker, checkpointDir)
+      }
+    }
+
+  /** Resolve the batch's base version against the ledger: a fresh batch
+    * records `head` as its base (rename-committed BEFORE any other
+    * effect, so the window between "append committed" and "ledger
+    * written" cannot exist); a replayed batch gets the base it recorded
+    * the first time. Returns (base, replay). */
+  def resolveBase(spark: SparkSession, indexDir: String, batchId: Long,
+                  head: Long, what: String): (Long, Boolean) = {
+    val f = fs(spark, indexDir)
+    val entry = new org.apache.hadoop.fs.Path(s"$indexDir/$LedgerDir/b=$batchId")
+    readSmall(f, entry) match {
+      case Some(s) =>
+        val b =
+          try s.trim.toLong
+          catch {
+            case _: NumberFormatException => throw new IllegalStateException(
+              s"$what at $indexDir: ledger entry $entry holds '$s', not a " +
+                "version — the ledger is written by atomic rename, so this " +
+                "is external corruption; repair or remove the entry")
+          }
+        require(head >= b,
+          s"$what at $indexDir: ledger records base v=$b for batch $batchId " +
+            s"but the latest committed version is v=$head — the base " +
+            "regressed (pruned head or external rebuild?); the store no " +
+            "longer matches this checkpoint's history")
+        (b, true)
+      case None =>
+        writeAtomic(f, s"$indexDir/$LedgerDir", s"b=$batchId", head.toString)
+        (head, false)
+    }
+  }
+
+  /** Delete ledger entries below `batchId` — replay-dead, see above. */
+  def sweepLedger(spark: SparkSession, indexDir: String,
+                  batchId: Long): Unit = {
+    val f = fs(spark, indexDir)
+    val root = new org.apache.hadoop.fs.Path(s"$indexDir/$LedgerDir")
+    if (f.exists(root)) {
+      val Entry = "b=(\\d+)".r
+      f.listStatus(root).foreach { st =>
+        st.getPath.getName match {
+          case Entry(b) if b.toLong < batchId => f.delete(st.getPath, false)
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  /** The keep-first survivor rule over a near-dup `pairs` frame
+    * (`id_a < id_b`, every pair touching the batch): a batch row is
+    * REJECTED iff some pair links it to a partner absent from the batch
+    * (the standing corpus copy wins regardless of id order) or to a
+    * smaller batch id. Deterministic in ONE pass — a doc rejected
+    * against an id that was itself rejected stays rejected — which is
+    * what makes the replay re-probe stable: a survivor's own index copy
+    * carries a BATCH id, so every extra pair it admits on replay lands
+    * in the within-batch branch and resolves exactly as the first pass
+    * did. Pair MULTIPLICITY doesn't matter (the rule is
+    * exists-semantics), so replay probes that see the same pair through
+    * two routes change nothing. All joins broadcast batch- or
+    * candidate-mass sides only. */
+  def keepFirstSurvivors(batch: DataFrame, pairs: DataFrame,
+                         idCol: String): DataFrame = {
+    val bids = batch.select(col(idCol).as("bid")).distinct()
+    val flagged = pairs.select("id_a", "id_b")
+      .join(broadcast(bids.select(col("bid").as("id_a"),
+        lit(true).as("a_in"))), Seq("id_a"), "left")
+      .join(broadcast(bids.select(col("bid").as("id_b"),
+        lit(true).as("b_in"))), Seq("id_b"), "left")
+    val rejected = flagged.select(
+      when(col("a_in").isNull, col("id_b")) // corpus partner: batch doc loses
+        .when(col("b_in").isNull, col("id_a"))
+        .otherwise(col("id_b")) // both in batch: larger id loses
+        .as(idCol))
+      .distinct()
+    batch.join(broadcast(rejected), Seq(idCol), "left_anti")
+  }
+}

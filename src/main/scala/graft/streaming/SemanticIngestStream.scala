@@ -1,0 +1,158 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.{OpCaches, SemanticIndexStore, Similarity}
+
+/** Streaming leg of the SEMANTIC (embedding-space) ingest pipeline —
+  * [[DedupIngestStream]]'s loop over the
+  * [[graft.ops.SemanticIndexStore]], with the centroid-drift signal
+  * wired in as a per-batch gate: per micro-batch, PROFILE the arriving
+  * vectors against the persisted train-time assign-distance quantiles
+  * ([[SemanticIndexStore.driftReport]] — O(batch), ~free next to the
+  * probe), PROBE them against the standing cells (partition-pruned to
+  * the batch's argmin cells, zero corpus-size shuffle term), keep the
+  * survivors ([[IngestProtocol.keepFirstSurvivors]] — batch vectors
+  * that semantic-near-dup nothing standing and nothing smaller-id in
+  * their own batch), APPEND them as an O(batch) cell delta, and run
+  * the cadence maintenance (meta-only chain poll every batch; health
+  * check + O(corpus) compact + prune when the chain passes
+  * `compactEvery` links — ~9 is this store's measured knee, SCALE.md
+  * "Chain-read economics").
+  *
+  * ==The drift gate==
+  * Appends assign against STANDING centroids by design; when the
+  * corpus has drifted past them, cell assignment degrades toward
+  * random and the probe silently under-dedups — a silent-miss path.
+  * The loop therefore HARD-FAILS the batch, by name, on the strong
+  * documented trigger `batchP50 > trainP99` (the TYPICAL new vector
+  * assigns farther out than the worst trained percentile — SCALE.md
+  * "Centroid drift"): at that point most of the batch's near-dup
+  * probing is meaningless and the remedy is the explicit retrain
+  * rebuild the store's protocol names. The softer signal
+  * (`fracBeyondTrainP99`) rides every [[BatchOutcome]] for the
+  * operator's rebuild scheduling; the loop does not act on it (a
+  * skewed-but-assignable batch still dedups correctly against the
+  * standing cells).
+  *
+  * Replay, ledger, owner stamp: the [[IngestProtocol]] rules verbatim
+  * (re-probing after a committed append is deterministic-identical —
+  * a survivor's standing copy carries the survivor's id, so every
+  * extra pair it admits on replay folds onto a within-batch pair the
+  * first probe already resolved; pair multiplicity is irrelevant to
+  * the exists-semantics survivor rule). Ids must be unique within a
+  * batch and across batches. Unlike the minhash loop, the semantic
+  * loop's own appends CAN grow an identical-vector group only at
+  * cosine exactly 1.0 with a distinct id — which the survivor rule
+  * rejects first, so merged-valve pressure again only comes from the
+  * init corpus or out-of-band maintainers; the pre-compact health
+  * check still guards it by name. */
+object SemanticIngestStream {
+
+  /** What one micro-batch did; `drift` is None only for an empty
+    * batch (nothing to profile — the store's own driftReport
+    * deliberately fails by name on an unscoreable NON-empty batch,
+    * and the loop lets that failure through: an all-null batch must
+    * not read as quiet). */
+  final case class BatchOutcome(batchId: Long, base: Long, version: Long,
+                                accepted: Long, replay: Boolean,
+                                appendSkipped: Boolean,
+                                drift: Option[Similarity.AssignDriftReport],
+                                compactedTo: Option[Long])
+
+  /** One micro-batch of the semantic ingest loop — factored out of the
+    * sink so specs can drive batch ids (and replays)
+    * deterministically. */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
+                                  indexDir: String, acceptedDir: String,
+                                  idCol: String, vecCol: String,
+                                  threshold: Double, compactEvery: Int,
+                                  checkpointDir: String): BatchOutcome = {
+    val spark = batch.sparkSession
+    IngestProtocol.ownerCheck(spark, indexDir, batchId, checkpointDir)
+    val head = SemanticIndexStore.latestVersion(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"semantic ingest at $indexDir: no committed index version — " +
+          "SemanticIndexStore.init the store over the standing corpus " +
+          "before starting the stream (this store refuses an empty init: " +
+          "no corpus, no centroids, nothing to probe)"))
+    val (base, replay) = IngestProtocol.resolveBase(spark, indexDir, batchId,
+      head, "semantic ingest")
+    val appendCommitted = replay && head > base
+    // drift gate BEFORE the probe: a batch the standing centroids can't
+    // meaningfully assign would silently under-dedup
+    val drift =
+      if (batch.isEmpty) None
+      else {
+        val d = SemanticIndexStore.driftReport(spark, indexDir, batch, vecCol)
+        if (d.batchP50 > d.trainP99)
+          throw new IllegalStateException(
+            s"semantic ingest at $indexDir: batch $batchId assigns with " +
+              s"median distance ${d.batchP50} beyond the train-time p99 " +
+              s"${d.trainP99} (fracBeyondTrainP99=${d.fracBeyondTrainP99}) " +
+              "— the standing centroids no longer describe the corpus and " +
+              "near-dup probing against them would silently under-dedup; " +
+              "retrain via an explicit rebuild (SCALE.md \"Centroid drift\")")
+        Some(d)
+      }
+    val outPath = s"$acceptedDir/batch=$batchId"
+    OpCaches.scoped {
+      val pairs = SemanticIndexStore.probeLatest(spark, indexDir, batch,
+        idCol, vecCol, threshold)
+      IngestProtocol.keepFirstSurvivors(batch, pairs, idCol)
+        .write.mode("overwrite").parquet(outPath)
+    }
+    // the delta is built from EXACTLY the bytes the accepted sink
+    // carries (the commitVersion rationale)
+    val acceptedOnDisk = spark.read.parquet(outPath)
+    val version =
+      if (appendCommitted) head
+      else SemanticIndexStore.append(spark, indexDir, acceptedOnDisk,
+        idCol, vecCol, expectedBase = base)
+    val compactedTo =
+      if (SemanticIndexStore.chainLength(spark, indexDir) > compactEvery) {
+        val health = SemanticIndexStore.chainHealth(spark, indexDir)
+        if (health.groupValveExceeded)
+          throw new IllegalStateException(
+            s"semantic ingest at $indexDir: merged identical-vector group " +
+              s"mass ${health.maxMergedGroup} exceeds the persisted " +
+              s"maxGroupSize=${health.maxGroupSize} at chain length " +
+              s"${health.chainLength} — the scheduled compact WILL fail " +
+              "(the loop's own appends cannot grow a group, so this came " +
+              "from the init corpus or an out-of-band append); split the " +
+              "offending group or rebuild with a larger valve")
+        val c = SemanticIndexStore.compact(spark, indexDir)
+        SemanticIndexStore.prune(spark, indexDir, keepFrom = c)
+        Some(c)
+      } else None
+    IngestProtocol.sweepLedger(spark, indexDir, batchId)
+    BatchOutcome(batchId, base, version, acceptedOnDisk.count(), replay,
+      appendCommitted, drift, compactedTo)
+  }
+
+  /** Start the semantic ingest maintainer: `vectors` must be a
+    * streaming frame carrying `idCol` and `vecCol` (float or double
+    * array at the store's persisted dimension — a re-dimensioned batch
+    * fails by name in the store); accepted vectors land under
+    * `acceptedDir/batch=<batchId>` with `batch` as a partition column.
+    * The store must already be [[SemanticIndexStore.init]]-ed over a
+    * non-empty standing corpus. `threshold` is the cosine near-dup
+    * cut — an explicit per-pipeline choice, no default (0.5 means
+    * something very different here than in token space). The stream is
+    * the store's single maintainer. */
+  def semanticIngestSink(vectors: DataFrame, indexDir: String,
+                         acceptedDir: String, idCol: String, vecCol: String,
+                         checkpointDir: String, threshold: Double,
+                         compactEvery: Int = 9): StreamingQuery = {
+    require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, indexDir, acceptedDir, idCol, vecCol,
+          threshold, compactEvery, checkpointDir)
+        (): Unit
+      }
+      .start()
+  }
+}
