@@ -1,0 +1,102 @@
+package graft.model
+
+import org.apache.spark.sql.functions.{col, pmod, lit}
+
+import graft.streaming.{DedupIngestStream, SemanticIngestStream}
+
+/** Measures the INGEST LOOPS end-to-end — the per-batch cost of
+  * [[graft.streaming.DedupIngestStream]] and
+  * [[graft.streaming.SemanticIngestStream]] as the standing corpus
+  * grows underneath them. The loops' scale claim is that a batch pays
+  * batch-mass work (probe exchanges, delta append, meta-only chain
+  * poll) plus the measured per-link chain tax — NOT corpus-mass work —
+  * so per-batch wall should stay ~flat across a run that grows the
+  * corpus by ~6% per batch, with one visible spike at the cadence
+  * batch that runs the O(corpus) compact (the amortized term). This
+  * main makes that claim a reading instead of prose.
+  *
+  * Method: init each store on HALF its table (even ids), then drive
+  * the other half through the loop as 8 equal batches (odd ids split
+  * by residue), `compactEvery = 4` so the cadence trips mid-run —
+  * batch timings before and after the compact also show whether the
+  * chain reset pays back. Per batch: wall seconds, accepted rows, the
+  * store version, and whether a compact ran. Single pass per store
+  * (the loop is stateful — there is no warm-up that doesn't change
+  * the state); loadavg is printed so a contended reading can be
+  * adjudicated like every other single-run number on this box
+  * (SCALE.md bench doctrine).
+  *
+  * Usage: `runMain graft.model.IngestLoopBench [sfDir]` (default
+  * `SPARK_GRAFT_SF_DIR`, else sf0.1). Prints one JSON line. */
+object IngestLoopBench {
+  import BenchHarness.time
+
+  private def r3(v: Double): String =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  private def loadavg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
+  def main(args: Array[String]): Unit = {
+    val (spark, dir) = BenchHarness.session(args, "/root/testdata/sf0.1")
+    val root = java.nio.file.Files.createTempDirectory("ingest-bench").toString
+    val before = loadavg()
+    try {
+      val Batches = 8
+      def run(store: String,
+              initF: () => Long,
+              batchF: (Int, Long) => (Long, Long, Option[Long])): String = {
+        val (initSec, _) = time(initF())
+        val rows = (0 until Batches).map { b =>
+          val (sec, (accepted, version, compacted)) =
+            time(batchF(b, b.toLong))
+          s"""{"b":$b,"sec":${r3(sec)},"accepted":$accepted,""" +
+            s""""version":$version,"compacted":${compacted.nonEmpty}}"""
+        }
+        s""""$store":{"init_sec":${r3(initSec)},"batches":[${rows.mkString(",")}]}"""
+      }
+
+      // minhash loop over documents: standing = even doc ids; batch b =
+      // odd ids with (id-1)/2 ≡ b (mod 8) — 8 equal slices, ids disjoint
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val mh = run("minhash",
+        () => graft.ops.MinhashIndexStore.init(
+          docs.where(pmod(col("doc_id"), lit(2)) === 0),
+          s"$root/mh/store", "doc_id", "text",
+          shingleK = 5, numBands = 24, rowsPerBand = 2),
+        (b, batchId) => {
+          // odd ids have doc_id % 16 ∈ {1,3,…,15} — 8 equal slices
+          val batch = docs.where(pmod(col("doc_id"), lit(16)) === 2 * b + 1)
+          val o = DedupIngestStream.processBatch(batch, batchId,
+            s"$root/mh/store", s"$root/mh/accepted", "doc_id", "text",
+            threshold = 0.5, compactEvery = 4, checkpointDir = "bench-cp")
+          (o.accepted, o.version, o.compactedTo)
+        })
+
+      // semantic loop over embeddings: same split shape; threshold 0.9
+      val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val sem = run("semantic",
+        () => graft.ops.SemanticIndexStore.init(
+          vecs.where(pmod(col("vec_id"), lit(2)) === 0),
+          s"$root/sem/store", "vec_id", "embedding", nlist = 16),
+        (b, batchId) => {
+          val batch = vecs.where(pmod(col("vec_id"), lit(16)) === 2 * b + 1)
+          val o = SemanticIngestStream.processBatch(batch, batchId,
+            s"$root/sem/store", s"$root/sem/accepted", "vec_id", "embedding",
+            threshold = 0.9, compactEvery = 4, checkpointDir = "bench-cp")
+          (o.accepted, o.version, o.compactedTo)
+        })
+
+      println(s"""{"metric":"ingest_loop","sf":"$dir",""" +
+        s""""load_before":$before,"load_after":${loadavg()},""" +
+        s"""$mh,$sem}""")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
+      spark.stop()
+    }
+  }
+}
