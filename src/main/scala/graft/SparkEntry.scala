@@ -674,6 +674,46 @@ object SparkEntry {
     }
   }
 
+  /** The STREAMING INGEST LOOP's semantics end-to-end, gated: init a
+    * scratch [[graft.ops.MinhashIndexStore]] over the standing corpus
+    * (doc_id % 5 ≠ 0), then drive the batch half through TWO sequential
+    * micro-batches of [[graft.streaming.DedupIngestStream.processBatch]]
+    * (even then odd batch ids) and return every accepted (near-dup-free)
+    * document with the batch that accepted it. The oracle replays the
+    * keep-first survivor rule in SQL over the exact all-pairs Jaccard
+    * table, SEQUENTIALLY: batch-1 docs reject against the corpus or a
+    * smaller batch-1 id; batch-2 docs reject against the corpus, the
+    * batch-1 SURVIVORS (a doc that only near-dups a batch-1 REJECT is
+    * accepted — rejects never enter the index), or a smaller batch-2
+    * id. This pins the loop's cross-batch statefulness — the append
+    * taking effect, and only survivors standing — against an
+    * independent engine, not just a spec. Materialized before the
+    * scratch store is deleted (the qMinhashStore pattern). */
+  def qIngestLoop(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DedupIngestStream
+    val docs = t(spark, dir, "documents")
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val root = java.nio.file.Files.createTempDirectory("q-ingest-loop").toString
+    try {
+      graft.ops.MinhashIndexStore.init(corpus, s"$root/store",
+        "doc_id", "text", shingleK = 5, numBands = 24, rowsPerBand = 2)
+      Seq(0L, 1L).foreach { b =>
+        DedupIngestStream.processBatch(
+          docs.where(col("doc_id") % 5 === 0 && pmod(col("doc_id"), lit(10)) === b * 5),
+          b, s"$root/store", s"$root/accepted", "doc_id", "text",
+          threshold = 0.5, compactEvery = 8, checkpointDir = "gate-cp")
+      }
+      val accepted = spark.read.parquet(s"$root/accepted")
+        .select(col("doc_id"), col("batch").cast("int").as("batch"))
+        .orderBy("doc_id")
+      val rows = accepted.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), accepted.schema)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
+    }
+  }
+
   /** Exact all-pairs hamming reference for the simhash contract gate:
     * every (id_a < id_b, hamming ≤ maxDistance) pair, computed the
     * brute-force way — C(distinct sketches, 2) bit_count comparisons
@@ -1968,6 +2008,7 @@ object SparkEntry {
     "q_minhash_incr"     -> qMinhashIncr,
     "q_minhash_banded"   -> qMinhashBanded,
     "q_minhash_store"    -> qMinhashStore,
+    "q_ingest_loop"      -> qIngestLoop,
     "q_dedup_simhash"    -> qDedupSimhash,
     "q_ngram_jaccard"    -> qNgramJaccard,
     "q_text_stats"       -> qTextStats,
@@ -2093,6 +2134,45 @@ object SparkEntry {
       |WHERE i::DOUBLE / (a.sz + b.sz - i) >= 0.5
       |  AND (id_a % 5 = 0 OR id_b % 5 = 0)
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** The q_ingest_loop oracle: the keep-first survivor rule replayed
+    * SEQUENTIALLY in SQL over the exact all-pairs Jaccard table (the
+    * minhashIncrOracleSql CTEs). Batch-1 docs (doc_id % 10 = 0) reject
+    * against the corpus (% 5 ≠ 0) or a smaller batch-1 id; batch-2
+    * docs (% 10 = 5) reject against the corpus, batch-1's SURVIVORS
+    * (rejects never entered the index), or a smaller batch-2 id. */
+  private def ingestLoopOracleSql: String =
+    """WITH toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t
+      |              FROM documents),
+      |sh AS (SELECT id, unnest(CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+      |          ELSE list_distinct(list_transform(generate_series(1, len(t) - 4),
+      |               i -> array_to_string(t[i:i+4], ' '))) END) AS s FROM toks),
+      |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+      |inter AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS i
+      |          FROM sh x JOIN sh y USING (s) WHERE x.id < y.id GROUP BY 1, 2),
+      |jac AS (SELECT id_a, id_b
+      |        FROM inter JOIN sizes a ON inter.id_a = a.id
+      |                   JOIN sizes b ON inter.id_b = b.id
+      |        WHERE i::DOUBLE / (a.sz + b.sz - i) >= 0.5),
+      |prs AS (SELECT id_a AS x, id_b AS y FROM jac
+      |        UNION ALL SELECT id_b, id_a FROM jac),
+      |corpus AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0),
+      |b1 AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+      |b2 AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 5),
+      |rej1 AS (SELECT DISTINCT p.x AS doc_id FROM prs p
+      |         WHERE p.x IN (SELECT doc_id FROM b1)
+      |           AND (p.y IN (SELECT doc_id FROM corpus)
+      |                OR (p.y IN (SELECT doc_id FROM b1) AND p.y < p.x))),
+      |acc1 AS (SELECT doc_id FROM b1 EXCEPT SELECT doc_id FROM rej1),
+      |stand2 AS (SELECT doc_id FROM corpus UNION SELECT doc_id FROM acc1),
+      |rej2 AS (SELECT DISTINCT p.x AS doc_id FROM prs p
+      |         WHERE p.x IN (SELECT doc_id FROM b2)
+      |           AND (p.y IN (SELECT doc_id FROM stand2)
+      |                OR (p.y IN (SELECT doc_id FROM b2) AND p.y < p.x))),
+      |acc2 AS (SELECT doc_id FROM b2 EXCEPT SELECT doc_id FROM rej2)
+      |SELECT doc_id, CAST(0 AS INT) AS batch FROM acc1
+      |UNION ALL SELECT doc_id, CAST(1 AS INT) AS batch FROM acc2
+      |ORDER BY doc_id""".stripMargin
 
   /** The q_semantic_dedup exact all-pairs reference with the +1000001
     * planted shift, filtered to pairs touching the batch (vec_id % 5 =
@@ -2630,6 +2710,7 @@ object SparkEntry {
     "q_minhash_incr" -> minhashIncrOracleSql,
     "q_minhash_banded" -> minhashIncrOracleSql,
     "q_minhash_store" -> minhashIncrOracleSql,
+    "q_ingest_loop" -> ingestLoopOracleSql,
     // q_dedup_simhash is a CONTRACT GATE (the q_ann_lsh house pattern),
     // not a SQL mirror: the xxhash64 sketch values cannot be reproduced
     // in DuckDB (round-4 analysis — do not retry that conversion). The
