@@ -202,6 +202,18 @@ object IvfIndexStore {
     VersionedState.pruneToChainBase(spark, dir, keepFrom, Subframes,
       "ivf index")(readMeta(spark, dir, _).full)
 
+  /** Chain length of `version` (the latest committed one when None) —
+    * the compaction-cadence term (SCALE.md "Chain-read economics"; this
+    * store shares [[SemanticIndexStore]]'s cell-pruned read shape, so
+    * the chain tax is per-scan overhead — compact at ~9 links), by a
+    * META-ONLY walk: one tiny one-row parquet read per link, no cell
+    * data touched — cheap enough for a maintenance loop to poll on
+    * every append. */
+  def chainLength(spark: SparkSession, dir: String,
+                  version: Option[Long] = None): Int =
+    chain(spark, dir, VersionedState.resolveVersion(spark, dir, Subframes,
+      "ivf index", version)).length
+
   /** The version's centroid table, tamper-checked against its
     * persisted meta. */
   private def readCentroids(spark: SparkSession, dir: String, v: Long,
