@@ -2,7 +2,7 @@ package graft.model
 
 import org.apache.spark.sql.functions.{col, pmod, lit}
 
-import graft.streaming.{DedupIngestStream, SemanticIngestStream}
+import graft.streaming.{DedupIngestStream, IvfIngestStream, SemanticIngestStream}
 
 /** Measures the INGEST LOOPS end-to-end — the per-batch cost of
   * [[graft.streaming.DedupIngestStream]] and
@@ -90,9 +90,23 @@ object IngestLoopBench {
           (o.accepted, o.version, o.compactedTo)
         })
 
+      // ivf loop over the same embeddings split: append-only (no dedup
+      // decision), so its per-batch cost is the floor of the triad
+      val ivf = run("ivf",
+        () => graft.ops.IvfIndexStore.init(
+          vecs.where(pmod(col("vec_id"), lit(2)) === 0),
+          s"$root/ivf/store", "vec_id", "embedding", nlist = 16),
+        (b, batchId) => {
+          val batch = vecs.where(pmod(col("vec_id"), lit(16)) === 2 * b + 1)
+          val o = IvfIngestStream.processBatch(batch, batchId,
+            s"$root/ivf/store", "vec_id", "embedding",
+            compactEvery = 4, checkpointDir = "bench-cp")
+          (o.appended, o.version, o.compactedTo)
+        })
+
       println(s"""{"metric":"ingest_loop","sf":"$dir",""" +
         s""""load_before":$before,"load_after":${loadavg()},""" +
-        s"""$mh,$sem}""")
+        s"""$mh,$sem,$ivf}""")
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(root)).deleteRecursively()
