@@ -46,7 +46,8 @@ object IvfIngestStream {
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
                                   indexDir: String, idCol: String,
                                   vecCol: String, compactEvery: Int,
-                                  checkpointDir: String): BatchOutcome = {
+                                  checkpointDir: String,
+                                  driftGateMinRows: Long = 16L): BatchOutcome = {
     val spark = batch.sparkSession
     IngestProtocol.ownerCheck(spark, indexDir, batchId, checkpointDir)
     val head = IvfIndexStore.latestVersion(spark, indexDir).getOrElse(
@@ -63,7 +64,7 @@ object IvfIngestStream {
       if (batchRows == 0L) None
       else {
         val d = IvfIndexStore.driftReport(spark, indexDir, batch, vecCol)
-        if (d.batchP50 > d.trainP99)
+        if (d.scoredRows >= driftGateMinRows && d.batchP50 > d.trainP99)
           throw new IllegalStateException(
             s"ivf ingest at $indexDir: batch $batchId assigns with median " +
               s"distance ${d.batchP50} beyond the train-time p99 " +
@@ -99,13 +100,14 @@ object IvfIngestStream {
     * maintainer. */
   def ivfIngestSink(vectors: DataFrame, indexDir: String, idCol: String,
                     vecCol: String, checkpointDir: String,
-                    compactEvery: Int = 9): StreamingQuery = {
+                    compactEvery: Int = 9,
+                    driftGateMinRows: Long = 16L): StreamingQuery = {
     require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, indexDir, idCol, vecCol,
-          compactEvery, checkpointDir)
+          compactEvery, checkpointDir, driftGateMinRows)
         (): Unit
       }
       .start()

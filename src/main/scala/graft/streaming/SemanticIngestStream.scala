@@ -34,7 +34,12 @@ import graft.ops.{OpCaches, SemanticIndexStore, Similarity}
   * (`fracBeyondTrainP99`) rides every [[BatchOutcome]] for the
   * operator's rebuild scheduling; the loop does not act on it (a
   * skewed-but-assignable batch still dedups correctly against the
-  * standing cells).
+  * standing cells). Batches with fewer than `driftGateMinRows`
+  * scorable vectors get the report WITHOUT the hard gate: a median
+  * over a handful of draws is one outlier wide, and a stream a single
+  * legitimate far-out vector can kill is an operational hazard, not a
+  * valve — the report still rides the outcome, so a scheduler watching
+  * the advisory fraction loses nothing.
   *
   * Replay, ledger, owner stamp: the [[IngestProtocol]] rules verbatim
   * (re-probing after a committed append is deterministic-identical —
@@ -68,7 +73,8 @@ object SemanticIngestStream {
                                   indexDir: String, acceptedDir: String,
                                   idCol: String, vecCol: String,
                                   threshold: Double, compactEvery: Int,
-                                  checkpointDir: String): BatchOutcome = {
+                                  checkpointDir: String,
+                                  driftGateMinRows: Long = 16L): BatchOutcome = {
     val spark = batch.sparkSession
     IngestProtocol.ownerCheck(spark, indexDir, batchId, checkpointDir)
     val head = SemanticIndexStore.latestVersion(spark, indexDir).getOrElse(
@@ -86,7 +92,7 @@ object SemanticIngestStream {
       if (batch.isEmpty) None
       else {
         val d = SemanticIndexStore.driftReport(spark, indexDir, batch, vecCol)
-        if (d.batchP50 > d.trainP99)
+        if (d.scoredRows >= driftGateMinRows && d.batchP50 > d.trainP99)
           throw new IllegalStateException(
             s"semantic ingest at $indexDir: batch $batchId assigns with " +
               s"median distance ${d.batchP50} beyond the train-time p99 " +
@@ -144,13 +150,14 @@ object SemanticIngestStream {
   def semanticIngestSink(vectors: DataFrame, indexDir: String,
                          acceptedDir: String, idCol: String, vecCol: String,
                          checkpointDir: String, threshold: Double,
-                         compactEvery: Int = 9): StreamingQuery = {
+                         compactEvery: Int = 9,
+                         driftGateMinRows: Long = 16L): StreamingQuery = {
     require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, indexDir, acceptedDir, idCol, vecCol,
-          threshold, compactEvery, checkpointDir)
+          threshold, compactEvery, checkpointDir, driftGateMinRows)
         (): Unit
       }
       .start()

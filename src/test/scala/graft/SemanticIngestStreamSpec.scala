@@ -106,22 +106,31 @@ class SemanticIngestStreamSpec extends SparkSpec {
         ((900 + i).toLong, member(i % 4, 9000 + i))): _*), 0L, dir)
       assert(o0.drift.isDefined && o0.drift.get.fracBeyondTrainP99 <= 0.2)
       assert(o0.version === 0L && o0.accepted === 0L)
-      // full-space random vectors: typical assign distance beyond the
-      // train p99 — the hard trigger fires BEFORE probe/write/append
       def randomDir(i: Int): Array[Float] = {
         val rnd = new scala.util.Random(777000 + i)
         Array.fill(16)(rnd.nextFloat() * 2 - 1)
       }
+      // a TINY far-out batch (below the driftGateMinRows floor) rides
+      // through with the advisory report only — a median over a handful
+      // of draws is one outlier wide, and one legitimate stray vector
+      // must not kill the stream
+      val oSmall = process(vecs((0 until 3).map(i =>
+        ((1500 + i).toLong, randomDir(100 + i))): _*), 1L, dir)
+      assert(oSmall.drift.get.fracBeyondTrainP99 >= 0.6)
+      assert(oSmall.version === 1L, "small batch must append, not gate")
+      // full-space random vectors at gate mass: typical assign distance
+      // beyond the train p99 — the hard trigger fires BEFORE
+      // probe/write/append
       val ex = intercept[IllegalStateException] {
         process(vecs((0 until 20).map(i =>
-          ((1900 + i).toLong, randomDir(i))): _*), 1L, dir)
+          ((1900 + i).toLong, randomDir(i))): _*), 2L, dir)
       }
       assert(ex.getMessage.contains("beyond the train-time p99"))
       assert(ex.getMessage.contains("retrain"))
-      // nothing moved: no append, no accepted output for batch 1
-      assert(SemanticIndexStore.latestVersion(spark, s"$dir/store") === Some(0L))
+      // nothing moved: no append, no accepted output for batch 2
+      assert(SemanticIndexStore.latestVersion(spark, s"$dir/store") === Some(1L))
       assert(!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$dir/accepted/batch=1")))
+        java.nio.file.Paths.get(s"$dir/accepted/batch=2")))
     }
   }
 
