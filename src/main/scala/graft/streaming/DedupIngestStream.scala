@@ -86,43 +86,47 @@ object DedupIngestStream {
     // a same-head replay redoes it (the store's own replay rule)
     val appendCommitted = replay && head > base
     val outPath = s"$acceptedDir/batch=$batchId"
-    // probe + survivor rule + accepted write, caches scope-released so
-    // the long-running stream accumulates none
+    // EVERYTHING that can register an operator-internal cache — the
+    // probe, the append's delta build, the health check, the compact —
+    // runs inside ONE scope, released per batch: a long-running stream
+    // must accumulate no cache entries (every registered frame here is
+    // batch- or candidate-mass, but per-batch leaks still sum)
     OpCaches.scoped {
       val pairs = MinhashIndexStore.probeLatest(spark, indexDir, batch,
         idCol, textCol, threshold)
       IngestProtocol.keepFirstSurvivors(batch, pairs, idCol)
         .write.mode("overwrite").parquet(outPath)
+      // the delta is built from EXACTLY the bytes the accepted sink
+      // carries — re-read, not the in-memory frame — so the index and
+      // the accepted output can never drift (the commitVersion
+      // rationale)
+      val acceptedOnDisk = spark.read.parquet(outPath)
+      val version =
+        if (appendCommitted) head
+        else MinhashIndexStore.append(spark, indexDir, acceptedOnDisk,
+          idCol, textCol, expectedBase = base)
+      // maintenance: meta-only poll every batch; mass-reading health
+      // check and the O(corpus) compact only when the cadence trips
+      val compactedTo =
+        if (MinhashIndexStore.chainLength(spark, indexDir) > compactEvery) {
+          val health = MinhashIndexStore.chainHealth(spark, indexDir)
+          if (health.groupValveExceeded)
+            throw new IllegalStateException(
+              s"dedup ingest at $indexDir: merged group mass " +
+                s"${health.maxMergedGroup} exceeds the persisted " +
+                s"maxGroupSize=${health.maxGroupSize} at chain length " +
+                s"${health.chainLength} — the scheduled compact WILL fail " +
+                "(the loop's own appends cannot grow a group, so this came " +
+                "from the init corpus or an out-of-band append); split the " +
+                "offending near-dup group or rebuild with a larger valve")
+          val c = MinhashIndexStore.compact(spark, indexDir)
+          MinhashIndexStore.prune(spark, indexDir, keepFrom = c)
+          Some(c)
+        } else None
+      IngestProtocol.sweepLedger(spark, indexDir, batchId)
+      BatchOutcome(batchId, base, version, acceptedOnDisk.count(), replay,
+        appendCommitted, compactedTo)
     }
-    // the delta is built from EXACTLY the bytes the accepted sink
-    // carries — re-read, not the in-memory frame — so the index and the
-    // accepted output can never drift (the commitVersion rationale)
-    val acceptedOnDisk = spark.read.parquet(outPath)
-    val version =
-      if (appendCommitted) head
-      else MinhashIndexStore.append(spark, indexDir, acceptedOnDisk,
-        idCol, textCol, expectedBase = base)
-    // maintenance: meta-only poll every batch; mass-reading health check
-    // and the O(corpus) compact only when the cadence trips
-    val compactedTo =
-      if (MinhashIndexStore.chainLength(spark, indexDir) > compactEvery) {
-        val health = MinhashIndexStore.chainHealth(spark, indexDir)
-        if (health.groupValveExceeded)
-          throw new IllegalStateException(
-            s"dedup ingest at $indexDir: merged group mass " +
-              s"${health.maxMergedGroup} exceeds the persisted " +
-              s"maxGroupSize=${health.maxGroupSize} at chain length " +
-              s"${health.chainLength} — the scheduled compact WILL fail " +
-              "(the loop's own appends cannot grow a group, so this came " +
-              "from the init corpus or an out-of-band append); split the " +
-              "offending near-dup group or rebuild with a larger valve")
-        val c = MinhashIndexStore.compact(spark, indexDir)
-        MinhashIndexStore.prune(spark, indexDir, keepFrom = c)
-        Some(c)
-      } else None
-    IngestProtocol.sweepLedger(spark, indexDir, batchId)
-    BatchOutcome(batchId, base, version, acceptedOnDisk.count(), replay,
-      appendCommitted, compactedTo)
   }
 
   /** Start the ingest maintainer: `docs` must be a streaming frame

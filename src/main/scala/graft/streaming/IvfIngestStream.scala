@@ -75,19 +75,25 @@ object IvfIngestStream {
               "\"Centroid drift\")")
         Some(d)
       }
-    val version =
-      if (appendCommitted) head
-      else IvfIndexStore.append(spark, indexDir, batch, idCol, vecCol,
-        expectedBase = base)
-    val compactedTo =
-      if (IvfIndexStore.chainLength(spark, indexDir) > compactEvery) {
-        val c = IvfIndexStore.compact(spark, indexDir)
-        IvfIndexStore.prune(spark, indexDir, keepFrom = c)
-        Some(c)
-      } else None
-    IngestProtocol.sweepLedger(spark, indexDir, batchId)
-    BatchOutcome(batchId, base, version, batchRows, replay, appendCommitted,
-      drift, compactedTo)
+    // one scope around the append and compact — today's assignment
+    // kernels register no caches, but the triad's loops share the
+    // per-batch release contract so a future kernel cache cannot
+    // silently leak across a long-running stream
+    graft.ops.OpCaches.scoped {
+      val version =
+        if (appendCommitted) head
+        else IvfIndexStore.append(spark, indexDir, batch, idCol, vecCol,
+          expectedBase = base)
+      val compactedTo =
+        if (IvfIndexStore.chainLength(spark, indexDir) > compactEvery) {
+          val c = IvfIndexStore.compact(spark, indexDir)
+          IvfIndexStore.prune(spark, indexDir, keepFrom = c)
+          Some(c)
+        } else None
+      IngestProtocol.sweepLedger(spark, indexDir, batchId)
+      BatchOutcome(batchId, base, version, batchRows, replay, appendCommitted,
+        drift, compactedTo)
+    }
   }
 
   /** Start the IVF maintainer: `vectors` must be a streaming frame

@@ -103,38 +103,42 @@ object SemanticIngestStream {
         Some(d)
       }
     val outPath = s"$acceptedDir/batch=$batchId"
+    // everything below can register operator-internal caches (the
+    // probe's candidate frames, the append's grouped-vector build, the
+    // compact's merge) — one scope, released per batch, so a
+    // long-running stream accumulates no cache entries
     OpCaches.scoped {
       val pairs = SemanticIndexStore.probeLatest(spark, indexDir, batch,
         idCol, vecCol, threshold)
       IngestProtocol.keepFirstSurvivors(batch, pairs, idCol)
         .write.mode("overwrite").parquet(outPath)
+      // the delta is built from EXACTLY the bytes the accepted sink
+      // carries (the commitVersion rationale)
+      val acceptedOnDisk = spark.read.parquet(outPath)
+      val version =
+        if (appendCommitted) head
+        else SemanticIndexStore.append(spark, indexDir, acceptedOnDisk,
+          idCol, vecCol, expectedBase = base)
+      val compactedTo =
+        if (SemanticIndexStore.chainLength(spark, indexDir) > compactEvery) {
+          val health = SemanticIndexStore.chainHealth(spark, indexDir)
+          if (health.groupValveExceeded)
+            throw new IllegalStateException(
+              s"semantic ingest at $indexDir: merged identical-vector group " +
+                s"mass ${health.maxMergedGroup} exceeds the persisted " +
+                s"maxGroupSize=${health.maxGroupSize} at chain length " +
+                s"${health.chainLength} — the scheduled compact WILL fail " +
+                "(the loop's own appends cannot grow a group, so this came " +
+                "from the init corpus or an out-of-band append); split the " +
+                "offending group or rebuild with a larger valve")
+          val c = SemanticIndexStore.compact(spark, indexDir)
+          SemanticIndexStore.prune(spark, indexDir, keepFrom = c)
+          Some(c)
+        } else None
+      IngestProtocol.sweepLedger(spark, indexDir, batchId)
+      BatchOutcome(batchId, base, version, acceptedOnDisk.count(), replay,
+        appendCommitted, drift, compactedTo)
     }
-    // the delta is built from EXACTLY the bytes the accepted sink
-    // carries (the commitVersion rationale)
-    val acceptedOnDisk = spark.read.parquet(outPath)
-    val version =
-      if (appendCommitted) head
-      else SemanticIndexStore.append(spark, indexDir, acceptedOnDisk,
-        idCol, vecCol, expectedBase = base)
-    val compactedTo =
-      if (SemanticIndexStore.chainLength(spark, indexDir) > compactEvery) {
-        val health = SemanticIndexStore.chainHealth(spark, indexDir)
-        if (health.groupValveExceeded)
-          throw new IllegalStateException(
-            s"semantic ingest at $indexDir: merged identical-vector group " +
-              s"mass ${health.maxMergedGroup} exceeds the persisted " +
-              s"maxGroupSize=${health.maxGroupSize} at chain length " +
-              s"${health.chainLength} — the scheduled compact WILL fail " +
-              "(the loop's own appends cannot grow a group, so this came " +
-              "from the init corpus or an out-of-band append); split the " +
-              "offending group or rebuild with a larger valve")
-        val c = SemanticIndexStore.compact(spark, indexDir)
-        SemanticIndexStore.prune(spark, indexDir, keepFrom = c)
-        Some(c)
-      } else None
-    IngestProtocol.sweepLedger(spark, indexDir, batchId)
-    BatchOutcome(batchId, base, version, acceptedOnDisk.count(), replay,
-      appendCommitted, drift, compactedTo)
   }
 
   /** Start the semantic ingest maintainer: `vectors` must be a
