@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions.{broadcast, col, lit, when}
   *
   * Everything here is driver-side tiny-file I/O plus one batch-mass
   * frame transform; nothing reads corpus-mass data. */
-private[streaming] object IngestProtocol {
+private[graft] object IngestProtocol {
 
   private val OwnerMarker = "_ingest_owner"
   private val LedgerDir = "_ingest_ledger"

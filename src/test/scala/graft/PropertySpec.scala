@@ -465,4 +465,41 @@ class PropertySpec extends SparkSpec {
     assert(c === Map(1L -> 0L, 2L -> 0L))
     spark.catalog.clearCache()
   }
+
+  test("property: keep-first survivors match the reference rule for any pair graph") {
+    import graft.streaming.IngestProtocol
+    val batchIds = (100L to 111L).toVector
+    val corpusIds = (1L to 8L).toVector
+    // arbitrary near-dup pair graphs touching the batch: each pair links
+    // a batch doc to a corpus doc or to another batch doc
+    val pairGen = Gen.listOfN(14, for {
+      x <- Gen.oneOf(batchIds)
+      y <- Gen.oneOf(batchIds ++ corpusIds)
+      if y != x
+    } yield (math.min(x, y), math.max(x, y)))
+    samples(pairGen, 8).foreach { rawPairs =>
+      val pairs = rawPairs.distinct
+      val batchSet = batchIds.toSet
+      // the reference rule, in plain Scala: rejected iff some pair links
+      // the doc to a non-batch partner or to a smaller batch id — one
+      // pass, no transitive rescue of docs whose rejecter was rejected
+      val expected = batchIds.filterNot { b =>
+        pairs.exists { case (x, y) =>
+          (x == b && !batchSet(y)) || (y == b && !batchSet(x)) ||
+            (y == b && batchSet(x))
+        }
+      }.toSet
+      val batchDf = batchIds.map(i => (i, s"payload-$i")).toDF("doc_id", "text")
+      val pairsDf = pairs.toDF("id_a", "id_b")
+      val got = IngestProtocol.keepFirstSurvivors(batchDf, pairsDf, "doc_id")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got === expected, s"pairs: $pairs")
+    }
+    // the empty graph keeps everything
+    val all = IngestProtocol.keepFirstSurvivors(
+      batchIds.map(i => (i, "t")).toDF("doc_id", "text"),
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(all === batchIds.toSet)
+  }
 }
