@@ -94,7 +94,16 @@ object DedupIngestStream {
     OpCaches.scoped {
       val pairs = MinhashIndexStore.probeLatest(spark, indexDir, batch,
         idCol, textCol, threshold)
+      // bound the accepted sink's file count by ROW mass (the delta-
+      // commit rationale): the survivor lineage is a broadcast anti-join
+      // straight off the source scan — no shuffle, so its write would
+      // inherit the SOURCE partition count (a 512-partition Kafka batch
+      // = 512 small files per micro-batch, forever). The explicit
+      // repartition is one batch-mass exchange — the loop's own cost
+      // class — and coalesce would be wrong here: with no shuffle
+      // boundary above it, it collapses the probe's scan parallelism.
       IngestProtocol.keepFirstSurvivors(batch, pairs, idCol)
+        .repartition(IngestProtocol.boundedFileCount(batch.count()))
         .write.mode("overwrite").parquet(outPath)
       // the delta is built from EXACTLY the bytes the accepted sink
       // carries — re-read, not the in-memory frame — so the index and

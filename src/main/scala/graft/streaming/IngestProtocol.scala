@@ -127,6 +127,16 @@ private[graft] object IngestProtocol {
     }
   }
 
+  /** Partition count that targets ~250k rows per output file (≈100 MB
+    * parquet at document/vector row shapes) — the same row-mass bound
+    * the minhash delta commits use, for the accepted sinks: an upper
+    * bound on SURVIVOR mass (the batch row count) is fine, since the
+    * cost of over-partitioning by the rejected fraction is a few empty
+    * files in one batch, while under-partitioning repeats every
+    * batch. */
+  def boundedFileCount(batchRows: Long): Int =
+    math.max(1L, (batchRows - 1) / 250000L + 1L).toInt
+
   /** The keep-first survivor rule over a near-dup `pairs` frame
     * (`id_a < id_b`, every pair touching the batch): a batch row is
     * REJECTED iff some pair links it to a partner absent from the batch

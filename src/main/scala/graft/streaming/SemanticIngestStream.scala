@@ -110,7 +110,11 @@ object SemanticIngestStream {
     OpCaches.scoped {
       val pairs = SemanticIndexStore.probeLatest(spark, indexDir, batch,
         idCol, vecCol, threshold)
+      // file count bounded by row mass — the DedupIngestStream rationale
+      // (no shuffle in the survivor lineage, so the write would inherit
+      // the source partition count)
       IngestProtocol.keepFirstSurvivors(batch, pairs, idCol)
+        .repartition(IngestProtocol.boundedFileCount(batch.count()))
         .write.mode("overwrite").parquet(outPath)
       // the delta is built from EXACTLY the bytes the accepted sink
       // carries (the commitVersion rationale)

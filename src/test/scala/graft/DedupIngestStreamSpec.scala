@@ -76,6 +76,10 @@ class DedupIngestStreamSpec extends SparkSpec {
           IngestDoc(107L, uniq(777)), IngestDoc(108L, uniq(777)))
         query.processAllAvailable()
         assert(acceptedIds(s"$dir/accepted") === Set(101L, 102L, 107L))
+        // the accepted sink's file count is bounded by row mass, not
+        // inherited from the source partitioning
+        assert(new java.io.File(s"$dir/accepted/batch=0").listFiles()
+          .count(_.getName.endsWith(".parquet")) === 1)
         // batch 1: a copy of batch 0's SURVIVOR 107 rejects (the append
         // took effect); a fresh doc is accepted
         input.addData(IngestDoc(201L, uniq(777)), IngestDoc(203L, uniq(203)))
