@@ -92,7 +92,11 @@ object DedupIngestStream {
     // must accumulate no cache entries (every registered frame here is
     // batch- or candidate-mass, but per-batch leaks still sum)
     OpCaches.scoped {
-      val pairs = MinhashIndexStore.probeLatest(spark, indexDir, batch,
+      // the micro-batch is consumed several times (file-count bound,
+      // probe build, survivor joins) — cache it for the batch, released
+      // with the scope
+      val b = OpCaches.registered(batch)
+      val pairs = MinhashIndexStore.probeLatest(spark, indexDir, b,
         idCol, textCol, threshold)
       // bound the accepted sink's file count by ROW mass (the delta-
       // commit rationale): the survivor lineage is a broadcast anti-join
@@ -102,8 +106,8 @@ object DedupIngestStream {
       // repartition is one batch-mass exchange — the loop's own cost
       // class — and coalesce would be wrong here: with no shuffle
       // boundary above it, it collapses the probe's scan parallelism.
-      IngestProtocol.keepFirstSurvivors(batch, pairs, idCol)
-        .repartition(IngestProtocol.boundedFileCount(batch.count()))
+      IngestProtocol.keepFirstSurvivors(b, pairs, idCol)
+        .repartition(IngestProtocol.boundedFileCount(b.count()))
         .write.mode("overwrite").parquet(outPath)
       // the delta is built from EXACTLY the bytes the accepted sink
       // carries — re-read, not the in-memory frame — so the index and

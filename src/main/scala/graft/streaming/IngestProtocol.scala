@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, lit, when}
 
 /** The machinery every store-maintaining ingest stream shares —
-  * factored so [[DedupIngestStream]] and [[SemanticIngestStream]]
-  * cannot drift on the replay rules they both promise:
+  * factored so [[DedupIngestStream]], [[SemanticIngestStream]], and
+  * [[IvfIngestStream]] cannot drift on the replay rules they all
+  * promise:
   *
   *  - the OWNER STAMP (`_ingest_owner`): binds a store to the one
   *    checkpoint that maintains it, refusing a fresh checkpoint whose
@@ -111,16 +112,20 @@ private[graft] object IngestProtocol {
     }
   }
 
-  /** Delete ledger entries below `batchId` — replay-dead, see above. */
+  /** Delete ledger entries below `batchId` — replay-dead, see above —
+    * and the `.tmp` scratch debris a crashed earlier attempt's
+    * [[writeAtomic]] may have stranded (a tmp at or above the current
+    * batch could be this attempt's own mid-write scratch, so only
+    * below-batch debris is swept). */
   def sweepLedger(spark: SparkSession, indexDir: String,
                   batchId: Long): Unit = {
     val f = fs(spark, indexDir)
     val root = new org.apache.hadoop.fs.Path(s"$indexDir/$LedgerDir")
     if (f.exists(root)) {
-      val Entry = "b=(\\d+)".r
+      val Entry = "b=(\\d+)(\\.tmp)?".r
       f.listStatus(root).foreach { st =>
         st.getPath.getName match {
-          case Entry(b) if b.toLong < batchId => f.delete(st.getPath, false)
+          case Entry(b, _) if b.toLong < batchId => f.delete(st.getPath, false)
           case _ => ()
         }
       }

@@ -59,30 +59,32 @@ object IvfIngestStream {
     val (base, replay) = IngestProtocol.resolveBase(spark, indexDir, batchId,
       head, "ivf ingest")
     val appendCommitted = replay && head > base
-    val batchRows = batch.count()
-    val drift =
-      if (batchRows == 0L) None
-      else {
-        val d = IvfIndexStore.driftReport(spark, indexDir, batch, vecCol)
-        if (d.scoredRows >= driftGateMinRows && d.batchP50 > d.trainP99)
-          throw new IllegalStateException(
-            s"ivf ingest at $indexDir: batch $batchId assigns with median " +
-              s"distance ${d.batchP50} beyond the train-time p99 " +
-              s"${d.trainP99} (fracBeyondTrainP99=${d.fracBeyondTrainP99}) " +
-              "— the standing centroids no longer describe the corpus and " +
-              "appending into mis-fitting cells would silently degrade " +
-              "probe recall; retrain via an explicit rebuild (SCALE.md " +
-              "\"Centroid drift\")")
-        Some(d)
-      }
-    // one scope around the append and compact — today's assignment
-    // kernels register no caches, but the triad's loops share the
-    // per-batch release contract so a future kernel cache cannot
-    // silently leak across a long-running stream
+    // one scope around the whole batch — today's assignment kernels
+    // register no caches, but the triad's loops share the per-batch
+    // release contract so a future kernel cache cannot silently leak
+    // across a long-running stream; the micro-batch itself is cached
+    // for its consumers (row count, drift profile, append build)
     graft.ops.OpCaches.scoped {
+      val b = graft.ops.OpCaches.registered(batch)
+      val batchRows = b.count()
+      val drift =
+        if (batchRows == 0L) None
+        else {
+          val d = IvfIndexStore.driftReport(spark, indexDir, b, vecCol)
+          if (d.scoredRows >= driftGateMinRows && d.batchP50 > d.trainP99)
+            throw new IllegalStateException(
+              s"ivf ingest at $indexDir: batch $batchId assigns with median " +
+                s"distance ${d.batchP50} beyond the train-time p99 " +
+                s"${d.trainP99} (fracBeyondTrainP99=${d.fracBeyondTrainP99}) " +
+                "— the standing centroids no longer describe the corpus and " +
+                "appending into mis-fitting cells would silently degrade " +
+                "probe recall; retrain via an explicit rebuild (SCALE.md " +
+                "\"Centroid drift\")")
+          Some(d)
+        }
       val version =
         if (appendCommitted) head
-        else IvfIndexStore.append(spark, indexDir, batch, idCol, vecCol,
+        else IvfIndexStore.append(spark, indexDir, b, idCol, vecCol,
           expectedBase = base)
       val compactedTo =
         if (IvfIndexStore.chainLength(spark, indexDir) > compactEvery) {

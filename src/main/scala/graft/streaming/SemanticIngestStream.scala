@@ -86,35 +86,39 @@ object SemanticIngestStream {
     val (base, replay) = IngestProtocol.resolveBase(spark, indexDir, batchId,
       head, "semantic ingest")
     val appendCommitted = replay && head > base
-    // drift gate BEFORE the probe: a batch the standing centroids can't
-    // meaningfully assign would silently under-dedup
-    val drift =
-      if (batch.isEmpty) None
-      else {
-        val d = SemanticIndexStore.driftReport(spark, indexDir, batch, vecCol)
-        if (d.scoredRows >= driftGateMinRows && d.batchP50 > d.trainP99)
-          throw new IllegalStateException(
-            s"semantic ingest at $indexDir: batch $batchId assigns with " +
-              s"median distance ${d.batchP50} beyond the train-time p99 " +
-              s"${d.trainP99} (fracBeyondTrainP99=${d.fracBeyondTrainP99}) " +
-              "— the standing centroids no longer describe the corpus and " +
-              "near-dup probing against them would silently under-dedup; " +
-              "retrain via an explicit rebuild (SCALE.md \"Centroid drift\")")
-        Some(d)
-      }
     val outPath = s"$acceptedDir/batch=$batchId"
     // everything below can register operator-internal caches (the
     // probe's candidate frames, the append's grouped-vector build, the
     // compact's merge) — one scope, released per batch, so a
-    // long-running stream accumulates no cache entries
+    // long-running stream accumulates no cache entries; the micro-batch
+    // itself is cached for its several consumers (drift profile, probe
+    // build, survivor joins, file-count bound)
     OpCaches.scoped {
-      val pairs = SemanticIndexStore.probeLatest(spark, indexDir, batch,
+      val b = OpCaches.registered(batch)
+      val batchRows = b.count()
+      // drift gate BEFORE the probe: a batch the standing centroids
+      // can't meaningfully assign would silently under-dedup
+      val drift =
+        if (batchRows == 0L) None
+        else {
+          val d = SemanticIndexStore.driftReport(spark, indexDir, b, vecCol)
+          if (d.scoredRows >= driftGateMinRows && d.batchP50 > d.trainP99)
+            throw new IllegalStateException(
+              s"semantic ingest at $indexDir: batch $batchId assigns with " +
+                s"median distance ${d.batchP50} beyond the train-time p99 " +
+                s"${d.trainP99} (fracBeyondTrainP99=${d.fracBeyondTrainP99}) " +
+                "— the standing centroids no longer describe the corpus and " +
+                "near-dup probing against them would silently under-dedup; " +
+                "retrain via an explicit rebuild (SCALE.md \"Centroid drift\")")
+          Some(d)
+        }
+      val pairs = SemanticIndexStore.probeLatest(spark, indexDir, b,
         idCol, vecCol, threshold)
       // file count bounded by row mass — the DedupIngestStream rationale
       // (no shuffle in the survivor lineage, so the write would inherit
       // the source partition count)
-      IngestProtocol.keepFirstSurvivors(batch, pairs, idCol)
-        .repartition(IngestProtocol.boundedFileCount(batch.count()))
+      IngestProtocol.keepFirstSurvivors(b, pairs, idCol)
+        .repartition(IngestProtocol.boundedFileCount(batchRows))
         .write.mode("overwrite").parquet(outPath)
       // the delta is built from EXACTLY the bytes the accepted sink
       // carries (the commitVersion rationale)
