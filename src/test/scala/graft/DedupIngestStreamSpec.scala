@@ -136,6 +136,42 @@ class DedupIngestStreamSpec extends SparkSpec {
     }
   }
 
+  test("stream-level crash replay: the restarted query skips its committed append") {
+    implicit val sqlCtx = spark.sqlContext
+    withDir { dir =>
+      initStore(s"$dir/store", docsDf((1L to 5L).map(i => (i, uniq(i))): _*))
+      val input = MemoryStream[IngestDoc]
+      def run() = DedupIngestStream.dedupIngestSink(input.toDF(),
+        s"$dir/store", s"$dir/accepted", "doc_id", "text",
+        checkpointDir = s"$dir/ckpt")
+      val q1 = run()
+      try {
+        input.addData(IngestDoc(101L, uniq(101)))
+        q1.processAllAvailable()
+        // 202 dups batch 0's survivor; 201 is fresh
+        input.addData(IngestDoc(201L, uniq(201)), IngestDoc(202L, uniq(101)))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      assert(MinhashIndexStore.latestVersion(spark, s"$dir/store") === Some(2L))
+      assert(acceptedIds(s"$dir/accepted") === Set(101L, 201L))
+      // crash between batch 1's effects and its checkpoint commit: on
+      // restart, foreachBatch replays batchId 1 with the same data (the
+      // CdcStream crash-simulation pattern, incl. the ChecksumFileSystem
+      // .crc sibling)
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$dir/ckpt/commits/1"))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$dir/ckpt/commits/.1.crc"))
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
+      // the ledger told the replay its append committed: no double
+      // append (201 would otherwise enter the index twice), no version
+      // growth, same accepted output
+      assert(MinhashIndexStore.latestVersion(spark, s"$dir/store") === Some(2L))
+      assert(acceptedIds(s"$dir/accepted") === Set(101L, 201L))
+    }
+  }
+
   test("cadence: chain length past compactEvery triggers compact + prune") {
     withDir { dir =>
       initStore(s"$dir/store", docsDf((1L, uniq(1))))
