@@ -87,6 +87,35 @@ class IvfIngestStreamSpec extends SparkSpec {
     }
   }
 
+  test("stream-level crash replay: the restarted query skips its committed append") {
+    implicit val sqlCtx = spark.sqlContext
+    withDir { dir =>
+      IvfIndexStore.init(vecs((0L until 50L).map(i => (i, base(i.toInt))): _*),
+        s"$dir/store", "vec_id", "embedding", nlist = 8)
+      val input = MemoryStream[IngestVec]
+      def run() = IvfIngestStream.ivfIngestSink(input.toDF(), s"$dir/store",
+        "vec_id", "embedding", checkpointDir = s"$dir/ckpt")
+      val q1 = run()
+      try {
+        input.addData((0 until 10).map(i =>
+          IngestVec((100 + i).toLong, base(700 + i))): _*)
+        q1.processAllAvailable()
+        input.addData((0 until 10).map(i =>
+          IngestVec((200 + i).toLong, base(800 + i))): _*)
+        q1.processAllAvailable()
+      } finally q1.stop()
+      assert(IvfIndexStore.latestVersion(spark, s"$dir/store") === Some(2L))
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$dir/ckpt/commits/1"))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$dir/ckpt/commits/.1.crc"))
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
+      // a double-append would advance the version to 3 and duplicate ids
+      assert(IvfIndexStore.latestVersion(spark, s"$dir/store") === Some(2L))
+    }
+  }
+
   test("drift gate: quiet for cluster members, fails by name for a shifted batch") {
     withDir { dir =>
       def member(cluster: Int, i: Int): Array[Float] = {

@@ -164,6 +164,40 @@ class SemanticIngestStreamSpec extends SparkSpec {
     }
   }
 
+  test("stream-level crash replay: the restarted query skips its committed append") {
+    implicit val sqlCtx = spark.sqlContext
+    withDir { dir =>
+      SemanticIndexStore.init(
+        vecs((0L until 50L).map(i => (i, base(i.toInt))): _*),
+        s"$dir/store", "vec_id", "embedding", nlist = 8)
+      val input = MemoryStream[IngestVec]
+      def run() = SemanticIngestStream.semanticIngestSink(input.toDF(),
+        s"$dir/store", s"$dir/accepted", "vec_id", "embedding",
+        checkpointDir = s"$dir/ckpt", threshold = 0.9)
+      val q1 = run()
+      try {
+        input.addData(IngestVec(101L, base(800)))
+        q1.processAllAvailable()
+        // 202 dups batch 0's survivor; 201 is fresh
+        input.addData(IngestVec(201L, base(850)), IngestVec(202L, base(800)))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      assert(SemanticIndexStore.latestVersion(spark, s"$dir/store") === Some(2L))
+      assert(acceptedIds(s"$dir/accepted") === Set(101L, 201L))
+      // crash between batch 1's effects and its checkpoint commit (the
+      // CdcStream simulation pattern); the restarted sink replays batch
+      // 1 and the ledger makes it skip the committed append
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$dir/ckpt/commits/1"))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$dir/ckpt/commits/.1.crc"))
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
+      assert(SemanticIndexStore.latestVersion(spark, s"$dir/store") === Some(2L))
+      assert(acceptedIds(s"$dir/accepted") === Set(101L, 201L))
+    }
+  }
+
   test("cadence: chain length past compactEvery triggers compact + prune; history survives") {
     withDir { dir =>
       // a spread corpus, so the train-time quantiles leave headroom for
