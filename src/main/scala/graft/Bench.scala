@@ -178,11 +178,24 @@ object Bench {
       // a FAILED first run re-runs in adaptive mode too: a transiently
       // flaky short query should surface as flaky (some reps green),
       // not as a clean failure on one unlucky run
-      val extra = explicitReps match {
-        case Some(r) => r - 1
-        case None => if (first < medianUnder) 2 else 0
+      val ts = explicitReps match {
+        case Some(r) => first +: (1 to (r - 1)).map(_ => runOnce())
+        case None if first < medianUnder => first +: (1 to 2).map(_ => runOnce())
+        case None =>
+          // Heavy queries (at/above the threshold) are exactly where a
+          // single unadjudicable sample cost past rounds a manual re-run
+          // (SCALE.md: dedup_groups 8.3 vs 19.7 s back-to-back, both far
+          // above any threshold) — so they get a SECOND rep always, and a
+          // tie-breaking THIRD only when the two disagree by >1.5x (or
+          // either failed). Bounded cost: ~2x the heavy mass in the
+          // common agreeing case, 3x only where the scatter that needs
+          // adjudicating actually showed up.
+          val second = runOnce()
+          val agree = first >= 0 && second >= 0 &&
+            math.max(first, second) <= 1.5 * math.min(first, second)
+          if (agree) Seq(first, second) else Seq(first, second, runOnce())
       }
-      name -> (first +: (1 to extra).map(_ => runOnce()))
+      name -> ts
     }
     runSentinel() // closing boundary: the last segment gets a reading too
     val results = perRun.map { case (name, ts) => name -> median(ts) }
@@ -246,7 +259,15 @@ object Bench {
     val benchFile = java.nio.file.Paths.get("bench_full.json")
     java.nio.file.Files.write(benchFile, (fullLine + "\n").getBytes("UTF-8"))
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
-    println(s"""{"metric":"total","record":"trailer","value":${r3(total)},"unit":"sec","sf":"$sfDir","errors":$errors,"queries_file":"${benchFile.toAbsolutePath}","queries_count":${results.size},"queries_slowest":${fmt(slowest)},"load_before":$loadBefore,"load_after":$loadAfter,"sentinel":{$sentinelMinMax},$repMode}""")
+    val trailerLine =
+      s"""{"metric":"total","record":"trailer","value":${r3(total)},"unit":"sec","sf":"$sfDir","errors":$errors,"queries_file":"${benchFile.toAbsolutePath}","queries_count":${results.size},"queries_slowest":${fmt(slowest)},"load_before":$loadBefore,"load_after":$loadAfter,"sentinel":{$sentinelMinMax},$repMode}"""
+    // The trailer also lands in its OWN file: both the r15 and r16
+    // driver records survived only as front-truncated stdout fragments
+    // ("parsed": null) — a file ends the dependence on anyone's stdout
+    // capture window entirely. stdout keeps both lines for humans.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_trailer.json"),
+      (trailerLine + "\n").getBytes("UTF-8"))
+    println(trailerLine)
     spark.stop()
   }
 }
