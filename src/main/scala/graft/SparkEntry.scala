@@ -674,6 +674,40 @@ object SparkEntry {
     }
   }
 
+  /** TOMBSTONE REMOVAL from the persisted MinHash/LSH store, gated:
+    * init a scratch [[graft.ops.MinhashIndexStore]] over the standing
+    * corpus (doc_id % 5 ≠ 0), [[graft.ops.MinhashIndexStore.remove]]
+    * the corpus docs with doc_id % 7 = 1 (an O(tombstones) delta — no
+    * corpus rewrite), then probe the batch (doc_id % 5 = 0). The
+    * oracle is the exact all-pairs Jaccard scan over the corpus WITH
+    * the removed docs excluded — i.e. the pairs a fresh build over
+    * corpus-minus-removed would emit, which is precisely the
+    * store's removal contract: a takedown must be answer-equivalent to
+    * never having ingested the documents. Materialized before the
+    * scratch store is deleted (the qMinhashStore pattern). */
+  def qMinhashRemove(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.MinhashIndexStore
+    val docs = t(spark, dir, "documents")
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val store = java.nio.file.Files.createTempDirectory("q-minhash-remove").toString
+    try {
+      MinhashIndexStore.init(corpus, store, "doc_id", "text",
+        shingleK = 5, numBands = 24, rowsPerBand = 2)
+      MinhashIndexStore.remove(spark, store,
+        corpus.where(pmod(col("doc_id"), lit(7)) === 1).select("doc_id"),
+        "doc_id", expectedBase = 0L)
+      val pairs = MinhashIndexStore.probeLatest(spark, store, batch,
+        "doc_id", "text", threshold = 0.5)
+      val rows = pairs.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), pairs.schema)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(store)).deleteRecursively()
+      // no global clearCache — Verify runs queries concurrently
+    }
+  }
+
   /** The STREAMING INGEST LOOP's semantics end-to-end, gated: init a
     * scratch [[graft.ops.MinhashIndexStore]] over the standing corpus
     * (doc_id % 5 ≠ 0), then drive the batch half through TWO sequential
@@ -703,7 +737,11 @@ object SparkEntry {
           b, s"$root/store", s"$root/accepted", "doc_id", "text",
           threshold = 0.5, compactEvery = 8, checkpointDir = "gate-cp")
       }
-      val accepted = spark.read.parquet(s"$root/accepted")
+      // the corpus read surface (archive tier + live batch dirs) — at
+      // this gate's two batches nothing folds, but the gate must read
+      // through the same API a production consumer would
+      val accepted = graft.streaming.AcceptedSink
+        .readAccepted(spark, s"$root/accepted")
         .select(col("doc_id"), col("batch").cast("int").as("batch"))
         .orderBy("doc_id")
       val rows = accepted.collect().toIndexedSeq
@@ -1374,6 +1412,52 @@ object SparkEntry {
     }
   }
 
+  /** TOMBSTONE REMOVAL from the persisted IVF store, gated: the
+    * qIvfStore lifecycle (init 90 %, append the held-out slice) plus a
+    * [[graft.ops.IvfIndexStore.remove]] of the corpus vectors with
+    * vec_id % 9 = 4 (query ids stay — queries must keep probing), then
+    * the recall contract against BRUTE FORCE OVER CORPUS-MINUS-REMOVED
+    * — the removal contract: a takedown must be answer-equivalent to
+    * never having ingested the vectors. The extra `no_removed` bit is
+    * the sharp edge: literally no removed id may appear in the probe's
+    * top-k (a recall ratio alone could stay above the floor with a few
+    * removed rows still surfacing). */
+  def qIvfRemove(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.IvfIndexStore
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") < 100)
+    val removed = pmod(col("vec_id"), lit(9)) === 4 && col("vec_id") >= 100
+    val store = java.nio.file.Files.createTempDirectory("q-ivf-remove").toString
+    try {
+      IvfIndexStore.init(emb.where(pmod(col("vec_id"), lit(10)) =!= 3),
+        store, "vec_id", "embedding", nlist = 16)
+      IvfIndexStore.append(spark, store,
+        emb.where(pmod(col("vec_id"), lit(10)) === 3),
+        "vec_id", "embedding", expectedBase = 0L)
+      IvfIndexStore.remove(spark, store,
+        emb.where(removed).select("vec_id"), "vec_id", expectedBase = 1L)
+      val probe = graft.ops.OpCaches.registered(
+        IvfIndexStore.probeLatest(spark, store, q, "vec_id", "embedding",
+          k = 5, nprobe = 8))
+      val contract = annRecallContract(probe,
+        Similarity.bruteForceTopK(emb.where(!removed), q,
+          "vec_id", "embedding", k = 5),
+        floor = 0.75)
+        .crossJoin(probe.join(emb.where(removed).select(
+            col("vec_id").as("corpus_id")), Seq("corpus_id"), "left_semi")
+          .agg(count(lit(1)).as("_nr")))
+        .select(col("n_queries"), col("n_exact"), col("sum_score"),
+          col("recall_ok"), (col("_nr") === 0L).as("no_removed"))
+      val rows = contract.collect().toIndexedSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows), contract.schema)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(store)).deleteRecursively()
+      // no global clearCache — Verify runs queries concurrently
+    }
+  }
+
   /** Asymmetric-distance quantized top-k ([[Similarity.adcTopK]]:
     * corpus scored through dequantized int8 codes, queries exact) —
     * gated as a recall contract vs brute force. With no candidate
@@ -2007,6 +2091,7 @@ object SparkEntry {
     "q_dedup_minhash"    -> qDedupMinhash,
     "q_minhash_incr"     -> qMinhashIncr,
     "q_minhash_banded"   -> qMinhashBanded,
+    "q_minhash_remove"   -> qMinhashRemove,
     "q_minhash_store"    -> qMinhashStore,
     "q_ingest_loop"      -> qIngestLoop,
     "q_dedup_simhash"    -> qDedupSimhash,
@@ -2041,6 +2126,7 @@ object SparkEntry {
     "q_cosine_topk"      -> qCosineTopK,
     "q_ann_lsh"          -> qAnnLsh,
     "q_ivf_topk"         -> qIvfTopK,
+    "q_ivf_remove"       -> qIvfRemove,
     "q_ivf_store"        -> qIvfStore,
     "q_salted_agg"       -> qSaltedAgg,
     "q_salted_join"      -> qSaltedJoin,
@@ -2135,6 +2221,29 @@ object SparkEntry {
       |  AND (id_a % 5 = 0 OR id_b % 5 = 0)
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** The q_minhash_remove oracle: the q_minhash_incr exact all-pairs
+    * Jaccard scan with the REMOVED corpus docs (doc_id % 5 ≠ 0 AND
+    * doc_id % 7 = 1) excluded from both endpoints — the pair set a
+    * fresh build over corpus-minus-removed emits, which is the store's
+    * removal contract. Batch ids (% 5 = 0) never match the removal
+    * predicate, so the batch side is untouched. */
+  private def minhashRemoveOracleSql: String =
+    """WITH toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t
+      |              FROM documents),
+      |sh AS (SELECT id, unnest(CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+      |          ELSE list_distinct(list_transform(generate_series(1, len(t) - 4),
+      |               i -> array_to_string(t[i:i+4], ' '))) END) AS s FROM toks),
+      |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+      |inter AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS i
+      |          FROM sh x JOIN sh y USING (s) WHERE x.id < y.id GROUP BY 1, 2)
+      |SELECT id_a, id_b, i::DOUBLE / (a.sz + b.sz - i) AS jaccard
+      |FROM inter JOIN sizes a ON inter.id_a = a.id JOIN sizes b ON inter.id_b = b.id
+      |WHERE i::DOUBLE / (a.sz + b.sz - i) >= 0.5
+      |  AND (id_a % 5 = 0 OR id_b % 5 = 0)
+      |  AND NOT (id_a % 5 <> 0 AND id_a % 7 = 1)
+      |  AND NOT (id_b % 5 <> 0 AND id_b % 7 = 1)
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** The q_ingest_loop oracle: the keep-first survivor rule replayed
     * SEQUENTIALLY in SQL over the exact all-pairs Jaccard table (the
     * minhashIncrOracleSql CTEs). Batch-1 docs (doc_id % 10 = 0) reject
@@ -2215,6 +2324,31 @@ object SparkEntry {
        |SELECT count(DISTINCT query_id) AS n_queries, count(*) AS n_exact,
        |       CAST(SUM(CAST(score AS DECIMAL(12,6))) AS DOUBLE) AS sum_score,
        |       TRUE AS recall_ok
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
+  /** The q_ivf_remove oracle: the ANN-contract aggregate computed over
+    * brute-force top-5 with the removed corpus vectors (vec_id % 9 = 4,
+    * vec_id ≥ 100) excluded — the exact side of the removal contract —
+    * plus the literal TRUE bits for the recall floor and the
+    * no-removed-id-in-output check. */
+  private def ivfRemoveOracleSql: String = {
+    val dotQC = sqlDot("q.v", "c.v")
+    val dotQQ = sqlDot("q.v", "q.v")
+    val dotCC = sqlDot("c.v", "c.v")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id, v FROM e WHERE vec_id < 100),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |         $dotQC / (sqrt($dotQQ) * sqrt($dotCC)) AS score
+       |  FROM e c CROSS JOIN q
+       |  WHERE c.vec_id <> q.vec_id
+       |    AND NOT (c.vec_id % 9 = 4 AND c.vec_id >= 100)),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY score DESC, corpus_id) AS rank FROM scored)
+       |SELECT count(DISTINCT query_id) AS n_queries, count(*) AS n_exact,
+       |       CAST(SUM(CAST(score AS DECIMAL(12,6))) AS DOUBLE) AS sum_score,
+       |       TRUE AS recall_ok, TRUE AS no_removed
        |FROM ranked WHERE rank <= 5""".stripMargin
   }
 
@@ -2709,6 +2843,7 @@ object SparkEntry {
     // (split init + append + persisted-parameter probe) the same again
     "q_minhash_incr" -> minhashIncrOracleSql,
     "q_minhash_banded" -> minhashIncrOracleSql,
+    "q_minhash_remove" -> minhashRemoveOracleSql,
     "q_minhash_store" -> minhashIncrOracleSql,
     "q_ingest_loop" -> ingestLoopOracleSql,
     // q_dedup_simhash is a CONTRACT GATE (the q_ann_lsh house pattern),
@@ -3189,6 +3324,7 @@ object SparkEntry {
     // oracle emits as literal TRUE
     "q_ann_lsh" -> annOracleSql,
     "q_ivf_topk" -> annOracleSql,
+    "q_ivf_remove" -> ivfRemoveOracleSql,
     "q_ivf_store" -> annOracleSql,
     "q_adc_topk" -> annOracleSql,
     "q_pq_topk" -> annOracleSql,

@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
   * [[compact]] folds the chain into a new full version; [[prune]]
   * clamps its floor to the retention target's chain base, so pruning
   * can never orphan a delta — space reclamation advances as scheduled
-  * compactions introduce newer full versions. Retraining for a
-  * drifted corpus is an explicit delete-and-rebuild.
+  * compactions introduce newer full versions. Targeted removal
+  * (takedown, opt-out, decontamination) is [[remove]] — an
+  * O(tombstones) delta that probes honor immediately and the next
+  * compact applies, never an O(corpus) rebuild; only RETRAINING (new
+  * centroids for a drifted corpus) remains an explicit
+  * delete-and-rebuild.
   *
   * [[probeLatest]] scores queries against a pinned version through
   * [[Similarity.ivfProbe]], and the I/O matches the algorithm: every
@@ -104,8 +108,28 @@ object IvfIndexStore {
       // appends, corpus mass only at init/compaction), zero per probe.
       cells.repartition(col("cell"))
         .write.partitionBy("cell").mode("overwrite").parquet(s"$scratch/cells")
+      // an EMPTY cell-partitioned write leaves a file-less frame every
+      // later chain read fails to schema-infer — appends no-op on empty
+      // batches, so the only way here is a compact whose tombstones
+      // removed the entire corpus: fail it by name (inside the scratch,
+      // so nothing commits) rather than commit an unreadable version
+      requireNonEmptyCells(spark, s"$scratch/cells", s"ivf index at $dir",
+        v)
       writeMeta(spark, s"$scratch/meta", meta)
     }
+
+  /** Fail by name when a just-written cell-partitioned frame carries no
+    * cell directory (see the commit-time comment) — an fs listing, no
+    * job. Shared wording with [[SemanticIndexStore]]'s guard. */
+  private[ops] def requireNonEmptyCells(spark: SparkSession, cellsPath: String,
+                                        what: String, v: Long): Unit = {
+    val (fs, p) = VersionedState.fsPath(spark, cellsPath)
+    require(fs.listStatus(p).exists(_.getPath.getName.startsWith("cell=")),
+      s"$what: committing v=$v would write an EMPTY index (tombstones " +
+        "removed every remaining row) — an empty standing index has " +
+        "nothing to probe and its cell frame cannot round-trip; delete " +
+        "the directory and re-init when the next corpus lands")
+  }
 
   /** The version chain serving `v` ([[VersionedState.chain]]): `v` and
     * the deltas below it down to the nearest FULL version, newest
@@ -169,14 +193,88 @@ object IvfIndexStore {
     }
   }
 
+  /** Targeted REMOVAL from the standing index — the
+    * [[MinhashIndexStore.remove]] verb for the vector store: writes
+    * version `expectedBase + 1` as a TOMBSTONE DELTA (an empty cell
+    * payload plus the withdrawn ids in the version's
+    * [[VersionedState.TombsSubframe]] frame) — O(tombstones) write I/O,
+    * never a corpus touch. This store's cell frame is one row per
+    * document, so the effect is exact by construction: [[read]] and
+    * [[probeLatest]] anti-join the chain's live tombstones out of the
+    * cell rows (broadcast, on the already-cell-pruned scan — a removed
+    * document can neither score nor occupy a top-k slot), and the next
+    * [[compact]] materializes the filtered frame as the new full
+    * version, clearing the debt. Tombstone semantics (chain-scoped,
+    * union across links, re-ingest-after-compact-only, unknown ids a
+    * no-op) and the crash/replay/base rules follow
+    * [[MinhashIndexStore.remove]] verbatim. An empty removal frame is
+    * a no-op returning the base. Returns the version written. */
+  def remove(spark: SparkSession, dir: String, removeIds: DataFrame,
+             idCol: String, expectedBase: Long): Long = {
+    VersionedState.requireBase(spark, dir, expectedBase, Subframes,
+      "ivf index")
+    val meta = readMeta(spark, dir, expectedBase)
+    val centroids = readCentroids(spark, dir, expectedBase, meta)
+    val tombs = VersionedState.normalizeTombs(removeIds, idCol,
+      s"ivf index at $dir: remove")
+    if (tombs.isEmpty) expectedBase
+    else {
+      VersionedState.commitVersion(spark, dir, expectedBase + 1,
+        "ivf index", Subframes) { scratch =>
+        Similarity.ivfCentroidsDf(spark, centroids)
+          .coalesce(1).write.mode("overwrite").parquet(s"$scratch/centroids")
+        // the cells payload is EMPTY but must stay readable by the
+        // unioning chain readers, so it is written PLAIN (one
+        // schema-bearing empty file; `cell` rides as an ordinary long
+        // data column) — a cell-PARTITIONED empty write would leave a
+        // file-less directory every later read fails to schema-infer
+        VersionedState.readCellChain(spark, dir,
+            Seq(chain(spark, dir, expectedBase).last), None)
+          .where(org.apache.spark.sql.functions.lit(false))
+          .write.mode("overwrite").parquet(s"$scratch/cells")
+        writeMeta(spark, s"$scratch/meta", meta.copy(full = false))
+        tombs.coalesce(1).write.mode("overwrite")
+          .parquet(s"$scratch/${VersionedState.TombsSubframe}")
+      }
+      expectedBase + 1
+    }
+  }
+
+  /** The live (not-yet-compacted) tombstoned ids of a version's serving
+    * chain — one `tomb_id` column, empty-but-schema'd when the chain
+    * carries no removals. Read surface for audits and the specs. */
+  def liveTombs(spark: SparkSession, dir: String,
+                version: Option[Long] = None): DataFrame =
+    VersionedState.readLiveTombs(spark, dir,
+      chain(spark, dir, VersionedState.resolveVersion(spark, dir, Subframes,
+        "ivf index", version)))
+
+  /** Anti-join a chain's live tombstones out of its cell rows — the
+    * removal filter both read paths share: broadcast on the tombstone
+    * side, applied to the (already cell-pruned) scan, with an fs-only
+    * existence check first so the no-removals common case pays
+    * nothing. */
+  private def minusTombs(spark: SparkSession, dir: String, links: Seq[Long],
+                         cells: DataFrame): DataFrame =
+    if (!VersionedState.hasLiveTombs(spark, dir, links)) cells
+    else cells.join(
+      broadcast(VersionedState.readLiveTombs(spark, dir, links)),
+      col("corpus_id") === col("tomb_id"), "left_anti")
+
   /** Fold the head's delta chain into a new FULL version at head+1 —
     * the O(corpus) job that makes pruning (and chain-length hygiene) a
-    * scheduled policy instead of a per-append tax. No-op (returns the
-    * head) when the head is already full. Cadence: this store shares
-    * [[SemanticIndexStore]]'s cell-pruned read shape, whose measured
-    * chain-read tax is ~11% of the base probe cost per link (SCALE.md
-    * "Chain-read economics") — compact at least fortnightly on daily
-    * appends. */
+    * scheduled policy instead of a per-append tax — and where live
+    * TOMBSTONES ([[remove]]) are applied and cleared: [[read]] already
+    * filters them out of the loaded cells, so the new full version
+    * materializes the corpus-minus-removed frame and carries no tombs
+    * frame. A compact whose tombstones removed the ENTIRE corpus fails
+    * by name at commit (the empty-cells guard) — an empty standing
+    * index is a delete-and-re-init, never a committed version. No-op
+    * (returns the head) when the head is already full. Cadence: this
+    * store shares [[SemanticIndexStore]]'s cell-pruned read shape,
+    * whose measured chain-read tax is ~11% of the base probe cost per
+    * link (SCALE.md "Chain-read economics") — compact at least
+    * fortnightly on daily appends. */
   def compact(spark: SparkSession, dir: String): Long = {
     val head = latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(
@@ -228,15 +326,21 @@ object IvfIndexStore {
 
   /** Load a pinned version (or the latest committed): centroids, meta,
     * and the UNION of its delta chain's cell frames
-    * ([[VersionedState.readCellChain]]). A missing or uncommitted pin
+    * ([[VersionedState.readCellChain]]) MINUS the chain's live
+    * tombstones — this store's cells are one row per document, so
+    * unlike [[MinhashIndexStore.read]] the loaded frame can honor
+    * removals exactly (which is also what lets [[compact]] apply them
+    * by just materializing this read). A missing or uncommitted pin
     * fails by name. */
   def read(spark: SparkSession, dir: String,
            version: Option[Long] = None): LoadedIvfIndex = {
     val v = VersionedState.resolveVersion(spark, dir, Subframes,
       "ivf index", version)
     val meta = readMeta(spark, dir, v)
+    val links = chain(spark, dir, v)
     LoadedIvfIndex(v, readCentroids(spark, dir, v, meta),
-      VersionedState.readCellChain(spark, dir, chain(spark, dir, v), None),
+      minusTombs(spark, dir, links,
+        VersionedState.readCellChain(spark, dir, links, None)),
       meta)
   }
 
@@ -283,10 +387,14 @@ object IvfIndexStore {
       s"ivf index at $dir: probe")
     // the probe's touched-cell set (≤ nlist ids, model-sized driver
     // state) becomes a static partition filter: the scan reads
-    // nprobe/nlist of the corpus bytes, not all of them
+    // nprobe/nlist of the corpus bytes, not all of them. Live
+    // tombstones anti-join out of those pruned rows BEFORE scoring —
+    // a removed document must not occupy a top-k slot
+    val links = chain(spark, dir, v)
     val touched = Similarity.ivfProbeCells(queries, vecCol, centroids, nprobe)
     Similarity.ivfProbe(centroids,
-      VersionedState.readCellChain(spark, dir, chain(spark, dir, v),
-        Some(touched)), queries, idCol, vecCol, k, nprobe)
+      minusTombs(spark, dir, links,
+        VersionedState.readCellChain(spark, dir, links, Some(touched))),
+      queries, idCol, vecCol, k, nprobe)
   }
 }

@@ -70,10 +70,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    head); a missing v=N means the base was pruned. A crash anywhere
   *    before the rename leaves latest = N, so re-running the SAME
   *    append just succeeds — the replay rule.
+  *  - [[remove]]`(dir, ids, expectedBase = N)` writes an O(tombstones)
+  *    TOMBSTONE DELTA as v=N+1 ([[VersionedState.TombsSubframe]]):
+  *    probes exclude the named ids, the next [[compact]] applies and
+  *    clears them — takedown without an O(corpus) rebuild.
   *  - [[compact]] folds the head's chain into a full version at
-  *    head+1; [[prune]] deletes versions below a kept floor clamped to
-  *    that floor's chain base, never the head (retention policy —
-  *    retain ≥ max job runtime — is the caller's).
+  *    head+1 (applying live tombstones); [[prune]] deletes versions
+  *    below a kept floor clamped to that floor's chain base, never the
+  *    head (retention policy — retain ≥ max job runtime — is the
+  *    caller's).
   *
   * Scale shape: append pays the delta build's batch-mass shuffles plus
   * one batch-mass [[Dedup.minhashIndexBands]] aggregation; probes
@@ -138,8 +143,8 @@ object MinhashIndexStore {
     readMetaRow(spark, dir, v)._1
 
   private[graft] def commitVersion(index: DataFrame, dir: String, v: Long,
-                                   meta: IndexMeta,
-                                   full: Boolean): Unit = {
+                                   meta: IndexMeta, full: Boolean,
+                                   tombs: Option[DataFrame] = None): Unit = {
     val spark = index.sparkSession
     VersionedState.commitVersion(spark, dir, v, "minhash index",
       Subframes) { scratch =>
@@ -152,6 +157,10 @@ object MinhashIndexStore {
         meta.numBands, meta.rowsPerBand, meta.maxGroupSize)
         .write.mode("overwrite").parquet(s"$scratch/bands")
       writeMeta(spark, s"$scratch/meta", meta, full)
+      // the optional removal payload ([[VersionedState.TombsSubframe]])
+      // rides the same atomic rename as the required subframes
+      tombs.foreach(_.coalesce(1).write.mode("overwrite")
+        .parquet(s"$scratch/${VersionedState.TombsSubframe}"))
     }
   }
 
@@ -234,28 +243,111 @@ object MinhashIndexStore {
     }
   }
 
+  /** Targeted REMOVAL from the standing index — takedown, opt-out, or
+    * discovered contamination withdrawn WITHOUT an O(corpus) rebuild:
+    * writes version `expectedBase + 1` as a TOMBSTONE DELTA (an empty
+    * index/bands payload plus the withdrawn ids in the version's
+    * [[VersionedState.TombsSubframe]] frame) — O(tombstones) write I/O
+    * and one tombstone-mass shuffle (the normalize distinct), never a
+    * corpus touch. Effect: [[probeLatest]] excludes every pair touching
+    * a live tombstoned id (provably the pairs a fresh build over
+    * corpus-minus-removed would emit — a shingle-set group is a pure
+    * function of its surviving members' text, so the surviving groups,
+    * signatures, collisions, and jaccards are IDENTICAL in both
+    * worlds; only pairs naming a removed member differ, and those are
+    * exactly what the filter drops). The next [[compact]] APPLIES the
+    * tombstones to the merged member lists (a fully-removed group
+    * vanishes) and clears them — a compacted chain carries no removal
+    * debt, and space actually returns.
+    *
+    * Semantics pins: tombstones are CHAIN-SCOPED and UNION-SEMANTIC —
+    * a live tombstone kills its id across the whole serving chain
+    * regardless of link order, so re-ingesting a removed id before the
+    * next compact is NOT supported (the standing tombstone would
+    * silently suppress the new copy's pairs; re-ingest after a compact,
+    * which clears the debt). Removing an id the corpus never held is a
+    * harmless no-op at probe and compact alike (checking membership
+    * would cost the corpus scan this verb exists to avoid). The base
+    * must be the latest committed version; crash replay follows the
+    * [[append]] rule. An empty removal frame is a no-op returning the
+    * base. Returns the version written. */
+  def remove(spark: SparkSession, dir: String, removeIds: DataFrame,
+             idCol: String, expectedBase: Long): Long = {
+    VersionedState.requireBase(spark, dir, expectedBase, Subframes,
+      "minhash index")
+    val meta = readMeta(spark, dir, expectedBase)
+    val tombs = VersionedState.normalizeTombs(removeIds, idCol,
+      s"minhash index at $dir: remove")
+    if (tombs.isEmpty) expectedBase
+    else {
+      // empty-but-schema'd payload frames: a remove version is pure
+      // tombstone metadata, but every chain link must stay readable by
+      // the unioning chain readers (Spark writes one schema-bearing
+      // empty file for an empty frame)
+      val emptyIndex = spark.read.parquet(s"$dir/v=$expectedBase/index")
+        .where(org.apache.spark.sql.functions.lit(false))
+      commitVersion(emptyIndex, dir, expectedBase + 1, meta, full = false,
+        tombs = Some(tombs))
+      expectedBase + 1
+    }
+  }
+
+  /** The live (not-yet-compacted) tombstoned ids of a version's serving
+    * chain — one `tomb_id` column, empty-but-schema'd when the chain
+    * carries no removals. Read surface for audits and the specs. */
+  def liveTombs(spark: SparkSession, dir: String,
+                version: Option[Long] = None): DataFrame =
+    VersionedState.readLiveTombs(spark, dir,
+      chain(spark, dir, VersionedState.resolveVersion(spark, dir, Subframes,
+        "minhash index", version)))
+
   /** Fold the head's delta chain into a new FULL version at head+1 —
     * the O(corpus) [[Dedup.minhashIndexAppend]] set-keyed merge as a
     * scheduled job instead of a per-append tax. This is also where the
     * `maxGroupSize` valves fire on the MERGED mass: a group or bucket
     * that outgrew the valve across links fails the compact by name,
-    * never a probe ([[chainHealth]] surfaces the pressure first). No-op
-    * (returns the head) when the head is already full. Cadence: the
-    * measured chain-read tax is ~25% of the base probe cost PER LINK
-    * for this store's full-narrow-scan shape (SCALE.md "Chain-read
-    * economics") — compact weekly on daily appends (≤ 8 links). */
+    * never a probe ([[chainHealth]] surfaces the pressure first) — and
+    * where live TOMBSTONES are applied and cleared: removed ids leave
+    * the merged member lists (one extra explode/anti-join/regroup pass
+    * over the merge's own corpus mass, broadcast on the tombstone
+    * side), a fully-removed group vanishes, and the new full version
+    * carries no tombs frame — removal debt never outlives a compact.
+    * No-op (returns the head) when the head is already full. Cadence:
+    * the measured chain-read tax is ~25% of the base probe cost PER
+    * LINK for this store's full-narrow-scan shape (SCALE.md
+    * "Chain-read economics") — compact weekly on daily appends
+    * (≤ 8 links). */
   def compact(spark: SparkSession, dir: String): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, collect_list,
+      explode, first, sort_array}
     val head = latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(
         s"minhash index at $dir has no committed version to compact"))
     val (meta, full) = readMetaRow(spark, dir, head)
     if (full) head
     else {
-      val frames = chain(spark, dir, head)
-        .map(w => spark.read.parquet(s"$dir/v=$w/index"))
+      val links = chain(spark, dir, head)
+      val frames = links.map(w => spark.read.parquet(s"$dir/v=$w/index"))
       val merged = Dedup.minhashIndexAppend(frames.head,
         frames.tail.reduce(_ unionByName _), meta.maxGroupSize)
-      commitVersion(merged, dir, head + 1, meta, full = true)
+      val applied =
+        if (!VersionedState.hasLiveTombs(spark, dir, links)) merged
+        else {
+          // regrouping by shh preserves the merge's invariants: the
+          // surviving ids re-sort (gid = new minimum member), sig is a
+          // pure function of shh (either row's copy is THE value), and
+          // a group whose every member was removed emits no exploded
+          // survivor — the group row vanishes, bands re-derive from the
+          // filtered frame at commit
+          merged.select(col("shh"), col("sig"), explode(col("ids")).as("id"))
+            .join(broadcast(VersionedState.readLiveTombs(spark, dir, links)),
+              col("id") === col("tomb_id"), "left_anti")
+            .groupBy("shh").agg(
+              sort_array(collect_list(col("id"))).as("ids"),
+              first(col("sig")).as("sig"))
+            .select("shh", "ids", "sig")
+        }
+      commitVersion(applied, dir, head + 1, meta, full = true)
       head + 1
     }
   }
@@ -295,7 +387,10 @@ object MinhashIndexStore {
     * `maxMergedBucketBound` is an upper bound (identical sets in
     * different links fold to ONE group at compaction, so the true
     * merged bucket can only be smaller) — conservative in the safe
-    * direction: it warns early, never late. */
+    * direction: it warns early, never late. Live tombstones push BOTH
+    * figures the same conservative way (a tombstoned member still
+    * counts here but leaves at compaction), so a chain carrying
+    * removals can only over-warn, never under-warn. */
   final case class ChainHealth(version: Long, chainLength: Int,
                                maxGroupSize: Int, maxMergedGroup: Long,
                                maxMergedBucketBound: Long) {
@@ -345,7 +440,11 @@ object MinhashIndexStore {
     * chain. A pinned version that is missing or uncommitted fails by
     * name (reading it as parquet would either error opaquely or, with
     * an explicit schema, silently return 0 rows — an empty index
-    * "finds" no duplicates). */
+    * "finds" no duplicates). The frames are RAW: live tombstones are
+    * NOT applied here (a member-list rewrite would desynchronize the
+    * gids the persisted bands table keys on — see [[probeLatest]],
+    * which honors them on its output); a direct consumer of these
+    * frames must anti-join [[liveTombs]] itself. */
   def read(spark: SparkSession, dir: String,
            version: Option[Long] = None): LoadedIndex = {
     val v = VersionedState.resolveVersion(spark, dir, Subframes,
@@ -364,21 +463,44 @@ object MinhashIndexStore {
     * exchange-free banded path, USING THE PERSISTED shingling and
     * banding parameters — the probe cannot be mis-parameterized
     * against the index it reads. Only the threshold family is a
-    * per-probe choice. */
+    * per-probe choice.
+    *
+    * Live tombstones ([[remove]]) are honored HERE, on the probe's
+    * OUTPUT pairs, not by rewriting the index frames: a group id is its
+    * member list's head, so filtering member lists in place would
+    * silently desynchronize the persisted bands table's gids and drop
+    * candidates. The output filter is provably equivalent to probing a
+    * fresh build over corpus-minus-removed (the [[remove]] Scaladoc's
+    * purity argument) and costs two broadcast anti-joins on
+    * candidate-mass rows — with an fs-only existence check first, so
+    * the no-removals common case pays nothing. */
   def probeLatest(spark: SparkSession, dir: String, batch: DataFrame,
                   idCol: String, textCol: String,
                   threshold: Double = 0.5,
                   prefilterMargin: Double = 0.25,
                   minPairBands: Int = 1,
                   version: Option[Long] = None): DataFrame = {
-    val loaded = read(spark, dir, version)
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val v = VersionedState.resolveVersion(spark, dir, Subframes,
+      "minhash index", version)
+    val links = chain(spark, dir, v)
+    val loaded = read(spark, dir, Some(v))
     // the batch shingles with the PERSISTED shingleK — like the banding
     // parameters, it is index state, not a per-probe choice: a probe
     // shingled differently would produce disjoint set hashes and find
     // nothing, silently
-    Dedup.minhashIndexDedupBatchBanded(loaded.index, loaded.bands, batch,
-      idCol, textCol, loaded.meta.shingleK, loaded.meta.numBands,
-      loaded.meta.rowsPerBand, threshold, prefilterMargin, minPairBands,
-      loaded.meta.maxGroupSize)
+    val pairs = Dedup.minhashIndexDedupBatchBanded(loaded.index,
+      loaded.bands, batch, idCol, textCol, loaded.meta.shingleK,
+      loaded.meta.numBands, loaded.meta.rowsPerBand, threshold,
+      prefilterMargin, minPairBands, loaded.meta.maxGroupSize)
+    if (!VersionedState.hasLiveTombs(spark, dir, links)) pairs
+    else {
+      val tombs = VersionedState.readLiveTombs(spark, dir, links)
+      pairs
+        .join(broadcast(tombs.select(col("tomb_id").as("_ta"))),
+          col("id_a") === col("_ta"), "left_anti")
+        .join(broadcast(tombs.select(col("tomb_id").as("_tb"))),
+          col("id_b") === col("_tb"), "left_anti")
+    }
   }
 }

@@ -135,6 +135,12 @@ object SemanticIndexStore {
       // cell-0 mass includes the corpus's null rows.
       cells.repartition(org.apache.spark.sql.functions.col("cell"))
         .write.partitionBy("cell").mode("overwrite").parquet(s"$scratch/cells")
+      // the IvfIndexStore guard: the only way to an empty cell frame
+      // here is a compact whose tombstones removed the entire corpus —
+      // fail by name inside the scratch rather than commit a file-less
+      // frame every later chain read fails to schema-infer
+      IvfIndexStore.requireNonEmptyCells(spark, s"$scratch/cells",
+        s"semantic index at $dir", v)
       writeMeta(spark, s"$scratch/meta", meta, full)
     }
 
@@ -209,29 +215,107 @@ object SemanticIndexStore {
     }
   }
 
+  /** Targeted REMOVAL from the standing index — the
+    * [[MinhashIndexStore.remove]] verb for the semantic store: writes
+    * version `expectedBase + 1` as a TOMBSTONE DELTA (an empty cell
+    * payload plus the withdrawn ids in the version's
+    * [[VersionedState.TombsSubframe]] frame) — O(tombstones) write
+    * I/O, never a corpus touch. Effect: [[probeLatest]] excludes every
+    * pair touching a live tombstoned id (equivalent to probing a fresh
+    * build over corpus-minus-removed by the [[MinhashIndexStore.remove]]
+    * purity argument — a group's cell, vector, and norm are pure
+    * functions of the vector value, unchanged by which members
+    * survive), and the next [[compact]] applies the tombstones to the
+    * merged member lists (a fully-removed group vanishes) and clears
+    * them. Tombstone semantics (chain-scoped, union across links,
+    * re-ingest-after-compact-only, unknown ids a no-op) and the
+    * crash/replay/base rules follow [[MinhashIndexStore.remove]]
+    * verbatim. An empty removal frame is a no-op returning the base.
+    * Returns the version written. */
+  def remove(spark: SparkSession, dir: String, removeIds: DataFrame,
+             idCol: String, expectedBase: Long): Long = {
+    VersionedState.requireBase(spark, dir, expectedBase, Subframes,
+      "semantic index")
+    val (meta, _) = readMetaRow(spark, dir, expectedBase)
+    val centroids = readCentroids(spark, dir, expectedBase, meta)
+    val tombs = VersionedState.normalizeTombs(removeIds, idCol,
+      s"semantic index at $dir: remove")
+    if (tombs.isEmpty) expectedBase
+    else {
+      VersionedState.commitVersion(spark, dir, expectedBase + 1,
+        "semantic index", Subframes) { scratch =>
+        Similarity.ivfCentroidsDf(spark, centroids)
+          .coalesce(1).write.mode("overwrite").parquet(s"$scratch/centroids")
+        // empty-but-readable PLAIN cells (the IvfIndexStore.remove
+        // rationale: a cell-partitioned empty write is file-less and
+        // breaks every later chain read)
+        VersionedState.readCellChain(spark, dir,
+            Seq(chain(spark, dir, expectedBase).last), None)
+          .where(org.apache.spark.sql.functions.lit(false))
+          .write.mode("overwrite").parquet(s"$scratch/cells")
+        writeMeta(spark, s"$scratch/meta", meta, full = false)
+        tombs.coalesce(1).write.mode("overwrite")
+          .parquet(s"$scratch/${VersionedState.TombsSubframe}")
+      }
+      expectedBase + 1
+    }
+  }
+
+  /** The live (not-yet-compacted) tombstoned ids of a version's serving
+    * chain — one `tomb_id` column, empty-but-schema'd when the chain
+    * carries no removals. Read surface for audits and the specs. */
+  def liveTombs(spark: SparkSession, dir: String,
+                version: Option[Long] = None): DataFrame =
+    VersionedState.readLiveTombs(spark, dir,
+      chain(spark, dir, VersionedState.resolveVersion(spark, dir, Subframes,
+        "semantic index", version)))
+
   /** Fold the head's delta chain into a new FULL version at head+1 —
     * the O(corpus) [[Similarity.semanticCellsMerge]] vector-keyed
     * merge as a scheduled job instead of a per-append tax. This is
     * also where the `maxGroupSize` valve fires on the MERGED mass: an
     * identical-vector group that outgrew the valve across links fails
-    * the compact by name, never a probe. No-op (returns the head) when
-    * the head is already full. Cadence: the measured chain-read tax is
-    * ~11% of the base probe cost per link (cell pruning holds at every
-    * length — the tax is per-scan overhead; SCALE.md "Chain-read
-    * economics") — compact at least fortnightly on daily appends. */
+    * the compact by name, never a probe — and where live TOMBSTONES
+    * ([[remove]]) are applied and cleared: removed ids leave the
+    * merged member lists (one explode/anti-join/regroup pass over the
+    * merge's own corpus mass, broadcast on the tombstone side; a
+    * fully-removed group vanishes, and `gid` re-derives as the
+    * surviving minimum member — the [[Similarity.semanticCellsMerge]]
+    * invariant). A compact whose tombstones removed the ENTIRE corpus
+    * fails by name at commit (the empty-cells guard). No-op (returns
+    * the head) when the head is already full. Cadence: the measured
+    * chain-read tax is ~11% of the base probe cost per link (cell
+    * pruning holds at every length — the tax is per-scan overhead;
+    * SCALE.md "Chain-read economics") — compact at least fortnightly
+    * on daily appends. */
   def compact(spark: SparkSession, dir: String): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, collect_list,
+      element_at, explode, first, sort_array}
     val head = latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(
         s"semantic index at $dir has no committed version to compact"))
     val (meta, full) = readMetaRow(spark, dir, head)
     if (full) head
     else {
+      val links = chain(spark, dir, head)
       val merged = Similarity.semanticCellsMerge(
-        chain(spark, dir, head).map(w =>
+        links.map(w =>
           VersionedState.readCellChain(spark, dir, Seq(w), None)),
         meta.maxGroupSize)
+      val applied =
+        if (!VersionedState.hasLiveTombs(spark, dir, links)) merged
+        else merged.select(col("cell"), col("vv"), col("vn"),
+            explode(col("ids")).as("id"))
+          .join(broadcast(VersionedState.readLiveTombs(spark, dir, links)),
+            col("id") === col("tomb_id"), "left_anti")
+          .groupBy("vv").agg(
+            first(col("cell")).as("cell"),
+            first(col("vn")).as("vn"),
+            sort_array(collect_list(col("id"))).as("ids"))
+          .select(col("cell"), element_at(col("ids"), 1).as("gid"),
+            col("vv"), col("vn"), col("ids"))
       commitVersion(spark, dir, head + 1,
-        readCentroids(spark, dir, head, meta), merged, meta,
+        readCentroids(spark, dir, head, meta), applied, meta,
         full = true)
       head + 1
     }
@@ -265,7 +349,10 @@ object SemanticIndexStore {
   /** Load a pinned version (or the latest committed): centroids, meta,
     * and the UNION of its delta chain's cell frames
     * ([[VersionedState.readCellChain]]). A missing or uncommitted pin
-    * fails by name. */
+    * fails by name. The cell frame is RAW: live tombstones are NOT
+    * applied here (member lists carry the gids the grouped rows key on
+    * — the [[MinhashIndexStore.read]] rationale); [[probeLatest]]
+    * honors them on its output, [[compact]] on the merged lists. */
   def read(spark: SparkSession, dir: String,
            version: Option[Long] = None): LoadedSemIndex = {
     val v = VersionedState.resolveVersion(spark, dir, Subframes,
@@ -353,10 +440,17 @@ object SemanticIndexStore {
     * `batch` against the latest committed version (or a pinned one),
     * always with the centroids the standing cells were assigned under.
     * The version, meta, and chain resolve ONCE; the only cell frame
-    * built is the pruned one the probe actually scans. */
+    * built is the pruned one the probe actually scans.
+    *
+    * Live tombstones ([[remove]]) are honored on the probe's OUTPUT
+    * pairs, not by rewriting the cell frames (whose gids are member-
+    * list heads — the [[MinhashIndexStore.probeLatest]] rationale):
+    * two broadcast anti-joins on candidate-mass rows, behind an
+    * fs-only existence check so the no-removals case pays nothing. */
   def probeLatest(spark: SparkSession, dir: String, batch: DataFrame,
                   idCol: String, vecCol: String, threshold: Double,
                   version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
     val v = VersionedState.resolveVersion(spark, dir, Subframes,
       "semantic index", version)
     val (meta, _) = readMetaRow(spark, dir, v)
@@ -370,11 +464,20 @@ object SemanticIndexStore {
     // distinct vector, ≤ nlist ids — model-sized driver state), so
     // they become a static partition filter: every chain link's scan
     // reads the touched cell directories, not the whole frame
+    val links = chain(spark, dir, v)
     val touched = Similarity.ivfProbeCells(batch, vecCol,
       centroids, nprobe = 1)
-    Similarity.semanticDedupBatch(centroids,
-      VersionedState.readCellChain(spark, dir, chain(spark, dir, v),
-        Some(touched)), batch, idCol, vecCol, threshold,
-      meta.maxGroupSize)
+    val pairs = Similarity.semanticDedupBatch(centroids,
+      VersionedState.readCellChain(spark, dir, links, Some(touched)),
+      batch, idCol, vecCol, threshold, meta.maxGroupSize)
+    if (!VersionedState.hasLiveTombs(spark, dir, links)) pairs
+    else {
+      val tombs = VersionedState.readLiveTombs(spark, dir, links)
+      pairs
+        .join(broadcast(tombs.select(col("tomb_id").as("_ta"))),
+          col("id_a") === col("_ta"), "left_anti")
+        .join(broadcast(tombs.select(col("tomb_id").as("_tb"))),
+          col("id_b") === col("_tb"), "left_anti")
+    }
   }
 }

@@ -313,7 +313,64 @@ private[graft] object VersionedState {
     }.reduce(_ unionByName _)
   }
 
+  /** The OPTIONAL per-version tombstone subframe (`dir/v=N/tombs`, one
+    * `tomb_id: long` column) — the targeted-removal verb the
+    * append-only stores lacked: a `remove` writes an O(tombstones)
+    * delta version whose tombs frame names the documents withdrawn
+    * (takedown, opt-out, discovered contamination), probes exclude the
+    * named ids, and the next [[MinhashIndexStore.compact]]-class fold
+    * APPLIES the tombstones to the merged state and clears them — so
+    * removal never costs an O(corpus) rebuild and a compacted chain
+    * carries no removal debt. The subframe is deliberately NOT in any
+    * store's committed-ness list: versions written before removal
+    * existed stay committed, and the atomic version rename already
+    * guarantees a tombs frame can never be half-visible. Tombstones are
+    * CHAIN-SCOPED: a removal is live while its link is in the serving
+    * chain and gone once a later full version (which absorbed it)
+    * starts the chain — exactly the delta rules every other subframe
+    * follows. */
+  val TombsSubframe = "tombs"
+
+  /** True iff any of `links` carries a committed tombs frame — an
+    * fs-existence walk, no Spark job, so the no-removals common case
+    * adds zero query-time cost to a probe. */
+  def hasLiveTombs(spark: SparkSession, dir: String, links: Seq[Long]): Boolean = {
+    val (fs, _) = fsPath(spark, dir)
+    links.exists(w => fs.exists(new Path(s"$dir/v=$w/$TombsSubframe/_SUCCESS")))
+  }
+
+  /** The live tombstone ids across `links` (one `tomb_id` column;
+    * duplicates possible when the same id was removed twice — harmless
+    * to the anti-join consumers). Empty-but-schema'd when no link
+    * carries removals, so callers compose without existence checks. */
+  def readLiveTombs(spark: SparkSession, dir: String, links: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (fs, _) = fsPath(spark, dir)
+    val present = links.filter(w =>
+      fs.exists(new Path(s"$dir/v=$w/$TombsSubframe/_SUCCESS")))
+    if (present.isEmpty)
+      spark.range(0).select(col("id").as("tomb_id"))
+    else present.map(w => spark.read.parquet(s"$dir/v=$w/$TombsSubframe"))
+      .reduce(_ unionByName _).select("tomb_id")
+  }
+
+  /** Normalize a caller's removal frame to the persisted tombs schema:
+    * one non-null, distinct `tomb_id: long` column. Fails by name on a
+    * frame without the id column (select would throw opaquely). The
+    * distinct is an O(tombstones) shuffle paid once at remove time so
+    * every later probe's broadcast ships no duplicates. */
+  def normalizeTombs(removeIds: DataFrame, idCol: String,
+                     what: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(removeIds.columns.contains(idCol),
+      s"$what: the removal frame has no column '$idCol' " +
+        s"(has: ${removeIds.columns.mkString(", ")})")
+    removeIds.select(col(idCol).cast("long").as("tomb_id"))
+      .where(col("tomb_id").isNotNull).distinct()
+  }
+
   private val ScratchRe = "\\.(?:tmp|debris)-v=(\\d+)-.*".r
+  private val DebrisRe = "\\.debris-v=(\\d+)-.*".r
 
   /** Delete all committed versions strictly below `keepFrom`, plus any
     * uncommitted version directories below it (crash debris of
@@ -340,11 +397,26 @@ private[graft] object VersionedState {
         s"committed version v=$latest — refusing to prune the head")
     val doomed = versions(fs, path).filter(_ < keepFrom).sorted
     doomed.foreach(v => fs.delete(new Path(s"$dir/v=$v"), true))
+    val leftAlone = scala.collection.mutable.ArrayBuffer.empty[String]
     fs.listStatus(path).toSeq.map(_.getPath.getName).foreach {
       case s @ ScratchRe(v) if v.toLong < keepFrom =>
         fs.delete(new Path(s"$dir/$s"), true)
+      case s @ DebrisRe(_) => leftAlone += s
       case _ => ()
     }
+    // at-or-above-floor ASIDE directories are reported, never deleted:
+    // one is either a live clearDebris in flight (deleting it races the
+    // restore path) or the displaced-fresh-commit leak the clearDebris
+    // Scaladoc names — in that unwinnable interleaving the aside dir
+    // sits AT the prune floor forever, and if the operator missed the
+    // one-time commit-race error this recurring report is the only
+    // thing keeping the leak visible instead of silently eating disk
+    if (leftAlone.nonEmpty) System.err.println(
+      s"[$what] prune at $dir: leaving ${leftAlone.size} at-or-above-floor " +
+        s"debris-aside director${if (leftAlone.size == 1) "y" else "ies"} " +
+        s"(${leftAlone.sorted.mkString(", ")}) — each is either a " +
+        "maintainer's clearDebris in flight or a displaced commit from a " +
+        "reported race; inspect and remove manually once confirmed dead")
     doomed
   }
 }

@@ -19,9 +19,21 @@ import graft.ops.{MinhashIndexStore, OpCaches}
   * bounded).
   *
   * Ids must be unique within a batch and across batches (the store's
-  * merged-corpora contract); a re-sent identical document self-heals —
-  * its standing copy is in the index, so the resend rejects as a
-  * corpus dup.
+  * merged-corpora contract), and the SOURCE must not redeliver an id
+  * outside checkpoint replay (the [[IvfIngestStream]] warning, which
+  * holds for every maintainer): a same-id resend of a standing
+  * SURVIVOR is NOT rejected — the banded probe compares shingle-set
+  * GROUPS and a resent id lands in its own standing group (batch gid =
+  * index gid), which the candidate paths drop as a self-pair — so the
+  * resend re-appends the id and silently violates the uniqueness
+  * invariant chainHealth, compaction merges, and the accepted corpus
+  * rely on (spec-pinned, `DedupIngestStreamSpec` "same-id resend").
+  * Guarding this in the loop would cost a per-batch id-existence check
+  * against the standing index — a corpus-mass column scan every
+  * micro-batch, breaking the loop's no-corpus-term invariant — so id
+  * discipline is deliberately the source's contract, exactly like the
+  * id-uniqueness rule itself. (A resend under a DIFFERENT id is the
+  * supported path and rejects as an ordinary near-dup.)
   *
   * ==Crash replay==
   * foreachBatch replays a batchId after failure, but the store append
@@ -59,11 +71,15 @@ import graft.ops.{MinhashIndexStore, OpCaches}
 object DedupIngestStream {
 
   /** What one micro-batch did — returned by [[processBatch]] for
-    * schedulers and specs; the streaming sink discards it. */
+    * schedulers and specs; the streaming sink discards it.
+    * `acceptedFoldedTo` is the accepted-sink fold watermark when this
+    * batch's cadence trip folded live batch directories into the
+    * archive ([[AcceptedSink.fold]]). */
   final case class BatchOutcome(batchId: Long, base: Long, version: Long,
                                 accepted: Long, replay: Boolean,
                                 appendSkipped: Boolean,
-                                compactedTo: Option[Long])
+                                compactedTo: Option[Long],
+                                acceptedFoldedTo: Option[Long] = None)
 
   /** One micro-batch of the ingest loop — factored out of the sink so
     * specs can drive batch ids (and replays) deterministically. See the
@@ -136,17 +152,27 @@ object DedupIngestStream {
           MinhashIndexStore.prune(spark, indexDir, keepFrom = c)
           Some(c)
         } else None
+      // the accepted sink's lifecycle rides the SAME cadence trip:
+      // replay-dead batch directories (strictly below this batch) fold
+      // into the archive so the directory count tracks cadence trips,
+      // not micro-batches ([[AcceptedSink]]; read the corpus through
+      // AcceptedSink.readAccepted once folding has run)
+      val foldedTo = compactedTo.flatMap(_ =>
+        AcceptedSink.fold(spark, acceptedDir, belowBatch = batchId))
       IngestProtocol.sweepLedger(spark, indexDir, batchId)
       BatchOutcome(batchId, base, version, acceptedOnDisk.count(), replay,
-        appendCommitted, compactedTo)
+        appendCommitted, compactedTo, foldedTo)
     }
   }
 
   /** Start the ingest maintainer: `docs` must be a streaming frame
     * carrying `idCol` and `textCol`; accepted (near-dup-free) documents
-    * land under `acceptedDir/batch=<batchId>` — partition-style naming,
-    * so `spark.read.parquet(acceptedDir)` reads the whole accepted
-    * corpus with `batch` as a partition column. The index store at
+    * land under `acceptedDir/batch=<batchId>`, and each compaction-
+    * cadence trip FOLDS the replay-dead batch directories into the
+    * `_archive` tier ([[AcceptedSink]]) so the directory count tracks
+    * cadence trips, not micro-batches — read the corpus through
+    * [[AcceptedSink.readAccepted]] (a raw parquet read of the directory
+    * is exact only until the first fold). The index store at
     * `indexDir` must already be [[MinhashIndexStore.init]]-ed over the
     * standing corpus (an empty frame is a legal corpus); probes and
     * delta builds use the store's PERSISTED parameters, so the stream

@@ -47,7 +47,13 @@ import graft.ops.{OpCaches, SemanticIndexStore, Similarity}
   * extra pair it admits on replay folds onto a within-batch pair the
   * first probe already resolved; pair multiplicity is irrelevant to
   * the exists-semantics survivor rule). Ids must be unique within a
-  * batch and across batches. Unlike the minhash loop, the semantic
+  * batch and across batches, and the SOURCE must not redeliver an id
+  * outside checkpoint replay — a same-id resend of a standing survivor
+  * is NOT rejected here either (its batch group and standing group are
+  * the same group, dropped as a self-pair — the
+  * [[DedupIngestStream]] rationale, which also explains why the loop
+  * deliberately does not pay a per-batch corpus scan to guard it).
+  * Unlike the minhash loop, the semantic
   * loop's own appends CAN grow an identical-vector group only at
   * cosine exactly 1.0 with a distinct id — which the survivor rule
   * rejects first, so merged-valve pressure again only comes from the
@@ -64,7 +70,8 @@ object SemanticIngestStream {
                                 accepted: Long, replay: Boolean,
                                 appendSkipped: Boolean,
                                 drift: Option[Similarity.AssignDriftReport],
-                                compactedTo: Option[Long])
+                                compactedTo: Option[Long],
+                                acceptedFoldedTo: Option[Long] = None)
 
   /** One micro-batch of the semantic ingest loop — factored out of the
     * sink so specs can drive batch ids (and replays)
@@ -143,9 +150,13 @@ object SemanticIngestStream {
           SemanticIndexStore.prune(spark, indexDir, keepFrom = c)
           Some(c)
         } else None
+      // accepted-sink lifecycle on the same cadence trip (the
+      // DedupIngestStream rationale — see [[AcceptedSink]])
+      val foldedTo = compactedTo.flatMap(_ =>
+        AcceptedSink.fold(spark, acceptedDir, belowBatch = batchId))
       IngestProtocol.sweepLedger(spark, indexDir, batchId)
       BatchOutcome(batchId, base, version, acceptedOnDisk.count(), replay,
-        appendCommitted, drift, compactedTo)
+        appendCommitted, drift, compactedTo, foldedTo)
     }
   }
 
@@ -153,7 +164,9 @@ object SemanticIngestStream {
     * streaming frame carrying `idCol` and `vecCol` (float or double
     * array at the store's persisted dimension — a re-dimensioned batch
     * fails by name in the store); accepted vectors land under
-    * `acceptedDir/batch=<batchId>` with `batch` as a partition column.
+    * `acceptedDir/batch=<batchId>`, folded into the `_archive` tier on
+    * each cadence trip ([[AcceptedSink]] — read the corpus through
+    * [[AcceptedSink.readAccepted]]).
     * The store must already be [[SemanticIndexStore.init]]-ed over a
     * non-empty standing corpus. `threshold` is the cosine near-dup
     * cut — an explicit per-pipeline choice, no default (0.5 means

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The three ingest maintainers composed into ONE production pipeline
+  * over ONE source stream — the natural training-data topology the
+  * independent loops were built for:
+  *
+  *   source batch ──► [[DedupIngestStream]] (near-dup survivors vs the
+  *   MinHash store) ──► [[SemanticIngestStream]] (semantic survivors vs
+  *   the SemDeDup store, drift-gated) ──► [[IvfIngestStream]] (the
+  *   retrieval index over everything that survived both screens).
+  *
+  * Each stage consumes the PREVIOUS stage's committed accepted bytes
+  * for the same batch id (`acceptedDir/batch=<id>` — re-read from disk,
+  * not the in-memory frame: the store-delta rationale, so a stage's
+  * input can never drift from what its upstream actually committed),
+  * and each stage keeps its OWN [[IngestProtocol]] ledger in its own
+  * store. That per-stage ledgering is what makes a crash ANYWHERE in
+  * the chain replay-safe with no coordinator: foreachBatch re-delivers
+  * the batch, stages whose appends committed skip them (their ledger
+  * shows head > base) while rewriting their deterministic accepted
+  * output, and the first stage whose append was lost redoes it — the
+  * boundary crash is just "every stage left of the crash skips, every
+  * stage at/right of it redoes" (spec-pinned across a stage boundary,
+  * `TriadPipelineSpec`).
+  *
+  * Scale shape: the composition adds NOTHING to the per-batch cost
+  * model — each stage keeps its own O(batch) probe/append economics and
+  * its own compaction cadence (minhash 8, vector stores 9 — the
+  * measured knees), the inter-stage handoff is a survivor-mass parquet
+  * read, and the accepted sinks fold on their own trips
+  * ([[AcceptedSink]]). Input rows must carry BOTH the text and the
+  * embedding column (the dedup stage passes every column through to its
+  * survivors). Ids must be unique and never redelivered outside
+  * checkpoint replay — the loops' shared source contract. */
+object TriadPipeline {
+
+  /** Directory layout + knobs for one composed pipeline. `root` holds
+    * `minhash-store`, `minhash-accepted`, `semantic-store`,
+    * `semantic-accepted`, `ivf-store`. The three stores must be
+    * init-ed over the standing corpus before the stream starts (each
+    * loop refuses an uninitialized store by name).
+    * `semanticThreshold` is explicit — no default — because a cosine
+    * cut is a per-pipeline modeling choice ([[SemanticIngestStream]]'s
+    * rationale). */
+  final case class Config(root: String, idCol: String, textCol: String,
+                          vecCol: String, checkpointDir: String,
+                          minhashThreshold: Double = 0.5,
+                          semanticThreshold: Double,
+                          minhashCompactEvery: Int = 8,
+                          vectorCompactEvery: Int = 9,
+                          driftGateMinRows: Long = 16L) {
+    def minhashDir: String = s"$root/minhash-store"
+    def minhashAccepted: String = s"$root/minhash-accepted"
+    def semanticDir: String = s"$root/semantic-store"
+    def semanticAccepted: String = s"$root/semantic-accepted"
+    def ivfDir: String = s"$root/ivf-store"
+  }
+
+  /** What one composed micro-batch did, per stage. */
+  final case class TriadOutcome(dedup: DedupIngestStream.BatchOutcome,
+                                semantic: SemanticIngestStream.BatchOutcome,
+                                ivf: IvfIngestStream.BatchOutcome)
+
+  /** One composed micro-batch — the three stages in sequence, each
+    * reading its predecessor's committed accepted bytes for THIS batch
+    * id. Factored out of the sink so specs can drive batch ids (and
+    * crash-replay interleavings) deterministically. */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
+                                  cfg: Config): TriadOutcome = {
+    val spark = batch.sparkSession
+    val o1 = DedupIngestStream.processBatch(batch, batchId,
+      cfg.minhashDir, cfg.minhashAccepted, cfg.idCol, cfg.textCol,
+      cfg.minhashThreshold, cfg.minhashCompactEvery, cfg.checkpointDir)
+    // the dedup survivors carry every source column (embedding
+    // included) — re-read from the committed batch directory, which a
+    // fold can never touch (folds take strictly-below-current only)
+    val survivors1 = spark.read.parquet(s"${cfg.minhashAccepted}/batch=$batchId")
+    val o2 = SemanticIngestStream.processBatch(survivors1, batchId,
+      cfg.semanticDir, cfg.semanticAccepted, cfg.idCol, cfg.vecCol,
+      cfg.semanticThreshold, cfg.vectorCompactEvery, cfg.checkpointDir,
+      cfg.driftGateMinRows)
+    val survivors2 = spark.read.parquet(s"${cfg.semanticAccepted}/batch=$batchId")
+    val o3 = IvfIngestStream.processBatch(survivors2, batchId,
+      cfg.ivfDir, cfg.idCol, cfg.vecCol, cfg.vectorCompactEvery,
+      cfg.checkpointDir, cfg.driftGateMinRows)
+    TriadOutcome(o1, o2, o3)
+  }
+
+  /** Start the composed pipeline over a streaming frame. The final
+    * accepted corpus (documents that survived BOTH screens) is
+    * [[AcceptedSink.readAccepted]] over `cfg.semanticAccepted`; the
+    * retrieval surface is [[graft.ops.IvfIndexStore.probeLatest]] over
+    * `cfg.ivfDir`, readable concurrently at any committed version. */
+  def triadSink(docs: DataFrame, cfg: Config): StreamingQuery = {
+    require(cfg.minhashCompactEvery >= 1 && cfg.vectorCompactEvery >= 1,
+      "compact cadences must be >= 1")
+    docs.writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, cfg)
+        (): Unit
+      }
+      .start()
+  }
+}

@@ -34,8 +34,10 @@ class DedupIngestStreamSpec extends SparkSpec {
       shingleK = 5, numBands = 24, rowsPerBand = 2,
       maxGroupSize = maxGroupSize)
 
+  // the corpus read surface once folding exists (pre-fold it equals a
+  // raw parquet read of the directory — both paths are exercised below)
   private def acceptedIds(acceptedDir: String): Set[Long] =
-    spark.read.parquet(acceptedDir)
+    graft.streaming.AcceptedSink.readAccepted(spark, acceptedDir)
       .select("doc_id").collect().map(_.getLong(0)).toSet
 
   private def process(batch: DataFrame, batchId: Long, dir: String,
@@ -187,11 +189,98 @@ class DedupIngestStreamSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         MinhashIndexStore.read(spark, s"$dir/store", Some(0L))
       }
+      // the same trip folded the replay-dead accepted batch dirs (below
+      // the current batch) into the archive; the read surface is intact
+      assert(o1.acceptedFoldedTo === Some(0L))
+      assert(!new java.io.File(s"$dir/accepted/batch=0").exists,
+        "folded batch directories must be deleted")
+      assert(acceptedIds(s"$dir/accepted") === Set(101L, 102L))
       // the compacted store still dedups the whole history
       val o2 = process(docsDf((301L, uniq(101)), (302L, uniq(302))), 2L, dir,
         compactEvery = 2)
       assert(o2.version === 4L)
       assert(acceptedIds(s"$dir/accepted") === Set(101L, 102L, 302L))
+    }
+  }
+
+  test("accepted-sink lifecycle: folds bound the directory count, data and batch lineage intact, crash- and replay-safe") {
+    import graft.streaming.AcceptedSink
+    withDir { dir =>
+      initStore(s"$dir/store", docsDf((1L, uniq(1))))
+      // six batches at compactEvery=2: every trip folds the replay-dead
+      // directories below the current batch
+      (0L to 5L).foreach { b =>
+        process(docsDf((100L + b, uniq(100 + b))), b, dir, compactEvery = 2)
+      }
+      val liveDirs = new java.io.File(s"$dir/accepted").listFiles()
+        .map(_.getName).filter(_.startsWith("batch=")).toSet
+      assert(liveDirs.size <= 2,
+        s"directory count must track cadence trips, not batches: $liveDirs")
+      // every accepted doc is present with its ORIGINAL batch lineage,
+      // whichever tier it sits in
+      val byBatch = AcceptedSink.readAccepted(spark, s"$dir/accepted")
+        .select("doc_id", "batch").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byBatch === (0L to 5L).map(b => (100L + b) -> b).toMap)
+      // replaying the last batch rewrites only its own (still-live)
+      // directory — the corpus is unchanged
+      val replay = process(docsDf((105L, uniq(105))), 5L, dir, compactEvery = 2)
+      assert(replay.replay)
+      assert(AcceptedSink.readAccepted(spark, s"$dir/accepted")
+        .count() === 6L)
+      // crash window: a fold that committed its archive version but
+      // died before deleting the folded directories leaves at-or-below-
+      // watermark debris — readers exclude it on sight, the next fold
+      // deletes it, and no row duplicates
+      assert(AcceptedSink.maxFoldedBatch(spark, s"$dir/accepted") === Some(4L))
+      docsDf((100L, uniq(100))).write
+        .parquet(s"$dir/accepted/batch=0") // resurrect a folded dir
+      assert(AcceptedSink.readAccepted(spark, s"$dir/accepted")
+        .count() === 6L, "a below-watermark debris dir must not duplicate rows")
+      // the explicit fold clears the debris on sight AND folds the last
+      // live directory (batch 5 is below belowBatch=7)
+      assert(AcceptedSink.fold(spark, s"$dir/accepted", belowBatch = 7L)
+        === Some(5L))
+      assert(!new java.io.File(s"$dir/accepted/batch=0").exists,
+        "the next fold must clear crash debris on sight")
+      assert(!new java.io.File(s"$dir/accepted/batch=5").exists)
+      // the deeper pass: compactArchive folds the delta chain into one
+      // full version; prune reclaims the folded links; data intact
+      val full = AcceptedSink.compactArchive(spark, s"$dir/accepted").get
+      assert(AcceptedSink.prune(spark, s"$dir/accepted", full).nonEmpty)
+      assert(AcceptedSink.readAccepted(spark, s"$dir/accepted")
+        .select("doc_id", "batch").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap === byBatch)
+      assert(AcceptedSink.maxFoldedBatch(spark, s"$dir/accepted")
+        === Some(5L))
+    }
+  }
+
+  test("same-id resend outside checkpoint replay is NOT rejected — the documented source contract") {
+    withDir { dir =>
+      initStore(s"$dir/store", docsDf((1L, uniq(1))))
+      // batch 0: doc 101 survives and is appended
+      val o0 = process(docsDf((101L, uniq(101))), 0L, dir)
+      assert(o0.accepted === 1L)
+      // batch 1 resends THE SAME id with the same text — its standing
+      // copy is its own group's representative, so the banded probe
+      // drops the (101,101) self-pair and the resend is NOT rejected:
+      // it re-appends and the id now appears twice in the merged index
+      // (why the Scaladoc makes id non-redelivery the source's
+      // contract, matching IvfIngestStream). A DIFFERENT id with the
+      // same text is the supported path and rejects normally.
+      val o1 = process(docsDf((101L, uniq(101))), 1L, dir)
+      assert(o1.accepted === 1L,
+        "pin the documented behavior: a same-id resend is not rejected")
+      val merged = MinhashIndexStore.read(spark, s"$dir/store").index
+        .select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.col("ids")).as("id"))
+        .where(org.apache.spark.sql.functions.col("id") === 101L).count()
+      assert(merged === 2L,
+        "the resend duplicates the id across chain links — the invariant breach the doc names")
+      val o2 = process(docsDf((301L, uniq(101))), 2L, dir)
+      assert(o2.accepted === 0L,
+        "a resend under a different id rejects as an ordinary near-dup")
     }
   }
 

@@ -287,4 +287,82 @@ class IvfIndexStoreSpec extends SparkSpec {
         vecs((998L, base(901))), "vec_id", "embedding", k = 3, nprobe = 8)) === 502L)
     }
   }
+
+  test("tombstone removal: removed rows leave probe and read; compact materializes the filtered frame and clears") {
+    withDir { dir =>
+      val corpus = vecs((0L until 100L).map(i => (i, base(i.toInt))): _*)
+      IvfIndexStore.init(corpus, dir, "vec_id", "embedding", nlist = 8)
+      IvfIndexStore.append(spark, dir,
+        vecs((501L, base(900)), (502L, base(901))), "vec_id", "embedding", 0L)
+      def rows(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      // remove one doc from EACH chain link — O(tombstones), no corpus
+      // touch (the remove version's cells payload is empty on disk)
+      assert(IvfIndexStore.remove(spark, dir,
+        Seq(5L, 501L).toDF("vec_id"), "vec_id", 1L) === 2L)
+      assert(spark.read.parquet(s"$dir/v=2/cells").count() === 0L)
+      assert(IvfIndexStore.liveTombs(spark, dir).collect()
+        .map(_.getLong(0)).toSet === Set(5L, 501L))
+      // read() excludes the tombstoned rows exactly
+      val loaded = IvfIndexStore.read(spark, dir)
+      val loadedIds = loaded.cells.select("corpus_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(loadedIds === ((0L until 100L).toSet - 5L + 502L))
+      // probe parity: probeLatest equals ivfProbe over the unfiltered
+      // chain minus the removed ids — a removed doc can neither score
+      // nor occupy a top-k slot, and its slot goes to the next best
+      val raw = graft.ops.VersionedState
+        .readCellChain(spark, dir, Seq(2L, 1L, 0L), None)
+      val q = vecs((999L, base(5)), (998L, base(900)))
+      val expected = rows(Similarity.ivfProbe(loaded.centroids,
+        raw.where(!col("corpus_id").isin(5L, 501L)), q,
+        "vec_id", "embedding", k = 3, nprobe = 8))
+      val got = rows(IvfIndexStore.probeLatest(spark, dir, q,
+        "vec_id", "embedding", k = 3, nprobe = 8))
+      assert(got === expected)
+      assert(!got.exists(r => r._2 == 5L || r._2 == 501L))
+      // pinned BELOW the remove link: versioned time travel still
+      // retrieves the removed doc
+      def top1(df: DataFrame): Long =
+        df.orderBy("rank").limit(1).collect()(0).getLong(1)
+      assert(top1(IvfIndexStore.probeLatest(spark, dir, vecs((999L, base(5))),
+        "vec_id", "embedding", k = 3, nprobe = 8, version = Some(1L))) === 5L)
+      // compact materializes corpus-minus-removed as the new full
+      // version and clears the debt
+      assert(IvfIndexStore.compact(spark, dir) === 3L)
+      assert(IvfIndexStore.liveTombs(spark, dir).isEmpty)
+      assert(!new java.io.File(s"$dir/v=3/tombs").exists)
+      val diskIds = spark.read.parquet(s"$dir/v=3/cells")
+        .select("corpus_id").collect().map(_.getLong(0)).toSet
+      assert(diskIds === loadedIds)
+      assert(rows(IvfIndexStore.probeLatest(spark, dir, q,
+        "vec_id", "embedding", k = 3, nprobe = 8)) === expected)
+      // protocol: empty removal no-ops; a replayed remove refuses stale
+      assert(IvfIndexStore.remove(spark, dir,
+        Seq.empty[Long].toDF("vec_id"), "vec_id", 3L) === 3L)
+      val stale = intercept[IllegalArgumentException] {
+        IvfIndexStore.remove(spark, dir, Seq(7L).toDF("vec_id"), "vec_id", 1L)
+      }
+      assert(stale.getMessage.contains("another maintainer already advanced"))
+    }
+  }
+
+  test("removing the entire corpus fails the compact by name — never a committed empty index") {
+    withDir { dir =>
+      val corpus = vecs((0L until 20L).map(i => (i, base(i.toInt))): _*)
+      IvfIndexStore.init(corpus, dir, "vec_id", "embedding", nlist = 4)
+      IvfIndexStore.remove(spark, dir,
+        corpus.select("vec_id"), "vec_id", 0L)
+      val e = intercept[Exception] { IvfIndexStore.compact(spark, dir) }
+      def msgs(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).toSeq
+      assert(msgs(e).exists(_.contains("EMPTY index")), s"wrong error: $e")
+      // nothing committed: the head is still the remove link, probes
+      // still run (and find nothing — every row is tombstoned)
+      assert(IvfIndexStore.latestVersion(spark, dir) === Some(1L))
+      assert(IvfIndexStore.probeLatest(spark, dir, vecs((999L, base(3))),
+        "vec_id", "embedding", k = 3, nprobe = 4).count() === 0L)
+    }
+  }
 }

@@ -472,6 +472,134 @@ class MinhashIndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("tombstone removal: probe equals a fresh build over corpus-minus-removed; compact applies and clears") {
+    withDir { dir =>
+      val corpus = docs(1L to 20L)
+      val b1 = docs(21L to 28L)
+      MinhashIndexStore.init(corpus, dir, "doc_id", "text")
+      MinhashIndexStore.append(spark, dir, b1, "doc_id", "text", 0L)
+      // remove one doc from EACH chain link (init and delta) — the
+      // O(tombstones) delta, never a corpus rewrite
+      assert(MinhashIndexStore.remove(spark, dir,
+        Seq(5L, 22L).toDF("doc_id"), "doc_id", 1L) === 2L)
+      assert(MinhashIndexStore.liveTombs(spark, dir).collect()
+        .map(_.getLong(0)).toSet === Set(5L, 22L))
+      // the batch carries exact twins of BOTH removed docs: a pair
+      // naming a removed id must not emit, while the twin itself still
+      // pairs with everything the fresh-minus-removed build pairs with
+      val batch = docs(41L to 45L)
+        .unionByName(corpus.where(col("doc_id") === 5L)
+          .select(lit(105L).as("doc_id"), col("text")))
+        .unionByName(b1.where(col("doc_id") === 22L)
+          .select(lit(122L).as("doc_id"), col("text")))
+      val expected = pairSet(Dedup.minhashIndexDedupBatch(
+        build(corpus.unionByName(b1)
+          .where(!col("doc_id").isin(5L, 22L))), batch,
+        "doc_id", "text", threshold = 0.5))
+      assert(!expected.exists(p => p._1 == 5L || p._1 == 22L
+        || p._2 == 5L || p._2 == 22L))
+      val got = pairSet(MinhashIndexStore.probeLatest(spark, dir, batch,
+        "doc_id", "text", threshold = 0.5))
+      assert(got === expected)
+      // a pinned probe BELOW the remove link reads the OLD corpus —
+      // versioned time travel, so the removed pairs are still there
+      val pinned = pairSet(MinhashIndexStore.probeLatest(spark, dir, batch,
+        "doc_id", "text", threshold = 0.5, version = Some(1L)))
+      assert(pinned.contains((5L, 105L, 1.0)))
+      assert(pinned.contains((22L, 122L, 1.0)))
+      // tombstones survive a LATER append (union across the chain):
+      // the removed ids stay dead while new documents land
+      MinhashIndexStore.append(spark, dir, docs(31L to 34L), "doc_id", "text", 2L)
+      val expected2 = pairSet(Dedup.minhashIndexDedupBatch(
+        build(corpus.unionByName(b1).unionByName(docs(31L to 34L))
+          .where(!col("doc_id").isin(5L, 22L))), batch,
+        "doc_id", "text", threshold = 0.5))
+      assert(pairSet(MinhashIndexStore.probeLatest(spark, dir, batch,
+        "doc_id", "text", threshold = 0.5)) === expected2)
+      // compact APPLIES the tombstones (merged member lists drop the
+      // removed ids on disk) and CLEARS them (no tombs frame, no live
+      // tombstones) — and the compacted head probes identically
+      assert(MinhashIndexStore.compact(spark, dir) === 4L)
+      assert(MinhashIndexStore.liveTombs(spark, dir).isEmpty)
+      assert(!new java.io.File(s"$dir/v=4/tombs").exists,
+        "a compacted full version must carry no tombs frame")
+      val foldedIds = spark.read.parquet(s"$dir/v=4/index")
+        .select(explode(col("ids"))).collect().map(_.getLong(0)).toSet
+      assert(!foldedIds.contains(5L) && !foldedIds.contains(22L))
+      assert(foldedIds.contains(6L) && foldedIds.contains(23L))
+      assert(pairSet(MinhashIndexStore.probeLatest(spark, dir, batch,
+        "doc_id", "text", threshold = 0.5)) === expected2)
+      // after the compact cleared the debt, the removed id may re-enter
+      MinhashIndexStore.append(spark, dir,
+        corpus.where(col("doc_id") === 5L), "doc_id", "text", 4L)
+      assert(pairSet(MinhashIndexStore.probeLatest(spark, dir, batch,
+        "doc_id", "text", threshold = 0.5)).contains((5L, 105L, 1.0)))
+    }
+  }
+
+  test("remove protocol: staleness, replay, empty and unknown-id no-ops, valve on the frame shape") {
+    withDir { dir =>
+      MinhashIndexStore.init(docs(1L to 10L), dir, "doc_id", "text")
+      // an empty removal frame is a no-op, not a chain link
+      assert(MinhashIndexStore.remove(spark, dir,
+        Seq.empty[Long].toDF("doc_id"), "doc_id", 0L) === 0L)
+      assert(MinhashIndexStore.latestVersion(spark, dir) === Some(0L))
+      // a removal frame without the named id column fails by name
+      val shape = intercept[IllegalArgumentException] {
+        MinhashIndexStore.remove(spark, dir,
+          Seq(1L).toDF("wrong_col"), "doc_id", 0L)
+      }
+      assert(shape.getMessage.contains("no column 'doc_id'"))
+      // a committed remove advances the head; replaying the SAME remove
+      // refuses as stale (the append replay rule — crash replay works
+      // because a crash before the rename leaves latest unchanged)
+      assert(MinhashIndexStore.remove(spark, dir,
+        Seq(3L).toDF("doc_id"), "doc_id", 0L) === 1L)
+      val stale = intercept[IllegalArgumentException] {
+        MinhashIndexStore.remove(spark, dir,
+          Seq(3L).toDF("doc_id"), "doc_id", 0L)
+      }
+      assert(stale.getMessage.contains("another maintainer already advanced"))
+      // removing an id the corpus never held: harmless at probe and
+      // compact alike (no corpus scan to check membership)
+      assert(MinhashIndexStore.remove(spark, dir,
+        Seq(9999L).toDF("doc_id"), "doc_id", 1L) === 2L)
+      val expected = pairSet(Dedup.minhashIndexDedupBatch(
+        build(docs(1L to 10L).where(col("doc_id") =!= 3L)),
+        docs(21L to 24L), "doc_id", "text", threshold = 0.5))
+      assert(pairSet(MinhashIndexStore.probeLatest(spark, dir,
+        docs(21L to 24L), "doc_id", "text", threshold = 0.5)) === expected)
+      assert(MinhashIndexStore.compact(spark, dir) === 3L)
+      assert(pairSet(MinhashIndexStore.probeLatest(spark, dir,
+        docs(21L to 24L), "doc_id", "text", threshold = 0.5)) === expected)
+      // prune clamps exactly as before — remove links are ordinary
+      // chain links (the folded v=3 is the new base)
+      assert(MinhashIndexStore.prune(spark, dir, keepFrom = 3L) ===
+        Seq(0L, 1L, 2L))
+      assert(MinhashIndexStore.liveTombs(spark, dir).isEmpty)
+    }
+  }
+
+  test("removing every corpus member compacts to a working EMPTY index: probes emit only within-batch pairs") {
+    withDir { dir =>
+      // identical texts so the whole corpus is one group
+      def clones(ids: Seq[Long]): DataFrame =
+        ids.map((_, "alpha beta gamma delta epsilon zeta eta theta"))
+          .toDF("doc_id", "text")
+      MinhashIndexStore.init(clones(Seq(1L, 2L)), dir, "doc_id", "text")
+      MinhashIndexStore.remove(spark, dir,
+        Seq(1L, 2L).toDF("doc_id"), "doc_id", 0L)
+      // the fully-removed group vanishes at compact; the empty index
+      // still round-trips (plain parquet write keeps the schema) and
+      // probes emit exactly the batch's own within pairs
+      assert(MinhashIndexStore.compact(spark, dir) === 2L)
+      assert(spark.read.parquet(s"$dir/v=2/index").count() === 0L)
+      val got = pairSet(MinhashIndexStore.probeLatest(spark, dir,
+        clones(Seq(21L, 22L)), "doc_id", "text", threshold = 0.5))
+      assert(got === Set((21L, 22L, 1.0)))
+    }
+  }
+
   test("read refuses a missing or uncommitted pinned version by name") {
     withDir { dir =>
       MinhashIndexStore.init(docs(1L to 10L), dir, "doc_id", "text")

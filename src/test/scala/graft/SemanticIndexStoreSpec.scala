@@ -211,6 +211,96 @@ class SemanticIndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("tombstone removal: probe equals the standing-centroid probe over corpus-minus-removed; compact applies and clears") {
+    withDir { dir =>
+      val corpus = vecs((0L until 60L).map(i => (i, base(i.toInt))): _*)
+      SemanticIndexStore.init(corpus, dir, "vec_id", "embedding", nlist = 8)
+      val loaded0 = SemanticIndexStore.read(spark, dir)
+      // b1 plants an exact copy of corpus member 7 (an identical-vector
+      // group split across two links) plus a fresh vector
+      val b1 = vecs((201L, base(7)), (202L, base(500)))
+      SemanticIndexStore.append(spark, dir, b1, "vec_id", "embedding", 0L)
+      // remove member 7 (its group keeps survivor 201) and the whole
+      // fresh vector 202 — one id from each link
+      assert(SemanticIndexStore.remove(spark, dir,
+        Seq(7L, 202L).toDF("vec_id"), "vec_id", 1L) === 2L)
+      assert(SemanticIndexStore.liveTombs(spark, dir).collect()
+        .map(_.getLong(0)).toSet === Set(7L, 202L))
+      // the batch probes near-dups of both removed docs: pairs naming
+      // them must not emit; their surviving twins still pair. Oracle =
+      // the SAME standing centroids over the corpus-minus-removed
+      // assignment (retraining would redraw cells — removal must not)
+      val batch = vecs((401L, jitter(base(7))), (402L, jitter(base(500))),
+        (403L, base(11)))
+      def scored(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val survivorCells = Similarity.semanticAssign(loaded0.centroids,
+        corpus.where(col("vec_id") =!= 7L)
+          .unionByName(b1.where(col("vec_id") =!= 202L)),
+        "vec_id", "embedding")
+      val expected = scored(Similarity.semanticDedupBatch(loaded0.centroids,
+        survivorCells, batch, "vec_id", "embedding", threshold = 0.9))
+      assert(expected.exists(p => p._1 == 201L && p._2 == 401L),
+        "the surviving twin must still pair")
+      assert(!expected.exists(p => p._1 == 7L || p._1 == 202L
+        || p._2 == 7L || p._2 == 202L))
+      val got = scored(SemanticIndexStore.probeLatest(spark, dir, batch,
+        "vec_id", "embedding", threshold = 0.9))
+      assert(got === expected)
+      // pinned BELOW the remove link: versioned time travel still
+      // pairs against the removed docs
+      val pinned = scored(SemanticIndexStore.probeLatest(spark, dir, batch,
+        "vec_id", "embedding", threshold = 0.9, version = Some(1L)))
+      assert(pinned.exists(p => p._1 == 7L && p._2 == 401L))
+      // compact applies the tombstones to the merged member lists (the
+      // split group keeps only its survivor; the fully-removed value
+      // vanishes) and clears the debt — and probes identically after
+      assert(SemanticIndexStore.compact(spark, dir) === 3L)
+      assert(SemanticIndexStore.liveTombs(spark, dir).isEmpty)
+      assert(!new java.io.File(s"$dir/v=3/tombs").exists)
+      val folded = spark.read.parquet(s"$dir/v=3/cells")
+      val foldedIds = folded.select(explode(col("ids"))).collect()
+        .map(_.getLong(0)).toSet
+      assert(!foldedIds.contains(7L) && !foldedIds.contains(202L))
+      assert(foldedIds.contains(201L))
+      // the split group's gid re-derived as its surviving minimum
+      val g201 = folded.where(array_contains(col("ids"), 201L)).collect()
+      assert(g201.length === 1 &&
+        g201(0).getAs[Long]("gid") === 201L &&
+        g201(0).getAs[Seq[Long]]("ids") === Seq(201L))
+      assert(scored(SemanticIndexStore.probeLatest(spark, dir, batch,
+        "vec_id", "embedding", threshold = 0.9)) === expected)
+      // protocol: empty removal no-ops; a replayed remove refuses stale
+      assert(SemanticIndexStore.remove(spark, dir,
+        Seq.empty[Long].toDF("vec_id"), "vec_id", 3L) === 3L)
+      val stale = intercept[IllegalArgumentException] {
+        SemanticIndexStore.remove(spark, dir,
+          Seq(9L).toDF("vec_id"), "vec_id", 1L)
+      }
+      assert(stale.getMessage.contains("another maintainer already advanced"))
+    }
+  }
+
+  test("removing the entire corpus fails the compact by name — never a committed empty index") {
+    withDir { dir =>
+      val corpus = vecs((0L until 20L).map(i => (i, base(i.toInt))): _*)
+      SemanticIndexStore.init(corpus, dir, "vec_id", "embedding", nlist = 4)
+      SemanticIndexStore.remove(spark, dir,
+        corpus.select("vec_id"), "vec_id", 0L)
+      val e = intercept[Exception] { SemanticIndexStore.compact(spark, dir) }
+      def msgs(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).toSeq
+      assert(msgs(e).exists(_.contains("EMPTY index")), s"wrong error: $e")
+      // nothing committed; probes still run and find nothing — every
+      // standing row is tombstoned
+      assert(SemanticIndexStore.latestVersion(spark, dir) === Some(1L))
+      assert(SemanticIndexStore.probeLatest(spark, dir,
+        vecs((999L, base(3))), "vec_id", "embedding",
+        threshold = 0.9).count() === 0L)
+    }
+  }
+
   test("valve placement: a group split across links appends fine and fails the compact by name") {
     withDir { dir =>
       // identical vectors → one group; the PERSISTED maxGroupSize=3

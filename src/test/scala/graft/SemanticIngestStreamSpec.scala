@@ -37,8 +37,10 @@ class SemanticIngestStreamSpec extends SparkSpec {
       s"$dir/accepted", "vec_id", "embedding", threshold = 0.9,
       compactEvery = compactEvery, checkpointDir = "cp-a")
 
+  // the corpus read surface once cadence folding exists (pre-fold it
+  // equals a raw parquet read of the directory)
   private def acceptedIds(acceptedDir: String): Set[Long] =
-    spark.read.parquet(acceptedDir)
+    graft.streaming.AcceptedSink.readAccepted(spark, acceptedDir)
       .select("vec_id").collect().map(_.getLong(0)).toSet
 
   private def withDir(body: String => Unit): Unit = {

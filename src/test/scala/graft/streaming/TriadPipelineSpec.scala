@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import graft.SparkSpec
+import graft.ops.{IvfIndexStore, MinhashIndexStore, SemanticIndexStore}
+
+/** End-to-end specs for [[TriadPipeline]] — the composed
+  * dedup → semantic → IVF ingest topology: per-stage screening with
+  * cross-batch statefulness at BOTH screens, survivor handoff through
+  * committed bytes, and crash replay across a stage boundary (the
+  * interleaving no single loop's spec can pin). */
+class TriadPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Doc-unique texts (zero shared shingles across ids — the
+    * DedupIngestStreamSpec fixture). */
+  private def uniq(i: Long): String =
+    (0 until 12).map(w => s"w${i}x$w").mkString(" ")
+
+  private def base(i: Int): Array[Float] = {
+    val rnd = new scala.util.Random(i)
+    Array.fill(16)(rnd.nextFloat() * 2 - 1)
+  }
+  private def jitter(v: Array[Float]): Array[Float] = {
+    val w = v.clone(); w(0) = w(0) + 0.01f; w
+  }
+
+  private def rows(rs: (Long, String, Array[Float])*): DataFrame =
+    rs.toDF("doc_id", "text", "embedding")
+
+  private def cfgFor(root: String): TriadPipeline.Config =
+    TriadPipeline.Config(root, "doc_id", "text", "embedding",
+      checkpointDir = "triad-cp", semanticThreshold = 0.9)
+
+  private def initStores(cfg: TriadPipeline.Config, corpus: DataFrame): Unit = {
+    MinhashIndexStore.init(corpus, cfg.minhashDir, "doc_id", "text",
+      shingleK = 5, numBands = 24, rowsPerBand = 2)
+    SemanticIndexStore.init(corpus, cfg.semanticDir, "doc_id", "embedding",
+      nlist = 4)
+    IvfIndexStore.init(corpus, cfg.ivfDir, "doc_id", "embedding", nlist = 4)
+  }
+
+  private def withDir(body: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("triad").toString
+    try body(dir)
+    finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+      spark.catalog.clearCache()
+    }
+  }
+
+  private def semIds(cfg: TriadPipeline.Config): Seq[Long] =
+    SemanticIndexStore.read(spark, cfg.semanticDir).cells
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("ids")).as("id"))
+      .collect().map(_.getLong(0)).toSeq
+
+  private def ivfTop1(cfg: TriadPipeline.Config, v: Array[Float]): Long =
+    IvfIndexStore.probeLatest(spark, cfg.ivfDir,
+      Seq((999L, v)).toDF("doc_id", "embedding"), "doc_id", "embedding",
+      k = 1, nprobe = 4)
+      .orderBy("rank").limit(1).collect()(0).getLong(1)
+
+  test("three batches: both screens stateful across batches, survivors reach the IVF index") {
+    withDir { root =>
+      val cfg = cfgFor(root)
+      val corpus = rows((1L to 20L).map(i => (i, uniq(i), base(i.toInt))): _*)
+      initStores(cfg, corpus)
+      // batch 0: 101 fresh everything; 102 is a TEXT copy of corpus doc
+      // 3 (dies at the dedup screen); 103 has fresh text but a vector
+      // semantically near standing doc 5 (passes dedup, dies at the
+      // semantic screen); 104 fresh everything
+      val o0 = TriadPipeline.processBatch(rows(
+        (101L, uniq(101), base(101)), (102L, uniq(3), base(102)),
+        (103L, uniq(103), jitter(base(5))), (104L, uniq(104), base(104))),
+        0L, cfg)
+      assert(o0.dedup.accepted === 3L, "102 dies at the text screen")
+      assert(o0.semantic.accepted === 2L, "103 dies at the semantic screen")
+      assert(o0.ivf.appended === 2L)
+      assert(semIds(cfg).toSet === (1L to 20L).toSet ++ Set(101L, 104L))
+      assert(ivfTop1(cfg, base(101)) === 101L,
+        "a both-screens survivor must be retrievable")
+      // batch 1: 201 is a text copy of batch-0 SURVIVOR 101 (the dedup
+      // screen is stateful across batches); 202 is semantically near
+      // batch-0 SEMANTIC SURVIVOR 104 (that screen is stateful too);
+      // 203 fresh
+      val o1 = TriadPipeline.processBatch(rows(
+        (201L, uniq(101), base(201)), (202L, uniq(202), jitter(base(104))),
+        (203L, uniq(203), base(203))),
+        1L, cfg)
+      assert(o1.dedup.accepted === 2L, "201 rejects against survivor 101")
+      assert(o1.semantic.accepted === 1L, "202 rejects against survivor 104")
+      assert(o1.ivf.appended === 1L)
+      assert(ivfTop1(cfg, base(203)) === 203L)
+      // batch 2: everything dies at the FIRST screen — the downstream
+      // stages see an empty survivor set and no-op without growing
+      // their chains
+      val semHead = SemanticIndexStore.latestVersion(spark, cfg.semanticDir)
+      val ivfHead = IvfIndexStore.latestVersion(spark, cfg.ivfDir)
+      val o2 = TriadPipeline.processBatch(rows(
+        (301L, uniq(101), base(301)), (302L, uniq(203), base(302))),
+        2L, cfg)
+      assert(o2.dedup.accepted === 0L)
+      assert(o2.semantic.accepted === 0L && o2.ivf.appended === 0L)
+      assert(SemanticIndexStore.latestVersion(spark, cfg.semanticDir) === semHead)
+      assert(IvfIndexStore.latestVersion(spark, cfg.ivfDir) === ivfHead)
+      // the final accepted corpus is the both-screens survivor set
+      assert(AcceptedSink.readAccepted(spark, cfg.semanticAccepted)
+        .select("doc_id").collect().map(_.getLong(0)).toSet ===
+        Set(101L, 104L, 203L))
+    }
+  }
+
+  test("crash replay across a stage boundary: committed stages skip, the crashed stage redoes, no id duplicates") {
+    withDir { root =>
+      val cfg = cfgFor(root)
+      val corpus = rows((1L to 10L).map(i => (i, uniq(i), base(i.toInt))): _*)
+      initStores(cfg, corpus)
+      TriadPipeline.processBatch(rows((101L, uniq(101), base(101))), 0L, cfg)
+      // batch 1 "crashes" BETWEEN stages: stage 1 ran to completion
+      // (probe + accepted write + append + ledger), then the driver
+      // died before stage 2 ever saw the batch
+      val b1 = rows((201L, uniq(201), base(201)))
+      DedupIngestStream.processBatch(b1, 1L, cfg.minhashDir,
+        cfg.minhashAccepted, "doc_id", "text", threshold = 0.5,
+        compactEvery = 8, checkpointDir = cfg.checkpointDir)
+      assert(MinhashIndexStore.latestVersion(spark, cfg.minhashDir) === Some(2L))
+      // foreachBatch re-delivers batch 1 to the WHOLE pipeline: the
+      // committed stage replays (skips its append, rewrites its
+      // deterministic output), the never-ran stages run fresh
+      val o1 = TriadPipeline.processBatch(b1, 1L, cfg)
+      assert(o1.dedup.replay && o1.dedup.appendSkipped)
+      assert(!o1.semantic.replay && o1.semantic.accepted === 1L)
+      assert(!o1.ivf.replay && o1.ivf.appended === 1L)
+      // no id entered any store twice
+      assert(MinhashIndexStore.latestVersion(spark, cfg.minhashDir) === Some(2L))
+      assert(semIds(cfg).count(_ == 201L) === 1)
+      assert(ivfTop1(cfg, base(201)) === 201L)
+      // a SECOND replay of the same batch (crash after everything
+      // committed, before the checkpoint): every stage skips its
+      // append, outputs rewrite stably, stores unchanged
+      val heads = (MinhashIndexStore.latestVersion(spark, cfg.minhashDir),
+        SemanticIndexStore.latestVersion(spark, cfg.semanticDir),
+        IvfIndexStore.latestVersion(spark, cfg.ivfDir))
+      val o2 = TriadPipeline.processBatch(b1, 1L, cfg)
+      assert(o2.dedup.replay && o2.dedup.appendSkipped)
+      assert(o2.semantic.replay && o2.semantic.appendSkipped)
+      assert(o2.ivf.replay && o2.ivf.appendSkipped)
+      assert((MinhashIndexStore.latestVersion(spark, cfg.minhashDir),
+        SemanticIndexStore.latestVersion(spark, cfg.semanticDir),
+        IvfIndexStore.latestVersion(spark, cfg.ivfDir)) === heads)
+      assert(semIds(cfg).count(_ == 201L) === 1)
+      // the survivor sets are byte-stable across the replays
+      assert(AcceptedSink.readAccepted(spark, cfg.semanticAccepted)
+        .select("doc_id").collect().map(_.getLong(0)).toSet ===
+        Set(101L, 201L))
+    }
+  }
+}
