@@ -16,15 +16,23 @@ import graft.streaming.{DedupIngestStream, IvfIngestStream, SemanticIngestStream
   * main makes that claim a reading instead of prose.
   *
   * Method: init each store on HALF its table (even ids), then drive
-  * the other half through the loop as 8 equal batches (odd ids split
-  * by residue), `compactEvery = 4` so the cadence trips mid-run —
-  * batch timings before and after the compact also show whether the
-  * chain reset pays back. Per batch: wall seconds, accepted rows, the
-  * store version, and whether a compact ran. Single pass per store
-  * (the loop is stateful — there is no warm-up that doesn't change
-  * the state); loadavg is printed so a contended reading can be
-  * adjudicated like every other single-run number on this box
-  * (SCALE.md bench doctrine).
+  * 8 batches of odd ids split by residue, `compactEvery = 4` so the
+  * cadence trips mid-run — batch timings before and after the compact
+  * also show whether the chain reset pays back. Per batch: wall
+  * seconds, accepted rows, the store version, and whether a compact
+  * ran. Single pass per store (the loop is stateful — there is no
+  * warm-up that doesn't change the state); loadavg is printed so a
+  * contended reading can be adjudicated like every other single-run
+  * number on this box (SCALE.md bench doctrine).
+  *
+  * `SPARK_GRAFT_BATCH_DENOM` (default 16, must be a multiple of 16)
+  * sets the residue denominator the 8 batch slices are cut with —
+  * each batch is table/denom rows. The FIXED-BATCH decade experiment:
+  * run the default at sf0.1 and denom=160 at the 10× corpus, and the
+  * batches are the same ~300-doc size against a 10× standing corpus —
+  * a flat per-batch band across that pair is the no-corpus-term claim
+  * isolated from batch-size growth, while init/compact (corpus-mass
+  * by design) are expected to carry the 10×.
   *
   * Usage: `runMain graft.model.IngestLoopBench [sfDir]` (default
   * `SPARK_GRAFT_SF_DIR`, else sf0.1). Prints one JSON line. */
@@ -44,6 +52,17 @@ object IngestLoopBench {
     val before = loadavg()
     try {
       val Batches = 8
+      // batch slice geometry (see the object doc): batch b = ids with
+      // id % denom == step*b + 1 — odd (disjoint from the even standing
+      // half) and disjoint across b for any denom that is a multiple
+      // of 16
+      val denom = sys.env.get("SPARK_GRAFT_BATCH_DENOM").map(_.trim.toInt)
+        .getOrElse(16)
+      require(denom >= 16 && denom % 16 == 0,
+        s"SPARK_GRAFT_BATCH_DENOM must be a positive multiple of 16, got $denom")
+      val step = denom / 8
+      def slice(df: org.apache.spark.sql.DataFrame, idCol: String, b: Int) =
+        df.where(pmod(col(idCol), lit(denom)) === step * b + 1)
       def run(store: String,
               initF: () => Long,
               batchF: (Int, Long) => (Long, Long, Option[Long])): String = {
@@ -57,8 +76,8 @@ object IngestLoopBench {
         s""""$store":{"init_sec":${r3(initSec)},"batches":[${rows.mkString(",")}]}"""
       }
 
-      // minhash loop over documents: standing = even doc ids; batch b =
-      // odd ids with (id-1)/2 ≡ b (mod 8) — 8 equal slices, ids disjoint
+      // minhash loop over documents: standing = even doc ids; batches =
+      // 8 disjoint odd-id slices cut by `slice` (denom-controlled)
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select("doc_id", "text")
       val mh = run("minhash",
@@ -67,8 +86,7 @@ object IngestLoopBench {
           s"$root/mh/store", "doc_id", "text",
           shingleK = 5, numBands = 24, rowsPerBand = 2),
         (b, batchId) => {
-          // odd ids have doc_id % 16 ∈ {1,3,…,15} — 8 equal slices
-          val batch = docs.where(pmod(col("doc_id"), lit(16)) === 2 * b + 1)
+          val batch = slice(docs, "doc_id", b)
           val o = DedupIngestStream.processBatch(batch, batchId,
             s"$root/mh/store", s"$root/mh/accepted", "doc_id", "text",
             threshold = 0.5, compactEvery = 4, checkpointDir = "bench-cp")
@@ -83,7 +101,7 @@ object IngestLoopBench {
           vecs.where(pmod(col("vec_id"), lit(2)) === 0),
           s"$root/sem/store", "vec_id", "embedding", nlist = 16),
         (b, batchId) => {
-          val batch = vecs.where(pmod(col("vec_id"), lit(16)) === 2 * b + 1)
+          val batch = slice(vecs, "vec_id", b)
           val o = SemanticIngestStream.processBatch(batch, batchId,
             s"$root/sem/store", s"$root/sem/accepted", "vec_id", "embedding",
             threshold = 0.9, compactEvery = 4, checkpointDir = "bench-cp")
@@ -97,14 +115,14 @@ object IngestLoopBench {
           vecs.where(pmod(col("vec_id"), lit(2)) === 0),
           s"$root/ivf/store", "vec_id", "embedding", nlist = 16),
         (b, batchId) => {
-          val batch = vecs.where(pmod(col("vec_id"), lit(16)) === 2 * b + 1)
+          val batch = slice(vecs, "vec_id", b)
           val o = IvfIngestStream.processBatch(batch, batchId,
             s"$root/ivf/store", "vec_id", "embedding",
             compactEvery = 4, checkpointDir = "bench-cp")
           (o.appended, o.version, o.compactedTo)
         })
 
-      println(s"""{"metric":"ingest_loop","sf":"$dir",""" +
+      println(s"""{"metric":"ingest_loop","sf":"$dir","batch_denom":$denom,""" +
         s""""load_before":$before,"load_after":${loadavg()},""" +
         s"""$mh,$sem,$ivf}""")
     } finally {
