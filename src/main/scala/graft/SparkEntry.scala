@@ -735,7 +735,7 @@ object SparkEntry {
         DedupIngestStream.processBatch(
           docs.where(col("doc_id") % 5 === 0 && pmod(col("doc_id"), lit(10)) === b * 5),
           b, s"$root/store", s"$root/accepted", "doc_id", "text",
-          threshold = 0.5, compactEvery = 8, checkpointDir = "gate-cp")
+          threshold = 0.5, compactEvery = 8, checkpointDir = s"$root/gate-cp")
       }
       // the corpus read surface (archive tier + live batch dirs) — at
       // this gate's two batches nothing folds, but the gate must read

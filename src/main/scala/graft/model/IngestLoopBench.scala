@@ -89,7 +89,7 @@ object IngestLoopBench {
           val batch = slice(docs, "doc_id", b)
           val o = DedupIngestStream.processBatch(batch, batchId,
             s"$root/mh/store", s"$root/mh/accepted", "doc_id", "text",
-            threshold = 0.5, compactEvery = 4, checkpointDir = "bench-cp")
+            threshold = 0.5, compactEvery = 4, checkpointDir = s"$root/bench-cp")
           (o.accepted, o.version, o.compactedTo)
         })
 
@@ -104,7 +104,7 @@ object IngestLoopBench {
           val batch = slice(vecs, "vec_id", b)
           val o = SemanticIngestStream.processBatch(batch, batchId,
             s"$root/sem/store", s"$root/sem/accepted", "vec_id", "embedding",
-            threshold = 0.9, compactEvery = 4, checkpointDir = "bench-cp")
+            threshold = 0.9, compactEvery = 4, checkpointDir = s"$root/bench-cp")
           (o.accepted, o.version, o.compactedTo)
         })
 
@@ -118,7 +118,7 @@ object IngestLoopBench {
           val batch = slice(vecs, "vec_id", b)
           val o = IvfIngestStream.processBatch(batch, batchId,
             s"$root/ivf/store", "vec_id", "embedding",
-            compactEvery = 4, checkpointDir = "bench-cp")
+            compactEvery = 4, checkpointDir = s"$root/bench-cp")
           (o.appended, o.version, o.compactedTo)
         })
 

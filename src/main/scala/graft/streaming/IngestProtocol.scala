@@ -61,23 +61,70 @@ private[graft] object IngestProtocol {
         s"ingest marker at $dest: could not commit (rename from scratch failed)")
   }
 
+  private val NonceFile = "_graft_ingest_nonce"
+  private val nonceCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Batch-0 owner check: verify (or, on first contact, stamp) the
-    * checkpoint that owns this store's ingest ledger. */
+    * checkpoint that owns this store's ingest ledger. The stamp binds
+    * the store to the checkpoint PATH **and** to a per-checkpoint-
+    * instance NONCE written into the checkpoint directory itself on
+    * first contact: a path-only stamp passes when the checkpoint is
+    * DELETED and recreated at the same path — and since the ledger
+    * sweep removed old entries, that restarted batch 0 would
+    * fresh-record a base and silently re-append already-ingested
+    * documents (fully silent for the append-only IVF loop). The nonce
+    * lives and dies with the checkpoint directory, so recreation is
+    * caught by name; the remedy is the store rebuild runbook, not a
+    * quiet re-ingest. Stamps written before the nonce existed carry no
+    * nonce line and keep the path-only behavior. */
   def ownerCheck(spark: SparkSession, indexDir: String, batchId: Long,
                  checkpointDir: String): Unit =
     if (batchId == 0L) {
       val f = fs(spark, indexDir)
+      val cpFs = fs(spark, checkpointDir)
+      val noncePath = new org.apache.hadoop.fs.Path(s"$checkpointDir/$NonceFile")
       val marker = new org.apache.hadoop.fs.Path(s"$indexDir/$OwnerMarker")
-      readSmall(f, marker) match {
-        case Some(owner) =>
+      readSmall(f, marker).map(_.split("\n", 2)) match {
+        case Some(Array(owner, stampedNonce)) =>
           require(owner == checkpointDir,
             s"index store $indexDir is ingested by checkpoint '$owner' but " +
               s"batch 0 arrived from checkpoint '$checkpointDir' — a fresh " +
               "checkpoint would mis-read the standing ingest ledger as its " +
               "own replays; resume the original checkpoint or point the new " +
               "stream at its own store")
-        case None =>
-          writeAtomic(f, indexDir, OwnerMarker, checkpointDir)
+          require(readSmall(cpFs, noncePath).contains(stampedNonce),
+            s"index store $indexDir is ingested by checkpoint " +
+              s"'$checkpointDir' but that checkpoint's instance nonce is " +
+              "missing or different — the checkpoint directory was deleted " +
+              "and recreated at the same path, and its restarted batch 0 " +
+              "would silently re-append documents the original run already " +
+              "ingested; rebuild the store (delete and re-init over the " +
+              "accepted corpus) or restore the original checkpoint")
+        case Some(Array(owner)) =>
+          // legacy path-only stamp (written before the nonce existed)
+          require(owner == checkpointDir,
+            s"index store $indexDir is ingested by checkpoint '$owner' but " +
+              s"batch 0 arrived from checkpoint '$checkpointDir' — a fresh " +
+              "checkpoint would mis-read the standing ingest ledger as its " +
+              "own replays; resume the original checkpoint or point the new " +
+              "stream at its own store")
+        case _ =>
+          // first contact: the nonce identifies the CHECKPOINT INSTANCE
+          // — one per checkpoint directory, shared by every store the
+          // same checkpoint maintains (a composed pipeline's stages each
+          // stamp their own store against the one nonce) — so an
+          // existing nonce file is REUSED, and only the very first store
+          // to meet a fresh checkpoint mints one. Nonce before stamp: a
+          // crash between the two leaves no stamp, and the retried
+          // batch 0 reuses the nonce it finds
+          val nonce = readSmall(cpFs, noncePath).getOrElse {
+            val minted = java.lang.management.ManagementFactory
+              .getRuntimeMXBean.getName.replaceAll("[^A-Za-z0-9]", "") +
+              "-" + nonceCounter.incrementAndGet() + "-" + System.nanoTime()
+            writeAtomic(cpFs, checkpointDir, NonceFile, minted)
+            minted
+          }
+          writeAtomic(f, indexDir, OwnerMarker, s"$checkpointDir\n$nonce")
       }
     }
 

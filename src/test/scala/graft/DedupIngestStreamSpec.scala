@@ -45,7 +45,7 @@ class DedupIngestStreamSpec extends SparkSpec {
                       checkpoint: String = "cp-a"): DedupIngestStream.BatchOutcome =
     DedupIngestStream.processBatch(batch, batchId, s"$dir/store",
       s"$dir/accepted", "doc_id", "text", threshold = 0.5,
-      compactEvery = compactEvery, checkpointDir = checkpoint)
+      compactEvery = compactEvery, checkpointDir = s"$dir/$checkpoint")
 
   private def withDir(body: String => Unit): Unit = {
     val dir = java.nio.file.Files.createTempDirectory("dedup-ingest").toString
@@ -310,7 +310,41 @@ class DedupIngestStreamSpec extends SparkSpec {
       val ex = intercept[IllegalArgumentException] {
         process(docsDf((102L, uniq(102))), 0L, dir, checkpoint = "cp-b")
       }
-      assert(ex.getMessage.contains("ingested by checkpoint 'cp-a'"))
+      assert(ex.getMessage.contains(s"ingested by checkpoint '$dir/cp-a'"))
+    }
+  }
+
+  test("a checkpoint deleted and recreated at the same path is refused by the instance nonce") {
+    withDir { dir =>
+      initStore(s"$dir/store", docsDf((1L, uniq(1))))
+      process(docsDf((101L, uniq(101))), 0L, dir, checkpoint = "cp-a")
+      // a legitimate batch-0 replay from the INTACT checkpoint passes
+      // (path and nonce both match)
+      assert(process(docsDf((101L, uniq(101))), 0L, dir,
+        checkpoint = "cp-a").replay)
+      // the operator deletes the checkpoint and restarts "fresh" at the
+      // SAME path: the path-only check would pass, the restarted batch
+      // 0 would fresh-record a base (the old ledger entries were swept)
+      // and silently re-append already-ingested documents — the nonce,
+      // which lived in the deleted directory, refuses it by name
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(s"$dir/cp-a")).deleteRecursively()
+      val ex = intercept[IllegalArgumentException] {
+        process(docsDf((102L, uniq(102))), 0L, dir, checkpoint = "cp-a")
+      }
+      assert(ex.getMessage.contains("instance nonce is missing or different"))
+      assert(ex.getMessage.contains("deleted and recreated"))
+      // legacy stores stamped before the nonce existed keep the
+      // path-only behavior (an old stamp must not brick its stream).
+      // The direct overwrite must also drop Hadoop's checksum sibling,
+      // or the protocol's read trips a ChecksumException
+      val marker = java.nio.file.Paths.get(s"$dir/store/_ingest_owner")
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$dir/store/._ingest_owner.crc"))
+      java.nio.file.Files.write(marker,
+        s"$dir/cp-a".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      assert(process(docsDf((103L, uniq(103))), 0L, dir,
+        checkpoint = "cp-a").replay)
     }
   }
 

@@ -26,7 +26,7 @@ class IvfIngestStreamSpec extends SparkSpec {
                       compactEvery: Int = 9): IvfIngestStream.BatchOutcome =
     IvfIngestStream.processBatch(batch, batchId, s"$dir/store",
       "vec_id", "embedding", compactEvery = compactEvery,
-      checkpointDir = "cp-a")
+      checkpointDir = s"$dir/cp-a")
 
   private def withDir(body: String => Unit): Unit = {
     val dir = java.nio.file.Files.createTempDirectory("ivf-ingest").toString

@@ -35,7 +35,7 @@ class SemanticIngestStreamSpec extends SparkSpec {
                       compactEvery: Int = 9): SemanticIngestStream.BatchOutcome =
     SemanticIngestStream.processBatch(batch, batchId, s"$dir/store",
       s"$dir/accepted", "vec_id", "embedding", threshold = 0.9,
-      compactEvery = compactEvery, checkpointDir = "cp-a")
+      compactEvery = compactEvery, checkpointDir = s"$dir/cp-a")
 
   // the corpus read surface once cadence folding exists (pre-fold it
   // equals a raw parquet read of the directory)

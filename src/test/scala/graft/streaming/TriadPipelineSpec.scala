@@ -30,7 +30,7 @@ class TriadPipelineSpec extends SparkSpec {
 
   private def cfgFor(root: String): TriadPipeline.Config =
     TriadPipeline.Config(root, "doc_id", "text", "embedding",
-      checkpointDir = "triad-cp", semanticThreshold = 0.9)
+      checkpointDir = s"$root/triad-cp", semanticThreshold = 0.9)
 
   private def initStores(cfg: TriadPipeline.Config, corpus: DataFrame): Unit = {
     MinhashIndexStore.init(corpus, cfg.minhashDir, "doc_id", "text",
