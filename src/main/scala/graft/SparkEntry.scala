@@ -1673,6 +1673,55 @@ object SparkEntry {
     }
   }
 
+  /** TOMBSTONE REMOVAL from the persisted SemDeDup store, gated: init
+    * a scratch [[graft.ops.SemanticIndexStore]] over the standing side
+    * of the planted corpus, [[graft.ops.SemanticIndexStore.remove]] the
+    * standing docs with vec_id % 7 = 2 (an O(tombstones) delta), then
+    * probe the batch. The contract is [[semanticBatchContract]] against
+    * the exact cosine reference OVER CORPUS-MINUS-REMOVED — the removal
+    * contract: a takedown must be answer-equivalent to never having
+    * ingested the vectors — plus the sharp `removed_absent` bit: no
+    * emitted pair may name a removed id (a recall ratio alone could
+    * clear its floor with a few removed pairs still surfacing). */
+  def qSemanticRemove(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.SemanticIndexStore
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val planted = emb.select(
+      (col("vec_id") + lit(1000001L)).as("vec_id"),
+      zip_with(col("v"), concat(slice(col("v"), 2, 63), slice(col("v"), 1, 1)),
+        (x, y) => x + lit(0.05) * y).as("v"))
+    val corpus = emb.unionByName(planted)
+    val isNew = col("vec_id") % 5 === 0
+    val removed = !isNew && pmod(col("vec_id"), lit(7)) === 2
+    val store = java.nio.file.Files.createTempDirectory("q-sem-remove").toString
+    try {
+      SemanticIndexStore.init(corpus.where(!isNew), store, "vec_id", "v")
+      SemanticIndexStore.remove(spark, store,
+        corpus.where(removed).select("vec_id"), "vec_id", expectedBase = 0L)
+      val sem = graft.ops.OpCaches.registered(
+        SemanticIndexStore.probeLatest(spark, store,
+          corpus.where(isNew), "vec_id", "v", threshold = 0.9))
+      val ref = graft.ops.OpCaches.registered(
+        Similarity.cosineNearDups(corpus.where(!removed), "vec_id", "v",
+          dim = 64, threshold = 0.9, numTables = 12)
+          .where(col("id_a") % 5 === 0 || col("id_b") % 5 === 0))
+      val removedHits = sem.where(
+        (col("id_a") % 5 =!= 0 && pmod(col("id_a"), lit(7)) === 2) ||
+          (col("id_b") % 5 =!= 0 && pmod(col("id_b"), lit(7)) === 2))
+      val contract = semanticBatchContract(sem, ref)
+        .crossJoin(removedHits.agg(count(lit(1)).as("_nr")))
+        .select(col("n_pairs"), col("sum_score"), col("recall_ok"),
+          col("sided_ok"), (col("_nr") === 0L).as("removed_absent"))
+      val rows = contract.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), contract.schema)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(store)).deleteRecursively()
+      // no global clearCache — Verify runs queries concurrently
+    }
+  }
+
   /** Embedding analytics rollup: per-label vector counts and norm
     * statistics. Norms go through the bit-stable dot kernel, then
     * DECIMAL(12,6) partials make the per-group sums order-independent
@@ -2135,6 +2184,7 @@ object SparkEntry {
     "q_cosine_near_dups" -> qCosineNearDups,
     "q_semantic_dedup"   -> qSemanticDedup,
     "q_semantic_incr"    -> qSemanticIncr,
+    "q_semantic_remove"  -> qSemanticRemove,
     "q_semantic_store"   -> qSemanticStore,
     "q_heavy_hitters"    -> qHeavyHitters,
     "q_bpe_encode"       -> qBpeEncode,
@@ -2305,6 +2355,32 @@ object SparkEntry {
        |SELECT count(*) AS n_pairs,
        |       CAST(SUM(CAST(score AS DECIMAL(12,6))) AS DOUBLE) AS sum_score,
        |       TRUE AS recall_ok, TRUE AS sided_ok
+       |FROM pairs WHERE score >= 0.9
+       |  AND (id_a % 5 = 0 OR id_b % 5 = 0)""".stripMargin
+  }
+
+  /** The q_semantic_remove oracle: the semanticIncrOracleSql exact
+    * all-pairs reference with the REMOVED standing docs (id % 5 ≠ 0 AND
+    * id % 7 = 2, over the shifted planted ids too) excluded from both
+    * endpoints, plus the literal TRUE removed-absent bit. */
+  private def semanticRemoveOracleSql: String = {
+    val dotAB = sqlDot("a.v", "b.v")
+    val dotAA = sqlDot("a.v", "a.v")
+    val dotBB = sqlDot("b.v", "b.v")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT vec_id + 1000001 AS vec_id,
+       |             list_transform(list_zip(v, v[2:64] || v[1:1]),
+       |                            x -> x[1] + 0.05 * x[2]) AS v
+       |      FROM e),
+       |u AS (SELECT * FROM e UNION ALL SELECT * FROM p),
+       |live AS (SELECT * FROM u WHERE NOT (vec_id % 5 <> 0 AND vec_id % 7 = 2)),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         $dotAB / (sqrt($dotAA) * sqrt($dotBB)) AS score
+       |  FROM live a CROSS JOIN live b WHERE a.vec_id < b.vec_id)
+       |SELECT count(*) AS n_pairs,
+       |       CAST(SUM(CAST(score AS DECIMAL(12,6))) AS DOUBLE) AS sum_score,
+       |       TRUE AS recall_ok, TRUE AS sided_ok, TRUE AS removed_absent
        |FROM pairs WHERE score >= 0.9
        |  AND (id_a % 5 = 0 OR id_b % 5 = 0)""".stripMargin
   }
@@ -3404,6 +3480,7 @@ object SparkEntry {
     "q_semantic_incr" -> semanticIncrOracleSql,
     // the store lifecycle answers the SAME contract over the same
     // fixture — init/append/pruned-probe must be invisible to the bits
+    "q_semantic_remove" -> semanticRemoveOracleSql,
     "q_semantic_store" -> semanticIncrOracleSql,
     "q_bpe_encode" ->
       // the exact anchors (doc count, whitespace token total) plus the

@@ -694,6 +694,101 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("removal probe: tombstone filter rides as broadcast anti-joins; corpus mass still never crosses an exchange") {
+    // probeLatest over a chain CARRYING LIVE TOMBSTONES must keep the
+    // banded probe's exchange rules bit-for-bit (the tombstone filter
+    // is output-side, so the probe body is untouched) and the filter
+    // itself must cost exactly two broadcast LEFT-ANTI joins whose
+    // build side is the tombstone frame — never a shuffle of the
+    // candidate pairs, never a corpus-side join
+    import graft.ops.{Dedup, MinhashIndexStore}
+    val docs = t3("documents")
+    val dir = java.nio.file.Files.createTempDirectory("minhash-remove-plan").toString
+    try {
+      MinhashIndexStore.init(docs.where(col("doc_id") % 5 =!= 0),
+        dir, "doc_id", "text", shingleK = 5)
+      MinhashIndexStore.remove(spark, dir,
+        docs.where(col("doc_id") % 5 =!= 0
+          && pmod(col("doc_id"), lit(7)) === 1).select("doc_id"),
+        "doc_id", expectedBase = 0L)
+      spark.catalog.clearCache()
+      val probe = MinhashIndexStore.probeLatest(spark, dir,
+        docs.where(col("doc_id") % 5 === 0), "doc_id", "text",
+        threshold = 0.5)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      def allNodes(p: SparkPlan): Seq[SparkPlan] =
+        p.collect { case n => n }.flatMap {
+          case im: InMemoryTableScanExec =>
+            im +: allNodes(im.relation.cachedPlan)
+          case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+          case n => Seq(n)
+        }
+      def readsIndex(p: SparkPlan): Boolean =
+        allNodes(p).exists(_.toString.contains(dir))
+      def uncovered(p: SparkPlan): Boolean = p match {
+        case _: BroadcastHashJoinExec => false
+        case im: InMemoryTableScanExec => uncovered(im.relation.cachedPlan)
+        case a: AdaptiveSparkPlanExec => uncovered(a.executedPlan)
+        case leaf if leaf.children.isEmpty => leaf.toString.contains(dir)
+        case n => n.children.exists(uncovered)
+      }
+      val nodes = allNodes(probe.queryExecution.sparkPlan)
+      // the tombstone filter: broadcast LEFT-ANTI joins, each building
+      // on the tombs subframe — the O(tombstones) shape, no exchange of
+      // the pairs. Catalyst pushes the two written anti-joins through
+      // the probe's output UNION (one id_a/id_b pair per branch), which
+      // filters each branch earlier — the pin is therefore "every
+      // anti-join in the plan builds on tombstones", not a fixed count
+      val antis = nodes.collect {
+        case j: BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+      }
+      assert(antis.size >= 2,
+        s"expected tombstone anti-joins in the plan, found ${antis.size}")
+      antis.foreach { j =>
+        val build = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+          case _ => j.right
+        }
+        assert(allNodes(build).exists(_.toString.contains("tombs")),
+          s"an anti-join's build side is not the tombstone frame:\n$j")
+      }
+      // the banded-probe exchange rules hold unchanged on the
+      // tombstone-carrying chain
+      val shuffles = nodes.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty)
+      shuffles.foreach { e =>
+        val keys = e.outputPartitioning.toString
+        assert(!((keys.contains("bucket") || keys.contains("shh")) && readsIndex(e.child)),
+          s"a corpus-keyed aggregation shuffles index rows in the removal probe:\n$e")
+      }
+      (shuffles ++ nodes.collect { case b: BroadcastExchangeExec => b })
+        .foreach { e =>
+          assert(!uncovered(e.children.head),
+            s"an unpruned index scan ships through an exchange in the removal probe:\n$e")
+        }
+      // and the pinned plan answers: identical to the unified probe
+      // over a fresh build of corpus-minus-removed
+      val unified = Dedup.minhashIndexDedupBatch(
+        Dedup.minhashIndexBuild(docs.where(col("doc_id") % 5 =!= 0
+          && pmod(col("doc_id"), lit(7)) =!= 1), "doc_id", "text", shingleK = 5),
+        docs.where(col("doc_id") % 5 === 0), "doc_id", "text",
+        shingleK = 5, threshold = 0.5)
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val got = pairs(probe)
+      assert(got.nonEmpty && got === pairs(unified))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("semantic index probe never shuffles the standing cell table") {
     // semanticDedupBatch's scale contract, the banded-probe economics
     // for embeddings: the batch's cells broadcast; the persisted cell
