@@ -45,11 +45,12 @@ import graft.ops.VersionedState
   *
   * ==Reading the accepted corpus==
   * [[readAccepted]] is the read surface: the archive chain's data
-  * unioned with the live batch directories above the watermark, with
-  * `batch` normalized to a long DATA column in both (the live side's
-  * partition column is inferred as int). A raw
-  * `spark.read.parquet(acceptedDir)` stays exact only until the first
-  * fold. */
+  * unioned with the live batch directories above the watermark, minus
+  * any live-tombstoned ids ([[remove]] — the takedown verb for the
+  * data product itself), with `batch` normalized to a long DATA column
+  * in both tiers (the live side's partition column is inferred as
+  * int). A raw `spark.read.parquet(acceptedDir)` stays exact only
+  * until the first fold or removal. */
 object AcceptedSink {
 
   private[streaming] val ArchiveName = "_archive"
@@ -88,6 +89,103 @@ object AcceptedSink {
     val root = archiveRoot(acceptedDir)
     VersionedState.latestVersion(spark, root, Subframes)
       .map(readMetaRow(spark, root, _)._1)
+  }
+
+  /** Tombstone REMOVAL from the accepted corpus — the data-product half
+    * of takedown (the index stores' `remove` stops a withdrawn document
+    * from suppressing future near-dups; THIS stops it from being
+    * training data). Writes one archive delta version carrying the
+    * withdrawn ids in the optional [[VersionedState.TombsSubframe]]
+    * frame — O(tombstones), never a corpus rewrite. [[readAccepted]]
+    * excludes live-tombstoned ids from BOTH tiers immediately;
+    * [[compactArchive]] applies them to the folded bytes.
+    *
+    * Each tombstone records `minted_below` = one past the highest live
+    * batch directory at mint time: the withdrawn id can only sit in
+    * directories below it (ids are never redelivered — the loops'
+    * source contract), so the tombstone is CLEARABLE once the fold
+    * watermark reaches `minted_below - 1` (every directory that could
+    * carry the id has been folded, and the compact that clears the
+    * tombstone is the same compact that filters those folded bytes).
+    * [[compactArchive]] clears exactly the clearable tombstones and
+    * carries the rest forward — removal debt is bounded by the fold
+    * cadence, and disk bytes actually leave at the compact.
+    *
+    * The tombs frame's id column keeps the CALLER'S name (the sink is
+    * generic over doc/vec pipelines), persisted schema-first so
+    * [[readAccepted]] needs no id-column parameter; a second remove
+    * must use the same column name (checked by name). Removal against a
+    * sink with neither tier fails by name. Concurrency: this is an
+    * out-of-band maintenance verb — against a LIVE stream it races the
+    * stream's own archive commits and the commit protocol fails the
+    * loser loudly; run it between batches or retry. Returns the archive
+    * version written. */
+  def remove(spark: SparkSession, acceptedDir: String,
+             removeIds: DataFrame, idCol: String): Long = {
+    val root = archiveRoot(acceptedDir)
+    require(removeIds.columns.contains(idCol),
+      s"accepted corpus at $acceptedDir: the removal frame has no column " +
+        s"'$idCol' (has: ${removeIds.columns.mkString(", ")})")
+    val tombs = removeIds.select(col(idCol).cast("long").as(idCol))
+      .where(col(idCol).isNotNull).distinct()
+    val head = VersionedState.latestVersion(spark, root, Subframes)
+    val live = liveBatches(spark, acceptedDir)
+    require(head.nonEmpty || live.nonEmpty,
+      s"accepted corpus at $acceptedDir: nothing has been accepted here " +
+        "(no archive and no live batch directories) — nothing to remove from")
+    // an empty removal frame is a no-op, not an archive version
+    if (tombs.isEmpty) return head.getOrElse(-1L)
+    head.foreach { h =>
+      val existing = readTombs(spark, root, chain(spark, root, h))
+      existing.foreach { t =>
+        val existingId = t.columns.filterNot(_ == "minted_below").head
+        require(existingId == idCol,
+          s"accepted corpus at $acceptedDir: standing tombstones use id " +
+            s"column '$existingId' but this removal names '$idCol' — one " +
+            "sink has one id column")
+      }
+    }
+    val watermark = head.map(readMetaRow(spark, root, _)._1)
+    val mintedBelow = live.maxOption.map(_ + 1)
+      .orElse(watermark.map(_ + 1)).getOrElse(0L)
+    val v = head.map(_ + 1).getOrElse(0L)
+    val emptyData = head match {
+      case Some(h) => spark.read.parquet(s"$root/v=$h/data").where(lit(false))
+      case None => spark.read.parquet(acceptedDir).where(lit(false))
+        .withColumn("batch", col("batch").cast("long"))
+    }
+    VersionedState.commitVersion(spark, root, v, "accepted archive",
+      Subframes) { scratch =>
+      emptyData.write.mode("overwrite").parquet(s"$scratch/data")
+      writeMeta(spark, s"$scratch/meta", watermark.getOrElse(-1L),
+        full = head.isEmpty)
+      tombs.withColumn("minted_below", lit(mintedBelow))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$scratch/${VersionedState.TombsSubframe}")
+    }
+    v
+  }
+
+  /** The union of a chain's tombs frames — `(idCol, minted_below)` —
+    * or None when no link carries removals (the sink's tombs schema
+    * differs from the stores', hence the local reader). */
+  private def readTombs(spark: SparkSession, root: String,
+                        links: Seq[Long]): Option[DataFrame] = {
+    val (fs, _) = VersionedState.fsPath(spark, root)
+    val present = links.filter(w => fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/v=$w/${VersionedState.TombsSubframe}/_SUCCESS")))
+    if (present.isEmpty) None
+    else Some(present.map(w =>
+      spark.read.parquet(s"$root/v=$w/${VersionedState.TombsSubframe}"))
+      .reduce(_ unionByName _))
+  }
+
+  /** The live (not-yet-cleared) tombstoned ids, `(idCol, minted_below)`
+    * — empty when the sink carries no removals or no archive exists. */
+  def liveTombs(spark: SparkSession, acceptedDir: String): Option[DataFrame] = {
+    val root = archiveRoot(acceptedDir)
+    VersionedState.latestVersion(spark, root, Subframes)
+      .flatMap(h => readTombs(spark, root, chain(spark, root, h)))
   }
 
   /** Fold every replay-dead live batch directory (id above the current
@@ -150,24 +248,50 @@ object AcceptedSink {
     * consolidation pass, O(accepted corpus) like any table OPTIMIZE;
     * schedule it on the operator's cadence (monthly, or when the
     * archive chain length starts to show in reader listing times), then
-    * [[prune]] reclaims the folded versions. No-op (returns the head)
-    * when the head is already full; None when no archive exists yet. */
+    * [[prune]] reclaims the folded versions. Live TOMBSTONES
+    * ([[remove]]) are APPLIED to the folded bytes (broadcast anti-join
+    * — the removed rows' actual exit from disk) and the CLEARABLE ones
+    * (fold watermark ≥ `minted_below − 1`: every directory that could
+    * carry the id is already folded) are dropped; the rest carry
+    * forward into the new full version because a live batch directory
+    * may still hold their rows. No-op (returns the head) when the head
+    * is already full AND carries no clearable tombstones; None when no
+    * archive exists yet. */
   def compactArchive(spark: SparkSession,
                      acceptedDir: String): Option[Long] = {
     val root = archiveRoot(acceptedDir)
     VersionedState.latestVersion(spark, root, Subframes).map { head =>
       val (maxFolded, full) = readMetaRow(spark, root, head)
-      if (full) head
+      val links = chain(spark, root, head)
+      val tombs = readTombs(spark, root, links)
+      val clearable = tombs.exists(t =>
+        !t.where(col("minted_below") - 1 <= maxFolded).isEmpty)
+      if (full && !clearable) head
       else {
-        val links = chain(spark, root, head)
-        val data = links.map(w => spark.read.parquet(s"$root/v=$w/data"))
+        val raw = links.map(w => spark.read.parquet(s"$root/v=$w/data"))
           .reduce(_ unionByName _)
+        val data = tombs match {
+          case Some(t) =>
+            val idName = t.columns.filterNot(_ == "minted_below").head
+            raw.join(
+              org.apache.spark.sql.functions.broadcast(t.select(idName)),
+              Seq(idName), "left_anti")
+          case None => raw
+        }
         val rows = data.count()
         VersionedState.commitVersion(spark, root, head + 1,
           "accepted archive", Subframes) { scratch =>
           data.coalesce(IngestProtocol.boundedFileCount(rows))
             .write.mode("overwrite").parquet(s"$scratch/data")
           writeMeta(spark, s"$scratch/meta", maxFolded, full = true)
+          // carry forward only the tombstones some live directory may
+          // still answer for; the cleared ones' rows just left the
+          // folded bytes above, and future directories can never carry
+          // a never-redelivered id
+          tombs.map(_.where(col("minted_below") - 1 > maxFolded))
+            .filter(!_.isEmpty)
+            .foreach(_.coalesce(1).write.mode("overwrite")
+              .parquet(s"$scratch/${VersionedState.TombsSubframe}"))
         }
         head + 1
       }
@@ -183,19 +307,22 @@ object AcceptedSink {
       readMetaRow(spark, archiveRoot(acceptedDir), _)._2)
 
   /** The whole accepted corpus — archive chain plus live batch
-    * directories above the watermark — with `batch` as a long column in
-    * both tiers. Exact across every fold/crash window (see the object
-    * doc); equal to a raw `spark.read.parquet(acceptedDir)` until the
-    * first fold. Fails by name on a directory with neither tier (an
-    * empty union has no schema to offer). */
+    * directories above the watermark, MINUS live-tombstoned ids
+    * ([[remove]]; one broadcast anti-join across both tiers, skipped
+    * entirely when the chain carries no removals) — with `batch` as a
+    * long column in both tiers. Exact across every fold/crash window
+    * (see the object doc); equal to a raw
+    * `spark.read.parquet(acceptedDir)` until the first fold or removal.
+    * Fails by name on a directory with neither tier (an empty union has
+    * no schema to offer). */
   def readAccepted(spark: SparkSession, acceptedDir: String): DataFrame = {
     val root = archiveRoot(acceptedDir)
-    val archived = VersionedState.latestVersion(spark, root, Subframes)
-      .map { head =>
-        val links = chain(spark, root, head)
-        (links.map(w => spark.read.parquet(s"$root/v=$w/data"))
-          .reduce(_ unionByName _), readMetaRow(spark, root, head)._1)
-      }
+    val headOpt = VersionedState.latestVersion(spark, root, Subframes)
+    val linksOpt = headOpt.map(chain(spark, root, _))
+    val archived = headOpt.map { head =>
+      (linksOpt.get.map(w => spark.read.parquet(s"$root/v=$w/data"))
+        .reduce(_ unionByName _), readMetaRow(spark, root, head)._1)
+    }
     val watermark = archived.map(_._2)
     val liveDirs = liveBatches(spark, acceptedDir)
       .filter(b => watermark.forall(b > _))
@@ -204,7 +331,7 @@ object AcceptedSink {
       else Some(spark.read.parquet(acceptedDir)
         .where(watermark.map(w => col("batch") > w).getOrElse(lit(true)))
         .withColumn("batch", col("batch").cast("long")))
-    (archived.map(_._1), live) match {
+    val both = (archived.map(_._1), live) match {
       case (Some(a), Some(l)) => a.unionByName(l)
       case (Some(a), None) => a
       case (None, Some(l)) => l
@@ -212,6 +339,13 @@ object AcceptedSink {
         s"accepted corpus at $acceptedDir: no archive and no live batch " +
           "directories — nothing has been accepted here (or the path is " +
           "wrong)")
+    }
+    linksOpt.flatMap(readTombs(spark, root, _)) match {
+      case Some(t) =>
+        val idName = t.columns.filterNot(_ == "minted_below").head
+        both.join(org.apache.spark.sql.functions.broadcast(t.select(idName)),
+          Seq(idName), "left_anti")
+      case None => both
     }
   }
 }

@@ -89,6 +89,61 @@ object TriadPipeline {
     TriadOutcome(o1, o2, o3)
   }
 
+  /** What [[takedown]] touched, per surface: the index stores' new
+    * tombstone-delta versions and the accepted sinks' new archive
+    * versions (None where a sink had nothing accepted yet). */
+  final case class TakedownOutcome(minhashVersion: Long,
+                                   semanticVersion: Long, ivfVersion: Long,
+                                   minhashAcceptedVersion: Option[Long],
+                                   semanticAcceptedVersion: Option[Long])
+
+  /** TAKEDOWN across the whole pipeline — the one verb a training-data
+    * platform owes its opt-out/contamination process: withdraw the
+    * named ids from EVERY surface the pipeline maintains, each as an
+    * O(tombstones) delta, never a corpus rewrite. Five writes:
+    *
+    *  - the three index stores ([[graft.ops.MinhashIndexStore.remove]]
+    *    and friends) — so the withdrawn documents stop suppressing
+    *    future near-dups and stop being retrievable;
+    *  - the two accepted sinks ([[AcceptedSink.remove]]) — so the
+    *    withdrawn documents stop being TRAINING DATA; their bytes
+    *    leave disk at each sink's next archive compact.
+    *
+    * Note the dedup consequence, which is the CORRECT takedown
+    * semantics: once removed from the index, a future arrival of the
+    * same content (under a fresh id) is near-dup-free and will be
+    * ACCEPTED — takedown means "as if never ingested", not "banned".
+    * Keep a separate blocklist screen if banned-content semantics are
+    * also needed. Concurrency: an out-of-band maintenance verb — each
+    * store write names the head it read, so racing a live stream's
+    * append fails loudly (the commit protocol); run between batches or
+    * retry. Ids absent from a surface are a harmless no-op there (the
+    * stores' unknown-id rule). */
+  def takedown(spark: org.apache.spark.sql.SparkSession, cfg: Config,
+               removeIds: DataFrame): TakedownOutcome = {
+    import graft.ops.{IvfIndexStore, MinhashIndexStore, SemanticIndexStore}
+    def headOf(latest: Option[Long], what: String): Long =
+      latest.getOrElse(throw new IllegalStateException(
+        s"triad takedown: $what has no committed version — the pipeline " +
+          "was never initialized"))
+    val mh = MinhashIndexStore.remove(spark, cfg.minhashDir, removeIds,
+      cfg.idCol, headOf(MinhashIndexStore.latestVersion(spark, cfg.minhashDir),
+        s"minhash store ${cfg.minhashDir}"))
+    val sem = SemanticIndexStore.remove(spark, cfg.semanticDir, removeIds,
+      cfg.idCol, headOf(SemanticIndexStore.latestVersion(spark, cfg.semanticDir),
+        s"semantic store ${cfg.semanticDir}"))
+    val ivf = IvfIndexStore.remove(spark, cfg.ivfDir, removeIds,
+      cfg.idCol, headOf(IvfIndexStore.latestVersion(spark, cfg.ivfDir),
+        s"ivf store ${cfg.ivfDir}"))
+    // a sink with nothing accepted yet has nothing to remove from — a
+    // takedown arriving before the first batch is legal
+    def sinkRemove(dir: String): Option[Long] =
+      if (scala.util.Try(AcceptedSink.readAccepted(spark, dir)).isFailure) None
+      else Some(AcceptedSink.remove(spark, dir, removeIds, cfg.idCol))
+    TakedownOutcome(mh, sem, ivf,
+      sinkRemove(cfg.minhashAccepted), sinkRemove(cfg.semanticAccepted))
+  }
+
   /** Start the composed pipeline over a streaming frame. The final
     * accepted corpus (documents that survived BOTH screens) is
     * [[AcceptedSink.readAccepted]] over `cfg.semanticAccepted`; the

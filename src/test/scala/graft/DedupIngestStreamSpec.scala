@@ -256,6 +256,59 @@ class DedupIngestStreamSpec extends SparkSpec {
     }
   }
 
+  test("accepted-sink takedown: tombstones suppress both tiers immediately; bytes leave and debt clears at the right compacts") {
+    import graft.streaming.AcceptedSink
+    withDir { dir =>
+      val acc = s"$dir/accepted"
+      initStore(s"$dir/store", docsDf((1L, uniq(1))))
+      // four batches at compactEvery=2: folds at b1 (watermark 0) and
+      // b3 (watermark 2); batch=3 stays live
+      (0L to 3L).foreach { b =>
+        process(docsDf((100L + b, uniq(100 + b))), b, dir, compactEvery = 2)
+      }
+      assert(AcceptedSink.maxFoldedBatch(spark, acc) === Some(2L))
+      // remove one ARCHIVED doc (batch 0) and one LIVE doc (batch 3):
+      // both leave the read surface immediately, O(tombstones)
+      AcceptedSink.remove(spark, acc, Seq(100L, 103L).toDF("doc_id"), "doc_id")
+      assert(acceptedIds(acc) === Set(101L, 102L))
+      val tombs = AcceptedSink.liveTombs(spark, acc).get.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(tombs === Set((100L, 4L), (103L, 4L)),
+        "minted_below records one past the highest live directory")
+      // first archive compact: the folded bytes lose the archived id ON
+      // DISK, but the tombstones CARRY (watermark 2 < minted_below-1=3:
+      // the live batch=3 directory may still answer for them)
+      val v1 = AcceptedSink.compactArchive(spark, acc).get
+      val root = s"$acc/_archive"
+      val folded = spark.read.parquet(s"$root/v=$v1/data")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(folded === Set(101L, 102L),
+        "the compact must filter removed rows out of the folded bytes")
+      assert(AcceptedSink.liveTombs(spark, acc).nonEmpty,
+        "tombstones must carry while a live directory may hold their rows")
+      assert(acceptedIds(acc) === Set(101L, 102L))
+      // fold the last live directory past the mint point, compact again:
+      // the debt clears — no live tombstones, no removed bytes anywhere
+      assert(AcceptedSink.fold(spark, acc, belowBatch = 5L) === Some(3L))
+      val v2 = AcceptedSink.compactArchive(spark, acc).get
+      assert(AcceptedSink.liveTombs(spark, acc) === None)
+      assert(spark.read.parquet(s"$root/v=$v2/data")
+        .select("doc_id").collect().map(_.getLong(0)).toSet ===
+        Set(101L, 102L))
+      assert(acceptedIds(acc) === Set(101L, 102L))
+      // protocol edges: an empty removal is a no-op; a removal naming a
+      // different id column fails by name — one sink, one id column
+      assert(AcceptedSink.remove(spark, acc,
+        Seq.empty[Long].toDF("doc_id"), "doc_id") === v2)
+      AcceptedSink.remove(spark, acc, Seq(101L).toDF("doc_id"), "doc_id")
+      val e = intercept[IllegalArgumentException] {
+        AcceptedSink.remove(spark, acc, Seq(1L).toDF("vec_id"), "vec_id")
+      }
+      assert(e.getMessage.contains("one sink has one id column"))
+      assert(acceptedIds(acc) === Set(102L))
+    }
+  }
+
   test("same-id resend outside checkpoint replay is NOT rejected — the documented source contract") {
     withDir { dir =>
       initStore(s"$dir/store", docsDf((1L, uniq(1))))

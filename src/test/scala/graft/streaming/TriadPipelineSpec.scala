@@ -157,4 +157,49 @@ class TriadPipelineSpec extends SparkSpec {
         Set(101L, 201L))
     }
   }
+
+  test("takedown withdraws a document from all five surfaces — and the content is re-ingestable, as-if-never-ingested") {
+    withDir { root =>
+      val cfg = cfgFor(root)
+      val corpus = rows((1L to 10L).map(i => (i, uniq(i), base(i.toInt))): _*)
+      initStores(cfg, corpus)
+      TriadPipeline.processBatch(rows(
+        (101L, uniq(101), base(101)), (102L, uniq(102), base(102))), 0L, cfg)
+      assert(ivfTop1(cfg, base(101)) === 101L)
+      // takedown doc 101: five O(tombstones) writes, one verb
+      val o = TriadPipeline.takedown(spark, cfg, Seq(101L).toDF("doc_id"))
+      assert(o.minhashAcceptedVersion.nonEmpty
+        && o.semanticAcceptedVersion.nonEmpty)
+      // not training data anymore — gone from both accepted corpora
+      assert(!AcceptedSink.readAccepted(spark, cfg.minhashAccepted)
+        .select("doc_id").collect().map(_.getLong(0)).contains(101L))
+      assert(AcceptedSink.readAccepted(spark, cfg.semanticAccepted)
+        .select("doc_id").collect().map(_.getLong(0)).toSet === Set(102L))
+      // not retrievable anymore — the IVF probe's slot goes elsewhere
+      assert(ivfTop1(cfg, base(101)) !== 101L)
+      // and not a suppressor anymore: the SAME content under a fresh id
+      // sails through both screens on the next batch — takedown means
+      // "as if never ingested", not "banned"
+      val o1 = TriadPipeline.processBatch(rows(
+        (301L, uniq(101), base(101))), 1L, cfg)
+      assert(o1.dedup.accepted === 1L && o1.semantic.accepted === 1L
+        && o1.ivf.appended === 1L)
+      assert(ivfTop1(cfg, base(101)) === 301L)
+      assert(AcceptedSink.readAccepted(spark, cfg.semanticAccepted)
+        .select("doc_id").collect().map(_.getLong(0)).toSet ===
+        Set(102L, 301L))
+      // a takedown against a freshly-initialized pipeline (no batch
+      // yet) is legal: the stores tombstone, the sinks have nothing to
+      // remove from
+      val cfg2 = cfgFor(s"$root/fresh")
+      initStores(cfg2, corpus)
+      val o2 = TriadPipeline.takedown(spark, cfg2, Seq(5L).toDF("doc_id"))
+      assert(o2.minhashAcceptedVersion === None
+        && o2.semanticAcceptedVersion === None)
+      // the store tombstone is live: doc 5's content no longer rejects
+      val o3 = TriadPipeline.processBatch(rows(
+        (401L, uniq(5), base(5))), 0L, cfg2)
+      assert(o3.dedup.accepted === 1L && o3.semantic.accepted === 1L)
+    }
+  }
 }
