@@ -43,6 +43,17 @@ import graft.ops.VersionedState
   * folding anything new. Replaying the batch that triggered a fold
   * re-runs [[fold]] with nothing foldable — a no-op.
   *
+  * ==Caveats==
+  * Live batch directories are deleted as they fold, so a reader whose
+  * scan was PLANNED before a fold can hit missing files mid-execution
+  * — the same non-snapshot-reader caveat as
+  * [[graft.pipeline.Compaction]]: serialize long-running readers with
+  * the folding maintainer, or read a pinned archive version plus
+  * explicitly-listed live directories. A fold that fails (or a batch
+  * replayed after its compact committed, which skips the cadence
+  * branch) simply leaves its directories live — the next cadence trip
+  * folds them; readers are exact either way.
+  *
   * ==Reading the accepted corpus==
   * [[readAccepted]] is the read surface: the archive chain's data
   * unioned with the live batch directories above the watermark, minus
@@ -81,6 +92,14 @@ object AcceptedSink {
   private def chain(spark: SparkSession, root: String, v: Long): Seq[Long] =
     VersionedState.chain(spark, root, v, Subframes, "accepted archive")(
       readMetaRow(spark, root, _)._2)
+
+  /** Whether anything has ever been accepted here — either tier
+    * present. An fs listing, no job; the explicit test callers use
+    * instead of swallowing [[readAccepted]]'s failure (which could
+    * also mean a corrupt archive — a different answer). */
+  def hasAccepted(spark: SparkSession, acceptedDir: String): Boolean =
+    VersionedState.latestVersion(spark, archiveRoot(acceptedDir),
+      Subframes).nonEmpty || liveBatches(spark, acceptedDir).nonEmpty
 
   /** The fold watermark: every batch directory at or below it is
     * archived (or dead debris). None before the first fold. */
@@ -154,6 +173,14 @@ object AcceptedSink {
       case None => spark.read.parquet(acceptedDir).where(lit(false))
         .withColumn("batch", col("batch").cast("long"))
     }
+    // the id column must exist in the ACCEPTED DATA, checked at remove
+    // time: a mis-named column would otherwise persist a tombstone that
+    // poisons every later readAccepted with an opaque unresolved-column
+    // planner error (the anti-join resolves against the data schema)
+    require(emptyData.columns.contains(idCol),
+      s"accepted corpus at $acceptedDir: the accepted data has no column " +
+        s"'$idCol' (has: ${emptyData.columns.mkString(", ")}) — removal " +
+        "must name the sink's id column")
     VersionedState.commitVersion(spark, root, v, "accepted archive",
       Subframes) { scratch =>
       emptyData.write.mode("overwrite").parquet(s"$scratch/data")

@@ -136,9 +136,12 @@ object TriadPipeline {
       cfg.idCol, headOf(IvfIndexStore.latestVersion(spark, cfg.ivfDir),
         s"ivf store ${cfg.ivfDir}"))
     // a sink with nothing accepted yet has nothing to remove from — a
-    // takedown arriving before the first batch is legal
+    // takedown arriving before the first batch is legal. The check is
+    // an explicit has-either-tier test, NOT a swallowed read attempt: a
+    // corrupt archive must fail the takedown loudly, never silently
+    // skip the data-product half of it
     def sinkRemove(dir: String): Option[Long] =
-      if (scala.util.Try(AcceptedSink.readAccepted(spark, dir)).isFailure) None
+      if (!AcceptedSink.hasAccepted(spark, dir)) None
       else Some(AcceptedSink.remove(spark, dir, removeIds, cfg.idCol))
     TakedownOutcome(mh, sem, ivf,
       sinkRemove(cfg.minhashAccepted), sinkRemove(cfg.semanticAccepted))

@@ -267,6 +267,12 @@ class DedupIngestStreamSpec extends SparkSpec {
         process(docsDf((100L + b, uniq(100 + b))), b, dir, compactEvery = 2)
       }
       assert(AcceptedSink.maxFoldedBatch(spark, acc) === Some(2L))
+      // a removal naming a column the accepted data lacks fails NOW, by
+      // name — persisting it would poison every later read's anti-join
+      val bogus = intercept[IllegalArgumentException] {
+        AcceptedSink.remove(spark, acc, Seq(1L).toDF("no_such"), "no_such")
+      }
+      assert(bogus.getMessage.contains("has no column 'no_such'"))
       // remove one ARCHIVED doc (batch 0) and one LIVE doc (batch 3):
       // both leave the read surface immediately, O(tombstones)
       AcceptedSink.remove(spark, acc, Seq(100L, 103L).toDF("doc_id"), "doc_id")
