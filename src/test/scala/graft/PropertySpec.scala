@@ -466,6 +466,63 @@ class PropertySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("property: tombstone output-filtering equals probing a fresh build over corpus-minus-removed") {
+    // the removal contract's purity argument
+    // (MinhashIndexStore.remove), generalized beyond the fixed
+    // fixtures: for ANY corpus, batch, and removal subset, dropping
+    // the probe's output pairs that touch removed ids is pair-for-pair
+    // a probe against an index freshly built over corpus-minus-removed.
+    // A tiny vocabulary makes near-dup pairs (and removed near-dup
+    // partners) arise by chance across the trials.
+    val corpusIds = (1L to 14L).toVector
+    // documents are mutations of a few shared base texts, so identical
+    // and 1-token-edit near-dup pairs arise densely in every trial
+    def docFrom(bases: Seq[List[String]]): Gen[String] = for {
+      b <- Gen.oneOf(bases)
+      mutate <- Gen.oneOf(true, false)
+      pos <- Gen.choose(0, b.size - 1)
+      w <- word
+    } yield (if (mutate) b.updated(pos, w) else b).mkString(" ")
+    val trialGen = for {
+      bases <- Gen.listOfN(3, Gen.listOfN(8, word))
+      corpusTexts <- Gen.listOfN(corpusIds.size, docFrom(bases))
+      batchTexts <- Gen.listOfN(6, docFrom(bases))
+      removed <- Gen.someOf(corpusIds)
+    } yield (corpusTexts, batchTexts, removed.toSet)
+    var sawPairs = false
+    var sawRemovedPair = false
+    samples(trialGen, 6).foreach { case (corpusTexts, batchTexts, removed) =>
+      val corpus = corpusIds.zip(corpusTexts).toDF("doc_id", "text")
+      val batch = batchTexts.zipWithIndex
+        .map { case (t, i) => (101L + i, t) }.toDF("doc_id", "text")
+      val index = Dedup.minhashIndexBuild(corpus, "doc_id", "text",
+        shingleK = 5, numBands = 24, rowsPerBand = 2)
+      val bands = Dedup.minhashIndexBands(index, numBands = 24, rowsPerBand = 2)
+      def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val full = pairs(Dedup.minhashIndexDedupBatchBanded(index, bands,
+        batch, "doc_id", "text", shingleK = 5, numBands = 24,
+        rowsPerBand = 2, threshold = 0.5))
+      val filtered = full.filterNot(p => removed(p._1) || removed(p._2))
+      val minusR = corpus.where(!col("doc_id").isin(removed.toSeq: _*))
+      val freshIndex = Dedup.minhashIndexBuild(minusR, "doc_id", "text",
+        shingleK = 5, numBands = 24, rowsPerBand = 2)
+      val fresh = pairs(Dedup.minhashIndexDedupBatchBanded(freshIndex,
+        Dedup.minhashIndexBands(freshIndex, numBands = 24, rowsPerBand = 2),
+        batch, "doc_id", "text", shingleK = 5, numBands = 24,
+        rowsPerBand = 2, threshold = 0.5))
+      assert(filtered === fresh,
+        s"removed=$removed full=$full fresh=$fresh")
+      sawPairs ||= full.nonEmpty
+      sawRemovedPair ||= (full.size != filtered.size)
+      spark.catalog.clearCache()
+    }
+    // non-vacuity: the trials actually exercised pairs AND removal hits
+    assert(sawPairs, "no trial produced near-dup pairs — vocabulary too wide")
+    assert(sawRemovedPair,
+      "no trial removed a pair endpoint — the property never bit")
+  }
+
   test("property: keep-first survivors match the reference rule for any pair graph") {
     import graft.streaming.IngestProtocol
     val batchIds = (100L to 111L).toVector
