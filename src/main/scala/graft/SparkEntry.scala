@@ -268,6 +268,23 @@ object SparkEntry {
     graft.pipeline.Diff.diffSummary(base, mutated, Seq("o_orderkey"))
   }
 
+  /** Cross-engine table CHECKSUM
+    * ([[graft.pipeline.Diff.contentChecksum]]): per-returnflag row
+    * counts + order-independent md5-sum fingerprints of the lineitem
+    * fact's canonicalized rows. The oracle recomputes the identical
+    * fingerprint in DuckDB from the same canonicalization (string
+    * casts, NUL null-sentinel, SOH joins, leading-60-bit md5 sum) —
+    * a hash match here IS the operator's use case: two engines, two
+    * scan orders, one fingerprint. The double l_quantity goes through
+    * an explicit decimal(18,2) per the canonicalization contract. */
+  def qTableChecksum(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Diff.contentChecksum(
+      t(spark, dir, "lineitem"), Seq("l_returnflag"), Seq(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(18,2)"),
+        col("l_shipdate").cast("date"),
+        col("l_linestatus")))
+
   /** The [[Dedup.cutSpans]] transformation: documents rebuilt WITHOUT
     * their duplicated spans (every occurrence removed — boilerplate-
     * strip semantics), with kept/cut token counts. Token-level cut, so
@@ -931,6 +948,51 @@ object SparkEntry {
       Seq("user_id", "value"), bits = 16)
       .select("event_id", "bk_user_id", "bk_value", "zvalue")
 
+  /** FILE-LEVEL DATA SKIPPING end-to-end, gated: write the events fact
+    * z-ordered on (user_id, value) into a 16-file scratch layout
+    * ([[graft.ops.Layout.zOrdered]] — the write side), index it with
+    * [[graft.sources.StatsIndex.buildFromFooters]] (O(footers), no data
+    * pages read), then answer a box-selective aggregate THROUGH
+    * [[graft.sources.StatsIndex.prunedRead]]. The aggregate is
+    * layout-invariant, so the oracle is the plain filtered aggregate
+    * over the original table — completeness is exactly the property an
+    * unsound pruning index silently breaks, and a hash mismatch here
+    * means a matching row was skipped. `pruned_files` is the contract
+    * bit: the box predicate must actually drop files on the z-layout
+    * (kept strictly between 0 and all — checked as literal TRUE by the
+    * oracle). */
+  def qDataSkipping(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.StatsIndex
+    val events = t(spark, dir, "events")
+    val scratch = java.nio.file.Files.createTempDirectory("q-data-skipping").toString
+    try {
+      graft.ops.Layout.zOrdered(
+        events.select("event_id", "user_id", "event_type", "value"),
+        Seq("user_id", "value"), bits = 16, numPartitions = 16)
+        .drop("bk_user_id", "bk_value", "zvalue")
+        .write.mode("overwrite").parquet(scratch)
+      val stats = StatsIndex.buildFromFooters(spark, scratch, Seq("user_id", "value"))
+      // constants hold at every test SF (user_id 3-6 exists from
+      // sf0.001's ~15 users up; the box stays selective at sf0.1's 1500)
+      val keep = StatsIndex.mayContainBetween("user_id", 3L, 6L) &&
+        StatsIndex.mayContainBetween("value", 20.0, 80.0)
+      val rowPred = col("user_id").between(3L, 6L) &&
+        col("value").between(20.0, 80.0)
+      val scan = StatsIndex.prunedRead(spark, scratch, stats, keep, rowPred)
+      val out = scan.df.agg(
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .withColumn("pruned_files",
+          lit(scan.keptFiles > 0 && scan.keptFiles < scan.totalFiles))
+      val rows = out.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), out.schema)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(scratch)).deleteRecursively()
+    }
+  }
+
   /** Per-language document-length quantiles (exact discrete p50/p90/p99)
     * — the distribution summary a tokenizer-budget plan starts from. */
   def qLengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
@@ -1368,6 +1430,23 @@ object SparkEntry {
     val q = emb.where(col("vec_id") < 100)
     annRecallContract(
       Similarity.ivfTopK(emb, q, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8),
+      Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5),
+      floor = 0.75)
+  }
+
+  /** IVF-ADC top-k ([[Similarity.ivfAdcTopK]]: cell-pruned candidates
+    * scored through dequantized int8 codes, exact re-rank of the 10×
+    * shortlist — the composed FAISS-style production pipeline), gated
+    * as a recall contract vs brute force. Pruning loss dominates (the
+    * re-rank removes the screen's quantization misordering inside the
+    * shortlist), so the floor matches the IVF family's 0.75
+    * (measured ≈ the plain IVF path's 0.81–0.83). */
+  def qIvfAdcTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") < 100)
+    annRecallContract(
+      Similarity.ivfAdcTopK(emb, q, "vec_id", "embedding", k = 5,
+        nlist = 16, nprobe = 8),
       Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5),
       floor = 0.75)
   }
@@ -2175,6 +2254,7 @@ object SparkEntry {
     "q_cosine_topk"      -> qCosineTopK,
     "q_ann_lsh"          -> qAnnLsh,
     "q_ivf_topk"         -> qIvfTopK,
+    "q_ivfadc_topk"      -> qIvfAdcTopK,
     "q_ivf_remove"       -> qIvfRemove,
     "q_ivf_store"        -> qIvfStore,
     "q_salted_agg"       -> qSaltedAgg,
@@ -2189,12 +2269,14 @@ object SparkEntry {
     "q_heavy_hitters"    -> qHeavyHitters,
     "q_bpe_encode"       -> qBpeEncode,
     "q_zorder"           -> qZorder,
+    "q_data_skipping"    -> qDataSkipping,
     "q_retention"        -> qRetention,
     "q_outliers"         -> qOutliers,
     "q_dup_spans"        -> qDupSpans,
     "q_span_cut"         -> qSpanCut,
     "q_lm_scores"        -> qLmScores,
     "q_table_diff"       -> qTableDiff,
+    "q_table_checksum"   -> qTableChecksum,
     "q_k_anonymity"      -> qKAnonymity,
     "q_incremental_agg"  -> qIncrementalAgg,
     "q_multimodal_meta"  -> qMultimodalMeta,
@@ -2583,6 +2665,21 @@ object SparkEntry {
       """SELECT c_nationkey, c_mktsegment, count(*) AS n,
         |       count(*) < 5 AS at_risk
         |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_table_checksum" ->
+      // the SAME canonicalization, mirrored: string casts, chr(0) null
+      // sentinel, chr(1) separators, md5, leading 15 hex digits as an
+      // integer, exact sum — engine-independent by construction
+      """WITH c AS (SELECT l_returnflag,
+        |    concat_ws(chr(1),
+        |      coalesce(CAST(l_orderkey AS VARCHAR), chr(0)),
+        |      coalesce(CAST(l_linenumber AS VARCHAR), chr(0)),
+        |      coalesce(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR), chr(0)),
+        |      coalesce(CAST(CAST(l_shipdate AS DATE) AS VARCHAR), chr(0)),
+        |      coalesce(CAST(l_linestatus AS VARCHAR), chr(0))) AS s
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n_rows,
+        |       CAST(sum(CAST(('0x' || substr(md5(s),1,15)) AS UBIGINT)) AS VARCHAR) AS checksum
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_table_diff" -> {
       val payload = Seq("o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
@@ -3400,6 +3497,7 @@ object SparkEntry {
     // oracle emits as literal TRUE
     "q_ann_lsh" -> annOracleSql,
     "q_ivf_topk" -> annOracleSql,
+    "q_ivfadc_topk" -> annOracleSql,
     "q_ivf_remove" -> ivfRemoveOracleSql,
     "q_ivf_store" -> annOracleSql,
     "q_adc_topk" -> annOracleSql,
@@ -3516,6 +3614,17 @@ object SparkEntry {
          |       $inter AS zvalue
          |FROM b ORDER BY event_id""".stripMargin
     },
+    "q_data_skipping" ->
+      // layout-invariant aggregate: the Spark side answers it through a
+      // stats-pruned file listing over a scratch z-ordered copy; the
+      // oracle answers it over the original table — equality is the
+      // pruning-soundness (completeness) check
+      """SELECT count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       count(DISTINCT user_id) AS n_users,
+        |       TRUE AS pruned_files
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 6 AND value BETWEEN 20 AND 80""".stripMargin,
     "q_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
         |              FROM documents),

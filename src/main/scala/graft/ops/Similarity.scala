@@ -304,6 +304,71 @@ object Similarity {
     ivfProbe(centroids, corpusCells, queries, idCol, vecCol, k, nprobe)
   }
 
+  /** IVF-ADC top-k — the full production ANN pipeline in one operator,
+    * each stage reusing the family's standalone primitive:
+    * (1) PRUNE ([[ivfTopK]]'s cell probe): only vectors in a query's
+    * `nprobe` nearest cells become candidates (~nprobe/nlist of the
+    * corpus); (2) SCREEN ([[adcTopK]]'s asymmetric scoring): candidates
+    * are scored through their dequantized int8 codes — the 4×-smaller
+    * representation that stays memory-resident at 100 TB — and cut to a
+    * `k·rerankFactor` shortlist per query; (3) RE-RANK ([[pqTopK]]'s
+    * tail): exact float cosine on shortlist rows only. This is the
+    * FAISS IVF-ADC architecture re-expressed as three DataFrame passes:
+    * the float corpus is touched only by the shortlist join
+    * (k·rerankFactor·queries rows), never by the scan.
+    *
+    * Scale shape: queries broadcast (exploded ≤ nprobe rows each), the
+    * corpus never shuffles — candidates flow map-side from a
+    * cell-partitioned layout; both window cuts partition by query_id
+    * (query-count-sized state). Recall loss compounds pruning
+    * (cell-local misses) and quantization (screen misorders near the
+    * cut) — the re-rank removes scoring error inside the shortlist, so
+    * with `nprobe = nlist` and an uncut shortlist the operator is
+    * bit-identical to [[bruteForceTopK]] (spec-pinned). */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int,
+                 nlist: Int = 16, nprobe: Int = 8,
+                 lloydIters: Int = 2, rerankFactor: Int = 10): DataFrame = {
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1: $rerankFactor")
+    val (centroids, corpusCells) = ivfBuild(corpus, idCol, vecCol, nlist, lloydIters)
+    if (centroids.isEmpty) // empty corpus: the family's empty shape
+      return queries.select(col(idCol).as("query_id"), col(idCol).as("corpus_id"),
+        lit(1).as("rank"), lit(0.0d).as("score")).where(lit(false))
+    // screen side: codes + cell only — the float vector is dropped
+    // before scoring (adcTopK's dequantize-on-the-fly recipe, same
+    // global per-dim stats, so screen scores match adcTopK bit-for-bit)
+    val coded = quantizeEmbeddings(corpusCells, "cv", keepStats = true)
+      .select(col("corpus_id"), col("cell"),
+        transform(col("codes"), (code, i) => {
+          val mn = element_at(col("mns"), i + 1)
+          val mx = element_at(col("mxs"), i + 1)
+          mn + (code.cast("double") + 128) * (mx - mn) / 255
+        }).as("rv"))
+      .withColumn("rn", norm(col("rv")))
+    val qBase = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val qCells = qBase.withColumn("cell",
+      explode(nearestCells(col("qv"), centroids, nprobe)))
+    // a corpus row lives in ONE cell and a query probes DISTINCT cells,
+    // so each (query, candidate) pair surfaces at most once — no dedup
+    val wCode = Window.partitionBy("query_id")
+      .orderBy(col("code_score").desc, col("corpus_id"))
+    val shortlist = coded.join(broadcast(qCells), Seq("cell"))
+      .where(col("corpus_id") =!= col("query_id"))
+      // zero-norm degenerates pin to -Inf (shared scoreCosine guard):
+      // ranked last, never an ANSI 0/0 abort
+      .withColumn("code_score",
+        scoreCosine(col("qv"), col("rv"), col("qn"), col("rn")))
+      .withColumn("_cr", row_number().over(wCode))
+      .where(col("_cr") <= k.toLong * rerankFactor)
+      .select("query_id", "corpus_id")
+    topKByScore(corpusCells.select("corpus_id", "cv", "cn")
+      .join(broadcast(shortlist), Seq("corpus_id"))
+      .join(broadcast(qBase), Seq("query_id"))
+      .withColumn("score",
+        scoreCosine(col("qv"), col("cv"), col("qn"), col("cn"))), k)
+  }
+
   /** IVF index BUILD: train centroids, assign every corpus vector to
     * its cell. Returned as persistable state — the centroid table via
     * [[ivfCentroidsDf]] and the `(corpus_id, cv, cn, cell)` assignment

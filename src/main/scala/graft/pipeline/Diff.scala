@@ -63,4 +63,44 @@ object Diff {
         1L).otherwise(0L)).as(s"changed_$c"))
     d.agg((statusCounts ++ colCounts).head, (statusCounts ++ colCounts).tail: _*)
   }
+
+  /** Order/partition/layout-independent content fingerprint per group
+    * — the ZERO-co-location reconciliation primitive. [[diff]] needs
+    * one full-outer shuffle join with both tables on the same cluster;
+    * a checksum compares tables that live on DIFFERENT clusters (or
+    * different engines — the migration sign-off case) by exchanging
+    * one tiny row per group. Each row canonicalizes to a string (every
+    * hashed column cast to string; NULL → a `\u0000` sentinel no cast
+    * produces; `\u0001`-joined), hashes through md5, and the group
+    * fingerprint is the exact integer SUM of the rows' leading-60-bit
+    * hash values. Summation is commutative, so partitioning, file
+    * layout and row order are invisible; any single-row difference
+    * shifts the sum, and making two DIFFERENT row multisets collide
+    * needs engineered md5 preimages, not bad luck (~2⁻³⁰ per compared
+    * group pair by birthday bound at a billion rows).
+    *
+    * The checksum is emitted as a decimal STRING: the sum is exact
+    * decimal internally and a double would round away the low bits —
+    * exactly the bits a one-row difference moves.
+    *
+    * Canonicalization contract (what makes the fingerprint
+    * engine-portable, hash-verified cross-engine by
+    * `q_table_checksum`): integers, decimals, dates, timestamps and
+    * strings cast to identical strings in Spark and DuckDB; FLOATING
+    * POINT does not (engines disagree on shortest-roundtrip
+    * rendering) — cast doubles to an explicit decimal scale first and
+    * the fingerprint inherits decimal's exactness. Scale shape: one
+    * narrow projection + one hash aggregate keyed on the group
+    * columns; nothing but the group rows moves. */
+  def contentChecksum(df: DataFrame, groupCols: Seq[String],
+                      hashCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(hashCols.nonEmpty, "checksum needs at least one hashed column")
+    val canon = hashCols.map(c => coalesce(c.cast("string"), lit("\u0000")))
+    val rowHash = conv(substring(md5(concat_ws("\u0001", canon: _*)), 1, 15), 16, 10)
+      .cast("decimal(20,0)")
+    val aggs = Seq(count(lit(1)).as("n_rows"),
+      sum(rowHash).cast("string").as("checksum"))
+    if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

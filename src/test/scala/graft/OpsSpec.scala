@@ -1100,12 +1100,36 @@ class OpsSpec extends SparkSpec {
       emb, queries, "vec_id", "embedding", k = 5, dim = 64)))
     val pqNoRerank = recall(exact, topSet(Similarity.pqTopK(
       emb, queries, "vec_id", "embedding", k = 5, dim = 64, rerankFactor = 1)))
-    info(s"recall@5 lsh=$lshR ivf=$ivfR adc=$adcR pq=$pqR pq_norerank=$pqNoRerank")
+    // the composed IVF-ADC pipeline: pruning loss only (the exact
+    // re-rank removes the screen's quantization misordering), so its
+    // floor matches the plain IVF path's
+    val ivfAdcR = recall(exact, topSet(Similarity.ivfAdcTopK(
+      emb, queries, "vec_id", "embedding", k = 5)))
+    info(s"recall@5 lsh=$lshR ivf=$ivfR adc=$adcR pq=$pqR pq_norerank=$pqNoRerank ivfadc=$ivfAdcR")
     emb.unpersist()
     assert(lshR >= 0.8, s"lsh recall@5 $lshR")
     assert(ivfR >= 0.8, s"ivf recall@5 $ivfR")
     assert(adcR >= 0.9, s"adc recall@5 $adcR")
     assert(pqR >= 0.8, s"pq recall@5 $pqR")
+    assert(ivfAdcR >= 0.8, s"ivfadc recall@5 $ivfAdcR")
+  }
+
+  test("ivfAdcTopK degenerates to brute force: nprobe=nlist + uncut shortlist") {
+    // with every cell probed and a shortlist too large to cut, the only
+    // surviving stages are the exact re-rank + shared top-k tail —
+    // the result must be BIT-identical to bruteForceTopK (same
+    // tie-break, same scores), pinning that neither the cell routing
+    // nor the int8 screen can corrupt candidates they do not drop
+    val emb = graft.model.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .where(col("vec_id") < 300).cache()
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val composed = Similarity.ivfAdcTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nlist = 4, nprobe = 4, rerankFactor = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    emb.unpersist()
+    assert(exact.nonEmpty && composed == exact)
   }
 
   test("dot_product kernel: bit-identical to the fold, SQL-registered") {
@@ -1645,6 +1669,35 @@ class OpsSpec extends SparkSpec {
     }
     // and the clean frame still diffs fine
     assert(Diff.diff(base, base, Seq("k")).collect().head.getAs[String]("status") === "same")
+  }
+
+  test("content checksum: layout-invisible, any row difference visible") {
+    import graft.pipeline.Diff
+    val base = Seq(
+      (1L, Some("a"), Some(10L)), (2L, Some("b"), Some(20L)),
+      (3L, None: Option[String], Some(30L)), (4L, Some("d"), None: Option[Long]))
+      .toDF("k", "s", "v")
+    def sums(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, String)] =
+      Diff.contentChecksum(df, Seq("k"), Seq(col("s"), col("v")))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val ref = sums(base)
+    // partitioning / row order invisible
+    assert(sums(base.repartition(7).sortWithinPartitions("v")) === ref)
+    // a single changed value shifts exactly its group's checksum
+    val mutated = sums(base.withColumn("v",
+      when(col("k") === 2L, 21L).otherwise(col("v"))))
+    assert(mutated(2L) !== ref(2L))
+    assert(mutated.removed(2L) === ref.removed(2L))
+    // NULL and empty string canonicalize differently (the sentinel)
+    val emptied = sums(base.withColumn("s",
+      when(col("k") === 3L, "").otherwise(col("s"))))
+    assert(emptied(3L) !== ref(3L))
+    // global form: one row, total count, sum of the group hashes' mass
+    val g = Diff.contentChecksum(base, Seq.empty, Seq(col("s"), col("v")))
+      .collect().head
+    assert(g.getLong(0) === 4L)
+    assert(BigInt(g.getString(1)) ===
+      ref.values.map(v => BigInt(v._2)).sum)
   }
 
   test("bigram LM scores: hand-computed smoothed probabilities, short docs null") {
