@@ -993,6 +993,46 @@ object SparkEntry {
     }
   }
 
+  /** PER-FILE BLOOM SKIPPING end-to-end, gated: the same z-ordered
+    * scratch layout as [[qDataSkipping]], probed by EVENT ID — the
+    * column the (user_id, value) clustering scatters, so min/max stats
+    * cannot prune it and the per-file Bloom sketch
+    * ([[graft.sources.StatsIndex.buildBloom]]) is what turns a 3-id
+    * point lookup into a ~3-file read. Same soundness oracle shape as
+    * the range gate (the plain IN-list aggregate over the original
+    * table — Bloom false negatives are impossible by construction, so
+    * a hash mismatch means a skipped holder file) plus the
+    * `pruned_files` contract bit. */
+  def qBloomSkipping(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.StatsIndex
+    val events = t(spark, dir, "events")
+    val scratch = java.nio.file.Files.createTempDirectory("q-bloom-skipping").toString
+    try {
+      graft.ops.Layout.zOrdered(
+        events.select("event_id", "user_id", "event_type", "value"),
+        Seq("user_id", "value"), bits = 16, numPartitions = 16)
+        .drop("bk_user_id", "bk_value", "zvalue")
+        .write.mode("overwrite").parquet(scratch)
+      val perFile = math.max(events.count() / 16L, 100L)
+      val stats = StatsIndex.buildBloom(spark, scratch, "event_id",
+        expectedPerFile = perFile)
+      val ids = Seq(17L, 423L, 777L) // present from sf0.001's 1000 events up
+      val scan = StatsIndex.prunedRead(spark, scratch, stats,
+        StatsIndex.mayContainId("event_id", ids),
+        col("event_id").isin(ids: _*))
+      val out = scan.df.agg(
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+        .withColumn("pruned_files",
+          lit(scan.keptFiles > 0 && scan.keptFiles < scan.totalFiles))
+      val rows = out.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), out.schema)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(scratch)).deleteRecursively()
+    }
+  }
+
   /** Per-language document-length quantiles (exact discrete p50/p90/p99)
     * — the distribution summary a tokenizer-budget plan starts from. */
   def qLengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
@@ -2270,6 +2310,7 @@ object SparkEntry {
     "q_bpe_encode"       -> qBpeEncode,
     "q_zorder"           -> qZorder,
     "q_data_skipping"    -> qDataSkipping,
+    "q_bloom_skipping"   -> qBloomSkipping,
     "q_retention"        -> qRetention,
     "q_outliers"         -> qOutliers,
     "q_dup_spans"        -> qDupSpans,
@@ -3625,6 +3666,15 @@ object SparkEntry {
         |       TRUE AS pruned_files
         |FROM events
         |WHERE user_id BETWEEN 3 AND 6 AND value BETWEEN 20 AND 80""".stripMargin,
+    "q_bloom_skipping" ->
+      // the point-lookup twin of q_data_skipping: IN-list aggregate
+      // over the original table; equality checks that the Bloom
+      // pruning lost no holder file (false negatives are impossible)
+      """SELECT count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       TRUE AS pruned_files
+        |FROM events
+        |WHERE event_id IN (17, 423, 777)""".stripMargin,
     "q_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
         |              FROM documents),

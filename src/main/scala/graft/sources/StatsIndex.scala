@@ -128,6 +128,72 @@ object StatsIndex {
     PrunedScan(df, kept.size, indexed.size)
   }
 
+  /** Per-file BLOOM sketches of a long id column — the point-lookup
+    * complement of min/max skipping. A clustered layout makes RANGE
+    * stats sharp on the clustered columns and useless on every
+    * uncorrelated one (each file's [min,max] of a scattered id spans
+    * the whole domain, so nothing prunes); a per-file Bloom prunes a
+    * point lookup to the files that might hold the id regardless of
+    * layout, at ~`bitsPerItem` bits per row on disk (one-sided error:
+    * a kept file may be a false positive — rate ~1% at 10 bits — but
+    * a skipped file NEVER holds the id, the soundness direction).
+    * Output: `file`, `n_rows`, `bloom_<c>` (binary). Build is one
+    * file-keyed aggregate; each partition fills a partial sketch and
+    * partials OR-merge ([[graft.functions.BloomFunctions]]). */
+  def buildBloom(spark: SparkSession, dataDir: String, idCol: String,
+                 expectedPerFile: Long, bitsPerItem: Int = 10): DataFrame = {
+    require(expectedPerFile > 0 && bitsPerItem > 0,
+      s"bad bloom sizing: items=$expectedPerFile bits/item=$bitsPerItem")
+    val df = spark.read.parquet(dataDir)
+    require(df.columns.contains(idCol), s"$idCol absent from $dataDir")
+    df.groupBy(input_file_name().as(FileCol))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.BloomFunctions.bloom_filter_agg(
+          col(idCol).cast("long"), expectedPerFile,
+          expectedPerFile * bitsPerItem).as(s"bloom_$idCol"))
+  }
+
+  /** File may contain one of `ids` in column `c`, by its Bloom sketch.
+    * Evaluated distributedly over the stats frame (the sketch bytes
+    * never collect); deserialization cost is per stats ROW — file
+    * count, not data size. An all-null sketch (file with only null
+    * ids) is NULL → false, matching the min/max helpers' rule. */
+  def mayContainId(c: String, ids: Seq[Long]): Column = {
+    require(ids.nonEmpty, s"empty id probe for $c")
+    val probe = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) false
+      else {
+        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bytes))
+        ids.exists(bf.mightContainLong)
+      }
+    }
+    probe(col(s"bloom_$c"))
+  }
+
+  /** Index maintenance for APPEND-ONLY directories (the shape the
+    * streaming ingest loops write): stats for the files the standing
+    * index has not seen, computed from their footers only and unioned
+    * on — O(new files), the index never re-reads indexed data. An
+    * indexed file missing from the directory fails by name: files were
+    * rewritten or compacted, and an append would silently resurrect a
+    * stale index — that case is a rebuild. */
+  def appendFromFooters(spark: SparkSession, dataDir: String,
+                        stats: DataFrame, cols: Seq[String]): DataFrame = {
+    val live = listDataFiles(spark, dataDir)
+    val indexed = stats.select(FileCol).collect().map(_.getString(0)).toIndexedSeq
+    val liveSet = live.map(normPath).toSet
+    val gone = indexed.map(normPath).filterNot(liveSet)
+    require(gone.isEmpty,
+      s"[stats-index] ${gone.size} indexed file(s) no longer in $dataDir " +
+        s"(${gone.take(3).sorted}) — the directory was rewritten, not " +
+        "appended; rebuild the index")
+    val indexedSet = indexed.map(normPath).toSet
+    val fresh = live.filterNot(f => indexedSet(normPath(f)))
+    if (fresh.isEmpty) return stats
+    stats.unionByName(footerStats(spark, fresh, cols, dataDir))
+  }
+
   /** Non-hidden data files of a parquet directory (what a scan would
     * list): skips `_`/`.`-prefixed entries (_SUCCESS, metadata). */
   private[sources] def listDataFiles(spark: SparkSession, dataDir: String): Seq[String] = {
@@ -169,6 +235,16 @@ object StatsIndex {
     * a chunk without them fails the build by name — an index that
     * guessed would prune unsoundly. */
   def buildFromFooters(spark: SparkSession, dataDir: String, cols: Seq[String]): DataFrame = {
+    val files = listDataFiles(spark, dataDir)
+    require(files.nonEmpty, s"no data files under $dataDir")
+    footerStats(spark, files, cols, dataDir)
+  }
+
+  /** Footer stats for an explicit file list ([[buildFromFooters]] /
+    * [[appendFromFooters]] share it; `dataDir` supplies the Spark-side
+    * schema and names the error messages). */
+  private def footerStats(spark: SparkSession, files: Seq[String],
+                          cols: Seq[String], dataDir: String): DataFrame = {
     import org.apache.spark.sql.types._
     require(cols.nonEmpty, "no columns to index")
     val dataSchema = spark.read.parquet(dataDir).schema
@@ -178,8 +254,6 @@ object StatsIndex {
       cols.map(c => c -> dataSchema(c).dataType)
     colTypes.foreach { case (c, t) =>
       require(FooterStats.supported(t), s"footer stats unsupported for $c: $t") }
-    val files = listDataFiles(spark, dataDir)
-    require(files.nonEmpty, s"no data files under $dataDir")
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val kinds = colTypes.map { case (c, t) => (c, t.catalogString) }

@@ -128,6 +128,60 @@ class StatsIndexSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("bloom skipping prunes point lookups the clustered layout cannot") {
+    val dir = tmp("statsidx-bloom")
+    try {
+      writeZordered(dir, 16) // clustered on (user_id, value): event_id scatters
+      val ids = Seq(17L, 423L, 777L)
+      // range stats on the scattered id are useless: every file's
+      // [min,max] spans most of the domain, nothing prunes
+      val mm = StatsIndex.build(spark, dir, Seq("event_id"))
+      val rangeKept = StatsIndex.candidateFiles(mm,
+        ids.map(i => StatsIndex.mayContainBetween("event_id", i, i))
+          .reduce(_ || _)).size
+      assert(rangeKept > 8, s"scattered ids should defeat min/max: $rangeKept/16")
+      // the per-file Bloom prunes to the true holders (+ rare FPs)
+      val bl = StatsIndex.buildBloom(spark, dir, "event_id",
+        expectedPerFile = 100)
+      val scan = StatsIndex.prunedRead(spark, dir, bl,
+        StatsIndex.mayContainId("event_id", ids),
+        col("event_id").isin(ids: _*))
+      assert(scan.totalFiles == 16 && scan.keptFiles <= 6,
+        s"bloom should prune a 3-id probe: kept ${scan.keptFiles}/16")
+      val got = scan.df.select("event_id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == ids.sorted)
+    } finally rm(dir)
+  }
+
+  test("appendFromFooters: incremental == full rebuild; rewrite fails by name") {
+    val dir = tmp("statsidx-append")
+    try {
+      import spark.implicits._
+      val normed = (df: DataFrame) => df
+        .withColumn("f", expr("regexp_replace(file, '^[a-z0-9]+:/+', '/')"))
+        .drop("file").orderBy("f").collect().toSeq
+      (0 until 60).map(i => (i.toLong, i * 1.5)).toDF("id", "x")
+        .repartition(3).write.mode("overwrite").parquet(dir)
+      val v0 = StatsIndex.buildFromFooters(spark, dir, Seq("id", "x"))
+      // no new files: append is the identity
+      assert(normed(StatsIndex.appendFromFooters(spark, dir, v0, Seq("id", "x"))) ==
+        normed(v0))
+      // two appended files: O(new) append == full rebuild
+      (60 until 100).map(i => (i.toLong, i * 1.5)).toDF("id", "x")
+        .repartition(2).write.mode("append").parquet(dir)
+      val inc = StatsIndex.appendFromFooters(spark, dir, v0, Seq("id", "x"))
+      assert(normed(inc) == normed(StatsIndex.buildFromFooters(spark, dir, Seq("id", "x"))))
+      assert(inc.count() == 5)
+      // rewritten directory (indexed files gone): refuse, name the cure
+      (0 until 10).map(i => (i.toLong, i * 1.5)).toDF("id", "x")
+        .repartition(2).write.mode("overwrite").parquet(dir)
+      val ex = intercept[IllegalArgumentException] {
+        StatsIndex.appendFromFooters(spark, dir, inc, Seq("id", "x"))
+      }
+      assert(ex.getMessage.contains("rebuild"))
+    } finally rm(dir)
+  }
+
   test("footer build decodes DATE columns (orders table)") {
     val dir = tmp("statsidx-date")
     try {
