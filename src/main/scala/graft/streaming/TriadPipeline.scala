@@ -34,7 +34,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * ([[AcceptedSink]]). Input rows must carry BOTH the text and the
   * embedding column (the dedup stage passes every column through to its
   * survivors). Ids must be unique and never redelivered outside
-  * checkpoint replay — the loops' shared source contract. */
+  * checkpoint replay — the loops' shared source contract.
+  *
+  * An optional CURATION FRONT GATE ([[CurationGate]], `Config.curation`)
+  * screens quality/tokens/language and redacts PII before stage 1 —
+  * stateless, so it adds no ledger and no takedown surface (its
+  * rejected audit keeps verdicts, never text). */
 object TriadPipeline {
 
   /** Directory layout + knobs for one composed pipeline. `root` holds
@@ -51,18 +56,22 @@ object TriadPipeline {
                           semanticThreshold: Double,
                           minhashCompactEvery: Int = 8,
                           vectorCompactEvery: Int = 9,
-                          driftGateMinRows: Long = 16L) {
+                          driftGateMinRows: Long = 16L,
+                          curation: Option[CurationGate.Rule] = None) {
     def minhashDir: String = s"$root/minhash-store"
     def minhashAccepted: String = s"$root/minhash-accepted"
     def semanticDir: String = s"$root/semantic-store"
     def semanticAccepted: String = s"$root/semantic-accepted"
     def ivfDir: String = s"$root/ivf-store"
+    def curationRejected: String = s"$root/curation-rejected"
   }
 
-  /** What one composed micro-batch did, per stage. */
+  /** What one composed micro-batch did, per stage. `curation` is None
+    * when the pipeline runs without a front gate. */
   final case class TriadOutcome(dedup: DedupIngestStream.BatchOutcome,
                                 semantic: SemanticIngestStream.BatchOutcome,
-                                ivf: IvfIngestStream.BatchOutcome)
+                                ivf: IvfIngestStream.BatchOutcome,
+                                curation: Option[CurationGate.BatchOutcome] = None)
 
   /** One composed micro-batch — the three stages in sequence, each
     * reading its predecessor's committed accepted bytes for THIS batch
@@ -71,7 +80,18 @@ object TriadPipeline {
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
                                   cfg: Config): TriadOutcome = {
     val spark = batch.sparkSession
-    val o1 = DedupIngestStream.processBatch(batch, batchId,
+    // the optional curation FRONT GATE ([[CurationGate]]): stateless and
+    // deterministic, so its kept frame feeds stage 1 in memory (same
+    // replay class as the source); only the text-free rejected audit
+    // persists, under curationRejected/batch=<id>
+    val (gated, o0) = cfg.curation match {
+      case Some(rule) =>
+        val (kept, oc) = CurationGate.processBatch(batch, batchId,
+          cfg.curationRejected, cfg.idCol, cfg.textCol, rule)
+        (kept, Some(oc))
+      case None => (batch, None)
+    }
+    val o1 = DedupIngestStream.processBatch(gated, batchId,
       cfg.minhashDir, cfg.minhashAccepted, cfg.idCol, cfg.textCol,
       cfg.minhashThreshold, cfg.minhashCompactEvery, cfg.checkpointDir)
     // the dedup survivors carry every source column (embedding
@@ -86,7 +106,7 @@ object TriadPipeline {
     val o3 = IvfIngestStream.processBatch(survivors2, batchId,
       cfg.ivfDir, cfg.idCol, cfg.vecCol, cfg.vectorCompactEvery,
       cfg.checkpointDir, cfg.driftGateMinRows)
-    TriadOutcome(o1, o2, o3)
+    TriadOutcome(o1, o2, o3, o0)
   }
 
   /** What [[takedown]] touched, per surface: the index stores' new

@@ -112,6 +112,50 @@ class TriadPipelineSpec extends SparkSpec {
     }
   }
 
+  test("curation front gate: text-free rejected audit, PII redacted before hashing, replay-stable") {
+    withDir { root =>
+      val cfg = cfgFor(root).copy(curation =
+        Some(CurationGate.Rule(minQuality = 0.05, minTokens = 5)))
+      initStores(cfg, rows((1L to 5L).map(i => (i, uniq(i), base(i.toInt))): _*))
+      // 101 clean; 102 under the token floor; 103 empty; 104 clean but
+      // carries an email — kept WITH the span redacted
+      val mail = uniq(104) + " contact ops-team@example.com for access"
+      val b0 = rows((101L, uniq(101), base(101)), (102L, "too short", base(102)),
+        (103L, "", base(103)), (104L, mail, base(104)))
+      val o0 = TriadPipeline.processBatch(b0, 0L, cfg)
+      assert(o0.curation === Some(CurationGate.BatchOutcome(0L, 4L, 2L, 2L)))
+      assert(o0.dedup.accepted === 2L && o0.ivf.appended === 2L)
+      // the audit carries verdicts, never content
+      val audit = spark.read.parquet(s"${cfg.curationRejected}/batch=0")
+      assert(audit.columns.toSeq ===
+        Seq("doc_id", "reason", "n_tokens", "quality", "lang"))
+      assert(audit.select("doc_id", "reason").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap ===
+        Map(102L -> "tokens", 103L -> "empty"))
+      // the accepted corpus holds the REDACTED text (scrub-then-commit)
+      val kept104 = AcceptedSink.readAccepted(spark, cfg.semanticAccepted)
+        .where($"doc_id" === 104L).select("text").collect()(0).getString(0)
+      assert(kept104.contains("<EMAIL>") && !kept104.contains("example.com"))
+      // ...and the SIGNATURE was taken over the redacted text: a later
+      // arrival of the already-redacted form is a near-dup and rejects
+      val redactedTwin = uniq(104) + " contact <EMAIL> for access"
+      val o1 = TriadPipeline.processBatch(
+        rows((201L, redactedTwin, base(201))), 1L, cfg)
+      assert(o1.curation.map(_.kept) === Some(1L))
+      assert(o1.dedup.accepted === 0L,
+        "the redacted twin must reject against 104's redacted signature")
+      // checkpoint replay of the LATEST batch (the only interleaving
+      // the ledger protocol admits — older entries are swept): the gate
+      // recomputes identical verdicts, the stateful stages follow their
+      // replay rules — no duplicate ids anywhere
+      val r1 = TriadPipeline.processBatch(
+        rows((201L, redactedTwin, base(201))), 1L, cfg)
+      assert(r1.curation === o1.curation)
+      assert(r1.dedup.replay && r1.dedup.accepted === 0L)
+      assert(semIds(cfg).count(_ == 104L) === 1, "no duplicate ids on replay")
+    }
+  }
+
   test("crash replay across a stage boundary: committed stages skip, the crashed stage redoes, no id duplicates") {
     withDir { root =>
       val cfg = cfgFor(root)
