@@ -1033,6 +1033,27 @@ object SparkEntry {
     }
   }
 
+  /** The CURATION GATE's decision function in batch form, oracle-gated:
+    * every document's first failing screen (or `kept`) under a standard
+    * rule (≥ 20 tokens, quality ≥ 0.5, lang ∈ {en, zh};
+    * constants chosen so every screen fires on the corpus —
+    * 350/43/50/57 kept/tokens/quality/lang at sf0.01) —
+    * [[graft.streaming.CurationGate.curate]] over the documents table.
+    * The token/quality/language kernels already gate bit-identically on
+    * their own (`q_text_stats`, `q_lang_id`); this gates their
+    * COMPOSITION and the first-failure ordering (empty → tokens →
+    * quality → lang) that the streaming audit's `reason` column
+    * promises. */
+  def qCurationGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.CurationGate
+    val rule = CurationGate.Rule(minQuality = 0.5, minTokens = 20,
+      allowedLangs = Set("en", "zh"), redactPii = false)
+    val (kept, rejected) = CurationGate.curate(
+      t(spark, dir, "documents"), "doc_id", "text", rule)
+    kept.select(col("doc_id"), lit("kept").as("verdict"))
+      .unionByName(rejected.select(col("doc_id"), col("reason").as("verdict")))
+  }
+
   /** Per-language document-length quantiles (exact discrete p50/p90/p99)
     * — the distribution summary a tokenizer-budget plan starts from. */
   def qLengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
@@ -2311,6 +2332,7 @@ object SparkEntry {
     "q_zorder"           -> qZorder,
     "q_data_skipping"    -> qDataSkipping,
     "q_bloom_skipping"   -> qBloomSkipping,
+    "q_curation_gate"    -> qCurationGate,
     "q_retention"        -> qRetention,
     "q_outliers"         -> qOutliers,
     "q_dup_spans"        -> qDupSpans,
@@ -2581,6 +2603,49 @@ object SparkEntry {
        |SELECT doc_id, lang,
        |       CASE WHEN $bestScore > 0 THEN $argmax ELSE 'und' END AS predicted_lang
        |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** The curation gate's decision function, mirrored: the same token /
+    * quality / language kernels as the `q_text_stats` and `q_lang_id`
+    * oracles (bit-identical individually), composed in the gate's
+    * first-failure order. Constants must match [[qCurationGate]]'s
+    * rule. */
+  private def curationGateOracle: String = {
+    val langs = TextOps.langProfiles.map(_._1)
+    val scoreCols = TextOps.langProfiles
+      .map { case (l, grams) => s"${langScoreSql(grams)} AS s_$l" }.mkString(",\n       ")
+    val argmax = langs.map { l =>
+      val others = langs.filterNot(_ == l)
+        .map(m => s"(s_$l, '$l') >= (s_$m, '$m')").mkString(" AND ")
+      s"WHEN $others THEN '$l'"
+    }.mkString("CASE ", " ", " END")
+    val bestScore = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val sw = stopwordsSqlList
+    val quality =
+      s"""least(length(text)::DOUBLE / 500.0, 1.0) * 0.4
+         |      + (1.0 - least((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+         |                     / greatest(length(text), 1) * 4.0, 1.0)) * 0.3
+         |      + least(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                  x -> list_contains($sw, x)))::DOUBLE
+         |              / greatest(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                  x -> x <> '')), 1) * 5.0, 1.0) * 0.3""".stripMargin
+    s"""WITH s AS (
+       |  SELECT doc_id, text, $scoreCols
+       |  FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS t FROM documents)),
+       |v AS (
+       |  SELECT doc_id, text,
+       |         CASE WHEN $bestScore > 0 THEN $argmax ELSE 'und' END AS plang,
+       |         len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |             x -> x <> '')) AS ntok,
+       |         $quality AS q
+       |  FROM s)
+       |SELECT doc_id,
+       |       CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 'empty'
+       |            WHEN ntok < 20 THEN 'tokens'
+       |            WHEN q < 0.5 THEN 'quality'
+       |            WHEN plang NOT IN ('en', 'zh') THEN 'lang'
+       |            ELSE 'kept' END AS verdict
+       |FROM v ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB sequential-fold dot product (mirrors Similarity.dot's
@@ -3094,6 +3159,7 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin
     },
     "q_lang_id" -> langIdOracle,
+    "q_curation_gate" -> curationGateOracle,
     "q_ngram_freq" ->
       """WITH toks AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t
         |              FROM documents),
