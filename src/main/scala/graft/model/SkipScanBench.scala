@@ -90,6 +90,22 @@ object SkipScanBench {
       prunedAgg.collect()
       val (prunedFiles, prunedBytes) = scanMetrics(prunedAgg)
       require(nRows == nRows2, s"pruned read lost rows: $nRows vs $nRows2")
+      // the Bloom side: point lookups on the id the layout scatters
+      val nEvents = spark.read.parquet(scratch).count()
+      val (bloomBuildS, bloom) = time {
+        val b = StatsIndex.buildBloom(spark, scratch, "event_id",
+          expectedPerFile = math.max(nEvents / nFiles, 100L)).cache()
+        b.count(); b
+      }
+      val bloomBytes = bloom.select(sum(length(col("bloom_event_id"))))
+        .collect()(0).getLong(0)
+      val ids = Seq(17L, 423L, 777L)
+      val bloomScan = StatsIndex.prunedRead(spark, scratch, bloom,
+        StatsIndex.mayContainId("event_id", ids),
+        col("event_id").isin(ids: _*))
+      val bloomAgg = bloomScan.df.groupBy().count()
+      bloomAgg.collect()
+      val (bloomFiles, bloomScanBytes) = scanMetrics(bloomAgg)
       println(s"""{"metric":"skip_scan","sf":"$dir","files":$nFiles,""" +
         s""""kept_files":${scan0.keptFiles},"rows_matched":$nRows,""" +
         s""""layout_write_s":${f"$layoutS%.3f"},""" +
@@ -97,7 +113,10 @@ object SkipScanBench {
         s""""footer_build_s":${f"$footerBuildS%.3f"},""" +
         s""""full_scan_s":${f"$fullS%.3f"},"pruned_scan_s":${f"$prunedS%.3f"},""" +
         s""""scheduled_full":{"files":$fullFiles,"bytes":$fullBytes},""" +
-        s""""scheduled_pruned":{"files":$prunedFiles,"bytes":$prunedBytes}}""")
+        s""""scheduled_pruned":{"files":$prunedFiles,"bytes":$prunedBytes},""" +
+        s""""bloom":{"build_s":${f"$bloomBuildS%.3f"},"index_bytes":$bloomBytes,""" +
+        s""""point_kept_files":${bloomScan.keptFiles},""" +
+        s""""scheduled":{"files":$bloomFiles,"bytes":$bloomScanBytes}}}""")
       spark.catalog.clearCache()
     } finally {
       import scala.reflect.io.Directory

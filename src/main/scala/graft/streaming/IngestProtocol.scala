@@ -179,6 +179,30 @@ private[graft] object IngestProtocol {
     }
   }
 
+  /** The batch the checkpoint has STARTED (offsets written) but not
+    * COMMITTED — the batch a resumed stream WILL replay. None when the
+    * checkpoint is clean (every started batch committed) or untouched.
+    * This is the rebuild runbook's step-1 guard (SCALE.md "Rebuild
+    * runbook"): rebuilding a store while a batch is pending replay is
+    * unsafe — on resume that batch fresh-records a ledger base against
+    * the rebuilt store and re-appends documents the rebuild corpus
+    * already absorbed, violating id uniqueness with no error
+    * anywhere. */
+  def pendingReplay(spark: SparkSession, checkpointDir: String): Option[Long] = {
+    val f = fs(spark, checkpointDir)
+    def maxId(sub: String): Option[Long] = {
+      val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/$sub")
+      if (!f.exists(p)) None
+      else f.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).maxOption
+    }
+    (maxId("offsets"), maxId("commits")) match {
+      case (Some(o), Some(c)) if o > c => Some(o)
+      case (Some(o), None) => Some(o)
+      case _ => None
+    }
+  }
+
   /** Partition count that targets ~250k rows per output file (≈100 MB
     * parquet at document/vector row shapes) — the same row-mass bound
     * the minhash delta commits use, for the accepted sinks: an upper

@@ -167,6 +167,69 @@ object TriadPipeline {
       sinkRemove(cfg.minhashAccepted), sinkRemove(cfg.semanticAccepted))
   }
 
+  /** What [[retrainVectorStores]] rebuilt: the corpus row count it
+    * trained on (both stores re-init at v=0). */
+  final case class RetrainOutcome(corpusRows: Long,
+                                  semanticVersion: Long, ivfVersion: Long)
+
+  /** RETRAIN the drift-gated vector stores from the accepted corpus —
+    * the rebuild runbook (SCALE.md "Rebuild runbook") as one guarded
+    * verb. This is the drift trigger's remedy: when `driftReport`
+    * fires, the centroids no longer describe the corpus, and the fix
+    * is an explicit delete-and-rebuild, never an append side effect
+    * (the stores' own contract).
+    *
+    * Run it with the stream STOPPED. The runbook's safety check is
+    * enforced, not advised: the verb refuses by name while the
+    * checkpoint holds a batch pending replay
+    * ([[IngestProtocol.pendingReplay]] — offsets ahead of commits),
+    * because on resume that batch would fresh-record a ledger base
+    * against the rebuilt store and re-append documents the rebuild
+    * corpus already absorbed. Each vector store is deleted WHOLE (the
+    * ingest ledger and owner stamp are per-store state and go with it)
+    * and re-initialized over the CURRENT accepted corpus read through
+    * the two-tier surface ([[AcceptedSink.readAccepted]] — folds and
+    * takedowns are honored, so a withdrawn document does not sneak
+    * back in through a retrain). The minhash store is untouched — text
+    * dedup has no centroids to drift; a banding re-parameterization
+    * follows the same recipe by hand. Resume the SAME checkpoint
+    * afterwards: the next batch fresh-records its base against the new
+    * v=0, and the absent owner stamp is benign (it only re-writes at
+    * batch 0, which never recurs on a resumed checkpoint).
+    *
+    * `semanticNlist`/`ivfNlist` are explicit: a retrain is a
+    * re-modeling event, and cell counts are sized to the CURRENT
+    * corpus (the `semanticThreshold` explicitness rationale). */
+  def retrainVectorStores(spark: org.apache.spark.sql.SparkSession,
+                          cfg: Config, semanticNlist: Int = 0,
+                          ivfNlist: Int = 16): RetrainOutcome = {
+    import graft.ops.{IvfIndexStore, SemanticIndexStore}
+    IngestProtocol.pendingReplay(spark, cfg.checkpointDir).foreach { b =>
+      throw new IllegalStateException(
+        s"triad retrain: checkpoint ${cfg.checkpointDir} holds batch $b " +
+          "pending replay (offsets ahead of commits) — on resume it would " +
+          "fresh-record a ledger base against the rebuilt store and " +
+          "re-append documents the rebuild corpus already absorbed; let " +
+          "the stream finish (or drain) the batch, then retrain")
+    }
+    val corpus = AcceptedSink.readAccepted(spark, cfg.semanticAccepted)
+      .select(cfg.idCol, cfg.vecCol).cache()
+    val rows = corpus.count()
+    def wipe(dir: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true): Unit
+    }
+    wipe(cfg.semanticDir)
+    wipe(cfg.ivfDir)
+    val sem = SemanticIndexStore.init(corpus, cfg.semanticDir,
+      cfg.idCol, cfg.vecCol, nlist = semanticNlist)
+    val ivf = IvfIndexStore.init(corpus, cfg.ivfDir,
+      cfg.idCol, cfg.vecCol, nlist = ivfNlist)
+    corpus.unpersist()
+    RetrainOutcome(rows, sem, ivf)
+  }
+
   /** Start the composed pipeline over a streaming frame. The final
     * accepted corpus (documents that survived BOTH screens) is
     * [[AcceptedSink.readAccepted]] over `cfg.semanticAccepted`; the

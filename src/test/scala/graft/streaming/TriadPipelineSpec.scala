@@ -156,6 +156,45 @@ class TriadPipelineSpec extends SparkSpec {
     }
   }
 
+  test("retrain verb: refuses a pending-replay checkpoint, rebases the vector stores on the accepted corpus, ingest resumes") {
+    withDir { root =>
+      val cfg = cfgFor(root)
+      initStores(cfg, rows((1L to 10L).map(i => (i, uniq(i), base(i.toInt))): _*))
+      TriadPipeline.processBatch(rows(
+        (101L, uniq(101), base(101)), (102L, uniq(102), base(102))), 0L, cfg)
+      TriadPipeline.processBatch(rows((201L, uniq(201), base(201))), 1L, cfg)
+      // checkpoint state as a real stream would leave it mid-batch-2:
+      // offsets 0..2 written, commits only 0..1 — batch 2 pends replay
+      def mark(sub: String, ids: Seq[Int]): Unit = {
+        val d = new java.io.File(cfg.checkpointDir, sub); d.mkdirs()
+        ids.foreach(i => java.nio.file.Files.write(
+          d.toPath.resolve(i.toString), "v1".getBytes))
+      }
+      mark("offsets", Seq(0, 1, 2)); mark("commits", Seq(0, 1))
+      val ex = intercept[IllegalStateException](
+        TriadPipeline.retrainVectorStores(spark, cfg, 4, 4))
+      assert(ex.getMessage.contains("pending replay") &&
+        ex.getMessage.contains("batch 2"))
+      // the batch commits → retrain proceeds: both vector stores rebase
+      // on the accepted corpus at v=0 (the standing 1-10 — never
+      // accepted, only init-time state — drop out: drift retrain trains
+      // on what the pipeline actually accepted)
+      mark("commits", Seq(2))
+      val o = TriadPipeline.retrainVectorStores(spark, cfg, 4, 4)
+      assert(o === TriadPipeline.RetrainOutcome(3L, 0L, 0L))
+      assert(semIds(cfg).toSet === Set(101L, 102L, 201L))
+      assert(ivfTop1(cfg, base(201)) === 201L)
+      // ingest continues against the rebuilt stores (fresh ledger base);
+      // the MINHASH store was untouched — its standing survivor 201
+      // still rejects a text twin
+      val o2 = TriadPipeline.processBatch(rows(
+        (301L, uniq(301), base(301)), (302L, uniq(201), base(302))), 3L, cfg)
+      assert(o2.dedup.accepted === 1L, "302 must reject against survivor 201")
+      assert(semIds(cfg).toSet === Set(101L, 102L, 201L, 301L))
+      assert(ivfTop1(cfg, base(301)) === 301L)
+    }
+  }
+
   test("crash replay across a stage boundary: committed stages skip, the crashed stage redoes, no id duplicates") {
     withDir { root =>
       val cfg = cfgFor(root)
