@@ -1033,6 +1033,29 @@ object SparkEntry {
     }
   }
 
+  /** Edit-distance near-duplicate value pairs ([[Dedup.editNearDups]]
+    * — record linkage over the part names, blocked by brand, distinct
+    * values compared, row support reported). The oracle runs the
+    * identical two-stage shape with DuckDB's own `levenshtein`: the
+    * two engines' classic DP distances must agree value-for-value
+    * (hash-checked), and Spark's THRESHOLDED kernel (early exit past
+    * maxDist) must change nothing but cost. */
+  def qEditNearDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editNearDups(t(spark, dir, "part"), "p_name", Seq("p_brand"),
+      maxDist = 4)
+
+  /** Sorted-neighborhood linkage ([[Dedup.sortedNeighborNearDups]] —
+    * no equality block: one global value ranking, each value compared
+    * to its next 8 rank-successors). The oracle mirrors the whole
+    * shape — row_number over the sorted distinct values, the rank
+    * window, the length band, DuckDB's levenshtein — so the
+    * no-global-sort ranking (range partitions + broadcast offsets) and
+    * the bucket equi-join must together emit exactly the pairs the
+    * naive ranked self-join defines. */
+  def qSortedNeighbors(spark: SparkSession, dir: String): DataFrame =
+    Dedup.sortedNeighborNearDups(t(spark, dir, "part"), "p_name",
+      window = 8, maxDist = 4)
+
   /** The CURATION GATE's decision function in batch form, oracle-gated:
     * every document's first failing screen (or `kept`) under a standard
     * rule (≥ 20 tokens, quality ≥ 0.5, lang ∈ {en, zh};
@@ -2333,6 +2356,8 @@ object SparkEntry {
     "q_data_skipping"    -> qDataSkipping,
     "q_bloom_skipping"   -> qBloomSkipping,
     "q_curation_gate"    -> qCurationGate,
+    "q_edit_near_dups"   -> qEditNearDups,
+    "q_sorted_neighbors" -> qSortedNeighbors,
     "q_retention"        -> qRetention,
     "q_outliers"         -> qOutliers,
     "q_dup_spans"        -> qDupSpans,
@@ -3160,6 +3185,33 @@ object SparkEntry {
     },
     "q_lang_id" -> langIdOracle,
     "q_curation_gate" -> curationGateOracle,
+    "q_edit_near_dups" ->
+      // same two-stage shape: distinct (block, value) with support,
+      // block-equality join, length band, DuckDB's own levenshtein
+      """WITH v AS (SELECT p_brand, p_name AS value, count(*) AS n
+        |           FROM part WHERE p_name IS NOT NULL GROUP BY 1, 2)
+        |SELECT a.p_brand, a.value AS value_a, b.value AS value_b,
+        |       CAST(levenshtein(a.value, b.value) AS INTEGER) AS dist,
+        |       a.n AS n_a, b.n AS n_b
+        |FROM v a JOIN v b ON a.p_brand = b.p_brand AND a.value < b.value
+        |WHERE abs(length(a.value) - length(b.value)) <= 4
+        |  AND levenshtein(a.value, b.value) <= 4
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q_sorted_neighbors" ->
+      // the naive form of the same contract: rank the distinct values,
+      // self-join on rank distance 1..8 — the Spark side must emit
+      // exactly this set through its bucketed equi-join
+      """WITH v AS (SELECT p_name AS value, count(*) AS n
+        |           FROM part WHERE p_name IS NOT NULL GROUP BY 1),
+        |r AS (SELECT value, n, row_number() OVER (ORDER BY value) AS rk
+        |      FROM v)
+        |SELECT a.value AS value_a, b.value AS value_b,
+        |       CAST(levenshtein(a.value, b.value) AS INTEGER) AS dist,
+        |       a.n AS n_a, b.n AS n_b
+        |FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 8
+        |WHERE abs(length(a.value) - length(b.value)) <= 4
+        |  AND levenshtein(a.value, b.value) <= 4
+        |ORDER BY 1, 2""".stripMargin,
     "q_ngram_freq" ->
       """WITH toks AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t
         |              FROM documents),

@@ -1368,4 +1368,102 @@ object Dedup {
         count(lit(1)).as("n_windows"))
       .select("id", "span_start", "span_end", "n_windows")
   }
+
+  /** Edit-distance near-duplicate VALUE pairs — record linkage for the
+    * short-string fields a corpus is keyed by (author names, titles,
+    * domains, product names), where shingle/minhash machinery is the
+    * wrong tool (a 2-token name has no 5-shingles) and character edits
+    * ARE the duplication model (typos, OCR noise, transliteration).
+    *
+    * The shape that survives scale: collapse to DISTINCT
+    * `(block, value)` FIRST — the quadratic compare runs over value
+    * pairs, never row pairs, so a billion rows with a million distinct
+    * names cost exactly what the million names cost, and exact
+    * duplicates (the common mass) collapse before any comparison.
+    * Then compare only within equality blocks (the record-linkage
+    * blocking discipline — cross-block pairs are declared non-matches
+    * by the block choice), guarded by the length-band prefilter
+    * (`|len(a) − len(b)| > maxDist` cannot match — a free cut before
+    * the O(len²) distance), with the THRESHOLDED Levenshtein kernel
+    * (early-exits at maxDist+1 instead of filling the full matrix).
+    * Output: block columns + `value_a < value_b`, `dist`, and each
+    * value's row support (`n_a`/`n_b` — the fan-out a caller's
+    * id-level expansion would pay, reported instead of materialized).
+    *
+    * Blocks must be chosen so per-block DISTINCT-value mass is
+    * bounded (the same contract as every blocked near-dup here);
+    * all-NULL values are dropped (no edit distance to NULL). */
+  def editNearDups(df: DataFrame, textCol: String, blockCols: Seq[String],
+                   maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1: $maxDist")
+    require(blockCols.nonEmpty,
+      "editNearDups needs at least one blocking column (an unblocked " +
+        "compare is all-pairs over the distinct values — pass a literal " +
+        "block to say that explicitly)")
+    val v = OpCaches.registered(
+      df.select(blockCols.map(col) :+ col(textCol).as("value"): _*)
+        .where(col("value").isNotNull)
+        .groupBy(blockCols.map(col) :+ col("value"): _*)
+        .agg(count(lit(1)).as("n")))
+    val a = v.select(blockCols.map(col) :+ col("value").as("value_a") :+
+      col("n").as("n_a"): _*)
+    val b = v.select(blockCols.map(col) :+ col("value").as("value_b") :+
+      col("n").as("n_b"): _*)
+    a.join(b, blockCols)
+      .where(col("value_a") < col("value_b") &&
+        abs(length(col("value_a")) - length(col("value_b"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("value_a"), col("value_b"), maxDist))
+      .where(col("dist") >= 0) // thresholded kernel: -1 = beyond maxDist
+      .select(blockCols.map(col) ++
+        Seq(col("value_a"), col("value_b"), col("dist"),
+          col("n_a"), col("n_b")): _*)
+  }
+
+  /** Sorted-neighborhood edit-distance pairs — [[editNearDups]] for
+    * corpora with NO natural equality block: rank the distinct values
+    * in one global sort order, compare each value to its next `window`
+    * successors only. The classic record-linkage fallback — candidate
+    * volume is O(distinct · window) by construction, and the recall
+    * contract is explicit: a near-string pair more than `window` ranks
+    * apart is missed (sorted order clusters shared PREFIXES; pick the
+    * sort key — or pre-normalize — so your duplication model agrees).
+    *
+    * Scale shape, no global funnel: the ranking is
+    * [[graft.gold.Dims.denseRowKeys]] over a range repartition (the W2
+    * no-global-sort recipe — per-partition row_number + broadcast
+    * offsets), and the neighbor join is an EQUI-join on `rank div
+    * window` buckets (a successor within `window` ranks lives in the
+    * same or the next bucket, so the probe side ships each value to
+    * exactly two buckets) — never a rank-range theta join, never a
+    * single-partition window. Same guards as the blocked operator:
+    * distinct-first with support counts, length band, thresholded
+    * Levenshtein. */
+  def sortedNeighborNearDups(df: DataFrame, textCol: String,
+                             window: Int, maxDist: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    require(maxDist >= 1, s"maxDist must be >= 1: $maxDist")
+    val distinct = df.select(col(textCol).as("value"))
+      .where(col("value").isNotNull)
+      .groupBy("value").agg(count(lit(1)).as("n"))
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val ranked = OpCaches.registered(graft.gold.Dims.denseRowKeys(
+      distinct.repartitionByRange(parts, col("value")),
+      "rk", Seq(col("value"))))
+    val a = ranked.select(col("value").as("value_a"), col("n").as("n_a"),
+        col("rk").as("rk_a"))
+      .withColumn("bucket", floor(col("rk_a") / window))
+    val b = ranked.select(col("value").as("value_b"), col("n").as("n_b"),
+        col("rk").as("rk_b"))
+      .withColumn("bucket", explode(array(
+        floor(col("rk_b") / window), floor(col("rk_b") / window) - 1)))
+    a.join(b, Seq("bucket"))
+      .where(col("rk_b") > col("rk_a") &&
+        col("rk_b") - col("rk_a") <= window &&
+        abs(length(col("value_a")) - length(col("value_b"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("value_a"), col("value_b"), maxDist))
+      .where(col("dist") >= 0)
+      .select("value_a", "value_b", "dist", "n_a", "n_b")
+  }
 }

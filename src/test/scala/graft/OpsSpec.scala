@@ -1671,6 +1671,59 @@ class OpsSpec extends SparkSpec {
     assert(Diff.diff(base, base, Seq("k")).collect().head.getAs[String]("status") === "same")
   }
 
+  test("edit-distance near-dups: distinct-value pairs within blocks, support counts, no cross-block pairs") {
+    val df = Seq(
+      ("X", "kitten"), ("X", "kitten"), // exact dups collapse, support 2
+      ("X", "sitting"),                 // dist 3 from kitten
+      ("X", "zzzzzzzzzz"),              // length band cuts it from both
+      ("Y", "kitten"),                  // same value, other block: no pair
+      ("Y", "sittin"),
+      ("Y", null)                       // null value drops
+    ).toDF("blk", "name")
+    val pairs = graft.ops.Dedup.editNearDups(df, "name", Seq("blk"), maxDist = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getLong(4), r.getLong(5))).toSet
+    assert(pairs === Set(
+      ("X", "kitten", "sitting", 3, 2L, 1L),
+      ("Y", "kitten", "sittin", 2, 1L, 1L)))
+    // unblocked compare must be an explicit choice, not a default
+    val e = intercept[IllegalArgumentException](
+      graft.ops.Dedup.editNearDups(df, "name", Seq.empty, 3))
+    assert(e.getMessage.contains("block"))
+  }
+
+  test("sorted-neighborhood near-dups: bucketed equi-join == naive ranked self-join") {
+    // 60 distinct values with planted near-pairs at various rank gaps;
+    // the operator (range-partitioned ranks + bucket join) must emit
+    // exactly what the naive rank-window self-join defines
+    val vals = (0 until 60).map(i => f"name$i%03d") ++ Seq("name007x") // gap-1 neighbor of name007
+    val df = (vals ++ vals.take(10)).toDF("name") // first 10 carry support 2
+    val w = 5; val k = 3
+    val got = graft.ops.Dedup.sortedNeighborNearDups(df, "name", w, k)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // naive reference in plain Scala
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val support = (vals ++ vals.take(10)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ranked = vals.distinct.sorted
+    val want = (for {
+      i <- ranked.indices; j <- (i + 1) until math.min(i + 1 + w, ranked.size)
+      a = ranked(i); b = ranked(j)
+      if math.abs(a.length - b.length) <= k && lev(a, b) <= k
+    } yield (a, b, lev(a, b), support(a), support(b))).toSet
+    assert(want.nonEmpty && got === want)
+    // the explicit recall contract: name007x sits 1 rank after name007
+    assert(got.exists(p => p._1 == "name007" && p._2 == "name007x" && p._3 == 1))
+  }
+
   test("content checksum: layout-invisible, any row difference visible") {
     import graft.pipeline.Diff
     val base = Seq(
