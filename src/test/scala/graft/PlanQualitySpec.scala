@@ -27,7 +27,12 @@ class PlanQualitySpec extends SparkSpec {
       // r12 additions: the probe's jaccards are integer ratios and the
       // pixel stats are per-row decodes + integer-sum means — both
       // claimed partitioning-independent
-      "q_minhash_incr", "q_pixel_stats")
+      "q_minhash_incr", "q_pixel_stats",
+      // r17 additions: the checksum is an exact decimal hash sum; the
+      // linkage pairs carry integer distances and counts; the ranked
+      // variant's denseRowKeys assignment is value-ordered regardless
+      // of the range partition count
+      "q_table_checksum", "q_edit_near_dups", "q_sorted_neighbors")
     // restore the FIXTURE's value, not a constant — the session is
     // shared across suites and a leaked setting changes later plans
     val fixtureParts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -392,6 +397,30 @@ class PlanQualitySpec extends SparkSpec {
     val windowLines = plan.linesIterator.filter(_.contains("row_number")).toSeq
     assert(windowLines.nonEmpty && windowLines.forall(_.contains("_pid")),
       s"row_number window lost its _pid partition spec:\n$plan")
+  }
+
+  test("edit-distance linkage: equi-joins only, ranked variant keeps windows _pid-partitioned") {
+    // blocked variant: the candidate join must be an equi-join on the
+    // block columns — a cartesian/nested-loop fallback would be the
+    // all-pairs quadratic scan the blocking discipline exists to avoid
+    val blocked = SparkEntry.qEditNearDups(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!blocked.contains("CartesianProduct") &&
+      !blocked.contains("BroadcastNestedLoopJoin"),
+      s"blocked linkage fell back to a quadratic join:\n$blocked")
+    // sorted-neighborhood: the rank join must be an equi-join on the
+    // bucket key (never a rank-range theta join), and the ranking must
+    // keep its row_number windows _pid-partitioned (the denseRowKeys
+    // no-global-sort shape — an unpartitioned window would funnel the
+    // distinct-value set through one task)
+    val ranked = SparkEntry.qSortedNeighbors(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!ranked.contains("CartesianProduct") &&
+      !ranked.contains("BroadcastNestedLoopJoin"),
+      s"rank-window join fell back to a quadratic join:\n$ranked")
+    val windowLines = ranked.linesIterator.filter(_.contains("row_number")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("_pid")),
+      s"ranking lost its _pid partition spec:\n$ranked")
   }
 
   test("heavy-hitters screen rides the scan below the exact-count exchange") {

@@ -32,6 +32,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: blocked edit linkage equals the naive all-pairs reference") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)(
+        (i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // short noisy strings over a tiny alphabet — edit-near pairs are
+    // common, so the property is never vacuous
+    val noisy = Gen.chooseNum(2, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val rowGen = for { b <- Gen.oneOf("X", "Y"); v <- noisy } yield (b, v)
+    samples(Gen.listOfN(40, rowGen), 5).zipWithIndex.foreach { case (rows, i) =>
+      val maxDist = 1 + i % 3
+      val df = rows.toDF("blk", "name")
+      val got = Dedup.editNearDups(df, "name", Seq("blk"), maxDist)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getInt(3), r.getLong(4), r.getLong(5))).toSet
+      val support = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val want = (for {
+        ((ba, va), (bb, vb)) <- {
+          val ds = rows.distinct
+          for (x <- ds; y <- ds if x._1 == y._1 && x._2 < y._2) yield (x, y)
+        }
+        d = lev(va, vb) if d <= maxDist
+      } yield (ba, va, vb, d, support((ba, va)), support((bb, vb)))).toSet
+      assert(got === want)
+      assert(want.nonEmpty || rows.distinct.size <= 1, // non-vacuity guard
+        s"degenerate sample $i produced no pairs: ${rows.take(5)}")
+    }
+  }
+
   test("property: surrogate keys are dense 1..N for any input") {
     val keyGen = Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))
     samples(keyGen, 5).foreach { keys =>

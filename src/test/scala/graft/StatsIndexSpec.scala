@@ -47,6 +47,9 @@ class StatsIndexSpec extends SparkSpec {
       val want = events.where(rowPred).select("event_id")
         .collect().map(_.getLong(0)).toSet
       assert(want.nonEmpty && got == want)
+      // the plan pin: the pruned frame's SCAN sees only the kept files
+      // — pruning happened at the listing, not as a post-read filter
+      assert(scan.df.inputFiles.length == scan.keptFiles)
     } finally rm(dir)
   }
 
