@@ -2057,6 +2057,24 @@ object SparkEntry {
         array_max(col("pixels")).as("px_max"))
   }
 
+  /** IMAGE RESIZE tier ([[Multimodal.resizeImages]] — deterministic
+    * bilinear to 8×8 over the genuine-PNG fixture): the decode is the
+    * [[qPixelStats]] surface, and the resize kernel is plain IEEE
+    * arithmetic, so the oracle recomputes the ENTIRE resized tensor
+    * from the fixture formula — half-pixel source coords, edge-clamped
+    * 2×2 gather, two lerps, floor(v+0.5) — operation-for-operation in
+    * SQL. A kernel that mis-centers, mis-clamps, swaps an interleave
+    * index, or rounds differently shifts the sums and fails the
+    * hash. */
+  def qImageResize(spark: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.syntheticPngAssets(t(spark, dir, "documents"), "doc_id")
+    Multimodal.resizeImages(assets, 8, 8)
+      .select(col("asset_id"), col("width"), col("height"), col("n_channels"),
+        aggregate(col("pixels"), lit(0L), (a, p) => a + p).as("px_sum"),
+        array_min(col("pixels")).as("px_min"),
+        array_max(col("pixels")).as("px_max"))
+  }
+
   /** Audio SAMPLE tier over the multimodal surface — the
     * [[qPixelStats]] pattern for waveforms: per-document GENUINE WAV
     * payloads (16-bit PCM through the real
@@ -2370,6 +2388,7 @@ object SparkEntry {
     "q_multimodal_meta"  -> qMultimodalMeta,
     "q_image_meta"       -> qImageMeta,
     "q_pixel_stats"      -> qPixelStats,
+    "q_image_resize"     -> qImageResize,
     "q_audio_meta"       -> qAudioMeta,
     "q_audio_stats"      -> qAudioStats,
     "q_quantize_emb"     -> qQuantizeEmbeddings,
@@ -3834,6 +3853,45 @@ object SparkEntry {
         |       CAST(min(g) AS INTEGER) AS px_min,
         |       CAST(max(g) AS INTEGER) AS px_max
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_image_resize" ->
+      // the resize kernel mirrored op-for-op: source coords
+      // ((t+0.5)·src/8 − 0.5), edge-clamped corners, g(x,y) =
+      // (id+x+y) mod 256 gathered ARITHMETICALLY (the fixture formula —
+      // no decode needed), lerp-lerp, floor(v+0.5)
+      """WITH d AS (SELECT doc_id, CAST(8 + doc_id % 9 AS INTEGER) AS w,
+        |                  CAST(8 + (doc_id * 3) % 9 AS INTEGER) AS h
+        |           FROM documents),
+        |s AS (SELECT d.doc_id, d.w, d.h,
+        |             (tx.i + 0.5) * d.w / 8 - 0.5 AS sx,
+        |             (ty.i + 0.5) * d.h / 8 - 0.5 AS sy
+        |      FROM d, range(8) tx(i), range(8) ty(i)),
+        |c AS (SELECT doc_id, w, h, sx, sy,
+        |             least(w - 1, greatest(0, CAST(floor(sx) AS INTEGER))) AS x0,
+        |             least(h - 1, greatest(0, CAST(floor(sy) AS INTEGER))) AS y0
+        |      FROM s),
+        |f AS (SELECT doc_id, x0, y0,
+        |             least(w - 1, x0 + 1) AS x1, least(h - 1, y0 + 1) AS y1,
+        |             least(1.0, greatest(0.0, sx - x0)) AS fx,
+        |             least(1.0, greatest(0.0, sy - y0)) AS fy
+        |      FROM c),
+        |v AS (SELECT doc_id, fx, fy,
+        |             CAST((doc_id + x0 + y0) % 256 AS DOUBLE) AS v00,
+        |             CAST((doc_id + x1 + y0) % 256 AS DOUBLE) AS v10,
+        |             CAST((doc_id + x0 + y1) % 256 AS DOUBLE) AS v01,
+        |             CAST((doc_id + x1 + y1) % 256 AS DOUBLE) AS v11
+        |      FROM f),
+        |p AS (SELECT doc_id,
+        |             CAST(floor((v00 + (v10 - v00) * fx) +
+        |                        ((v01 + (v11 - v01) * fx) - (v00 + (v10 - v00) * fx)) * fy
+        |                        + 0.5) AS INTEGER) AS px
+        |      FROM v)
+        |SELECT doc_id AS asset_id,
+        |       CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+        |       CAST(1 AS INTEGER) AS n_channels,
+        |       CAST(sum(px) AS BIGINT) AS px_sum,
+        |       CAST(min(px) AS INTEGER) AS px_min,
+        |       CAST(max(px) AS INTEGER) AS px_max
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_quantize_emb" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |d AS (SELECT t.i AS i, min(e.v[t.i+1]) AS mn, max(e.v[t.i+1]) AS mx

@@ -351,6 +351,68 @@ object Multimodal {
       } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Deterministic BILINEAR RESIZE to a fixed (targetW × targetH) —
+    * the feature-prep step between decode and model input, emitting
+    * the resized sample TENSOR (the training-pipeline form), not
+    * re-encoded bytes. Deliberately NOT Graphics2D: Java2D's scaler is
+    * an implementation detail free to vary across JVMs, while this is
+    * plain IEEE double arithmetic (half-pixel-centered source
+    * coordinates, edge-clamped 2×2 gather, two lerps,
+    * `floor(v + 0.5)`), so the same input yields the same tensor on
+    * every platform — which is what lets `q_image_resize` recompute a
+    * resize of GENUINE PNG bytes arithmetically in DuckDB, and what a
+    * training pipeline needs anyway (a dataset rebuilt on new hardware
+    * must hash identically). Corrupt/oversized input → null row, the
+    * [[decodePixels]] contract; per-row cost is O(target samples), no
+    * shuffle. */
+  def resizeImages(assets: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW >= 1 && targetH >= 1, s"bad target: ${targetW}x$targetH")
+    mapAssets(assets, pixelSchema)((id, bytes) =>
+      decodeRaster(bytes) match {
+        case Some((w, h, c, px)) =>
+          Row(id, targetW, targetH, c,
+            resizeRaster(w, h, c, px, targetW, targetH).toSeq)
+        case None => Row(id, null, null, null, null)
+      })
+  }
+
+  /** The kernel: `px` pixel-interleaved (`(y·w + x)·c + b`, the
+    * [[decodeRaster]] layout), output the same layout at the target
+    * size. */
+  private[graft] def resizeRaster(w: Int, h: Int, c: Int, px: Array[Int],
+                                  tw: Int, th: Int): Array[Int] = {
+    val out = new Array[Int](tw * th * c)
+    var ty = 0
+    while (ty < th) {
+      val sy = (ty + 0.5) * h / th - 0.5
+      val y0 = math.min(h - 1, math.max(0, math.floor(sy).toInt))
+      val y1 = math.min(h - 1, y0 + 1)
+      val fy = math.min(1.0, math.max(0.0, sy - y0))
+      var tx = 0
+      while (tx < tw) {
+        val sx = (tx + 0.5) * w / tw - 0.5
+        val x0 = math.min(w - 1, math.max(0, math.floor(sx).toInt))
+        val x1 = math.min(w - 1, x0 + 1)
+        val fx = math.min(1.0, math.max(0.0, sx - x0))
+        var b = 0
+        while (b < c) {
+          val v00 = px((y0 * w + x0) * c + b).toDouble
+          val v10 = px((y0 * w + x1) * c + b).toDouble
+          val v01 = px((y1 * w + x0) * c + b).toDouble
+          val v11 = px((y1 * w + x1) * c + b).toDouble
+          val top = v00 + (v10 - v00) * fx
+          val bot = v01 + (v11 - v01) * fx
+          out((ty * tw + tx) * c + b) =
+            math.floor(top + (bot - top) * fy + 0.5).toInt
+          b += 1
+        }
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
   /** Output schema of [[decodeAudioSamples]]: the audio SAMPLE tier —
     * the [[pixelSchema]] convention over PCM. `samples` is the decoded
     * waveform, frame-interleaved — sample index `frame · channels +

@@ -2827,6 +2827,21 @@ class OpsSpec extends SparkSpec {
       (1L, "png", 8, 4), (2L, "jpeg", 6, 9), (3L, null, -1, -1), (4L, null, -1, -1)))
   }
 
+  test("multimodal: bilinear resize kernel — identity exact, hand-computed means, interleave intact") {
+    import graft.ops.Multimodal.resizeRaster
+    // identity: source coords land exactly on pixel centers (fx=fy=0)
+    val px = Array(0, 10, 20, 30, 40, 50) // 3x2, 1 band
+    assert(resizeRaster(3, 2, 1, px, 3, 2).toSeq === px.toSeq)
+    // 2x2 -> 1x1: the center sample is the 4-corner bilinear mean
+    // top = 0+(10-0)*.5 = 5; bot = 20+(30-20)*.5 = 25; floor(15+.5) = 15
+    assert(resizeRaster(2, 2, 1, Array(0, 10, 20, 30), 1, 1).toSeq === Seq(15))
+    // 1x1 -> 2x2: clamped gather replicates the single source sample
+    assert(resizeRaster(1, 1, 1, Array(7), 2, 2).toSeq === Seq(7, 7, 7, 7))
+    // band interleave: 2x1 two-band -> 1x1 keeps bands independent
+    // r: 10+(30-10)*.5 = 20; g: 100+(200-100)*.5 = 150
+    assert(resizeRaster(2, 1, 2, Array(10, 100, 30, 200), 1, 1).toSeq === Seq(20, 150))
+  }
+
   test("multimodal: full pixel decode round-trips genuine PNG/GIF rasters") {
     import java.awt.image.BufferedImage
     // grayscale: every sample position gets a distinct value — a
