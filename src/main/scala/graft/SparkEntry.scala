@@ -2075,6 +2075,29 @@ object SparkEntry {
         array_max(col("pixels")).as("px_max"))
   }
 
+  /** AUDIO RESAMPLE tier ([[Multimodal.resampleAudio]] — deterministic
+    * linear resample of the genuine-WAV fixture's mixed rates
+    * (8–40 kHz) to one 16 kHz rail): the [[qImageResize]] doctrine in
+    * 1-D. The oracle recomputes every resampled sample from the
+    * fixture formula — integer output frame count `n·16000/src`,
+    * source positions, edge clamps, lerp, floor(v+0.5) — so a kernel
+    * that mis-scales positions, drops the clamp, swaps the channel
+    * interleave, or mishandles negative PCM rounding fails the hash. */
+  def qAudioResample(spark: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.syntheticWavAssets(t(spark, dir, "documents"), "doc_id")
+    Multimodal.resampleAudio(assets, 16000)
+      .select(col("asset_id"), col("channels"), col("samples"),
+        explode(sequence(lit(0), col("channels") - 1)).as("channel"))
+      .select(col("asset_id"), col("channel").cast("int").as("channel"),
+        (size(col("samples")) / col("channels")).cast("int").as("n_frames"),
+        filter(col("samples"),
+          (_, i) => i % col("channels") === col("channel")).as("cs"))
+      .select(col("asset_id"), col("channel"), col("n_frames"),
+        aggregate(col("cs"), lit(0L), (a, p) => a + p).as("px_sum"),
+        array_min(col("cs")).as("px_min"),
+        array_max(col("cs")).as("px_max"))
+  }
+
   /** Audio SAMPLE tier over the multimodal surface — the
     * [[qPixelStats]] pattern for waveforms: per-document GENUINE WAV
     * payloads (16-bit PCM through the real
@@ -2389,6 +2412,7 @@ object SparkEntry {
     "q_image_meta"       -> qImageMeta,
     "q_pixel_stats"      -> qPixelStats,
     "q_image_resize"     -> qImageResize,
+    "q_audio_resample"   -> qAudioResample,
     "q_audio_meta"       -> qAudioMeta,
     "q_audio_stats"      -> qAudioStats,
     "q_quantize_emb"     -> qQuantizeEmbeddings,
@@ -3892,6 +3916,40 @@ object SparkEntry {
         |       CAST(min(px) AS INTEGER) AS px_min,
         |       CAST(max(px) AS INTEGER) AS px_max
         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_audio_resample" ->
+      // the 1-D kernel mirrored op-for-op over the WAV fixture formula
+      // s(f,c) = (7id + 9973f + 12345c) mod 65536 − 32768: output
+      // frames n·16000/src (integer floor), positions f·src/16000,
+      // clamped 2-tap lerp, floor(v+0.5)
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+        |                  CAST(8000 * (1 + doc_id % 5) AS INTEGER) AS rate,
+        |                  CAST(16 + doc_id % 49 AS INTEGER) AS n
+        |           FROM documents),
+        |g AS (SELECT d.*, CAST(greatest(1, (n * 16000) // rate) AS INTEGER) AS m
+        |      FROM d),
+        |s AS (SELECT g.doc_id, g.ch, g.n, g.m, f.i AS f, c.i AS c,
+        |             CAST(f.i AS DOUBLE) * g.rate / 16000 AS sf
+        |      FROM g, range(128) f(i), range(2) c(i)
+        |      WHERE f.i < g.m AND c.i < g.ch),
+        |v AS (SELECT doc_id, ch, m, f, c,
+        |             least(n - 1, CAST(floor(sf) AS INTEGER)) AS f0,
+        |             least(n - 1, least(n - 1, CAST(floor(sf) AS INTEGER)) + 1) AS f1,
+        |             least(1.0, greatest(0.0,
+        |               sf - least(n - 1, CAST(floor(sf) AS INTEGER)))) AS fx
+        |      FROM s),
+        |p AS (SELECT doc_id, ch, m, c,
+        |             CAST(floor(
+        |               CAST((7*doc_id + 9973*f0 + 12345*c) % 65536 - 32768 AS DOUBLE)
+        |               + (CAST((7*doc_id + 9973*f1 + 12345*c) % 65536 - 32768 AS DOUBLE)
+        |                  - CAST((7*doc_id + 9973*f0 + 12345*c) % 65536 - 32768 AS DOUBLE)) * fx
+        |               + 0.5) AS INTEGER) AS px
+        |      FROM v)
+        |SELECT doc_id AS asset_id, CAST(c AS INTEGER) AS channel,
+        |       CAST(any_value(m) AS INTEGER) AS n_frames,
+        |       CAST(sum(px) AS BIGINT) AS px_sum,
+        |       CAST(min(px) AS INTEGER) AS px_min,
+        |       CAST(max(px) AS INTEGER) AS px_max
+        |FROM p GROUP BY doc_id, c ORDER BY doc_id, c""".stripMargin,
     "q_quantize_emb" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |d AS (SELECT t.i AS i, min(e.v[t.i+1]) AS mn, max(e.v[t.i+1]) AS mx

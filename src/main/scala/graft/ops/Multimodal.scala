@@ -426,6 +426,56 @@ object Multimodal {
     StructField("bits_per_sample", IntegerType, nullable = true),
     StructField("samples", ArrayType(IntegerType), nullable = true)))
 
+  /** Deterministic LINEAR RESAMPLE of decoded waveforms to a fixed
+    * `targetRate` — [[resizeImages]]'s 1-D sibling, the normalization
+    * step a mixed-rate audio corpus needs before featurization. Same
+    * doctrine: plain IEEE arithmetic (source position `f·src/target`,
+    * edge-clamped 2-tap gather per channel, one lerp, `floor(v+0.5)` —
+    * sound for negative PCM too, unlike a half-away round), never an
+    * `AudioSystem` conversion whose interpolator is an implementation
+    * detail; the output frame count is the integer floor
+    * `n·target / src` (exact long arithmetic, mirrored by the oracle).
+    * A payload the decoder rejects, and a decoded waveform with zero
+    * complete frames, yield a null row (the [[decodePixels]]
+    * contract). Output matches [[decodeAudioSamples]]'s schema with
+    * `sample_rate = targetRate`, samples frame-interleaved. */
+  def resampleAudio(assets: DataFrame, targetRate: Int): DataFrame = {
+    require(targetRate >= 1, s"bad target rate: $targetRate")
+    mapAssets(assets, audioSamplesSchema)((id, bytes) =>
+      wavSamples(bytes) match {
+        case Some((ch, rate, bits, px)) if px.length >= ch && ch > 0 =>
+          Row(id, ch, targetRate, bits,
+            resamplePcm(ch, rate, px, targetRate).toSeq)
+        case _ => Row(id, null, null, null, null)
+      })
+  }
+
+  /** The kernel: `px` frame-interleaved (`frame·channels + channel`,
+    * the [[decodeAudioSamples]] layout), output the same layout at
+    * `floor(frames·target/src)` frames (≥ 1). */
+  private[graft] def resamplePcm(channels: Int, srcRate: Int,
+                                 px: Array[Int], targetRate: Int): Array[Int] = {
+    val n = px.length / channels
+    val m = math.max(1L, n.toLong * targetRate / srcRate).toInt
+    val out = new Array[Int](m * channels)
+    var f = 0
+    while (f < m) {
+      val sf = f.toDouble * srcRate / targetRate
+      val f0 = math.min(n - 1, math.floor(sf).toInt)
+      val f1 = math.min(n - 1, f0 + 1)
+      val fx = math.min(1.0, math.max(0.0, sf - f0))
+      var c = 0
+      while (c < channels) {
+        val v0 = px(f0 * channels + c).toDouble
+        val v1 = px(f1 * channels + c).toDouble
+        out(f * channels + c) = math.floor(v0 + (v1 - v0) * fx + 0.5).toInt
+        c += 1
+      }
+      f += 1
+    }
+    out
+  }
+
   /** Sample cap for [[decodeAudioSamples]] — the [[MaxPixelSamples]]
     * task-OOM guard applied to waveforms: a payload declaring more PCM
     * samples than this is reported as a parse failure instead of

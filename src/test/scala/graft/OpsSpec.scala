@@ -2842,6 +2842,22 @@ class OpsSpec extends SparkSpec {
     assert(resizeRaster(2, 1, 2, Array(10, 100, 30, 200), 1, 1).toSeq === Seq(20, 150))
   }
 
+  test("multimodal: linear resample kernel — identity exact, hand-computed taps, channel interleave intact") {
+    import graft.ops.Multimodal.resamplePcm
+    // same rate: positions land on frames exactly
+    assert(resamplePcm(1, 16000, Array(3, -5, 9), 16000).toSeq === Seq(3, -5, 9))
+    // 2x upsample, 1ch: sf = f/2 -> [s0, mid(0,1), s1, s1-clamped]
+    // mid = 0+(10-0)*0.5 = 5 -> floor(5.5) = 5
+    assert(resamplePcm(1, 8000, Array(0, 10), 16000).toSeq === Seq(0, 5, 10, 10))
+    // negative PCM rounds half-UP (floor(v+0.5)), not away from zero:
+    // mid of (-10, -5) at fx=0.5 is -7.5 -> floor(-7.0) = -7
+    assert(resamplePcm(1, 8000, Array(-10, -5), 16000).toSeq === Seq(-10, -7, -5, -5))
+    // 3:1 downsample, 2ch interleave: m = floor(6*1/3) = 2 frames,
+    // sf = 3f exact -> frames 0 and 3 pass through per channel
+    val px = Array(1, 100, 2, 200, 3, 300, 4, 400, 5, 500, 6, 600)
+    assert(resamplePcm(2, 48000, px, 16000).toSeq === Seq(1, 100, 4, 400))
+  }
+
   test("multimodal: full pixel decode round-trips genuine PNG/GIF rasters") {
     import java.awt.image.BufferedImage
     // grayscale: every sample position gets a distinct value — a
