@@ -2075,6 +2075,24 @@ object SparkEntry {
         array_max(col("pixels")).as("px_max"))
   }
 
+  /** VIDEO FRAME tier ([[Multimodal.decodeGifFrames]] — REAL
+    * multi-frame container decode: every 2nd frame of genuine animated
+    * GIFs through the JDK's own sequence reader, skipped frames never
+    * decoded). The fixture writes `2 + id mod 4` formula frames per
+    * document, and gray GIF round-trips exactly, so the oracle
+    * recomputes every sampled frame's pixel stats arithmetically — a
+    * reader that miscounts the sequence, samples the wrong indices, or
+    * corrupts a raster fails the hash. */
+  def qVideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.syntheticGifAssets(t(spark, dir, "documents"), "doc_id")
+    Multimodal.decodeGifFrames(assets, stride = 2)
+      .select(col("asset_id"), col("frame"), col("n_frames"),
+        col("width"), col("height"),
+        aggregate(col("pixels"), lit(0L), (a, p) => a + p).as("px_sum"),
+        array_min(col("pixels")).as("px_min"),
+        array_max(col("pixels")).as("px_max"))
+  }
+
   /** AUDIO RESAMPLE tier ([[Multimodal.resampleAudio]] — deterministic
     * linear resample of the genuine-WAV fixture's mixed rates
     * (8–40 kHz) to one 16 kHz rail): the [[qImageResize]] doctrine in
@@ -2413,6 +2431,7 @@ object SparkEntry {
     "q_pixel_stats"      -> qPixelStats,
     "q_image_resize"     -> qImageResize,
     "q_audio_resample"   -> qAudioResample,
+    "q_video_frames"     -> qVideoFrames,
     "q_audio_meta"       -> qAudioMeta,
     "q_audio_stats"      -> qAudioStats,
     "q_quantize_emb"     -> qQuantizeEmbeddings,
@@ -3916,6 +3935,26 @@ object SparkEntry {
         |       CAST(min(px) AS INTEGER) AS px_min,
         |       CAST(max(px) AS INTEGER) AS px_max
         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_video_frames" ->
+      // the fixture formula per sampled frame: g(x,y,f) =
+      // (id + x + y + 7f) mod 256 over (8 + id%5) × (8 + 3id%5),
+      // frames f < 2 + id%4 with f % 2 = 0
+      """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 4 AS INTEGER) AS nf,
+        |                  CAST(8 + doc_id % 5 AS INTEGER) AS w,
+        |                  CAST(8 + (doc_id * 3) % 5 AS INTEGER) AS h
+        |           FROM documents),
+        |px AS (SELECT d.doc_id, d.nf, d.w, d.h, f.i AS f,
+        |              (d.doc_id + x.i + y.i + 7 * f.i) % 256 AS g
+        |       FROM d, range(6) f(i), range(16) x(i), range(16) y(i)
+        |       WHERE f.i < d.nf AND f.i % 2 = 0 AND x.i < d.w AND y.i < d.h)
+        |SELECT doc_id AS asset_id, CAST(f AS INTEGER) AS frame,
+        |       CAST(any_value(nf) AS INTEGER) AS n_frames,
+        |       CAST(any_value(w) AS INTEGER) AS width,
+        |       CAST(any_value(h) AS INTEGER) AS height,
+        |       CAST(sum(g) AS BIGINT) AS px_sum,
+        |       CAST(min(g) AS INTEGER) AS px_min,
+        |       CAST(max(g) AS INTEGER) AS px_max
+        |FROM px GROUP BY doc_id, f ORDER BY doc_id, f""".stripMargin,
     "q_audio_resample" ->
       // the 1-D kernel mirrored op-for-op over the WAV fixture formula
       // s(f,c) = (7id + 9973f + 12345c) mod 65536 − 32768: output

@@ -2858,6 +2858,34 @@ class OpsSpec extends SparkSpec {
     assert(resamplePcm(2, 48000, px, 16000).toSeq === Seq(1, 100, 4, 400))
   }
 
+  test("multimodal: animated-GIF frame decode round-trips the sequence, samples by stride") {
+    import graft.ops.Multimodal
+    // genuine multi-frame container through the fixture writer, read
+    // back frame-exact for a couple of ids (covers nf 2..5, odd dims)
+    for (id <- Seq(0L, 3L, 7L)) {
+      val payload = Multimodal.syntheticGifAssets(
+        Seq(id).toDF("doc_id"), "doc_id").collect()(0).getAs[Array[Byte]](1)
+      val nf = (2 + id % 4).toInt; val w = (8 + id % 5).toInt; val h = (8 + id * 3 % 5).toInt
+      val all = Multimodal.gifFrames(payload, stride = 1).get
+      assert(all._1 === nf && all._2.size === nf)
+      all._2.foreach { case (f, fw, fh, px) =>
+        assert((fw, fh) === (w, h))
+        val want = for (y <- 0 until h; x <- 0 until w)
+          yield ((id + x + y + 7L * f) % 256).toInt
+        assert(px.toSeq === want, s"frame $f of id $id")
+      }
+      // stride 2 keeps exactly frames 0, 2, 4... and still reports nf
+      val sampled = Multimodal.gifFrames(payload, stride = 2).get
+      assert(sampled._1 === nf)
+      assert(sampled._2.map(_._1) === (0 until nf by 2))
+    }
+    // corrupt container: one null row, decode keeps the asset visible
+    val rows = Multimodal.decodeGifFrames(
+      Seq((9L, Array[Byte](1, 2, 3))).toDF("asset_id", "payload"), stride = 1)
+      .collect()
+    assert(rows.length === 1 && rows(0).getLong(0) === 9L && rows(0).isNullAt(1))
+  }
+
   test("multimodal: full pixel decode round-trips genuine PNG/GIF rasters") {
     import java.awt.image.BufferedImage
     // grayscale: every sample position gets a distinct value — a
