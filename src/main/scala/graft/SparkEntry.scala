@@ -2075,6 +2075,26 @@ object SparkEntry {
         array_max(col("pixels")).as("px_max"))
   }
 
+  /** PageRank over the part↔supplier supply graph
+    * ([[graft.ops.Graph.pageRank]] — the link-graph quality signal a
+    * corpus-curation pipeline ranks domains with), both edge
+    * directions so no mass dangles, 3 synchronous rounds. The oracle
+    * UNROLLS the identical three iterations in SQL: per-edge
+    * contributions quantized to DECIMAL(28,14) and summed exactly
+    * (the order-free sum both engines share), damping blend in plain
+    * doubles — the whole rank VECTOR is hash-checked, not a summary.
+    * Supplier nodes are offset by 10⁹ to share the long key space. */
+  def qPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val fwd = li.select(col("l_partkey").as("src"),
+      (col("l_suppkey") + lit(1000000000L)).as("dst"))
+    val rev = li.select((col("l_suppkey") + lit(1000000000L)).as("src"),
+      col("l_partkey").as("dst"))
+    graft.ops.Graph.pageRank(fwd.unionByName(rev), "src", "dst", iters = 3)
+      .withColumnRenamed("node", "node_id")
+  }
+
   /** VIDEO FRAME tier ([[Multimodal.decodeGifFrames]] — REAL
     * multi-frame container decode: every 2nd frame of genuine animated
     * GIFs through the JDK's own sequence reader, skipped frames never
@@ -2432,6 +2452,7 @@ object SparkEntry {
     "q_image_resize"     -> qImageResize,
     "q_audio_resample"   -> qAudioResample,
     "q_video_frames"     -> qVideoFrames,
+    "q_pagerank"         -> qPageRank,
     "q_audio_meta"       -> qAudioMeta,
     "q_audio_stats"      -> qAudioStats,
     "q_quantize_emb"     -> qQuantizeEmbeddings,
@@ -3935,6 +3956,39 @@ object SparkEntry {
         |       CAST(min(px) AS INTEGER) AS px_min,
         |       CAST(max(px) AS INTEGER) AS px_max
         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_pagerank" -> {
+      // one iteration's SQL, instantiated three times: contributions
+      // r/deg quantized to DECIMAL(28,14) (exact order-free sum),
+      // damping blend in doubles — op-for-op the Spark round
+      def iter(k: Int, prev: String): String =
+        s"""c$k AS (SELECT e.dst AS node,
+           |           CAST($prev.rank / deg.deg AS DECIMAL(28,14)) AS q
+           |        FROM e JOIN $prev ON e.src = $prev.node
+           |               JOIN deg ON e.src = deg.src),
+           |s$k AS (SELECT node, sum(q) AS mass FROM c$k GROUP BY 1),
+           |r$k AS (SELECT n.node,
+           |           (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / p.nd
+           |           + CAST(0.85 AS DOUBLE) *
+           |             coalesce(CAST(s$k.mass AS DOUBLE), CAST(0 AS DOUBLE)) AS rank
+           |        FROM nodes n CROSS JOIN params p
+           |        LEFT JOIN s$k ON n.node = s$k.node)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000000 AS dst
+         |  FROM lineitem
+         |  UNION
+         |  SELECT DISTINCT l_suppkey + 1000000000 AS src, l_partkey AS dst
+         |  FROM lineitem),
+         |nodes AS (SELECT DISTINCT src AS node FROM e
+         |          UNION SELECT DISTINCT dst FROM e),
+         |params AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM nodes),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, CAST(1 AS DOUBLE) / p.nd AS rank
+         |       FROM nodes CROSS JOIN params p),
+         |${iter(1, "r0")},
+         |${iter(2, "r1")},
+         |${iter(3, "r2")}
+         |SELECT node AS node_id, rank FROM r3 ORDER BY node_id""".stripMargin
+    },
     "q_video_frames" ->
       // the fixture formula per sampled frame: g(x,y,f) =
       // (id + x + y + 7f) mod 256 over (8 + id%5) × (8 + 3id%5),

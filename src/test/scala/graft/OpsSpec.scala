@@ -1724,6 +1724,29 @@ class OpsSpec extends SparkSpec {
     assert(got.exists(p => p._1 == "name007" && p._2 == "name007x" && p._3 == 1))
   }
 
+  test("pageRank: uniform on regular graphs, star center dominates, sinks absorb") {
+    import graft.ops.Graph
+    def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] =
+      Graph.pageRank(edges.toDF("s", "d"), "s", "d", iters)
+        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // 4-cycle, both directions (2-regular): ranks stay uniform, mass ~1
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val rc = ranks(cyc, 5)
+    assert(rc.values.toSeq.distinct.size === 1)
+    assert(math.abs(rc.values.sum - 1.0) < 1e-9)
+    // star with both directions: the center out-ranks the leaves, the
+    // leaves tie, mass conserved (no dangling nodes)
+    val rs = ranks((1L to 4L).flatMap(l => Seq((0L, l), (l, 0L))), 5)
+    assert(rs(0L) > rs(1L))
+    assert((1L to 4L).map(rs).distinct.size === 1)
+    assert(math.abs(rs.values.sum - 1.0) < 1e-9)
+    // a pure sink absorbs rank (the documented simplified form):
+    // total mass decays below 1
+    val rk = ranks(Seq((1L, 2L)), 3)
+    assert(rk.values.sum < 1.0 - 1e-6)
+  }
+
   test("content checksum: layout-invisible, any row difference visible") {
     import graft.pipeline.Diff
     val base = Seq(

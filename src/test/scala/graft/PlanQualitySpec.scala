@@ -32,7 +32,10 @@ class PlanQualitySpec extends SparkSpec {
       // linkage pairs carry integer distances and counts; the ranked
       // variant's denseRowKeys assignment is value-ordered regardless
       // of the range partition count
-      "q_table_checksum", "q_edit_near_dups", "q_sorted_neighbors")
+      "q_table_checksum", "q_edit_near_dups", "q_sorted_neighbors",
+      // the pagerank mass sums are DECIMAL(28,14) by design — the whole
+      // point of the quantized-contribution recipe is this invariance
+      "q_pagerank")
     // restore the FIXTURE's value, not a constant — the session is
     // shared across suites and a leaked setting changes later plans
     val fixtureParts = spark.conf.get("spark.sql.shuffle.partitions")
