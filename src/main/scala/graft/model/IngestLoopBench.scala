@@ -122,9 +122,25 @@ object IngestLoopBench {
           (o.appended, o.version, o.compactedTo)
         })
 
+      // curation front gate over the same document slices: the claim
+      // is O(batch · narrow-expr) with NO state term at all — per-batch
+      // wall should sit well under the dedup loop's and stay flat
+      val rule = graft.streaming.CurationGate.Rule(
+        minQuality = 0.5, minTokens = 20, allowedLangs = Set("en", "zh"))
+      val curRows = (0 until Batches).map { b =>
+        val batch = slice(docs, "doc_id", b)
+        val (sec, (kept, rejected)) = time {
+          val (_, o) = graft.streaming.CurationGate.processBatch(batch,
+            b.toLong, s"$root/cur/rejected", "doc_id", "text", rule)
+          (o.kept, o.rejected)
+        }
+        s"""{"b":$b,"sec":${r3(sec)},"kept":$kept,"rejected":$rejected}"""
+      }
+      val cur = s""""curation":{"batches":[${curRows.mkString(",")}]}"""
+
       println(s"""{"metric":"ingest_loop","sf":"$dir","batch_denom":$denom,""" +
         s""""load_before":$before,"load_after":${loadavg()},""" +
-        s"""$mh,$sem,$ivf}""")
+        s"""$mh,$sem,$ivf,$cur}""")
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(root)).deleteRecursively()
