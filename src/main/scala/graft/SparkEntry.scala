@@ -1056,6 +1056,19 @@ object SparkEntry {
     Dedup.sortedNeighborNearDups(t(spark, dir, "part"), "p_name",
       window = 8, maxDist = 4)
 
+  /** ENTITY RESOLUTION over the part names
+    * ([[Dedup.resolveEntities]] — linkage pairs → transitive
+    * components → canonical lexicographic-min label, every ROW
+    * relabeled). The oracle replays the whole chain in SQL: the same
+    * distinct-value edit-distance pairs, a recursive-CTE transitive
+    * closure over the composite `(brand, value)` node keys, min-label
+    * canonicalization, and the row-level relabel join — transitivity
+    * included (a~b~c groups even where dist(a,c) exceeds the cut). */
+  def qEntityResolution(spark: SparkSession, dir: String): DataFrame =
+    Dedup.resolveEntities(
+      t(spark, dir, "part").select("p_partkey", "p_brand", "p_name"),
+      "p_name", Seq("p_brand"), maxDist = 4)
+
   /** The CURATION GATE's decision function in batch form, oracle-gated:
     * every document's first failing screen (or `kept`) under a standard
     * rule (≥ 20 tokens, quality ≥ 0.5, lang ∈ {en, zh};
@@ -2437,6 +2450,7 @@ object SparkEntry {
     "q_curation_gate"    -> qCurationGate,
     "q_edit_near_dups"   -> qEditNearDups,
     "q_sorted_neighbors" -> qSortedNeighbors,
+    "q_entity_resolution" -> qEntityResolution,
     "q_retention"        -> qRetention,
     "q_outliers"         -> qOutliers,
     "q_dup_spans"        -> qDupSpans,
@@ -3280,6 +3294,33 @@ object SparkEntry {
         |WHERE abs(length(a.value) - length(b.value)) <= 4
         |  AND levenshtein(a.value, b.value) <= 4
         |ORDER BY 1, 2, 3""".stripMargin,
+    "q_entity_resolution" ->
+      // the whole chain replayed: distinct-value pairs (the
+      // q_edit_near_dups mirror), recursive-CTE closure over
+      // brand||chr(1)||value nodes, min-label canonicalization,
+      // row relabel
+      """WITH RECURSIVE
+        |v AS (SELECT p_brand, p_name AS value FROM part
+        |      WHERE p_name IS NOT NULL GROUP BY 1, 2),
+        |pairs AS (SELECT a.p_brand, a.value AS va, b.value AS vb
+        |          FROM v a JOIN v b
+        |            ON a.p_brand = b.p_brand AND a.value < b.value
+        |          WHERE abs(length(a.value) - length(b.value)) <= 4
+        |            AND levenshtein(a.value, b.value) <= 4),
+        |edges AS (SELECT p_brand || chr(1) || va AS src,
+        |                 p_brand || chr(1) || vb AS dst FROM pairs
+        |          UNION
+        |          SELECT p_brand || chr(1) || vb, p_brand || chr(1) || va
+        |          FROM pairs),
+        |walk AS (SELECT src AS id, dst AS reach FROM edges
+        |         UNION
+        |         SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+        |comp AS (SELECT id, least(id, min(reach)) AS label FROM walk GROUP BY id)
+        |SELECT p.p_partkey, p.p_brand, p.p_name,
+        |       coalesce(string_split(c.label, chr(1))[-1], p.p_name) AS canonical_p_name
+        |FROM part p LEFT JOIN comp c
+        |  ON p.p_brand || chr(1) || p.p_name = c.id
+        |ORDER BY p.p_partkey""".stripMargin,
     "q_sorted_neighbors" ->
       // the naive form of the same contract: rank the distinct values,
       // self-join on rank distance 1..8 — the Spark side must emit

@@ -1420,6 +1420,40 @@ object Dedup {
           col("n_a"), col("n_b")): _*)
   }
 
+  /** ENTITY RESOLUTION — the linkage capstone: [[editNearDups]] pairs
+    * resolved to transitive groups ([[connectedComponents]] over
+    * composite `(block, value)` keys — edges never cross blocks, so
+    * per-block components fall out of the key prefix) and every row
+    * relabeled with its group's canonical value (the lexicographic
+    * MIN — deterministic, and stable under re-runs because it is a
+    * data element, not a generated id). Rows whose value linked to
+    * nothing keep their own value; NULL values pass through NULL.
+    *
+    * Output: the input columns plus `canonical_<textCol>`. Group mass
+    * stays value-level throughout (the [[editNearDups]] economics);
+    * only the final relabel join touches row mass — one broadcast of
+    * the value-count-sized label table at typical cardinalities, a
+    * shuffle join beyond. `\u0001` must not occur in block or value
+    * strings (the composite-key separator — the contentChecksum
+    * canonicalization convention). */
+  def resolveEntities(df: DataFrame, textCol: String, blockCols: Seq[String],
+                      maxDist: Int): DataFrame = {
+    val pairs = editNearDups(df, textCol, blockCols, maxDist)
+    def key(v: org.apache.spark.sql.Column) =
+      concat_ws("\u0001", blockCols.map(col) :+ v: _*)
+    val edges = pairs.select(key(col("value_a")).as("ka"),
+      key(col("value_b")).as("kb"))
+    val labels = connectedComponents(edges, "ka", "kb")
+      .select(col("id").as("_ek"), col("group_id").as("_el"))
+    df.withColumn("_ek", key(col(textCol)))
+      .join(labels, Seq("_ek"), "left")
+      .withColumn(s"canonical_$textCol",
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(coalesce(
+            substring_index(col("_el"), "\u0001", -1), col(textCol))))
+      .drop("_ek", "_el")
+  }
+
   /** Sorted-neighborhood edit-distance pairs — [[editNearDups]] for
     * corpora with NO natural equality block: rank the distinct values
     * in one global sort order, compare each value to its next `window`

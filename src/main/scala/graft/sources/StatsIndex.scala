@@ -40,6 +40,15 @@ import org.apache.spark.sql.functions._
   *    default and fails by name on any drift — an O(files) driver
   *    listing, the cost already paid by any read of the directory.
   *
+  * Layout contract: FLAT directories (the layout [[graft.ops.Layout
+  * .zOrdered]] writes and the ingest sinks' batch dirs use). A
+  * hive-partitioned tree already prunes by partition key through the
+  * scan itself; pointing this index at one fails LOUDLY at
+  * [[prunedRead]] (the freshness listing is non-recursive, so the
+  * indexed set can never match) rather than pruning unsoundly —
+  * index each leaf directory, or rely on partition pruning for the
+  * partition columns and this index inside the leaves.
+  *
   * Build paths:
   *  - [[build]]: one pass over the data (exact, any column type Spark
   *    can min/max) — the path for an index built as part of the write

@@ -1693,6 +1693,24 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("block"))
   }
 
+  test("entity resolution: transitive canonical labels within blocks, singletons pass through") {
+    // chain a~b~c at maxDist 2 where dist(a,c)=4 > cut: transitivity
+    // must still group all three under the min label; Y's identical
+    // value is another block and must NOT join X's group
+    val df = Seq(
+      (1L, "X", "kitten"), (2L, "X", "kittenxx"), (3L, "X", "kittenxxyy"),
+      (4L, "X", "unrelated thing"), (5L, "Y", "kitten"), (6L, "Y", null))
+      .toDF("id", "blk", "name")
+    val out = graft.ops.Dedup.resolveEntities(df, "name", Seq("blk"), maxDist = 2)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getString(3))).toMap
+    assert(out(1L) === "kitten" && out(2L) === "kitten" && out(3L) === "kitten",
+      s"chain must canonicalize to the min value: $out")
+    assert(out(4L) === "unrelated thing", "singleton keeps its own value")
+    assert(out(5L) === "kitten", "same value in another block stays apart")
+    assert(out(6L) === null, "null passes through")
+  }
+
   test("sorted-neighborhood near-dups: bucketed equi-join == naive ranked self-join") {
     // 60 distinct values with planted near-pairs at various rank gaps;
     // the operator (range-partitioned ranks + bucket join) must emit
