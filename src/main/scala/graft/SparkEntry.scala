@@ -769,6 +769,52 @@ object SparkEntry {
     }
   }
 
+  /** The accepted corpus's reproducible-read + data-skipping lifecycle
+    * ([[graft.streaming.AcceptedSink]]): three batch directories land
+    * (documents split by `doc_id % 3`), a fold archives batches 0–1
+    * WITH the per-version stats index, a takedown withdraws
+    * `doc_id % 97 = 3`, and the gate reads the corpus AS OF batch 1
+    * through [[AcceptedSink.prunedReadAccepted]] — the skipping path,
+    * which must prune the live batch-2 files off its directory-name
+    * stats without `batch` being a data column there (asserted, so a
+    * pruning regression fails the gate rather than silently scanning).
+    * The oracle is the plain filter the pruned read must equal:
+    * batches ≤ 1 minus the withdrawn ids (takedown is retroactive —
+    * the [[AcceptedSink.readAcceptedAsOf]] rule). Eager lifecycle over
+    * a scratch store (the qMinhashStore pattern). */
+  def qAcceptedAsof(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.AcceptedSink
+    import graft.sources.StatsIndex
+    val docs = t(spark, dir, "documents").select(col("doc_id"))
+    val root = java.nio.file.Files.createTempDirectory("q-accepted-asof").toString
+    try {
+      val acc = s"$root/accepted"
+      (0L to 2L).foreach { b =>
+        docs.where(pmod(col("doc_id"), lit(3)) === b)
+          .coalesce(2).write.parquet(s"$acc/batch=$b")
+      }
+      AcceptedSink.fold(spark, acc, belowBatch = 2L,
+        statsCols = Seq("doc_id", "batch"))
+      AcceptedSink.remove(spark, acc,
+        docs.where(pmod(col("doc_id"), lit(97)) === 3), "doc_id")
+      val asOf = AcceptedSink.prunedReadAccepted(spark, acc,
+        Seq("doc_id", "batch"),
+        StatsIndex.mayContainBetween("batch", 0L, 1L), col("batch") <= 1L)
+      require(asOf.keptFiles < asOf.totalFiles,
+        s"q_accepted_asof: the batch-range read pruned nothing " +
+          s"(${asOf.keptFiles}/${asOf.totalFiles} files) — the live tier's " +
+          "directory-name stats stopped skipping")
+      val out = asOf.df
+        .select(col("doc_id"), col("batch").cast("int").as("batch"))
+        .orderBy("doc_id")
+      val rows = out.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), out.schema)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
+    }
+  }
+
   /** Exact all-pairs hamming reference for the simhash contract gate:
     * every (id_a < id_b, hamming ≤ maxDistance) pair, computed the
     * brute-force way — C(distinct sketches, 2) bit_count comparisons
@@ -2398,6 +2444,7 @@ object SparkEntry {
     "q_minhash_remove"   -> qMinhashRemove,
     "q_minhash_store"    -> qMinhashStore,
     "q_ingest_loop"      -> qIngestLoop,
+    "q_accepted_asof"    -> qAcceptedAsof,
     "q_dedup_simhash"    -> qDedupSimhash,
     "q_ngram_jaccard"    -> qNgramJaccard,
     "q_text_stats"       -> qTextStats,
@@ -3247,6 +3294,14 @@ object SparkEntry {
     "q_minhash_remove" -> minhashRemoveOracleSql,
     "q_minhash_store" -> minhashIncrOracleSql,
     "q_ingest_loop" -> ingestLoopOracleSql,
+    // q_accepted_asof: the as-of corpus is a plain filter in SQL; the
+    // Spark side reads it through the file-skipping surface
+    // (prunedReadAccepted over fold-written stats), so hash equality
+    // proves pruned ≡ filtered cross-engine, tombstones included
+    "q_accepted_asof" ->
+      """SELECT doc_id, CAST(doc_id % 3 AS INT) AS batch FROM documents
+        |WHERE doc_id % 3 <= 1 AND doc_id % 97 <> 3
+        |ORDER BY doc_id""".stripMargin,
     // q_dedup_simhash is a CONTRACT GATE (the q_ann_lsh house pattern),
     // not a SQL mirror: the xxhash64 sketch values cannot be reproduced
     // in DuckDB (round-4 analysis — do not retry that conversion). The

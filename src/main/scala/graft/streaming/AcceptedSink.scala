@@ -68,6 +68,7 @@ object AcceptedSink {
   private val Subframes = Seq("data", "meta")
   private val MetaCols = Seq("max_folded_batch", "full")
   private val BatchDirRe = "batch=(\\d+)".r
+  private val StatsSubframe = "stats"
 
   private def archiveRoot(acceptedDir: String): String =
     s"$acceptedDir/$ArchiveName"
@@ -100,6 +101,23 @@ object AcceptedSink {
   def hasAccepted(spark: SparkSession, acceptedDir: String): Boolean =
     VersionedState.latestVersion(spark, archiveRoot(acceptedDir),
       Subframes).nonEmpty || liveBatches(spark, acceptedDir).nonEmpty
+
+  /** The live (not yet folded) batch directory ids, unsorted — the
+    * [[TriadPipeline.audit]] inspection surface. Includes any dead
+    * debris at or below the fold watermark (the next fold sweeps it);
+    * compare against [[maxFoldedBatch]] to tell the tiers apart. */
+  def liveBatchIds(spark: SparkSession, acceptedDir: String): Seq[Long] =
+    liveBatches(spark, acceptedDir)
+
+  /** The archive chain serving the latest committed version, newest
+    * first — empty when no archive exists yet; a CUT chain (a link
+    * pruned outside the protocol) fails by name, which is what makes
+    * this the audit's structural-integrity probe. */
+  def archiveChain(spark: SparkSession, acceptedDir: String): Seq[Long] = {
+    val root = archiveRoot(acceptedDir)
+    VersionedState.latestVersion(spark, root, Subframes)
+      .map(chain(spark, root, _)).getOrElse(Seq.empty)
+  }
 
   /** The fold watermark: every batch directory at or below it is
     * archived (or dead debris). None before the first fold. */
@@ -223,8 +241,49 @@ object AcceptedSink {
     * that crashed between its commit and its deletes). Returns the new
     * watermark, or None when nothing was foldable (including a replay
     * of the batch that already folded). */
+  /** Write the optional per-version `stats` subframe — a
+    * [[graft.sources.StatsIndex]] file-level min/max/null index over
+    * the data files just written into `scratch/data`, built from their
+    * (still hot) footers: O(new files), no data pages re-read. File
+    * names are persisted as BASENAMES: the version commits by renaming
+    * the whole scratch directory, so an absolute path recorded here
+    * would point at the scratch location forever; [[prunedReadAccepted]]
+    * re-prefixes against the committed directory. Riding the same
+    * atomic rename as the data it describes, the stats can never be
+    * half-visible or describe files that aren't there — which is what
+    * makes the freshness story trivial (a committed version is
+    * immutable). */
+  private def writeStats(spark: SparkSession, scratch: String,
+                         statsCols: Seq[String]): Unit =
+    // a version whose data frame wrote no part files (a compact whose
+    // tombstones removed every folded row) has nothing to index — and
+    // nothing a pruned read could fail to skip
+    if (statsCols.nonEmpty && dataFiles(spark, s"$scratch/data").nonEmpty) {
+      graft.sources.StatsIndex.buildFromFooters(spark, s"$scratch/data",
+        statsCols)
+        .withColumn(graft.sources.StatsIndex.FileCol,
+          org.apache.spark.sql.functions.regexp_replace(
+            col(graft.sources.StatsIndex.FileCol), "^.*/", ""))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$scratch/$StatsSubframe")
+    }
+
   def fold(spark: SparkSession, acceptedDir: String,
-           belowBatch: Long): Option[Long] = {
+           belowBatch: Long): Option[Long] =
+    fold(spark, acceptedDir, belowBatch, Nil)
+
+  /** [[fold]] that also maintains the data-skipping index: when
+    * `statsCols` is non-empty the new archive version carries a `stats`
+    * subframe over its data files ([[writeStats]]), so selective
+    * downstream reads ([[prunedReadAccepted]]) skip whole files of the
+    * accepted corpus — include `batch` in `statsCols` to make as-of
+    * reads ([[readAcceptedAsOf]]) skip too (each fold's files span one
+    * cadence window of batch ids, so the intervals are naturally
+    * disjoint). Indexed columns must have footer-exact stats
+    * (long/int/double/date/string — [[graft.sources.StatsIndex
+    * .footerStatsAreExact]]); the build fails by name otherwise. */
+  def fold(spark: SparkSession, acceptedDir: String, belowBatch: Long,
+           statsCols: Seq[String]): Option[Long] = {
     val root = archiveRoot(acceptedDir)
     val (fs, _) = VersionedState.fsPath(spark, acceptedDir)
     val watermark = maxFoldedBatch(spark, acceptedDir)
@@ -257,6 +316,7 @@ object AcceptedSink {
         data.coalesce(IngestProtocol.boundedFileCount(rows))
           .write.mode("overwrite").parquet(s"$scratch/data")
         writeMeta(spark, s"$scratch/meta", newMax, full = head.isEmpty)
+        writeStats(spark, scratch, statsCols)
       }
       foldable.foreach(b => fs.delete(
         new org.apache.hadoop.fs.Path(s"$acceptedDir/batch=$b"), true))
@@ -285,7 +345,15 @@ object AcceptedSink {
     * is already full AND carries no clearable tombstones; None when no
     * archive exists yet. */
   def compactArchive(spark: SparkSession,
-                     acceptedDir: String): Option[Long] = {
+                     acceptedDir: String): Option[Long] =
+    compactArchive(spark, acceptedDir, Nil)
+
+  /** [[compactArchive]] that writes the new full version with a
+    * data-skipping `stats` subframe (the [[fold]] overload's story; the
+    * compact is where a chain of per-fold indexes collapses into one
+    * corpus-wide index). */
+  def compactArchive(spark: SparkSession, acceptedDir: String,
+                     statsCols: Seq[String]): Option[Long] = {
     val root = archiveRoot(acceptedDir)
     VersionedState.latestVersion(spark, root, Subframes).map { head =>
       val (maxFolded, full) = readMetaRow(spark, root, head)
@@ -311,6 +379,7 @@ object AcceptedSink {
           data.coalesce(IngestProtocol.boundedFileCount(rows))
             .write.mode("overwrite").parquet(s"$scratch/data")
           writeMeta(spark, s"$scratch/meta", maxFolded, full = true)
+          writeStats(spark, scratch, statsCols)
           // carry forward only the tombstones some live directory may
           // still answer for; the cleared ones' rows just left the
           // folded bytes above, and future directories can never carry
@@ -374,5 +443,163 @@ object AcceptedSink {
           Seq(idName), "left_anti")
       case None => both
     }
+  }
+
+  /** The accepted corpus as of the END of batch `asOfBatch` — the
+    * reproducibility verb: pin a training run to the corpus a given
+    * ingest batch produced, re-readable bit-identically later even
+    * after more batches, folds, and archive compacts have run (`batch`
+    * is carried as a DATA column through every fold, so the as-of cut
+    * is exact against either tier — invariance spec-pinned).
+    *
+    * One deliberate exception, and it is the correct one: TAKEDOWN IS
+    * RETROACTIVE. A document withdrawn by [[remove]] after `asOfBatch`
+    * does not reappear in an as-of read of the earlier corpus — takedown
+    * means "as if never ingested", and a reproducibility surface that
+    * resurrected withdrawn documents would defeat the verb's purpose.
+    * A training run re-read after a takedown therefore sees the corpus
+    * MINUS the withdrawn ids; the delta is auditable ([[liveTombs]]).
+    * Retention caveat: rows leave disk at archive compacts only through
+    * tombstones, so as-of reads are exact indefinitely; they are NOT
+    * exact across a manual rewrite of the archive outside the
+    * protocol. */
+  def readAcceptedAsOf(spark: SparkSession, acceptedDir: String,
+                       asOfBatch: Long): DataFrame =
+    readAccepted(spark, acceptedDir).where(col("batch") <= asOfBatch)
+
+  /** The data part-files under a flat directory (no `_`/`.` metadata,
+    * no subdirectories) — absolute path strings. */
+  private def dataFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val (fs, path) = VersionedState.fsPath(spark, dir)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .map(_.getPath.toString)
+  }
+
+  /** What a pruned read scanned: `keptFiles` of `totalFiles` actually
+    * read (files under archive versions with no `stats` subframe are
+    * unprunable and count in both). */
+  final case class PrunedAccepted(df: DataFrame, keptFiles: Int,
+                                  totalFiles: Int)
+
+  /** [[readAccepted]] through the per-version data-skipping indexes —
+    * the selective-read surface for the accepted corpus (read one
+    * source's documents, one quality band, one batch range) that skips
+    * whole files instead of scanning 100 TB to filter it:
+    *
+    *  - archive versions carrying a `stats` subframe (written by the
+    *    [[fold]]/[[compactArchive]] overloads) prune their file lists
+    *    with `keep` — a predicate over the stats schema, composed from
+    *    [[graft.sources.StatsIndex]]'s `mayContain*` helpers — before
+    *    any scan is planned; versions without one are read whole
+    *    (sound, never silently wrong);
+    *  - LIVE batch directories (at most one fold-cadence window) build
+    *    footer stats on the fly — O(live files), no data pages — and
+    *    prune the same way; their `batch` stats are the directory name
+    *    (`mn_batch = mx_batch = b`), so a `batch`-range `keep` prunes
+    *    the live tier without `batch` being a data column there;
+    *  - the exact `rowFilter` is re-applied behind the pruned listing
+    *    (file granularity is an over-approximation; the filter also
+    *    reaches the parquet reader for row-group skipping inside kept
+    *    files), and live tombstones are honored exactly as
+    *    [[readAccepted]] does.
+    *
+    * Soundness: a committed archive version is immutable, so its stats
+    * can never go stale (the basename sets are still cross-checked and
+    * fail by name on external tampering). `statsCols` names the columns
+    * the LIVE tier indexes on the fly and must cover every column
+    * `keep` references (archive versions indexed with fewer columns
+    * fail loudly at predicate resolution, never prune unsoundly). */
+  def prunedReadAccepted(spark: SparkSession, acceptedDir: String,
+                         statsCols: Seq[String],
+                         keep: org.apache.spark.sql.Column,
+                         rowFilter: org.apache.spark.sql.Column): PrunedAccepted = {
+    import graft.sources.StatsIndex
+    import org.apache.hadoop.fs.Path
+    val root = archiveRoot(acceptedDir)
+    val (fs, _) = VersionedState.fsPath(spark, acceptedDir)
+    val headOpt = VersionedState.latestVersion(spark, root, Subframes)
+    val links = headOpt.map(chain(spark, root, _)).getOrElse(Seq.empty)
+    var kept = 0
+    var total = 0
+    val parts = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    links.foreach { w =>
+      val dataDir = s"$root/v=$w/data"
+      val files = dataFiles(spark, dataDir)
+      total += files.size
+      if (fs.exists(new Path(s"$root/v=$w/$StatsSubframe/_SUCCESS"))) {
+        // the freshness cross-check runs even against an EMPTY file
+        // list: stats naming files that are gone is the tampering case
+        // a silent skip would answer wrongly from
+        val stats = spark.read.parquet(s"$root/v=$w/$StatsSubframe")
+        val idxNames = stats.select(StatsIndex.FileCol).collect()
+          .map(_.getString(0)).toSet
+        val liveNames = files.map(new Path(_).getName).toSet
+        require(idxNames == liveNames,
+          s"accepted archive at $root v=$w: stats frame names " +
+            s"${(idxNames -- liveNames).take(3).toSeq.sorted} absent from " +
+            s"the data and misses ${(liveNames -- idxNames).take(3).toSeq.sorted} " +
+            "— a committed version is immutable, so this is external " +
+            "tampering; remove the stats frame or restore the files " +
+            "(a stale index prunes unsoundly)")
+        val keptNames = StatsIndex.candidateFiles(stats, keep)
+        kept += keptNames.size
+        if (keptNames.nonEmpty)
+          parts += spark.read.parquet(
+            keptNames.map(n => s"$dataDir/$n"): _*)
+      } else if (files.nonEmpty) {
+        // no index for this version: read it whole — sound
+        kept += files.size
+        parts += spark.read.parquet(dataDir)
+      }
+    }
+    val watermark = headOpt.map(readMetaRow(spark, root, _)._1)
+    val liveDirs = liveBatches(spark, acceptedDir)
+      .filter(b => watermark.forall(b > _)).sorted
+    val liveDataCols = statsCols.filterNot(_ == "batch")
+    liveDirs.foreach { b =>
+      val dir = s"$acceptedDir/batch=$b"
+      val files = dataFiles(spark, dir)
+      total += files.size
+      if (files.nonEmpty) {
+        import spark.implicits._
+        val base =
+          if (liveDataCols.nonEmpty)
+            StatsIndex.buildFromFooters(spark, dir, liveDataCols)
+          else files.toDF(StatsIndex.FileCol)
+        val stats =
+          if (statsCols.contains("batch"))
+            base.withColumn("mn_batch", lit(b))
+              .withColumn("mx_batch", lit(b))
+              .withColumn("nulls_batch", lit(0L))
+          else base
+        val keptFiles = StatsIndex.candidateFiles(stats, keep)
+        kept += keptFiles.size
+        if (keptFiles.nonEmpty)
+          parts += spark.read.parquet(keptFiles: _*)
+            .withColumn("batch", lit(b))
+      }
+    }
+    val both =
+      if (parts.isEmpty)
+        // everything pruned (or nothing there): schema'd empty through
+        // the plain read surface, which also supplies the
+        // nothing-accepted failure by name
+        readAccepted(spark, acceptedDir).where(lit(false))
+      else parts.reduce(_ unionByName _)
+    val withTombs = headOpt.map(chain(spark, root, _))
+      .flatMap(readTombs(spark, root, _)) match {
+      case Some(t) =>
+        val idName = t.columns.filterNot(_ == "minted_below").head
+        both.join(org.apache.spark.sql.functions.broadcast(t.select(idName)),
+          Seq(idName), "left_anti")
+      case None => both
+    }
+    PrunedAccepted(withTombs.where(rowFilter), kept, total)
   }
 }

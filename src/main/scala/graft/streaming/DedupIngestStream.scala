@@ -88,7 +88,8 @@ object DedupIngestStream {
                                   indexDir: String, acceptedDir: String,
                                   idCol: String, textCol: String,
                                   threshold: Double, compactEvery: Int,
-                                  checkpointDir: String): BatchOutcome = {
+                                  checkpointDir: String,
+                                  acceptedStatsCols: Seq[String] = Nil): BatchOutcome = {
     val spark = batch.sparkSession
     IngestProtocol.ownerCheck(spark, indexDir, batchId, checkpointDir)
     val head = MinhashIndexStore.latestVersion(spark, indexDir).getOrElse(
@@ -158,7 +159,8 @@ object DedupIngestStream {
       // not micro-batches ([[AcceptedSink]]; read the corpus through
       // AcceptedSink.readAccepted once folding has run)
       val foldedTo = compactedTo.flatMap(_ =>
-        AcceptedSink.fold(spark, acceptedDir, belowBatch = batchId))
+        AcceptedSink.fold(spark, acceptedDir, belowBatch = batchId,
+          statsCols = acceptedStatsCols))
       IngestProtocol.sweepLedger(spark, indexDir, batchId)
       BatchOutcome(batchId, base, version, acceptedOnDisk.count(), replay,
         appendCommitted, compactedTo, foldedTo)
@@ -185,13 +187,14 @@ object DedupIngestStream {
   def dedupIngestSink(docs: DataFrame, indexDir: String, acceptedDir: String,
                       idCol: String, textCol: String, checkpointDir: String,
                       threshold: Double = 0.5,
-                      compactEvery: Int = 8): StreamingQuery = {
+                      compactEvery: Int = 8,
+                      acceptedStatsCols: Seq[String] = Nil): StreamingQuery = {
     require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, indexDir, acceptedDir, idCol, textCol,
-          threshold, compactEvery, checkpointDir)
+          threshold, compactEvery, checkpointDir, acceptedStatsCols)
         (): Unit
       }
       .start()

@@ -159,6 +159,59 @@ private[graft] object IngestProtocol {
     }
   }
 
+  /** The store's live ledger entries, `(batchId, base)` sorted by
+    * batch — the [[TriadPipeline.audit]] inspection surface (scratch
+    * `.tmp` debris is not an entry). A malformed entry surfaces as a
+    * parse failure naming the file, exactly as [[resolveBase]] would
+    * at the next batch. */
+  def ledgerEntries(spark: SparkSession,
+                    indexDir: String): Seq[(Long, Long)] = {
+    val f = fs(spark, indexDir)
+    val root = new org.apache.hadoop.fs.Path(s"$indexDir/$LedgerDir")
+    if (!f.exists(root)) Seq.empty
+    else {
+      val Entry = "b=(\\d+)".r
+      f.listStatus(root).toSeq.flatMap { st =>
+        st.getPath.getName match {
+          case Entry(b) =>
+            val raw = readSmall(f, st.getPath).getOrElse("")
+            val base =
+              try raw.trim.toLong
+              catch {
+                case _: NumberFormatException =>
+                  throw new IllegalStateException(
+                    s"ingest ledger at $indexDir: entry ${st.getPath} holds " +
+                      s"'$raw', not a version — external corruption; repair " +
+                      "or remove the entry")
+              }
+            Some((b.toLong, base))
+          case _ => None
+        }
+      }.sortBy(_._1)
+    }
+  }
+
+  /** The store's owner stamp — `(checkpointDir, nonce)` with the nonce
+    * None for a legacy path-only stamp — or None before first contact.
+    * Read-only; the enforcement path is [[ownerCheck]]. */
+  def ownerStamp(spark: SparkSession,
+                 indexDir: String): Option[(String, Option[String])] = {
+    val f = fs(spark, indexDir)
+    readSmall(f, new org.apache.hadoop.fs.Path(s"$indexDir/$OwnerMarker"))
+      .map(_.split("\n", 2) match {
+        case Array(owner, nonce) => (owner, Some(nonce))
+        case Array(owner) => (owner, None)
+      })
+  }
+
+  /** The checkpoint directory's instance nonce, or None when the
+    * checkpoint has never been stamped (or was deleted — the case
+    * [[ownerCheck]] exists to catch). */
+  def checkpointNonce(spark: SparkSession,
+                      checkpointDir: String): Option[String] =
+    readSmall(fs(spark, checkpointDir),
+      new org.apache.hadoop.fs.Path(s"$checkpointDir/$NonceFile"))
+
   /** Delete ledger entries below `batchId` — replay-dead, see above —
     * and the `.tmp` scratch debris a crashed earlier attempt's
     * [[writeAtomic]] may have stranded (a tmp at or above the current

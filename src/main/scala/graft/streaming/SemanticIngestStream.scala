@@ -81,7 +81,8 @@ object SemanticIngestStream {
                                   idCol: String, vecCol: String,
                                   threshold: Double, compactEvery: Int,
                                   checkpointDir: String,
-                                  driftGateMinRows: Long = 16L): BatchOutcome = {
+                                  driftGateMinRows: Long = 16L,
+                                  acceptedStatsCols: Seq[String] = Nil): BatchOutcome = {
     val spark = batch.sparkSession
     IngestProtocol.ownerCheck(spark, indexDir, batchId, checkpointDir)
     val head = SemanticIndexStore.latestVersion(spark, indexDir).getOrElse(
@@ -153,7 +154,8 @@ object SemanticIngestStream {
       // accepted-sink lifecycle on the same cadence trip (the
       // DedupIngestStream rationale — see [[AcceptedSink]])
       val foldedTo = compactedTo.flatMap(_ =>
-        AcceptedSink.fold(spark, acceptedDir, belowBatch = batchId))
+        AcceptedSink.fold(spark, acceptedDir, belowBatch = batchId,
+          statsCols = acceptedStatsCols))
       IngestProtocol.sweepLedger(spark, indexDir, batchId)
       BatchOutcome(batchId, base, version, acceptedOnDisk.count(), replay,
         appendCommitted, drift, compactedTo, foldedTo)
@@ -176,13 +178,15 @@ object SemanticIngestStream {
                          acceptedDir: String, idCol: String, vecCol: String,
                          checkpointDir: String, threshold: Double,
                          compactEvery: Int = 9,
-                         driftGateMinRows: Long = 16L): StreamingQuery = {
+                         driftGateMinRows: Long = 16L,
+                         acceptedStatsCols: Seq[String] = Nil): StreamingQuery = {
     require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, indexDir, acceptedDir, idCol, vecCol,
-          threshold, compactEvery, checkpointDir, driftGateMinRows)
+          threshold, compactEvery, checkpointDir, driftGateMinRows,
+          acceptedStatsCols)
         (): Unit
       }
       .start()

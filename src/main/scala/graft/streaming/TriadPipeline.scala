@@ -57,7 +57,8 @@ object TriadPipeline {
                           minhashCompactEvery: Int = 8,
                           vectorCompactEvery: Int = 9,
                           driftGateMinRows: Long = 16L,
-                          curation: Option[CurationGate.Rule] = None) {
+                          curation: Option[CurationGate.Rule] = None,
+                          acceptedStatsCols: Seq[String] = Nil) {
     def minhashDir: String = s"$root/minhash-store"
     def minhashAccepted: String = s"$root/minhash-accepted"
     def semanticDir: String = s"$root/semantic-store"
@@ -93,7 +94,8 @@ object TriadPipeline {
     }
     val o1 = DedupIngestStream.processBatch(gated, batchId,
       cfg.minhashDir, cfg.minhashAccepted, cfg.idCol, cfg.textCol,
-      cfg.minhashThreshold, cfg.minhashCompactEvery, cfg.checkpointDir)
+      cfg.minhashThreshold, cfg.minhashCompactEvery, cfg.checkpointDir,
+      cfg.acceptedStatsCols)
     // the dedup survivors carry every source column (embedding
     // included) — re-read from the committed batch directory, which a
     // fold can never touch (folds take strictly-below-current only)
@@ -101,7 +103,7 @@ object TriadPipeline {
     val o2 = SemanticIngestStream.processBatch(survivors1, batchId,
       cfg.semanticDir, cfg.semanticAccepted, cfg.idCol, cfg.vecCol,
       cfg.semanticThreshold, cfg.vectorCompactEvery, cfg.checkpointDir,
-      cfg.driftGateMinRows)
+      cfg.driftGateMinRows, cfg.acceptedStatsCols)
     val survivors2 = spark.read.parquet(s"${cfg.semanticAccepted}/batch=$batchId")
     val o3 = IvfIngestStream.processBatch(survivors2, batchId,
       cfg.ivfDir, cfg.idCol, cfg.vecCol, cfg.vectorCompactEvery,
@@ -228,6 +230,265 @@ object TriadPipeline {
       cfg.idCol, cfg.vecCol, nlist = ivfNlist)
     corpus.unpersist()
     RetrainOutcome(rows, sem, ivf)
+  }
+
+  /** One [[audit]] observation: which pipeline surface, how bad
+    * (`error` = the invariant is broken and answers may be wrong or a
+    * resume unsafe; `warn` = debris or lag a scheduled maintainer will
+    * clear but worth watching; `info` = expected transient state), and
+    * what was seen. */
+  final case class AuditFinding(surface: String, severity: String,
+                                message: String)
+
+  final case class AuditReport(findings: Seq[AuditFinding]) {
+    def errors: Seq[AuditFinding] = findings.filter(_.severity == "error")
+    def ok: Boolean = errors.isEmpty
+    override def toString: String =
+      if (findings.isEmpty) "triad audit: clean"
+      else "triad audit:\n" + findings.map(f =>
+        s"  [${f.severity}] ${f.surface}: ${f.message}").mkString("\n")
+  }
+
+  /** FSCK for the composed pipeline — the read-only consistency check
+    * to run before resuming a stream, after any crash or manual
+    * surgery, or on a monitoring cadence. Verifies every invariant the
+    * pipeline's pieces promise, ACROSS the pieces (each store/sink
+    * already fails by name on its own broken state at use time; the
+    * audit finds it before use, plus the cross-surface drift no single
+    * piece can see):
+    *
+    *  - each index store: initialized, serving chain intact (a cut
+    *    chain is the answers-from-a-partial-corpus hazard), ledger
+    *    entries parse with base ≤ head, sweep not behind;
+    *  - ownership: every store stamped by THIS config's checkpoint,
+    *    with the checkpoint's instance nonce intact (a missing/changed
+    *    nonce means the checkpoint was deleted and recreated — the
+    *    silent re-ingest hazard [[IngestProtocol.ownerCheck]] rejects
+    *    at batch 0, surfaced here before that batch fires);
+    *  - stage ordering: ledger heads must run downhill along the
+    *    topology (dedup ≥ semantic ≥ ivf) and spread at most the
+    *    one-batch crash window — a wider spread means a stage was run
+    *    outside the composition;
+    *  - each accepted sink: archive chain intact, fold watermark
+    *    coherent with the live directories (at-or-below-watermark dirs
+    *    are dead debris — warn), tombstone/data schema agreement (a
+    *    mismatched id column poisons every read);
+    *  - cross-sink: a semantic-accepted batch the dedup stage never
+    *    committed is an impossible state (stage 2 reads stage 1's
+    *    bytes) — error;
+    *  - checkpoint: a batch pending replay is reported (`info`) — the
+    *    state is legal, but maintenance verbs (retrain) refuse it and a
+    *    clean bill should be read after the drain.
+    *
+    * Structural checks are driver-side fs metadata only — no Spark job,
+    * so the audit is safe on any cadence at any corpus size. `deep`
+    * adds data-mass containment proofs: per-live-batch stage-handoff
+    * containment (batch-mass), final-corpus ⊆ stage-1-corpus, and
+    * accepted-corpus ⊆ index-store coverage (these two scan the
+    * ACCEPTED corpus and the index id lists — O(corpus), schedule like
+    * a compact). Never throws on a finding — a broken surface becomes
+    * an `error` finding naming it; only a broken PARAMETER (wrong
+    * config paths entirely) can throw. */
+  def audit(spark: org.apache.spark.sql.SparkSession, cfg: Config,
+            deep: Boolean = false): AuditReport = {
+    import graft.ops.{IvfIndexStore, MinhashIndexStore, SemanticIndexStore}
+    import org.apache.spark.sql.functions.{broadcast, col, explode}
+    val out = scala.collection.mutable.ArrayBuffer.empty[AuditFinding]
+    def finding(surface: String, severity: String, msg: String): Unit =
+      out += AuditFinding(surface, severity, msg)
+    def checked[A](surface: String)(body: => A): Option[A] =
+      try Some(body)
+      catch {
+        case e: Exception =>
+          finding(surface, "error", Option(e.getMessage).getOrElse(e.toString))
+          None
+      }
+
+    // ---- index stores: chain, ledger, ownership -----------------------
+    val stores = Seq(
+      ("minhash store", cfg.minhashDir,
+        () => MinhashIndexStore.latestVersion(spark, cfg.minhashDir),
+        (v: Long) => MinhashIndexStore.chainLength(spark, cfg.minhashDir,
+          Some(v)): Unit),
+      ("semantic store", cfg.semanticDir,
+        () => SemanticIndexStore.latestVersion(spark, cfg.semanticDir),
+        (v: Long) => SemanticIndexStore.chainLength(spark, cfg.semanticDir,
+          Some(v)): Unit),
+      ("ivf store", cfg.ivfDir,
+        () => IvfIndexStore.latestVersion(spark, cfg.ivfDir),
+        (v: Long) => IvfIndexStore.chainLength(spark, cfg.ivfDir,
+          Some(v)): Unit))
+    val ledgerMaxes: Seq[Option[Long]] = stores.map {
+      case (name, dir, latest, chainLen) =>
+        val head = latest()
+        head match {
+          case None => finding(name, "error",
+            s"$dir has no committed version — never initialized (the " +
+              "loops refuse an uninitialized store by name at batch time)")
+          case Some(h) => checked(name)(chainLen(h)): Unit
+        }
+        val entries = checked(name)(
+          IngestProtocol.ledgerEntries(spark, dir)).getOrElse(Seq.empty)
+        head.foreach { h =>
+          entries.filter(_._2 > h).foreach { case (b, base) =>
+            finding(name, "error",
+              s"ledger records base v=$base for batch $b but the latest " +
+                s"committed version is v=$h — the base regressed (pruned " +
+                "head or external rebuild?); the store no longer matches " +
+                "this checkpoint's history")
+          }
+        }
+        if (entries.size > 2) finding(name, "warn",
+          s"${entries.size} live ledger entries (batches " +
+            s"${entries.map(_._1).mkString(",")}) — the sweep holds at " +
+            "most two; entries this old mean batches stopped arriving " +
+            "mid-stream or the ledger was written outside the loop")
+        IngestProtocol.ownerStamp(spark, dir) match {
+          case Some((owner, nonceOpt)) =>
+            if (owner != cfg.checkpointDir) finding(name, "error",
+              s"owned by checkpoint '$owner' but this config names " +
+                s"'${cfg.checkpointDir}' — resuming here would mis-read " +
+                "the standing ledger as this stream's own replays")
+            else nonceOpt.foreach { n =>
+              if (!IngestProtocol.checkpointNonce(spark, cfg.checkpointDir)
+                .contains(n)) finding(name, "error",
+                "the checkpoint's instance nonce is missing or different " +
+                  "— the checkpoint directory was deleted and recreated " +
+                  "at the same path; its restarted batch 0 would silently " +
+                  "re-append already-ingested documents (rebuild the " +
+                  "store or restore the original checkpoint)")
+            }
+          case None if entries.nonEmpty => finding(name, "warn",
+            "ledger entries exist but no owner stamp — the stamp is " +
+              "written before the first ledger entry, so it was removed " +
+              "externally; the next fresh checkpoint would pass the " +
+              "batch-0 owner check it should fail")
+          case None => ()
+        }
+        entries.map(_._1).maxOption
+    }
+    // stage ordering along the topology: dedup ≥ semantic ≥ ivf, spread
+    // at most the one-batch crash window
+    (stores.map(_._1) zip ledgerMaxes).sliding(2).foreach {
+      case Seq((upName, Some(up)), (downName, Some(down))) =>
+        if (down > up) finding("stage order", "error",
+          s"$downName ledger reached batch $down but upstream $upName " +
+            s"only batch $up — a downstream stage ran a batch its input " +
+            "stage never committed (run outside the composition?)")
+      case _ => ()
+    }
+    (ledgerMaxes.head, ledgerMaxes.last) match {
+      case (Some(mh), Some(ivf)) if mh - ivf > 1 =>
+        finding("stage order", "error",
+          s"dedup ledger at batch $mh but ivf at $ivf — the spread " +
+            "exceeds the one-batch crash window, so at least one whole " +
+            "batch ran stage 1 without reaching stage 3 outside a live " +
+            "replay; replay the stream before trusting the indexes")
+      case _ => ()
+    }
+
+    // ---- accepted sinks: archive chain, watermark, tombstone schema ---
+    val sinks = Seq(("dedup accepted sink", cfg.minhashAccepted),
+      ("semantic accepted sink", cfg.semanticAccepted))
+    val sinkCover: Seq[Option[Long]] = sinks.map { case (name, dir) =>
+      if (!AcceptedSink.hasAccepted(spark, dir)) {
+        finding(name, "info", s"$dir holds nothing yet (no archive, no " +
+          "live batch directories) — expected before the first batch")
+        None
+      } else {
+        checked(name)(AcceptedSink.archiveChain(spark, dir))
+        val watermark = checked(name)(
+          AcceptedSink.maxFoldedBatch(spark, dir)).flatten
+        val live = AcceptedSink.liveBatchIds(spark, dir)
+        watermark.foreach { w =>
+          val dead = live.filter(_ <= w).sorted
+          if (dead.nonEmpty) finding(name, "warn",
+            s"live director${if (dead.size == 1) "y" else "ies"} " +
+              s"${dead.map("batch=" + _).mkString(",")} at or below the " +
+              s"fold watermark $w — dead debris of a fold that crashed " +
+              "between its commit and its deletes; the next fold sweeps it")
+        }
+        // a read plans against both tiers and the tombstone anti-join
+        // resolves against the data schema — planning it (schema only,
+        // no job) is exactly the check that a mis-matched tombstone id
+        // column or a corrupt tier would fail
+        checked(name)(AcceptedSink.readAccepted(spark, dir).schema)
+        (live.maxOption.toSeq ++ watermark.toSeq).maxOption
+      }
+    }
+    (sinkCover.head, sinkCover.last) match {
+      case (dedupCover, Some(semMax)) =>
+        if (!dedupCover.exists(_ >= semMax)) finding("stage handoff", "error",
+          s"semantic accepted sink reaches batch $semMax but the dedup " +
+            s"sink only ${dedupCover.fold("<nothing>")(c => s"batch $c")} " +
+            "— stage 2 consumed bytes stage 1 never committed, which the " +
+            "composition cannot produce")
+      case _ => ()
+    }
+
+    // ---- checkpoint ----------------------------------------------------
+    IngestProtocol.pendingReplay(spark, cfg.checkpointDir).foreach { b =>
+      finding("checkpoint", "info",
+        s"batch $b is pending replay (offsets ahead of commits) — legal " +
+          "mid-crash state; maintenance verbs refuse it, and a clean " +
+          "audit should be re-read after the stream drains the batch")
+    }
+
+    // ---- deep: data-mass containment proofs ---------------------------
+    if (deep) {
+      val id = cfg.idCol
+      def ids(df: org.apache.spark.sql.DataFrame) = df.select(id).distinct()
+      // NO broadcast hint: the anti-join's right side is corpus-mass in
+      // the containment proofs (index id lists) — a deep audit is an
+      // O(corpus) scheduled job and shuffles like one; AQE still
+      // broadcasts the batch-mass handoff checks on its own
+      def missing(what: String, subset: org.apache.spark.sql.DataFrame,
+                  superset: org.apache.spark.sql.DataFrame,
+                  surface: String): Unit = {
+        val lost = subset.join(superset, Seq(id), "left_anti")
+          .limit(6).collect().map(_.get(0))
+        if (lost.nonEmpty) finding(surface, "error",
+          s"$what: id(s) ${lost.mkString(",")}${if (lost.length == 6) ",…" else ""} " +
+            "present downstream but absent upstream")
+      }
+      val dedupLive = AcceptedSink.liveBatchIds(spark, cfg.minhashAccepted).toSet
+      val semLive = AcceptedSink.liveBatchIds(spark, cfg.semanticAccepted).toSet
+      (dedupLive intersect semLive).toSeq.sorted.foreach { b =>
+        checked("stage handoff")(missing(s"batch $b handoff",
+          ids(spark.read.parquet(s"${cfg.semanticAccepted}/batch=$b")),
+          ids(spark.read.parquet(s"${cfg.minhashAccepted}/batch=$b")),
+          "stage handoff"))
+      }
+      val dedupAll =
+        if (!AcceptedSink.hasAccepted(spark, cfg.minhashAccepted)) None
+        else checked("dedup accepted sink")(
+          ids(AcceptedSink.readAccepted(spark, cfg.minhashAccepted)))
+      val semAll =
+        if (!AcceptedSink.hasAccepted(spark, cfg.semanticAccepted)) None
+        else checked("semantic accepted sink")(
+          ids(AcceptedSink.readAccepted(spark, cfg.semanticAccepted)))
+      for (s <- semAll; d <- dedupAll)
+        checked("stage handoff")(
+          missing("final corpus ⊆ stage-1 corpus", s, d, "stage handoff"))
+      // index coverage: every accepted id is indexed (the store also
+      // carries the init corpus, so the containment is one-directional)
+      for (d <- dedupAll)
+        checked("minhash store")(missing("accepted ⊆ minhash index", d,
+          MinhashIndexStore.read(spark, cfg.minhashDir).index
+            .select(explode(col("ids")).as(id)).distinct(),
+          "minhash store"))
+      for (s <- semAll) {
+        checked("semantic store")(missing("accepted ⊆ semantic index", s,
+          SemanticIndexStore.read(spark, cfg.semanticDir).cells
+            .select(explode(col("ids")).as(id)).distinct(),
+          "semantic store"))
+        checked("ivf store")(missing("accepted ⊆ ivf index", s,
+          IvfIndexStore.read(spark, cfg.ivfDir).cells
+            .select(col("corpus_id").as(id)).distinct(),
+          "ivf store"))
+      }
+    }
+    AuditReport(out.toSeq)
   }
 
   /** Start the composed pipeline over a streaming frame. The final
