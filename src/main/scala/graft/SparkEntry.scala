@@ -815,6 +815,29 @@ object SparkEntry {
     }
   }
 
+  /** Deterministic training-shard export ([[graft.ops.Curation
+    * .exportShards]]): the corpus lands as 16 hash-shuffled shards plus
+    * a manifest (per-shard row count + order-invariant key checksum).
+    * The gate emits the manifest AS RE-READ FROM DISK — so the oracle,
+    * recomputing the same md5-prefix arithmetic from the ids alone,
+    * hash-checks that the shards on disk carry exactly the right rows
+    * in the right shards (the manifest is computed from the written
+    * bytes, not the plan). Eager lifecycle over a scratch directory
+    * (the qMinhashStore pattern). */
+  def qTrainShards(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val root = java.nio.file.Files.createTempDirectory("q-train-shards").toString
+    try {
+      val manifest = graft.ops.Curation.exportShards(docs, "doc_id", 16, root)
+        .orderBy("shard")
+      val rows = manifest.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), manifest.schema)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
+    }
+  }
+
   /** Exact all-pairs hamming reference for the simhash contract gate:
     * every (id_a < id_b, hamming ≤ maxDistance) pair, computed the
     * brute-force way — C(distinct sketches, 2) bit_count comparisons
@@ -2445,6 +2468,7 @@ object SparkEntry {
     "q_minhash_store"    -> qMinhashStore,
     "q_ingest_loop"      -> qIngestLoop,
     "q_accepted_asof"    -> qAcceptedAsof,
+    "q_train_shards"     -> qTrainShards,
     "q_dedup_simhash"    -> qDedupSimhash,
     "q_ngram_jaccard"    -> qNgramJaccard,
     "q_text_stats"       -> qTextStats,
@@ -3302,6 +3326,16 @@ object SparkEntry {
       """SELECT doc_id, CAST(doc_id % 3 AS INT) AS batch FROM documents
         |WHERE doc_id % 3 <= 1 AND doc_id % 97 <> 3
         |ORDER BY doc_id""".stripMargin,
+    // q_train_shards: the manifest the Spark side re-reads from the
+    // written shards, recomputed from the ids alone — the md5-prefix
+    // shuffle key is engine-portable (the q_table_checksum arithmetic)
+    "q_train_shards" ->
+      """WITH k AS (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |                       AS BIGINT) AS key
+        |           FROM documents)
+        |SELECT CAST(key % 16 AS INT) AS shard, count(*) AS n_rows,
+        |       CAST(sum(CAST(key AS DECIMAL(20,0))) AS VARCHAR) AS key_checksum
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     // q_dedup_simhash is a CONTRACT GATE (the q_ann_lsh house pattern),
     // not a SQL mirror: the xxhash64 sketch values cannot be reproduced
     // in DuckDB (round-4 analysis — do not retry that conversion). The

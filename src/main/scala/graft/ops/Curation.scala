@@ -201,6 +201,67 @@ object Curation {
       .drop("_ns", "_nn", "_key", "_salt", "_r1")
   }
 
+  /** 60-bit deterministic shuffle key from an id — the md5-hex-prefix
+    * arithmetic [[graft.pipeline.Diff.contentChecksum]] already proved
+    * cross-engine (15 lowercase hex chars parsed base-16; always
+    * non-negative, fits a signed long). Training corpora are shuffled
+    * by THIS, never by `rand()`: the order is a pure function of the
+    * ids, so a re-run, a resumed export, or another engine reproduces
+    * it bit-identically, and a grown corpus leaves the relative order
+    * of old documents unchanged. */
+  def shuffleKey(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Assign every row its shard (`shuffle_key % numShards`) and its
+    * within-shard order key — one narrow projection, no shuffle; the
+    * materialization is [[exportShards]]. */
+  def shardAssign(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    df.withColumn("shuffle_key", shuffleKey(col(idCol)))
+      .withColumn("shard",
+        pmod(col("shuffle_key"), lit(numShards.toLong)).cast("int"))
+  }
+
+  /** The pipeline's LAST MILE: materialize a curated corpus as
+    * `numShards` deterministically shuffled training shards plus a
+    * manifest the consumer can verify receipt against. Layout:
+    * `outDir/data/shard=N/` (each shard co-located in one writer task —
+    * the one shuffle here — and sorted by `(shuffle_key, id)`, so a
+    * loader reading a shard's files in order sees the deterministic
+    * training order) and `outDir/_manifest` (per shard: `n_rows` and
+    * `key_checksum`, the order-invariant decimal sum of the shards'
+    * shuffle keys — the [[graft.pipeline.Diff.contentChecksum]] class,
+    * recomputable by ANY engine from the ids alone, which is what makes
+    * a transfer verifiable without co-locating the bytes).
+    *
+    * The manifest is computed from the bytes just WRITTEN (re-read, not
+    * the in-memory frame — the store-commit rationale), so it can never
+    * describe anything but the shards it ships with. Scale shape: one
+    * hash shuffle on `shard` + per-task sorts; the manifest aggregate
+    * is shard-count rows. Refuses an empty corpus by name (an empty
+    * export is a pipeline bug upstream, and an empty partitioned write
+    * round-trips as an unreadable directory). Returns the manifest as
+    * re-read from disk. */
+  def exportShards(df: DataFrame, idCol: String, numShards: Int,
+                   outDir: String): DataFrame = {
+    val spark = df.sparkSession
+    require(!df.isEmpty,
+      s"exportShards to $outDir: the corpus is empty — refusing to write " +
+        "an empty shard set (an empty partitioned directory cannot even " +
+        "be re-read; fix the upstream filter)")
+    shardAssign(df, idCol, numShards)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("shuffle_key"), col(idCol))
+      .write.partitionBy("shard").mode("overwrite").parquet(s"$outDir/data")
+    val back = spark.read.parquet(s"$outDir/data")
+    back.groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("shuffle_key").cast("decimal(20,0)")).cast("string")
+          .as("key_checksum"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
+    spark.read.parquet(s"$outDir/_manifest")
+  }
+
   /** Single-window reference form of [[proportionalSample]] — the spec
     * pins the two-stage operator bit-identical to this. Not the scale
     * path (one window partition per stratum). */

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Curation
+
+/** Specs for the training-shard export ([[Curation.exportShards]]) —
+  * the pipeline's last mile. Pins the properties the manifest claims:
+  * exactly-once row coverage across shards, the deterministic shard
+  * arithmetic, within-shard training order on the BYTES (not the
+  * plan), and run-to-run / partitioning-invariant determinism. */
+class ShardExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(n: Int) =
+    (1 to n).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+
+  private def withDir(body: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    try body(dir)
+    finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  test("every row lands in exactly one shard, at its computed assignment") {
+    withDir { root =>
+      val df = docs(500)
+      Curation.exportShards(df, "doc_id", 8, root)
+      val back = spark.read.parquet(s"$root/data")
+      assert(back.count() === 500L)
+      assert(back.select("doc_id").distinct().count() === 500L)
+      // on-disk shard == the pure-function assignment, for every row
+      assert(back.where(col("shard") =!=
+        pmod(Curation.shuffleKey(col("doc_id")), lit(8L)).cast("int"))
+        .isEmpty)
+      // manifest totals cover the corpus
+      val m = spark.read.parquet(s"$root/_manifest")
+      assert(m.agg(sum("n_rows")).head.getLong(0) === 500L)
+      assert(m.count() === 8L, "500 md5-spread rows hit all 8 shards")
+    }
+  }
+
+  test("within a shard the written bytes are in deterministic training order") {
+    withDir { root =>
+      Curation.exportShards(docs(400), "doc_id", 4, root)
+      (0 until 4).foreach { s =>
+        val rows = spark.read.parquet(s"$root/data/shard=$s")
+          .select("shuffle_key", "doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(rows === rows.sorted,
+          s"shard $s must be written sorted by (shuffle_key, id)")
+      }
+    }
+  }
+
+  test("the export is deterministic across runs and input partitionings") {
+    withDir { root =>
+      val df = docs(300)
+      def manifest(out: String, d: org.apache.spark.sql.DataFrame) =
+        Curation.exportShards(d, "doc_id", 8, out)
+          .orderBy("shard").collect().toSeq
+      val a = manifest(s"$root/a", df)
+      val b = manifest(s"$root/b", df.repartition(7))
+      assert(a === b, "manifests must be bit-identical across runs and " +
+        "partitionings — the shuffle is a pure function of the ids")
+    }
+  }
+
+  test("an empty corpus is refused by name") {
+    withDir { root =>
+      val e = intercept[IllegalArgumentException] {
+        Curation.exportShards(docs(10).where(lit(false)), "doc_id", 4, root)
+      }
+      assert(e.getMessage.contains("empty"), e.getMessage)
+    }
+  }
+}
