@@ -262,6 +262,29 @@ object Curation {
     spark.read.parquet(s"$outDir/_manifest")
   }
 
+  /** The RECEIPT side of [[exportShards]]: recompute the manifest from
+    * the shard bytes actually present and compare against the shipped
+    * manifest — what a consumer runs after a transfer (or an auditor
+    * after an incident) before training on the shards. Returns ONLY the
+    * discrepancies (`shard`, manifest vs found rows and checksums; a
+    * shard missing from either side shows as nulls on that side) —
+    * empty means verified. Cost: one scan of the shards + a shard-count
+    * join; the manifest side is shard-count rows. */
+  def verifyShards(spark: org.apache.spark.sql.SparkSession,
+                   outDir: String): DataFrame = {
+    val shipped = spark.read.parquet(s"$outDir/_manifest")
+      .select(col("shard"), col("n_rows").as("manifest_rows"),
+        col("key_checksum").as("manifest_checksum"))
+    val found = spark.read.parquet(s"$outDir/data")
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("found_rows"),
+        sum(col("shuffle_key").cast("decimal(20,0)")).cast("string")
+          .as("found_checksum"))
+    shipped.join(found, Seq("shard"), "full_outer")
+      .where(!(col("manifest_rows") <=> col("found_rows")) ||
+        !(col("manifest_checksum") <=> col("found_checksum")))
+  }
+
   /** Single-window reference form of [[proportionalSample]] — the spec
     * pins the two-stage operator bit-identical to this. Not the scale
     * path (one window partition per stratum). */

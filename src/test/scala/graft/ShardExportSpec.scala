@@ -67,6 +67,22 @@ class ShardExportSpec extends SparkSpec {
     }
   }
 
+  test("receipt verification: clean shards verify, a lost shard is named") {
+    withDir { root =>
+      Curation.exportShards(docs(200), "doc_id", 4, root)
+      assert(Curation.verifyShards(spark, root).isEmpty,
+        "a clean export must verify against its own manifest")
+      // lose one shard's bytes (a failed transfer): the discrepancy
+      // names the shard with nulls on the found side
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/data/shard=2"), true)
+      val bad = Curation.verifyShards(spark, root).collect()
+      assert(bad.map(_.getInt(0)).toSeq === Seq(2), bad.mkString(","))
+      assert(bad.head.isNullAt(bad.head.fieldIndex("found_rows")))
+    }
+  }
+
   test("an empty corpus is refused by name") {
     withDir { root =>
       val e = intercept[IllegalArgumentException] {
