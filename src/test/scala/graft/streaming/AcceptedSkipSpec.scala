@@ -64,6 +64,9 @@ class AcceptedSkipSpec extends SparkSpec {
         StatsIndex.mayContainBetween("batch", 0L, 3L),
         col("batch") <= 3L)
       assert(asOf.keptFiles === 1, s"kept ${asOf.keptFiles}")
+      // plan-level pin: the frame is BACKED by exactly the kept files —
+      // the skipped ones never enter the scan, they aren't filtered out
+      assert(asOf.df.inputFiles.length === asOf.keptFiles)
       assert(idsOf(asOf.df) ===
         idsOf(AcceptedSink.readAcceptedAsOf(spark, acc, 3L)))
       // a miss everywhere returns a schema'd empty, zero files read
