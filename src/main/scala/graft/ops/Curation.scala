@@ -241,7 +241,16 @@ object Curation {
     * is shard-count rows. Refuses an empty corpus by name (an empty
     * export is a pipeline bug upstream, and an empty partitioned write
     * round-trips as an unreadable directory). Returns the manifest as
-    * re-read from disk. */
+    * re-read from disk.
+    *
+    * Contract notes: a shard the hash assigns no rows gets NO directory
+    * and NO manifest row (the manifest is the authority on what exists
+    * — consumers iterate it, never `0..numShards`); ids need not be
+    * unique or positive (duplicates share a key and both ship; the
+    * count and checksum track them). The output directory is a plain
+    * overwrite target, not a versioned store — one dataset version per
+    * `outDir`, and concurrent exports to one `outDir` are the caller's
+    * race to avoid. */
   def exportShards(df: DataFrame, idCol: String, numShards: Int,
                    outDir: String): DataFrame = {
     val spark = df.sparkSession

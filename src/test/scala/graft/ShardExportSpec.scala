@@ -83,6 +83,32 @@ class ShardExportSpec extends SparkSpec {
     }
   }
 
+  test("property: arbitrary ids (negative, duplicate) ship exactly-once and verify") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // deliberately nasty id lists: negatives, duplicates (small range
+    // forces collisions), extremes — fixed seeds, no scalatestplus
+    // bridge (the PropertySpec pattern)
+    val idGen = Gen.oneOf(
+      Gen.chooseNum(-5L, 5L),
+      Gen.chooseNum(Long.MinValue + 1, Long.MaxValue))
+    val listGen = Gen.chooseNum(1, 40).flatMap(Gen.listOfN(_, idGen))
+    val lists = (0 until 6).flatMap(i =>
+      listGen.apply(Gen.Parameters.default, Seed(1234L + i)))
+    lists.foreach { ids =>
+      withDir { root =>
+        val df = ids.map(i => (i, "t")).toDF("doc_id", "text")
+        val manifest = Curation.exportShards(df, "doc_id", 4, root)
+        // exactly-once: total mass preserved (duplicates included)
+        assert(manifest.agg(sum("n_rows")).head.getLong(0) === ids.size.toLong)
+        // the manifest is the authority: only assigned shards exist
+        assert(manifest.count() ===
+          spark.read.parquet(s"$root/data").select("shard").distinct().count())
+        assert(Curation.verifyShards(spark, root).isEmpty)
+      }
+    }
+  }
+
   test("an empty corpus is refused by name") {
     withDir { root =>
       val e = intercept[IllegalArgumentException] {
