@@ -108,6 +108,14 @@ object TriadPipeline {
     val o3 = IvfIngestStream.processBatch(survivors2, batchId,
       cfg.ivfDir, cfg.idCol, cfg.vecCol, cfg.vectorCompactEvery,
       cfg.checkpointDir, cfg.driftGateMinRows)
+    // the curation REJECTED-AUDIT sink is the same partition-per-batch
+    // layout as the accepted sinks and would grow a directory per batch
+    // forever without the same remedy — fold it on the same cadence
+    // trip stage 1 uses (the audit log is verdict-only and nothing
+    // replays from it, so the fold rules are strictly sufficient; read
+    // it back through AcceptedSink.readAccepted once folding has run)
+    if (o0.nonEmpty && o1.compactedTo.nonEmpty)
+      AcceptedSink.fold(spark, cfg.curationRejected, belowBatch = batchId): Unit
     TriadOutcome(o1, o2, o3, o0)
   }
 

@@ -69,6 +69,15 @@ class PipelineEndToEndSpec extends SparkSpec {
         s"${cfg.semanticAccepted}/_archive/v=$v/stats/_SUCCESS"))),
         "a cadence fold must have written the stats index")
 
+      // the rejected-audit log rode the same fold lifecycle: its batch
+      // directories bound to cadence trips, its verdicts intact across
+      // the fold (202's rejection is still on the record, text-free)
+      assert(AcceptedSink.maxFoldedBatch(spark, cfg.curationRejected).nonEmpty,
+        "the rejected audit must fold on the cadence")
+      val rejectedLog = AcceptedSink.readAccepted(spark, cfg.curationRejected)
+      assert(rejectedLog.where(col("doc_id") === 202L).count() === 1L)
+      assert(!rejectedLog.columns.contains("text"))
+
       // the corpus as the consumer sees it
       def ids(dir: String): Set[Long] =
         AcceptedSink.readAccepted(spark, dir)
