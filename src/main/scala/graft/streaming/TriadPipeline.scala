@@ -395,10 +395,10 @@ object TriadPipeline {
       case _ => ()
     }
 
-    // ---- accepted sinks: archive chain, watermark, tombstone schema ---
-    val sinks = Seq(("dedup accepted sink", cfg.minhashAccepted),
-      ("semantic accepted sink", cfg.semanticAccepted))
-    val sinkCover: Seq[Option[Long]] = sinks.map { case (name, dir) =>
+    // ---- accepted sinks (and, when configured, the curation
+    // rejected-audit sink, which folds on the same cadence): archive
+    // chain, watermark, tombstone schema -------------------------------
+    def sinkCheck(name: String, dir: String): Option[Long] =
       if (!AcceptedSink.hasAccepted(spark, dir)) {
         finding(name, "info", s"$dir holds nothing yet (no archive, no " +
           "live batch directories) — expected before the first batch")
@@ -423,15 +423,16 @@ object TriadPipeline {
         checked(name)(AcceptedSink.readAccepted(spark, dir).schema)
         (live.maxOption.toSeq ++ watermark.toSeq).maxOption
       }
-    }
-    (sinkCover.head, sinkCover.last) match {
-      case (dedupCover, Some(semMax)) =>
-        if (!dedupCover.exists(_ >= semMax)) finding("stage handoff", "error",
-          s"semantic accepted sink reaches batch $semMax but the dedup " +
-            s"sink only ${dedupCover.fold("<nothing>")(c => s"batch $c")} " +
-            "— stage 2 consumed bytes stage 1 never committed, which the " +
-            "composition cannot produce")
-      case _ => ()
+    val dedupCover = sinkCheck("dedup accepted sink", cfg.minhashAccepted)
+    val semCover = sinkCheck("semantic accepted sink", cfg.semanticAccepted)
+    if (cfg.curation.nonEmpty)
+      sinkCheck("curation rejected sink", cfg.curationRejected): Unit
+    semCover.foreach { semMax =>
+      if (!dedupCover.exists(_ >= semMax)) finding("stage handoff", "error",
+        s"semantic accepted sink reaches batch $semMax but the dedup " +
+          s"sink only ${dedupCover.fold("<nothing>")(c => s"batch $c")} " +
+          "— stage 2 consumed bytes stage 1 never committed, which the " +
+          "composition cannot produce")
     }
 
     // ---- checkpoint ----------------------------------------------------
