@@ -289,7 +289,12 @@ object TriadPipeline {
     *    clean bill should be read after the drain.
     *
     * Structural checks are driver-side fs metadata only — no Spark job,
-    * so the audit is safe on any cadence at any corpus size. `deep`
+    * so the audit is safe on any cadence at any corpus size. Against a
+    * LIVE stream it is read-only and harmless, but it can race a fold
+    * or prune mid-walk and report a transient error for state that is
+    * correct a moment later — monitoring should re-read once before
+    * alerting, or run the audit between batches (the per-use checks
+    * inside the loops stay authoritative either way). `deep`
     * adds data-mass containment proofs: per-live-batch stage-handoff
     * containment (batch-mass), final-corpus ⊆ stage-1-corpus, and
     * accepted-corpus ⊆ index-store coverage (these two scan the
