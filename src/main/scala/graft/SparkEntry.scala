@@ -838,6 +838,19 @@ object SparkEntry {
     }
   }
 
+  /** Deterministic weighted sampling ([[graft.ops.Curation
+    * .weightedSample]], Efraimidis–Spirakis keys over hash-derived
+    * uniforms): 200 documents drawn with probability ∝ `n_chars`. The
+    * selection AND the quantized keys are pure functions of the ids,
+    * so DuckDB recomputes the identical sample — every arithmetic step
+    * is IEEE-exact except `pow`, whose ulp-level libm variance the
+    * DECIMAL(14,12) quantization collapses below the orderable grid. */
+  def qWeightedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.weightedSample(
+      t(spark, dir, "documents"), "doc_id", col("n_chars"), 200)
+      .select(col("doc_id"), col("sample_key").cast("string").as("sample_key"))
+      .orderBy("doc_id")
+
   /** Exact all-pairs hamming reference for the simhash contract gate:
     * every (id_a < id_b, hamming ≤ maxDistance) pair, computed the
     * brute-force way — C(distinct sketches, 2) bit_count comparisons
@@ -2469,6 +2482,7 @@ object SparkEntry {
     "q_ingest_loop"      -> qIngestLoop,
     "q_accepted_asof"    -> qAcceptedAsof,
     "q_train_shards"     -> qTrainShards,
+    "q_weighted_sample"  -> qWeightedSample,
     "q_dedup_simhash"    -> qDedupSimhash,
     "q_ngram_jaccard"    -> qNgramJaccard,
     "q_text_stats"       -> qTextStats,
@@ -3326,6 +3340,19 @@ object SparkEntry {
       """SELECT doc_id, CAST(doc_id % 3 AS INT) AS batch FROM documents
         |WHERE doc_id % 3 <= 1 AND doc_id % 97 <> 3
         |ORDER BY doc_id""".stripMargin,
+    // q_weighted_sample: the Efraimidis–Spirakis selection recomputed
+    // from the ids alone; DECIMAL(14,12) quantization of the pow keys
+    // is the only non-IEEE-exact step's guard
+    "q_weighted_sample" ->
+      """WITH k AS (SELECT doc_id,
+        |             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |                   AS BIGINT) + 1) / 1152921504606846976.0 AS u,
+        |             CAST(n_chars AS DOUBLE) AS w
+        |           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |s AS (SELECT doc_id, CAST(pow(u, 1.0 / w) AS DECIMAL(14,12)) AS sample_key
+        |      FROM k ORDER BY sample_key DESC, doc_id LIMIT 200)
+        |SELECT doc_id, CAST(sample_key AS VARCHAR) AS sample_key
+        |FROM s ORDER BY doc_id""".stripMargin,
     // q_train_shards: the manifest the Spark side re-reads from the
     // written shards, recomputed from the ids alone — the md5-prefix
     // shuffle key is engine-portable (the q_table_checksum arithmetic)

@@ -271,6 +271,50 @@ object Curation {
     spark.read.parquet(s"$outDir/_manifest")
   }
 
+  /** Deterministic uniform in (0, 1] from an id: the 60-bit
+    * [[shuffleKey]] mapped onto the unit interval. Pure function of
+    * the id, and every step (integer +1, int→double, division) is an
+    * IEEE-exact or correctly-rounded operation, so any engine computes
+    * the identical double. */
+  def hashUniform(id: Column): Column =
+    (shuffleKey(id) + lit(1L)).cast("double") / lit(1152921504606846976.0d)
+
+  /** Weighted sampling WITHOUT replacement, deterministic — the
+    * importance-resampling primitive (pick `n` documents with
+    * probability proportional to a quality/importance weight, e.g.
+    * DSIR-style likelihood ratios) with the Efraimidis–Spirakis (2006)
+    * key `u^(1/w)`: the `n` largest keys are exactly a weighted sample
+    * without replacement, and with `u` derived from the id
+    * ([[hashUniform]]) the "randomness" is a pure function of the data
+    * — re-runs, other engines, and grown corpora agree on every
+    * decision (a document's key never changes; only the cut line
+    * moves).
+    *
+    * The key is quantized to DECIMAL(14,12) before ordering: `pow` is
+    * the one step libms may disagree on by an ulp, and the quantization
+    * collapses that below the orderable grid (the house decimal
+    * pattern), with the id as the total tie-break. Rows with NULL or
+    * non-positive weight are EXCLUDED — they have no defined sampling
+    * probability, and silently treating them as tiny weights would let
+    * a data bug sample them anyway.
+    *
+    * Scale shape: one narrow projection + a distributed top-n
+    * (map-side per-partition top-n, merged driver-side — `n` must be
+    * driver-sized, which a SAMPLE is; for rate-based thinning at
+    * corpus scale use [[proportionalSample]]/[[Mix]] instead). Output:
+    * the input columns plus `sample_key` (the quantized key), NOT
+    * re-ordered by id — callers sort or [[exportShards]] as needed. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+                     n: Int): DataFrame = {
+    require(n >= 1, s"sample size must be >= 1, got $n")
+    df.where(weight.isNotNull && weight > lit(0))
+      .withColumn("sample_key",
+        pow(hashUniform(col(idCol)), lit(1.0d) / weight.cast("double"))
+          .cast("decimal(14,12)"))
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(n)
+  }
+
   /** The RECEIPT side of [[exportShards]]: recompute the manifest from
     * the shard bytes actually present and compare against the shipped
     * manifest — what a consumer runs after a transfer (or an auditor

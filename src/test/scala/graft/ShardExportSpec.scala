@@ -109,6 +109,39 @@ class ShardExportSpec extends SparkSpec {
     }
   }
 
+  test("weighted sample equals a plain-Scala Efraimidis-Spirakis reference") {
+    // the reference recomputes u (md5-prefix arithmetic), the pow key,
+    // and the DECIMAL(14,12) quantization independently of Spark
+    def refKey(id: Long, w: Double): BigDecimal = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(hex.substring(0, 15), 16) + 1L)
+        .toDouble / 1152921504606846976.0d
+      BigDecimal(math.pow(u, 1.0d / w))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val rows = (1L to 300L).map(i => (i, (i % 7 + 1).toDouble))
+    val expected = rows
+      .map { case (id, w) => (id, refKey(id, w)) }
+      .sortBy { case (id, k) => (k.unary_-, id) }
+      .take(40).map(_._1).toSet
+    val got = Curation.weightedSample(
+      rows.toDF("doc_id", "w").repartition(5), "doc_id", col("w"), 40)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+  }
+
+  test("weighted sample: non-positive and null weights are excluded; n covers the rest") {
+    val df = Seq((1L, Some(5.0)), (2L, Some(0.0)), (3L, None),
+      (4L, Some(-1.0)), (5L, Some(2.0)))
+      .toDF("doc_id", "w")
+    val got = Curation.weightedSample(df, "doc_id", col("w"), 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 5L),
+      "only positively-weighted rows have a sampling probability")
+  }
+
   test("an empty corpus is refused by name") {
     withDir { root =>
       val e = intercept[IllegalArgumentException] {
