@@ -871,6 +871,20 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("weighted sample is a map-side top-n, never a global sort") {
+    // TakeOrderedAndProject = per-partition partial top-n merged
+    // driver-side (n-bounded memory); a plain Sort+Limit would
+    // range-shuffle the corpus to order rows the limit then discards
+    val plan = graft.ops.Curation.weightedSample(
+      t3("documents"), "doc_id",
+      org.apache.spark.sql.functions.col("n_chars"), 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted sample lost its top-n shape:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"weighted sample range-shuffles the corpus:\n$plan")
+  }
+
   private def t3(name: String) =
     spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
 }
