@@ -86,7 +86,8 @@ object TriadLoopBench {
         m.count()
       }
       val (receiptSec, bad) = time(
-        graft.ops.Curation.verifyShards(spark, s"$root/shards").count())
+        graft.ops.Curation.verifyShards(spark, s"$root/shards",
+          "doc_id").count())
       require(bad == 0L, "the receipt must verify")
       println(s"""{"bench":"triad_loop","sf":"$dir","rows":$total,""" +
         s""""init_sec":${r3(initSec)},"batches":[${batchRows.mkString(",")}],""" +

@@ -318,11 +318,42 @@ object Curation {
   /** The RECEIPT side of [[exportShards]]: recompute the manifest from
     * the shard bytes actually present and compare against the shipped
     * manifest — what a consumer runs after a transfer (or an auditor
-    * after an incident) before training on the shards. Returns ONLY the
-    * discrepancies (`shard`, manifest vs found rows and checksums; a
-    * shard missing from either side shows as nulls on that side) —
-    * empty means verified. Cost: one scan of the shards + a shard-count
-    * join; the manifest side is shard-count rows. */
+    * after an incident) before training on the shards. The found-side
+    * checksum is recomputed as [[shuffleKey]] OF THE IDS — not read
+    * from the stored `shuffle_key` column — so a shard whose ids were
+    * altered fails verification even if the key column was left (or
+    * forged) intact; rows where the stored key disagrees with the
+    * recomputed one are additionally surfaced as `key_mismatches`
+    * (0 on a clean shard, and a discrepancy when positive). Returns
+    * ONLY the discrepancies (`shard`, manifest vs found rows and
+    * checksums; a shard missing from either side shows as nulls on
+    * that side) — empty means verified. Cost: one scan of the shards +
+    * a shard-count join; the manifest side is shard-count rows. */
+  def verifyShards(spark: org.apache.spark.sql.SparkSession,
+                   outDir: String, idCol: String): DataFrame = {
+    val shipped = spark.read.parquet(s"$outDir/_manifest")
+      .select(col("shard"), col("n_rows").as("manifest_rows"),
+        col("key_checksum").as("manifest_checksum"))
+    val recomputed = shuffleKey(col(idCol))
+    val found = spark.read.parquet(s"$outDir/data")
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("found_rows"),
+        sum(recomputed.cast("decimal(20,0)")).cast("string")
+          .as("found_checksum"),
+        sum(when(col("shuffle_key") =!= recomputed, 1L).otherwise(0L))
+          .as("key_mismatches"))
+    shipped.join(found, Seq("shard"), "full_outer")
+      .where(!(col("manifest_rows") <=> col("found_rows")) ||
+        !(col("manifest_checksum") <=> col("found_checksum")) ||
+        coalesce(col("key_mismatches"), lit(0L)) > 0)
+  }
+
+  /** [[verifyShards]] without the id column: checks COMPLETENESS only
+    * (row counts and the stored-key checksum — a lost or truncated
+    * shard is named), not id integrity; a shard whose ids were altered
+    * with the stored `shuffle_key` column left intact still verifies
+    * clean here. Prefer the `idCol` form whenever the id column's name
+    * is known. */
   def verifyShards(spark: org.apache.spark.sql.SparkSession,
                    outDir: String): DataFrame = {
     val shipped = spark.read.parquet(s"$outDir/_manifest")

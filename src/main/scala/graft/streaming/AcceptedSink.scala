@@ -279,9 +279,12 @@ object AcceptedSink {
     * accepted corpus — include `batch` in `statsCols` to make as-of
     * reads ([[readAcceptedAsOf]]) skip too (each fold's files span one
     * cadence window of batch ids, so the intervals are naturally
-    * disjoint). Indexed columns must have footer-exact stats
-    * (long/int/double/date/string — [[graft.sources.StatsIndex
-    * .footerStatsAreExact]]); the build fails by name otherwise. */
+    * disjoint). Indexed columns must have footer-USABLE stats —
+    * exact for long/int/double/date ([[graft.sources.StatsIndex
+    * .footerStatsAreExact]]); ENCLOSING for string (parquet writers
+    * may truncate binary min/max to bounds that contain every value
+    * without being one — pruning stays sound, the bounds just
+    * over-approximate). The build fails by name on anything else. */
   def fold(spark: SparkSession, acceptedDir: String, belowBatch: Long,
            statsCols: Seq[String]): Option[Long] = {
     val root = archiveRoot(acceptedDir)
@@ -513,7 +516,17 @@ object AcceptedSink {
     * fail by name on external tampering). `statsCols` names the columns
     * the LIVE tier indexes on the fly and must cover every column
     * `keep` references (archive versions indexed with fewer columns
-    * fail loudly at predicate resolution, never prune unsoundly). */
+    * fail loudly at predicate resolution, never prune unsoundly).
+    *
+    * NOT a snapshot read (the object-level caveat applies here too,
+    * and with a wider window than [[readAccepted]]): the archive chain
+    * is resolved BEFORE the live directories are listed, so a fold
+    * committing in between moves rows into an archive version absent
+    * from the already-resolved chain while deleting their live
+    * directory — those rows are silently missed (and a fold racing the
+    * later per-directory footer reads surfaces as a read error
+    * instead). Serialize this read with the folding maintainer, or
+    * re-invoke when [[maxFoldedBatch]] moved across the call. */
   def prunedReadAccepted(spark: SparkSession, acceptedDir: String,
                          statsCols: Seq[String],
                          keep: org.apache.spark.sql.Column,

@@ -388,6 +388,19 @@ object TriadPipeline {
           s"$downName ledger reached batch $down but upstream $upName " +
             s"only batch $up — a downstream stage ran a batch its input " +
             "stage never committed (run outside the composition?)")
+      case Seq((upName, None), (downName, Some(down))) =>
+        // an EMPTY upstream ledger is not a free pass: the composition
+        // runs every stage per batch, so downstream entries with no
+        // upstream trace mean the upstream ledger was cleared outside
+        // the loop (or the stage ran outside the composition) — the
+        // same class the Some/Some branch catches, just with the
+        // evidence removed
+        finding("stage order", "warn",
+          s"$downName ledger reached batch $down but upstream $upName " +
+            "has NO live ledger entries — the upstream ledger was " +
+            "emptied outside the loop or the downstream stage ran " +
+            "outside the composition; the ordering check cannot vouch " +
+            "for this pair")
       case _ => ()
     }
     (ledgerMaxes.head, ledgerMaxes.last) match {
@@ -397,6 +410,11 @@ object TriadPipeline {
             "exceeds the one-batch crash window, so at least one whole " +
             "batch ran stage 1 without reaching stage 3 outside a live " +
             "replay; replay the stream before trusting the indexes")
+      case (None, Some(ivf)) =>
+        finding("stage order", "warn",
+          s"ivf ledger reached batch $ivf but the dedup ledger is " +
+            "empty — the head/last spread check is blind with the " +
+            "upstream evidence gone (emptied outside the loop?)")
       case _ => ()
     }
 

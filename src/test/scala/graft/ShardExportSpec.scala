@@ -70,16 +70,41 @@ class ShardExportSpec extends SparkSpec {
   test("receipt verification: clean shards verify, a lost shard is named") {
     withDir { root =>
       Curation.exportShards(docs(200), "doc_id", 4, root)
-      assert(Curation.verifyShards(spark, root).isEmpty,
+      assert(Curation.verifyShards(spark, root, "doc_id").isEmpty,
         "a clean export must verify against its own manifest")
       // lose one shard's bytes (a failed transfer): the discrepancy
       // names the shard with nulls on the found side
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(spark.sessionState.newHadoopConf())
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/data/shard=2"), true)
-      val bad = Curation.verifyShards(spark, root).collect()
+      val bad = Curation.verifyShards(spark, root, "doc_id").collect()
       assert(bad.map(_.getInt(0)).toSeq === Seq(2), bad.mkString(","))
       assert(bad.head.isNullAt(bad.head.fieldIndex("found_rows")))
+    }
+  }
+
+  test("id tampering is caught by the idCol receipt, not the completeness one") {
+    withDir { root =>
+      Curation.exportShards(docs(60), "doc_id", 2, root)
+      // forge one shard: alter every doc_id but keep the stored
+      // shuffle_key column intact — the completeness receipt (stored
+      // keys only) cannot see it; the idCol receipt recomputes the
+      // checksum from the ids and names the shard
+      val forged = spark.read.parquet(s"$root/data/shard=0")
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val tmp = s"$root/forged"
+      forged.write.parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/data/shard=0"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(s"$root/data/shard=0"))
+      assert(Curation.verifyShards(spark, root).isEmpty,
+        "the completeness-only receipt is blind to id tampering by design")
+      val bad = Curation.verifyShards(spark, root, "doc_id").collect()
+      assert(bad.map(_.getInt(0)).toSeq === Seq(0), bad.mkString(","))
+      assert(bad.head.getLong(bad.head.fieldIndex("key_mismatches")) > 0L,
+        "every forged row's stored key disagrees with the recomputed one")
     }
   }
 
@@ -104,7 +129,7 @@ class ShardExportSpec extends SparkSpec {
         // the manifest is the authority: only assigned shards exist
         assert(manifest.count() ===
           spark.read.parquet(s"$root/data").select("shard").distinct().count())
-        assert(Curation.verifyShards(spark, root).isEmpty)
+        assert(Curation.verifyShards(spark, root, "doc_id").isEmpty)
       }
     }
   }

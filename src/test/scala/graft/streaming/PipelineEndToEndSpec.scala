@@ -111,7 +111,7 @@ class PipelineEndToEndSpec extends SparkSpec {
           .select("doc_id", "text"), "doc_id", 2, shardDir)
       assert(manifest.agg(org.apache.spark.sql.functions.sum("n_rows"))
         .head.getLong(0) === 3L)
-      assert(Curation.verifyShards(spark, shardDir).isEmpty,
+      assert(Curation.verifyShards(spark, shardDir, "doc_id").isEmpty,
         "the shipped shards must verify against their manifest")
     } finally {
       import scala.reflect.io.Directory

@@ -150,6 +150,26 @@ class TriadAuditSpec extends SparkSpec {
     }
   }
 
+  test("an emptied upstream ledger beside populated downstream ledgers is a warn") {
+    withDir { root =>
+      val cfg = cfgFor(root)
+      runHealthy(cfg)
+      // externally empty the dedup ledger: the Some/Some ordering checks
+      // would silently skip this pair — the audit must say it cannot
+      // vouch for the ordering rather than stay quiet
+      val fs = hadoopFs(root)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"${cfg.minhashDir}/_ingest_ledger"), true)
+      val report = TriadPipeline.audit(spark, cfg)
+      assert(report.findings.exists(f => f.surface == "stage order" &&
+        f.severity == "warn" &&
+        f.message.contains("NO live ledger entries")), report.toString)
+      assert(report.findings.exists(f => f.surface == "stage order" &&
+        f.severity == "warn" && f.message.contains("spread check")),
+        report.toString)
+    }
+  }
+
   test("a ledger base above the store head is an error") {
     withDir { root =>
       val cfg = cfgFor(root)
