@@ -119,6 +119,90 @@ object AcceptedSink {
       .map(chain(spark, root, _)).getOrElse(Seq.empty)
   }
 
+  /** The standing accepted schema — what every later batch must match —
+    * or None before anything was accepted. Read from the archive head's
+    * data frame when one exists (minus `batch`, which the fold adds as
+    * a data column), else from the newest live batch directory; a
+    * footer read, no job. The archive is preferred not just for cost:
+    * after a fold the archive IS the corpus's schema authority, so the
+    * policy survives the live directories' deletion. */
+  def acceptedSchema(spark: SparkSession,
+                     acceptedDir: String): Option[org.apache.spark.sql.types.StructType] = {
+    val root = archiveRoot(acceptedDir)
+    VersionedState.latestVersion(spark, root, Subframes)
+      .map { h =>
+        val s = spark.read.parquet(s"$root/v=$h/data").schema
+        org.apache.spark.sql.types.StructType(s.filterNot(_.name == "batch"))
+      }
+      .orElse(liveBatches(spark, acceptedDir).maxOption.map(b =>
+        spark.read.parquet(s"$acceptedDir/batch=$b").schema))
+  }
+
+  /** Type with every nullability flag (top-level, array containsNull,
+    * map valueContainsNull, nested struct fields) and field metadata
+    * erased — the equality the schema policy compares under. An
+    * in-memory batch often carries `array<float> (containsNull=false)`
+    * where the parquet round-trip reads back true; that is not a
+    * retype. */
+  private def comparableType(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ArrayType(e, _) => ArrayType(comparableType(e), containsNull = true)
+      case MapType(k, v, _) =>
+        MapType(comparableType(k), comparableType(v), valueContainsNull = true)
+      case StructType(fields) => StructType(fields.map(f =>
+        StructField(f.name, comparableType(f.dataType), nullable = true)))
+      case other => other
+    }
+  }
+
+  /** SCHEMA-EVOLUTION POLICY, enforced at accept time: a batch must
+    * carry EXACTLY the standing accepted schema — same column names,
+    * same types, order-free. Added, dropped, and retyped columns all
+    * FAIL BY NAME, each class listed separately; the first accepted
+    * batch establishes the schema. Nullability is not compared, at any
+    * nesting depth (parquet round-trips it loosely and a null-free
+    * batch proves nothing about the next one).
+    *
+    * Why refuse instead of evolving: the sink's readers union the two
+    * tiers with `unionByName` and fold live directories into archive
+    * versions — a silently accepted wider batch would either fail every
+    * later read with a resolution error naming neither the batch nor
+    * the moment the schema drifted, or (with permissive union) null-
+    * fill history so downstream training reads half-populated columns
+    * as data — the silent-wrong-answer class this house refuses.
+    * Widening the corpus schema is a REBUILD-level decision: compact
+    * the archive, migrate it explicitly, then restart the stream.
+    * Cost: one footer read per batch (the protocol already pays a
+    * same-class ledger read); call it just before the batch write, as
+    * the ingest loops do. */
+  def requireSchemaCompatible(spark: SparkSession, acceptedDir: String,
+                              batch: DataFrame): Unit =
+    acceptedSchema(spark, acceptedDir).foreach { standing =>
+      val have = batch.schema
+      val added = have.fieldNames.filterNot(standing.fieldNames.contains)
+      val dropped = standing.fieldNames.filterNot(have.fieldNames.contains)
+      val retyped = standing.flatMap { f =>
+        have.find(_.name == f.name).collect {
+          case g if comparableType(g.dataType) != comparableType(f.dataType) =>
+            s"${f.name} (accepted ${f.dataType.simpleString}, batch " +
+              s"${g.dataType.simpleString})"
+        }
+      }
+      require(added.isEmpty && dropped.isEmpty && retyped.isEmpty,
+        s"accepted corpus at $acceptedDir: the batch's schema does not " +
+          "match the standing accepted schema — " +
+          (if (added.nonEmpty)
+            s"batch ADDS column(s) ${added.sorted.mkString(", ")}; " else "") +
+          (if (dropped.nonEmpty)
+            s"batch DROPS column(s) ${dropped.sorted.mkString(", ")}; " else "") +
+          (if (retyped.nonEmpty)
+            s"batch RETYPES column(s) ${retyped.sorted.mkString(", ")}; " else "") +
+          "the sink refuses schema drift at accept time (evolving the " +
+          "corpus schema is an explicit archive migration, not a batch " +
+          "side effect)")
+    }
+
   /** The fold watermark: every batch directory at or below it is
     * archived (or dead debris). None before the first fold. */
   def maxFoldedBatch(spark: SparkSession,

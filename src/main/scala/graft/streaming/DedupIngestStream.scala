@@ -123,6 +123,9 @@ object DedupIngestStream {
       // repartition is one batch-mass exchange — the loop's own cost
       // class — and coalesce would be wrong here: with no shuffle
       // boundary above it, it collapses the probe's scan parallelism.
+      // schema policy before any byte lands: a drifted batch fails by
+      // name here, not as a resolution error in some later read/fold
+      AcceptedSink.requireSchemaCompatible(spark, acceptedDir, b)
       IngestProtocol.keepFirstSurvivors(b, pairs, idCol)
         .repartition(IngestProtocol.boundedFileCount(b.count()))
         .write.mode("overwrite").parquet(outPath)

@@ -125,6 +125,9 @@ object SemanticIngestStream {
       // file count bounded by row mass — the DedupIngestStream rationale
       // (no shuffle in the survivor lineage, so the write would inherit
       // the source partition count)
+      // schema policy before any byte lands (the DedupIngestStream
+      // rationale: a drifted batch fails by name here, not later)
+      AcceptedSink.requireSchemaCompatible(spark, acceptedDir, b)
       IngestProtocol.keepFirstSurvivors(b, pairs, idCol)
         .repartition(IngestProtocol.boundedFileCount(batchRows))
         .write.mode("overwrite").parquet(outPath)
