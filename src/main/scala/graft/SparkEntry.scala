@@ -1151,6 +1151,38 @@ object SparkEntry {
       t(spark, dir, "part").select("p_partkey", "p_brand", "p_name"),
       "p_name", Seq("p_brand"), maxDist = 4)
 
+  /** INCREMENTAL entity resolution ([[graft.ops.LinkageStore]]) —
+    * the maintained form of [[qEntityResolution]], gated to the SAME
+    * oracle: init a scratch store over the standing part rows
+    * (p_partkey % 5 ≠ 0), fold the remaining rows in as a batch
+    * (batch-mass comparisons and component work only — the
+    * q_minhash_incr economics applied to linkage), then relabel the
+    * WHOLE table through the store's standing state. The oracle is the
+    * batch recursive-CTE closure over the full table, so the
+    * hash-match proves the incremental append's label algebra
+    * (label-rewritten component edges, canonical-flip relabeling)
+    * answers exactly what the one-shot resolution answers — merges
+    * and canonical changes across the batch boundary included.
+    * Materialized before the scratch store is deleted (the
+    * qMinhashStore pattern). */
+  def qLinkageIncr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.LinkageStore
+    val part = t(spark, dir, "part").select("p_partkey", "p_brand", "p_name")
+    val store = java.nio.file.Files.createTempDirectory("q-linkage-incr").toString
+    try {
+      LinkageStore.init(part.where(col("p_partkey") % 5 =!= 0), store,
+        "p_name", Seq("p_brand"), maxDist = 4)
+      LinkageStore.append(spark, store,
+        part.where(col("p_partkey") % 5 === 0), expectedBase = 0L)
+      val out = LinkageStore.resolveRows(spark, store, part)
+      val rows = out.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), out.schema)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(store)).deleteRecursively()
+    }
+  }
+
   /** The CURATION GATE's decision function in batch form, oracle-gated:
     * every document's first failing screen (or `kept`) under a standard
     * rule (≥ 20 tokens, quality ≥ 0.5, lang ∈ {en, zh};
@@ -2536,6 +2568,7 @@ object SparkEntry {
     "q_edit_near_dups"   -> qEditNearDups,
     "q_sorted_neighbors" -> qSortedNeighbors,
     "q_entity_resolution" -> qEntityResolution,
+    "q_linkage_incr"     -> qLinkageIncr,
     "q_retention"        -> qRetention,
     "q_outliers"         -> qOutliers,
     "q_dup_spans"        -> qDupSpans,
@@ -2790,6 +2823,37 @@ object SparkEntry {
   private def langScoreSql(grams: Seq[String]): String =
     grams.map(g => s"(length(t) - length(replace(t, '$g', ''))) / ${g.length}.0")
       .mkString("CAST(", " + ", " AS BIGINT)")
+
+  /** The batch entity-resolution oracle — shared verbatim by
+    * `q_entity_resolution` (the one-shot operator) and `q_linkage_incr`
+    * (the [[graft.ops.LinkageStore]] lifecycle), because the store's
+    * whole contract is answering exactly what the one-shot resolution
+    * answers: the same distinct-value edit-distance pairs, a
+    * recursive-CTE transitive closure over `brand||chr(1)||value`
+    * nodes, min-label canonicalization, and the row-level relabel. */
+  private val entityResolutionOracleSql: String =
+    """WITH RECURSIVE
+      |v AS (SELECT p_brand, p_name AS value FROM part
+      |      WHERE p_name IS NOT NULL GROUP BY 1, 2),
+      |pairs AS (SELECT a.p_brand, a.value AS va, b.value AS vb
+      |          FROM v a JOIN v b
+      |            ON a.p_brand = b.p_brand AND a.value < b.value
+      |          WHERE abs(length(a.value) - length(b.value)) <= 4
+      |            AND levenshtein(a.value, b.value) <= 4),
+      |edges AS (SELECT p_brand || chr(1) || va AS src,
+      |                 p_brand || chr(1) || vb AS dst FROM pairs
+      |          UNION
+      |          SELECT p_brand || chr(1) || vb, p_brand || chr(1) || va
+      |          FROM pairs),
+      |walk AS (SELECT src AS id, dst AS reach FROM edges
+      |         UNION
+      |         SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+      |comp AS (SELECT id, least(id, min(reach)) AS label FROM walk GROUP BY id)
+      |SELECT p.p_partkey, p.p_brand, p.p_name,
+      |       coalesce(string_split(c.label, chr(1))[-1], p.p_name) AS canonical_p_name
+      |FROM part p LEFT JOIN comp c
+      |  ON p.p_brand || chr(1) || p.p_name = c.id
+      |ORDER BY p.p_partkey""".stripMargin
 
   private def langIdOracle: String = {
     val langs = TextOps.langProfiles.map(_._1)
@@ -3410,33 +3474,12 @@ object SparkEntry {
         |WHERE abs(length(a.value) - length(b.value)) <= 4
         |  AND levenshtein(a.value, b.value) <= 4
         |ORDER BY 1, 2, 3""".stripMargin,
-    "q_entity_resolution" ->
-      // the whole chain replayed: distinct-value pairs (the
-      // q_edit_near_dups mirror), recursive-CTE closure over
-      // brand||chr(1)||value nodes, min-label canonicalization,
-      // row relabel
-      """WITH RECURSIVE
-        |v AS (SELECT p_brand, p_name AS value FROM part
-        |      WHERE p_name IS NOT NULL GROUP BY 1, 2),
-        |pairs AS (SELECT a.p_brand, a.value AS va, b.value AS vb
-        |          FROM v a JOIN v b
-        |            ON a.p_brand = b.p_brand AND a.value < b.value
-        |          WHERE abs(length(a.value) - length(b.value)) <= 4
-        |            AND levenshtein(a.value, b.value) <= 4),
-        |edges AS (SELECT p_brand || chr(1) || va AS src,
-        |                 p_brand || chr(1) || vb AS dst FROM pairs
-        |          UNION
-        |          SELECT p_brand || chr(1) || vb, p_brand || chr(1) || va
-        |          FROM pairs),
-        |walk AS (SELECT src AS id, dst AS reach FROM edges
-        |         UNION
-        |         SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
-        |comp AS (SELECT id, least(id, min(reach)) AS label FROM walk GROUP BY id)
-        |SELECT p.p_partkey, p.p_brand, p.p_name,
-        |       coalesce(string_split(c.label, chr(1))[-1], p.p_name) AS canonical_p_name
-        |FROM part p LEFT JOIN comp c
-        |  ON p.p_brand || chr(1) || p.p_name = c.id
-        |ORDER BY p.p_partkey""".stripMargin,
+    "q_entity_resolution" -> entityResolutionOracleSql,
+    // q_linkage_incr: the incremental store must answer EXACTLY what
+    // the one-shot batch resolution answers over the full table — the
+    // oracle is therefore the identical recursive-CTE closure; the
+    // split/append lifecycle lives only on the Spark side
+    "q_linkage_incr" -> entityResolutionOracleSql,
     "q_sorted_neighbors" ->
       // the naive form of the same contract: rank the distinct values,
       // self-join on rank distance 1..8 — the Spark side must emit
