@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Link-graph analytics for corpus curation. PageRank over a domain /
@@ -68,6 +68,96 @@ object Graph {
         .select(col("node"),
           (lit(base) + lit(damping) *
             coalesce(col("mass").cast("double"), lit(0.0))).as("rank"))
+      i += 1
+    }
+    ranks
+  }
+
+  /** [[pageRank]] for MANY rounds — the production shape. The unrolled
+    * form nests one join-aggregate-join layer per round into a single
+    * plan: fine at 3 rounds (the gate), untenable at 20+ (plan
+    * analysis/codegen grow superlinearly with depth and the lineage
+    * recomputes on any retry). This variant cuts the lineage every
+    * round with a parquet round-trip into `scratchDir/round=N`: each
+    * round's plan is one join-agg-join over a FLAT scan, so cost per
+    * round is constant in the round count (measured —
+    * `PageRankBench` / SCALE.md), retries of round N re-read round
+    * N−1's bytes instead of recomputing N−1 rounds, and a crashed job
+    * RESUMES from the highest committed round (the `_SUCCESS` marker;
+    * a half-written round is overwritten). Only the last committed
+    * round is kept on disk — bounded scratch, O(nodes) per round.
+    *
+    * Bit-identity with the unrolled form (spec-pinned): ranks are IEEE
+    * doubles, which parquet round-trips exactly, and the one
+    * order-sensitive aggregation is already quantized to exact decimal
+    * (the [[pageRank]] doctrine) — so N checkpointed rounds produce
+    * the bit-identical vector to N unrolled rounds, resumed or not.
+    * Resume contract: the caller must re-invoke with the same edge
+    * CONTENT (round files carry no edge fingerprint — a changed graph
+    * resumed mid-walk answers neither graph's PageRank; use a fresh
+    * scratchDir per graph version). */
+  def pageRankCheckpointed(edges: DataFrame, srcCol: String, dstCol: String,
+                           iters: Int, scratchDir: String,
+                           damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1): $damping")
+    val spark = edges.sparkSession
+    val e = OpCaches.registered(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull)
+        .distinct())
+    val nodes = OpCaches.registered(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct())
+    val n = nodes.count()
+    require(n > 0, "pageRank over an empty graph")
+    // consumed once per round: cache across the loop, not per round
+    val outdeg = OpCaches.registered(
+      e.groupBy("src").agg(count(lit(1)).as("deg")))
+    val base = (1.0 - damping) / n.toDouble
+    val (fs, _) = VersionedState.fsPath(spark, scratchDir)
+    val roundRe = "round=(\\d+)".r
+    val committed = {
+      val p = new org.apache.hadoop.fs.Path(scratchDir)
+      if (!fs.exists(p)) Seq.empty[Long]
+      else fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
+        case s @ roundRe(r) if fs.exists(new org.apache.hadoop.fs.Path(
+          s"$scratchDir/$s/_SUCCESS")) => r.toLong
+      }
+    }
+    // a committed round ABOVE the requested count means the scratch
+    // belongs to a longer walk: refusing beats silently answering from
+    // (or re-walking past) someone else's rounds
+    require(committed.forall(_ <= iters),
+      s"pageRankCheckpointed at $scratchDir: committed round(s) " +
+        s"${committed.filter(_ > iters).sorted.mkString(", ")} exceed the " +
+        s"requested $iters — this scratch holds a longer walk; use a " +
+        "fresh scratchDir (or request at least as many rounds)")
+    var i = committed.maxOption.getOrElse(0L)
+    var ranks =
+      if (i == 0L) nodes.withColumn("rank", lit(1.0 / n.toDouble))
+      else spark.read.parquet(s"$scratchDir/round=$i")
+    while (i < iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"),
+          (col("rank") / col("deg")).cast("decimal(28,14)").as("q"))
+      val sums = contrib.groupBy("node").agg(sum(col("q")).as("mass"))
+      nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + lit(damping) *
+            coalesce(col("mass").cast("double"), lit(0.0))).as("rank"))
+        .write.mode("overwrite").parquet(s"$scratchDir/round=${i + 1}")
+      ranks = spark.read.parquet(s"$scratchDir/round=${i + 1}")
+      // keep only the newest committed round: delete everything below
+      // AFTER the new round committed (a crash between the write and
+      // the deletes leaves extra rounds, and resume takes the max)
+      fs.listStatus(new org.apache.hadoop.fs.Path(scratchDir)).toSeq
+        .map(_.getPath.getName).collect {
+          case s @ roundRe(r) if r.toLong <= i => s
+        }.foreach(s => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$scratchDir/$s"), true))
       i += 1
     }
     ranks

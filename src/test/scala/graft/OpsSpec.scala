@@ -1765,6 +1765,59 @@ class OpsSpec extends SparkSpec {
     assert(rk.values.sum < 1.0 - 1e-6)
   }
 
+  test("pageRankCheckpointed: bit-identical to unrolled, resumes, bounded scratch") {
+    import graft.ops.Graph
+    // an irregular graph: star + cycle + a sink tail, both directions
+    // where noted — asymmetric enough that every round moves mass
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 5L),
+      (5L, 6L), (6L, 2L), (7L, 1L)) ++
+      (10L to 14L).map(l => (0L, l)) ++ (10L to 14L).map(l => (l, 0L)))
+      .toDF("s", "d")
+    def vec(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    def withDir(body: String => Unit): Unit = {
+      val dir = java.nio.file.Files.createTempDirectory("pr-ckpt").toString
+      try body(dir) finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(dir)).deleteRecursively()
+      }
+    }
+    // 3 rounds: the checkpointed walk must equal the unrolled plan to
+    // the BIT (parquet round-trips doubles exactly; the mass sum is
+    // already exact decimal)
+    val unrolled3 = vec(Graph.pageRank(edges, "s", "d", iters = 3))
+    withDir { dir =>
+      assert(vec(Graph.pageRankCheckpointed(edges, "s", "d", iters = 3,
+        dir)) === unrolled3)
+    }
+    // 20 rounds — where the unrolled plan is untenable: completes,
+    // deterministic across runs, and scratch holds ONLY the last round
+    withDir { a =>
+      withDir { b =>
+        val r20a = vec(Graph.pageRankCheckpointed(edges, "s", "d", 20, a))
+        val r20b = vec(Graph.pageRankCheckpointed(edges, "s", "d", 20, b))
+        assert(r20a === r20b)
+        assert(math.abs(r20a.values.sum - 1.0) < 1e-9,
+          "both-direction graph: mass conserved at 20 rounds")
+        val dirs = new java.io.File(a).listFiles().map(_.getName)
+          .filter(_.startsWith("round=")).toSeq
+        assert(dirs === Seq("round=20"),
+          s"only the newest committed round may remain: $dirs")
+        // resume: a walk stopped at 8 continues to 20 bit-identically
+        withDir { c =>
+          Graph.pageRankCheckpointed(edges, "s", "d", iters = 8, c)
+          assert(vec(Graph.pageRankCheckpointed(edges, "s", "d", 20, c))
+            === r20a)
+        }
+        // a scratch holding a LONGER walk than requested refuses by name
+        val msg = intercept[IllegalArgumentException](
+          Graph.pageRankCheckpointed(edges, "s", "d", iters = 10, a))
+          .getMessage
+        assert(msg.contains("longer walk"), msg)
+      }
+    }
+  }
+
   test("content checksum: layout-invisible, any row difference visible") {
     import graft.pipeline.Diff
     val base = Seq(
