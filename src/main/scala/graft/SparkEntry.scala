@@ -838,6 +838,48 @@ object SparkEntry {
     }
   }
 
+  /** AS-OF-PINNED TRAINING EXPORT ([[graft.streaming.AcceptedSink
+    * .exportShardsAsOf]]) — the round-17 verbs composed into the
+    * reproducibility capstone: the same accepted-corpus lifecycle as
+    * [[qAcceptedAsof]] (three batches by `doc_id % 3`, a fold, a
+    * takedown of `doc_id % 97 = 3`), then ONE call exports the corpus
+    * as of batch 1 into receipt-verifiable shards with the pin
+    * (`as_of_batch`, live-tombstone count + checksum) stamped into the
+    * export. The gate emits the manifest as re-read from disk joined
+    * with the provenance stamp; the oracle re-derives every column
+    * from the raw table — the as-of filter, the retroactive takedown,
+    * the md5-prefix shard assignment and checksums, AND the tombstone
+    * stamp — so the hash-match proves the whole composition, pin
+    * included, cross-engine. Eager lifecycle over a scratch dir (the
+    * qMinhashStore pattern). */
+  def qShardsAsof(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.AcceptedSink
+    val docs = t(spark, dir, "documents").select(col("doc_id"))
+    val root = java.nio.file.Files.createTempDirectory("q-shards-asof").toString
+    try {
+      val acc = s"$root/accepted"
+      (0L to 2L).foreach { b =>
+        docs.where(pmod(col("doc_id"), lit(3)) === b)
+          .coalesce(2).write.parquet(s"$acc/batch=$b")
+      }
+      AcceptedSink.fold(spark, acc, belowBatch = 2L)
+      AcceptedSink.remove(spark, acc,
+        docs.where(pmod(col("doc_id"), lit(97)) === 3), "doc_id")
+      val out = s"$root/export"
+      val manifest = AcceptedSink.exportShardsAsOf(spark, acc,
+        asOfBatch = 1L, "doc_id", numShards = 8, out)
+      val pinned = manifest.crossJoin(
+        AcceptedSink.shardProvenance(spark, out)
+          .select("as_of_batch", "n_tombs", "tombs_checksum"))
+        .orderBy("shard")
+      val rows = pinned.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), pinned.schema)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
+    }
+  }
+
   /** Deterministic weighted sampling ([[graft.ops.Curation
     * .weightedSample]], Efraimidis–Spirakis keys over hash-derived
     * uniforms): 200 documents drawn with probability ∝ `n_chars`. The
@@ -2514,6 +2556,7 @@ object SparkEntry {
     "q_ingest_loop"      -> qIngestLoop,
     "q_accepted_asof"    -> qAcceptedAsof,
     "q_train_shards"     -> qTrainShards,
+    "q_shards_asof"      -> qShardsAsof,
     "q_weighted_sample"  -> qWeightedSample,
     "q_dedup_simhash"    -> qDedupSimhash,
     "q_ngram_jaccard"    -> qNgramJaccard,
@@ -3427,6 +3470,24 @@ object SparkEntry {
         |SELECT CAST(key % 16 AS INT) AS shard, count(*) AS n_rows,
         |       CAST(sum(CAST(key AS DECIMAL(20,0))) AS VARCHAR) AS key_checksum
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_shards_asof: the whole pinned-export composition re-derived
+    // from the raw table — as-of filter + retroactive takedown feed the
+    // shard arithmetic (the q_train_shards mirror), and the tombstone
+    // pin is recomputed from the removal predicate itself
+    "q_shards_asof" ->
+      """WITH k AS (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |                       AS BIGINT) AS key
+        |           FROM documents
+        |           WHERE doc_id % 3 <= 1 AND doc_id % 97 <> 3),
+        |t AS (SELECT count(*) AS n_tombs,
+        |             CAST(sum(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |                                AS BIGINT) AS DECIMAL(20,0))) AS VARCHAR)
+        |               AS tombs_checksum
+        |      FROM documents WHERE doc_id % 97 = 3)
+        |SELECT CAST(key % 8 AS INT) AS shard, count(*) AS n_rows,
+        |       CAST(sum(CAST(key AS DECIMAL(20,0))) AS VARCHAR) AS key_checksum,
+        |       CAST(1 AS BIGINT) AS as_of_batch, t.n_tombs, t.tombs_checksum
+        |FROM k, t GROUP BY 1, 4, 5, 6 ORDER BY 1""".stripMargin,
     // q_dedup_simhash is a CONTRACT GATE (the q_ann_lsh house pattern),
     // not a SQL mirror: the xxhash64 sketch values cannot be reproduced
     // in DuckDB (round-4 analysis — do not retry that conversion). The

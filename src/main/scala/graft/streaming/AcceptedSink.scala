@@ -554,6 +554,61 @@ object AcceptedSink {
                        asOfBatch: Long): DataFrame =
     readAccepted(spark, acceptedDir).where(col("batch") <= asOfBatch)
 
+  /** The REPRODUCIBILITY CAPSTONE — "train on the corpus as of batch
+    * N, provably": [[readAcceptedAsOf]] composed with
+    * [[graft.ops.Curation.exportShards]], with the pin stamped into
+    * the export. The shards land deterministically shuffled with their
+    * receipt manifest (verifiable by
+    * [[graft.ops.Curation.verifyShards]] — from the ids alone), and
+    * `outDir/_provenance` records WHAT was exported: `as_of_batch`,
+    * plus the tombstone state the corpus was read under (`n_tombs`,
+    * `tombs_checksum` — the order-invariant decimal sum of the live
+    * tombstoned ids' shuffle keys, the house checksum arithmetic any
+    * engine recomputes — and `max_minted_below`, the newest
+    * tombstone's mint watermark; 0/"0"/−1 when none). Two exports with
+    * equal provenance are bit-identical manifests; after a takedown,
+    * a re-export's manifest differs from the original by EXACTLY the
+    * withdrawn ids' rows and key mass (spec-pinned), and the
+    * provenance names the takedown state that explains the delta —
+    * takedown is retroactive here exactly as in [[readAcceptedAsOf]].
+    *
+    * Concurrency: an out-of-band maintenance verb — the provenance is
+    * stamped from a second tombstone read after the corpus export, so
+    * serialize with folding/removal maintainers (the object-level
+    * stance) or a racing takedown could land between the two. Returns
+    * the manifest as re-read from disk. */
+  def exportShardsAsOf(spark: SparkSession, acceptedDir: String,
+                       asOfBatch: Long, idCol: String, numShards: Int,
+                       outDir: String): DataFrame = {
+    val manifest = graft.ops.Curation.exportShards(
+      readAcceptedAsOf(spark, acceptedDir, asOfBatch), idCol, numShards,
+      outDir)
+    val (n, checksum, maxMinted) = liveTombs(spark, acceptedDir) match {
+      case Some(t) =>
+        val idName = t.columns.filterNot(_ == "minted_below").head
+        val r = t.agg(
+          org.apache.spark.sql.functions.count(lit(1)),
+          org.apache.spark.sql.functions.sum(
+            graft.ops.Curation.shuffleKey(col(idName))
+              .cast("decimal(20,0)")).cast("string"),
+          org.apache.spark.sql.functions.max(col("minted_below"))).head()
+        (r.getLong(0), Option(r.getString(1)).getOrElse("0"),
+          if (r.isNullAt(2)) -1L else r.getLong(2))
+      case None => (0L, "0", -1L)
+    }
+    import spark.implicits._
+    Seq((asOfBatch, n, checksum, maxMinted))
+      .toDF("as_of_batch", "n_tombs", "tombs_checksum", "max_minted_below")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_provenance")
+    manifest
+  }
+
+  /** The pin an [[exportShardsAsOf]] directory was exported under —
+    * one row (`as_of_batch`, `n_tombs`, `tombs_checksum`,
+    * `max_minted_below`). */
+  def shardProvenance(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/_provenance")
+
   /** The data part-files under a flat directory (no `_`/`.` metadata,
     * no subdirectories) — absolute path strings. */
   private def dataFiles(spark: SparkSession, dir: String): Seq[String] = {

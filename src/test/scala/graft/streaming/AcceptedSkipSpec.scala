@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, pmod}
 import graft.SparkSpec
 import graft.sources.StatsIndex
 
@@ -137,6 +137,55 @@ class AcceptedSkipSpec extends SparkSpec {
       val pruned = AcceptedSink.prunedReadAccepted(spark, acc, Seq("batch"),
         StatsIndex.mayContainBetween("batch", 1L, 1L), col("batch") === 1L)
       assert(idsOf(pruned.df) === (0 until 10).map(1000L + _).toSet - 1001L)
+    }
+  }
+
+  test("as-of-pinned shard export: reproducible, takedown shifts exactly the withdrawn ids") {
+    import graft.ops.Curation
+    withDir { root =>
+      val acc = s"$root/accepted"
+      (0L to 2L).foreach(b => writeBatch(acc, b))
+      AcceptedSink.fold(spark, acc, belowBatch = 2L)
+      def manifest(out: String): Map[Int, (Long, BigInt)] =
+        AcceptedSink.exportShardsAsOf(spark, acc, asOfBatch = 1L,
+          "doc_id", numShards = 4, out)
+          .collect().map(r => r.getInt(0) ->
+            (r.getLong(1), BigInt(r.getString(2)))).toMap
+      val m1 = manifest(s"$root/e1")
+      // equal corpus state → bit-identical manifest, clean pin
+      assert(manifest(s"$root/e1b") === m1)
+      val p1 = AcceptedSink.shardProvenance(spark, s"$root/e1").head()
+      assert((p1.getLong(0), p1.getLong(1), p1.getString(2), p1.getLong(3))
+        === ((1L, 0L, "0", -1L)))
+      // takedown: one id inside the as-of range, one outside — BOTH are
+      // stamped (the pin names the tombstone state, not its overlap)
+      AcceptedSink.remove(spark, acc,
+        Seq(1005L, 2001L).toDF("doc_id"), "doc_id")
+      val m2 = manifest(s"$root/e2")
+      val key1005 = spark.range(1).select(
+        Curation.shuffleKey(lit(1005L)).cast("decimal(20,0)").cast("string"))
+        .head().getString(0)
+      val hitShard = spark.range(1).select(
+        pmod(Curation.shuffleKey(lit(1005L)), lit(4L)).cast("int"))
+        .head().getInt(0)
+      // exactly the withdrawn in-range id left its shard; nothing else
+      assert(m2.keySet === m1.keySet)
+      m1.keySet.foreach { s =>
+        if (s == hitShard) {
+          assert(m2(s)._1 === m1(s)._1 - 1, s"shard $s row count")
+          assert(m2(s)._2 === m1(s)._2 - BigInt(key1005), s"shard $s checksum")
+        } else assert(m2(s) === m1(s), s"shard $s must be untouched")
+      }
+      val p2 = AcceptedSink.shardProvenance(spark, s"$root/e2").head()
+      assert(p2.getLong(1) === 2L)
+      assert(p2.getLong(3) === 3L, "minted below = max live batch + 1")
+      val bothKeys = spark.range(1).select(
+        (Curation.shuffleKey(lit(1005L)).cast("decimal(20,0)") +
+          Curation.shuffleKey(lit(2001L)).cast("decimal(20,0)"))
+          .cast("string")).head().getString(0)
+      assert(p2.getString(2) === bothKeys)
+      // the receipt still verifies from the ids alone
+      assert(Curation.verifyShards(spark, s"$root/e2", "doc_id").isEmpty)
     }
   }
 
