@@ -426,6 +426,38 @@ class PlanQualitySpec extends SparkSpec {
       s"ranking lost its _pid partition spec:\n$ranked")
   }
 
+  test("linkage store reads: keep-latest window stays key-partitioned, row resolve is equi-join only") {
+    import graft.ops.LinkageStore
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan-linkage").toString
+    try {
+      val rows = Seq(("b1", "carl"), ("b1", "karl"), ("b1", "solo"))
+        .toDF("blk", "name")
+      LinkageStore.init(rows, dir, "name", Seq("blk"), maxDist = 1)
+      LinkageStore.append(spark, dir, Seq(("b1", "kari")).toDF("blk", "name"),
+        expectedBase = 0L)
+      val plan = LinkageStore.resolveRows(spark, dir, rows)
+        .queryExecution.executedPlan.toString
+      // the relabel join must never degrade to a quadratic fallback
+      // (the label state is keyed on exactly the caller's block+value)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"resolveRows fell back to a quadratic join:\n$plan")
+      // keep-latest-by-version must stay partitioned on the value key —
+      // an unpartitioned window would funnel the whole label state
+      // through one task at corpus scale
+      val windowLines = plan.linesIterator
+        .filter(_.contains("row_number")).toSeq
+      assert(windowLines.nonEmpty &&
+        windowLines.forall(l => l.contains("blk") && l.contains("name")),
+        s"label keep-latest lost its key partition spec:\n$plan")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("heavy-hitters screen rides the scan below the exact-count exchange") {
     val plan = SparkEntry.qHeavyHitters(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
