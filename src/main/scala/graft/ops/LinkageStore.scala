@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
 /** INCREMENTAL ENTITY RESOLUTION — [[Dedup.resolveEntities]] as a
   * maintained, versioned state instead of a per-run recompute: the
   * standing corpus's resolved labels persist on a [[VersionedState]]
-  * chain, and each arriving batch pays BATCH-mass comparison work only
-  * (the incremental-probe economics `MinhashIndexStore` proved for
-  * near-dup dedup, applied to record linkage), while reading the store
-  * always answers exactly what a batch `resolveEntities` over the whole
-  * accumulated corpus would.
+  * chain, and each arriving batch pays BATCH-mass comparison and
+  * component work (the incremental-probe economics
+  * `MinhashIndexStore` proved for near-dup dedup, applied to record
+  * linkage) on top of ONE read of the value-mass label state (the
+  * keep-latest scan every incremental probe here pays — state mass is
+  * DISTINCT VALUES, the blocking economics' whole point, so this term
+  * is the name table, not the corpus; measured `LinkageLoopBench`).
+  * Reading the store always answers exactly what a batch
+  * `resolveEntities` over the whole accumulated corpus would.
   *
   * ==State==
   * Per version: `labels` — one row per distinct `(block…, value)` with
