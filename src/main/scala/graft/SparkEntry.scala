@@ -1225,6 +1225,38 @@ object SparkEntry {
     }
   }
 
+  /** VALUE TAKEDOWN from the linkage store, gated ([[graft.ops
+    * .LinkageStore.remove]] — the removal half [[qLinkageIncr]]'s
+    * lifecycle leaves to specs, proven cross-engine like the three
+    * sketch stores' removal gates): init a scratch store over the
+    * whole part table, withdraw every name ending in "e" (144 of the
+    * 1,130 distinct values at sf0.01, touching 428 of the 3,031
+    * linkage pairs — groups genuinely split and lose canonicals),
+    * then relabel the FULL table through the standing state. The
+    * oracle is the batch recursive-CTE resolution computed over the
+    * SURVIVING values only, with every row relabeled (withdrawn-name
+    * rows fall back to their own name — the store's
+    * as-if-never-ingested rule), so the hash-match proves the
+    * O(affected-groups) re-resolution equals a fresh build over
+    * corpus-minus-removed. */
+  def qLinkageRemove(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.LinkageStore
+    val part = t(spark, dir, "part").select("p_partkey", "p_brand", "p_name")
+    val store = java.nio.file.Files.createTempDirectory("q-linkage-remove").toString
+    try {
+      LinkageStore.init(part, store, "p_name", Seq("p_brand"), maxDist = 4)
+      LinkageStore.remove(spark, store,
+        part.where(col("p_name").endsWith("e")).select("p_brand", "p_name"),
+        expectedBase = 0L)
+      val out = LinkageStore.resolveRows(spark, store, part)
+      val rows = out.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), out.schema)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(store)).deleteRecursively()
+    }
+  }
+
   /** The CURATION GATE's decision function in batch form, oracle-gated:
     * every document's first failing screen (or `kept`) under a standard
     * rule (≥ 20 tokens, quality ≥ 0.5, lang ∈ {en, zh};
@@ -2612,6 +2644,7 @@ object SparkEntry {
     "q_sorted_neighbors" -> qSortedNeighbors,
     "q_entity_resolution" -> qEntityResolution,
     "q_linkage_incr"     -> qLinkageIncr,
+    "q_linkage_remove"   -> qLinkageRemove,
     "q_retention"        -> qRetention,
     "q_outliers"         -> qOutliers,
     "q_dup_spans"        -> qDupSpans,
@@ -3541,6 +3574,34 @@ object SparkEntry {
     // oracle is therefore the identical recursive-CTE closure; the
     // split/append lifecycle lives only on the Spark side
     "q_linkage_incr" -> entityResolutionOracleSql,
+    // q_linkage_remove: the same closure computed over SURVIVING values
+    // only (names ending in "e" withdrawn); every row still relabels —
+    // withdrawn-name rows fall back to their own name, which is the
+    // store's as-if-never-ingested fallback in resolveRows
+    "q_linkage_remove" ->
+      """WITH RECURSIVE
+        |v AS (SELECT p_brand, p_name AS value FROM part
+        |      WHERE p_name IS NOT NULL AND p_name NOT LIKE '%e'
+        |      GROUP BY 1, 2),
+        |pairs AS (SELECT a.p_brand, a.value AS va, b.value AS vb
+        |          FROM v a JOIN v b
+        |            ON a.p_brand = b.p_brand AND a.value < b.value
+        |          WHERE abs(length(a.value) - length(b.value)) <= 4
+        |            AND levenshtein(a.value, b.value) <= 4),
+        |edges AS (SELECT p_brand || chr(1) || va AS src,
+        |                 p_brand || chr(1) || vb AS dst FROM pairs
+        |          UNION
+        |          SELECT p_brand || chr(1) || vb, p_brand || chr(1) || va
+        |          FROM pairs),
+        |walk AS (SELECT src AS id, dst AS reach FROM edges
+        |         UNION
+        |         SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+        |comp AS (SELECT id, least(id, min(reach)) AS label FROM walk GROUP BY id)
+        |SELECT p.p_partkey, p.p_brand, p.p_name,
+        |       coalesce(string_split(c.label, chr(1))[-1], p.p_name) AS canonical_p_name
+        |FROM part p LEFT JOIN comp c
+        |  ON p.p_brand || chr(1) || p.p_name = c.id
+        |ORDER BY p.p_partkey""".stripMargin,
     "q_sorted_neighbors" ->
       // the naive form of the same contract: rank the distinct values,
       // self-join on rank distance 1..8 — the Spark side must emit
