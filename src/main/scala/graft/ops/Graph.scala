@@ -134,6 +134,19 @@ object Graph {
         s"requested $iters — this scratch holds a longer walk; use a " +
         "fresh scratchDir (or request at least as many rounds)")
     var i = committed.maxOption.getOrElse(0L)
+    // sweep rounds below the committed max HERE, not only inside the
+    // loop: a prior run that crashed between committing its final round
+    // and deleting the previous one, re-invoked with the same iters,
+    // resumes at i == iters and never enters the loop — the
+    // only-the-last-round bounded-scratch promise must hold on that
+    // path too (the answer was already correct; the debris was not)
+    def sweepBelow(keep: Long): Unit =
+      fs.listStatus(new org.apache.hadoop.fs.Path(scratchDir)).toSeq
+        .map(_.getPath.getName).collect {
+          case s @ roundRe(r) if r.toLong < keep => s
+        }.foreach(s => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$scratchDir/$s"), true))
+    if (i > 0L) sweepBelow(i)
     var ranks =
       if (i == 0L) nodes.withColumn("rank", lit(1.0 / n.toDouble))
       else spark.read.parquet(s"$scratchDir/round=$i")
@@ -153,11 +166,7 @@ object Graph {
       // keep only the newest committed round: delete everything below
       // AFTER the new round committed (a crash between the write and
       // the deletes leaves extra rounds, and resume takes the max)
-      fs.listStatus(new org.apache.hadoop.fs.Path(scratchDir)).toSeq
-        .map(_.getPath.getName).collect {
-          case s @ roundRe(r) if r.toLong <= i => s
-        }.foreach(s => fs.delete(
-          new org.apache.hadoop.fs.Path(s"$scratchDir/$s"), true))
+      sweepBelow(i + 1)
       i += 1
     }
     ranks

@@ -30,9 +30,16 @@ import graft.ops.{LinkageStore, OpCaches}
   * checkpoint — content idempotence does not protect against a
   * DIFFERENT stream's history being replayed into this store.
   *
-  * Value takedown ([[LinkageStore.remove]]) is an out-of-band
-  * maintenance verb, exactly like the other stores': run it between
-  * batches; the commit protocol fails the loser of a race loudly.
+  * Value takedown is an out-of-band maintenance verb — run it through
+  * [[removeValues]], which refuses while the checkpoint holds a batch
+  * pending replay. The guard exists because the replay-skip test is
+  * `head > base`: ANY head advance while a batch sits pending replay —
+  * a raw [[LinkageStore.remove]] is exactly such an advance — would
+  * make the resumed batch read its own append as committed and skip
+  * it, silently never ingesting its values. Between batches the raw
+  * verb is safe (the commit protocol fails the loser of a live race
+  * loudly), but the guarded verb is the runbook path precisely so
+  * nobody has to reason about the window.
   *
   * Scale shape per batch: one keep-latest read of the value-mass label
   * state, batch×(per-block standing) candidate joins, a batch-bounded
@@ -81,6 +88,32 @@ object LinkageIngestStream {
     }
   }
 
+  /** VALUE TAKEDOWN against a loop-maintained linkage store — the
+    * guarded form of [[LinkageStore.remove]] (see the object doc's
+    * replay-skip hazard): refuses by name while `checkpointDir` holds a
+    * batch pending replay (offsets ahead of commits — the batch a
+    * resumed stream WILL replay, whose append the head advance would
+    * silently skip), then removes at the current head. Run with the
+    * stream stopped or between batches; a retry after the stream drains
+    * the pending batch succeeds. */
+  def removeValues(spark: org.apache.spark.sql.SparkSession,
+                   storeDir: String, checkpointDir: String,
+                   removeValues: DataFrame): Long = {
+    IngestProtocol.pendingReplay(spark, checkpointDir).foreach { b =>
+      throw new IllegalStateException(
+        s"linkage takedown at $storeDir: checkpoint $checkpointDir holds " +
+          s"batch $b pending replay (offsets ahead of commits) — a head " +
+          "advance now would make the resumed batch read its own append " +
+          "as committed and skip it, silently never ingesting its values; " +
+          "let the stream drain the batch, then retry")
+    }
+    val head = LinkageStore.latestVersion(spark, storeDir).getOrElse(
+      throw new IllegalStateException(
+        s"linkage takedown at $storeDir: no committed version — nothing " +
+          "to remove from"))
+    LinkageStore.remove(spark, storeDir, removeValues, expectedBase = head)
+  }
+
   /** Start the linkage maintainer: `rows` must be a streaming frame
     * carrying the store's persisted block and value columns (checked
     * by name per batch — the store owns its parameters). The store at
@@ -88,7 +121,7 @@ object LinkageIngestStream {
     * standing corpus. `compactEvery` is the chain-length cadence
     * (default 8 — the stores' measured knee, SCALE.md "Chain-read
     * economics"). The stream is the store's single maintainer; run
-    * [[LinkageStore.remove]] takedowns between batches. */
+    * takedowns through [[removeValues]] (the pending-replay guard). */
   def linkageIngestSink(rows: DataFrame, storeDir: String,
                         checkpointDir: String,
                         compactEvery: Int = 8): StreamingQuery = {

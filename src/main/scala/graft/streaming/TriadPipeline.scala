@@ -147,11 +147,24 @@ object TriadPipeline {
     * also needed. Concurrency: an out-of-band maintenance verb — each
     * store write names the head it read, so racing a live stream's
     * append fails loudly (the commit protocol); run between batches or
-    * retry. Ids absent from a surface are a harmless no-op there (the
+    * retry. A checkpoint holding a batch PENDING REPLAY is refused by
+    * name (like [[retrainVectorStores]]): the loops' replay-skip test
+    * is `head > base`, so a takedown's head advance landing in that
+    * window would make the resumed batch read its own append as
+    * committed and skip it — its documents silently never ingested.
+    * Ids absent from a surface are a harmless no-op there (the
     * stores' unknown-id rule). */
   def takedown(spark: org.apache.spark.sql.SparkSession, cfg: Config,
                removeIds: DataFrame): TakedownOutcome = {
     import graft.ops.{IvfIndexStore, MinhashIndexStore, SemanticIndexStore}
+    IngestProtocol.pendingReplay(spark, cfg.checkpointDir).foreach { b =>
+      throw new IllegalStateException(
+        s"triad takedown: checkpoint ${cfg.checkpointDir} holds batch $b " +
+          "pending replay (offsets ahead of commits) — advancing a store " +
+          "head now would make the resumed batch read its own append as " +
+          "committed and skip it, silently never ingesting its documents; " +
+          "let the stream drain the batch, then retry")
+    }
     def headOf(latest: Option[Long], what: String): Long =
       latest.getOrElse(throw new IllegalStateException(
         s"triad takedown: $what has no committed version — the pipeline " +

@@ -108,6 +108,40 @@ class LinkageIngestStreamSpec extends SparkSpec {
     }
   }
 
+  test("guarded takedown: refuses a pending-replay checkpoint, then removes at head") {
+    withDir { root =>
+      LinkageStore.init(standing, s"$root/store", "name", Seq("blk"),
+        maxDist = 1)
+      val cp = s"$root/cp-a"
+      process(df(("b1", "kari")), 0L, root)
+      // checkpoint mid-crash: offsets for batch 1 written, no commit —
+      // batch 1 WILL replay on resume, and a head advance now would
+      // make it read its own (lost) append as committed and skip it
+      def mark(sub: String, ids: Seq[Int]): Unit = {
+        val d = new java.io.File(cp, sub); d.mkdirs()
+        ids.foreach(i => java.nio.file.Files.write(
+          d.toPath.resolve(i.toString), "v1".getBytes))
+      }
+      mark("offsets", Seq(0, 1)); mark("commits", Seq(0))
+      val msg = intercept[IllegalStateException](
+        LinkageIngestStream.removeValues(spark, s"$root/store", cp,
+          df(("b1", "kari")))).getMessage
+      assert(msg.contains("pending replay") && msg.contains("batch 1"), msg)
+      assert(storeLabels(s"$root/store") === batchLabels(
+        standing.unionByName(df(("b1", "kari")))),
+        "a refused takedown must leave the store untouched")
+      // the stream drains the batch → the takedown proceeds at head,
+      // and the store answers the batch resolution over the survivors
+      val o1 = process(df(("b1", "zeta1")), 1L, root)
+      mark("commits", Seq(1))
+      val v = LinkageIngestStream.removeValues(spark, s"$root/store", cp,
+        df(("b1", "kari")))
+      assert(v === o1.version + 1)
+      assert(storeLabels(s"$root/store") === batchLabels(
+        standing.unionByName(df(("b1", "zeta1")))))
+    }
+  }
+
   test("cadence compacts the chain; foreign checkpoints and uninit stores refuse") {
     withDir { root =>
       LinkageStore.init(standing, s"$root/store", "name", Seq("blk"),

@@ -1816,6 +1816,21 @@ class OpsSpec extends SparkSpec {
         assert(msg.contains("longer walk"), msg)
       }
     }
+    // crash window: a prior run committed its final round but died
+    // before deleting the previous one; re-invoking with the SAME iters
+    // resumes at i == iters (the loop never runs) and must still sweep
+    // the stale round — the bounded-scratch promise on the no-loop path
+    withDir { d =>
+      Graph.pageRankCheckpointed(edges, "s", "d", iters = 3, d)
+      val spark2 = edges.sparkSession
+      spark2.read.parquet(s"$d/round=3").write.parquet(s"$d/round=2")
+      val again = vec(Graph.pageRankCheckpointed(edges, "s", "d", 3, d))
+      assert(again === unrolled3)
+      val left = new java.io.File(d).listFiles().map(_.getName)
+        .filter(_.startsWith("round=")).toSeq
+      assert(left === Seq("round=3"),
+        s"a resume at i == iters must sweep stale lower rounds: $left")
+    }
   }
 
   test("content checksum: layout-invisible, any row difference visible") {

@@ -271,6 +271,21 @@ class TriadPipelineSpec extends SparkSpec {
       assert(AcceptedSink.readAccepted(spark, cfg.semanticAccepted)
         .select("doc_id").collect().map(_.getLong(0)).toSet ===
         Set(102L, 301L))
+      // a checkpoint holding a batch pending replay refuses the verb:
+      // advancing a store head now would make the resumed batch read
+      // its own append as committed and skip it (the replay-skip test
+      // is head > base)
+      def mark(sub: String, ids: Seq[Int]): Unit = {
+        val d = new java.io.File(cfg.checkpointDir, sub); d.mkdirs()
+        ids.foreach(i => java.nio.file.Files.write(
+          d.toPath.resolve(i.toString), "v1".getBytes))
+      }
+      mark("offsets", Seq(0, 1, 2)); mark("commits", Seq(0, 1))
+      val exPending = intercept[IllegalStateException](
+        TriadPipeline.takedown(spark, cfg, Seq(102L).toDF("doc_id")))
+      assert(exPending.getMessage.contains("pending replay") &&
+        exPending.getMessage.contains("batch 2"), exPending.getMessage)
+      mark("commits", Seq(2))
       // a takedown against a freshly-initialized pipeline (no batch
       // yet) is legal: the stores tombstone, the sinks have nothing to
       // remove from
