@@ -122,10 +122,15 @@ object AcceptedSink {
   /** The standing accepted schema — what every later batch must match —
     * or None before anything was accepted. Read from the archive head's
     * data frame when one exists (minus `batch`, which the fold adds as
-    * a data column), else from the newest live batch directory; a
+    * a data column), else from the EARLIEST live batch directory; a
     * footer read, no job. The archive is preferred not just for cost:
     * after a fold the archive IS the corpus's schema authority, so the
-    * policy survives the live directories' deletion. */
+    * policy survives the live directories' deletion. The live tier's
+    * authority is the earliest batch because the contract says the
+    * FIRST accepted batch establishes the schema — reading the newest
+    * would let one drifted batch (an older writer without the check, a
+    * manual write) silently become the enforced standard on restart
+    * and refuse every CORRECT batch after it. */
   def acceptedSchema(spark: SparkSession,
                      acceptedDir: String): Option[org.apache.spark.sql.types.StructType] = {
     val root = archiveRoot(acceptedDir)
@@ -134,7 +139,7 @@ object AcceptedSink {
         val s = spark.read.parquet(s"$root/v=$h/data").schema
         org.apache.spark.sql.types.StructType(s.filterNot(_.name == "batch"))
       }
-      .orElse(liveBatches(spark, acceptedDir).maxOption.map(b =>
+      .orElse(liveBatches(spark, acceptedDir).minOption.map(b =>
         spark.read.parquet(s"$acceptedDir/batch=$b").schema))
   }
 
@@ -199,9 +204,167 @@ object AcceptedSink {
           (if (retyped.nonEmpty)
             s"batch RETYPES column(s) ${retyped.sorted.mkString(", ")}; " else "") +
           "the sink refuses schema drift at accept time (evolving the " +
-          "corpus schema is an explicit archive migration, not a batch " +
-          "side effect)")
+          "corpus schema is an explicit archive migration — " +
+          "[[migrateArchive]] — not a batch side effect)")
     }
+
+  /** What a [[migrateArchive]] did — re-read from the committed
+    * version's receipt by [[migrationReceipt]]. */
+  final case class MigrationOutcome(fromVersion: Long, toVersion: Long,
+                                    rows: Long, batches: Long)
+
+  private val ReceiptSubframe = "migration"
+  private val ReceiptCols =
+    Seq("from_version", "rows", "batches", "old_schema", "new_schema")
+
+  /** SCHEMA MIGRATION of the accepted archive — the explicit escape
+    * hatch the evolution policy's refusal names: rewrite the WHOLE
+    * archive to a new schema in one receipt-verifiable operation. The
+    * old chain is atomically superseded (the migrated corpus commits as
+    * one new FULL version by the stores' scratch-write + rename; the
+    * old versions remain below it until [[prune]]), so a crash
+    * mid-migration leaves the old head serving and the retry starts
+    * over — never a half-migrated corpus.
+    *
+    * `migrate` is the caller's column transform (add with a backfill
+    * expression, drop, retype with a cast); the verb enforces what a
+    * schema migration must preserve and refuses BY NAME what it must
+    * not touch:
+    *
+    *  - ROWS ARE NOT NEGOTIABLE: the per-batch row counts of the
+    *    migrated frame must equal the original's exactly (checked batch
+    *    by batch) — a migration is a column transform, never a filter,
+    *    and the per-batch equality is what keeps every as-of cut
+    *    ([[readAcceptedAsOf]]) exact across the boundary;
+    *  - `batch` must survive with its type (the as-of pin rides on it);
+    *  - TAKEDOWN SURVIVES: when the chain carries tombstones, the id
+    *    column must survive with its comparable type AND its per-batch
+    *    value mass (the house decimal checksum over shuffle keys) — a
+    *    migration that rewrote ids would orphan every standing
+    *    tombstone and un-withdraw withdrawn documents.
+    *
+    * PRECONDITION, refused by name: no live batch directories above the
+    * watermark. Run with the stream stopped, fold the live tier first
+    * ([[fold]]) — migrating under live directories would leave two
+    * schemas serving one corpus (the live tier still on the old one),
+    * and the next arriving batch would be refused against the NEW
+    * standing schema while its siblings sat unreadable. After the
+    * migration commits, [[acceptedSchema]] serves the new schema from
+    * the archive head, so restarted streams must send migrated-shape
+    * batches — exactly the runbook the policy's refusal prescribes.
+    *
+    * The committed version carries a RECEIPT subframe (`migration`:
+    * from-version, row and batch counts, both schemas as JSON) riding
+    * the same atomic rename as the data — [[migrationReceipt]] reads it
+    * back; a version without one was written by a fold or compact, not
+    * a migration. Tombstones carry forward verbatim. Cost: O(accepted
+    * corpus) read + write, the [[compactArchive]] class — schedule it
+    * like one. */
+  def migrateArchive(spark: SparkSession, acceptedDir: String,
+                     migrate: DataFrame => DataFrame): MigrationOutcome = {
+    import org.apache.spark.sql.functions.{count, lit => flit, sum}
+    val root = archiveRoot(acceptedDir)
+    val head = VersionedState.latestVersion(spark, root, Subframes)
+      .getOrElse(throw new IllegalStateException(
+        s"accepted corpus at $acceptedDir: no archive exists — a " +
+          "migration rewrites the archive; fold the live tier first " +
+          "(there is nothing to migrate before the first fold)"))
+    val watermark = readMetaRow(spark, root, head)._1
+    val liveAbove = liveBatches(spark, acceptedDir)
+      .filter(_ > watermark).sorted
+    require(liveAbove.isEmpty,
+      s"accepted corpus at $acceptedDir: live batch director" +
+        s"${if (liveAbove.size == 1) "y" else "ies"} " +
+        s"${liveAbove.map("batch=" + _).mkString(", ")} above the fold " +
+        s"watermark $watermark — a migration with a live tier would " +
+        "leave two schemas serving one corpus; stop the stream and fold " +
+        "first")
+    val links = chain(spark, root, head)
+    val tombs = readTombs(spark, root, links)
+    val before = links.map(w => spark.read.parquet(s"$root/v=$w/data"))
+      .reduce(_ unionByName _)
+    val after = migrate(before)
+    require(after.columns.contains("batch") &&
+      comparableType(after.schema("batch").dataType) ==
+        comparableType(before.schema("batch").dataType),
+      s"accepted corpus at $acceptedDir: the migration dropped or " +
+        "retyped the `batch` column — every as-of pin rides on it; a " +
+        "migration must carry it through unchanged")
+    val idName = tombs.map(_.columns.filterNot(_ == "minted_below").head)
+    idName.foreach { id =>
+      require(after.columns.contains(id) &&
+        comparableType(after.schema(id).dataType) ==
+          comparableType(before.schema(id).dataType),
+        s"accepted corpus at $acceptedDir: the migration dropped or " +
+          s"retyped the id column '$id' while tombstones stand against " +
+          "it — the withdrawn documents would silently return; a " +
+          "migration must carry the id column through unchanged")
+    }
+    // per-batch invariants in ONE pass per side: row count always, the
+    // id-mass checksum when tombstones make identity load-bearing
+    def perBatch(df: DataFrame): Map[Long, (Long, String)] =
+      df.groupBy(col("batch").cast("long").as("b"))
+        .agg(count(flit(1)).as("n"),
+          idName.map(id => sum(graft.ops.Curation.shuffleKey(col(id))
+              .cast("decimal(20,0)")).cast("string"))
+            .getOrElse(flit("0")).as("ck"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+        .toMap
+    val was = perBatch(before)
+    val now = perBatch(after)
+    require(was.keySet == now.keySet &&
+      was.forall { case (b, (n, _)) => now(b)._1 == n },
+      s"accepted corpus at $acceptedDir: the migration changed per-batch " +
+        "row counts " +
+        (was.keySet ++ now.keySet).toSeq.sorted
+          .collect { case b if was.get(b).map(_._1) != now.get(b).map(_._1) =>
+            s"batch $b: ${was.get(b).fold("absent")(_._1.toString)} -> " +
+              s"${now.get(b).fold("absent")(_._1.toString)}" }
+          .mkString("(", "; ", ")") +
+        " — a migration is a column transform, never a row filter")
+    idName.foreach { id =>
+      val drifted = was.keySet.toSeq.sorted
+        .filter(b => was(b)._2 != now(b)._2)
+      require(drifted.isEmpty,
+        s"accepted corpus at $acceptedDir: the migration rewrote values " +
+          s"of the id column '$id' (checksum drift in batch" +
+          s"${if (drifted.size == 1) "" else "es"} " +
+          s"${drifted.mkString(", ")}) — standing tombstones would be " +
+          "orphaned and withdrawn documents would return")
+    }
+    val rows = was.valuesIterator.map(_._1).sum
+    val v = head + 1
+    VersionedState.commitVersion(spark, root, v, "accepted archive",
+      Subframes) { scratch =>
+      after.coalesce(IngestProtocol.boundedFileCount(rows))
+        .write.mode("overwrite").parquet(s"$scratch/data")
+      writeMeta(spark, s"$scratch/meta", watermark, full = true)
+      tombs.foreach(_.coalesce(1).write.mode("overwrite")
+        .parquet(s"$scratch/${VersionedState.TombsSubframe}"))
+      import spark.implicits._
+      Seq((head, rows, was.size.toLong,
+        before.schema.json, after.schema.json))
+        .toDF(ReceiptCols: _*)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$scratch/$ReceiptSubframe")
+    }
+    MigrationOutcome(head, v, rows, was.size.toLong)
+  }
+
+  /** The receipt a [[migrateArchive]] stamped into archive version `v` —
+    * `(from_version, rows, batches, old_schema, new_schema)` — or None
+    * when that version was written by a fold/compact/removal instead.
+    * The schemas are Spark StructType JSON, so an auditor can diff the
+    * declared evolution against the data's footers. */
+  def migrationReceipt(spark: SparkSession, acceptedDir: String,
+                       v: Long): Option[DataFrame] = {
+    val root = archiveRoot(acceptedDir)
+    val (fs, _) = VersionedState.fsPath(spark, root)
+    val p = new org.apache.hadoop.fs.Path(
+      s"$root/v=$v/$ReceiptSubframe/_SUCCESS")
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(s"$root/v=$v/$ReceiptSubframe"))
+  }
 
   /** The fold watermark: every batch directory at or below it is
     * archived (or dead debris). None before the first fold. */

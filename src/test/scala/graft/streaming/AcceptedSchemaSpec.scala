@@ -85,6 +85,25 @@ class AcceptedSchemaSpec extends SparkSpec {
     }
   }
 
+  test("the EARLIEST live batch is the schema authority, not a drifted newest one") {
+    withDir { acc =>
+      writeBatch(acc, 0L, batchDf(1L, 2L))
+      // a drifted batch lands anyway (older writer without the check, a
+      // manual write): on restart the authority must stay the FIRST
+      // accepted batch — adopting the newest would enforce the drift
+      // and refuse every correct batch from then on
+      writeBatch(acc, 1L, batchDf(3L)
+        .withColumn("lang", org.apache.spark.sql.functions.lit("en")))
+      assert(AcceptedSink.acceptedSchema(spark, acc).get.fieldNames.sorted
+        === Array("doc_id", "src", "text"))
+      AcceptedSink.requireSchemaCompatible(spark, acc, batchDf(4L))
+      val msg = failure(AcceptedSink.requireSchemaCompatible(spark, acc,
+        batchDf(4L).withColumn("lang",
+          org.apache.spark.sql.functions.lit("en"))))
+      assert(msg.contains("ADDS") && msg.contains("lang"), msg)
+    }
+  }
+
   test("the ingest loop refuses a drifted batch before any byte lands") {
     withDir { root =>
       val store = s"$root/store"
