@@ -184,28 +184,74 @@ object AcceptedSink {
   def requireSchemaCompatible(spark: SparkSession, acceptedDir: String,
                               batch: DataFrame): Unit =
     acceptedSchema(spark, acceptedDir).foreach { standing =>
-      val have = batch.schema
-      val added = have.fieldNames.filterNot(standing.fieldNames.contains)
-      val dropped = standing.fieldNames.filterNot(have.fieldNames.contains)
-      val retyped = standing.flatMap { f =>
-        have.find(_.name == f.name).collect {
-          case g if comparableType(g.dataType) != comparableType(f.dataType) =>
-            s"${f.name} (accepted ${f.dataType.simpleString}, batch " +
-              s"${g.dataType.simpleString})"
-        }
+      describeDrift(standing, batch.schema, "batch").foreach { drift =>
+        throw new IllegalArgumentException(
+          s"accepted corpus at $acceptedDir: the batch's schema does not " +
+            s"match the standing accepted schema — $drift; the sink " +
+            "refuses schema drift at accept time (evolving the corpus " +
+            "schema is an explicit archive migration — [[migrateArchive]] " +
+            "— not a batch side effect)")
       }
-      require(added.isEmpty && dropped.isEmpty && retyped.isEmpty,
-        s"accepted corpus at $acceptedDir: the batch's schema does not " +
-          "match the standing accepted schema — " +
-          (if (added.nonEmpty)
-            s"batch ADDS column(s) ${added.sorted.mkString(", ")}; " else "") +
-          (if (dropped.nonEmpty)
-            s"batch DROPS column(s) ${dropped.sorted.mkString(", ")}; " else "") +
-          (if (retyped.nonEmpty)
-            s"batch RETYPES column(s) ${retyped.sorted.mkString(", ")}; " else "") +
-          "the sink refuses schema drift at accept time (evolving the " +
-          "corpus schema is an explicit archive migration — " +
-          "[[migrateArchive]] — not a batch side effect)")
+    }
+
+  /** The added/dropped/retyped description of `have` vs `standing`
+    * under the policy's equality (names + comparable types, order- and
+    * nullability-free), or None when they agree — the one comparison
+    * the accept-time refusal and the audit's coherence check share. */
+  private[streaming] def describeDrift(
+      standing: org.apache.spark.sql.types.StructType,
+      have: org.apache.spark.sql.types.StructType,
+      what: String): Option[String] = {
+    val added = have.fieldNames.filterNot(standing.fieldNames.contains)
+    val dropped = standing.fieldNames.filterNot(have.fieldNames.contains)
+    val retyped = standing.flatMap { f =>
+      have.find(_.name == f.name).collect {
+        case g if comparableType(g.dataType) != comparableType(f.dataType) =>
+          s"${f.name} (accepted ${f.dataType.simpleString}, $what " +
+            s"${g.dataType.simpleString})"
+      }
+    }
+    if (added.isEmpty && dropped.isEmpty && retyped.isEmpty) None
+    else Some((
+      (if (added.nonEmpty)
+        s"$what ADDS column(s) ${added.sorted.mkString(", ")}; " else "") +
+      (if (dropped.nonEmpty)
+        s"$what DROPS column(s) ${dropped.sorted.mkString(", ")}; " else "") +
+      (if (retyped.nonEmpty)
+        s"$what RETYPES column(s) ${retyped.sorted.mkString(", ")}" else ""))
+      .stripSuffix("; ").trim)
+  }
+
+  /** SCHEMA-COHERENCE walk over both tiers — the audit's check that the
+    * policy's invariant actually HOLDS on disk, not just that the verbs
+    * enforce it going forward: every archive chain version's data
+    * footer (minus the fold's `batch` column) and every live batch
+    * directory above the watermark must carry the standing accepted
+    * schema. Returns one finding string per drifted surface, empty when
+    * coherent (or when nothing was accepted). Catches what no verb can:
+    * an externally rewritten archive version, a live directory written
+    * by an older writer without the accept-time check. Footer reads
+    * only — O(versions + live dirs) metadata, no data pages. */
+  def schemaCoherenceFindings(spark: SparkSession,
+                              acceptedDir: String): Seq[String] =
+    acceptedSchema(spark, acceptedDir).toSeq.flatMap { standing =>
+      val root = archiveRoot(acceptedDir)
+      val headOpt = VersionedState.latestVersion(spark, root, Subframes)
+      val links = headOpt.map(chain(spark, root, _)).getOrElse(Seq.empty)
+      val archiveDrift = links.flatMap { w =>
+        val s = spark.read.parquet(s"$root/v=$w/data").schema
+        describeDrift(standing,
+          org.apache.spark.sql.types.StructType(
+            s.filterNot(_.name == "batch")), s"archive v=$w")
+      }
+      val watermark = headOpt.map(readMetaRow(spark, root, _)._1)
+      val liveDrift = liveBatches(spark, acceptedDir)
+        .filter(b => watermark.forall(b > _)).sorted.flatMap { b =>
+          describeDrift(standing,
+            spark.read.parquet(s"$acceptedDir/batch=$b").schema,
+            s"live batch=$b")
+        }
+      archiveDrift ++ liveDrift
     }
 
   /** What a [[migrateArchive]] did — re-read from the committed

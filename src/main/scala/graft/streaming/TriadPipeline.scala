@@ -457,6 +457,17 @@ object TriadPipeline {
         // no job) is exactly the check that a mis-matched tombstone id
         // column or a corrupt tier would fail
         checked(name)(AcceptedSink.readAccepted(spark, dir).schema)
+        // schema-policy coherence: every archive version and live
+        // directory must still CARRY the standing accepted schema — the
+        // accept-time refusal only guards the front door; an externally
+        // rewritten archive or an old writer's directory drifts behind
+        // it (footer reads only, the same metadata tier as the rest)
+        checked(name)(AcceptedSink.schemaCoherenceFindings(spark, dir)
+          .foreach(drift => finding(name, "error",
+            s"schema drift against the standing accepted schema: $drift " +
+              "— the policy refuses this at accept time, so the surface " +
+              "was written or rewritten outside the verbs (repair it or " +
+              "migrate explicitly)")))
         (live.maxOption.toSeq ++ watermark.toSeq).maxOption
       }
     val dedupCover = sinkCheck("dedup accepted sink", cfg.minhashAccepted)

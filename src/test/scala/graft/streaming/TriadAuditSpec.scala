@@ -202,6 +202,51 @@ class TriadAuditSpec extends SparkSpec {
     }
   }
 
+  test("schema drift behind the accept-time check is an error naming the column and the tier") {
+    withDir { root =>
+      val cfg = cfgFor(root)
+      runHealthy(cfg)
+      // fold batches 0,1 → the archive becomes the schema authority
+      assert(AcceptedSink.fold(spark, cfg.minhashAccepted,
+        belowBatch = 2L) === Some(1L))
+      assert(TriadPipeline.audit(spark, cfg).ok)
+      // a LIVE directory written by an older writer without the check:
+      // the accept-time refusal never saw it — only the audit can
+      spark.read.parquet(s"${cfg.minhashAccepted}/_archive/v=0/data")
+        .drop("batch")
+        .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+        .limit(1).write.parquet(s"${cfg.minhashAccepted}/batch=2")
+      val live = TriadPipeline.audit(spark, cfg)
+      assert(live.errors.exists(f => f.surface == "dedup accepted sink" &&
+        f.message.contains("schema drift") && f.message.contains("lang") &&
+        f.message.contains("live batch=2")), live.toString)
+      hadoopFs(root).delete(new org.apache.hadoop.fs.Path(
+        s"${cfg.minhashAccepted}/batch=2"), true)
+      // an externally REWRITTEN archive version: fold a second
+      // generation so v=1 is the newest full state and the head, then
+      // doctor the NON-HEAD v=0's data (a doctored HEAD would become
+      // the authority itself — the drift only shows across versions)
+      spark.read.parquet(s"${cfg.minhashAccepted}/_archive/v=0/data")
+        .drop("batch").limit(1)
+        .write.parquet(s"${cfg.minhashAccepted}/batch=2")
+      assert(AcceptedSink.fold(spark, cfg.minhashAccepted,
+        belowBatch = 3L) === Some(2L))
+      val v0 = s"${cfg.minhashAccepted}/_archive/v=0/data"
+      val doctoredDf = spark.read.parquet(v0).drop("embedding")
+      val doctored = doctoredDf.collect()
+      val schema = doctoredDf.schema
+      hadoopFs(root).delete(new org.apache.hadoop.fs.Path(v0), true)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(doctored.toIndexedSeq), schema)
+        .coalesce(1).write.parquet(v0)
+      val arch = TriadPipeline.audit(spark, cfg)
+      assert(arch.errors.exists(f => f.surface == "dedup accepted sink" &&
+        f.message.contains("schema drift") &&
+        f.message.contains("embedding") &&
+        f.message.contains("archive v=0")), arch.toString)
+    }
+  }
+
   test("deep audit catches a doctored stage handoff the structural pass cannot") {
     withDir { root =>
       val cfg = cfgFor(root)
