@@ -39,8 +39,29 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * An optional CURATION FRONT GATE ([[CurationGate]], `Config.curation`)
   * screens quality/tokens/language and redacts PII before stage 1 —
   * stateless, so it adds no ledger and no takedown surface (its
-  * rejected audit keeps verdicts, never text). */
+  * rejected audit keeps verdicts, never text).
+  *
+  * An optional LINKAGE TAIL STAGE ([[graft.ops.LinkageStore]],
+  * `Config.linkage`) maintains incremental entity resolution over the
+  * FINAL accepted corpus — the fourth maintainer running exactly where
+  * the pipeline's training data lands, instead of standalone: each
+  * batch's both-screens survivors fold into the standing resolution
+  * (batch-mass comparisons only — the store's exactness argument),
+  * [[takedown]] withdraws a removed document's sole-carrier values,
+  * and [[audit]] covers the fourth store. The composed store is born
+  * EMPTY ([[initLinkageStore]]) so the accepted sink is the exact
+  * carrier-of-record for every live value — what makes the id→value
+  * takedown derivation exact. */
 object TriadPipeline {
+
+  /** The optional linkage tail stage's parameters: which accepted-row
+    * columns to resolve (`valueCol` within `blockCols` blocks — both
+    * must ride the SOURCE rows; the screens pass every column
+    * through), the match radius, and the chain-fold cadence. The
+    * store's comparison parameters are persisted at init — these must
+    * match them ([[graft.ops.LinkageStore]] owns every comparison). */
+  final case class LinkageStage(valueCol: String, blockCols: Seq[String],
+                                maxDist: Int, compactEvery: Int = 8)
 
   /** Directory layout + knobs for one composed pipeline. `root` holds
     * `minhash-store`, `minhash-accepted`, `semantic-store`,
@@ -58,21 +79,25 @@ object TriadPipeline {
                           vectorCompactEvery: Int = 9,
                           driftGateMinRows: Long = 16L,
                           curation: Option[CurationGate.Rule] = None,
-                          acceptedStatsCols: Seq[String] = Nil) {
+                          acceptedStatsCols: Seq[String] = Nil,
+                          linkage: Option[LinkageStage] = None) {
     def minhashDir: String = s"$root/minhash-store"
     def minhashAccepted: String = s"$root/minhash-accepted"
     def semanticDir: String = s"$root/semantic-store"
     def semanticAccepted: String = s"$root/semantic-accepted"
     def ivfDir: String = s"$root/ivf-store"
     def curationRejected: String = s"$root/curation-rejected"
+    def linkageDir: String = s"$root/linkage-store"
   }
 
   /** What one composed micro-batch did, per stage. `curation` is None
-    * when the pipeline runs without a front gate. */
+    * when the pipeline runs without a front gate; `linkage` is None
+    * when it runs without the tail stage. */
   final case class TriadOutcome(dedup: DedupIngestStream.BatchOutcome,
                                 semantic: SemanticIngestStream.BatchOutcome,
                                 ivf: IvfIngestStream.BatchOutcome,
-                                curation: Option[CurationGate.BatchOutcome] = None)
+                                curation: Option[CurationGate.BatchOutcome] = None,
+                                linkage: Option[LinkageIngestStream.BatchOutcome] = None)
 
   /** One composed micro-batch — the three stages in sequence, each
     * reading its predecessor's committed accepted bytes for THIS batch
@@ -108,6 +133,15 @@ object TriadPipeline {
     val o3 = IvfIngestStream.processBatch(survivors2, batchId,
       cfg.ivfDir, cfg.idCol, cfg.vecCol, cfg.vectorCompactEvery,
       cfg.checkpointDir, cfg.driftGateMinRows)
+    // the linkage TAIL STAGE: the final survivors fold into the standing
+    // entity resolution. Same committed-bytes input as the ivf stage —
+    // the store's values can never drift from what the sink accepted —
+    // and the store keeps its own ledger, so the boundary-crash replay
+    // argument extends to a fourth stage unchanged
+    val o4 = cfg.linkage.map { st =>
+      LinkageIngestStream.processBatch(survivors2, batchId,
+        cfg.linkageDir, st.compactEvery, cfg.checkpointDir)
+    }
     // the curation REJECTED-AUDIT sink is the same partition-per-batch
     // layout as the accepted sinks and would grow a directory per batch
     // forever without the same remedy — fold it on the same cadence
@@ -116,16 +150,49 @@ object TriadPipeline {
     // it back through AcceptedSink.readAccepted once folding has run)
     if (o0.nonEmpty && o1.compactedTo.nonEmpty)
       AcceptedSink.fold(spark, cfg.curationRejected, belowBatch = batchId): Unit
-    TriadOutcome(o1, o2, o3, o0)
+    TriadOutcome(o1, o2, o3, o0, o4)
+  }
+
+  /** Initialize the composed pipeline's linkage store EMPTY — the tail
+    * stage's birth verb. Born empty, every live value the store ever
+    * resolves arrived through an accepted batch, which makes the
+    * accepted sink the exact carrier-of-record [[takedown]]'s id→value
+    * derivation needs: a value is withdrawable iff no SURVIVING
+    * accepted document carries it. (A store init-ed over a standing
+    * corpus outside the sink — the raw [[graft.ops.LinkageStore.init]]
+    * path — breaks that derivation: a removed document's value might
+    * still be carried by a standing row the sink never saw, and the
+    * composed takedown would over-remove it. Run such a store
+    * standalone with [[LinkageIngestStream.removeValues]] and hand-fed
+    * removals instead.) Fails if `Config.linkage` is unset or the
+    * store already exists (the store-init doctrine). */
+  def initLinkageStore(spark: org.apache.spark.sql.SparkSession,
+                       cfg: Config): Long = {
+    import graft.ops.LinkageStore
+    val st = cfg.linkage.getOrElse(throw new IllegalArgumentException(
+      "initLinkageStore: Config.linkage is unset — the pipeline has no " +
+        "linkage tail stage to initialize"))
+    val schema = org.apache.spark.sql.types.StructType(
+      (st.blockCols :+ st.valueCol).map(c =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    LinkageStore.init(empty, cfg.linkageDir, st.valueCol, st.blockCols,
+      st.maxDist)
   }
 
   /** What [[takedown]] touched, per surface: the index stores' new
-    * tombstone-delta versions and the accepted sinks' new archive
-    * versions (None where a sink had nothing accepted yet). */
+    * tombstone-delta versions, the accepted sinks' new archive
+    * versions (None where a sink had nothing accepted yet), and — when
+    * the linkage tail stage is configured — the linkage store's new
+    * version (None when nothing was accepted yet; unchanged head when
+    * every removed document's values are still carried by survivors). */
   final case class TakedownOutcome(minhashVersion: Long,
                                    semanticVersion: Long, ivfVersion: Long,
                                    minhashAcceptedVersion: Option[Long],
-                                   semanticAcceptedVersion: Option[Long])
+                                   semanticAcceptedVersion: Option[Long],
+                                   linkageVersion: Option[Long] = None)
 
   /** TAKEDOWN across the whole pipeline — the one verb a training-data
     * platform owes its opt-out/contamination process: withdraw the
@@ -178,6 +245,33 @@ object TriadPipeline {
     val ivf = IvfIndexStore.remove(spark, cfg.ivfDir, removeIds,
       cfg.idCol, headOf(IvfIndexStore.latestVersion(spark, cfg.ivfDir),
         s"ivf store ${cfg.ivfDir}"))
+    // linkage takedown is ID→VALUE derivation: the store is value-keyed,
+    // so withdraw exactly the values the removed documents carried that
+    // NO surviving accepted document still carries (a shared value
+    // survives — its other carriers keep it training-relevant). Exact
+    // because the composed store is born empty ([[initLinkageStore]]):
+    // the accepted sink IS the carrier-of-record. Runs BEFORE the sink
+    // removals — the derivation must see the removed rows. One accepted-
+    // corpus scan: takedown is a scheduled maintenance verb and pays it
+    // like a compact.
+    val link = cfg.linkage.map { st =>
+      import graft.ops.LinkageStore
+      if (!AcceptedSink.hasAccepted(spark, cfg.semanticAccepted)) None
+      else {
+        val head = headOf(LinkageStore.latestVersion(spark, cfg.linkageDir),
+          s"linkage store ${cfg.linkageDir}")
+        val keyCols = st.blockCols :+ st.valueCol
+        val corpus = AcceptedSink.readAccepted(spark, cfg.semanticAccepted)
+        def vals(rows: DataFrame): DataFrame = rows
+          .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+          .where(org.apache.spark.sql.functions.col(st.valueCol).isNotNull)
+          .distinct()
+        val gone = vals(corpus.join(removeIds, Seq(cfg.idCol), "left_semi"))
+          .join(vals(corpus.join(removeIds, Seq(cfg.idCol), "left_anti")),
+            keyCols, "left_anti")
+        Some(LinkageStore.remove(spark, cfg.linkageDir, gone, head))
+      }
+    }.getOrElse(None)
     // a sink with nothing accepted yet has nothing to remove from — a
     // takedown arriving before the first batch is legal. The check is
     // an explicit has-either-tier test, NOT a swallowed read attempt: a
@@ -187,7 +281,7 @@ object TriadPipeline {
       if (!AcceptedSink.hasAccepted(spark, dir)) None
       else Some(AcceptedSink.remove(spark, dir, removeIds, cfg.idCol))
     TakedownOutcome(mh, sem, ivf,
-      sinkRemove(cfg.minhashAccepted), sinkRemove(cfg.semanticAccepted))
+      sinkRemove(cfg.minhashAccepted), sinkRemove(cfg.semanticAccepted), link)
   }
 
   /** What [[retrainVectorStores]] rebuilt: the corpus row count it
@@ -287,9 +381,10 @@ object TriadPipeline {
     *    silent re-ingest hazard [[IngestProtocol.ownerCheck]] rejects
     *    at batch 0, surfaced here before that batch fires);
     *  - stage ordering: ledger heads must run downhill along the
-    *    topology (dedup ≥ semantic ≥ ivf) and spread at most the
-    *    one-batch crash window — a wider spread means a stage was run
-    *    outside the composition;
+    *    topology (dedup ≥ semantic ≥ ivf, ≥ linkage when the tail
+    *    stage is configured) and spread at most the one-batch crash
+    *    window — a wider spread means a stage was run outside the
+    *    composition;
     *  - each accepted sink: archive chain intact, fold watermark
     *    coherent with the live directories (at-or-below-watermark dirs
     *    are dead debris — warn), tombstone/data schema agreement (a
@@ -331,6 +426,9 @@ object TriadPipeline {
       }
 
     // ---- index stores: chain, ledger, ownership -----------------------
+    // the linkage tail store, when configured, is the fourth audited
+    // surface and the topology's last ledger (dedup ≥ semantic ≥ ivf ≥
+    // linkage — the stage-ordering checks below read the seq order)
     val stores = Seq(
       ("minhash store", cfg.minhashDir,
         () => MinhashIndexStore.latestVersion(spark, cfg.minhashDir),
@@ -343,7 +441,11 @@ object TriadPipeline {
       ("ivf store", cfg.ivfDir,
         () => IvfIndexStore.latestVersion(spark, cfg.ivfDir),
         (v: Long) => IvfIndexStore.chainLength(spark, cfg.ivfDir,
-          Some(v)): Unit))
+          Some(v)): Unit)) ++ cfg.linkage.map(_ =>
+      ("linkage store", cfg.linkageDir,
+        () => graft.ops.LinkageStore.latestVersion(spark, cfg.linkageDir),
+        (_: Long) => graft.ops.LinkageStore.chainLength(spark,
+          cfg.linkageDir): Unit)).toSeq
     val ledgerMaxes: Seq[Option[Long]] = stores.map {
       case (name, dir, latest, chainLen) =>
         val head = latest()
@@ -416,17 +518,19 @@ object TriadPipeline {
             "for this pair")
       case _ => ()
     }
+    val lastName = stores.last._1
     (ledgerMaxes.head, ledgerMaxes.last) match {
-      case (Some(mh), Some(ivf)) if mh - ivf > 1 =>
+      case (Some(mh), Some(lastMax)) if mh - lastMax > 1 =>
         finding("stage order", "error",
-          s"dedup ledger at batch $mh but ivf at $ivf — the spread " +
-            "exceeds the one-batch crash window, so at least one whole " +
-            "batch ran stage 1 without reaching stage 3 outside a live " +
-            "replay; replay the stream before trusting the indexes")
-      case (None, Some(ivf)) =>
+          s"dedup ledger at batch $mh but $lastName at $lastMax — the " +
+            "spread exceeds the one-batch crash window, so at least one " +
+            "whole batch ran stage 1 without reaching the last stage " +
+            "outside a live replay; replay the stream before trusting " +
+            "the indexes")
+      case (None, Some(lastMax)) =>
         finding("stage order", "warn",
-          s"ivf ledger reached batch $ivf but the dedup ledger is " +
-            "empty — the head/last spread check is blind with the " +
+          s"$lastName ledger reached batch $lastMax but the dedup ledger " +
+            "is empty — the head/last spread check is blind with the " +
             "upstream evidence gone (emptied outside the loop?)")
       case _ => ()
     }
@@ -542,6 +646,31 @@ object TriadPipeline {
           IvfIndexStore.read(spark, cfg.ivfDir).cells
             .select(col("corpus_id").as(id)).distinct(),
           "ivf store"))
+      }
+      // linkage coverage: every surviving accepted row's (block…, value)
+      // key must be LIVE in the label state (born empty + fed only by
+      // the sink, the store has no other source — an absent key means a
+      // lost append or an over-eager takedown). Value-keyed, so this is
+      // its own anti-join, not the id-keyed `missing` helper.
+      cfg.linkage.foreach { st =>
+        if (AcceptedSink.hasAccepted(spark, cfg.semanticAccepted))
+          checked("linkage store") {
+            val keyCols = st.blockCols :+ st.valueCol
+            val vals = AcceptedSink.readAccepted(spark, cfg.semanticAccepted)
+              .select(keyCols.map(col): _*)
+              .where(col(st.valueCol).isNotNull).distinct()
+            val lost = vals.join(
+              graft.ops.LinkageStore.labels(spark, cfg.linkageDir)
+                .select(keyCols.map(col): _*),
+              keyCols, "left_anti")
+              .limit(6).collect()
+              .map(_.toSeq.mkString("/"))
+            if (lost.nonEmpty) finding("linkage store", "error",
+              s"accepted ⊆ linkage state: value key(s) " +
+                s"${lost.mkString(",")}${if (lost.length == 6) ",…" else ""} " +
+                "carried by surviving accepted rows but not live in the " +
+                "label state — a lost append or an over-eager takedown")
+          }
       }
     }
     AuditReport(out.toSeq)

@@ -270,4 +270,79 @@ class TriadAuditSpec extends SparkSpec {
         f.message.contains("666")), deep.toString)
     }
   }
+
+  // ---- linkage tail stage ---------------------------------------------
+
+  private def linkCfg(root: String): TriadPipeline.Config =
+    cfgFor(root).copy(linkage =
+      Some(TriadPipeline.LinkageStage("sig", Seq("blk"), maxDist = 2)))
+
+  private def linkRows(rs: (Long, String, Array[Float], String)*): DataFrame =
+    rs.map { case (id, text, vec, sig) => (id, text, vec, "b", sig) }
+      .toDF("doc_id", "text", "embedding", "blk", "sig")
+
+  private def runHealthyLinked(cfg: TriadPipeline.Config): Unit = {
+    initStores(cfg, rows((1L to 20L).map(i => (i, uniq(i), base(i.toInt))): _*))
+    TriadPipeline.initLinkageStore(spark, cfg)
+    TriadPipeline.processBatch(linkRows(
+      (101L, uniq(101), base(101), "alpha1"),
+      (104L, uniq(104), base(104), "gamma9")), 0L, cfg)
+    TriadPipeline.processBatch(linkRows(
+      (203L, uniq(203), base(203), "alpha2")), 1L, cfg)
+  }
+
+  test("the linkage tail stage is a fourth audited surface: healthy is clean, uninitialized fails by name") {
+    withDir { root =>
+      val cfg = linkCfg(root)
+      runHealthyLinked(cfg)
+      val structural = TriadPipeline.audit(spark, cfg)
+      assert(structural.ok, structural.toString)
+      assert(structural.findings.forall(_.severity == "info"),
+        structural.toString)
+      val deep = TriadPipeline.audit(spark, cfg, deep = true)
+      assert(deep.ok, deep.toString)
+      // the SAME pipeline with the linkage store never initialized: the
+      // audit must name the missing fourth store before a batch does
+      val cfg2 = linkCfg(s"$root/fresh")
+      initStores(cfg2, rows((1L to 5L).map(i => (i, uniq(i), base(i.toInt))): _*))
+      val report = TriadPipeline.audit(spark, cfg2)
+      assert(report.errors.exists(f => f.surface == "linkage store" &&
+        f.message.contains("never initialized")), report.toString)
+    }
+  }
+
+  test("deep audit catches an over-eager linkage value removal behind the composition's back") {
+    withDir { root =>
+      val cfg = linkCfg(root)
+      runHealthyLinked(cfg)
+      // a RAW store removal of a value surviving accepted rows still
+      // carry — exactly the over-removal the composed takedown's
+      // sole-carrier derivation exists to prevent; only the deep
+      // containment proof can see it
+      import graft.ops.LinkageStore
+      val head = LinkageStore.latestVersion(spark, cfg.linkageDir).get
+      LinkageStore.remove(spark, cfg.linkageDir,
+        Seq(("b", "alpha1")).toDF("blk", "sig"), head)
+      assert(TriadPipeline.audit(spark, cfg).ok)
+      val deep = TriadPipeline.audit(spark, cfg, deep = true)
+      assert(deep.errors.exists(f => f.surface == "linkage store" &&
+        f.message.contains("alpha1")), deep.toString)
+    }
+  }
+
+  test("a linkage ledger batch the ivf stage never committed is a stage-order error") {
+    withDir { root =>
+      val cfg = linkCfg(root)
+      runHealthyLinked(cfg)
+      val fs = hadoopFs(root)
+      val entry = new org.apache.hadoop.fs.Path(
+        s"${cfg.linkageDir}/_ingest_ledger/b=5")
+      val out = fs.create(entry, true)
+      out.write("2".getBytes("UTF-8")); out.close()
+      val report = TriadPipeline.audit(spark, cfg)
+      assert(report.errors.exists(f => f.surface == "stage order" &&
+        f.message.contains("linkage store") && f.message.contains("5")),
+        report.toString)
+    }
+  }
 }

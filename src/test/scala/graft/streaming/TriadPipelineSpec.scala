@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import graft.SparkSpec
-import graft.ops.{IvfIndexStore, MinhashIndexStore, SemanticIndexStore}
+import graft.ops.{Dedup, IvfIndexStore, LinkageStore, MinhashIndexStore, SemanticIndexStore}
 
 /** End-to-end specs for [[TriadPipeline]] — the composed
   * dedup → semantic → IVF ingest topology: per-stage screening with
@@ -298,6 +298,137 @@ class TriadPipelineSpec extends SparkSpec {
       val o3 = TriadPipeline.processBatch(rows(
         (401L, uniq(5), base(5))), 0L, cfg2)
       assert(o3.dedup.accepted === 1L && o3.semantic.accepted === 1L)
+    }
+  }
+
+  // ---- linkage tail stage ---------------------------------------------
+
+  private def linkCfg(root: String): TriadPipeline.Config =
+    cfgFor(root).copy(linkage =
+      Some(TriadPipeline.LinkageStage("sig", Seq("blk"), maxDist = 2)))
+
+  private def linkRows(rs: (Long, String, Array[Float], String)*): DataFrame =
+    rs.map { case (id, text, vec, sig) => (id, text, vec, "b", sig) }
+      .toDF("doc_id", "text", "embedding", "blk", "sig")
+
+  private def sigLabels(cfg: TriadPipeline.Config): Map[String, String] =
+    LinkageStore.labels(spark, cfg.linkageDir)
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+
+  test("linkage tail stage: survivors fold into the standing resolution, screen rejects never enter, labels equal the batch oracle") {
+    withDir { root =>
+      val cfg = linkCfg(root)
+      initStores(cfg, rows((1L to 10L).map(i => (i, uniq(i), base(i.toInt))): _*))
+      assert(TriadPipeline.initLinkageStore(spark, cfg) === 0L)
+      // batch 0: alpha1/alpha2 link (dist 1); gamma9 unlinked; 102 is a
+      // text copy of corpus doc 3 — dies at the DEDUP screen, so its
+      // unique sig must never reach the linkage state
+      val o0 = TriadPipeline.processBatch(linkRows(
+        (101L, uniq(101), base(101), "alpha1"),
+        (102L, uniq(3), base(102), "zzzzz"),
+        (103L, uniq(103), base(103), "alpha2"),
+        (104L, uniq(104), base(104), "gamma9")), 0L, cfg)
+      assert(o0.dedup.accepted === 3L && o0.semantic.accepted === 3L)
+      assert(o0.linkage.map(_.version) === Some(1L))
+      assert(sigLabels(cfg) ===
+        Map("alpha1" -> "alpha1", "alpha2" -> "alpha1", "gamma9" -> "gamma9"))
+      // batch 1: alpha3 joins the alpha cluster through alpha2; gamma8
+      // links standing gamma9 and FLIPS its canonical (the relabel path)
+      val o1 = TriadPipeline.processBatch(linkRows(
+        (201L, uniq(201), base(201), "alpha3"),
+        (202L, uniq(202), base(202), "gamma8")), 1L, cfg)
+      assert(o1.linkage.map(_.version) === Some(2L))
+      assert(sigLabels(cfg) === Map(
+        "alpha1" -> "alpha1", "alpha2" -> "alpha1", "alpha3" -> "alpha1",
+        "gamma9" -> "gamma8", "gamma8" -> "gamma8"))
+      // the standing state answers exactly what the one-shot batch
+      // operator answers over the ACCEPTED corpus (the store's contract,
+      // here proven at the composition level)
+      val accepted = AcceptedSink.readAccepted(spark, cfg.semanticAccepted)
+        .select("doc_id", "blk", "sig")
+      val viaStore = LinkageStore.resolveRows(spark, cfg.linkageDir, accepted)
+        .select("doc_id", "canonical_sig").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val viaBatch = Dedup.resolveEntities(accepted, "sig", Seq("blk"), 2)
+        .select("doc_id", "canonical_sig").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(viaStore === viaBatch)
+    }
+  }
+
+  test("linkage takedown: sole-carrier values leave, shared values survive, state equals a fresh build over the survivors") {
+    withDir { root =>
+      val cfg = linkCfg(root)
+      initStores(cfg, rows((1L to 10L).map(i => (i, uniq(i), base(i.toInt))): _*))
+      TriadPipeline.initLinkageStore(spark, cfg)
+      // dup1 carried by 401 AND 402; solo7 only by 403; dup2 links dup1
+      TriadPipeline.processBatch(linkRows(
+        (401L, uniq(401), base(401), "dup1"),
+        (402L, uniq(402), base(402), "dup1"),
+        (403L, uniq(403), base(403), "solo7"),
+        (404L, uniq(404), base(404), "dup2")), 0L, cfg)
+      // a takedown touching NO sole-carrier value: dup1 stays carried by
+      // 401, so nothing leaves the linkage state and the head stands
+      val oShared = TriadPipeline.takedown(spark, cfg, Seq(402L).toDF("doc_id"))
+      assert(oShared.linkageVersion === Some(1L))
+      assert(sigLabels(cfg).keySet === Set("dup1", "dup2", "solo7"))
+      val o = TriadPipeline.takedown(spark, cfg, Seq(403L).toDF("doc_id"))
+      assert(o.linkageVersion === Some(2L))
+      // solo7's sole carrier left → the value is withdrawn; dup1 is
+      // still carried by 401 → the cluster stands
+      assert(sigLabels(cfg) === Map("dup1" -> "dup1", "dup2" -> "dup1"))
+      // the post-takedown state equals a fresh batch build over the
+      // SURVIVING accepted corpus — the exactness the born-empty store
+      // plus sink-as-carrier-of-record buys
+      val survivors = AcceptedSink.readAccepted(spark, cfg.semanticAccepted)
+        .select("doc_id", "blk", "sig")
+      assert(survivors.select("doc_id").collect().map(_.getLong(0)).toSet ===
+        Set(401L, 404L))
+      val viaStore = LinkageStore.resolveRows(spark, cfg.linkageDir, survivors)
+        .select("doc_id", "canonical_sig").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val viaBatch = Dedup.resolveEntities(survivors, "sig", Seq("blk"), 2)
+        .select("doc_id", "canonical_sig").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(viaStore === viaBatch)
+    }
+  }
+
+  test("crash replay across the ivf→linkage boundary: committed stages skip, the linkage stage redoes, values enter once") {
+    withDir { root =>
+      val cfg = linkCfg(root)
+      initStores(cfg, rows((1L to 10L).map(i => (i, uniq(i), base(i.toInt))): _*))
+      TriadPipeline.initLinkageStore(spark, cfg)
+      TriadPipeline.processBatch(linkRows(
+        (101L, uniq(101), base(101), "alpha1")), 0L, cfg)
+      // batch 1 "crashes" after the ivf stage committed and before the
+      // linkage stage ran: simulate by processing without the tail
+      // stage configured (stages 1–3 run and ledger), then re-deliver
+      // the batch to the FULL pipeline
+      val b1 = linkRows((201L, uniq(201), base(201), "alpha2"))
+      TriadPipeline.processBatch(b1, 1L, cfg.copy(linkage = None))
+      val o1 = TriadPipeline.processBatch(b1, 1L, cfg)
+      assert(o1.dedup.replay && o1.dedup.appendSkipped)
+      assert(o1.semantic.replay && o1.semantic.appendSkipped)
+      assert(o1.ivf.replay && o1.ivf.appendSkipped)
+      assert(o1.linkage.exists(l => !l.replay && !l.appendSkipped))
+      assert(sigLabels(cfg) === Map("alpha1" -> "alpha1", "alpha2" -> "alpha1"))
+      // a SECOND replay: every stage, linkage included, skips its append
+      val head = LinkageStore.latestVersion(spark, cfg.linkageDir)
+      val o2 = TriadPipeline.processBatch(b1, 1L, cfg)
+      assert(o2.linkage.exists(l => l.replay && l.appendSkipped))
+      assert(LinkageStore.latestVersion(spark, cfg.linkageDir) === head)
+      assert(sigLabels(cfg) === Map("alpha1" -> "alpha1", "alpha2" -> "alpha1"))
+    }
+  }
+
+  test("takedown before any batch with the tail stage configured: the linkage half is a legal no-op") {
+    withDir { root =>
+      val cfg = linkCfg(root)
+      initStores(cfg, rows((1L to 5L).map(i => (i, uniq(i), base(i.toInt))): _*))
+      TriadPipeline.initLinkageStore(spark, cfg)
+      val o = TriadPipeline.takedown(spark, cfg, Seq(3L).toDF("doc_id"))
+      assert(o.linkageVersion === None && o.semanticAcceptedVersion === None)
     }
   }
 }
