@@ -347,6 +347,42 @@ object TriadPipeline {
     RetrainOutcome(rows, sem, ivf)
   }
 
+  /** RANK the accepted corpus on its link structure — the scoring half
+    * of the quality feedback loop ([[graft.ops.LinkGraph]]: doc↔term
+    * bipartite PageRank, the vocabulary-centrality signal). Returns
+    * `(<idCol>, rank)` for every accepted document with at least one
+    * token, computed by the CHECKPOINTED many-round walk
+    * ([[graft.ops.Graph.pageRankCheckpointed]]) — a quality score is
+    * read at convergence depth, so the walk must be flat-plan and
+    * crash-resumable. Reads the corpus through the two-tier surface
+    * (folds and takedowns honored — a withdrawn document never gets a
+    * rank). `scratchDir` follows the checkpointed walk's resume
+    * contract: one dir per corpus version; reuse only to resume the
+    * SAME corpus's walk. Run it scheduled, like a compact — it scans
+    * the accepted corpus once plus O(nodes) per round. */
+  def qualityRank(spark: org.apache.spark.sql.SparkSession, cfg: Config,
+                  iters: Int, scratchDir: String,
+                  damping: Double = 0.85): DataFrame =
+    graft.ops.LinkGraph.docRank(
+      AcceptedSink.readAccepted(spark, cfg.semanticAccepted),
+      cfg.idCol, cfg.textCol, iters, scratchDir, damping)
+
+  /** The corpus's quality TAIL — accepted documents ranking strictly
+    * below `rankFloor`, as a one-column id frame shaped for
+    * [[takedown]]: `takedown(spark, cfg, qualityTail(...))` is the
+    * whole rank-then-prune curation loop. The floor is EXPLICIT — no
+    * default — because a rank cut is a per-corpus modeling choice (the
+    * `semanticThreshold` doctrine); read the rank distribution off
+    * [[qualityRank]] first. A quantile-derived floor is a driver-side
+    * scalar the caller computes; the verb itself stays one filter —
+    * no global sort at corpus mass. */
+  def qualityTail(spark: org.apache.spark.sql.SparkSession, cfg: Config,
+                  iters: Int, scratchDir: String, rankFloor: Double,
+                  damping: Double = 0.85): DataFrame =
+    qualityRank(spark, cfg, iters, scratchDir, damping)
+      .where(org.apache.spark.sql.functions.col("rank") < rankFloor)
+      .select(cfg.idCol)
+
   /** One [[audit]] observation: which pipeline surface, how bad
     * (`error` = the invariant is broken and answers may be wrong or a
     * resume unsafe; `warn` = debris or lag a scheduled maintainer will
