@@ -1257,6 +1257,96 @@ object SparkEntry {
     }
   }
 
+  /** THE COMPOSED PIPELINE WITH THE LINKAGE TAIL, gated cross-engine —
+    * the first oracle gate over [[graft.streaming.TriadPipeline]]
+    * itself: init the three screens' stores over the standing corpus
+    * (doc_id % 5 ≠ 0; the qIngestLoop fixture), init the linkage tail
+    * EMPTY ([[graft.streaming.TriadPipeline.initLinkageStore]] — the
+    * sink-as-carrier-of-record doctrine), then drive the batch half
+    * through TWO composed micro-batches and relabel the final accepted
+    * corpus through the standing linkage state. The oracle re-derives
+    * the WHOLE composition in SQL: the sequential keep-first survivor
+    * replay over the exact all-pairs Jaccard table (the qIngestLoop
+    * oracle — stage 1's cross-batch statefulness), then the recursive-
+    * CTE entity-resolution closure over the survivors' (lang, sig)
+    * values (the qLinkageIncr oracle) — so the hash-match proves the
+    * screens' survivor set AND the incremental resolution over it in
+    * one gate. The semantic screen runs with per-doc xxhash64 formula
+    * embeddings at threshold 0.95 (iid-uniform 64-d vectors — max
+    * pairwise cosine ≈ 0.73 at this corpus mass), so it accepts every
+    * dedup survivor; that no-op is a CHECKED invariant (`require`
+    * below), not an assumption — drift here fails the gate loudly
+    * rather than silently diverging from the oracle. `sig` is the
+    * 10-char text prefix within `lang` blocks at maxDist 3 — real
+    * merges at every SF (7 pairs among the sf0.01 batch docs, 958 at
+    * sf0.1). Materialized before the scratch root is deleted (the
+    * qMinhashStore pattern). */
+  def qTriadLinkage(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{AcceptedSink, TriadPipeline}
+    import graft.ops.{IvfIndexStore, LinkageStore, MinhashIndexStore, SemanticIndexStore}
+    val docs = t(spark, dir, "documents")
+      .withColumn("sig", substring(col("text"), 1, 10))
+      .withColumn("embedding", transform(sequence(lit(0), lit(63)),
+        i => (pmod(xxhash64(col("doc_id"), i, lit(42)), lit(1000003L))
+          .cast("double") / 1000003.0 - 0.5).cast("float")))
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val root = java.nio.file.Files.createTempDirectory("q-triad-linkage").toString
+    try {
+      val cfg = TriadPipeline.Config(root, "doc_id", "text", "embedding",
+        checkpointDir = s"$root/cp", semanticThreshold = 0.95,
+        linkage = Some(TriadPipeline.LinkageStage("sig", Seq("lang"),
+          maxDist = 3)))
+      MinhashIndexStore.init(corpus, cfg.minhashDir, "doc_id", "text",
+        shingleK = 5, numBands = 24, rowsPerBand = 2)
+      SemanticIndexStore.init(corpus, cfg.semanticDir, "doc_id", "embedding",
+        nlist = 4)
+      IvfIndexStore.init(corpus, cfg.ivfDir, "doc_id", "embedding", nlist = 8)
+      TriadPipeline.initLinkageStore(spark, cfg)
+      Seq(0L, 1L).foreach { b =>
+        val o = TriadPipeline.processBatch(
+          docs.where(col("doc_id") % 5 === 0 &&
+            pmod(col("doc_id"), lit(10)) === b * 5), b, cfg)
+        require(o.semantic.accepted == o.dedup.accepted,
+          s"q_triad_linkage: the semantic screen rejected " +
+            s"${o.dedup.accepted - o.semantic.accepted} doc(s) in batch $b " +
+            "— the formula-embedding no-op invariant the oracle depends " +
+            "on broke (cosine ceiling reached 0.95?)")
+      }
+      val accepted = AcceptedSink.readAccepted(spark, cfg.semanticAccepted)
+        .select("doc_id", "lang", "sig")
+      val out = LinkageStore.resolveRows(spark, cfg.linkageDir, accepted)
+        .select(col("doc_id"), col("lang"), col("sig"), col("canonical_sig"))
+        .orderBy("doc_id")
+      val rows = out.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), out.schema)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
+    }
+  }
+
+  /** CORPUS PAGERANK through the CHECKPOINTED many-round walk
+    * ([[graft.ops.LinkGraph.docRank]] →
+    * [[graft.ops.Graph.pageRankCheckpointed]]) — the production
+    * rank-the-corpus verb wired to the documents it was built for, and
+    * the first oracle gate over the checkpointed walk (q_pagerank gates
+    * the unrolled form; the specs pin bit-identity between the two —
+    * this gates the flat-plan path cross-engine at 8 rounds, a depth
+    * the unrolled plan shouldn't carry). The graph is the shared-
+    * vocabulary co-citation structure (doc → term always; term → doc
+    * only at document frequency ≥ 2 — exclusive vocabulary is a dead
+    * end, see LinkGraph's degeneracy argument), and the oracle rebuilds
+    * it and unrolls the same 8 exact-decimal rounds in SQL, so the
+    * whole rank VECTOR is hash-checked. Scratch rounds live under a
+    * temp dir swept at exit. */
+  def qCorpusRank(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("q-corpus-rank").toString
+    try {
+      graft.ops.LinkGraph.docRank(t(spark, dir, "documents"),
+        "doc_id", "text", iters = 8, s"$scratch/walk")
+    } finally registerCleanup(scratch)
+  }
+
   /** The CURATION GATE's decision function in batch form, oracle-gated:
     * every document's first failing screen (or `kept`) under a standard
     * rule (≥ 20 tokens, quality ≥ 0.5, lang ∈ {en, zh};
@@ -2645,6 +2735,8 @@ object SparkEntry {
     "q_entity_resolution" -> qEntityResolution,
     "q_linkage_incr"     -> qLinkageIncr,
     "q_linkage_remove"   -> qLinkageRemove,
+    "q_triad_linkage"    -> qTriadLinkage,
+    "q_corpus_rank"      -> qCorpusRank,
     "q_retention"        -> qRetention,
     "q_outliers"         -> qOutliers,
     "q_dup_spans"        -> qDupSpans,
@@ -2783,7 +2875,8 @@ object SparkEntry {
       |         WHERE p.x IN (SELECT doc_id FROM b1)
       |           AND (p.y IN (SELECT doc_id FROM corpus)
       |                OR (p.y IN (SELECT doc_id FROM b1) AND p.y < p.x))),
-      |acc1 AS (SELECT doc_id FROM b1 EXCEPT SELECT doc_id FROM rej1),
+      |acc1 AS (SELECT doc_id FROM b1
+      |         WHERE doc_id NOT IN (SELECT doc_id FROM rej1)),
       |stand2 AS (SELECT doc_id FROM corpus UNION SELECT doc_id FROM acc1),
       |rej2 AS (SELECT DISTINCT p.x AS doc_id FROM prs p
       |         WHERE p.x IN (SELECT doc_id FROM b2)
@@ -2793,6 +2886,113 @@ object SparkEntry {
       |SELECT doc_id, CAST(0 AS INT) AS batch FROM acc1
       |UNION ALL SELECT doc_id, CAST(1 AS INT) AS batch FROM acc2
       |ORDER BY doc_id""".stripMargin
+
+  /** The q_triad_linkage oracle: the WHOLE composition re-derived —
+    * the ingestLoopOracleSql survivor replay (sequential keep-first
+    * over the exact all-pairs Jaccard table; the semantic screen is a
+    * gate-CHECKED no-op, see [[qTriadLinkage]]) feeding the
+    * entityResolutionOracleSql recursive closure, here over the
+    * survivors' (lang, 10-char-prefix) values at maxDist 3. */
+  private def triadLinkageOracleSql: String =
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t
+      |         FROM documents),
+      |sh AS (SELECT id, unnest(CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+      |          ELSE list_distinct(list_transform(generate_series(1, len(t) - 4),
+      |               i -> array_to_string(t[i:i+4], ' '))) END) AS s FROM toks),
+      |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+      |inter AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS i
+      |          FROM sh x JOIN sh y USING (s) WHERE x.id < y.id GROUP BY 1, 2),
+      |jac AS (SELECT id_a, id_b
+      |        FROM inter JOIN sizes a ON inter.id_a = a.id
+      |                   JOIN sizes b ON inter.id_b = b.id
+      |        WHERE i::DOUBLE / (a.sz + b.sz - i) >= 0.5),
+      |prs AS (SELECT id_a AS x, id_b AS y FROM jac
+      |        UNION ALL SELECT id_b, id_a FROM jac),
+      |corpus AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0),
+      |b1 AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+      |b2 AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 5),
+      |rej1 AS (SELECT DISTINCT p.x AS doc_id FROM prs p
+      |         WHERE p.x IN (SELECT doc_id FROM b1)
+      |           AND (p.y IN (SELECT doc_id FROM corpus)
+      |                OR (p.y IN (SELECT doc_id FROM b1) AND p.y < p.x))),
+      |acc1 AS (SELECT doc_id FROM b1
+      |         WHERE doc_id NOT IN (SELECT doc_id FROM rej1)),
+      |stand2 AS (SELECT doc_id FROM corpus UNION SELECT doc_id FROM acc1),
+      |rej2 AS (SELECT DISTINCT p.x AS doc_id FROM prs p
+      |         WHERE p.x IN (SELECT doc_id FROM b2)
+      |           AND (p.y IN (SELECT doc_id FROM stand2)
+      |                OR (p.y IN (SELECT doc_id FROM b2) AND p.y < p.x))),
+      |acc2 AS (SELECT doc_id FROM b2
+      |         WHERE doc_id NOT IN (SELECT doc_id FROM rej2)),
+      |surv AS (SELECT doc_id FROM acc1 UNION ALL SELECT doc_id FROM acc2),
+      |v AS (SELECT d.lang, substr(d.text, 1, 10) AS value
+      |      FROM documents d JOIN surv USING (doc_id)
+      |      WHERE substr(d.text, 1, 10) IS NOT NULL GROUP BY 1, 2),
+      |lpairs AS (SELECT a.lang, a.value AS va, b.value AS vb
+      |           FROM v a JOIN v b
+      |             ON a.lang = b.lang AND a.value < b.value
+      |           WHERE abs(length(a.value) - length(b.value)) <= 3
+      |             AND levenshtein(a.value, b.value) <= 3),
+      |ledges AS (SELECT lang || chr(1) || va AS src,
+      |                  lang || chr(1) || vb AS dst FROM lpairs
+      |           UNION
+      |           SELECT lang || chr(1) || vb, lang || chr(1) || va
+      |           FROM lpairs),
+      |walk AS (SELECT src AS id, dst AS reach FROM ledges
+      |         UNION
+      |         SELECT w.id, e.dst FROM walk w JOIN ledges e ON w.reach = e.src),
+      |comp AS (SELECT id, least(id, min(reach)) AS label FROM walk GROUP BY id)
+      |SELECT d.doc_id, d.lang, substr(d.text, 1, 10) AS sig,
+      |       coalesce(string_split(c.label, chr(1))[-1],
+      |                substr(d.text, 1, 10)) AS canonical_sig
+      |FROM documents d JOIN surv USING (doc_id)
+      |LEFT JOIN comp c
+      |  ON d.lang || chr(1) || substr(d.text, 1, 10) = c.id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** The q_corpus_rank oracle: the shared-vocabulary co-citation graph
+    * (doc → term always, term → doc only at df ≥ 2 —
+    * [[graft.ops.LinkGraph]]'s degeneracy rule) rebuilt in SQL, then
+    * the q_pagerank exact-decimal round unrolled EIGHT times — the
+    * checkpointed walk's depth, proven cross-engine on the whole rank
+    * vector. */
+  private def corpusRankOracleSql: String = {
+    def iter(k: Int, prev: String): String =
+      s"""c$k AS (SELECT e.dst AS node,
+         |           CAST($prev.rank / deg.deg AS DECIMAL(28,14)) AS q
+         |        FROM e JOIN $prev ON e.src = $prev.node
+         |               JOIN deg ON e.src = deg.src),
+         |s$k AS (SELECT node, sum(q) AS mass FROM c$k GROUP BY 1),
+         |r$k AS (SELECT n.node,
+         |           (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / p.nd
+         |           + CAST(0.85 AS DOUBLE) *
+         |             coalesce(CAST(s$k.mass AS DOUBLE), CAST(0 AS DOUBLE)) AS rank
+         |        FROM nodes n CROSS JOIN params p
+         |        LEFT JOIN s$k ON n.node = s$k.node)""".stripMargin
+    val rounds = (1 to 8).map(k => iter(k, s"r${k - 1}")).mkString(",\n")
+    s"""WITH inc AS (
+       |  SELECT DISTINCT 'd:' || CAST(doc_id AS VARCHAR) AS doc,
+       |         't:' || tok AS term
+       |  FROM (SELECT doc_id,
+       |               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+       |        FROM documents WHERE text IS NOT NULL)
+       |  WHERE length(tok) > 0),
+       |shared AS (SELECT term FROM inc GROUP BY term HAVING count(*) >= 2),
+       |e AS (SELECT doc AS src, term AS dst FROM inc
+       |      UNION ALL
+       |      SELECT term, doc FROM inc
+       |      WHERE term IN (SELECT term FROM shared)),
+       |nodes AS (SELECT DISTINCT src AS node FROM e
+       |          UNION SELECT DISTINCT dst FROM e),
+       |params AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM nodes),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |r0 AS (SELECT node, CAST(1 AS DOUBLE) / p.nd AS rank
+       |       FROM nodes CROSS JOIN params p),
+       |$rounds
+       |SELECT CAST(substr(node, 3) AS BIGINT) AS doc_id, rank FROM r8
+       |WHERE node LIKE 'd:%' ORDER BY doc_id""".stripMargin
+  }
 
   /** The q_semantic_dedup exact all-pairs reference with the +1000001
     * planted shift, filtered to pairs touching the batch (vec_id % 5 =
@@ -3574,6 +3774,8 @@ object SparkEntry {
     // oracle is therefore the identical recursive-CTE closure; the
     // split/append lifecycle lives only on the Spark side
     "q_linkage_incr" -> entityResolutionOracleSql,
+    "q_triad_linkage" -> triadLinkageOracleSql,
+    "q_corpus_rank" -> corpusRankOracleSql,
     // q_linkage_remove: the same closure computed over SURVIVING values
     // only (names ending in "e" withdrawn); every row still relabels —
     // withdrawn-name rows fall back to their own name, which is the
