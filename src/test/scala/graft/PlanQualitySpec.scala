@@ -34,8 +34,10 @@ class PlanQualitySpec extends SparkSpec {
       // of the range partition count
       "q_table_checksum", "q_edit_near_dups", "q_sorted_neighbors",
       // the pagerank mass sums are DECIMAL(28,14) by design — the whole
-      // point of the quantized-contribution recipe is this invariance
-      "q_pagerank")
+      // point of the quantized-contribution recipe is this invariance;
+      // r19: the corpus-rank gate rides the same recipe through the
+      // CHECKPOINTED walk (parquet round-trips must not break it)
+      "q_pagerank", "q_corpus_rank")
     // restore the FIXTURE's value, not a constant — the session is
     // shared across suites and a leaked setting changes later plans
     val fixtureParts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -107,6 +109,23 @@ class PlanQualitySpec extends SparkSpec {
     // shape (a shuffled base would move the whole snapshot per batch)
     assert("BroadcastHashJoin .*LeftAnti, BuildRight".r.findFirstIn(plan).isDefined,
       s"base side not streamed through a broadcast anti-join:\n$plan")
+  }
+
+  test("link-graph edges: equi-joins only, documents scan pruned to id+text") {
+    // the shared-vocabulary graph's df>=2 return edges come from a
+    // semi-join of the incidence against its own aggregate — at corpus
+    // mass that MUST stay a hash join on the token key, and the
+    // documents scan must not drag lang/source/n_chars through the
+    // tokenize explode (ReadSchema is what ships at 100 TB)
+    val edges = graft.ops.LinkGraph.termEdges(
+      t3("documents"), "doc_id", "text")
+    val plan = edges.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"df>=2 semi-join degenerated to a quadratic join:\n$plan")
+    assert(!plan.contains("n_chars") && !plan.contains("source"),
+      s"unpruned documents scan under the link graph:\n$plan")
+    spark.catalog.clearCache()
   }
 
   test("near-dup candidate plans are equi-join only — no quadratic fallback") {
