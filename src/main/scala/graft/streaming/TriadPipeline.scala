@@ -92,12 +92,19 @@ object TriadPipeline {
 
   /** What one composed micro-batch did, per stage. `curation` is None
     * when the pipeline runs without a front gate; `linkage` is None
-    * when it runs without the tail stage. */
+    * when it runs without the tail stage. `stageSecs` is per-stage wall
+    * time (keys: curation/dedup/semantic/ivf/linkage, absent stages
+    * omitted) — the operational telemetry that makes a slow batch
+    * attributable to ONE stage instead of re-running the pipeline under
+    * a profiler; the inter-stage accepted-bytes read is lazy, so each
+    * stage's figure includes reading its own input (the cost a
+    * standalone run of that stage would pay). */
   final case class TriadOutcome(dedup: DedupIngestStream.BatchOutcome,
                                 semantic: SemanticIngestStream.BatchOutcome,
                                 ivf: IvfIngestStream.BatchOutcome,
                                 curation: Option[CurationGate.BatchOutcome] = None,
-                                linkage: Option[LinkageIngestStream.BatchOutcome] = None)
+                                linkage: Option[LinkageIngestStream.BatchOutcome] = None,
+                                stageSecs: Map[String, Double] = Map.empty)
 
   /** One composed micro-batch — the three stages in sequence, each
     * reading its predecessor's committed accepted bytes for THIS batch
@@ -106,42 +113,51 @@ object TriadPipeline {
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
                                   cfg: Config): TriadOutcome = {
     val spark = batch.sparkSession
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
     // the optional curation FRONT GATE ([[CurationGate]]): stateless and
     // deterministic, so its kept frame feeds stage 1 in memory (same
     // replay class as the source); only the text-free rejected audit
     // persists, under curationRejected/batch=<id>
-    val (gated, o0) = cfg.curation match {
+    val ((gated, o0), t0) = timed(cfg.curation match {
       case Some(rule) =>
         val (kept, oc) = CurationGate.processBatch(batch, batchId,
           cfg.curationRejected, cfg.idCol, cfg.textCol, rule)
         (kept, Some(oc))
       case None => (batch, None)
-    }
-    val o1 = DedupIngestStream.processBatch(gated, batchId,
+    })
+    val (o1, t1) = timed(DedupIngestStream.processBatch(gated, batchId,
       cfg.minhashDir, cfg.minhashAccepted, cfg.idCol, cfg.textCol,
       cfg.minhashThreshold, cfg.minhashCompactEvery, cfg.checkpointDir,
-      cfg.acceptedStatsCols)
+      cfg.acceptedStatsCols))
     // the dedup survivors carry every source column (embedding
     // included) — re-read from the committed batch directory, which a
     // fold can never touch (folds take strictly-below-current only)
     val survivors1 = spark.read.parquet(s"${cfg.minhashAccepted}/batch=$batchId")
-    val o2 = SemanticIngestStream.processBatch(survivors1, batchId,
+    val (o2, t2) = timed(SemanticIngestStream.processBatch(survivors1, batchId,
       cfg.semanticDir, cfg.semanticAccepted, cfg.idCol, cfg.vecCol,
       cfg.semanticThreshold, cfg.vectorCompactEvery, cfg.checkpointDir,
-      cfg.driftGateMinRows, cfg.acceptedStatsCols)
+      cfg.driftGateMinRows, cfg.acceptedStatsCols))
     val survivors2 = spark.read.parquet(s"${cfg.semanticAccepted}/batch=$batchId")
-    val o3 = IvfIngestStream.processBatch(survivors2, batchId,
+    val (o3, t3) = timed(IvfIngestStream.processBatch(survivors2, batchId,
       cfg.ivfDir, cfg.idCol, cfg.vecCol, cfg.vectorCompactEvery,
-      cfg.checkpointDir, cfg.driftGateMinRows)
+      cfg.checkpointDir, cfg.driftGateMinRows))
     // the linkage TAIL STAGE: the final survivors fold into the standing
     // entity resolution. Same committed-bytes input as the ivf stage —
     // the store's values can never drift from what the sink accepted —
     // and the store keeps its own ledger, so the boundary-crash replay
     // argument extends to a fourth stage unchanged
-    val o4 = cfg.linkage.map { st =>
+    val (o4, t4) = timed(cfg.linkage.map { st =>
       LinkageIngestStream.processBatch(survivors2, batchId,
         cfg.linkageDir, st.compactEvery, cfg.checkpointDir)
-    }
+    })
+    val stageSecs =
+      (if (o0.nonEmpty) Map("curation" -> t0) else Map.empty[String, Double]) ++
+        Map("dedup" -> t1, "semantic" -> t2, "ivf" -> t3) ++
+        (if (o4.nonEmpty) Map("linkage" -> t4) else Map.empty[String, Double])
     // the curation REJECTED-AUDIT sink is the same partition-per-batch
     // layout as the accepted sinks and would grow a directory per batch
     // forever without the same remedy — fold it on the same cadence
@@ -150,7 +166,7 @@ object TriadPipeline {
     // it back through AcceptedSink.readAccepted once folding has run)
     if (o0.nonEmpty && o1.compactedTo.nonEmpty)
       AcceptedSink.fold(spark, cfg.curationRejected, belowBatch = batchId): Unit
-    TriadOutcome(o1, o2, o3, o0, o4)
+    TriadOutcome(o1, o2, o3, o0, o4, stageSecs)
   }
 
   /** Initialize the composed pipeline's linkage store EMPTY — the tail
