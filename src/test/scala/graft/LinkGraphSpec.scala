@@ -111,4 +111,28 @@ class LinkGraphSpec extends SparkSpec {
       assert(rr === Set(101L, 102L))
     }
   }
+
+  test("corpus rank composes as a sampling weight: rank-weighted selection is deterministic and favors the core") {
+    // the soft alternative to the hard qualityTail cut — the rank as a
+    // DSIR-style importance weight into the deterministic weighted
+    // sampler (Curation.weightedSample): high-rank docs dominate the
+    // sample, nothing is hard-deleted, and the selection is replayable
+    withDir { dir =>
+      // 6 docs sharing a core vocabulary + 6 isolates
+      val d = docs((1L to 12L).map { i =>
+        i -> (if (i <= 6) s"alpha beta gamma d$i" else s"q$i w$i e$i r$i")
+      }: _*)
+      val ranks = LinkGraph.docRank(d, "doc_id", "text",
+        iters = 4, s"$dir/walk")
+      val picked = graft.ops.Curation.weightedSample(
+        d.join(ranks, Seq("doc_id")), "doc_id", col("rank"), n = 4)
+        .collect().map(_.getLong(0)).toSet
+      assert(picked.forall(_ <= 6L),
+        s"rank-weighted sampling must favor the shared-vocabulary core: $picked")
+      val again = graft.ops.Curation.weightedSample(
+        d.join(ranks, Seq("doc_id")), "doc_id", col("rank"), n = 4)
+        .collect().map(_.getLong(0)).toSet
+      assert(again === picked, "the weighted selection must be deterministic")
+    }
+  }
 }
