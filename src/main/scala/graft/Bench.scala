@@ -256,7 +256,14 @@ object Bench {
     // last-parseable-line extraction always succeeds. Both records
     // carry "metric":"total" (the driver's documented shape); the
     // "record" field tells them apart for consumers that see both.
-    val benchFile = java.nio.file.Paths.get("bench_full.json")
+    // A SUBSET invocation (explicit query args — scale experiments,
+    // one-query probes) writes to bench_subset_*.json: the unsuffixed
+    // files are the committed full-sweep record of record, and a
+    // ten-second subset probe silently overwriting them is exactly the
+    // kind of artifact clobber that costs a round its close numbers
+    // (it happened twice before this guard existed).
+    val suffix = if (args.nonEmpty) "_subset" else ""
+    val benchFile = java.nio.file.Paths.get(s"bench_full$suffix.json")
     java.nio.file.Files.write(benchFile, (fullLine + "\n").getBytes("UTF-8"))
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
     val trailerLine =
@@ -265,7 +272,8 @@ object Bench {
     // driver records survived only as front-truncated stdout fragments
     // ("parsed": null) — a file ends the dependence on anyone's stdout
     // capture window entirely. stdout keeps both lines for humans.
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_trailer.json"),
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"bench_trailer$suffix.json"),
       (trailerLine + "\n").getBytes("UTF-8"))
     println(trailerLine)
     spark.stop()
