@@ -257,7 +257,8 @@ object Bench {
     // carry "metric":"total" (the driver's documented shape); the
     // "record" field tells them apart for consumers that see both.
     // A SUBSET invocation (explicit query args — scale experiments,
-    // one-query probes) writes to bench_subset_*.json: the unsuffixed
+    // one-query probes) writes to bench_full_subset.json /
+    // bench_trailer_subset.json: the unsuffixed
     // files are the committed full-sweep record of record, and a
     // ten-second subset probe silently overwriting them is exactly the
     // kind of artifact clobber that costs a round its close numbers

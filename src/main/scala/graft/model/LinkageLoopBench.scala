@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   *     1k-value appends and report each batch's seconds (the chain
   *     grows one link per batch — the read-side chain tax is visible
   *     here and is what the compact cadence bounds).
+  *  3. STEADY STATE: 18 batches through the production loop
+  *     ([[graft.streaming.LinkageIngestStream.processBatch]]) at
+  *     `compactEvery = 8` — TWO compact cycles, so the reading pins
+  *     that the chain tax returns to the post-compact band after
+  *     every trip (the cadence holds the cost flat indefinitely, not
+  *     just across the first cycle).
   *
   * Fixture discipline: 16,384 hash blocks, so per-block distinct mass
   * stays bounded at every state size (the operator's own blocking
@@ -88,10 +94,31 @@ object LinkageLoopBench {
         base = v
         r3(sec)
       }
+      // 3. STEADY STATE, two compact cycles: 18 batches through the
+      //    PRODUCTION loop itself ([[LinkageIngestStream.processBatch]]
+      //    — ledger, owner stamp, and the compactEvery=8 cadence all
+      //    included), reporting per-batch wall, the chain length the
+      //    NEXT batch will read, and whether this batch's cadence trip
+      //    fired. The claim experiment 2 cannot make: after EVERY
+      //    compact trip the chain tax returns to the post-compact band
+      //    — the cadence holds the loop's cost flat in steady state,
+      //    not just across the first cycle.
+      val ssDir = freshStore(spark, root, "steady", 200000L)
+      val ssCp = s"$root/steady-cp"
+      val steady = (0 until 18).map { b =>
+        val (sec, o) = time(
+          graft.streaming.LinkageIngestStream.processBatch(
+            batchOf(spark, 40000000L + b * 1000L, 200000L), b.toLong,
+            ssDir, compactEvery = 8, checkpointDir = ssCp))
+        s"""{"b":$b,"sec":${r3(sec)},""" +
+          s""""chain":${graft.ops.LinkageStore.chainLength(spark, ssDir)},""" +
+          s""""compacted":${o.compactedTo.nonEmpty}}"""
+      }
       println(s"""{"bench":"linkage_loop","blocks":$Blocks,""" +
         s""""state_growth":[${growth.map { case (s, t) =>
           s"""{"standing":$s,"append_sec":$t}""" }.mkString(",")}],""" +
-        s""""loop_batches_sec":[${loop.mkString(",")}]}""")
+        s""""loop_batches_sec":[${loop.mkString(",")}],""" +
+        s""""steady_batches":[${steady.mkString(",")}]}""")
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(root)).deleteRecursively()

@@ -412,6 +412,42 @@ object AcceptedSink {
     else Some(spark.read.parquet(s"$root/v=$v/$ReceiptSubframe"))
   }
 
+  /** RECEIPT-COHERENCE walk — the audit's check that every archive
+    * chain version carrying a [[migrationReceipt]] still DELIVERS the
+    * schema it declared: the receipt's `new_schema` (the migration's
+    * committed claim) must match that version's own data footers under
+    * the policy's equality (names + comparable types, order- and
+    * nullability-free; `batch` included — the receipt records the
+    * archive data schema verbatim). The receipt rides the same atomic
+    * rename as the data, so the two can only disagree through an
+    * EXTERNAL rewrite of the committed version — including the one
+    * case [[schemaCoherenceFindings]] is blind to: a whole archive
+    * head rewritten self-consistently (every footer changed together
+    * moves the STANDING schema with it, so the standing-schema walk
+    * sees no drift; the receipt's declaration does not move). Returns
+    * one finding string per incoherent version, empty when coherent.
+    * One receipt + one footer read per receipted version — O(chain)
+    * metadata, no data pages. */
+  def receiptCoherenceFindings(spark: SparkSession,
+                               acceptedDir: String): Seq[String] = {
+    val root = archiveRoot(acceptedDir)
+    val links = VersionedState.latestVersion(spark, root, Subframes)
+      .map(chain(spark, root, _)).getOrElse(Seq.empty)
+    links.sorted.flatMap { w =>
+      migrationReceipt(spark, acceptedDir, w).flatMap { receipt =>
+        val declared = org.apache.spark.sql.types.DataType
+          .fromJson(receipt.select("new_schema").head().getString(0))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        describeDrift(declared,
+          spark.read.parquet(s"$root/v=$w/data").schema,
+          s"archive v=$w data")
+          .map(drift => s"archive v=$w was committed by a migration " +
+            s"declaring a new schema its data footers no longer carry " +
+            s"— $drift")
+      }
+    }
+  }
+
   /** The fold watermark: every batch directory at or below it is
     * archived (or dead debris). None before the first fold. */
   def maxFoldedBatch(spark: SparkSession,

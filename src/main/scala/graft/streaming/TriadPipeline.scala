@@ -278,9 +278,16 @@ object TriadPipeline {
           s"linkage store ${cfg.linkageDir}")
         val keyCols = st.blockCols :+ st.valueCol
         val corpus = AcceptedSink.readAccepted(spark, cfg.semanticAccepted)
+        // EVERY key column filtered non-null, block columns included:
+        // the store's own joins (append's candidate blocks, remove's
+        // left_semi) use null-dropping equality, so a null-block key can
+        // neither pair nor be withdrawn — deriving one would be a
+        // guaranteed no-op, and the null-missed anti-join below would
+        // hand the removal exactly that no-op frame
         def vals(rows: DataFrame): DataFrame = rows
           .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
-          .where(org.apache.spark.sql.functions.col(st.valueCol).isNotNull)
+          .where(keyCols.map(org.apache.spark.sql.functions.col(_).isNotNull)
+            .reduce(_ && _))
           .distinct()
         val gone = vals(corpus.join(removeIds, Seq(cfg.idCol), "left_semi"))
           .join(vals(corpus.join(removeIds, Seq(cfg.idCol), "left_anti")),
@@ -363,6 +370,258 @@ object TriadPipeline {
     RetrainOutcome(rows, sem, ivf)
   }
 
+  /** What [[migrateCorpus]] did, per surface: each accepted sink's
+    * migration (None where the sink had nothing accepted yet — its
+    * first post-migration batch establishes the new schema instead),
+    * and which stores the content deltas forced to rebuild
+    * (`minhashRebuilt`; `vectorRetrain` is Some exactly when the
+    * vector content changed; `linkageRebuilt` is None when no tail
+    * stage is configured or its store was never initialized,
+    * Some(false) when the key set was untouched and the standing
+    * resolution already answers for the migrated corpus). */
+  final case class CorpusMigrationOutcome(
+      dedupMigration: Option[AcceptedSink.MigrationOutcome],
+      semanticMigration: Option[AcceptedSink.MigrationOutcome],
+      minhashRebuilt: Boolean,
+      vectorRetrain: Option[RetrainOutcome],
+      linkageRebuilt: Option[Boolean])
+
+  /** Count + order-invariant decimal checksum over `cols`' content —
+    * the house arithmetic ([[AcceptedSink.exportShardsAsOf]]'s
+    * provenance class) used to decide whether a migration actually
+    * TOUCHED the column set a store was built over. `to_json(struct)`
+    * keys the row (type-generic — embeds ride through; field names
+    * disambiguate null placement), summed as md5-derived decimals so
+    * the reading is row-order-free; row multiplicity counts. Equal
+    * strings ⇒ the content a store derived its state from is
+    * byte-identical across the migration, so the state still answers. */
+  private def contentChecksum(df: DataFrame, cols: Seq[String]): String = {
+    import org.apache.spark.sql.functions.{count, lit => flit, struct,
+      sum, to_json}
+    val key = to_json(struct(cols.map(org.apache.spark.sql.functions.col): _*))
+    val r = df.agg(count(flit(1)),
+      sum(graft.ops.Curation.shuffleKey(key).cast("decimal(20,0)"))
+        .cast("string")).head()
+    s"${r.getLong(0)}:${Option(r.getString(1)).getOrElse("0")}"
+  }
+
+  /** SCHEMA MIGRATION of the WHOLE pipeline — the runbook
+    * [[AcceptedSink.migrateArchive]]'s refusal prescribes ("evolving
+    * the corpus schema is an explicit archive migration"), composed at
+    * the level where the stores actually live. The sink-level verb
+    * rewrites one archive; the pipeline owns FIVE more surfaces whose
+    * state was derived from pre-migration column content — the minhash
+    * store (text), the two vector stores (embeddings), the linkage
+    * store (value keys) — and nothing below this verb pins that they
+    * are rebuilt exactly when the migration invalidated them. One
+    * call, stream stopped:
+    *
+    *  1. refuse while the checkpoint holds a batch pending replay
+    *     (the [[retrainVectorStores]] hazard — every store the runbook
+    *     may rebuild shares it);
+    *  2. PRE-FLIGHT the migrated schema (applied to an empty frame —
+    *     no data read): the id column and every column a stage
+    *     consumes (`textCol`, `vecCol`, and the linkage stage's
+    *     value/block columns when configured) must survive with their
+    *     standing comparable types, refused BY NAME otherwise — a
+    *     migration that drops or retypes a stage input doesn't need a
+    *     rebuild, it needs a different pipeline Config, and
+    *     discovering that mid-rewrite would strand a half-migrated
+    *     platform;
+    *  3. fold each sink's live tier (the sink verb's own
+    *     precondition), then [[AcceptedSink.migrateArchive]] BOTH
+    *     accepted sinks with the same transform (legal because the
+    *     composition passes every source column through both sinks —
+    *     one corpus shape, two screens' worth of it); a sink with
+    *     nothing accepted yet is skipped — its first post-migration
+    *     batch establishes the new schema;
+    *  4. decide each derived store's fate by CONTENT, not schema:
+    *     the house checksum over exactly the columns the store was
+    *     built from, read through [[AcceptedSink.readAccepted]]
+    *     before and after the rewrite. Equal ⇒ the store's state
+    *     still answers (a backfilled new column or a rewrite of some
+    *     unrelated column invalidates nothing); changed ⇒ rebuild:
+    *     the minhash store re-inits over the stage-1 accepted corpus
+    *     under its own PERSISTED parameters, the vector stores
+    *     [[retrainVectorStores]] (cell counts re-sized via
+    *     `semanticNlist`/`ivfNlist` — the retrain verb's explicitness
+    *     doctrine), and the linkage store rebuilds BORN-EMPTY
+    *     ([[initLinkageStore]]) plus one whole-corpus append — the
+    *     rebuild that keeps the sink-as-carrier-of-record derivation
+    *     [[takedown]] depends on. Schema comparison could not make
+    *     this call: a value rewrite with no schema delta (a text
+    *     normalization pass) invalidates the text-derived stores
+    *     while changing no footer.
+    *
+    * Resume the SAME checkpoint afterwards; the next batch must carry
+    * the migrated shape ([[AcceptedSink.requireSchemaCompatible]]
+    * now enforces the new standing schema) and fresh-records its
+    * ledger base against any rebuilt store (the retrain verb's resume
+    * argument, store by store).
+    *
+    * NOT blindly re-runnable: each numbered step commits atomically,
+    * but a crash between steps leaves later steps undone, and
+    * re-invoking the verb would apply `migrate` AGAIN to the
+    * already-migrated archives (a double transform — undetectable
+    * when the transform is schema-neutral). Recovery is by
+    * inspection, not retry: [[AcceptedSink.migrationReceipt]] at each
+    * sink's head says which sink rewrites committed; finish the
+    * remaining steps with the sink/store-level verbs by hand. The
+    * takedown-interrupted analogue of this note lives on [[audit]]'s
+    * linkage containment finding.
+    *
+    * Cost: O(accepted corpus) several times over — two archive
+    * rewrites, up to four checksum scans, up to three store rebuilds
+    * — the [[AcceptedSink.compactArchive]]/retrain class; schedule it
+    * as the rare re-modeling event it is. */
+  def migrateCorpus(spark: org.apache.spark.sql.SparkSession, cfg: Config,
+                    migrate: DataFrame => DataFrame,
+                    semanticNlist: Int = 0,
+                    ivfNlist: Int = 16): CorpusMigrationOutcome = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    IngestProtocol.pendingReplay(spark, cfg.checkpointDir).foreach { b =>
+      throw new IllegalStateException(
+        s"triad migration: checkpoint ${cfg.checkpointDir} holds batch $b " +
+          "pending replay (offsets ahead of commits) — a store rebuild " +
+          "now would make the resumed batch fresh-record its base against " +
+          "rebuilt state and re-append documents the rebuild corpus " +
+          "already absorbed; let the stream drain the batch, then migrate")
+    }
+    val dedupHas = AcceptedSink.hasAccepted(spark, cfg.minhashAccepted)
+    val semHas = AcceptedSink.hasAccepted(spark, cfg.semanticAccepted)
+    require(dedupHas || semHas,
+      s"triad migration: neither accepted sink under ${cfg.root} holds " +
+        "anything — there is no corpus schema to migrate; the first " +
+        "accepted batch establishes the schema instead")
+
+    // ---- pre-flight: the migrated shape must keep every stage input --
+    val standing = AcceptedSink.acceptedSchema(spark,
+        if (semHas) cfg.semanticAccepted else cfg.minhashAccepted)
+      .getOrElse(throw new IllegalStateException(
+        s"triad migration: no standing accepted schema under ${cfg.root}"))
+    // the transform is written against the ARCHIVE data shape, which
+    // carries `batch` as a long data column — pre-flight under the
+    // same shape, zero rows, so a broken transform fails before any
+    // rewrite starts
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(standing.fields :+ StructField("batch", LongType)))
+    val migrated = migrate(probe).schema
+    def requireKept(colName: String, consumer: String): Unit = {
+      val before = standing.find(_.name == colName).getOrElse(
+        throw new IllegalStateException(
+          s"triad migration: the standing accepted schema has no column " +
+            s"'$colName' — the pipeline Config names a $consumer column " +
+            "the corpus never carried"))
+      val after = migrated.find(_.name == colName)
+      require(after.nonEmpty,
+        s"triad migration: the migration DROPS column '$colName', which " +
+          s"the $consumer consumes — a pipeline migration must carry " +
+          "every stage input through; dropping one is a pipeline " +
+          "re-configuration, not a migration")
+      // catalogString is the nullability-free type rendering — the
+      // same looseness the sink's schema policy compares under
+      require(after.get.dataType.catalogString == before.dataType.catalogString,
+        s"triad migration: the migration RETYPES column '$colName' " +
+          s"(${before.dataType.simpleString} -> " +
+          s"${after.get.dataType.simpleString}), which the $consumer " +
+          "consumes under its standing type — retype a stage input only " +
+          "through an explicit store re-parameterization, not this verb")
+    }
+    requireKept(cfg.idCol, "whole pipeline (every store keys on it)")
+    requireKept(cfg.textCol, "dedup stage")
+    requireKept(cfg.vecCol, "vector stages")
+    cfg.linkage.foreach { st =>
+      (st.blockCols :+ st.valueCol).foreach(
+        requireKept(_, "linkage tail stage"))
+    }
+
+    // ---- fold, checksum, migrate each sink ---------------------------
+    def foldAll(dir: String): Unit =
+      AcceptedSink.liveBatchIds(spark, dir).maxOption.foreach(mx =>
+        AcceptedSink.fold(spark, dir, belowBatch = mx + 1,
+          cfg.acceptedStatsCols): Unit)
+    if (dedupHas) foldAll(cfg.minhashAccepted)
+    if (semHas) foldAll(cfg.semanticAccepted)
+    val mhBefore = if (dedupHas) Some(contentChecksum(
+      AcceptedSink.readAccepted(spark, cfg.minhashAccepted),
+      Seq(cfg.idCol, cfg.textCol))) else None
+    val vecBefore = if (semHas) Some(contentChecksum(
+      AcceptedSink.readAccepted(spark, cfg.semanticAccepted),
+      Seq(cfg.idCol, cfg.vecCol))) else None
+    // the linkage checksum reads the store's own resolution domain:
+    // DISTINCT keys, every key column non-null (the store's equality
+    // domain — the [[takedown]] derivation's filter)
+    def linkKeys(): DataFrame = {
+      val st = cfg.linkage.get
+      val keyCols = st.blockCols :+ st.valueCol
+      AcceptedSink.readAccepted(spark, cfg.semanticAccepted)
+        .select(keyCols.map(col): _*)
+        .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
+        .distinct()
+    }
+    val linkActive = cfg.linkage.nonEmpty && semHas &&
+      graft.ops.LinkageStore.latestVersion(spark, cfg.linkageDir).nonEmpty
+    val linkBefore = if (linkActive)
+      Some(contentChecksum(linkKeys(), cfg.linkage.get.blockCols :+
+        cfg.linkage.get.valueCol)) else None
+
+    val dedupMig = if (dedupHas)
+      Some(AcceptedSink.migrateArchive(spark, cfg.minhashAccepted, migrate))
+    else None
+    val semMig = if (semHas)
+      Some(AcceptedSink.migrateArchive(spark, cfg.semanticAccepted, migrate))
+    else None
+
+    // ---- rebuild exactly the stores whose inputs changed -------------
+    def wipe(dir: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true): Unit
+    }
+    val mhChanged = dedupHas && mhBefore != Some(contentChecksum(
+      AcceptedSink.readAccepted(spark, cfg.minhashAccepted),
+      Seq(cfg.idCol, cfg.textCol)))
+    if (mhChanged) {
+      // rebuild under the store's own PERSISTED parameters (the store
+      // owns every comparison — a rebuild must not re-choose them) over
+      // the stage-1 accepted corpus: the retrain doctrine's corpus
+      // (init-time standing docs were never accepted and drop out)
+      val meta = graft.ops.MinhashIndexStore.read(spark, cfg.minhashDir).meta
+      wipe(cfg.minhashDir)
+      graft.ops.MinhashIndexStore.init(
+        AcceptedSink.readAccepted(spark, cfg.minhashAccepted),
+        cfg.minhashDir, cfg.idCol, cfg.textCol, meta.shingleK,
+        meta.numBands, meta.rowsPerBand, meta.maxGroupSize): Unit
+    }
+    val vecChanged = semHas && vecBefore != Some(contentChecksum(
+      AcceptedSink.readAccepted(spark, cfg.semanticAccepted),
+      Seq(cfg.idCol, cfg.vecCol)))
+    val retrain = if (vecChanged)
+      Some(retrainVectorStores(spark, cfg, semanticNlist, ivfNlist))
+    else None
+    val linkRebuilt = if (!linkActive) None else {
+      val st = cfg.linkage.get
+      val changed = linkBefore != Some(contentChecksum(linkKeys(),
+        st.blockCols :+ st.valueCol))
+      if (changed) {
+        // born-empty plus ONE whole-corpus append — the rebuild shape
+        // that keeps the sink the exact carrier-of-record (a raw
+        // LinkageStore.init over the corpus would break the takedown
+        // derivation's birth assumption only notionally — the content
+        // is identical — but the runbook keeps the doctrine uniform)
+        wipe(cfg.linkageDir)
+        initLinkageStore(spark, cfg): Unit
+        graft.ops.LinkageStore.append(spark, cfg.linkageDir,
+          AcceptedSink.readAccepted(spark, cfg.semanticAccepted),
+          expectedBase = 0L): Unit
+      }
+      Some(changed)
+    }
+    CorpusMigrationOutcome(dedupMig, semMig, mhChanged, retrain, linkRebuilt)
+  }
+
   /** RANK the accepted corpus on its link structure — the scoring half
     * of the quality feedback loop ([[graft.ops.LinkGraph]]: doc↔term
     * bipartite PageRank, the vocabulary-centrality signal). Returns
@@ -391,13 +650,33 @@ object TriadPipeline {
     * `semanticThreshold` doctrine); read the rank distribution off
     * [[qualityRank]] first. A quantile-derived floor is a driver-side
     * scalar the caller computes; the verb itself stays one filter —
-    * no global sort at corpus mass. */
+    * no global sort at corpus mass.
+    *
+    * RANKLESS EXEMPTION, by default: a tokenless/empty-text document
+    * produces no edges ([[graft.ops.LinkGraph.termEdges]]' contract),
+    * is absent from the rank output, and so never ranks below any
+    * floor — arguably the lowest-quality documents sit OUTSIDE the
+    * default tail. That default is deliberate (a rank verb should not
+    * invent a rank), but a curation pass that wants the whole tail
+    * sets `includeRankless = true`: accepted documents with no rank
+    * row join the tail frame (one anti-join of the id-mass corpus
+    * against the rank output — no new scan class). The front-gate
+    * route ([[CurationGate]]'s token floor) remains the cheaper place
+    * to stop tokenless docs from ever being accepted. */
   def qualityTail(spark: org.apache.spark.sql.SparkSession, cfg: Config,
                   iters: Int, scratchDir: String, rankFloor: Double,
-                  damping: Double = 0.85): DataFrame =
-    qualityRank(spark, cfg, iters, scratchDir, damping)
+                  damping: Double = 0.85,
+                  includeRankless: Boolean = false): DataFrame = {
+    val ranks = qualityRank(spark, cfg, iters, scratchDir, damping)
+    val below = ranks
       .where(org.apache.spark.sql.functions.col("rank") < rankFloor)
       .select(cfg.idCol)
+    if (!includeRankless) below
+    else below.unionByName(
+      AcceptedSink.readAccepted(spark, cfg.semanticAccepted)
+        .select(cfg.idCol).distinct()
+        .join(ranks.select(cfg.idCol), Seq(cfg.idCol), "left_anti"))
+  }
 
   /** One [[audit]] observation: which pipeline surface, how bad
     * (`error` = the invariant is broken and answers may be wrong or a
@@ -624,6 +903,18 @@ object TriadPipeline {
               "— the policy refuses this at accept time, so the surface " +
               "was written or rewritten outside the verbs (repair it or " +
               "migrate explicitly)")))
+        // migration receipts are audited too: a receipted version whose
+        // data footers no longer carry the DECLARED new schema was
+        // rewritten outside the protocol after the migration committed
+        // — catches the self-consistent head rewrite the standing-
+        // schema walk above cannot see (the standing authority moves
+        // with the footers; the receipt's declaration does not)
+        checked(name)(AcceptedSink.receiptCoherenceFindings(spark, dir)
+          .foreach(drift => finding(name, "error",
+            s"migration-receipt drift: $drift — the receipt rides the " +
+              "data's own atomic commit, so only an external rewrite " +
+              "can split them; restore the version or re-migrate " +
+              "explicitly")))
         (live.maxOption.toSeq ++ watermark.toSeq).maxOption
       }
     val dedupCover = sinkCheck("dedup accepted sink", cfg.minhashAccepted)
@@ -708,9 +999,16 @@ object TriadPipeline {
         if (AcceptedSink.hasAccepted(spark, cfg.semanticAccepted))
           checked("linkage store") {
             val keyCols = st.blockCols :+ st.valueCol
+            // the same every-key-column null filter as [[takedown]]'s
+            // derivation: the containment join is null-dropping, so a
+            // null-block accepted key could never match the store's own
+            // row and would report a PERSISTENT false-positive error
+            // here (null-block keys sit outside the store's equality
+            // domain on every path — append, remove, and this audit)
             val vals = AcceptedSink.readAccepted(spark, cfg.semanticAccepted)
               .select(keyCols.map(col): _*)
-              .where(col(st.valueCol).isNotNull).distinct()
+              .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
+              .distinct()
             val lost = vals.join(
               graft.ops.LinkageStore.labels(spark, cfg.linkageDir)
                 .select(keyCols.map(col): _*),
@@ -721,7 +1019,11 @@ object TriadPipeline {
               s"accepted ⊆ linkage state: value key(s) " +
                 s"${lost.mkString(",")}${if (lost.length == 6) ",…" else ""} " +
                 "carried by surviving accepted rows but not live in the " +
-                "label state — a lost append or an over-eager takedown")
+                "label state — a lost append, an over-eager takedown, or " +
+                "a takedown that crashed between the linkage-store " +
+                "removal and the sink removals (the values left the " +
+                "store while their carriers are still accepted; RETRY " +
+                "the takedown to complete it)")
           }
       }
     }

@@ -75,28 +75,40 @@ class LinkGraphSpec extends SparkSpec {
         nlist = 4)
       IvfIndexStore.init(corpus, cfg.ivfDir, "doc_id", "embedding", nlist = 4)
       // 101/102 share vocabulary (well-linked); 103 is an isolate —
-      // the rank tail by construction. All ≥ 5 tokens (the minhash
-      // shingle floor: a shorter text never enters the index and the
-      // deep audit's accepted⊆index containment would rightly flag it)
+      // the rank tail by construction; 104 is TOKENLESS (no edges, no
+      // rank — the rankless-exemption fixture). The ranked texts are
+      // ≥ 5 tokens (the minhash shingle floor: a shorter text never
+      // enters the index and the deep audit's accepted⊆index
+      // containment would rightly flag it — 104 is withdrawn below
+      // before the audit runs)
       TriadPipeline.processBatch(rows(
         (101L, "alpha beta gamma delta philo sophi", base(101)),
         (102L, "alpha beta gamma epsilon kata strophe", base(102)),
-        (103L, "qqq www eee rrr ttt yyy", base(103))), 0L, cfg)
+        (103L, "qqq www eee rrr ttt yyy", base(103)),
+        (104L, "", base(104))), 0L, cfg)
       val ranks = TriadPipeline.qualityRank(spark, cfg,
         iters = 4, s"$root/walk0")
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      assert(ranks.keySet === Set(101L, 102L, 103L))
+      assert(ranks.keySet === Set(101L, 102L, 103L),
+        "the tokenless doc produces no edges and gets no rank")
       assert(ranks(101L) > ranks(103L) && ranks(102L) > ranks(103L),
         s"the vocabulary isolate must rank last: $ranks")
       // floor chosen between the isolate and the pair (the explicit-
       // floor doctrine: read the distribution, then cut)
       val floor = (ranks(103L) + math.min(ranks(101L), ranks(102L))) / 2
+      // the default tail honors the rankless exemption: 104 never
+      // ranks below any floor, so only the isolate is selected
       val tail = TriadPipeline.qualityTail(spark, cfg,
         iters = 4, s"$root/walk0", rankFloor = floor)
       assert(tail.collect().map(_.getLong(0)).toSeq === Seq(103L))
+      // includeRankless folds the exempt docs back in — the whole tail
+      val tailAll = TriadPipeline.qualityTail(spark, cfg,
+        iters = 4, s"$root/walk0", rankFloor = floor,
+        includeRankless = true)
+      assert(tailAll.collect().map(_.getLong(0)).toSet === Set(103L, 104L))
       // the tail feeds the standing takedown verb; the corpus shrinks
       // and every invariant the audit checks still holds
-      TriadPipeline.takedown(spark, cfg, tail)
+      TriadPipeline.takedown(spark, cfg, tailAll)
       assert(AcceptedSink.readAccepted(spark, cfg.semanticAccepted)
         .select("doc_id").collect().map(_.getLong(0)).toSet ===
         Set(101L, 102L))
