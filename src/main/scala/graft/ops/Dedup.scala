@@ -1166,10 +1166,17 @@ object Dedup {
         // labels — left join + coalesce only guards the init round's
         // self-labels. Columns are renamed per side: self-joining two
         // aliases of ONE plan can silently resolve both sides to the
-        // same attribute (trap #4, SCALE.md). The eager localCheckpoint
+        // same attribute (trap #4, SCALE.md). The localCheckpoint
         // TRUNCATES LINEAGE — the self-join references prop twice, so
         // without truncation the logical plan doubles every round and
         // analysis cost goes exponential (measured: OOM by round ~7).
+        // LAZY, not eager: the convergence count below is the round's
+        // one action and computes every partition, so it materializes
+        // the checkpoint blocks itself — an eager checkpoint would run
+        // a second whole job per round just to persist the same rows
+        // (measured: the two-action form spent ~0.5 s/round at sf0.1,
+        // almost all fixed stage latency, across every CC consumer —
+        // linkage init/append/remove, dedup groups, entity resolution).
         // Checkpoint state is the (id, label) pairs only — 16 bytes/node,
         // MEMORY_AND_DISK, freed by the context cleaner as rounds retire.
         val step = prop
@@ -1177,7 +1184,7 @@ object Dedup {
             col("label") === col("_lid"), "left")
           .select(col("id"), col("_old"),
             least(col("label"), coalesce(col("_llabel"), col("label"))).as("label"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val changed = step.where(col("label") =!= col("_old")).count()
         prop.unpersist()
         // backing is a real cache only on round 1 (the init labels);

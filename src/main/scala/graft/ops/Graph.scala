@@ -52,7 +52,12 @@ object Graph {
         .unionByName(e.select(col("dst").as("node"))).distinct())
     val n = nodes.count()
     require(n > 0, "pageRank over an empty graph")
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // consumed once per unrolled iteration: without the cache the final
+    // plan re-computes the degree aggregation per round (plan-branch
+    // recompute — Spark shares no uncached subplans across join
+    // branches); the checkpointed variant already caches it
+    val outdeg = OpCaches.registered(
+      e.groupBy("src").agg(count(lit(1)).as("deg")))
     // driver-side scalar doubles: the same IEEE ops the oracle runs
     val base = (1.0 - damping) / n.toDouble
     var ranks = nodes.withColumn("rank", lit(1.0 / n.toDouble))

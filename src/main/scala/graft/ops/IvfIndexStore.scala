@@ -81,12 +81,14 @@ object IvfIndexStore {
   private val MetaCols = Seq("dim", "nlist", "assign_p50", "assign_p99", "full")
 
   private def readMeta(spark: SparkSession, dir: String, v: Long): IvfMeta = {
-    val mdf = spark.read.parquet(s"$dir/v=$v/meta")
-    VersionedState.requireMetaCols(mdf.columns, MetaCols,
+    // memoized ([[VersionedState.cachedMetaRow]]): chain walks and the
+    // verbs re-read this one immutable row constantly — each re-read
+    // was a parquet footer decode plus a one-row Spark job
+    val s = VersionedState.cachedMetaRow(spark, dir, v, MetaCols,
       s"ivf index at $dir v=$v")
-    val r = mdf.select(MetaCols.head, MetaCols.tail: _*).head()
-    IvfMeta(r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
-      r.getBoolean(4))
+    IvfMeta(s(0).asInstanceOf[Int], s(1).asInstanceOf[Int],
+      s(2).asInstanceOf[Double], s(3).asInstanceOf[Double],
+      s(4).asInstanceOf[Boolean])
   }
 
   private def commitVersion(spark: SparkSession, dir: String, v: Long,

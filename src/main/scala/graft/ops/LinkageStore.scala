@@ -85,12 +85,14 @@ object LinkageStore {
 
   private def readMetaRow(spark: SparkSession, dir: String,
                           v: Long): (LinkMeta, Boolean) = {
-    val mdf = spark.read.parquet(s"$dir/v=$v/meta")
-    VersionedState.requireMetaCols(mdf.columns, MetaCols,
+    // memoized ([[VersionedState.cachedMetaRow]]): chain walks and the
+    // verbs re-read this one immutable row constantly — each re-read
+    // was a parquet footer decode plus a one-row Spark job
+    val s = VersionedState.cachedMetaRow(spark, dir, v, MetaCols,
       s"linkage store at $dir v=$v")
-    val r = mdf.select(MetaCols.head, MetaCols.tail: _*).head()
-    (LinkMeta(r.getString(0), r.getString(1).split(",").toSeq, r.getInt(2)),
-      r.getBoolean(3))
+    (LinkMeta(s(0).asInstanceOf[String],
+      s(1).asInstanceOf[String].split(",").toSeq, s(2).asInstanceOf[Int]),
+      s(3).asInstanceOf[Boolean])
   }
 
   private def chain(spark: SparkSession, dir: String, v: Long): Seq[Long] =

@@ -131,12 +131,14 @@ object MinhashIndexStore {
 
   private def readMetaRow(spark: SparkSession, dir: String,
                           v: Long): (IndexMeta, Boolean) = {
-    val mdf = spark.read.parquet(s"$dir/v=$v/meta")
-    VersionedState.requireMetaCols(mdf.columns, MetaCols,
+    // memoized ([[VersionedState.cachedMetaRow]]): chain walks and the
+    // verbs re-read this one immutable row constantly — each re-read
+    // was a parquet footer decode plus a one-row Spark job
+    val s = VersionedState.cachedMetaRow(spark, dir, v, MetaCols,
       s"minhash index at $dir v=$v")
-    val r = mdf.select(MetaCols.head, MetaCols.tail: _*).head()
-    (IndexMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)),
-      r.getBoolean(4))
+    (IndexMeta(s(0).asInstanceOf[Int], s(1).asInstanceOf[Int],
+      s(2).asInstanceOf[Int], s(3).asInstanceOf[Int]),
+      s(4).asInstanceOf[Boolean])
   }
 
   private def readMeta(spark: SparkSession, dir: String, v: Long): IndexMeta =

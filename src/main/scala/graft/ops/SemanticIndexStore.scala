@@ -106,12 +106,14 @@ object SemanticIndexStore {
 
   private def readMetaRow(spark: SparkSession, dir: String,
                           v: Long): (SemMeta, Boolean) = {
-    val mdf = spark.read.parquet(s"$dir/v=$v/meta")
-    VersionedState.requireMetaCols(mdf.columns, MetaCols,
+    // memoized ([[VersionedState.cachedMetaRow]]): chain walks and the
+    // verbs re-read this one immutable row constantly — each re-read
+    // was a parquet footer decode plus a one-row Spark job
+    val s = VersionedState.cachedMetaRow(spark, dir, v, MetaCols,
       s"semantic index at $dir v=$v")
-    val r = mdf.select(MetaCols.head, MetaCols.tail: _*).head()
-    (SemMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3),
-      r.getDouble(4)), r.getBoolean(5))
+    (SemMeta(s(0).asInstanceOf[Int], s(1).asInstanceOf[Int],
+      s(2).asInstanceOf[Int], s(3).asInstanceOf[Double],
+      s(4).asInstanceOf[Double]), s(5).asInstanceOf[Boolean])
   }
 
   private def commitVersion(spark: SparkSession, dir: String, v: Long,

@@ -178,6 +178,53 @@ private[graft] object VersionedState {
         "directory and rebuild")
   }
 
+  // ---- per-version META memo -------------------------------------------
+  //
+  // Every store verb re-reads its version's one-row meta frame (a parquet
+  // footer decode + a one-row Spark job, ~70-150 ms of pure fixed cost),
+  // and chain walks read one per LINK — a composed lifecycle gate was
+  // measured spending whole seconds on ~50 meta re-reads of bytes that the
+  // protocol guarantees never change (a committed version directory is
+  // immutable; the only legal "change" is deletion). The memo keys on the
+  // meta DIRECTORY's file listing signature (names + lengths + mtimes —
+  // one FS listStatus, no Spark job), so an out-of-protocol rewrite at the
+  // same path is still seen and re-read; a genuinely new version is a new
+  // key. Values are one boxed row each; the map is cleared past a bound
+  // rather than LRU-tracked (thousands of entries would be ~100 KB — the
+  // bound exists only to keep a pathological many-store JVM flat).
+
+  private val metaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[Any])]()
+  private val MetaMemoBound = 8192
+
+  private def metaSig(fs: FileSystem, metaDir: Path): String =
+    fs.listStatus(metaDir).map(s =>
+      s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString(",")
+
+  /** The values of version `v`'s one-row meta frame in `cols` order,
+    * memoized per (dir, v) against the meta directory's listing
+    * signature. Fails by name ([[requireMetaCols]]) when the persisted
+    * frame predates `cols` — on the first read; a memo hit already
+    * passed that check for the same bytes. */
+  def cachedMetaRow(spark: SparkSession, dir: String, v: Long,
+                    cols: Seq[String], what: String): Seq[Any] = {
+    val (fs, _) = fsPath(spark, dir)
+    val metaDir = new Path(s"$dir/v=$v/meta")
+    val sig = metaSig(fs, metaDir)
+    val key = s"$dir/v=$v/meta"
+    Option(metaMemo.get(key)) match {
+      case Some((oldSig, row)) if oldSig == sig => row
+      case _ =>
+        val mdf = spark.read.parquet(metaDir.toString)
+        requireMetaCols(mdf.columns, cols, what)
+        val row = mdf.select(cols.head, cols.tail: _*).head().toSeq
+        if (metaMemo.size() >= MetaMemoBound) metaMemo.clear()
+        metaMemo.put(key, (sig, row))
+        row
+    }
+  }
+
   /** Refuse to initialize a directory that already holds a COMMITTED
     * version: pointing a fresh builder at a standing index would
     * rebuild v=0 from the new corpus alone, silently dropping it.

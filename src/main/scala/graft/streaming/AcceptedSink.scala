@@ -83,11 +83,14 @@ object AcceptedSink {
 
   private def readMetaRow(spark: SparkSession, root: String,
                           v: Long): (Long, Boolean) = {
-    val mdf = spark.read.parquet(s"$root/v=$v/meta")
-    VersionedState.requireMetaCols(mdf.columns, MetaCols,
+    // memoized ([[VersionedState.cachedMetaRow]]): the fold/read/audit
+    // verbs re-read this one row constantly — each re-read was a
+    // parquet footer decode plus a one-row Spark job. The memo's
+    // listing-signature check keeps [[migrateArchive]]-class rewrites
+    // visible: a superseded version's meta is new bytes, a new sig.
+    val s = VersionedState.cachedMetaRow(spark, root, v, MetaCols,
       s"accepted archive at $root v=$v")
-    val r = mdf.select(MetaCols.head, MetaCols.tail: _*).head()
-    (r.getLong(0), r.getBoolean(1))
+    (s(0).asInstanceOf[Long], s(1).asInstanceOf[Boolean])
   }
 
   private def chain(spark: SparkSession, root: String, v: Long): Seq[Long] =

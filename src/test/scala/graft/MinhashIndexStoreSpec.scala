@@ -84,6 +84,24 @@ class MinhashIndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("meta memo: an in-place meta rewrite at the same path is re-read, not served from the memo") {
+    withDir { dir =>
+      MinhashIndexStore.init(docs(1L to 10L), dir, "doc_id", "text", shingleK = K)
+      // a verb that reads meta — the row is memoized for this (dir, v)
+      assert(MinhashIndexStore.chainLength(spark, dir) == 1)
+      // out-of-protocol rewrite at the SAME path: an older-engine meta
+      // missing required columns. The memo must see the directory's
+      // listing change and re-read — a stale memo hit would silently
+      // serve the old parameters instead of failing by name.
+      Seq((K, 16)).toDF("shingle_k", "num_bands")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/v=0/meta")
+      val e = intercept[IllegalArgumentException] {
+        MinhashIndexStore.chainLength(spark, dir)
+      }
+      assert(e.getMessage.contains("rows_per_band"))
+    }
+  }
+
   test("init refuses a directory with a committed version; crash debris does not block replay") {
     withDir { dir =>
       val corpus = docs(1L to 10L)
