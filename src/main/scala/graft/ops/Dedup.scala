@@ -1130,16 +1130,39 @@ object Dedup {
     // the plan-branch recompute trap), then cached for the loop. No
     // distinct: duplicate edges cannot change a min-aggregation, so the
     // dedup shuffle would buy nothing.
+    // localCheckpoint, not cache: a cache entry still CARRIES the pair
+    // lineage's logical plan (often a several-thousand-node near-dup
+    // subtree), and the analyzer/optimizer re-walk it in every round's
+    // freshly built plan — measured as whole seconds of driver time
+    // between executions on the big pair producers. The checkpoint
+    // truncates to a LogicalRDD, so each round's plan is O(1) in the
+    // upstream's size. Same storage class (MEMORY_AND_DISK blocks),
+    // same single materialization of the pair lineage.
     val edges = pairs
       .select(explode(array(
         struct(col(aCol).as("src"), col(bCol).as("dst")),
         struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .cache()
+      .localCheckpoint(false)
+    // one SELF-LOOP per node (node-mass): unioned under the per-round
+    // join so each round's single aggregate sees every node's OWN label
+    // (the dst = src row) alongside its neighbors' — new label = min
+    // over N(v) ∪ {v}, and the old label rides out of the same
+    // aggregate as min(when(dst = src)). This removes the separate
+    // labels ⋈ neighborMin join (and its exchanges) the loop used to pay
+    // per round just to least() the own label back in and carry _old.
+    // Distinct, not raw (v,v) per edge: duplicate self rows would be
+    // harmless to the min but would add edge-mass rows to every round's
+    // join input; node-mass is the right price, paid once.
+    val selfLoops = edges.select(col("src")).distinct()
+      .select(col("src"), col("src").as("dst")).localCheckpoint(false)
+    // consumed once per round: a narrow union of the two caches — no
+    // per-round shuffle is added by the self-loop branch
+    val withSelf = edges.unionByName(selfLoops)
     // init already folds one propagation round in: label = min(id,
-    // direct neighbors) — one fewer loop iteration for the same fixpoint
-    var labels = edges.groupBy("src").agg(min(col("dst")).as("nmin"))
-      .select(col("src").as("id"), least(col("src"), col("nmin")).as("label"))
+    // direct neighbors) — the self row supplies the id term
+    var labels = withSelf.groupBy("src").agg(min(col("dst")).as("label"))
+      .select(col("src").as("id"), col("label"))
       .cache()
     // the cached frame BACKING labels (labels itself may be a projection
     // over it — unpersist must hit the cached plan, not a derivation)
@@ -1148,17 +1171,18 @@ object Dedup {
     var i = 0
     try {
       while (!converged && i < maxIters) {
-        val neighborMin = edges
+        // ONE join + ONE aggregate per round: the self-loop rows make
+        // min(dlabel) the complete new label (own ∪ neighbors), and the
+        // previous label rides out of the same aggregate (the dst = src
+        // row is the only one the `when` keeps; min is just null-skip)
+        // so materializing the new labels and counting changes stays ONE
+        // action per round with no separate labels join to fetch _old
+        val prop = withSelf
           .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), Seq("dst"))
-          .groupBy(col("src").as("id")).agg(min(col("dlabel")).as("nmin"))
-        // carry the previous label through the join so materializing the
-        // new labels and counting changes is ONE action per round (the
-        // extra _old column rides in the cache; 8 bytes/row is cheaper
-        // than a second action to drop it)
-        val prop = labels
-          .join(neighborMin, Seq("id"), "left")
-          .select(col("id"), col("label").as("_old"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          .groupBy(col("src"))
+          .agg(min(col("dlabel")).as("label"),
+            min(when(col("dst") === col("src"), col("dlabel"))).as("_old"))
+          .select(col("src").as("id"), col("_old"), col("label"))
           .cache() // feeds both sides of the halving self-join + the count
         // pointer halving: label := label(label). Every label value is a
         // node id (mins of ids), and every node appears as an edge src
@@ -1205,7 +1229,9 @@ object Dedup {
         throw new IllegalStateException(s"not converged after $maxIters rounds")
       }
     } finally {
-      edges.unpersist()
+      // edges/selfLoops are checkpointed, not cache-manager entries —
+      // their blocks retire with the RDD references (the step-frame
+      // rule); only the genuinely cached frames need release here
       if (!converged) backing.unpersist()
     }
     labels.withColumnRenamed("label", "group_id")

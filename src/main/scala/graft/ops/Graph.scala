@@ -43,10 +43,17 @@ object Graph {
                iters: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1): $damping")
+    // cached PRE-PARTITIONED on src: every round's contribution join and
+    // the out-degree aggregate are src-keyed, so hash-clustering the edge
+    // list once at cache time lets each of them reuse the cached
+    // partitioning instead of re-exchanging edge mass per round (§2.4 —
+    // two operations keyed the same way share one exchange; only the
+    // node-mass rank vector still shuffles each round). One extra
+    // edge-mass exchange at build, iters × edge-mass exchanges removed.
     val e = OpCaches.registered(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .where(col("src").isNotNull && col("dst").isNotNull)
-        .distinct())
+        .distinct().repartition(col("src")))
     val nodes = OpCaches.registered(
       e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node"))).distinct())
@@ -107,10 +114,17 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1): $damping")
     val spark = edges.sparkSession
+    // cached PRE-PARTITIONED on src: every round's contribution join and
+    // the out-degree aggregate are src-keyed, so hash-clustering the edge
+    // list once at cache time lets each of them reuse the cached
+    // partitioning instead of re-exchanging edge mass per round (§2.4 —
+    // two operations keyed the same way share one exchange; only the
+    // node-mass rank vector still shuffles each round). One extra
+    // edge-mass exchange at build, iters × edge-mass exchanges removed.
     val e = OpCaches.registered(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .where(col("src").isNotNull && col("dst").isNotNull)
-        .distinct())
+        .distinct().repartition(col("src")))
     val nodes = OpCaches.registered(
       e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node"))).distinct())

@@ -96,28 +96,35 @@ object IvfIndexStore {
                             cells: DataFrame, meta: IvfMeta): Unit =
     VersionedState.commitVersion(spark, dir, v, "ivf index",
       Subframes) { scratch =>
-      Similarity.ivfCentroidsDf(spark, centroids)
-        .coalesce(1).write.mode("overwrite").parquet(s"$scratch/centroids")
-      // the cell frame's on-disk layout IS the probe's scale story:
-      // partitioned by cell, a probe batch reads only its touched
-      // cell directories (nprobe/nlist of the corpus), pruned by the
-      // static IN filter probeLatest derives — not a full scan that a
-      // join then discards. The repartition co-locates each cell in
-      // one writer task BEFORE partitionBy: without it every task
-      // writes a sliver of every cell it holds — task_count × nlist
-      // small files at cluster scale — where co-located cells write
-      // one file each. One shuffle per COMMIT (over delta mass for
-      // appends, corpus mass only at init/compaction), zero per probe.
-      cells.repartition(col("cell"))
-        .write.partitionBy("cell").mode("overwrite").parquet(s"$scratch/cells")
-      // an EMPTY cell-partitioned write leaves a file-less frame every
-      // later chain read fails to schema-infer — appends no-op on empty
-      // batches, so the only way here is a compact whose tombstones
-      // removed the entire corpus: fail it by name (inside the scratch,
-      // so nothing commits) rather than commit an unreadable version
-      requireNonEmptyCells(spark, s"$scratch/cells", s"ivf index at $dir",
-        v)
-      writeMeta(spark, s"$scratch/meta", meta)
+      // three independent payloads, overlapped
+      // ([[VersionedState.writeConcurrently]]): the cell write is the
+      // data job; the coalesce(1) centroid and meta writes are pure
+      // fixed cost that no longer serializes behind it
+      VersionedState.writeConcurrently(Seq(
+        () => Similarity.ivfCentroidsDf(spark, centroids)
+          .coalesce(1).write.mode("overwrite").parquet(s"$scratch/centroids"),
+        () => {
+          // the cell frame's on-disk layout IS the probe's scale story:
+          // partitioned by cell, a probe batch reads only its touched
+          // cell directories (nprobe/nlist of the corpus), pruned by the
+          // static IN filter probeLatest derives — not a full scan that a
+          // join then discards. The repartition co-locates each cell in
+          // one writer task BEFORE partitionBy: without it every task
+          // writes a sliver of every cell it holds — task_count × nlist
+          // small files at cluster scale — where co-located cells write
+          // one file each. One shuffle per COMMIT (over delta mass for
+          // appends, corpus mass only at init/compaction), zero per probe.
+          cells.repartition(col("cell"))
+            .write.partitionBy("cell").mode("overwrite").parquet(s"$scratch/cells")
+          // an EMPTY cell-partitioned write leaves a file-less frame every
+          // later chain read fails to schema-infer — appends no-op on empty
+          // batches, so the only way here is a compact whose tombstones
+          // removed the entire corpus: fail it by name (inside the scratch,
+          // so nothing commits) rather than commit an unreadable version
+          requireNonEmptyCells(spark, s"$scratch/cells", s"ivf index at $dir",
+            v)
+        },
+        () => writeMeta(spark, s"$scratch/meta", meta)))
     }
 
   /** Fail by name when a just-written cell-partitioned frame carries no
@@ -223,20 +230,24 @@ object IvfIndexStore {
     else {
       VersionedState.commitVersion(spark, dir, expectedBase + 1,
         "ivf index", Subframes) { scratch =>
-        Similarity.ivfCentroidsDf(spark, centroids)
-          .coalesce(1).write.mode("overwrite").parquet(s"$scratch/centroids")
-        // the cells payload is EMPTY but must stay readable by the
-        // unioning chain readers, so it is written PLAIN (one
-        // schema-bearing empty file; `cell` rides as an ordinary long
-        // data column) — a cell-PARTITIONED empty write would leave a
-        // file-less directory every later read fails to schema-infer
-        VersionedState.readCellChain(spark, dir,
-            Seq(chain(spark, dir, expectedBase).last), None)
-          .where(org.apache.spark.sql.functions.lit(false))
-          .write.mode("overwrite").parquet(s"$scratch/cells")
-        writeMeta(spark, s"$scratch/meta", meta.copy(full = false))
-        tombs.coalesce(1).write.mode("overwrite")
-          .parquet(s"$scratch/${VersionedState.TombsSubframe}")
+        // four tiny independent payloads, overlapped
+        // ([[VersionedState.writeConcurrently]]) — a tombstone delta is
+        // all fixed cost, four one-file writes
+        VersionedState.writeConcurrently(Seq(
+          () => Similarity.ivfCentroidsDf(spark, centroids)
+            .coalesce(1).write.mode("overwrite").parquet(s"$scratch/centroids"),
+          // the cells payload is EMPTY but must stay readable by the
+          // unioning chain readers, so it is written PLAIN (one
+          // schema-bearing empty file; `cell` rides as an ordinary long
+          // data column) — a cell-PARTITIONED empty write would leave a
+          // file-less directory every later read fails to schema-infer
+          () => VersionedState.readCellChain(spark, dir,
+              Seq(chain(spark, dir, expectedBase).last), None)
+            .where(org.apache.spark.sql.functions.lit(false))
+            .write.mode("overwrite").parquet(s"$scratch/cells"),
+          () => writeMeta(spark, s"$scratch/meta", meta.copy(full = false)),
+          () => tombs.coalesce(1).write.mode("overwrite")
+            .parquet(s"$scratch/${VersionedState.TombsSubframe}")))
       }
       expectedBase + 1
     }

@@ -126,9 +126,14 @@ object LinkageStore {
                             meta: LinkMeta, full: Boolean): Unit =
     VersionedState.commitVersion(spark, dir, v, "linkage store",
       Subframes) { scratch =>
-      labels.write.mode("overwrite").parquet(s"$scratch/labels")
-      edges.write.mode("overwrite").parquet(s"$scratch/edges")
-      writeMeta(spark, s"$scratch/meta", meta, full)
+      // three independent payloads (disjoint paths, nothing reads
+      // another's output) — overlapped so their fixed job costs don't
+      // serialize ([[VersionedState.writeConcurrently]]); shared cached
+      // upstreams fill once under Spark's per-partition cache locks
+      VersionedState.writeConcurrently(Seq(
+        () => labels.write.mode("overwrite").parquet(s"$scratch/labels"),
+        () => edges.write.mode("overwrite").parquet(s"$scratch/edges"),
+        () => writeMeta(spark, s"$scratch/meta", meta, full)))
     }
 
   private def requireCols(df: DataFrame, meta: LinkMeta, dir: String,

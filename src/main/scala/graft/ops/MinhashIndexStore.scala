@@ -150,19 +150,25 @@ object MinhashIndexStore {
     val spark = index.sparkSession
     VersionedState.commitVersion(spark, dir, v, "minhash index",
       Subframes) { scratch =>
-      index.write.mode("overwrite").parquet(s"$scratch/index")
-      // the bucket table derives from EXACTLY the bytes just written
-      // (re-read, not the in-memory frame), so a version's bands can
-      // never drift from its index frame
-      Dedup.minhashIndexBands(
-        spark.read.parquet(s"$scratch/index"),
-        meta.numBands, meta.rowsPerBand, meta.maxGroupSize)
-        .write.mode("overwrite").parquet(s"$scratch/bands")
-      writeMeta(spark, s"$scratch/meta", meta, full)
-      // the optional removal payload ([[VersionedState.TombsSubframe]])
-      // rides the same atomic rename as the required subframes
-      tombs.foreach(_.coalesce(1).write.mode("overwrite")
-        .parquet(s"$scratch/${VersionedState.TombsSubframe}"))
+      // index→bands stays sequential INSIDE its task (the bucket table
+      // derives from EXACTLY the bytes just written — re-read, not the
+      // in-memory frame — so a version's bands can never drift from its
+      // index frame); the tiny meta and tombs writes overlap it
+      // ([[VersionedState.writeConcurrently]]) instead of serializing
+      // their fixed job costs behind the data writes
+      VersionedState.writeConcurrently(Seq(
+        () => {
+          index.write.mode("overwrite").parquet(s"$scratch/index")
+          Dedup.minhashIndexBands(
+            spark.read.parquet(s"$scratch/index"),
+            meta.numBands, meta.rowsPerBand, meta.maxGroupSize)
+            .write.mode("overwrite").parquet(s"$scratch/bands")
+        },
+        () => writeMeta(spark, s"$scratch/meta", meta, full)) ++
+        // the optional removal payload ([[VersionedState.TombsSubframe]])
+        // rides the same atomic rename as the required subframes
+        tombs.map(t => () => t.coalesce(1).write.mode("overwrite")
+          .parquet(s"$scratch/${VersionedState.TombsSubframe}"): Unit))
     }
   }
 

@@ -122,28 +122,35 @@ object SemanticIndexStore {
                             full: Boolean): Unit =
     VersionedState.commitVersion(spark, dir, v, "semantic index",
       Subframes) { scratch =>
-      Similarity.ivfCentroidsDf(spark, centroids)
-        .coalesce(1).write.mode("overwrite").parquet(s"$scratch/centroids")
-      // cell-partitioned layout, each cell co-located into one writer
-      // task (the IvfIndexStore rationale: probe scans prune to the
-      // batch's touched cells; the repartition keeps file counts at
-      // one per cell instead of task_count × nlist). One shuffle per
-      // COMMIT (over delta mass for appends, corpus mass only at
-      // init/compaction), zero per probe. Null-vector groups carry the
-      // SMALLEST cell id, not a null cell (the NearestCells kernel's
-      // invalid-input branch) — harmless to answers because a null
-      // vector scores null cosine and is threshold-filtered, but it
-      // means no row ever lands in the hive default partition and
-      // cell-0 mass includes the corpus's null rows.
-      cells.repartition(org.apache.spark.sql.functions.col("cell"))
-        .write.partitionBy("cell").mode("overwrite").parquet(s"$scratch/cells")
-      // the IvfIndexStore guard: the only way to an empty cell frame
-      // here is a compact whose tombstones removed the entire corpus —
-      // fail by name inside the scratch rather than commit a file-less
-      // frame every later chain read fails to schema-infer
-      IvfIndexStore.requireNonEmptyCells(spark, s"$scratch/cells",
-        s"semantic index at $dir", v)
-      writeMeta(spark, s"$scratch/meta", meta, full)
+      // three independent payloads, overlapped
+      // ([[VersionedState.writeConcurrently]]): the cell write is the
+      // data job; the coalesce(1) centroid and meta writes are pure
+      // fixed cost that no longer serializes behind it
+      VersionedState.writeConcurrently(Seq(
+        () => Similarity.ivfCentroidsDf(spark, centroids)
+          .coalesce(1).write.mode("overwrite").parquet(s"$scratch/centroids"),
+        () => {
+          // cell-partitioned layout, each cell co-located into one writer
+          // task (the IvfIndexStore rationale: probe scans prune to the
+          // batch's touched cells; the repartition keeps file counts at
+          // one per cell instead of task_count × nlist). One shuffle per
+          // COMMIT (over delta mass for appends, corpus mass only at
+          // init/compaction), zero per probe. Null-vector groups carry the
+          // SMALLEST cell id, not a null cell (the NearestCells kernel's
+          // invalid-input branch) — harmless to answers because a null
+          // vector scores null cosine and is threshold-filtered, but it
+          // means no row ever lands in the hive default partition and
+          // cell-0 mass includes the corpus's null rows.
+          cells.repartition(org.apache.spark.sql.functions.col("cell"))
+            .write.partitionBy("cell").mode("overwrite").parquet(s"$scratch/cells")
+          // the IvfIndexStore guard: the only way to an empty cell frame
+          // here is a compact whose tombstones removed the entire corpus —
+          // fail by name inside the scratch rather than commit a file-less
+          // frame every later chain read fails to schema-infer
+          IvfIndexStore.requireNonEmptyCells(spark, s"$scratch/cells",
+            s"semantic index at $dir", v)
+        },
+        () => writeMeta(spark, s"$scratch/meta", meta, full)))
     }
 
   /** The version chain serving `v` ([[VersionedState.chain]]): `v` and
@@ -246,18 +253,22 @@ object SemanticIndexStore {
     else {
       VersionedState.commitVersion(spark, dir, expectedBase + 1,
         "semantic index", Subframes) { scratch =>
-        Similarity.ivfCentroidsDf(spark, centroids)
-          .coalesce(1).write.mode("overwrite").parquet(s"$scratch/centroids")
-        // empty-but-readable PLAIN cells (the IvfIndexStore.remove
-        // rationale: a cell-partitioned empty write is file-less and
-        // breaks every later chain read)
-        VersionedState.readCellChain(spark, dir,
-            Seq(chain(spark, dir, expectedBase).last), None)
-          .where(org.apache.spark.sql.functions.lit(false))
-          .write.mode("overwrite").parquet(s"$scratch/cells")
-        writeMeta(spark, s"$scratch/meta", meta, full = false)
-        tombs.coalesce(1).write.mode("overwrite")
-          .parquet(s"$scratch/${VersionedState.TombsSubframe}")
+        // four tiny independent payloads, overlapped
+        // ([[VersionedState.writeConcurrently]]) — a tombstone delta is
+        // all fixed cost, four one-file writes
+        VersionedState.writeConcurrently(Seq(
+          () => Similarity.ivfCentroidsDf(spark, centroids)
+            .coalesce(1).write.mode("overwrite").parquet(s"$scratch/centroids"),
+          // empty-but-readable PLAIN cells (the IvfIndexStore.remove
+          // rationale: a cell-partitioned empty write is file-less and
+          // breaks every later chain read)
+          () => VersionedState.readCellChain(spark, dir,
+              Seq(chain(spark, dir, expectedBase).last), None)
+            .where(org.apache.spark.sql.functions.lit(false))
+            .write.mode("overwrite").parquet(s"$scratch/cells"),
+          () => writeMeta(spark, s"$scratch/meta", meta, full = false),
+          () => tombs.coalesce(1).write.mode("overwrite")
+            .parquet(s"$scratch/${VersionedState.TombsSubframe}")))
       }
       expectedBase + 1
     }

@@ -161,6 +161,34 @@ private[graft] object VersionedState {
     fs.delete(debris, true)
   }
 
+  /** Run the INDEPENDENT subframe writes of one commit concurrently
+    * (guide-§2.6 overlap of independent jobs): each task is a small
+    * Spark action whose fixed costs — job scheduling, the coalesce(1)
+    * meta write, per-file commit renames — otherwise run strictly
+    * back-to-back on the driver while the executors idle. The tasks
+    * write DISJOINT paths under the same scratch directory, nothing
+    * reads another task's output, and the caller's atomic version
+    * rename publishes all-or-nothing, so ordering between them is
+    * immaterial. A task whose output another write DOES consume (the
+    * minhash bands table derives from the just-written index bytes)
+    * stays sequential INSIDE its task. Blocks until every task
+    * finishes; every task runs to completion (no half-cancelled write
+    * can outlive the attempt) and the first failure propagates. */
+  def writeConcurrently(tasks: Seq[() => Unit]): Unit =
+    if (tasks.sizeIs <= 1) tasks.foreach(_.apply())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+      try {
+        val futs = tasks.map(t => pool.submit(
+          new java.util.concurrent.Callable[Unit] { def call(): Unit = t() }))
+        val failures = futs.flatMap(f => scala.util.Try(f.get()).failed.toOption)
+        failures.headOption.foreach {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+          case e => throw e
+        }
+      } finally pool.shutdown()
+    }
+
   /** Fail BY NAME when a persisted meta frame predates the current
     * engine's schema (a required column is missing) — selecting the
     * column would otherwise throw an opaque unresolved-column planner
