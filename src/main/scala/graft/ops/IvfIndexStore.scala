@@ -330,7 +330,7 @@ object IvfIndexStore {
   private def readCentroids(spark: SparkSession, dir: String, v: Long,
                             meta: IvfMeta): Seq[(Long, Seq[Double])] = {
     val centroids = Similarity.ivfCentroidsFromDf(
-      spark.read.parquet(s"$dir/v=$v/centroids"))
+      VersionedState.cachedVersionFrame(spark, s"$dir/v=$v/centroids"))
     require(centroids.nonEmpty && centroids.head._2.length == meta.dim,
       s"ivf index at $dir v=$v: centroid table does not match its " +
         s"persisted meta ($meta) — the version directory was tampered with")

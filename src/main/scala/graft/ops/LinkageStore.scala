@@ -104,8 +104,11 @@ object LinkageStore {
     * live)`. */
   private def labelState(spark: SparkSession, dir: String,
                          links: Seq[Long], meta: LinkMeta): DataFrame = {
+    // link frames memoized per version directory
+    // ([[VersionedState.cachedVersionFrame]] — immutable by protocol)
     val all = links.map(w =>
-      spark.read.parquet(s"$dir/v=$w/labels").withColumn("_v", lit(w)))
+      VersionedState.cachedVersionFrame(spark, s"$dir/v=$w/labels")
+        .withColumn("_v", lit(w)))
       .reduce(_ unionByName _)
     val key = (meta.blockCols :+ meta.valueCol).map(col)
     val w = Window.partitionBy(key: _*).orderBy(col("_v").desc)
@@ -118,7 +121,8 @@ object LinkageStore {
     * against the live state). */
   private def edgeState(spark: SparkSession, dir: String,
                         links: Seq[Long]): DataFrame =
-    links.map(w => spark.read.parquet(s"$dir/v=$w/edges"))
+    links.map(w =>
+      VersionedState.cachedVersionFrame(spark, s"$dir/v=$w/edges"))
       .reduce(_ unionByName _)
 
   private def commitVersion(spark: SparkSession, dir: String, v: Long,
@@ -336,7 +340,7 @@ object LinkageStore {
     val tombRows = tombs.select(meta.blockCols.map(col) ++ Seq(
       col(meta.valueCol), lit(null).cast("string").as("label"),
       lit(false).as("live")): _*)
-    val emptyEdges = spark.read.parquet(s"$dir/v=$expectedBase/edges")
+    val emptyEdges = VersionedState.cachedVersionFrame(spark, s"$dir/v=$expectedBase/edges")
       .where(lit(false))
     val v = expectedBase + 1
     commitVersion(spark, dir, v, tombRows.unionByName(relabeled),

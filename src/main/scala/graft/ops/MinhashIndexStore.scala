@@ -292,7 +292,7 @@ object MinhashIndexStore {
       // tombstone metadata, but every chain link must stay readable by
       // the unioning chain readers (Spark writes one schema-bearing
       // empty file for an empty frame)
-      val emptyIndex = spark.read.parquet(s"$dir/v=$expectedBase/index")
+      val emptyIndex = VersionedState.cachedVersionFrame(spark, s"$dir/v=$expectedBase/index")
         .where(org.apache.spark.sql.functions.lit(false))
       commitVersion(emptyIndex, dir, expectedBase + 1, meta, full = false,
         tombs = Some(tombs))
@@ -335,7 +335,7 @@ object MinhashIndexStore {
     if (full) head
     else {
       val links = chain(spark, dir, head)
-      val frames = links.map(w => spark.read.parquet(s"$dir/v=$w/index"))
+      val frames = links.map(w => VersionedState.cachedVersionFrame(spark, s"$dir/v=$w/index"))
       val merged = Dedup.minhashIndexAppend(frames.head,
         frames.tail.reduce(_ unionByName _), meta.maxGroupSize)
       val applied =
@@ -430,7 +430,7 @@ object MinhashIndexStore {
     val links = chain(spark, dir, v)
     val meta = readMeta(spark, dir, v)
     def maxMerged(sub: String, keys: Seq[String], listCol: String): Long = {
-      val merged = links.map(w => spark.read.parquet(s"$dir/v=$w/$sub"))
+      val merged = links.map(w => VersionedState.cachedVersionFrame(spark, s"$dir/v=$w/$sub"))
         .reduce(_ unionByName _)
         .groupBy(keys.head, keys.tail: _*)
         .agg(sum(size(col(listCol))).as("m"))
@@ -458,10 +458,13 @@ object MinhashIndexStore {
     val v = VersionedState.resolveVersion(spark, dir, Subframes,
       "minhash index", version)
     val links = chain(spark, dir, v)
+    // chain link frames are memoized per version directory
+    // ([[VersionedState.cachedVersionFrame]]) — immutable by protocol,
+    // so the per-probe listing + footer inference was pure fixed cost
     LoadedIndex(v,
-      links.map(w => spark.read.parquet(s"$dir/v=$w/index"))
+      links.map(w => VersionedState.cachedVersionFrame(spark, s"$dir/v=$w/index"))
         .reduce(_ unionByName _),
-      links.map(w => spark.read.parquet(s"$dir/v=$w/bands"))
+      links.map(w => VersionedState.cachedVersionFrame(spark, s"$dir/v=$w/bands"))
         .reduce(_ unionByName _),
       readMeta(spark, dir, v))
   }

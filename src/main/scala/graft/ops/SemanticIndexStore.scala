@@ -352,7 +352,7 @@ object SemanticIndexStore {
   private def readCentroids(spark: SparkSession, dir: String, v: Long,
                             meta: SemMeta): Seq[(Long, Seq[Double])] = {
     val centroids = Similarity.ivfCentroidsFromDf(
-      spark.read.parquet(s"$dir/v=$v/centroids"))
+      VersionedState.cachedVersionFrame(spark, s"$dir/v=$v/centroids"))
     require(centroids.nonEmpty && centroids.head._2.length == meta.dim,
       s"semantic index at $dir v=$v: centroid table does not match its " +
         s"persisted meta ($meta) — the version directory was tampered with")

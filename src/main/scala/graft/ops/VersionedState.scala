@@ -234,7 +234,17 @@ private[graft] object VersionedState {
     * memoized per (dir, v) against the meta directory's listing
     * signature. Fails by name ([[requireMetaCols]]) when the persisted
     * frame predates `cols` — on the first read; a memo hit already
-    * passed that check for the same bytes. */
+    * passed that check for the same bytes.
+    *
+    * The miss path reads the row DIRECTLY with parquet-mr on the
+    * driver — no Spark job, no file-index build: a meta frame is one
+    * row of scalars, and the Spark read each first contact used to pay
+    * (driver-side listing + schema inference + a one-row job) was
+    * ~50–150 ms of pure fixed cost per version touched, a dozen times
+    * per composed lifecycle gate. Values decode to the same boxed
+    * types a Spark `Row.toSeq` carried (Int/Long/Boolean/Double/
+    * String), so the stores' casts are unchanged; the store specs
+    * round-trip every meta shape through this path. */
   def cachedMetaRow(spark: SparkSession, dir: String, v: Long,
                     cols: Seq[String], what: String): Seq[Any] = {
     val (fs, _) = fsPath(spark, dir)
@@ -244,12 +254,129 @@ private[graft] object VersionedState {
     Option(metaMemo.get(key)) match {
       case Some((oldSig, row)) if oldSig == sig => row
       case _ =>
-        val mdf = spark.read.parquet(metaDir.toString)
-        requireMetaCols(mdf.columns, cols, what)
-        val row = mdf.select(cols.head, cols.tail: _*).head().toSeq
+        val row = readOneRowParquet(fs, metaDir, cols, what)
         if (metaMemo.size() >= MetaMemoBound) metaMemo.clear()
         metaMemo.put(key, (sig, row))
         row
+    }
+  }
+
+  /** Decode the single row of a one-row parquet directory on the
+    * driver (parquet-mr, no Spark job) — the meta-frame fast path.
+    * Handles every scalar type the stores persist; anything else (or a
+    * row count other than one) fails by name — meta frames are written
+    * `coalesce(1)` by the stores themselves, so either is protocol
+    * corruption, not a case to paper over. */
+  private def readOneRowParquet(fs: FileSystem, metaDir: Path,
+                                cols: Seq[String], what: String): Seq[Any] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.ColumnIOFactory
+    import org.apache.parquet.example.data.Group
+    import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val parts = fs.listStatus(metaDir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    var schema: org.apache.parquet.schema.MessageType = null
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Group]
+    parts.foreach { p =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(p, fs.getConf))
+      try {
+        val fileSchema = reader.getFooter.getFileMetaData.getSchema
+        if (schema == null) schema = fileSchema
+        var pages = reader.readNextRowGroup()
+        while (pages != null) {
+          val rr = new ColumnIOFactory().getColumnIO(fileSchema)
+            .getRecordReader(pages, new GroupRecordConverter(fileSchema))
+          var i = 0L
+          while (i < pages.getRowCount) { rows += rr.read(); i += 1 }
+          pages = reader.readNextRowGroup()
+        }
+      } finally reader.close()
+    }
+    require(schema != null && rows.length == 1,
+      s"$what: the meta frame at $metaDir holds ${rows.length} row(s), " +
+        "not exactly one — the version's meta was corrupted or written " +
+        "outside the store protocol")
+    requireMetaCols(
+      (0 until schema.getFieldCount).map(schema.getFieldName), cols, what)
+    val row = rows.head
+    cols.map { c =>
+      val idx = schema.getFieldIndex(c)
+      schema.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+        case INT32 => row.getInteger(idx, 0)
+        case INT64 => row.getLong(idx, 0)
+        case BOOLEAN => row.getBoolean(idx, 0)
+        case DOUBLE => row.getDouble(idx, 0)
+        case FLOAT => row.getFloat(idx, 0)
+        case BINARY => row.getString(idx, 0)
+        case other => throw new IllegalStateException(
+          s"$what: meta column '$c' at $metaDir has unsupported parquet " +
+            s"type $other — the stores persist scalars only")
+      }
+    }
+  }
+
+  // ---- per-directory SCHEMA memo ---------------------------------------
+  //
+  // The accepted sinks re-derive their standing schema (a
+  // spark.read.parquet(...).schema — driver-side listing + footer
+  // inference, ~50-150 ms) on EVERY micro-batch's accept-time policy
+  // check and again per fold. The bytes are immutable by protocol
+  // (archive versions never change; a live batch directory changes only
+  // under replay rewrite), so the schema memoizes against the same
+  // file-listing signature the meta memo uses — a rewrite is seen and
+  // re-inferred, an unchanged directory costs one listStatus.
+
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.sql.types.StructType)]()
+
+  /** The parquet schema under `path`, memoized against the directory's
+    * file-listing signature. */
+  def cachedParquetSchema(spark: SparkSession,
+                          path: String): org.apache.spark.sql.types.StructType = {
+    val (fs, p) = fsPath(spark, path)
+    val sig = metaSig(fs, p)
+    Option(schemaMemo.get(path)) match {
+      case Some((oldSig, s)) if oldSig == sig => s
+      case _ =>
+        val s = spark.read.parquet(path).schema
+        if (schemaMemo.size() >= MetaMemoBound) schemaMemo.clear()
+        schemaMemo.put(path, (sig, s))
+        s
+    }
+  }
+
+  // ---- per-version-directory FRAME memo --------------------------------
+  //
+  // Every chain walk re-created its link frames with
+  // spark.read.parquet(...) — a fresh file listing + footer schema
+  // inference per link per verb (~40-80 ms of driver time each), dozens
+  // of times per composed lifecycle gate, over version directories the
+  // protocol guarantees immutable. The DataFrame (its resolved relation
+  // and file index) memoizes against the same listing signature as the
+  // meta memo, keyed per session: an out-of-protocol rewrite is seen
+  // and re-read, and a dead test session's frames can never leak into a
+  // new one. Only VERSION-directory reads go through here — mutable
+  // paths (live batch dirs, scratch) must keep the fresh read.
+
+  private val frameMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, DataFrame)]()
+
+  /** A parquet frame over the protocol-immutable `path`, memoized
+    * against the directory's file-listing signature. */
+  def cachedVersionFrame(spark: SparkSession, path: String): DataFrame = {
+    val (fs, p) = fsPath(spark, path)
+    val sig = metaSig(fs, p)
+    val key = s"${System.identityHashCode(spark)}:$path"
+    Option(frameMemo.get(key)) match {
+      case Some((oldSig, df)) if oldSig == sig => df
+      case _ =>
+        val df = spark.read.parquet(path)
+        if (frameMemo.size() >= MetaMemoBound) frameMemo.clear()
+        frameMemo.put(key, (sig, df))
+        df
     }
   }
 
@@ -379,7 +506,7 @@ private[graft] object VersionedState {
                     onlyCells: Option[Seq[Long]]): DataFrame = {
     import org.apache.spark.sql.functions.col
     links.map { w =>
-      val raw = spark.read.parquet(s"$dir/v=$w/cells")
+      val raw = cachedVersionFrame(spark, s"$dir/v=$w/cells")
       val pruned = onlyCells match {
         case Some(cs) => raw.where(col("cell").isin(cs.map(_.toInt): _*))
         case None => raw
@@ -425,7 +552,8 @@ private[graft] object VersionedState {
       fs.exists(new Path(s"$dir/v=$w/$TombsSubframe/_SUCCESS")))
     if (present.isEmpty)
       spark.range(0).select(col("id").as("tomb_id"))
-    else present.map(w => spark.read.parquet(s"$dir/v=$w/$TombsSubframe"))
+    else present.map(w =>
+      cachedVersionFrame(spark, s"$dir/v=$w/$TombsSubframe"))
       .reduce(_ unionByName _).select("tomb_id")
   }
 

@@ -137,13 +137,17 @@ object AcceptedSink {
   def acceptedSchema(spark: SparkSession,
                      acceptedDir: String): Option[org.apache.spark.sql.types.StructType] = {
     val root = archiveRoot(acceptedDir)
+    // schema reads memoized against the directory listing
+    // ([[VersionedState.cachedParquetSchema]]): this runs on EVERY
+    // micro-batch's accept-time policy check, and the footer inference
+    // it repeated was pure fixed cost over protocol-immutable bytes
     VersionedState.latestVersion(spark, root, Subframes)
       .map { h =>
-        val s = spark.read.parquet(s"$root/v=$h/data").schema
+        val s = VersionedState.cachedParquetSchema(spark, s"$root/v=$h/data")
         org.apache.spark.sql.types.StructType(s.filterNot(_.name == "batch"))
       }
       .orElse(liveBatches(spark, acceptedDir).minOption.map(b =>
-        spark.read.parquet(s"$acceptedDir/batch=$b").schema))
+        VersionedState.cachedParquetSchema(spark, s"$acceptedDir/batch=$b")))
   }
 
   /** Type with every nullability flag (top-level, array containsNull,

@@ -102,6 +102,28 @@ class MinhashIndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("frame memo: an in-place data rewrite at the same path is re-read, not served from the memo") {
+    withDir { dir =>
+      MinhashIndexStore.init(docs(1L to 10L), dir, "doc_id", "text", shingleK = K)
+      // a read that walks the chain — the version's index/bands frames
+      // are memoized for this path ([[VersionedState.cachedVersionFrame]])
+      val before = MinhashIndexStore.read(spark, dir).index.count()
+      assert(before > 0)
+      // out-of-protocol rewrite of the DATA frame at the SAME path: the
+      // memo must see the directory's listing change and re-read — a
+      // stale memoized relation would silently serve the old file list
+      // (either the old rows, or a read error on vanished files)
+      spark.read.parquet(s"$dir/v=0/index").limit(1)
+        .write.mode("overwrite").parquet(s"$dir/v=0/index_tmp")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=0/index"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$dir/v=0/index_tmp"),
+        new org.apache.hadoop.fs.Path(s"$dir/v=0/index"))
+      assert(MinhashIndexStore.read(spark, dir).index.count() == 1L)
+    }
+  }
+
   test("init refuses a directory with a committed version; crash debris does not block replay") {
     withDir { dir =>
       val corpus = docs(1L to 10L)
