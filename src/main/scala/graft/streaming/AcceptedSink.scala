@@ -334,7 +334,7 @@ object AcceptedSink {
         "first")
     val links = chain(spark, root, head)
     val tombs = readTombs(spark, root, links)
-    val before = links.map(w => spark.read.parquet(s"$root/v=$w/data"))
+    val before = links.map(w => VersionedState.cachedVersionFrame(spark, s"$root/v=$w/data"))
       .reduce(_ unionByName _)
     val after = migrate(before)
     require(after.columns.contains("batch") &&
@@ -557,7 +557,7 @@ object AcceptedSink {
       s"$root/v=$w/${VersionedState.TombsSubframe}/_SUCCESS")))
     if (present.isEmpty) None
     else Some(present.map(w =>
-      spark.read.parquet(s"$root/v=$w/${VersionedState.TombsSubframe}"))
+      VersionedState.cachedVersionFrame(spark, s"$root/v=$w/${VersionedState.TombsSubframe}"))
       .reduce(_ unionByName _))
   }
 
@@ -648,14 +648,20 @@ object AcceptedSink {
       val v = head.map(_ + 1).getOrElse(0L)
       VersionedState.commitVersion(spark, root, v, "accepted archive",
         Subframes) { scratch =>
-        // coalesce, not repartition: the fold's lineage is a plain
-        // multi-file scan, so merging splits costs no shuffle; fold
-        // mass is one cadence window, so the collapsed parallelism is
-        // batch-scale, not corpus-scale
-        data.coalesce(IngestProtocol.boundedFileCount(rows))
-          .write.mode("overwrite").parquet(s"$scratch/data")
-        writeMeta(spark, s"$scratch/meta", newMax, full = head.isEmpty)
-        writeStats(spark, scratch, statsCols)
+        // data→stats stays sequential INSIDE its task (the stats index
+        // derives from the just-written files' footers); the tiny meta
+        // write overlaps it ([[VersionedState.writeConcurrently]])
+        VersionedState.writeConcurrently(Seq(
+          () => {
+            // coalesce, not repartition: the fold's lineage is a plain
+            // multi-file scan, so merging splits costs no shuffle; fold
+            // mass is one cadence window, so the collapsed parallelism is
+            // batch-scale, not corpus-scale
+            data.coalesce(IngestProtocol.boundedFileCount(rows))
+              .write.mode("overwrite").parquet(s"$scratch/data")
+            writeStats(spark, scratch, statsCols)
+          },
+          () => writeMeta(spark, s"$scratch/meta", newMax, full = head.isEmpty)))
       }
       foldable.foreach(b => fs.delete(
         new org.apache.hadoop.fs.Path(s"$acceptedDir/batch=$b"), true))
@@ -702,7 +708,7 @@ object AcceptedSink {
         !t.where(col("minted_below") - 1 <= maxFolded).isEmpty)
       if (full && !clearable) head
       else {
-        val raw = links.map(w => spark.read.parquet(s"$root/v=$w/data"))
+        val raw = links.map(w => VersionedState.cachedVersionFrame(spark, s"$root/v=$w/data"))
           .reduce(_ unionByName _)
         val data = tombs match {
           case Some(t) =>
@@ -715,18 +721,24 @@ object AcceptedSink {
         val rows = data.count()
         VersionedState.commitVersion(spark, root, head + 1,
           "accepted archive", Subframes) { scratch =>
-          data.coalesce(IngestProtocol.boundedFileCount(rows))
-            .write.mode("overwrite").parquet(s"$scratch/data")
-          writeMeta(spark, s"$scratch/meta", maxFolded, full = true)
-          writeStats(spark, scratch, statsCols)
-          // carry forward only the tombstones some live directory may
-          // still answer for; the cleared ones' rows just left the
-          // folded bytes above, and future directories can never carry
-          // a never-redelivered id
-          tombs.map(_.where(col("minted_below") - 1 > maxFolded))
-            .filter(!_.isEmpty)
-            .foreach(_.coalesce(1).write.mode("overwrite")
-              .parquet(s"$scratch/${VersionedState.TombsSubframe}"))
+          // data→stats sequential inside its task; meta and the
+          // tombstone carry-forward overlap it
+          // ([[VersionedState.writeConcurrently]])
+          VersionedState.writeConcurrently(Seq(
+            () => {
+              data.coalesce(IngestProtocol.boundedFileCount(rows))
+                .write.mode("overwrite").parquet(s"$scratch/data")
+              writeStats(spark, scratch, statsCols)
+            },
+            () => writeMeta(spark, s"$scratch/meta", maxFolded, full = true),
+            // carry forward only the tombstones some live directory may
+            // still answer for; the cleared ones' rows just left the
+            // folded bytes above, and future directories can never carry
+            // a never-redelivered id
+            () => tombs.map(_.where(col("minted_below") - 1 > maxFolded))
+              .filter(!_.isEmpty)
+              .foreach(_.coalesce(1).write.mode("overwrite")
+                .parquet(s"$scratch/${VersionedState.TombsSubframe}"))))
         }
         head + 1
       }
@@ -755,7 +767,7 @@ object AcceptedSink {
     val headOpt = VersionedState.latestVersion(spark, root, Subframes)
     val linksOpt = headOpt.map(chain(spark, root, _))
     val archived = headOpt.map { head =>
-      (linksOpt.get.map(w => spark.read.parquet(s"$root/v=$w/data"))
+      (linksOpt.get.map(w => VersionedState.cachedVersionFrame(spark, s"$root/v=$w/data"))
         .reduce(_ unionByName _), readMetaRow(spark, root, head)._1)
     }
     val watermark = archived.map(_._2)
@@ -940,7 +952,7 @@ object AcceptedSink {
         // the freshness cross-check runs even against an EMPTY file
         // list: stats naming files that are gone is the tampering case
         // a silent skip would answer wrongly from
-        val stats = spark.read.parquet(s"$root/v=$w/$StatsSubframe")
+        val stats = VersionedState.cachedVersionFrame(spark, s"$root/v=$w/$StatsSubframe")
         val idxNames = stats.select(StatsIndex.FileCol).collect()
           .map(_.getString(0)).toSet
         val liveNames = files.map(new Path(_).getName).toSet
