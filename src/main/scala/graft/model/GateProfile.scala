@@ -22,12 +22,25 @@ object GateProfile {
     val open = mutable.Map.empty[Long, (String, Long, Int)]
     val agg = mutable.LinkedHashMap.empty[String, (Double, Int, Int)]
     val jobsByExec = mutable.Map.empty[Long, Int].withDefaultValue(0)
+    // per-execution job wall durations (sec) — tells scheduling tax
+    // (many uniform tiny jobs) apart from real compute (a few big ones)
+    val jobDursByExec = mutable.Map.empty[Long, mutable.ArrayBuffer[Double]]
+    val jobDurs = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Double]]
+    val jobStart = mutable.Map.empty[Int, (Long, Option[Long])]
     var nonSqlJobs = 0
     override def onJobStart(js: SparkListenerJobStart): Unit = synchronized {
-      Option(js.properties)
-        .flatMap(p => Option(p.getProperty("spark.sql.execution.id"))) match {
-        case Some(id) => jobsByExec(id.toLong) += 1
+      val exec = Option(js.properties)
+        .flatMap(p => Option(p.getProperty("spark.sql.execution.id"))).map(_.toLong)
+      jobStart(js.jobId) = (js.time, exec)
+      exec match {
+        case Some(id) => jobsByExec(id) += 1
         case None => nonSqlJobs += 1
+      }
+    }
+    override def onJobEnd(je: SparkListenerJobEnd): Unit = synchronized {
+      jobStart.remove(je.jobId).foreach { case (t0, exec) =>
+        exec.foreach(id => jobDursByExec.getOrElseUpdate(id,
+          mutable.ArrayBuffer.empty) += (je.time - t0) / 1e3)
       }
     }
     override def onOtherEvent(e: SparkListenerEvent): Unit = synchronized {
@@ -39,12 +52,15 @@ object GateProfile {
             val secs = (s.time - t0) / 1e3
             val (w, n, j) = agg.getOrElse(desc, (0.0, 0, 0))
             agg(desc) = (w + secs, n + 1, j + jobsByExec.remove(s.executionId).getOrElse(0))
+            jobDursByExec.remove(s.executionId).foreach(ds =>
+              jobDurs.getOrElseUpdate(desc, mutable.ArrayBuffer.empty) ++= ds)
           }
         case _ => ()
       }
     }
     def reset(): Unit = synchronized {
       open.clear(); agg.clear(); jobsByExec.clear(); nonSqlJobs = 0
+      jobDursByExec.clear(); jobDurs.clear(); jobStart.clear()
     }
   }
 
@@ -75,8 +91,13 @@ object GateProfile {
       val execs = rows.map(_._2._2).sum
       val jobs = rows.map(_._2._3).sum
       println(f"\n===== $name%s wall=$wall%.2fs execs=$execs%d execWall=$execWall%.2fs sqlJobs=$jobs%d nonSqlJobs=$nonSql%d offExec=${wall - execWall}%.2fs =====")
+      val durs = clock.synchronized { clock.jobDurs.toMap }
       rows.sortBy(-_._2._1).foreach { case (desc, (w, n, j)) =>
         println(f"  $w%8.3f s  x$n%-4d jobs=$j%-4d ${desc.linesIterator.next()}%s")
+        durs.get(desc).filter(_.size >= 8).foreach { ds =>
+          val s = ds.sorted
+          println(f"      jobs: sum=${ds.sum}%.2fs p50=${s(s.size / 2)}%.3f max=${s.last}%.3f top=${s.takeRight(5).reverse.map(d => f"$d%.2f").mkString(",")}%s")
+        }
       }
     }
     spark.stop()

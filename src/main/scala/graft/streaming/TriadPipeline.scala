@@ -142,18 +142,50 @@ object TriadPipeline {
       cfg.semanticThreshold, cfg.vectorCompactEvery, cfg.checkpointDir,
       cfg.driftGateMinRows, cfg.acceptedStatsCols))
     val survivors2 = spark.read.parquet(s"${cfg.semanticAccepted}/batch=$batchId")
-    val (o3, t3) = timed(IvfIngestStream.processBatch(survivors2, batchId,
-      cfg.ivfDir, cfg.idCol, cfg.vecCol, cfg.vectorCompactEvery,
-      cfg.checkpointDir, cfg.driftGateMinRows))
-    // the linkage TAIL STAGE: the final survivors fold into the standing
-    // entity resolution. Same committed-bytes input as the ivf stage —
-    // the store's values can never drift from what the sink accepted —
-    // and the store keeps its own ledger, so the boundary-crash replay
-    // argument extends to a fourth stage unchanged
-    val (o4, t4) = timed(cfg.linkage.map { st =>
-      LinkageIngestStream.processBatch(survivors2, batchId,
-        cfg.linkageDir, st.compactEvery, cfg.checkpointDir)
-    })
+    // the ivf stage and the linkage TAIL STAGE both consume the SAME
+    // committed semantic-accepted bytes and maintain independent stores
+    // with independent ledgers — there is no ordering contract between
+    // them, so they run CONCURRENTLY (guide-§2.6 overlap): each stage's
+    // single-threaded tails (kmeans-free appends, commit renames,
+    // protocol I/O, CC rounds) back-fill the other's idle cores. Crash
+    // replay is unchanged in substance — each store's ledger already
+    // decides skip-vs-redo per stage, and a crash mid-overlap leaves
+    // exactly the per-store committed/uncommitted states the sequential
+    // form's crash points could (the replay spec drives both). Each
+    // stage body holds its own thread-local [[graft.ops.OpCaches]]
+    // scope, and stage 1 stamped the checkpoint nonce before this
+    // point, so first-contact minting cannot race. The linkage stage's
+    // values still can never drift from what the sink accepted — same
+    // committed-bytes input, per-stage wall still reported.
+    val ((o3, t3), (o4, t4)) = cfg.linkage match {
+      case Some(st) =>
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        try {
+          val fIvf = Future(timed(IvfIngestStream.processBatch(survivors2,
+            batchId, cfg.ivfDir, cfg.idCol, cfg.vecCol,
+            cfg.vectorCompactEvery, cfg.checkpointDir, cfg.driftGateMinRows)))
+          val fLink = Future(timed(LinkageIngestStream.processBatch(
+            survivors2, batchId, cfg.linkageDir, st.compactEvery,
+            cfg.checkpointDir)))
+          // await BOTH before propagating either failure: a stage still
+          // mid-commit must never outlive this call (the caller may act
+          // on the failure — retry, teardown — while it writes)
+          val r3 = scala.util.Try(Await.result(fIvf, Duration.Inf))
+          val r4 = scala.util.Try(Await.result(fLink, Duration.Inf))
+          val (o3r, t3r) = r3.get
+          val (o4r, t4r) = r4.get
+          ((o3r, t3r), (Some(o4r): Option[LinkageIngestStream.BatchOutcome], t4r))
+        } finally pool.shutdown()
+      case None =>
+        val (o3r, t3r) = timed(IvfIngestStream.processBatch(survivors2,
+          batchId, cfg.ivfDir, cfg.idCol, cfg.vecCol,
+          cfg.vectorCompactEvery, cfg.checkpointDir, cfg.driftGateMinRows))
+        ((o3r, t3r), (None: Option[LinkageIngestStream.BatchOutcome], 0.0))
+    }
     val stageSecs =
       (if (o0.nonEmpty) Map("curation" -> t0) else Map.empty[String, Double]) ++
         Map("dedup" -> t1, "semantic" -> t2, "ivf" -> t3) ++
