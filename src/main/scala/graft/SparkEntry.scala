@@ -25,6 +25,18 @@ object SparkEntry {
   /** Exact order-independent money sum: decimal(18,2) partial sums, double out. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Materialize a bounded contract/result frame so it outlives its
+    * gate's scratch store: collected rows re-enter as a LOCAL relation,
+    * not an RDD — `parallelize` sliced every one-row contract into
+    * `defaultParallelism` (32) partitions, so each downstream action
+    * scheduled 32 near-empty tasks per gate (measured as a uniform
+    * ~0.1–0.3 s tail across the 15 lifecycle gates, r20). A local
+    * relation scans in ONE task; the rows and schema are identical. */
+  private def materialized(spark: SparkSession, df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(df.collect().toIndexedSeq.asJava, df.schema)
+  }
+
   /** Delete a scratch directory at JVM exit (idempotent per path). */
   private val cleanupRegistered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def registerCleanup(dir: String): Unit =
@@ -682,8 +694,7 @@ object SparkEntry {
         "doc_id", "text", expectedBase = 0L)
       val pairs = MinhashIndexStore.probeLatest(spark, store, batch,
         "doc_id", "text", threshold = 0.5)
-      val rows = pairs.collect().toIndexedSeq
-      spark.createDataFrame(spark.sparkContext.parallelize(rows), pairs.schema)
+      materialized(spark, pairs)
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(store)).deleteRecursively()
@@ -716,8 +727,7 @@ object SparkEntry {
         "doc_id", expectedBase = 0L)
       val pairs = MinhashIndexStore.probeLatest(spark, store, batch,
         "doc_id", "text", threshold = 0.5)
-      val rows = pairs.collect().toIndexedSeq
-      spark.createDataFrame(spark.sparkContext.parallelize(rows), pairs.schema)
+      materialized(spark, pairs)
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(store)).deleteRecursively()
@@ -761,8 +771,7 @@ object SparkEntry {
         .readAccepted(spark, s"$root/accepted")
         .select(col("doc_id"), col("batch").cast("int").as("batch"))
         .orderBy("doc_id")
-      val rows = accepted.collect().toIndexedSeq
-      spark.createDataFrame(spark.sparkContext.parallelize(rows), accepted.schema)
+      materialized(spark, accepted)
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(root)).deleteRecursively()
@@ -807,8 +816,7 @@ object SparkEntry {
       val out = asOf.df
         .select(col("doc_id"), col("batch").cast("int").as("batch"))
         .orderBy("doc_id")
-      val rows = out.collect().toIndexedSeq
-      spark.createDataFrame(spark.sparkContext.parallelize(rows), out.schema)
+      materialized(spark, out)
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(root)).deleteRecursively()
@@ -830,8 +838,7 @@ object SparkEntry {
     try {
       val manifest = graft.ops.Curation.exportShards(docs, "doc_id", 16, root)
         .orderBy("shard")
-      val rows = manifest.collect().toIndexedSeq
-      spark.createDataFrame(spark.sparkContext.parallelize(rows), manifest.schema)
+      materialized(spark, manifest)
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(root)).deleteRecursively()
@@ -872,8 +879,7 @@ object SparkEntry {
         AcceptedSink.shardProvenance(spark, out)
           .select("as_of_batch", "n_tombs", "tombs_checksum"))
         .orderBy("shard")
-      val rows = pinned.collect().toIndexedSeq
-      spark.createDataFrame(spark.sparkContext.parallelize(rows), pinned.schema)
+      materialized(spark, pinned)
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(root)).deleteRecursively()
@@ -1109,8 +1115,7 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
         .withColumn("pruned_files",
           lit(scan.keptFiles > 0 && scan.keptFiles < scan.totalFiles))
-      val rows = out.collect().toIndexedSeq
-      spark.createDataFrame(spark.sparkContext.parallelize(rows), out.schema)
+      materialized(spark, out)
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(scratch)).deleteRecursively()
@@ -1149,8 +1154,7 @@ object SparkEntry {
           dsum(col("value")).as("sum_value"))
         .withColumn("pruned_files",
           lit(scan.keptFiles > 0 && scan.keptFiles < scan.totalFiles))
-      val rows = out.collect().toIndexedSeq
-      spark.createDataFrame(spark.sparkContext.parallelize(rows), out.schema)
+      materialized(spark, out)
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(scratch)).deleteRecursively()
@@ -1217,8 +1221,7 @@ object SparkEntry {
       LinkageStore.append(spark, store,
         part.where(col("p_partkey") % 5 === 0), expectedBase = 0L)
       val out = LinkageStore.resolveRows(spark, store, part)
-      val rows = out.collect().toIndexedSeq
-      spark.createDataFrame(spark.sparkContext.parallelize(rows), out.schema)
+      materialized(spark, out)
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(store)).deleteRecursively()
@@ -1249,8 +1252,7 @@ object SparkEntry {
         part.where(col("p_name").endsWith("e")).select("p_brand", "p_name"),
         expectedBase = 0L)
       val out = LinkageStore.resolveRows(spark, store, part)
-      val rows = out.collect().toIndexedSeq
-      spark.createDataFrame(spark.sparkContext.parallelize(rows), out.schema)
+      materialized(spark, out)
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(store)).deleteRecursively()
@@ -1335,8 +1337,7 @@ object SparkEntry {
       val out = LinkageStore.resolveRows(spark, cfg.linkageDir, accepted)
         .select(col("doc_id"), col("lang"), col("sig"), col("canonical_sig"))
         .orderBy("doc_id")
-      val rows = out.collect().toIndexedSeq
-      spark.createDataFrame(spark.sparkContext.parallelize(rows), out.schema)
+      materialized(spark, out)
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(root)).deleteRecursively()
@@ -1870,9 +1871,7 @@ object SparkEntry {
           k = 5, nprobe = 8),
         Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5),
         floor = 0.75)
-      val rows = contract.collect().toIndexedSeq
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows), contract.schema)
+      materialized(spark, contract)
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(store)).deleteRecursively()
@@ -1920,9 +1919,7 @@ object SparkEntry {
           .agg(count(lit(1)).as("_nr")))
         .select(col("n_queries"), col("n_exact"), col("sum_score"),
           col("recall_ok"), (col("_nr") === 0L).as("no_removed"))
-      val rows = contract.collect().toIndexedSeq
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows), contract.schema)
+      materialized(spark, contract)
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(store)).deleteRecursively()
@@ -2135,8 +2132,7 @@ object SparkEntry {
           dim = 64, threshold = 0.9, numTables = 12)
           .where(col("id_a") % 5 === 0 || col("id_b") % 5 === 0))
       val contract = semanticBatchContract(sem, ref)
-      val rows = contract.collect().toIndexedSeq
-      spark.createDataFrame(spark.sparkContext.parallelize(rows), contract.schema)
+      materialized(spark, contract)
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(store)).deleteRecursively()
@@ -2185,8 +2181,7 @@ object SparkEntry {
         .crossJoin(removedHits.agg(count(lit(1)).as("_nr")))
         .select(col("n_pairs"), col("sum_score"), col("recall_ok"),
           col("sided_ok"), (col("_nr") === 0L).as("removed_absent"))
-      val rows = contract.collect().toIndexedSeq
-      spark.createDataFrame(spark.sparkContext.parallelize(rows), contract.schema)
+      materialized(spark, contract)
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(store)).deleteRecursively()

@@ -720,21 +720,34 @@ object Dedup {
   }
 
   /** The shared probe inputs: the batch's distinct-set frame (sided —
-    * all members NEW, cached: it feeds the within pairs, the active
-    * band keys, and the colliding-row assembly), the standing index as
-    * a pure narrow sided projection (all members OLD — no join, no
-    * filter, no cache; index sets identical to a batch set stay in and
-    * meet their twin through the banding path), and the batch's
-    * exploded band keys. */
+    * all members NEW, materialized once: it feeds the within pairs, the
+    * active band keys, and the colliding-row assembly), the standing
+    * index as a pure narrow sided projection (all members OLD — no
+    * join, no filter, no cache; index sets identical to a batch set
+    * stay in and meet their twin through the banding path), and the
+    * batch's exploded band keys.
+    *
+    * localCheckpoint, not cache, for the batch frame (the
+    * [[connectedComponents]] rationale): a cache entry still CARRIES
+    * the build lineage's logical plan — the shingling expressions and
+    * the 24-element band-hash arrays — and the analyzer re-walks it in
+    * every one of the ~25 downstream Dataset constructions the probe
+    * tree makes per micro-batch, measured as ~0.9 s of off-execution
+    * driver time per probe (GateProfile, r20) plus AQE re-optimization
+    * cost per stage inside the execution. The checkpoint truncates to a
+    * LogicalRDD: same blocks, same single materialization, O(1)-sized
+    * leaf in every downstream plan. Lazy — the probe's own first action
+    * computes every partition and persists the blocks itself. */
   private def probeSides(index: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, shingleK: Int, numBands: Int,
       rowsPerBand: Int, maxGroupSize: Int): (DataFrame, DataFrame, DataFrame) = {
     val emptyIds = typedlit(Seq.empty[Long])
-    val newSide = OpCaches.registered(
+    val newSide =
       minhashIndexBuild(batch, idCol, textCol, shingleK,
         numBands, rowsPerBand, maxGroupSize)
         .select(element_at(col("ids"), 1).as("gid"), col("shh"),
-          emptyIds.as("old_ids"), col("ids").as("new_ids"), col("sig")))
+          emptyIds.as("old_ids"), col("ids").as("new_ids"), col("sig"))
+        .localCheckpoint(false)
     val indexSide = index
       .select(element_at(col("ids"), 1).as("gid"), col("shh"),
         col("ids").as("old_ids"), emptyIds.as("new_ids"), col("sig"))

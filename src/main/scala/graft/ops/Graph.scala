@@ -107,12 +107,29 @@ object Graph {
     * Resume contract: the caller must re-invoke with the same edge
     * CONTENT (round files carry no edge fingerprint — a changed graph
     * resumed mid-walk answers neither graph's PageRank; use a fresh
-    * scratchDir per graph version). */
+    * scratchDir per graph version).
+    *
+    * `roundsPerWrite` trades resume GRANULARITY for per-round fixed
+    * cost: k rounds nest into one plan between parquet round-trips
+    * (each round-trip is a write job + commit + footer read — measured
+    * ~0.4–0.6 s of pure fixed cost per round at gate scale, r20), so a
+    * crash re-computes at most k−1 rounds from the last committed one.
+    * Committed round numbers are always TRUE round counts (the write
+    * lands at `round=i+k`), so any mix of k values across resumes of
+    * one walk composes — the vector is bit-identical for every k
+    * (doubles never leave memory between nested rounds, and the
+    * round arithmetic is the same scalar IEEE ops; spec-pinned for
+    * k>1 against the unrolled form, resume included). Keep k modest
+    * (the unrolled form's plan-depth economics): the default 1 is the
+    * flattest plan; [[LinkGraph.docRank]] uses 4. */
   def pageRankCheckpointed(edges: DataFrame, srcCol: String, dstCol: String,
                            iters: Int, scratchDir: String,
-                           damping: Double = 0.85): DataFrame = {
+                           damping: Double = 0.85,
+                           roundsPerWrite: Int = 1): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1): $damping")
+    require(roundsPerWrite >= 1,
+      s"roundsPerWrite must be >= 1: $roundsPerWrite")
     val spark = edges.sparkSession
     // cached PRE-PARTITIONED on src: every round's contribution join and
     // the out-degree aggregate are src-keyed, so hash-clustering the edge
@@ -169,9 +186,10 @@ object Graph {
     var ranks =
       if (i == 0L) nodes.withColumn("rank", lit(1.0 / n.toDouble))
       else spark.read.parquet(s"$scratchDir/round=$i")
-    while (i < iters) {
+    // one in-memory round: the same join-agg-join every form here runs
+    def round(r: DataFrame): DataFrame = {
       val contrib = e
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(r.withColumnRenamed("node", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
         .select(col("dst").as("node"),
           (col("rank") / col("deg")).cast("decimal(28,14)").as("q"))
@@ -180,13 +198,21 @@ object Graph {
         .select(col("node"),
           (lit(base) + lit(damping) *
             coalesce(col("mass").cast("double"), lit(0.0))).as("rank"))
-        .write.mode("overwrite").parquet(s"$scratchDir/round=${i + 1}")
-      ranks = spark.read.parquet(s"$scratchDir/round=${i + 1}")
+    }
+    while (i < iters) {
+      // nest up to roundsPerWrite rounds into this trip's plan; the
+      // committed round number stays the TRUE round count
+      val upTo = math.min(i + roundsPerWrite, iters.toLong)
+      var stepped = ranks
+      var j = i
+      while (j < upTo) { stepped = round(stepped); j += 1 }
+      stepped.write.mode("overwrite").parquet(s"$scratchDir/round=$upTo")
+      ranks = spark.read.parquet(s"$scratchDir/round=$upTo")
       // keep only the newest committed round: delete everything below
       // AFTER the new round committed (a crash between the write and
       // the deletes leaves extra rounds, and resume takes the max)
-      sweepBelow(i + 1)
-      i += 1
+      sweepBelow(upTo)
+      i = upTo
     }
     ranks
   }

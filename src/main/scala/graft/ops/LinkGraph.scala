@@ -83,8 +83,15 @@ object LinkGraph {
   def docRank(docs: DataFrame, idCol: String, textCol: String,
               iters: Int, scratchDir: String,
               damping: Double = 0.85): DataFrame =
+    // roundsPerWrite = 4: each parquet round-trip costs ~0.4–0.6 s of
+    // pure fixed cost at gate scale (write job + commit + footer read —
+    // GateProfile, r20) against rank vectors that are node-mass small;
+    // nesting 4 rounds per trip keeps the plan at the unrolled gate
+    // form's proven depth while quartering the trips. Bit-identical for
+    // any k ([[Graph.pageRankCheckpointed]]); a crash re-computes at
+    // most 3 rounds.
     Graph.pageRankCheckpointed(termEdges(docs, idCol, textCol),
-      "src", "dst", iters, scratchDir, damping)
+      "src", "dst", iters, scratchDir, damping, roundsPerWrite = 4)
       .where(col("node").startsWith("d:"))
       .select(expr("substring(node, 3)").cast("long").as(idCol), col("rank"))
 }

@@ -1816,6 +1816,28 @@ class OpsSpec extends SparkSpec {
         assert(msg.contains("longer walk"), msg)
       }
     }
+    // roundsPerWrite > 1: nesting k rounds per parquet trip is a pure
+    // fixed-cost trade — the vector stays bit-identical to the k=1 walk
+    // and the unrolled form for ANY k, including a resume that mixes k
+    // values (committed round numbers are true round counts, so trips
+    // compose); scratch still holds only the newest committed round
+    val unrolled8 = vec(Graph.pageRank(edges, "s", "d", iters = 8))
+    withDir { k3 =>
+      assert(vec(Graph.pageRankCheckpointed(edges, "s", "d", iters = 8,
+        k3, roundsPerWrite = 3)) === unrolled8)
+      val dirs8 = new java.io.File(k3).listFiles().map(_.getName)
+        .filter(_.startsWith("round=")).toSeq
+      assert(dirs8 === Seq("round=8"),
+        s"only the newest committed round may remain: $dirs8")
+    }
+    withDir { mixed =>
+      // commits land at 2, 4, 5 …
+      Graph.pageRankCheckpointed(edges, "s", "d", iters = 5, mixed,
+        roundsPerWrite = 2)
+      // … and a k=3 resume finishes the same walk bit-identically
+      assert(vec(Graph.pageRankCheckpointed(edges, "s", "d", iters = 8,
+        mixed, roundsPerWrite = 3)) === unrolled8)
+    }
     // crash window: a prior run committed its final round but died
     // before deleting the previous one; re-invoking with the SAME iters
     // resumes at i == iters (the loop never runs) and must still sweep
