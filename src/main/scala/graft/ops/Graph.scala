@@ -38,9 +38,18 @@ object Graph {
     * graphs with sinks; feed both edge directions (or add self-loops)
     * when mass conservation matters, as the undirected curation graphs
     * here do. Self-edges and duplicate edges are deduplicated; NULL
-    * endpoints are dropped. */
+    * endpoints are dropped.
+    *
+    * `edgesDistinct = true` is the caller's PROMISE that the edge list
+    * already carries no duplicates, skipping the build-time dedup — one
+    * edge-mass exchange + aggregate removed (§2.1), the second-largest
+    * shuffle of the whole walk after the repartition. Contribution sums
+    * double-count duplicate edges, so only set it when distinctness is
+    * structural ([[LinkGraph.termEdges]]'s incidence is); bit-identical
+    * to the dedup path for any already-distinct input (spec-pinned). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+               iters: Int = 3, damping: Double = 0.85,
+               edgesDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1): $damping")
     // cached PRE-PARTITIONED on src: every round's contribution join and
@@ -50,10 +59,11 @@ object Graph {
     // two operations keyed the same way share one exchange; only the
     // node-mass rank vector still shuffles each round). One extra
     // edge-mass exchange at build, iters × edge-mass exchanges removed.
+    val clean = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
     val e = OpCaches.registered(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .where(col("src").isNotNull && col("dst").isNotNull)
-        .distinct().repartition(col("src")))
+      (if (edgesDistinct) clean else clean.distinct())
+        .repartition(col("src")))
     val nodes = OpCaches.registered(
       e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node"))).distinct())
@@ -125,7 +135,8 @@ object Graph {
   def pageRankCheckpointed(edges: DataFrame, srcCol: String, dstCol: String,
                            iters: Int, scratchDir: String,
                            damping: Double = 0.85,
-                           roundsPerWrite: Int = 1): DataFrame = {
+                           roundsPerWrite: Int = 1,
+                           edgesDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1): $damping")
     require(roundsPerWrite >= 1,
@@ -138,10 +149,11 @@ object Graph {
     // two operations keyed the same way share one exchange; only the
     // node-mass rank vector still shuffles each round). One extra
     // edge-mass exchange at build, iters × edge-mass exchanges removed.
+    val clean = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
     val e = OpCaches.registered(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .where(col("src").isNotNull && col("dst").isNotNull)
-        .distinct().repartition(col("src")))
+      (if (edgesDistinct) clean else clean.distinct())
+        .repartition(col("src")))
     val nodes = OpCaches.registered(
       e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node"))).distinct())

@@ -90,8 +90,13 @@ object LinkGraph {
     // form's proven depth while quartering the trips. Bit-identical for
     // any k ([[Graph.pageRankCheckpointed]]); a crash re-computes at
     // most 3 rounds.
+    // edgesDistinct: [[termEdges]] is distinct by construction — the
+    // incidence is distinct per (doc, token), fwd/rev are one-to-one
+    // maps of it, and the two directions live in disjoint `d:`/`t:` key
+    // prefixes — so the walk's build-time dedup exchange is skipped
     Graph.pageRankCheckpointed(termEdges(docs, idCol, textCol),
-      "src", "dst", iters, scratchDir, damping, roundsPerWrite = 4)
+      "src", "dst", iters, scratchDir, damping, roundsPerWrite = 4,
+      edgesDistinct = true)
       .where(col("node").startsWith("d:"))
       .select(expr("substring(node, 3)").cast("long").as(idCol), col("rank"))
 }

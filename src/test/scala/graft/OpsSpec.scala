@@ -1838,6 +1838,15 @@ class OpsSpec extends SparkSpec {
       assert(vec(Graph.pageRankCheckpointed(edges, "s", "d", iters = 8,
         mixed, roundsPerWrite = 3)) === unrolled8)
     }
+    // edgesDistinct: for an already-distinct edge list the dedup-skip
+    // path is bit-identical on both walk forms (it only removes the
+    // build-time distinct exchange, never a contribution)
+    assert(vec(Graph.pageRank(edges, "s", "d", iters = 3,
+      edgesDistinct = true)) === unrolled3)
+    withDir { nd =>
+      assert(vec(Graph.pageRankCheckpointed(edges, "s", "d", iters = 8,
+        nd, roundsPerWrite = 3, edgesDistinct = true)) === unrolled8)
+    }
     // crash window: a prior run committed its final round but died
     // before deleting the previous one; re-invoking with the SAME iters
     // resumes at i == iters (the loop never runs) and must still sweep
